@@ -1,0 +1,306 @@
+"""Batch entity lookup — the reference's flagship
+``GET /lookup/entity-retrieval`` re-expressed as one Spark dataflow.
+
+Reference lifecycle (api/model/data_retrievers/lookup_retriever.py):
+clean name -> token match in ES (OR-of-tokens, popularity-desc sort,
+size=limit) -> per-hit features (pos_score, es_score — elastic.py:46-64)
+-> mention-level ambiguity features (:118-135) -> string-similarity
+features ed/jaccard/jaccardNgram (:146-150) -> type-name resolution
+(:236-240) -> per-id argmax dedup on ed+jaccard (:177-182).
+
+Batch shape: the request stream becomes a **mentions DataFrame**; every
+per-request ES/Mongo round-trip becomes a join stage. Identical mentions
+are deduplicated up front (the batch analogue of the reference's Mongo
+result cache, lookup_retriever.py:78-102): candidates are computed once
+per distinct normalized mention and re-joined to request rows by the
+caller.
+
+Scoring note: ``es_score`` in the reference is BM25-normalized; BM25
+bit-parity is not meaningful outside ES, so we define a deterministic
+token-overlap score (exact-token matches, doubled for a full-string
+match — mirroring the ``boost: 2`` exact branch at :270) normalized by
+the per-mention max, and rank (``pos_score``) by popularity desc exactly
+as the reference's ES query sorts (:264). The parity target is candidate
+sets + deterministic features (SURVEY §7 'hard parts').
+
+Scale: the dictionary side is an inverted token index, pre-bucketed by
+token; the mention side explodes to (mention, token) and equi-joins.
+Broadcast when the dictionary fits (<~256 MB), otherwise a shuffle join
+with AQE skew splitting; pure-stopword tokens are the classic skew key —
+they are kept for parity but the fuzzy index never expands tokens <3
+chars, and AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lamapi_spark.functions import clean_str, ed_score, jaccard_ngram_score, jaccard_score
+from lamapi_spark.operators.label_dict import deletion_variants, fuzzy_token_index, token_inverted_index
+
+_DICT_COLS = [
+    "entity", "name", "name_norm", "description", "kind", "NERtype",
+    "types", "length", "ntoken", "popularity", "is_alias", "language",
+]
+
+
+def _prepare_mentions(mentions: DataFrame, mention_col: str = "mention") -> DataFrame:
+    """Distinct normalized mentions with their token explosion."""
+    m = mentions.select(clean_str(mention_col).alias("mention_norm")).distinct()
+    return m.select(
+        "mention_norm",
+        F.length("mention_norm").alias("length_mention"),
+        F.size(F.split("mention_norm", " ")).alias("ntoken_mention"),
+        F.split("mention_norm", " ").alias("mention_tokens"),
+    )
+
+
+def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
+                broadcast_dict: bool = True, fuzzy: bool = False) -> DataFrame:
+    """OR-of-tokens match: one row per (mention, dictionary row) sharing
+    >=1 token, with ``matched_tokens`` (count of distinct mention tokens
+    found in the name) and ``fuzzy_matched`` counts.
+
+    This is J1 — the core join. Exact arm joins tokens directly; the
+    fuzzy arm joins deletion-neighborhood variants then post-filters by
+    real edit distance within ES 'auto' bands.
+    """
+    m_tok = mentions_prepared.select(
+        "mention_norm", F.explode(F.array_distinct("mention_tokens")).alias("m_token"),
+    )
+
+    dict_tok = token_inverted_index(label_dict)
+    if broadcast_dict:
+        dict_tok = F.broadcast(dict_tok)
+
+    exact = m_tok.join(dict_tok, m_tok.m_token == dict_tok.token, "inner").select(
+        "mention_norm", "m_token", *_DICT_COLS,
+        F.lit(0).alias("edits"),
+    )
+
+    if not fuzzy:
+        matched = exact
+    else:
+        band = (
+            F.when(F.length("m_token") >= 6, F.lit(2))
+            .when(F.length("m_token") >= 3, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        m_var = m_tok.withColumn("_band", band).select(
+            "mention_norm", "m_token", "_band",
+            F.explode(
+                F.when(F.col("_band") == 2, deletion_variants(F.col("m_token"), 2))
+                .when(F.col("_band") == 1, deletion_variants(F.col("m_token"), 1))
+                .otherwise(F.array(F.col("m_token")))
+            ).alias("variant"),
+        )
+        f_idx = fuzzy_token_index(label_dict)
+        if broadcast_dict:
+            f_idx = F.broadcast(f_idx)
+        fuzzy_hits = (
+            m_var.join(f_idx, "variant", "inner")
+            .withColumn("edits", F.levenshtein("m_token", "token"))
+            # ES auto-fuzziness band is driven by the *query* token length
+            .filter(F.col("edits") <= F.least(F.col("_band"), F.lit(2)))
+            .select("mention_norm", "m_token", *_DICT_COLS, "edits")
+            # a (mention token, dict row) pair may match through many
+            # variants — keep the best edit distance once
+            .groupBy("mention_norm", "m_token", "entity", "name", "is_alias")
+            .agg(
+                F.min("edits").alias("edits"),
+                *[F.first(c).alias(c) for c in _DICT_COLS
+                  if c not in ("entity", "name", "is_alias")],
+            )
+            .select("mention_norm", "m_token", *_DICT_COLS, "edits")
+        )
+        matched = exact.unionByName(fuzzy_hits)
+
+    # collapse to one row per (mention, dictionary row): matched token
+    # stats. Dictionary rows are unique on (entity, name, is_alias).
+    agg = matched.groupBy("mention_norm", "entity", "name", "is_alias").agg(
+        F.countDistinct(F.when(F.col("edits") == 0, F.col("m_token"))).alias("matched_tokens"),
+        F.countDistinct("m_token").alias("matched_tokens_any"),
+        *[F.first(c).alias(c) for c in _DICT_COLS
+          if c not in ("entity", "name", "is_alias")],
+    )
+    return agg
+
+
+def mention_features(candidates: DataFrame, mentions_prepared: DataFrame) -> DataFrame:
+    """A7 — per-mention ``ambiguity_mention`` and ``corrects_tokens`` over
+    the unfiltered token-match result set (lookup_retriever.py:118-135).
+
+    ambiguity = (#distinct ids whose cleaned label equals the mention) /
+    (#distinct ids); corrects = |mention tokens ∩ all result-name tokens| /
+    |mention tokens|; both round(.., 3) half-even.
+    """
+    tok_overlap = (
+        candidates
+        .select("mention_norm", F.explode(F.split("name_norm", " ")).alias("tok"))
+        .join(
+            mentions_prepared.select(
+                "mention_norm", F.explode(F.array_distinct("mention_tokens")).alias("tok")),
+            ["mention_norm", "tok"],
+        )
+        .groupBy("mention_norm")
+        .agg(F.countDistinct("tok").alias("_tok_hits"))
+    )
+    per_mention = (
+        candidates.groupBy("mention_norm")
+        .agg(
+            F.countDistinct("entity").alias("_n_ids"),
+            F.countDistinct(
+                F.when(F.col("name_norm") == F.col("mention_norm"), F.col("entity"))
+            ).alias("_n_exact_ids"),
+        )
+        .join(tok_overlap, "mention_norm", "left")
+        .join(mentions_prepared.select("mention_norm", "ntoken_mention", "mention_tokens"),
+              "mention_norm")
+        .select(
+            "mention_norm",
+            F.bround(F.col("_n_exact_ids") / F.greatest("_n_ids", F.lit(1)), 3).alias("ambiguity_mention"),
+            F.bround(
+                F.coalesce("_tok_hits", F.lit(0)) / F.size(F.array_distinct("mention_tokens")), 3
+            ).alias("corrects_tokens"),
+        )
+    )
+    return per_mention
+
+
+def resolve_type_names(candidates: DataFrame, items: DataFrame) -> DataFrame:
+    """J3 — map each candidate's type QIDs to English type labels via the
+    items table (kind='type'), keeping the id when unresolved
+    (lookup_retriever.py:141-142,152-155,236-240). Broadcast join: the
+    type vocabulary is tiny relative to entities."""
+    type_names = items.filter(F.col("kind") == "type").select(
+        F.col("entity").alias("type_id"),
+        F.col("labels").getItem("en").alias("type_name"),
+    )
+    exploded = candidates.select(
+        "mention_norm", "entity", "name", "is_alias",
+        F.posexplode_outer("types").alias("_tpos", "type_id"),
+    )
+    resolved = (
+        exploded.join(F.broadcast(type_names), "type_id", "left")
+        .withColumn("_t", F.when(
+            F.col("type_id").isNotNull(),
+            F.struct(F.col("type_id").alias("id"),
+                     F.coalesce("type_name", "type_id").alias("name")),
+        ))
+        .groupBy("mention_norm", "entity", "name", "is_alias")
+        .agg(F.sort_array(F.collect_list(F.struct("_tpos", "_t"))).alias("_ts"))
+        .select(
+            "mention_norm", "entity", "name", "is_alias",
+            F.filter(F.transform("_ts", lambda s: s["_t"]),
+                     lambda t: t.isNotNull()).alias("types_resolved"),
+        )
+    )
+    return candidates.join(resolved, ["mention_norm", "entity", "name", "is_alias"], "left")
+
+
+def lookup(
+    mentions: DataFrame,
+    label_dict: DataFrame,
+    items: DataFrame,
+    limit: int = 1000,
+    fuzzy: bool = False,
+    types: str | None = None,
+    kind: str | None = None,
+    ner_type: str | None = None,
+    language: str | None = None,
+    broadcast_dict: bool = True,
+    mention_col: str = "mention",
+) -> DataFrame:
+    """Full lookup: mentions DF -> 19-field candidates DF keyed by
+    ``mention_norm`` (one row per (mention, entity), reference parity
+    for the field set at lookup_retriever.py:157-176)."""
+    prepared = _prepare_mentions(mentions, mention_col)
+
+    # Token-query pass (unfiltered) feeds the mention-level features —
+    # the reference's extra ES round-trip at :49-51.
+    base_match = token_match(prepared, label_dict, broadcast_dict, fuzzy=False)
+    feats = mention_features(base_match, prepared)
+
+    # Candidate pass: fuzzy branch + filters (P2/P3, J2).
+    cand = (
+        token_match(prepared, label_dict, broadcast_dict, fuzzy=fuzzy)
+        if fuzzy else base_match
+    )
+    if kind is not None:
+        cand = cand.filter(F.col("kind") == kind)
+    if ner_type is not None:
+        cand = cand.filter(F.col("NERtype") == ner_type)
+    if language is not None:
+        cand = cand.filter(F.array_contains("language", language))
+    if types is not None:
+        wanted = sorted(types.split(" "))
+        cand = cand.filter(F.arrays_overlap("types", F.array(*[F.lit(t) for t in wanted])))
+
+    # ES executes: sort popularity desc, truncate at `limit`, then
+    # pos_score = rank/len and es_score = score/max_score over the
+    # truncated set (elastic.py:46-64). Tiebreak (entity, name) for
+    # determinism where ES ordering is internal.
+    w_pop = Window.partitionBy("mention_norm").orderBy(
+        F.col("popularity").desc(), F.col("entity").asc(), F.col("name").asc(),
+        F.col("is_alias").asc())
+    raw_score = (
+        F.when(F.col("name_norm") == F.col("mention_norm"), F.lit(2.0)).otherwise(F.lit(1.0))
+        * F.col("matched_tokens_any") / F.greatest("ntoken_mention", F.lit(1))
+    )
+    cand = (
+        cand
+        .join(prepared.select("mention_norm", "ntoken_mention", "length_mention"), "mention_norm")
+        .withColumn("_rank", F.row_number().over(w_pop))
+        .filter(F.col("_rank") <= limit)
+        .withColumn("_raw_score", raw_score)
+    )
+    w_m = Window.partitionBy("mention_norm")
+    cand = (
+        cand
+        .withColumn("_n_hits", F.count("*").over(w_m))
+        .withColumn("_max_score", F.max("_raw_score").over(w_m))
+        .withColumn("pos_score", F.bround(F.col("_rank") / F.col("_n_hits"), 3))
+        .withColumn("es_score", F.bround(F.col("_raw_score") / F.col("_max_score"), 3))
+    )
+
+    # String-similarity features on the cleaned label vs the mention.
+    cand = (
+        cand
+        .withColumn("ed_score", ed_score("name_norm", "mention_norm"))
+        .withColumn("jaccard_score", jaccard_score("name_norm", "mention_norm"))
+        .withColumn("jaccardNgram_score", jaccard_ngram_score("name_norm", "mention_norm"))
+    )
+
+    cand = resolve_type_names(cand, items)
+
+    # A6 — per (mention, id) argmax on ed+jaccard (ties: first by
+    # popularity rank, matching 'first seen wins' in arrival order).
+    w_dedup = Window.partitionBy("mention_norm", "entity").orderBy(
+        (F.col("ed_score") + F.col("jaccard_score")).desc(), F.col("_rank").asc())
+    cand = cand.withColumn("_dd", F.row_number().over(w_dedup)).filter(F.col("_dd") == 1)
+
+    out = cand.join(feats, "mention_norm", "left").select(
+        "mention_norm",
+        F.col("entity").alias("id"),
+        "name",
+        F.coalesce("description", F.lit("")).alias("description"),
+        F.col("types_resolved").alias("types"),
+        "kind",
+        "NERtype",
+        # a mention with no exact-token matches has an empty feature pass:
+        # the reference then yields 0 / 0.0 (lookup_retriever.py:121,132-135)
+        F.coalesce("ambiguity_mention", F.lit(0.0)).alias("ambiguity_mention"),
+        F.coalesce("corrects_tokens", F.lit(0.0)).alias("corrects_tokens"),
+        "ntoken_mention",
+        F.col("ntoken").alias("ntoken_entity"),
+        "length_mention",
+        F.col("length").alias("length_entity"),
+        "popularity",
+        "pos_score",
+        "es_score",
+        "ed_score",
+        "jaccard_score",
+        "jaccardNgram_score",
+    )
+    return out

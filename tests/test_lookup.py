@@ -1,0 +1,109 @@
+"""Flagship lookup parity: Spark dataflow vs the pure-Python oracle on
+the smoke KG fixture — all 19 candidate fields, exact + fuzzy branches,
+filters."""
+
+from __future__ import annotations
+
+import pytest
+
+from lamapi_spark.operators.label_dict import build_label_dict
+from lamapi_spark.operators.lookup import lookup
+from lamapi_spark.pipeline.fixtures import build_kg, kg_dataframes
+
+from tests.oracle import lookup_oracle
+
+FIELDS = [
+    "id", "name", "description", "kind", "NERtype", "ambiguity_mention",
+    "corrects_tokens", "ntoken_mention", "ntoken_entity", "length_mention",
+    "length_entity", "popularity", "pos_score", "es_score", "ed_score",
+    "jaccard_score", "jaccardNgram_score",
+]
+
+
+@pytest.fixture(scope="module")
+def kg_ctx(spark):
+    kg = build_kg(seed=42)
+    dfs = kg_dataframes(spark, kg)
+    label_dict = build_label_dict(dfs["kg_items"]).cache()
+    label_dict.count()
+    dict_rows = [r.asDict() for r in label_dict.collect()]
+    type_names = {
+        row["entity"]: row["labels"].get("en")
+        for row in kg.items if row["kind"] == "type"
+    }
+    return kg, dfs, label_dict, dict_rows, type_names
+
+
+def _spark_candidates(spark, dfs, label_dict, mentions, **kw):
+    mdf = spark.createDataFrame([(m,) for m in mentions], ["mention"])
+    out = lookup(mdf, label_dict, dfs["kg_items"], **kw).collect()
+    res = {}
+    for r in out:
+        d = r.asDict(recursive=True)
+        res.setdefault(r.mention_norm, {})[(r.id, r.name)] = d
+    return res
+
+
+def _oracle_candidates(dict_rows, type_names, mentions, **kw):
+    from tests.oracle import clean_str
+    res = {}
+    for m in mentions:
+        got = lookup_oracle(m, dict_rows, type_names, **kw)
+        res[clean_str(m)] = {(o["id"], o["name"]): o for o in got}
+    return res
+
+
+def _compare(spark_res, oracle_res):
+    # mentions with zero candidates simply emit no rows in the dataflow
+    oracle_res = {k: v for k, v in oracle_res.items() if v}
+    assert spark_res.keys() == oracle_res.keys()
+    for m in oracle_res:
+        assert spark_res[m].keys() == oracle_res[m].keys(), (
+            m, sorted(spark_res[m]), sorted(oracle_res[m]))
+        for key, o in oracle_res[m].items():
+            s = spark_res[m][key]
+            for f in FIELDS:
+                sv, ov = s[f], o[f]
+                if isinstance(ov, float):
+                    assert abs(float(sv) - ov) < 1e-9, (m, key, f, sv, ov)
+                else:
+                    assert sv == ov, (m, key, f, sv, ov)
+            s_types = [(t["id"], t["name"]) for t in (s["types"] or [])]
+            o_types = [(t["id"], t["name"]) for t in o["types"]]
+            assert s_types == o_types, (m, key)
+
+
+def test_lookup_exact_parity(spark, kg_ctx):
+    kg, dfs, label_dict, dict_rows, type_names = kg_ctx
+    some_labels = [kg.label_of[q] for q in list(kg.label_of)[:40]
+                   if kg.label_of[q] is not None][:12]
+    mentions = some_labels + ["Jurassic  World", "completely unknown thing",
+                              "kennedy", "the"]
+    spark_res = _spark_candidates(spark, dfs, label_dict, mentions)
+    oracle_res = _oracle_candidates(dict_rows, type_names, mentions)
+    _compare(spark_res, oracle_res)
+
+
+def test_lookup_fuzzy_parity(spark, kg_ctx):
+    kg, dfs, label_dict, dict_rows, type_names = kg_ctx
+    # one-edit typos of real labels
+    labels = [kg.label_of[q] for q in list(kg.label_of) if kg.ner_of.get(q)][:6]
+    typos = [l[:-1] for l in labels if len(l) > 6] + ["jon kenedy"]
+    spark_res = _spark_candidates(spark, dfs, label_dict, typos, fuzzy=True)
+    oracle_res = _oracle_candidates(dict_rows, type_names, typos, fuzzy=True)
+    _compare(spark_res, oracle_res)
+
+
+def test_lookup_filters_parity(spark, kg_ctx):
+    kg, dfs, label_dict, dict_rows, type_names = kg_ctx
+    pers_label = next(kg.label_of[q] for q in kg.ner_of if kg.ner_of[q] == "PERS")
+    for kw in (
+        {"ner_type": "PERS"},
+        {"kind": "entity"},
+        {"language": "en"},
+        {"types": "Q5"},
+        {"limit": 3},
+    ):
+        spark_res = _spark_candidates(spark, dfs, label_dict, [pers_label], **kw)
+        oracle_res = _oracle_candidates(dict_rows, type_names, [pers_label], **kw)
+        _compare(spark_res, oracle_res)
