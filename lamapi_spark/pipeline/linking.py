@@ -1,0 +1,88 @@
+"""Entity-link scoring: detected mention spans -> (span, entity) links.
+
+Candidate generation + scoring reuses the flagship lookup dataflow
+(lamapi_spark/operators/lookup.py — the reference's entity-retrieval
+semantics), computed ONCE per distinct surface form (the batch analogue
+of the reference's result cache) and re-joined to spans.
+
+Link choice per span: argmax over candidates by
+(ed_score + jaccard_score + jaccardNgram_score) desc, then popularity
+desc, then id asc — similarity first, popularity as the ambiguity
+tiebreak. Surfaces whose best score falls below ``nil_threshold`` (and
+OOV surfaces with no candidates at all) map to deterministic NIL ids:
+``NIL-<md5(surface)[:12]>``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lamapi_spark.operators.lookup import lookup
+
+def link_score_col():
+    return F.col("ed_score") + F.col("jaccard_score") + F.col("jaccardNgram_score")
+
+
+def candidates_for_surfaces(
+    surfaces: DataFrame,
+    label_dict: DataFrame,
+    items: DataFrame,
+    fuzzy: bool = False,
+    limit: int = 1000,
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """Distinct surface forms -> full 19-field candidates table
+    (checkpointable stage; response-parity artifact)."""
+    return lookup(
+        surfaces.select(F.col("surface").alias("mention")),
+        label_dict, items,
+        limit=limit, fuzzy=fuzzy, broadcast_dict=broadcast_dict,
+    )
+
+
+def nil_id(col):
+    return F.concat(F.lit("NIL-"), F.substring(F.md5(col), 1, 12))
+
+
+def link_mentions(
+    mentions: DataFrame,
+    candidates: DataFrame,
+    nil_threshold: float = 1.0,
+) -> DataFrame:
+    """mentions: detect_mentions ∪ detect_oov_mentions output (OOV rows
+    may lack name_norm/edits). candidates: keyed by mention_norm.
+
+    -> (conv_id, turn_idx, start, ntoken_span, surface, entity, link_score,
+        nil) — every input span appears exactly once."""
+    best = (
+        candidates
+        .withColumn("_score", link_score_col())
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("mention_norm").orderBy(
+                F.col("_score").desc(), F.col("popularity").desc(), F.col("id").asc())))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("mention_norm"),
+            F.col("id").alias("_best_id"),
+            F.col("_score").alias("link_score"),
+        )
+    )
+    m = mentions.select(
+        "conv_id", "turn_idx", "start", "ntoken_span", "surface",
+    ).withColumn("mention_norm", F.col("surface"))
+
+    linked = (
+        m.join(best, "mention_norm", "left")
+        .withColumn(
+            "nil",
+            F.col("_best_id").isNull() | (F.col("link_score") < F.lit(nil_threshold)),
+        )
+        .withColumn(
+            "entity",
+            F.when(~F.col("nil"), F.col("_best_id")).otherwise(nil_id(F.col("surface"))),
+        )
+        .select("conv_id", "turn_idx", "start", "ntoken_span", "surface",
+                "entity", F.coalesce("link_score", F.lit(0.0)).alias("link_score"), "nil")
+    )
+    return linked

@@ -1,0 +1,259 @@
+"""Mention detection over transcript turns.
+
+The reference's mention detector is a spaCy NER round-trip
+(api/model/data_retrievers/ner_recognizer.py:4-29). We do not ship a
+model; mention detection is re-expressed as **dictionary max-matching**
+against the label dictionary (the KG itself supplies NERtype), which is
+the shape the north star prescribes. Two arms:
+
+- exact arm: every 1..K-token window of the cleaned turn text is a span;
+  spans equi-join the dictionary on ``name_norm``. Pure JVM dataflow.
+- fuzzy arm (optional): spans and dictionary names both explode into
+  SymSpell deletion-1 variants; sharing a variant bounds edit distance,
+  then a real ``levenshtein`` post-filter keeps 1-edit matches. The
+  dictionary-side variant table is an index artifact (precompute it once,
+  write bucketed by variant) — mention-side cost is linear in span count.
+
+Overlap resolution: a matched span contained in a longer matched span is
+dropped (max-match). Implemented per-turn with a collect+filter over the
+turn's matched spans (bounded by turn length — no driver loop).
+
+NIL mentions (surface forms absent from the KG): runs of adjacent
+out-of-vocabulary tokens (not in the dictionary token vocabulary, not
+stopwords, not literal-shaped) become candidate mentions that downstream
+linking maps to deterministic NIL ids. This replaces the reference's
+model-based NER for unknown entities.
+
+Scale notes: transcripts are explicitly repartitioned by ``conv_id``
+before windowed work (north-rule requirement); the dictionary side is
+broadcast when it fits, otherwise the span->dict join shuffles on the
+span string with AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lamapi_spark.functions import clean_str
+from lamapi_spark.functions.literals import classify_literal
+from lamapi_spark.functions.strings import STOPWORDS
+
+
+def _spans(transcripts: DataFrame, max_ntoken: int) -> DataFrame:
+    """All 1..K-token windows of each turn: (conv_id, turn_idx, start,
+    ntoken_span, span). ``start`` is the 1-based token offset."""
+    toks = transcripts.select(
+        "conv_id", "turn_idx",
+        F.split(clean_str("text"), " ").alias("toks"),
+    )
+    span_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(max_ntoken), F.size("toks") - i + 1)),
+            lambda n: F.struct(
+                i.alias("start"),
+                n.alias("ntoken_span"),
+                F.concat_ws(" ", F.slice("toks", i, n)).alias("span"),
+            ),
+        ),
+    ))
+    return toks.select(
+        "conv_id", "turn_idx", F.explode(span_structs).alias("s")
+    ).select("conv_id", "turn_idx", "s.start", "s.ntoken_span", "s.span")
+
+
+def _del1(c):
+    """Deletion-1 neighborhood of a string (incl. itself)."""
+    one = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(c.substr(F.lit(1), i - 1), c.substr(i + 1, F.length(c))),
+    )
+    return F.array_distinct(F.concat(F.array(c), one))
+
+
+def fuzzy_name_index(label_dict: DataFrame) -> DataFrame:
+    """(variant, name_norm) deletion-1 index over distinct dictionary
+    names — precomputable; at scale written bucketed by ``variant``."""
+    return (
+        label_dict.select("name_norm").distinct()
+        .select(F.explode(_del1(F.col("name_norm"))).alias("variant"), "name_norm")
+    )
+
+
+def detect_mentions(
+    transcripts: DataFrame,
+    label_dict: DataFrame,
+    max_ntoken: int = 4,
+    fuzzy: bool = True,
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """-> (conv_id, turn_idx, start, ntoken_span, surface, name_norm,
+    edits) — one row per detected span, max-matched (no span contained
+    in a longer matched span), deduped to the best (min-edit) dictionary
+    name per span."""
+    spans = _spans(
+        transcripts.repartition("conv_id"),
+        max_ntoken,
+    )
+
+    names = label_dict.select("name_norm").distinct()
+    names_b = F.broadcast(names) if broadcast_dict else names
+
+    exact = spans.join(
+        names_b, spans.span == names_b.name_norm, "inner"
+    ).select("conv_id", "turn_idx", "start", "ntoken_span",
+             F.col("span").alias("surface"), "name_norm",
+             F.lit(0).alias("edits"))
+
+    if fuzzy:
+        f_idx = fuzzy_name_index(label_dict)
+        if broadcast_dict:
+            f_idx = F.broadcast(f_idx)
+        span_vars = spans.select(
+            "conv_id", "turn_idx", "start", "ntoken_span", "span",
+            F.explode(_del1(F.col("span"))).alias("variant"),
+        )
+        fuzzy_hits = (
+            span_vars.join(f_idx, "variant", "inner")
+            .withColumn("edits", F.levenshtein("span", "name_norm"))
+            .filter((F.col("edits") >= 1) & (F.col("edits") <= 1))
+            .select("conv_id", "turn_idx", "start", "ntoken_span",
+                    F.col("span").alias("surface"), "name_norm", "edits")
+            .distinct()
+        )
+        matched = exact.unionByName(fuzzy_hits)
+    else:
+        matched = exact
+
+    # best dictionary name per span: fewest edits, then lexicographic
+    w_span = Window.partitionBy("conv_id", "turn_idx", "start", "ntoken_span").orderBy(
+        "edits", "name_norm")
+    matched = (
+        matched.withColumn("_rn", F.row_number().over(w_span))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+    # max-match: drop spans strictly contained in a longer matched span.
+    # Turn-local: collect the turn's spans (bounded by turn length), keep
+    # spans with no containing span.
+    per_turn = matched.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(F.struct("start", "ntoken_span", "surface", "name_norm", "edits")).alias("_ms"))
+    kept = per_turn.select(
+        "conv_id", "turn_idx",
+        F.explode(F.filter(
+            "_ms",
+            lambda s: ~F.exists(
+                "_ms",
+                lambda o: (o["start"] <= s["start"])
+                & (o["start"] + o["ntoken_span"] >= s["start"] + s["ntoken_span"])
+                & (o["ntoken_span"] > s["ntoken_span"]),
+            ),
+        )).alias("m"),
+    ).select("conv_id", "turn_idx", "m.start", "m.ntoken_span",
+             "m.surface", "m.name_norm", "m.edits")
+    return kept
+
+
+def detect_oov_mentions(
+    transcripts: DataFrame,
+    label_dict: DataFrame,
+    max_run: int = 4,
+    min_run: int = 2,
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """Candidate NIL mentions: maximal runs (min_run <= length <= max_run)
+    of adjacent tokens that are out-of-vocabulary w.r.t. the dictionary
+    token set, not stopwords, and not literal-shaped (numbers/dates/...).
+    ``min_run`` defaults to 2: single OOV tokens are overwhelmingly
+    ordinary verbs/nouns, not entity names.
+
+    -> (conv_id, turn_idx, start, ntoken_span, surface)."""
+    vocab = (
+        label_dict.select(F.explode(F.split("name_norm", " ")).alias("token"))
+        .distinct().withColumn("_in_vocab", F.lit(True))
+    )
+    if broadcast_dict:
+        vocab = F.broadcast(vocab)
+
+    toks = transcripts.repartition("conv_id").select(
+        "conv_id", "turn_idx",
+        F.posexplode(F.split(clean_str("text"), " ")).alias("pos", "token"),
+    )
+    oov = (
+        toks.join(vocab, "token", "left")
+        .filter(F.col("_in_vocab").isNull())
+        .filter(~F.col("token").isin(*STOPWORDS))
+        .filter(classify_literal("token") == "STRING")
+        .filter(F.length("token") > 2)
+    )
+    # gaps-and-islands: adjacent OOV tokens share (pos - row_number)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
+    runs = (
+        oov.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("conv_id", "turn_idx", "_grp")
+        .agg(
+            (F.min("pos") + 1).alias("start"),  # 1-based like _spans
+            F.count("*").alias("ntoken_span"),
+            F.concat_ws(" ", F.collect_list("token")).alias("surface"),
+        )
+        .filter((F.col("ntoken_span") <= max_run) & (F.col("ntoken_span") >= min_run))
+        .drop("_grp")
+    )
+    return runs
+
+
+def detect_mentions_pandas(
+    transcripts: DataFrame,
+    dict_names: list[str],
+    max_ntoken: int = 4,
+) -> DataFrame:
+    """Vectorized pandas/Arrow alternative of the exact arm: batched
+    max-matching inside ``mapInPandas`` with the dictionary as a
+    broadcast plain-Python set. Semantics must equal
+    ``detect_mentions(fuzzy=False)`` (tested); exists to satisfy the
+    batched-UDF stage shape and as the extension point for matchers the
+    DataFrame algebra can't express (e.g. model-based NER).
+    """
+    import pandas as pd  # noqa: F401
+
+    spark = transcripts.sparkSession
+    name_set = spark.sparkContext.broadcast(set(dict_names))
+    out_schema = ("conv_id string, turn_idx int, start int, "
+                  "ntoken_span int, surface string, name_norm string, edits int")
+
+    def matcher(batches):
+        names = name_set.value
+        for pdf in batches:
+            rows = {"conv_id": [], "turn_idx": [], "start": [],
+                    "ntoken_span": [], "surface": [], "name_norm": [], "edits": []}
+            for conv, turn, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                toks = " ".join((text or "").lower().split()).split(" ")
+                found = []
+                for i in range(len(toks)):
+                    for n in range(min(max_ntoken, len(toks) - i), 0, -1):
+                        span = " ".join(toks[i:i + n])
+                        if span in names:
+                            found.append((i + 1, n, span))
+                kept = [
+                    (s, n, sp) for (s, n, sp) in found
+                    if not any(
+                        os <= s and os + on >= s + n and on > n
+                        for (os, on, _) in found
+                    )
+                ]
+                for s, n, sp in kept:
+                    rows["conv_id"].append(conv)
+                    rows["turn_idx"].append(int(turn))
+                    rows["start"].append(s)
+                    rows["ntoken_span"].append(n)
+                    rows["surface"].append(sp)
+                    rows["name_norm"].append(sp)
+                    rows["edits"].append(0)
+            yield pd.DataFrame(rows)
+
+    return (
+        transcripts.repartition("conv_id")
+        .select("conv_id", "turn_idx", "text")
+        .mapInPandas(matcher, schema=out_schema)
+    )

@@ -1,0 +1,115 @@
+"""End-to-end KG-construction pipeline runner.
+
+transcripts ──detect──> mention spans (exact + fuzzy + OOV)
+            ──lookup──> candidates per distinct surface (19-field parity)
+            ──link────> (span, entity) with NIL handling
+            ──pairs/probe──> provenance triples
+            ──canonicalize──> final triples + canonical map
+
+Every stage checkpoints through StageRunner (resume-from-failure). The
+dictionary is built once from kg_items; at production scale the
+dictionary, token index, and fuzzy indexes are offline artifacts, which
+the checkpointing mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lamapi_spark.operators.label_dict import build_label_dict
+from lamapi_spark.pipeline.canonicalize import canonical_map, canonicalize_triples
+from lamapi_spark.pipeline.checkpoint import StageRunner
+from lamapi_spark.pipeline.linking import candidates_for_surfaces, link_mentions
+from lamapi_spark.pipeline.mentions import detect_mentions, detect_oov_mentions
+from lamapi_spark.pipeline.triples import extract_triples
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    kg_items: DataFrame,
+    kg_edges: DataFrame,
+    kg_sameas: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    fuzzy: bool = True,
+    nil_threshold: float = 1.0,
+    max_ntoken: int = 4,
+    broadcast_dict: bool = True,
+    broadcast_edges: bool = True,
+) -> dict[str, DataFrame]:
+    runner = StageRunner(spark, checkpoint_dir or "", enabled=checkpoint_dir is not None)
+    fp = f"fuzzy={fuzzy};nil={nil_threshold};k={max_ntoken}"
+
+    label_dict = runner.run(
+        "label_dict", lambda: build_label_dict(kg_items), fp, ("kg_items",))
+
+    mentions = runner.run(
+        "mentions",
+        lambda: detect_mentions(transcripts, label_dict, max_ntoken, fuzzy,
+                                broadcast_dict),
+        fp, ("transcripts", "label_dict"))
+
+    oov = runner.run(
+        "oov_mentions",
+        lambda: detect_oov_mentions(transcripts, label_dict,
+                                    broadcast_dict=broadcast_dict),
+        fp, ("transcripts", "label_dict"))
+
+    all_spans = mentions.select(
+        "conv_id", "turn_idx", "start", "ntoken_span", "surface",
+    ).unionByName(oov.select(
+        "conv_id", "turn_idx", "start", "ntoken_span", "surface"))
+
+    candidates = runner.run(
+        "candidates",
+        lambda: candidates_for_surfaces(
+            all_spans.select("surface").distinct(),
+            label_dict, kg_items, fuzzy=fuzzy, broadcast_dict=broadcast_dict),
+        fp, ("mentions", "oov_mentions", "label_dict", "kg_items"))
+
+    linked = runner.run(
+        "linked",
+        lambda: link_mentions(all_spans, candidates, nil_threshold),
+        fp, ("mentions", "candidates"))
+
+    triples_raw = runner.run(
+        "triples_raw",
+        lambda: extract_triples(linked, kg_edges, broadcast_edges),
+        fp, ("linked", "kg_edges"))
+
+    if kg_sameas is not None:
+        cmap = runner.run(
+            "canonical_map", lambda: canonical_map(kg_sameas), fp, ("kg_sameas",))
+        triples = runner.run(
+            "triples",
+            lambda: canonicalize_triples(triples_raw, cmap), fp,
+            ("triples_raw", "canonical_map"))
+    else:
+        cmap = spark.createDataFrame([], "raw_entity string, canonical_entity string")
+        triples = triples_raw
+
+    return {
+        "label_dict": label_dict,
+        "mentions": mentions,
+        "oov_mentions": oov,
+        "candidates": candidates,
+        "linked": linked,
+        "triples": triples.select("subj", "pred", "obj", "conv_id", "turn_idx"),
+        "canonical_map": cmap,
+        "metrics": runner.metrics,
+    }
+
+
+def triple_prf(triples: DataFrame, truth: DataFrame) -> dict[str, float]:
+    """Set-level precision/recall/F1 of (conv_id, turn_idx, subj, pred, obj)."""
+    keys = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    got = triples.select(*keys).distinct()
+    want = truth.select(*keys).distinct()
+    tp = got.join(want, keys, "inner").count()
+    n_got, n_want = got.count(), want.count()
+    p = tp / n_got if n_got else 0.0
+    r = tp / n_want if n_want else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {"precision": p, "recall": r, "f1": f1,
+            "tp": tp, "n_pred": n_got, "n_truth": n_want}

@@ -1,0 +1,91 @@
+"""End-to-end pipeline tests on the smoke fixture: triple P/R >= 0.95
+vs generator ground truth, per-turn text equality under stable ordering,
+pandas-UDF detector equivalence, and resume-from-checkpoint idempotence."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lamapi_spark.operators.label_dict import build_label_dict
+from lamapi_spark.pipeline.fixtures import (
+    build_kg, build_transcripts, kg_dataframes, transcript_dataframes,
+)
+from lamapi_spark.pipeline.mentions import detect_mentions, detect_mentions_pandas
+from lamapi_spark.pipeline.run import run_pipeline, triple_prf
+
+
+@pytest.fixture(scope="module")
+def fix(spark):
+    kg = build_kg(seed=42)
+    dfs = kg_dataframes(spark, kg)
+    tr = build_transcripts(kg, seed=43, n_convs=8)
+    dfs.update(transcript_dataframes(spark, *tr))
+    return kg, dfs
+
+
+def test_per_turn_text_equality(spark, fix):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering — the pipeline never mutates input."""
+    kg, dfs = fix
+    raw = build_transcripts(kg, seed=43, n_convs=8)[0]
+    got = [
+        (r.conv_id, r.turn_idx, r.text)
+        for r in dfs["transcripts"].orderBy("conv_id", "turn_idx").collect()
+    ]
+    want = sorted((c, t, x) for (c, t, _r, x, _tool, _ts) in raw)
+    assert got == want
+
+
+def test_triples_prf(spark, fix, tmp_path):
+    kg, dfs = fix
+    out = run_pipeline(
+        spark, dfs["transcripts"], dfs["kg_items"], dfs["kg_edges"],
+        dfs["kg_sameas"], checkpoint_dir=str(tmp_path / "ckpt"))
+    prf = triple_prf(out["triples"], dfs["triples_truth"])
+    assert prf["precision"] >= 0.95, prf
+    assert prf["recall"] >= 0.95, prf
+
+
+def test_nil_mentions_get_nil_ids(spark, fix, tmp_path):
+    kg, dfs = fix
+    out = run_pipeline(
+        spark, dfs["transcripts"], dfs["kg_items"], dfs["kg_edges"],
+        dfs["kg_sameas"], checkpoint_dir=str(tmp_path / "ckpt2"))
+    nils = out["linked"].filter(F.col("nil")).select("surface", "entity").collect()
+    # fixture embeds unknown names ("zorblat xkcd" etc.) in some turns
+    assert len(nils) > 0
+    for r in nils:
+        assert r.entity.startswith("NIL-"), r
+
+
+def test_pandas_detector_equivalence(spark, fix):
+    kg, dfs = fix
+    label_dict = build_label_dict(dfs["kg_items"])
+    jvm = detect_mentions(dfs["transcripts"], label_dict, fuzzy=False)
+    names = [r.name_norm for r in label_dict.select("name_norm").distinct().collect()]
+    pd_out = detect_mentions_pandas(dfs["transcripts"], names)
+    key = ["conv_id", "turn_idx", "start", "ntoken_span", "surface"]
+    a = {tuple(r) for r in jvm.select(*key).collect()}
+    b = {tuple(r) for r in pd_out.select(*key).collect()}
+    assert a == b
+
+
+def test_resume_from_checkpoint(spark, fix, tmp_path):
+    """Stage-level resume: a second run over an existing checkpoint dir
+    reuses every stage (resumed=True) and yields identical triples."""
+    kg, dfs = fix
+    ckpt = str(tmp_path / "ckpt3")
+    args = (spark, dfs["transcripts"], dfs["kg_items"], dfs["kg_edges"],
+            dfs["kg_sameas"])
+    out1 = run_pipeline(*args, checkpoint_dir=ckpt)
+    t1 = sorted(tuple(r) for r in out1["triples"].collect())
+    out2 = run_pipeline(*args, checkpoint_dir=ckpt)
+    t2 = sorted(tuple(r) for r in out2["triples"].collect())
+    assert t1 == t2
+    assert all(m["resumed"] for m in out2["metrics"]), out2["metrics"]
+
+    # changed parameters must invalidate the checkpoint, not reuse it
+    out3 = run_pipeline(*args, checkpoint_dir=ckpt, nil_threshold=0.5)
+    assert not all(m["resumed"] for m in out3["metrics"])
