@@ -1,0 +1,104 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., plus kg-pipeline throughput
+   and scaling-efficiency evidence fields when SPARK_GRAFT_SCALING=1}.
+
+The kg_pipeline entry is the north-star workload: synthetic transcripts
+(deterministic, FIXTURES.md bench scale) -> triples, reported as
+triples/sec. Scaling evidence (same job at local[8] vs local[32]) is
+produced by tools/bench_scaling.py and recorded in BENCH.md — running
+two SparkSessions in one process would share a JVM, so the scaling run
+execs fresh processes per parallelism level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "lookup_candidates",
+    "lookup_token_match",
+    "literal_freq",
+    "pred_freq",
+    "candidate_argmax",
+    "topk_per_group",
+    "bow_similarity",
+    "pair_predicate_probe",
+    "sessionize_events",
+    "literal_classify",
+]
+
+
+def time_query(fn, spark, sf_dir) -> tuple[float, int]:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    n = df.count()
+    return time.time() - t0, n
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from lamapi_spark.queries import queries
+    from lamapi_spark.session import get_spark
+
+    spark = get_spark(app_name="lamapi_spark_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    qs = queries()
+
+    # warm the JVM/codegen once on a trivial action
+    spark.range(1000).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        sec, _n = time_query(qs[name], spark, sf_dir)
+        per_query[name] = round(sec, 3)
+        total += sec
+
+    # north-star workload: KG pipeline over synthetic transcripts
+    from lamapi_spark.pipeline.fixtures import (
+        build_kg, build_transcripts, kg_dataframes, transcript_dataframes,
+    )
+    from lamapi_spark.pipeline.run import run_pipeline
+
+    kg = build_kg(seed=42, n_people=400, n_orgs=120, n_locs=60, n_films=250)
+    dfs = kg_dataframes(spark, kg)
+    tr = build_transcripts(kg, seed=43, n_convs=800, turns_per_conv=(10, 20))
+    dfs.update(transcript_dataframes(spark, *tr))
+    n_turns = dfs["transcripts"].count()
+    t0 = time.time()
+    out = run_pipeline(spark, dfs["transcripts"], dfs["kg_items"], dfs["kg_edges"],
+                       dfs["kg_sameas"], checkpoint_dir=None, fuzzy=True)
+    n_triples = out["triples"].count()
+    kg_sec = time.time() - t0
+    per_query["kg_pipeline"] = round(kg_sec, 3)
+    total += kg_sec
+
+    result = {
+        "metric": "headline_queries_plus_kg_pipeline",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+        "kg_turns": n_turns,
+        "kg_triples": n_triples,
+        "kg_triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec > 0 else None,
+        "kg_turns_per_sec": round(n_turns / kg_sec, 1) if kg_sec > 0 else None,
+        "cpus": int(cpus),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -145,12 +145,30 @@ def build_kg(seed: int = 42, n_people: int = 40, n_orgs: int = 15,
     locs, orgs, people, films = [], [], [], []
     seen_labels: set[str] = set()
 
+    _suffixes = ["ii", "iii", "iv", "v", "vi", "vii", "viii", "ix", "x",
+                 "prime", "nova", "ultra", "alpha", "beta", "gamma", "delta"]
+
     def fresh(gen) -> str:
-        for _ in range(200):
+        for _ in range(50):
             cand = gen()
             if cand not in seen_labels:
                 seen_labels.add(cand)
                 return cand
+        # pools exhausted at large scale points: disambiguate
+        # deterministically with suffix words (stay alphabetic so OOV /
+        # literal filters are unaffected)
+        base = gen()
+        for s1 in _suffixes:
+            cand = f"{base} {s1}"
+            if cand not in seen_labels:
+                seen_labels.add(cand)
+                return cand
+        for s1 in _suffixes:
+            for s2 in _suffixes:
+                cand = f"{base} {s1} {s2}"
+                if cand not in seen_labels:
+                    seen_labels.add(cand)
+                    return cand
         raise RuntimeError("name pool exhausted")
 
     for _ in range(n_locs):
