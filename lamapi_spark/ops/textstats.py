@@ -1,0 +1,89 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting. All JVM-side column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from lamapi_spark.functions.strings import STOPWORDS
+
+# Tiny per-language function-word sets for the n-gram/stopword-ratio
+# language heuristic. Deterministic, no model.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "fr": ("le", "la", "les", "de", "des", "et", "est", "que", "une", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für"),
+    "es": ("el", "los", "las", "de", "que", "es", "una", "por", "con", "para"),
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(text), r"\s+")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit ratio over the token multiset."""
+    toks = _tokens(text)
+    n = F.greatest(F.size(toks), F.lit(1))
+
+    # closure factory: a two-param lambda would become (element, index)
+    def is_marker(markers):
+        return lambda t: t.isin(*markers)
+
+    return {
+        lang: F.size(F.filter(toks, is_marker(markers))) / n
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language with deterministic tiebreak (language name asc);
+    'und' (undetermined) when no marker hits at all."""
+    scores = lang_scores(text)
+    pairs = F.array(*[
+        F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+        for lang in sorted(LANG_MARKERS)
+    ])
+    # ties resolve to the first language name (array order is sorted)
+    mx = F.array_max(F.transform(pairs, lambda p: p["score"]))
+    first_best = F.element_at(F.filter(pairs, lambda p: p["score"] == mx), 1)["lang"]
+    return F.when(mx > 0, first_best).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Reference-free quality heuristics used by training-data filters:
+    char length, token count, mean token length, stopword ratio,
+    punctuation ratio, alpha ratio."""
+    toks = _tokens(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.length(text)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n_tok
+    punct = F.length(F.regexp_replace(text, r"[^\.\,\;\:\!\?]", ""))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return {
+        "n_chars": n_chars.cast("int"),
+        "n_tokens": F.size(toks),
+        "mean_token_len": F.bround(
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tok, 2),
+        "stopword_ratio": F.bround(stop_ratio, 3),
+        "punct_ratio": F.bround(punct / F.greatest(n_chars, F.lit(1)), 3),
+        "alpha_ratio": F.bround(alpha / F.greatest(n_chars, F.lit(1)), 3),
+    }
+
+
+def token_counts(text: Column) -> dict[str, Column]:
+    """Whitespace tokens and a BPE-ish regex token count
+    (\\w+ runs or single non-space punctuation — a cheap proxy for
+    subword tokenizer counts)."""
+    ws = F.size(F.split(F.trim(text), r"\s+"))
+    bpe_ish = F.size(F.regexp_extract_all(text, F.lit(r"(\w+|[^\w\s])"), 0))
+    return {"ws_tokens": ws, "regex_tokens": bpe_ish}
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set (the classic 'fingerprint clustering' normalization)."""
+    toks = F.array_sort(F.array_distinct(_tokens(text)))
+    return F.md5(F.concat_ws(" ", toks))

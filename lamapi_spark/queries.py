@@ -741,8 +741,16 @@ def sessionize_events(spark, sf):
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extra_registrations()
     return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extra_registrations()
     return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _load_extra_registrations() -> None:
+    # queries_ops registers into _REGISTRY on import; deferred to avoid a
+    # circular import at module load
+    import lamapi_spark.queries_ops  # noqa: F401

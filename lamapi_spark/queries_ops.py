@@ -1,0 +1,288 @@
+"""Driver-contract queries for the training-data ops (dedup, similarity,
+text analysis, multimodal plumbing) over the testdata tables. Registered
+into the same registry as lamapi_spark.queries.
+
+Engine-parity notes: all hashing is md5-on-strings; dot products are
+DECIMAL-exact (order-independent) so floating summation order can never
+flip a rank between Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lamapi_spark.ops.dedup import (
+    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash60, word_shingles,
+)
+from lamapi_spark.ops.multimodal import attach_binary, decode_image_meta
+from lamapi_spark.ops.similarity import brute_force_topk, lsh_ann_topk
+from lamapi_spark.ops.textstats import (
+    LANG_MARKERS, fingerprint, lang_id, lang_scores, quality_features, token_counts,
+)
+from lamapi_spark.queries import load, register
+
+# ---------------------------------------------------------------- helpers
+
+_N_HASHES, _N_BANDS, _ROWS_PER_BAND = 16, 4, 4
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)), "
+    "i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')))"
+)
+
+_SIG_SQL = "[" + ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{j}|' || s)))" for j in range(_N_HASHES)
+) + "]"
+
+_BANDS_SQL = "[" + ", ".join(
+    "md5(" + " || '|' || ".join(
+        f"sig[{b * _ROWS_PER_BAND + r + 1}]" for r in range(_ROWS_PER_BAND)
+    ) + ")"
+    for b in range(_N_BANDS)
+) + "]"
+
+
+# ---------------------------------------------------------------- dedup
+
+@register("dedup_exact", """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS group_size
+FROM documents GROUP BY md5(text) ORDER BY content_hash
+""")
+def dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy, keep min id."""
+    return (
+        exact_dedup(load(spark, sf, "documents"), "text", "doc_id")
+        .orderBy("content_hash")
+    )
+
+
+@register("dedup_minhash_lsh", f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+), sig AS (
+  SELECT doc_id, {_SIG_SQL} AS sig FROM sh WHERE len(sh) > 0
+), bands AS (
+  SELECT doc_id, sig, unnest({_BANDS_SQL}) AS band_key,
+         unnest(range({_N_BANDS})) AS band
+  FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round_even(len(list_filter(range(1, {_N_HASHES + 1}), i -> sig_a[i] = sig_b[i]))
+             / {_N_HASHES}.0, 3) AS sig_agree
+FROM pairs ORDER BY id_a, id_b
+""")
+def dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup candidate pairs: shingle -> 16 md5-minhashes
+    -> 4 bands -> band-bucket join; sig_agree estimates Jaccard."""
+    return (
+        minhash_lsh_pairs(load(spark, sf, "documents"), "doc_id", "text",
+                          k_shingle=3, n_hashes=_N_HASHES, n_bands=_N_BANDS)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("dedup_ngram_jaccard", f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM ex x JOIN ex y USING (s) WHERE x.doc_id < y.doc_id
+)
+SELECT id_a, id_b,
+       round_even(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 3) AS jaccard
+FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+ORDER BY id_a, id_b
+""")
+def dedup_ngram_jaccard(spark, sf):
+    """Exact shingle-Jaccard pairs >= 0.2 with shared-shingle prefilter."""
+    return (
+        ngram_jaccard_pairs(load(spark, sf, "documents"), "doc_id", "text",
+                            k_shingle=3, threshold=0.2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SIMHASH_SQL_HASHES = (
+    "list_transform(list_distinct(string_split(lower(text), ' ')), "
+    "t -> (('0x' || substr(md5(t), 1, 15))::UBIGINT)::BIGINT)"
+)
+_SIMHASH_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(h, x -> ((x >> {b}) & 1) * 2 - 1)) > 0 "
+    f"THEN {2 ** b}::BIGINT ELSE 0 END)"
+    for b in range(60)
+)
+
+@register("dedup_simhash", f"""
+WITH h AS (SELECT doc_id, {_SIMHASH_SQL_HASHES} AS h FROM documents)
+SELECT doc_id, ({_SIMHASH_SQL})::BIGINT AS simhash FROM h ORDER BY doc_id
+""")
+def dedup_simhash(spark, sf):
+    """60-bit SimHash per document (near-dup = small Hamming distance)."""
+    toks = F.array_distinct(F.split(F.lower("text"), " "))
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", simhash60(toks).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------------- similarity
+
+_DOT_SQL = ("list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip({a}, {b}), "
+            "p -> p[1]::DOUBLE * p[2]::DOUBLE)), (x, y) -> x + y)")
+
+@register("embed_cosine_topk", f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+scored AS (
+  SELECT q_id, n_id,
+         {_DOT_SQL.format(a='q_vec', b='n_vec')}
+         / (sqrt({_DOT_SQL.format(a='q_vec', b='q_vec')})
+            * sqrt({_DOT_SQL.format(a='n_vec', b='n_vec')})) AS cosine
+  FROM q JOIN c ON q_id <> n_id
+)
+SELECT q_id, n_id, cosine,
+       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+FROM scored QUALIFY rnk <= 3 ORDER BY q_id, rnk
+""")
+def embed_cosine_topk(spark, sf):
+    """Brute-force cosine top-3 per query vector, DECIMAL-exact dot
+    products (order-independent => identical ranks across engines)."""
+    emb = load(spark, sf, "embeddings")
+    return (
+        brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
+        .orderBy("q_id", "rnk")
+    )
+
+
+@register("embed_ann_lsh", None)  # non-SQL-expressible oracle (hyperplane tables)
+def embed_ann_lsh(spark, sf):
+    """LSH-bucketed ANN (scale path): exact cosine within md5-derived
+    hyperplane buckets across 2 tables. Rows-only driver check; recall
+    vs brute force is asserted in tests."""
+    emb = load(spark, sf, "embeddings")
+    return (
+        lsh_ann_topk(emb.filter(F.col("vec_id") < 5), emb, k=3,
+                     n_planes=6, n_tables=2, dims=64)
+        .orderBy("q_id", "rnk")
+    )
+
+
+# ------------------------------------------------------------- text stats
+
+_MARK_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in LANG_MARKERS.items()
+}
+_RATIO_SQL = {
+    lang: (f"len(list_filter(string_split(lower(text), ' '), "
+           f"t -> list_contains({arr}, t)))::DOUBLE "
+           f"/ greatest(len(string_split(lower(text), ' ')), 1)")
+    for lang, arr in _MARK_SQL.items()
+}
+_BEST_SQL = "greatest(" + ", ".join(_RATIO_SQL[lang] for lang in sorted(LANG_MARKERS)) + ")"
+_LANG_CASE = "CASE WHEN " + _BEST_SQL + " = 0 THEN 'und' " + " ".join(
+    f"WHEN {_RATIO_SQL[lang]} = {_BEST_SQL} THEN '{lang}'"
+    for lang in sorted(LANG_MARKERS)
+) + " END"
+
+@register("text_lang_id", f"""
+SELECT doc_id, {_LANG_CASE} AS lang_pred,
+       round_even({_RATIO_SQL['en']}, 3) AS en_ratio
+FROM documents ORDER BY doc_id
+""")
+def text_lang_id(spark, sf):
+    """Language ID via function-word-ratio argmax (deterministic
+    tiebreak by language name)."""
+    docs = load(spark, sf, "documents")
+    scores = lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        F.bround(scores["en"], 3).alias("en_ratio"),
+    ).orderBy("doc_id")
+
+
+@register("text_quality", """
+SELECT doc_id,
+       length(text)::INT AS n_chars,
+       len(string_split(lower(text), ' '))::INT AS n_tokens,
+       round_even(list_sum(list_transform(string_split(lower(text), ' '), t -> length(t)))::DOUBLE
+             / greatest(len(string_split(lower(text), ' ')), 1), 2) AS mean_token_len,
+       round_even(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1), 3) AS alpha_ratio
+FROM documents ORDER BY doc_id
+""")
+def text_quality(spark, sf):
+    """Quality-scoring features (subset with SQL oracle; the full
+    feature map incl. stopword/punct ratios is in ops/textstats.py)."""
+    q = quality_features(F.col("text"))
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", q["n_chars"].alias("n_chars"),
+                q["n_tokens"].alias("n_tokens"),
+                q["mean_token_len"].alias("mean_token_len"),
+                q["alpha_ratio"].alias("alpha_ratio"))
+        .orderBy("doc_id")
+    )
+
+
+@register("text_token_count", r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+'))::INT AS ws_tokens,
+       len(regexp_extract_all(text, '(\w+|[^\w\s])'))::INT AS regex_tokens
+FROM documents ORDER BY doc_id
+""")
+def text_token_count(spark, sf):
+    """Whitespace + BPE-ish regex token counting."""
+    tc = token_counts(F.col("text"))
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", tc["ws_tokens"].alias("ws_tokens"),
+                tc["regex_tokens"].alias("regex_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+@register("text_fingerprint", """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+FROM documents ORDER BY doc_id
+""")
+def text_fingerprint(spark, sf):
+    """Order-insensitive token-set fingerprint."""
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+@register("multimodal_meta", """
+SELECT doc_id AS id,
+       octet_length(encode(text))::INT AS n_bytes,
+       md5(text) AS content_md5,
+       (('0x' || substr(md5(text), 1, 2))::INT + 1)::INT AS fake_width,
+       (('0x' || substr(md5(text), 3, 2))::INT + 1)::INT AS fake_height,
+       'image' AS modality
+FROM documents ORDER BY id
+""")
+def multimodal_meta(spark, sf):
+    """Binary-column metadata extraction through the Arrow-batched
+    mapInPandas stage (deterministic fake decode; real decoder is the
+    documented stub in ops/multimodal.py)."""
+    payload = attach_binary(load(spark, sf, "documents"), "text", "doc_id")
+    return decode_image_meta(payload).orderBy("id")

@@ -1,0 +1,99 @@
+"""Training-data ops: dedup finds planted near-duplicates, ANN recall vs
+brute force, simhash Hamming locality, multimodal stub behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lamapi_spark.ops.dedup import (
+    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash60,
+)
+from lamapi_spark.ops.multimodal import attach_binary, decode_image_meta, decode_image_real
+from lamapi_spark.ops.similarity import brute_force_topk, lsh_ann_topk
+from lamapi_spark.ops.textstats import lang_id
+
+BASE = ("the quick brown fox jumps over the lazy dog while the band plays "
+        "a very long tune about data pipelines and shuffle partitions")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),          # near dup of 0
+        (3, "completely different text about cooking pasta with garlic"),
+        (4, "completely different text about cooking pasta with butter"),  # near dup of 3
+        (5, "unrelated short note"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r.keep_id: r.group_size for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[0] == 2          # docs 0,1 collapse
+    assert sum(out.values()) == 6
+
+
+def test_minhash_finds_planted_neardups(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.sig_agree
+             for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    assert pairs.get((0, 1)) == 1.0          # exact dup: all hashes agree
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught by some band
+    assert (3, 4) in pairs
+    assert not any({a, b} & {5} for a, b in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_scores(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+    assert (3, 4) in pairs
+
+
+def test_simhash_locality(spark, docs):
+    sh = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", simhash60(F.array_distinct(F.split(F.lower("text"), " "))).alias("sh")
+    ).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert sh[0] == sh[1]
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])  # near dup closer than unrelated
+
+
+def test_ann_recall_vs_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = {(r.q_id, r.n_id) for r in brute_force_topk(q, emb, k=3).collect()}
+    # neighbors in this synthetic set are weak (cos ~0.3), so hyperplane
+    # agreement is barely above chance — use few planes, many tables
+    ann = {(r.q_id, r.n_id) for r in
+           lsh_ann_topk(q, emb, k=3, n_planes=3, n_tables=8, dims=64).collect()}
+    recall = len(bf & ann) / len(bf)
+    assert recall >= 0.5, recall  # bucketed search trades recall for cost
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (1, "the cat and the dog sat in the garden"),
+        (2, "le chat et le chien est dans la maison pour une heure"),
+        (3, "der hund und die katze ist nicht ein problem"),
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r.id: r.lang for r in df.select("id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "fr" and got[3] == "de" and got[4] == "und"
+
+
+def test_multimodal_stub_and_meta(spark, docs):
+    payload = attach_binary(docs, "text", "doc_id")
+    meta = decode_image_meta(payload).collect()
+    assert len(meta) == 6
+    by_id = {r.id: r for r in meta}
+    assert by_id[0].n_bytes == len(BASE.encode())
+    assert by_id[0].content_md5 == by_id[1].content_md5
+    assert 1 <= by_id[0].fake_width <= 256
+    with pytest.raises(NotImplementedError):
+        decode_image_real(payload)
