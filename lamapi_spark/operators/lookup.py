@@ -46,8 +46,15 @@ _DICT_COLS = [
 
 
 def _prepare_mentions(mentions: DataFrame, mention_col: str = "mention") -> DataFrame:
-    """Distinct normalized mentions with their token explosion."""
-    m = mentions.select(clean_str(mention_col).alias("mention_norm")).distinct()
+    """Distinct normalized mentions with their token explosion.
+
+    The explicit partition count matters: downstream the mention side
+    explodes into token deletion-variant neighborhoods (a 50-100x row
+    blowup); AQE would otherwise coalesce this small distinct-output to
+    1-2 partitions and serialize the explosion."""
+    n = mentions.sparkSession.sparkContext.defaultParallelism * 2
+    m = (mentions.select(clean_str(mention_col).alias("mention_norm"))
+         .distinct().repartition(n, "mention_norm"))
     return m.select(
         "mention_norm",
         F.length("mention_norm").alias("length_mention"),
@@ -70,13 +77,16 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
         "mention_norm", F.explode(F.array_distinct("mention_tokens")).alias("m_token"),
     )
 
-    dict_tok = token_inverted_index(label_dict)
+    # Slim match: only (mention, token, dict-row-key, edits) flows
+    # through the joins and aggregations; the 9 payload columns attach
+    # ONCE per surviving candidate via a broadcast join at the end.
+    _KEY = ["entity", "name", "is_alias"]
+    dict_tok = token_inverted_index(label_dict).select("token", *_KEY)
     if broadcast_dict:
         dict_tok = F.broadcast(dict_tok)
 
     exact = m_tok.join(dict_tok, m_tok.m_token == dict_tok.token, "inner").select(
-        "mention_norm", "m_token", *_DICT_COLS,
-        F.lit(0).alias("edits"),
+        "mention_norm", "m_token", *_KEY, F.lit(0).alias("edits"),
     )
 
     if not fuzzy:
@@ -87,44 +97,42 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
             .when(F.length("m_token") >= 3, F.lit(1))
             .otherwise(F.lit(0))
         )
-        m_var = m_tok.withColumn("_band", band).select(
+        # band-0 tokens (len<=2) can only ever match exactly, and the
+        # exact arm already covers that — generating their variants would
+        # only produce edits=0 rows that the >=1 filter drops
+        m_var = m_tok.withColumn("_band", band).filter(F.col("_band") >= 1).select(
             "mention_norm", "m_token", "_band",
             F.explode(
                 F.when(F.col("_band") == 2, deletion_variants(F.col("m_token"), 2))
-                .when(F.col("_band") == 1, deletion_variants(F.col("m_token"), 1))
-                .otherwise(F.array(F.col("m_token")))
+                .otherwise(deletion_variants(F.col("m_token"), 1))
             ).alias("variant"),
         )
-        f_idx = fuzzy_token_index(label_dict)
+        f_idx = fuzzy_token_index(label_dict).select("variant", "token", *_KEY)
         if broadcast_dict:
             f_idx = F.broadcast(f_idx)
         fuzzy_hits = (
             m_var.join(f_idx, "variant", "inner")
             .withColumn("edits", F.levenshtein("m_token", "token"))
             # ES auto-fuzziness band is driven by the *query* token length
-            .filter(F.col("edits") <= F.least(F.col("_band"), F.lit(2)))
-            .select("mention_norm", "m_token", *_DICT_COLS, "edits")
-            # a (mention token, dict row) pair may match through many
-            # variants — keep the best edit distance once
-            .groupBy("mention_norm", "m_token", "entity", "name", "is_alias")
-            .agg(
-                F.min("edits").alias("edits"),
-                *[F.first(c).alias(c) for c in _DICT_COLS
-                  if c not in ("entity", "name", "is_alias")],
-            )
-            .select("mention_norm", "m_token", *_DICT_COLS, "edits")
+            .filter((F.col("edits") >= 1)
+                    & (F.col("edits") <= F.least(F.col("_band"), F.lit(2))))
+            .select("mention_norm", "m_token", *_KEY, "edits")
         )
         matched = exact.unionByName(fuzzy_hits)
 
-    # collapse to one row per (mention, dictionary row): matched token
-    # stats. Dictionary rows are unique on (entity, name, is_alias).
-    agg = matched.groupBy("mention_norm", "entity", "name", "is_alias").agg(
-        F.countDistinct(F.when(F.col("edits") == 0, F.col("m_token"))).alias("matched_tokens"),
-        F.countDistinct("m_token").alias("matched_tokens_any"),
-        *[F.first(c).alias(c) for c in _DICT_COLS
-          if c not in ("entity", "name", "is_alias")],
+    # two-step aggregation instead of dual countDistinct (which would
+    # force an Expand doubling the shuffle): per-token best edit first,
+    # then per-candidate token counts
+    per_token = matched.groupBy("mention_norm", "m_token", *_KEY).agg(
+        F.min("edits").alias("_e"))
+    agg = per_token.groupBy("mention_norm", *_KEY).agg(
+        F.count(F.when(F.col("_e") == 0, True)).alias("matched_tokens"),
+        F.count("*").alias("matched_tokens_any"),
     )
-    return agg
+    payload = label_dict.select(*_DICT_COLS)
+    if broadcast_dict:
+        payload = F.broadcast(payload)
+    return agg.join(payload, _KEY, "inner")
 
 
 def mention_features(candidates: DataFrame, mentions_prepared: DataFrame) -> DataFrame:
@@ -171,32 +179,28 @@ def mention_features(candidates: DataFrame, mentions_prepared: DataFrame) -> Dat
 def resolve_type_names(candidates: DataFrame, items: DataFrame) -> DataFrame:
     """J3 — map each candidate's type QIDs to English type labels via the
     items table (kind='type'), keeping the id when unresolved
-    (lookup_retriever.py:141-142,152-155,236-240). Broadcast join: the
-    type vocabulary is tiny relative to entities."""
-    type_names = items.filter(F.col("kind") == "type").select(
-        F.col("entity").alias("type_id"),
-        F.col("labels").getItem("en").alias("type_name"),
+    (lookup_retriever.py:141-142,152-155,236-240).
+
+    The type vocabulary is tiny relative to entities, so instead of an
+    explode -> join -> re-nest round trip (an extra shuffle + 4-key join
+    back), collapse it to ONE map literal broadcast via a 1-row cross
+    join and resolve in-place with ``transform`` — no shuffle at all.
+    """
+    type_map = items.filter(F.col("kind") == "type").agg(
+        F.map_from_entries(F.collect_list(F.struct(
+            F.col("entity"), F.col("labels").getItem("en")))).alias("_type_names"))
+    return (
+        candidates.crossJoin(F.broadcast(type_map))
+        .withColumn(
+            "types_resolved",
+            F.transform(
+                "types",
+                lambda t: F.struct(
+                    t.alias("id"),
+                    F.coalesce(F.element_at("_type_names", t), t).alias("name")),
+            ))
+        .drop("_type_names")
     )
-    exploded = candidates.select(
-        "mention_norm", "entity", "name", "is_alias",
-        F.posexplode_outer("types").alias("_tpos", "type_id"),
-    )
-    resolved = (
-        exploded.join(F.broadcast(type_names), "type_id", "left")
-        .withColumn("_t", F.when(
-            F.col("type_id").isNotNull(),
-            F.struct(F.col("type_id").alias("id"),
-                     F.coalesce("type_name", "type_id").alias("name")),
-        ))
-        .groupBy("mention_norm", "entity", "name", "is_alias")
-        .agg(F.sort_array(F.collect_list(F.struct("_tpos", "_t"))).alias("_ts"))
-        .select(
-            "mention_norm", "entity", "name", "is_alias",
-            F.filter(F.transform("_ts", lambda s: s["_t"]),
-                     lambda t: t.isNotNull()).alias("types_resolved"),
-        )
-    )
-    return candidates.join(resolved, ["mention_norm", "entity", "name", "is_alias"], "left")
 
 
 def lookup(
@@ -217,16 +221,16 @@ def lookup(
     for the field set at lookup_retriever.py:157-176)."""
     prepared = _prepare_mentions(mentions, mention_col)
 
-    # Token-query pass (unfiltered) feeds the mention-level features —
-    # the reference's extra ES round-trip at :49-51.
-    base_match = token_match(prepared, label_dict, broadcast_dict, fuzzy=False)
+    # One token-match pass serves both consumers: the mention-level
+    # feature pass (the reference's extra non-fuzzy ES round-trip at
+    # :49-51) is exactly the subset with >=1 exact token hit, so the
+    # fuzzy run never recomputes the exact arm. The result is CACHED:
+    # the downstream plan references this subtree three times (two
+    # feature joins + the candidate path) and Catalyst does not dedupe
+    # common subtrees — without the cache the match joins execute 3x.
+    cand = token_match(prepared, label_dict, broadcast_dict, fuzzy=fuzzy).cache()
+    base_match = cand.filter(F.col("matched_tokens") > 0) if fuzzy else cand
     feats = mention_features(base_match, prepared)
-
-    # Candidate pass: fuzzy branch + filters (P2/P3, J2).
-    cand = (
-        token_match(prepared, label_dict, broadcast_dict, fuzzy=fuzzy)
-        if fuzzy else base_match
-    )
     if kind is not None:
         cand = cand.filter(F.col("kind") == kind)
     if ner_type is not None:

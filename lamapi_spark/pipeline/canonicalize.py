@@ -21,10 +21,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 15,
-                         checkpoint_every: int = 3) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     """edges(a, b) undirected -> (entity, component) with component =
-    min id reachable. Deterministic; driver-side convergence loop."""
+    min id reachable. Deterministic; driver-side convergence loop.
+
+    Each iteration is materialized with localCheckpoint (truncates the
+    self-join lineage) and checked for convergence — a limit(1) count on
+    the changed set is one cheap job, and alias graphs converge in 1-2
+    iterations (near-degenerate components), so eager checking beats
+    running blind extra rounds of shuffles.
+    """
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -34,8 +40,9 @@ def connected_components(edges: DataFrame, max_iter: int = 15,
         sym.select(F.col("src").alias("entity"))
         .distinct()
         .withColumn("component", F.col("entity"))
+        .localCheckpoint(eager=True)
     )
-    for i in range(max_iter):
+    for _i in range(max_iter):
         # candidate labels flowing across edges
         prop = (
             sym.join(labels, sym.src == labels.entity, "inner")
@@ -45,20 +52,17 @@ def connected_components(edges: DataFrame, max_iter: int = 15,
             labels.unionByName(prop)
             .groupBy("entity")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "entity")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1).count()
-            )
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            labels = new_labels
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "entity")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
     return labels
 
 

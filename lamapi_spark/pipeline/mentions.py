@@ -40,6 +40,16 @@ from lamapi_spark.functions.literals import classify_literal
 from lamapi_spark.functions.strings import STOPWORDS
 
 
+def _fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition with an EXPLICIT partition count before a row-exploding
+    operator. AQE sizes shuffle partitions from pre-explosion bytes, so a
+    few-MB input coalesces to 1-2 partitions and the explosion (span
+    windows x deletion variants = 100x-1000x rows) runs nearly serial.
+    A fixed count pins the post-shuffle parallelism."""
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def _spans(transcripts: DataFrame, max_ntoken: int) -> DataFrame:
     """All 1..K-token windows of each turn: (conv_id, turn_idx, start,
     ntoken_span, span). ``start`` is the 1-based token offset."""
@@ -93,38 +103,45 @@ def detect_mentions(
     in a longer matched span), deduped to the best (min-edit) dictionary
     name per span."""
     spans = _spans(
-        transcripts.repartition("conv_id"),
+        _fan_out(transcripts, "conv_id"),
         max_ntoken,
     )
+
+    # Match DISTINCT span strings, then broadcast the (small) match list
+    # back onto span positions. Transcript text is template-heavy, so
+    # distinct spans are orders of magnitude fewer than span occurrences
+    # — this keeps the deletion-variant explosion (the allocation-heavy
+    # part) off the big table entirely. This is the same dedup-before-
+    # expensive-work principle as the lookup mention cache.
+    span_strs = _fan_out(spans.select("span").distinct(), "span")
 
     names = label_dict.select("name_norm").distinct()
     names_b = F.broadcast(names) if broadcast_dict else names
 
-    exact = spans.join(
-        names_b, spans.span == names_b.name_norm, "inner"
-    ).select("conv_id", "turn_idx", "start", "ntoken_span",
-             F.col("span").alias("surface"), "name_norm",
-             F.lit(0).alias("edits"))
+    exact_strs = span_strs.join(
+        names_b, span_strs.span == names_b.name_norm, "inner"
+    ).select("span", "name_norm", F.lit(0).alias("edits"))
 
     if fuzzy:
         f_idx = fuzzy_name_index(label_dict)
         if broadcast_dict:
             f_idx = F.broadcast(f_idx)
-        span_vars = spans.select(
-            "conv_id", "turn_idx", "start", "ntoken_span", "span",
-            F.explode(_del1(F.col("span"))).alias("variant"),
-        )
-        fuzzy_hits = (
-            span_vars.join(f_idx, "variant", "inner")
+        fuzzy_strs = (
+            span_strs.select("span", F.explode(_del1(F.col("span"))).alias("variant"))
+            .join(f_idx, "variant", "inner")
             .withColumn("edits", F.levenshtein("span", "name_norm"))
-            .filter((F.col("edits") >= 1) & (F.col("edits") <= 1))
-            .select("conv_id", "turn_idx", "start", "ntoken_span",
-                    F.col("span").alias("surface"), "name_norm", "edits")
+            .filter(F.col("edits") == 1)
+            .select("span", "name_norm", "edits")
             .distinct()
         )
-        matched = exact.unionByName(fuzzy_hits)
+        matched_strs = exact_strs.unionByName(fuzzy_strs)
     else:
-        matched = exact
+        matched_strs = exact_strs
+
+    matched = spans.join(
+        F.broadcast(matched_strs) if broadcast_dict else matched_strs, "span"
+    ).select("conv_id", "turn_idx", "start", "ntoken_span",
+             F.col("span").alias("surface"), "name_norm", "edits")
 
     # best dictionary name per span: fewest edits, then lexicographic
     w_span = Window.partitionBy("conv_id", "turn_idx", "start", "ntoken_span").orderBy(
@@ -176,17 +193,23 @@ def detect_oov_mentions(
     if broadcast_dict:
         vocab = F.broadcast(vocab)
 
-    toks = transcripts.repartition("conv_id").select(
+    toks = _fan_out(transcripts, "conv_id").select(
         "conv_id", "turn_idx",
         F.posexplode(F.split(clean_str("text"), " ")).alias("pos", "token"),
     )
-    oov = (
-        toks.join(vocab, "token", "left")
+    # classify/filter DISTINCT tokens once (the literal-classifier regex
+    # cascade is the expensive bit), then broadcast-semi-join back
+    oov_tokens = (
+        toks.select("token").distinct()
+        .join(vocab, "token", "left")
         .filter(F.col("_in_vocab").isNull())
         .filter(~F.col("token").isin(*STOPWORDS))
         .filter(classify_literal("token") == "STRING")
         .filter(F.length("token") > 2)
+        .select("token")
     )
+    oov = toks.join(
+        F.broadcast(oov_tokens) if broadcast_dict else oov_tokens, "token")
     # gaps-and-islands: adjacent OOV tokens share (pos - row_number)
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
     runs = (
@@ -253,7 +276,7 @@ def detect_mentions_pandas(
             yield pd.DataFrame(rows)
 
     return (
-        transcripts.repartition("conv_id")
+        _fan_out(transcripts, "conv_id")
         .select("conv_id", "turn_idx", "text")
         .mapInPandas(matcher, schema=out_schema)
     )

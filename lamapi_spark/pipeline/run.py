@@ -41,8 +41,11 @@ def run_pipeline(
     runner = StageRunner(spark, checkpoint_dir or "", enabled=checkpoint_dir is not None)
     fp = f"fuzzy={fuzzy};nil={nil_threshold};k={max_ntoken}"
 
+    # cache: the dictionary feeds the exact-token index, the fuzzy
+    # variant index, and the OOV vocabulary — one materialization, many
+    # consumers (on a cluster this is an offline artifact, here a cache)
     label_dict = runner.run(
-        "label_dict", lambda: build_label_dict(kg_items), fp, ("kg_items",))
+        "label_dict", lambda: build_label_dict(kg_items), fp, ("kg_items",)).cache()
 
     mentions = runner.run(
         "mentions",
@@ -61,10 +64,14 @@ def run_pipeline(
     ).unionByName(oov.select(
         "conv_id", "turn_idx", "start", "ntoken_span", "surface"))
 
+    # the distinct-surface frame is read several times inside lookup
+    # (exact arm, fuzzy arm, two feature joins) — cache it
+    surfaces = all_spans.select("surface").distinct().cache()
+
     candidates = runner.run(
         "candidates",
         lambda: candidates_for_surfaces(
-            all_spans.select("surface").distinct(),
+            surfaces,
             label_dict, kg_items, fuzzy=fuzzy, broadcast_dict=broadcast_dict),
         fp, ("mentions", "oov_mentions", "label_dict", "kg_items"))
 

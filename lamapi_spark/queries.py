@@ -247,18 +247,23 @@ ORDER BY d.doc_id, p.p_partkey
 """)
 def bow_similarity(spark, sf):
     """A8/J8 — BoW overlap score |row ∩ bow| / |row| round 2
-    (bow_retriever.py:147-161) via array_intersect after broadcast."""
+    (bow_retriever.py:147-161). Exploded-token equi-join, NOT a cross
+    join: only pairs sharing >=1 token ever materialize, so cost scales
+    with the inverted-index hit list instead of |docs| x |parts|."""
     docs = load(spark, sf, "documents").select(
         "doc_id", token_set(F.lower("text"), pre_cleaned=True).alias("toks"))
     parts = load(spark, sf, "part").select(
         "p_partkey", token_set(F.lower("p_name"), pre_cleaned=True).alias("ptoks"))
-    inter = F.size(F.array_intersect("toks", "ptoks"))
+    d_tok = docs.select("doc_id", F.size("toks").alias("n_toks"),
+                        F.explode("toks").alias("token"))
+    p_tok = parts.select("p_partkey", F.explode("ptoks").alias("token")).distinct()
     return (
-        docs.crossJoin(F.broadcast(parts))
-        .filter(inter > 0)
+        d_tok.join(F.broadcast(p_tok), "token")
+        .groupBy("doc_id", "p_partkey")
+        .agg(F.count("*").alias("_overlap"), F.first("n_toks").alias("_n"))
         .select(
             "doc_id", "p_partkey",
-            F.bround(inter / F.greatest(F.size("toks"), F.lit(1)), 2).alias("similarity_score"),
+            F.bround(F.col("_overlap") / F.greatest("_n", F.lit(1)), 2).alias("similarity_score"),
         )
         .orderBy("doc_id", "p_partkey")
     )
