@@ -71,14 +71,19 @@ def main():
     )
     from lamapi_spark.pipeline.run import run_pipeline
 
+    import tempfile
+
     kg = build_kg(seed=42, n_people=400, n_orgs=120, n_locs=60, n_films=250)
     dfs = kg_dataframes(spark, kg)
     tr = build_transcripts(kg, seed=43, n_convs=800, turns_per_conv=(10, 20))
     dfs.update(transcript_dataframes(spark, *tr))
-    n_turns = dfs["transcripts"].count()
+    tmp = tempfile.mkdtemp()
+    dfs["transcripts"].repartition(int(cpus)).write.parquet(tmp + "/transcripts")
+    transcripts = spark.read.parquet(tmp + "/transcripts")
+    n_turns = transcripts.count()
     t0 = time.time()
-    out = run_pipeline(spark, dfs["transcripts"], dfs["kg_items"], dfs["kg_edges"],
-                       dfs["kg_sameas"], checkpoint_dir=None, fuzzy=True)
+    out = run_pipeline(spark, transcripts, dfs["kg_items"], dfs["kg_edges"],
+                       dfs["kg_sameas"], checkpoint_dir=tmp + "/ckpt", fuzzy=True)
     n_triples = out["triples"].count()
     kg_sec = time.time() - t0
     per_query["kg_pipeline"] = round(kg_sec, 3)

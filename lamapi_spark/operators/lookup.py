@@ -63,8 +63,32 @@ def _prepare_mentions(mentions: DataFrame, mention_col: str = "mention") -> Data
     )
 
 
+def _prune_index(idx: DataFrame, key_col: str, limit_per_token: int) -> DataFrame:
+    """Keep the top-``limit_per_token`` dictionary rows per posting key,
+    by popularity (the ES static-index analogue of WAND pruning).
+
+    Exactness argument: the final per-mention candidate list is the
+    popularity-desc top-``limit`` of the union of per-token posting
+    lists. If a row ranks below position K within one of its tokens'
+    posting lists, at least K higher-popularity rows of that SAME
+    mention's candidate set outrank it — so with K >= limit it can never
+    appear in the final list. Pruning to top-K per key is therefore
+    lossless for candidate ranking; only the mention-level ambiguity /
+    corrects_tokens features (computed over the match union) see a
+    truncated tail, mirroring how the reference's ES token query is
+    itself truncated at `size=limit` (elastic.py:31-39).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("popularity").desc(), F.col("entity").asc(),
+        F.col("name").asc(), F.col("is_alias").asc())
+    return (idx.withColumn("_pk", F.row_number().over(w))
+            .filter(F.col("_pk") <= limit_per_token).drop("_pk"))
+
+
 def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
-                broadcast_dict: bool = True, fuzzy: bool = False) -> DataFrame:
+                broadcast_dict: bool = True, fuzzy: bool = False,
+                cache_narrow: bool = False,
+                limit_per_token: int | None = None) -> DataFrame:
     """OR-of-tokens match: one row per (mention, dictionary row) sharing
     >=1 token, with ``matched_tokens`` (count of distinct mention tokens
     found in the name) and ``fuzzy_matched`` counts.
@@ -81,7 +105,10 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
     # through the joins and aggregations; the 9 payload columns attach
     # ONCE per surviving candidate via a broadcast join at the end.
     _KEY = ["entity", "name", "is_alias"]
-    dict_tok = token_inverted_index(label_dict).select("token", *_KEY)
+    dict_tok = token_inverted_index(label_dict).select("token", "popularity", *_KEY)
+    if limit_per_token is not None:
+        dict_tok = _prune_index(dict_tok, "token", limit_per_token)
+    dict_tok = dict_tok.drop("popularity")
     if broadcast_dict:
         dict_tok = F.broadcast(dict_tok)
 
@@ -107,7 +134,11 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
                 .otherwise(deletion_variants(F.col("m_token"), 1))
             ).alias("variant"),
         )
-        f_idx = fuzzy_token_index(label_dict).select("variant", "token", *_KEY)
+        f_idx = fuzzy_token_index(label_dict).select(
+            "variant", "token", "popularity", *_KEY)
+        if limit_per_token is not None:
+            f_idx = _prune_index(f_idx, "variant", limit_per_token)
+        f_idx = f_idx.drop("popularity")
         if broadcast_dict:
             f_idx = F.broadcast(f_idx)
         fuzzy_hits = (
@@ -120,6 +151,42 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
         )
         matched = exact.unionByName(fuzzy_hits)
 
+    if limit_per_token is not None:
+        # pruning guard: a low-popularity entity whose every token sits
+        # below the per-token top-K would vanish even when its NAME
+        # matches the mention exactly (or within 1 edit) — and that is
+        # precisely the candidate the linker must not lose. Guarantee
+        # inclusion via (a) full-string equality and (b) deletion-1
+        # name-level match, both cheap equi-joins.
+        names_full = label_dict.select("name_norm", *_KEY)
+        names_b = F.broadcast(names_full) if broadcast_dict else names_full
+        m_norms = mentions_prepared.select("mention_norm")
+        exact_name = (
+            m_norms.join(names_b, F.col("mention_norm") == F.col("name_norm"))
+            .select("mention_norm",
+                    F.explode(F.array_distinct(F.split("name_norm", " "))).alias("m_token"),
+                    *_KEY, F.lit(0).alias("edits"))
+        )
+        matched = matched.unionByName(exact_name)
+        if fuzzy:
+            from lamapi_spark.pipeline.mentions import _del1, fuzzy_name_index
+            fn_idx = fuzzy_name_index(label_dict)
+            if broadcast_dict:
+                fn_idx = F.broadcast(fn_idx)
+            name_rows = F.broadcast(names_full) if broadcast_dict else names_full
+            fuzzy_name = (
+                m_norms.select("mention_norm",
+                               F.explode(_del1(F.col("mention_norm"))).alias("variant"))
+                .join(fn_idx, "variant")
+                .filter(F.levenshtein("mention_norm", "name_norm") == 1)
+                .select("mention_norm", "name_norm").distinct()
+                .join(name_rows, "name_norm")
+                .select("mention_norm",
+                        F.element_at(F.split("mention_norm", " "), 1).alias("m_token"),
+                        *_KEY, F.lit(1).alias("edits"))
+            )
+            matched = matched.unionByName(fuzzy_name)
+
     # two-step aggregation instead of dual countDistinct (which would
     # force an Expand doubling the shuffle): per-token best edit first,
     # then per-candidate token counts
@@ -129,6 +196,13 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
         F.count(F.when(F.col("_e") == 0, True)).alias("matched_tokens"),
         F.count("*").alias("matched_tokens_any"),
     )
+    if cache_narrow:
+        # downstream plans reference the match several times (Catalyst
+        # does not dedupe common subtrees) — cache the 6-column aggregate,
+        # NOT the payload-joined frame: the wide version cached per
+        # executor is what OOMs at large dictionary x surface products,
+        # while the payload re-attaches via a cheap broadcast join
+        agg = agg.cache()
     payload = label_dict.select(*_DICT_COLS)
     if broadcast_dict:
         payload = F.broadcast(payload)
@@ -215,6 +289,7 @@ def lookup(
     language: str | None = None,
     broadcast_dict: bool = True,
     mention_col: str = "mention",
+    limit_per_token: int | None = None,
 ) -> DataFrame:
     """Full lookup: mentions DF -> 19-field candidates DF keyed by
     ``mention_norm`` (one row per (mention, entity), reference parity
@@ -224,11 +299,10 @@ def lookup(
     # One token-match pass serves both consumers: the mention-level
     # feature pass (the reference's extra non-fuzzy ES round-trip at
     # :49-51) is exactly the subset with >=1 exact token hit, so the
-    # fuzzy run never recomputes the exact arm. The result is CACHED:
-    # the downstream plan references this subtree three times (two
-    # feature joins + the candidate path) and Catalyst does not dedupe
-    # common subtrees — without the cache the match joins execute 3x.
-    cand = token_match(prepared, label_dict, broadcast_dict, fuzzy=fuzzy).cache()
+    # fuzzy run never recomputes the exact arm. cache_narrow materializes
+    # the slim match once for the three downstream references.
+    cand = token_match(prepared, label_dict, broadcast_dict, fuzzy=fuzzy,
+                       cache_narrow=True, limit_per_token=limit_per_token)
     base_match = cand.filter(F.col("matched_tokens") > 0) if fuzzy else cand
     feats = mention_features(base_match, prepared)
     if kind is not None:

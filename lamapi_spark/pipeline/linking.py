@@ -31,13 +31,18 @@ def candidates_for_surfaces(
     fuzzy: bool = False,
     limit: int = 1000,
     broadcast_dict: bool = True,
+    limit_per_token: int | None = None,
 ) -> DataFrame:
     """Distinct surface forms -> full 19-field candidates table
-    (checkpointable stage; response-parity artifact)."""
+    (checkpointable stage; response-parity artifact). ``limit_per_token``
+    enables the pruned posting-list path for huge dictionaries (see
+    lookup._prune_index) — the linker only needs plausible candidates,
+    and per-token popularity top-K is rank-lossless."""
     return lookup(
         surfaces.select(F.col("surface").alias("mention")),
         label_dict, items,
         limit=limit, fuzzy=fuzzy, broadcast_dict=broadcast_dict,
+        limit_per_token=limit_per_token,
     )
 
 

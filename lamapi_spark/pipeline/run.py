@@ -37,9 +37,10 @@ def run_pipeline(
     max_ntoken: int = 4,
     broadcast_dict: bool = True,
     broadcast_edges: bool = True,
+    limit_per_token: int | None = 100,
 ) -> dict[str, DataFrame]:
     runner = StageRunner(spark, checkpoint_dir or "", enabled=checkpoint_dir is not None)
-    fp = f"fuzzy={fuzzy};nil={nil_threshold};k={max_ntoken}"
+    fp = f"fuzzy={fuzzy};nil={nil_threshold};k={max_ntoken};lpt={limit_per_token}"
 
     # cache: the dictionary feeds the exact-token index, the fuzzy
     # variant index, and the OOV vocabulary — one materialization, many
@@ -72,7 +73,8 @@ def run_pipeline(
         "candidates",
         lambda: candidates_for_surfaces(
             surfaces,
-            label_dict, kg_items, fuzzy=fuzzy, broadcast_dict=broadcast_dict),
+            label_dict, kg_items, fuzzy=fuzzy, broadcast_dict=broadcast_dict,
+            limit_per_token=limit_per_token),
         fp, ("mentions", "oov_mentions", "label_dict", "kg_items"))
 
     linked = runner.run(
