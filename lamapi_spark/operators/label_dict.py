@@ -186,17 +186,19 @@ def deletion_variants(token, max_dels):
     return F.array_distinct(F.concat(F.array(token), one, two))
 
 
-def fuzzy_token_index(label_dict: DataFrame) -> DataFrame:
+def fuzzy_token_index(label_dict: DataFrame, max_edits: int = 2) -> DataFrame:
     """Deletion-neighborhood index over dictionary tokens, with ES
     ``fuzziness:auto`` bands (lookup_retriever.py:272 semantics):
-    token length 1-2 -> exact only, 3-5 -> 1 edit, >=6 -> 2 edits.
+    token length 1-2 -> exact only, 3-5 -> 1 edit, >=6 -> 2 edits
+    (capped at ``max_edits`` — pipelines that only chase 1-edit typos
+    cut the variant volume ~4x).
 
     Emits (variant, token, <dict row>) — join mentions' own deletion
     variants against ``variant`` then post-filter by real edit distance.
     """
     toks = token_inverted_index(label_dict)
     band = (
-        F.when(F.length("token") >= 6, F.lit(2))
+        F.when(F.length("token") >= 6, F.least(F.lit(2), F.lit(max_edits)))
         .when(F.length("token") >= 3, F.lit(1))
         .otherwise(F.lit(0))
     )

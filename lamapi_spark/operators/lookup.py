@@ -88,7 +88,8 @@ def _prune_index(idx: DataFrame, key_col: str, limit_per_token: int) -> DataFram
 def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
                 broadcast_dict: bool = True, fuzzy: bool = False,
                 cache_narrow: bool = False,
-                limit_per_token: int | None = None) -> DataFrame:
+                limit_per_token: int | None = None,
+                fuzzy_edits: int = 2) -> DataFrame:
     """OR-of-tokens match: one row per (mention, dictionary row) sharing
     >=1 token, with ``matched_tokens`` (count of distinct mention tokens
     found in the name) and ``fuzzy_matched`` counts.
@@ -119,8 +120,11 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
     if not fuzzy:
         matched = exact
     else:
+        # ES fuzziness:auto bands (2 edits for tokens >= 6 chars); the
+        # pipeline path caps at fuzzy_edits=1 — deletion-2 neighborhoods
+        # are ~4x the variant volume for a tail of 2-edit typos
         band = (
-            F.when(F.length("m_token") >= 6, F.lit(2))
+            F.when(F.length("m_token") >= 6, F.least(F.lit(2), F.lit(fuzzy_edits)))
             .when(F.length("m_token") >= 3, F.lit(1))
             .otherwise(F.lit(0))
         )
@@ -134,12 +138,18 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
                 .otherwise(deletion_variants(F.col("m_token"), 1))
             ).alias("variant"),
         )
-        f_idx = fuzzy_token_index(label_dict).select(
+        f_idx = fuzzy_token_index(label_dict, max_edits=fuzzy_edits).select(
             "variant", "token", "popularity", *_KEY)
         if limit_per_token is not None:
             f_idx = _prune_index(f_idx, "variant", limit_per_token)
         f_idx = f_idx.drop("popularity")
         if broadcast_dict:
+            # measured: broadcasting the (pruned) variant index beats a
+            # shuffle-hash join at sandbox scale even though the build is
+            # a serial constant (165s vs 201s total at 8x4 executors on
+            # the 3M-turn workload); on a real cluster with a dictionary
+            # too large to broadcast, pass broadcast_dict=False and the
+            # join shuffles on variant with AQE skew handling
             f_idx = F.broadcast(f_idx)
         fuzzy_hits = (
             m_var.join(f_idx, "variant", "inner")
@@ -290,6 +300,7 @@ def lookup(
     broadcast_dict: bool = True,
     mention_col: str = "mention",
     limit_per_token: int | None = None,
+    fuzzy_edits: int = 2,
 ) -> DataFrame:
     """Full lookup: mentions DF -> 19-field candidates DF keyed by
     ``mention_norm`` (one row per (mention, entity), reference parity
@@ -302,7 +313,8 @@ def lookup(
     # fuzzy run never recomputes the exact arm. cache_narrow materializes
     # the slim match once for the three downstream references.
     cand = token_match(prepared, label_dict, broadcast_dict, fuzzy=fuzzy,
-                       cache_narrow=True, limit_per_token=limit_per_token)
+                       cache_narrow=True, limit_per_token=limit_per_token,
+                       fuzzy_edits=fuzzy_edits)
     base_match = cand.filter(F.col("matched_tokens") > 0) if fuzzy else cand
     feats = mention_features(base_match, prepared)
     if kind is not None:

@@ -32,6 +32,7 @@ def candidates_for_surfaces(
     limit: int = 1000,
     broadcast_dict: bool = True,
     limit_per_token: int | None = None,
+    fuzzy_edits: int = 1,
 ) -> DataFrame:
     """Distinct surface forms -> full 19-field candidates table
     (checkpointable stage; response-parity artifact). ``limit_per_token``
@@ -42,7 +43,7 @@ def candidates_for_surfaces(
         surfaces.select(F.col("surface").alias("mention")),
         label_dict, items,
         limit=limit, fuzzy=fuzzy, broadcast_dict=broadcast_dict,
-        limit_per_token=limit_per_token,
+        limit_per_token=limit_per_token, fuzzy_edits=fuzzy_edits,
     )
 
 
