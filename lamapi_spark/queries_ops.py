@@ -269,6 +269,88 @@ def text_fingerprint(spark, sf):
     )
 
 
+# ---------------------------------------------------- column analysis (U2)
+
+_COL_CLASSIFY_SRC = """
+  SELECT 'p_size' AS col_name, CAST(p_size AS VARCHAR) AS v FROM part
+  UNION ALL SELECT 'p_retailprice', CAST(p_retailprice AS VARCHAR) FROM part
+  UNION ALL SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+  UNION ALL SELECT 'p_name', p_name FROM part
+  UNION ALL SELECT 'c_name', c_name FROM customer
+"""
+
+from lamapi_spark.queries import _LIT_SQL_CASCADE  # noqa: E402
+
+@register("column_analysis", f"""
+WITH vals AS ({_COL_CLASSIFY_SRC}),
+cls AS (
+  SELECT col_name, {_LIT_SQL_CASCADE} AS lit_class FROM vals
+),
+counted AS (
+  SELECT col_name, lit_class, count(*)::BIGINT AS cnt FROM cls
+  GROUP BY col_name, lit_class
+)
+SELECT col_name, lit_class AS majority_class,
+       round_even(cnt / sum(cnt) OVER (PARTITION BY col_name), 3) AS class_ratio
+FROM counted
+QUALIFY row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, lit_class) = 1
+ORDER BY col_name
+""")
+def column_analysis(spark, sf):
+    """U2 — the reference's column-classifier service
+    (api/model/data_retrievers/column_analysis.py 'fast' mode spirit):
+    per column, majority vote over per-cell literal classes -> the
+    column is LIT of that datatype (or NE when STRING dominates)."""
+    from pyspark.sql import Window as W
+
+    from lamapi_spark.functions.literals import classify_literal
+    part = load(spark, sf, "part")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    vals = (
+        part.select(F.lit("p_size").alias("col_name"), F.col("p_size").cast("string").alias("v"))
+        .unionAll(part.select(F.lit("p_retailprice"), F.col("p_retailprice").cast("string")))
+        .unionAll(orders.select(F.lit("o_orderdate"), F.date_format("o_orderdate", "yyyy-MM-dd")))
+        .unionAll(part.select(F.lit("p_name"), F.col("p_name")))
+        .unionAll(cust.select(F.lit("c_name"), F.col("c_name")))
+    )
+    counted = (
+        vals.select("col_name", classify_literal("v").alias("lit_class"))
+        .groupBy("col_name", "lit_class").agg(F.count("*").alias("cnt"))
+    )
+    w_col = W.partitionBy("col_name")
+    w_rank = w_col.orderBy(F.desc("cnt"), "lit_class")
+    return (
+        counted
+        .withColumn("class_ratio", F.bround(F.col("cnt") / F.sum("cnt").over(w_col), 3))
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") == 1)
+        .select("col_name", F.col("lit_class").alias("majority_class"), "class_ratio")
+        .orderBy("col_name")
+    )
+
+
+@register("objects_nest", """
+SELECT o_custkey AS entity,
+       array_to_string(list_sort(list(o_orderkey)), ' ') AS object_ids,
+       count(*)::BIGINT AS n_objects
+FROM orders GROUP BY o_custkey ORDER BY entity
+""")
+def objects_nest(spark, sf):
+    """S6/J4 re-nest shape — the /entity/objects endpoint's cursor->nest
+    reshape (objects_retriever.py:14-26): group the flat edge table back
+    into per-entity adjacency (sorted-joined for engine-stable output)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("entity"))
+        .agg(
+            F.concat_ws(" ", F.sort_array(F.collect_list("o_orderkey"))).alias("object_ids"),
+            F.count("*").alias("n_objects"),
+        )
+        .orderBy("entity")
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 @register("multimodal_meta", """
