@@ -110,3 +110,66 @@ def classify_literal_py(token: str) -> str:
         if re.compile(pat, re.IGNORECASE).search(token):
             return name
     return "STRING"
+
+
+def xsd_of_class(c: Column | str) -> Column:
+    """Class -> xsd datatype, the ``/literal-recognizer`` response surface
+    (data_retrievers/literal_classifier.py:8-30)."""
+    c = F.col(c) if isinstance(c, str) else c
+    expr = None
+    for cls, xsd in XSD_BY_CLASS.items():
+        expr = F.when(c == cls, F.lit(xsd)) if expr is None else expr.when(c == cls, F.lit(xsd))
+    return expr.otherwise(F.lit("xsd:string"))
+
+
+# ISO-8601 subset accepted by the cb cascade's DATETIME probe — the Spark
+# twin of dateutil.parser.isoparse (scripts/parsing_cb.py:27-29): year /
+# year-month / date, optionally a time part after ANY single separator
+# char (isoparse accepts any one-char sep, not just 'T' — hence the `.`),
+# optional seconds/fraction and Z/offset. Field validity (month 01-12,
+# day 01-31, hour 00-23, min/sec 00-59) is encoded in the pattern since
+# rlike cannot raise like isoparse does. Documented deviations from
+# isoparse: compact forms (20160101), ISO week dates (2016-W01) and
+# ordinal dates (2016-123) classify as NUMBER/STRING here.
+ISO_DATETIME_PATTERN = (
+    r"^\d{4}(-(0[1-9]|1[0-2])(-(0[1-9]|[12][0-9]|3[01])"
+    r"(.([01][0-9]|2[0-3]):[0-5][0-9](:[0-5][0-9](\.\d+)?)?"
+    r"(Z|[+-]([01][0-9]|2[0-3])(:?[0-5][0-9])?)?)?)?)?$"
+)
+
+
+def classify_value_cb(c: Column | str) -> Column:
+    """The cb-ingest value classifier (scripts/parsing_cb.py:26-37) — a
+    DIFFERENT function from the regex cascade above: ISO-8601 parse ->
+    DATETIME, float() cast -> NUMBER, else STRING. Notably '2016-01-01
+    00:00:00' is DATETIME here but STRING under :func:`classify_literal`,
+    and a bare year '2016' is DATETIME (isoparse accepts it) even though
+    float() would too — the cascade order decides."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (
+        F.when(c.rlike(ISO_DATETIME_PATTERN), F.lit("DATETIME"))
+        .when(c.try_cast("double").isNotNull(), F.lit("NUMBER"))
+        .otherwise(F.lit("STRING"))
+    )
+
+
+def classify_value_cb_py(value) -> str:
+    """Pure-Python twin of the reference classify_value (test oracle) —
+    the real dateutil/float cascade where available."""
+    try:
+        from dateutil import parser as _p  # pragma: no cover - optional
+        try:
+            _p.isoparse(value)
+            return "DATETIME"
+        except (ValueError, TypeError):
+            pass
+    except ImportError:
+        import re
+        if isinstance(value, str) and re.match(ISO_DATETIME_PATTERN, value):
+            return "DATETIME"
+    try:
+        float(value)
+        return "NUMBER"
+    except (ValueError, TypeError):
+        pass
+    return "STRING"

@@ -132,9 +132,13 @@ def dot_notation_variants(name: Column | str) -> Column:
     "John Fitzgerald Kennedy" -> ["John Fitzgerald Kennedy",
     "J. Fitzgerald Kennedy", "J. F. Kennedy"]. Element 0 is always the
     unmodified name; callers typically slice it off when emitting alias rows.
+
+    Tokenization is whitespace-collapsing (``name.split()`` in the
+    reference) — splitting on a single space would turn consecutive
+    whitespace into empty tokens and emit garbage '.' aliases.
     """
     name = F.col(name) if isinstance(name, str) else name
-    words = F.split(name, " ")
+    words = F.split(F.trim(name), r"\s+")
     nwords = F.size(words)
     heads = F.slice(words, 1, nwords - 1)
     return F.transform(
@@ -154,11 +158,15 @@ def dot_notation_variants(name: Column | str) -> Column:
 
 def bow_tokens(c: Column | str) -> Column:
     """BoW tokenization: lowercase, whitespace split, alnum-only,
-    stopwords removed, deduped (``bow_retriever.py:58-64``)."""
+    stopwords removed, deduped (``bow_retriever.py:58-64``).
+
+    The alnum test is Unicode-aware (``\\p{L}\\p{N}`` — Java regex), like
+    the reference's Python ``isalnum()``: 'café' and CJK tokens survive;
+    an ASCII-only class would silently drop every non-English label."""
     c = F.col(c) if isinstance(c, str) else c
     toks = F.split(F.lower(F.trim(c)), r"\s+")
     kept = F.filter(
         toks,
-        lambda t: t.rlike(r"^[a-z0-9]+$") & ~F.array_contains(F.lit(list(STOPWORDS)), t),
+        lambda t: t.rlike(r"^[\p{L}\p{N}]+$") & ~F.array_contains(F.lit(list(STOPWORDS)), t),
     )
     return F.array_distinct(kept)

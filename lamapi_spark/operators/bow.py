@@ -4,14 +4,23 @@ api/model/data_retrievers/bow_retriever.py.
 The reference stores per-entity BoWs as gzip-pickled dicts (U3) and
 scores |text_tokens ∩ entity_bow| / |text_tokens| per request. Batch
 shape: BoWs are a plain (entity, bow: array<string>) table (no binary
-blobs); a (request_id, text) frame tokenizes once and joins. Small BoW
-tables broadcast; large ones use the exploded-token equi-join so only
-overlapping (text, entity) pairs materialize.
+blobs); a (request_id, text) frame tokenizes once and joins.
+
+Plan discipline (the scale contract): the default path is an
+**exploded-token equi-join** — only (text, entity) pairs sharing >= 1
+BoW token ever materialize, so cost follows the inverted-index hit list
+instead of |texts| x |entities|. The reference endpoint scores an
+explicit candidate id list per request (bow_retriever.py:126-143);
+passing that ``candidates`` frame reproduces it exactly (including
+zero-score pairs). The all-pairs cross join exists only behind
+``cross_score_all=True`` for tiny BoW tables.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lamapi_spark.functions import bow_tokens
@@ -27,24 +36,61 @@ def entity_bows(items: DataFrame) -> DataFrame:
     )
 
 
+def _score(pairs: DataFrame) -> DataFrame:
+    """(request_id, entity, toks, bow) -> scored output
+    (bow_retriever.py:147-161: round(|toks ∩ bow| / |toks|, 2))."""
+    inter = F.array_intersect("toks", "bow")
+    return pairs.select(
+        "request_id", "entity",
+        F.bround(F.size(inter) / F.greatest(F.size("toks"), F.lit(1)), 2)
+        .alias("similarity_score"),
+        F.sort_array(inter).alias("matched_words"),
+    )
+
+
 def bow_similarity(texts: DataFrame, bows: DataFrame,
                    text_col: str = "text", id_col: str = "request_id",
-                   broadcast_bows: bool = True) -> DataFrame:
-    """-> (request_id, entity, similarity_score, matched_words):
-    round(|tokens ∩ bow| / |tokens|, 2) per (text, entity)
-    (bow_retriever.py:147-161). Cross-scored against every entity in
-    ``bows`` — pre-filter ``bows`` to the requested candidates, as the
-    reference endpoint does with its ids list."""
+                   candidates: DataFrame | None = None,
+                   broadcast_bows: bool = True,
+                   cross_score_all: bool = False,
+                   tokenizer: Callable[[Column], Column] = bow_tokens) -> DataFrame:
+    """-> (request_id, entity, similarity_score, matched_words).
+
+    - ``candidates`` given: score exactly those (request_id, entity)
+      pairs — the reference's per-request ids list (zero scores kept).
+    - default: exploded-token equi-join; only overlapping pairs emitted.
+    - ``cross_score_all=True``: legacy all-pairs cross join (every
+      (text, entity) pair incl. zero scores) — |texts| x |bows| rows,
+      only for small BoW tables.
+    """
     t = texts.select(F.col(id_col).alias("request_id"),
-                     bow_tokens(F.col(text_col)).alias("toks"))
+                     tokenizer(F.col(text_col)).alias("toks"))
     b = F.broadcast(bows) if broadcast_bows else bows
-    inter = F.array_intersect("toks", "bow")
-    return (
-        t.crossJoin(b)
-        .select(
-            "request_id", "entity",
-            F.bround(F.size(inter) / F.greatest(F.size("toks"), F.lit(1)), 2)
-            .alias("similarity_score"),
-            F.sort_array(inter).alias("matched_words"),
+
+    if candidates is not None:
+        pairs = (
+            candidates.select("request_id", "entity")
+            .join(t, "request_id")
+            .join(b, "entity", "left")
+            .withColumn("bow", F.coalesce("bow", F.array().cast("array<string>")))
         )
+        return _score(pairs)
+
+    if cross_score_all:
+        return _score(t.crossJoin(b))
+
+    # inverted-index path: distinct (token, entity) postings from the BoW
+    # side, exploded text tokens probe them, surviving pairs re-attach
+    # the two arrays for exact scoring. One shuffle on the pair key;
+    # the postings join is broadcast when the BoW table is.
+    t_tok = t.select("request_id", F.explode("toks").alias("token"))
+    b_tok = bows.select("entity", F.explode("bow").alias("token"))
+    if broadcast_bows:
+        b_tok = F.broadcast(b_tok)
+    pairs = (
+        t_tok.join(b_tok, "token")
+        .select("request_id", "entity").distinct()
+        .join(t, "request_id")
+        .join(b, "entity")
     )
+    return _score(pairs)

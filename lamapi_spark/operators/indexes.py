@@ -1,0 +1,166 @@
+"""Offline lookup-index artifacts — the cluster plan for the J1 join.
+
+The reference's Elasticsearch index is built ONCE by an offline job
+(scripts/elastic_indexing.py) and every lookup request probes it. The
+round-1 engine instead rebuilt + broadcast the token / deletion-variant
+indexes inside every pipeline run — a serial per-executor constant that
+is physically impossible at a 10^8-entity dictionary (VERDICT r01: the
+#1 scaling bottleneck).
+
+This module materializes the four index tables as **bucketed, sorted
+saved tables**:
+
+- ``<prefix>_token``   (token,  entity, name, is_alias)   bucketed by token
+- ``<prefix>_fuzzy``   (variant, token, entity, name, is_alias) bucketed by variant
+- ``<prefix>_names``   (name_norm, entity, name, is_alias) bucketed by name_norm
+- ``<prefix>_fuzzy_names`` (variant, name_norm)            bucketed by variant
+
+so the lookup / mention-detection joins need NO dictionary-side shuffle
+and NO broadcast: the bucketed scan already satisfies the join's
+required hash distribution; only the (streaming) mention side shuffles,
+into exactly ``n_buckets`` partitions. Posting-list pruning
+(top-K-per-key by popularity, lookup._prune_index) is applied at BUILD
+time, so the per-query-batch window shuffle disappears too.
+
+Catalog note: bucketing metadata lives in the session catalog. The
+sandbox uses Spark's in-memory catalog (artifacts are per-session); on a
+real deployment the same writes go through a Hive metastore or an
+Iceberg catalog (bucket transform) and become true cross-job artifacts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lamapi_spark.operators.label_dict import fuzzy_token_index, token_inverted_index
+
+_KEY = ["entity", "name", "is_alias"]
+
+
+def prune_index(idx: DataFrame, key_col: str, limit_per_token: int) -> DataFrame:
+    """Keep the top-``limit_per_token`` dictionary rows per posting key,
+    by popularity (the ES static-index analogue of WAND pruning).
+
+    Exactness argument: the final per-mention candidate list is the
+    popularity-desc top-``limit`` of the union of per-token posting
+    lists. If a row ranks below position K within one of its tokens'
+    posting lists, at least K higher-popularity rows of that SAME
+    mention's candidate set outrank it — so with K >= limit it can never
+    appear in the final list. Pruning to top-K per key is therefore
+    lossless for candidate ranking; only the mention-level ambiguity /
+    corrects_tokens features (computed over the match union) see a
+    truncated tail, mirroring how the reference's ES token query is
+    itself truncated at `size=limit` (elastic.py:31-39). With
+    K < limit it is a recall-trading heuristic backstopped by the
+    exact-name / 1-edit-name guards in token_match.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("popularity").desc(), F.col("entity").asc(),
+        F.col("name").asc(), F.col("is_alias").asc())
+    return (idx.withColumn("_pk", F.row_number().over(w))
+            .filter(F.col("_pk") <= limit_per_token).drop("_pk"))
+
+
+def _fuzzy_name_index(label_dict: DataFrame) -> DataFrame:
+    # local import: pipeline.mentions owns the deletion-1 helper
+    from lamapi_spark.pipeline.mentions import fuzzy_name_index
+    return fuzzy_name_index(label_dict)
+
+
+@dataclass
+class LookupIndex:
+    """The four lookup-join index frames plus the build parameters that
+    determine which guards the consumer must apply."""
+    token: DataFrame                 # (token, entity, name, is_alias)
+    fuzzy: DataFrame | None          # (variant, token, entity, name, is_alias)
+    names: DataFrame                 # (name_norm, entity, name, is_alias)
+    fuzzy_names: DataFrame | None    # (variant, name_norm)
+    limit_per_token: int | None      # pruning K applied at build (None = unpruned)
+    fuzzy_edits: int = 1
+    bucketed: bool = False           # True -> joins need no dict-side shuffle
+
+    @staticmethod
+    def build(label_dict: DataFrame, fuzzy: bool = True,
+              limit_per_token: int | None = None,
+              fuzzy_edits: int = 1) -> "LookupIndex":
+        """In-memory (per-run) index frames — the non-artifact path."""
+        tok = token_inverted_index(label_dict).select("token", "popularity", *_KEY)
+        if limit_per_token is not None:
+            tok = prune_index(tok, "token", limit_per_token)
+        fz = None
+        fn = None
+        if fuzzy:
+            fz = fuzzy_token_index(label_dict, max_edits=fuzzy_edits).select(
+                "variant", "token", "popularity", *_KEY)
+            if limit_per_token is not None:
+                fz = prune_index(fz, "variant", limit_per_token)
+            fz = fz.drop("popularity")
+            fn = _fuzzy_name_index(label_dict)
+        return LookupIndex(
+            token=tok.drop("popularity"), fuzzy=fz,
+            names=label_dict.select("name_norm", *_KEY), fuzzy_names=fn,
+            limit_per_token=limit_per_token, fuzzy_edits=fuzzy_edits,
+            bucketed=False)
+
+    @staticmethod
+    def write(label_dict: DataFrame, prefix: str = "lamapi_idx",
+              n_buckets: int = 32, fuzzy: bool = True,
+              limit_per_token: int | None = None, fuzzy_edits: int = 1,
+              overwrite: bool = True) -> "LookupIndex":
+        """Materialize the bucketed artifacts (offline index build — the
+        elastic_indexing.py analogue) and return the loaded index.
+
+        ``n_buckets`` fixes join parallelism for every consumer; size it
+        to >= the cluster's total cores (a bucket is one task). Pruning
+        and the deletion-variant expansion run HERE, once, instead of
+        inside every pipeline run."""
+        spark = label_dict.sparkSession
+        mem = LookupIndex.build(label_dict, fuzzy=fuzzy,
+                                limit_per_token=limit_per_token,
+                                fuzzy_edits=fuzzy_edits)
+
+        def save(df: DataFrame, name: str, key: str) -> None:
+            (df.write.mode("overwrite" if overwrite else "errorifexists")
+             .format("parquet")
+             .bucketBy(n_buckets, key).sortBy(key)
+             .saveAsTable(f"{prefix}_{name}"))
+
+        save(mem.token, "token", "token")
+        save(mem.names, "names", "name_norm")
+        if fuzzy:
+            save(mem.fuzzy, "fuzzy", "variant")
+            save(mem.fuzzy_names, "fuzzy_names", "variant")
+        return LookupIndex.load(spark, prefix, fuzzy=fuzzy,
+                                limit_per_token=limit_per_token,
+                                fuzzy_edits=fuzzy_edits)
+
+    @staticmethod
+    def load(spark: SparkSession, prefix: str = "lamapi_idx",
+             fuzzy: bool = True, limit_per_token: int | None = None,
+             fuzzy_edits: int = 1) -> "LookupIndex":
+        return LookupIndex(
+            token=spark.table(f"{prefix}_token"),
+            fuzzy=spark.table(f"{prefix}_fuzzy") if fuzzy else None,
+            names=spark.table(f"{prefix}_names"),
+            fuzzy_names=spark.table(f"{prefix}_fuzzy_names") if fuzzy else None,
+            limit_per_token=limit_per_token, fuzzy_edits=fuzzy_edits,
+            bucketed=True)
+
+    @staticmethod
+    def exists(spark: SparkSession, prefix: str = "lamapi_idx",
+               fuzzy: bool = True) -> bool:
+        needed = [f"{prefix}_token", f"{prefix}_names"]
+        if fuzzy:
+            needed += [f"{prefix}_fuzzy", f"{prefix}_fuzzy_names"]
+        return all(spark.catalog.tableExists(t) for t in needed)
+
+    def probe_side(self, df: DataFrame) -> DataFrame:
+        """How consumers should join an index frame: bucketed artifacts
+        get a SHUFFLE_HASH hint — the bucketed scan already satisfies
+        the join's hash distribution (no dict-side exchange, no sort),
+        and hinting defeats a pointless auto-broadcast of the index;
+        in-memory frames are left to the caller's broadcast policy."""
+        return df.hint("shuffle_hash") if self.bucketed else df

@@ -287,6 +287,83 @@ def resolve_type_names(candidates: DataFrame, items: DataFrame) -> DataFrame:
     )
 
 
+def _emit(cand: DataFrame, feats: DataFrame) -> DataFrame:
+    """Shared 19-field projection (lookup_retriever.py:157-176) for the
+    token-match arm and the ids-backfill arm."""
+    return cand.join(feats, "mention_norm", "left").select(
+        "mention_norm",
+        F.col("entity").alias("id"),
+        "name",
+        F.coalesce("description", F.lit("")).alias("description"),
+        F.col("types_resolved").alias("types"),
+        "kind",
+        "NERtype",
+        # a mention with no exact-token matches has an empty feature pass:
+        # the reference then yields 0 / 0.0 (lookup_retriever.py:121,132-135)
+        F.coalesce("ambiguity_mention", F.lit(0.0)).alias("ambiguity_mention"),
+        F.coalesce("corrects_tokens", F.lit(0.0)).alias("corrects_tokens"),
+        "ntoken_mention",
+        F.col("ntoken").alias("ntoken_entity"),
+        "length_mention",
+        F.col("length").alias("length_entity"),
+        "popularity",
+        "pos_score",
+        "es_score",
+        "ed_score",
+        "jaccard_score",
+        "jaccardNgram_score",
+    )
+
+
+def ids_backfill(
+    results: DataFrame,
+    requested_ids: DataFrame,
+    label_dict: DataFrame,
+    items: DataFrame,
+    prepared: DataFrame,
+    feats: DataFrame,
+    mention_col: str = "mention",
+) -> DataFrame:
+    """J7 — guarantee every requested (mention, id) appears in the
+    response (lookup_retriever.py:213-234): ids already present are left
+    alone; missing ones are fetched by the id-retrieval arm
+    (create_ids_query:247-259 — ``id`` match, ``language`` contains
+    'en', ``is_alias`` false) and appended with the same mention-level
+    features. One deterministic row per requested id (the reference's
+    ES call runs with size=1). pos_score ranks the backfilled set by
+    popularity; es_score is 1.0 (an id equality match has a constant
+    score, so score/max_score degenerates to 1)."""
+    req = requested_ids.select(
+        clean_str(mention_col).alias("mention_norm"), "entity").distinct()
+    missing = req.join(
+        results.select("mention_norm", F.col("id").alias("entity")),
+        ["mention_norm", "entity"], "left_anti")
+    id_rows = label_dict.filter(
+        (~F.col("is_alias")) & F.array_contains("language", "en")
+    ).select(*_DICT_COLS)
+    bf = missing.join(id_rows, "entity", "inner")
+    w_id = Window.partitionBy("mention_norm", "entity").orderBy(F.col("name").asc())
+    bf = (bf.withColumn("_r1", F.row_number().over(w_id))
+          .filter(F.col("_r1") == 1).drop("_r1"))
+    bf = bf.join(
+        prepared.select("mention_norm", "ntoken_mention", "length_mention"),
+        "mention_norm")
+    w_bf = Window.partitionBy("mention_norm").orderBy(
+        F.col("popularity").desc(), F.col("entity").asc())
+    bf = (
+        bf
+        .withColumn("_rank", F.row_number().over(w_bf))
+        .withColumn("pos_score", F.bround(
+            F.col("_rank") / F.count("*").over(Window.partitionBy("mention_norm")), 3))
+        .withColumn("es_score", F.lit(1.0))
+        .withColumn("ed_score", ed_score("name_norm", "mention_norm"))
+        .withColumn("jaccard_score", jaccard_score("name_norm", "mention_norm"))
+        .withColumn("jaccardNgram_score", jaccard_ngram_score("name_norm", "mention_norm"))
+    )
+    bf = resolve_type_names(bf, items)
+    return _emit(bf, feats)
+
+
 def lookup(
     mentions: DataFrame,
     label_dict: DataFrame,
@@ -301,10 +378,16 @@ def lookup(
     mention_col: str = "mention",
     limit_per_token: int | None = None,
     fuzzy_edits: int = 2,
+    requested_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Full lookup: mentions DF -> 19-field candidates DF keyed by
     ``mention_norm`` (one row per (mention, entity), reference parity
-    for the field set at lookup_retriever.py:157-176)."""
+    for the field set at lookup_retriever.py:157-176).
+
+    ``requested_ids`` (optional, columns (mention, entity)): the
+    reference's ``ids`` request parameter — every requested id is
+    guaranteed to appear in the response for its mention, via the
+    id-retrieval arm when the token match misses it (J7)."""
     prepared = _prepare_mentions(mentions, mention_col)
 
     # One token-match pass serves both consumers: the mention-level
@@ -370,27 +453,8 @@ def lookup(
         (F.col("ed_score") + F.col("jaccard_score")).desc(), F.col("_rank").asc())
     cand = cand.withColumn("_dd", F.row_number().over(w_dedup)).filter(F.col("_dd") == 1)
 
-    out = cand.join(feats, "mention_norm", "left").select(
-        "mention_norm",
-        F.col("entity").alias("id"),
-        "name",
-        F.coalesce("description", F.lit("")).alias("description"),
-        F.col("types_resolved").alias("types"),
-        "kind",
-        "NERtype",
-        # a mention with no exact-token matches has an empty feature pass:
-        # the reference then yields 0 / 0.0 (lookup_retriever.py:121,132-135)
-        F.coalesce("ambiguity_mention", F.lit(0.0)).alias("ambiguity_mention"),
-        F.coalesce("corrects_tokens", F.lit(0.0)).alias("corrects_tokens"),
-        "ntoken_mention",
-        F.col("ntoken").alias("ntoken_entity"),
-        "length_mention",
-        F.col("length").alias("length_entity"),
-        "popularity",
-        "pos_score",
-        "es_score",
-        "ed_score",
-        "jaccard_score",
-        "jaccardNgram_score",
-    )
+    out = _emit(cand, feats)
+    if requested_ids is not None:
+        out = out.unionByName(ids_backfill(
+            out, requested_ids, label_dict, items, prepared, feats, mention_col))
     return out

@@ -46,6 +46,23 @@ def with_distribution_scores(summary: DataFrame) -> DataFrame:
     )
 
 
+def with_labels(summary: DataFrame, items: DataFrame, key: str = "pred",
+                label_expr=None) -> DataFrame:
+    """Attach human-readable labels to a predicate summary — the
+    reference resolves each summarized PID to its English label before
+    inserting, defaulting to 'Unknown Label' (scripts/summary.py:19-22,
+    64-79). The label side is tiny (distinct predicates), so it joins
+    broadcast; the default label expression reads ``labels['en']`` from a
+    kg_items frame."""
+    lab_col = label_expr if label_expr is not None else F.col("labels").getItem("en")
+    lab = items.select(F.col("entity").alias(key), lab_col.alias("_lab"))
+    return (
+        summary.join(F.broadcast(lab), key, "left")
+        .withColumn("label", F.coalesce("_lab", F.lit("Unknown Label")))
+        .drop("_lab")
+    )
+
+
 def summary_topk(summary: DataFrame, k: int = 10, ascending: bool = False) -> DataFrame:
     order = F.asc("count") if ascending else F.desc("count")
     return summary.orderBy(order, *summary.columns[:1]).limit(k)

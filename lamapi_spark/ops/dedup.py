@@ -120,15 +120,30 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str,
     k_shingle: int = 3, threshold: float = 0.5,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Exact shingle-Jaccard near-dup pairs above ``threshold``, with a
     shared-shingle equi-join prefilter (only pairs sharing >= 1 shingle
-    are ever scored — the standard candidate-generation trick)."""
+    are ever scored — the standard candidate-generation trick).
+
+    ``max_df`` is the hot-shingle guard: a shingle occurring in more than
+    ``max_df`` documents is dropped from CANDIDATE GENERATION (scoring
+    still uses the full shingle sets). Without it one boilerplate shingle
+    shared by 10^6 docs yields 10^12 candidate pairs — the same skew
+    blowup the MinHash path guards with ``max_bucket``. Recall caveat: a
+    pair sharing ONLY hot shingles is missed; for threshold >= 0.5 such a
+    pair needs most of its shingles hot, i.e. it is boilerplate — exactly
+    what production dedup DF-pruning (e.g. suffix-array filters) drops.
+    """
     sh = (
         df.select(F.col(id_col).alias("id"), word_shingles(text_col, k_shingle).alias("sh"))
         .filter(F.size("sh") > 0)
     )
     ex = sh.select("id", F.explode("sh").alias("s"))
+    ex = (
+        ex.withColumn("_df", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("_df") <= max_df).drop("_df")
+    )
     cand = (
         ex.alias("x").join(ex.alias("y"), "s")
         .filter(F.col("x.id") < F.col("y.id"))
@@ -155,6 +170,52 @@ def token_hash60(token: Column) -> Column:
     """Deterministic 60-bit integer from a token: first 15 hex chars of
     md5 parsed base-16 (engine-portable)."""
     return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    max_hamming: int = 3, n_bands: int = 4, max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b) by SimHash Hamming distance
+    <= ``max_hamming`` — the pairing stage that makes SimHash usable as a
+    dedup path (signature computation alone finds nothing).
+
+    Banded-prefix blocking: the 60-bit signature splits into ``n_bands``
+    contiguous bit bands; by pigeonhole, two signatures within Hamming
+    distance d < n_bands agree EXACTLY on at least one band, so an
+    equi-join per band finds every qualifying pair (lossless for
+    max_hamming <= n_bands - 1; the default 4 bands cover d <= 3).
+    Candidates verify with bit_count(a XOR b). ``max_bucket`` drops
+    degenerate hot buckets (all-identical boilerplate) exactly like the
+    MinHash guard.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError("banding is lossless only for max_hamming <= n_bands - 1")
+    bits_per_band = 60 // n_bands
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    sig = df.select(F.col(id_col).alias("id"), simhash60(toks).alias("sim"))
+    mask = (1 << bits_per_band) - 1
+    banded = sig.select(
+        "id", "sim",
+        F.posexplode(F.array(*[
+            F.shiftright("sim", b * bits_per_band).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ])).alias("band", "band_key"),
+    )
+    banded = (
+        banded.withColumn(
+            "_n", F.count("*").over(Window.partitionBy("band", "band_key")))
+        .filter(F.col("_n") <= max_bucket).drop("_n")
+    )
+    a = banded.select("band", "band_key", F.col("id").alias("id_a"), F.col("sim").alias("sim_a"))
+    b = banded.select("band", "band_key", F.col("id").alias("id_b"), F.col("sim").alias("sim_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def simhash60(tokens: Column) -> Column:

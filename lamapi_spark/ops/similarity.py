@@ -2,10 +2,10 @@
 
 Two paths:
 - brute-force cosine top-k — the correctness baseline. Dot products are
-  computed in DECIMAL (each component rounded to 6 dp) so the result is
-  exact, associative, and identical across engines/partitionings —
-  float summation order would otherwise make ranks nondeterministic.
-  A double-precision variant exists for throughput benchmarking.
+  double-precision sums in a fixed left-to-right order (F.aggregate —
+  deterministic and mirrored exactly by DuckDB list_reduce), so ranks
+  are identical across engines and partitionings; a free-order
+  groupBy-SUM would make near-tie ranks nondeterministic.
 - LSH-bucketed ANN — the scale path: deterministic md5-derived random
   hyperplanes give sign-bit bucket keys; candidates are compared only
   within buckets (multi-probe = union of exact-key matches across
@@ -21,10 +21,11 @@ from pyspark.sql import functions as F
 
 
 def dot_exact(a: Column, b: Column) -> Column:
-    """Bit-deterministic dot product: widen float components to double
+    """Deterministic dot product: widen float components to double
     (exact) and sum strictly left-to-right via aggregate() — IEEE ops in
     a fixed order are bit-identical across engines (the DuckDB oracle
-    mirrors this with list_reduce). A groupBy-SUM would instead inherit
+    mirrors this with list_reduce), though still order-dependent
+    floating point, not decimal. A groupBy-SUM would instead inherit
     the partitioning's summation order and flip near-tie ranks."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)

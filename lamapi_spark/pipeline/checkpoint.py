@@ -23,7 +23,8 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -56,9 +57,14 @@ class StageRunner:
                 return self.spark.read.parquet(data_path)
         t0 = time.time()
         df = build()
-        df.write.mode("overwrite").parquet(data_path)
+        # rows_out is harvested from the write job itself via observe()
+        # — a second full scan of every checkpoint (out.count()) would
+        # double checkpoint read I/O at scale
+        obs = Observation(f"stage_{stage}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite").parquet(data_path)
+        n_rows = int(obs.get["rows"])
         out = self.spark.read.parquet(data_path)
-        n_rows = out.count()
         meta = {
             "stage": stage,
             "rows_out": n_rows,

@@ -37,8 +37,13 @@ def candidates_for_surfaces(
     """Distinct surface forms -> full 19-field candidates table
     (checkpointable stage; response-parity artifact). ``limit_per_token``
     enables the pruned posting-list path for huge dictionaries (see
-    lookup._prune_index) — the linker only needs plausible candidates,
-    and per-token popularity top-K is rank-lossless."""
+    lookup._prune_index). NB: _prune_index's exactness argument requires
+    K >= limit; the pipeline default (K=100 < limit=1000) is therefore a
+    recall-trading heuristic, guarded only by the exact-name and
+    1-edit-name inclusion joins — a low-popularity candidate matching
+    only partial tokens can drop out of the tail of the candidate list.
+    The LINK decision (argmax) is unaffected whenever the best-scoring
+    candidate is an exact/1-edit name match, which the guards keep."""
     return lookup(
         surfaces.select(F.col("surface").alias("mention")),
         label_dict, items,

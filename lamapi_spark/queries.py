@@ -247,23 +247,23 @@ ORDER BY d.doc_id, p.p_partkey
 """)
 def bow_similarity(spark, sf):
     """A8/J8 — BoW overlap score |row ∩ bow| / |row| round 2
-    (bow_retriever.py:147-161). Exploded-token equi-join, NOT a cross
-    join: only pairs sharing >=1 token ever materialize, so cost scales
-    with the inverted-index hit list instead of |docs| x |parts|."""
-    docs = load(spark, sf, "documents").select(
-        "doc_id", token_set(F.lower("text"), pre_cleaned=True).alias("toks"))
+    (bow_retriever.py:147-161). Shares the operator's default
+    exploded-token equi-join path (operators/bow.py) — NOT a cross join:
+    only pairs sharing >=1 token ever materialize, so cost scales with
+    the inverted-index hit list instead of |docs| x |parts|."""
+    from lamapi_spark.operators.bow import bow_similarity as bow_op
+    docs = load(spark, sf, "documents").select("doc_id", "text")
     parts = load(spark, sf, "part").select(
-        "p_partkey", token_set(F.lower("p_name"), pre_cleaned=True).alias("ptoks"))
-    d_tok = docs.select("doc_id", F.size("toks").alias("n_toks"),
-                        F.explode("toks").alias("token"))
-    p_tok = parts.select("p_partkey", F.explode("ptoks").alias("token")).distinct()
+        F.col("p_partkey").alias("entity"),
+        token_set(F.lower("p_name"), pre_cleaned=True).alias("bow"))
+    out = bow_op(
+        docs, parts, text_col="text", id_col="doc_id",
+        tokenizer=lambda c: token_set(F.lower(c), pre_cleaned=True))
     return (
-        d_tok.join(F.broadcast(p_tok), "token")
-        .groupBy("doc_id", "p_partkey")
-        .agg(F.count("*").alias("_overlap"), F.first("n_toks").alias("_n"))
-        .select(
-            "doc_id", "p_partkey",
-            F.bround(F.col("_overlap") / F.greatest("_n", F.lit(1)), 2).alias("similarity_score"),
+        out.select(
+            F.col("request_id").alias("doc_id"),
+            F.col("entity").alias("p_partkey"),
+            "similarity_score",
         )
         .orderBy("doc_id", "p_partkey")
     )
@@ -703,6 +703,170 @@ def lookup_candidates(spark, sf):
                 "rnk", F.bround(F.col("rnk") / F.col("n_hits"), 3).alias("pos_score"))
         .orderBy("doc_id", "rnk")
     )
+
+
+_CLEAN = r"trim(regexp_replace(lower({c}), '\s+', ' ', 'g'))"
+_GRAMS3 = (
+    "list_distinct(flatten(list_transform(string_split({c}, ' '), "
+    "t -> list_transform(range(1, greatest(length(t)-1, 1)), i -> t[i:i+2]))))"
+)
+
+_IDS_BACKFILL_SQL = f"""
+WITH dict AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS entity, p_name AS name,
+         {_CLEAN.format(c='p_name')} AS name_norm,
+         length(p_name)::INT AS length_entity,
+         len(string_split(p_name, ' '))::INT AS ntoken_entity,
+         p_retailprice AS popularity
+  FROM part
+), prepared AS (
+  SELECT DISTINCT {_CLEAN.format(c='p_name')} AS mention_norm,
+         length({_CLEAN.format(c='p_name')})::INT AS length_mention,
+         len(string_split({_CLEAN.format(c='p_name')}, ' '))::INT AS ntoken_mention
+  FROM part WHERE p_partkey % 97 = 1
+), req AS (
+  SELECT DISTINCT {_CLEAN.format(c='p_name')} AS mention_norm,
+         CAST(p_partkey AS VARCHAR) AS entity
+  FROM part WHERE p_partkey % 97 = 1
+  UNION
+  SELECT DISTINCT {_CLEAN.format(c='p_name')} AS mention_norm,
+         CAST((p_partkey * 7) % 500 + 1 AS VARCHAR) AS entity
+  FROM part WHERE p_partkey % 97 = 1
+), m_tok AS (
+  SELECT mention_norm, unnest(list_distinct(string_split(mention_norm, ' '))) AS token
+  FROM prepared
+), d_tok AS (
+  SELECT entity, unnest(list_distinct(string_split(name_norm, ' '))) AS token
+  FROM dict
+), matched AS (
+  SELECT m.mention_norm, d.entity, count(*)::BIGINT AS matched_tokens
+  FROM m_tok m JOIN d_tok d USING (token)
+  GROUP BY m.mention_norm, d.entity
+), feats_amb AS (
+  SELECT ma.mention_norm,
+         round_even(count(DISTINCT CASE WHEN di.name_norm = ma.mention_norm THEN di.entity END)
+               / greatest(count(DISTINCT di.entity), 1), 3) AS ambiguity_mention
+  FROM matched ma JOIN dict di ON ma.entity = di.entity
+  GROUP BY ma.mention_norm
+), tok_overlap AS (
+  SELECT x.mention_norm, count(DISTINCT x.token)::BIGINT AS tok_hits
+  FROM (SELECT ma.mention_norm, unnest(string_split(di.name_norm, ' ')) AS token
+        FROM matched ma JOIN dict di ON ma.entity = di.entity) x
+  JOIN m_tok mt ON mt.mention_norm = x.mention_norm AND mt.token = x.token
+  GROUP BY x.mention_norm
+), feats AS (
+  SELECT p.mention_norm, f.ambiguity_mention,
+         round_even(coalesce(t.tok_hits, 0)
+               / len(list_distinct(string_split(p.mention_norm, ' '))), 3) AS corrects_tokens
+  FROM prepared p
+  JOIN feats_amb f USING (mention_norm)
+  LEFT JOIN tok_overlap t USING (mention_norm)
+), scored AS (
+  SELECT ma.mention_norm, ma.entity, di.name, di.name_norm, di.popularity,
+         di.length_entity, di.ntoken_entity, ma.matched_tokens,
+         row_number() OVER (PARTITION BY ma.mention_norm
+             ORDER BY di.popularity DESC, ma.entity ASC, di.name ASC) AS rnk
+  FROM matched ma JOIN dict di ON ma.entity = di.entity
+), truncated AS (
+  SELECT *, count(*) OVER (PARTITION BY mention_norm) AS n_hits
+  FROM scored WHERE rnk <= 1000
+), sc2 AS (
+  SELECT t.*, p.ntoken_mention, p.length_mention,
+         (CASE WHEN t.name_norm = t.mention_norm THEN 2.0 ELSE 1.0 END)
+           * t.matched_tokens / greatest(p.ntoken_mention, 1) AS raw_score
+  FROM truncated t JOIN prepared p USING (mention_norm)
+), match_arm AS (
+  SELECT mention_norm, entity AS id, name, popularity,
+         round_even(rnk / n_hits, 3) AS pos_score,
+         round_even(raw_score / max(raw_score) OVER (PARTITION BY mention_norm), 3) AS es_score,
+         name_norm, ntoken_mention, length_mention, ntoken_entity, length_entity
+  FROM sc2
+), missing AS (
+  SELECT r.mention_norm, r.entity FROM req r
+  WHERE NOT EXISTS (SELECT 1 FROM truncated t
+                    WHERE t.mention_norm = r.mention_norm AND t.entity = r.entity)
+), bf AS (
+  SELECT m.mention_norm, m.entity AS id, di.name, di.popularity,
+         round_even(row_number() OVER (PARTITION BY m.mention_norm
+               ORDER BY di.popularity DESC, m.entity ASC)
+             / count(*) OVER (PARTITION BY m.mention_norm), 3) AS pos_score,
+         1.0 AS es_score,
+         di.name_norm, p.ntoken_mention, p.length_mention,
+         di.ntoken_entity, di.length_entity
+  FROM missing m
+  JOIN dict di ON m.entity = di.entity
+  JOIN prepared p USING (mention_norm)
+), unioned AS (
+  SELECT * FROM match_arm UNION ALL SELECT * FROM bf
+)
+SELECT u.mention_norm, u.id, u.name, u.popularity, u.pos_score, u.es_score,
+       round_even(1 - levenshtein(u.name_norm, u.mention_norm)
+             / greatest(length(u.name_norm), length(u.mention_norm), 1), 2) AS ed_score,
+       round_even(len(list_intersect(list_distinct(string_split(u.name_norm, ' ')),
+                                     list_distinct(string_split(u.mention_norm, ' '))))::DOUBLE
+             / greatest(len(list_distinct(string_split(u.name_norm, ' '))),
+                        len(list_distinct(string_split(u.mention_norm, ' '))), 1), 2) AS jaccard_score,
+       round_even(len(list_intersect({_GRAMS3.format(c='u.name_norm')},
+                                     {_GRAMS3.format(c='u.mention_norm')}))::DOUBLE
+             / greatest(len({_GRAMS3.format(c='u.name_norm')}),
+                        len({_GRAMS3.format(c='u.mention_norm')}), 1), 2) AS jaccardNgram_score,
+       coalesce(f.ambiguity_mention, 0.0) AS ambiguity_mention,
+       coalesce(f.corrects_tokens, 0.0) AS corrects_tokens,
+       u.ntoken_mention, u.ntoken_entity, u.length_mention, u.length_entity
+FROM unioned u LEFT JOIN feats f USING (mention_norm)
+ORDER BY u.mention_norm, u.id
+"""
+
+
+@register("lookup_ids_backfill", _IDS_BACKFILL_SQL)
+def lookup_ids_backfill(spark, sf):
+    """J7 + full-lookup parity — runs the REAL lookup() operator (token
+    match -> rank/truncate -> pos/es scores -> similarity features ->
+    argmax dedup) with a ``requested_ids`` frame on a part-derived
+    dictionary; requested ids missing from the token-match result are
+    guaranteed present via the id-retrieval arm
+    (lookup_retriever.py:213-234). The oracle reproduces the entire
+    dataflow in SQL — this is the driver-gate twin for the operator the
+    KG pipeline actually runs."""
+    from lamapi_spark.operators.lookup import lookup
+
+    part = load(spark, sf, "part")
+    label_dict = part.select(
+        F.col("p_partkey").cast("string").alias("entity"),
+        F.col("p_name").alias("name"),
+        clean_str("p_name").alias("name_norm"),
+        F.lit("").alias("description"),
+        F.lit("entity").alias("kind"),
+        F.lit(None).cast("string").alias("NERtype"),
+        F.array().cast("array<string>").alias("types"),
+        F.length("p_name").alias("length"),
+        F.size(F.split("p_name", " ")).alias("ntoken"),
+        F.col("p_retailprice").alias("popularity"),
+        F.lit(False).alias("is_alias"),
+        F.array(F.lit("en")).alias("language"),
+    )
+    items_stub = part.select(
+        F.col("p_partkey").cast("string").alias("entity"),
+        F.lit("entity").alias("kind"),
+        F.create_map(F.lit("en"), F.col("p_name")).alias("labels"),
+    )
+    probes = part.filter(F.col("p_partkey") % 97 == 1)
+    mentions = probes.select(F.lower("p_name").alias("mention"))
+    req = (
+        probes.select(F.lower("p_name").alias("mention"),
+                      F.col("p_partkey").cast("string").alias("entity"))
+        .unionAll(probes.select(
+            F.lower("p_name").alias("mention"),
+            ((F.col("p_partkey") * 7) % 500 + 1).cast("string").alias("entity")))
+    )
+    out = lookup(mentions, label_dict, items_stub, limit=1000, fuzzy=False,
+                 requested_ids=req)
+    return out.select(
+        "mention_norm", "id", "name", "popularity", "pos_score", "es_score",
+        "ed_score", "jaccard_score", "jaccardNgram_score",
+        "ambiguity_mention", "corrects_tokens",
+        "ntoken_mention", "ntoken_entity", "length_mention", "length_entity",
+    ).orderBy("mention_norm", "id")
 
 
 # --------------------------------------------------------------------------

@@ -3,8 +3,9 @@ text analysis, multimodal plumbing) over the testdata tables. Registered
 into the same registry as lamapi_spark.queries.
 
 Engine-parity notes: all hashing is md5-on-strings; dot products are
-DECIMAL-exact (order-independent) so floating summation order can never
-flip a rank between Spark and DuckDB.
+double-precision summed in a fixed left-to-right order (deterministic —
+Spark F.aggregate mirrors DuckDB list_reduce exactly), so summation
+order can never flip a rank between Spark and DuckDB.
 """
 
 from __future__ import annotations
@@ -13,7 +14,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lamapi_spark.ops.dedup import (
-    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash60, word_shingles,
+    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash60,
+    simhash_pairs, word_shingles,
 )
 from lamapi_spark.ops.multimodal import attach_binary, decode_image_meta
 from lamapi_spark.ops.similarity import brute_force_topk, lsh_ann_topk
@@ -137,6 +139,28 @@ def dedup_simhash(spark, sf):
     )
 
 
+@register("dedup_simhash_pairs", f"""
+WITH h AS (SELECT doc_id, {_SIMHASH_SQL_HASHES} AS h FROM documents),
+sig AS (SELECT doc_id, ({_SIMHASH_SQL})::BIGINT AS sim FROM h)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sim, b.sim))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+ORDER BY id_a, id_b
+""")
+def dedup_simhash_pairs(spark, sf):
+    """SimHash pairing stage: banded-prefix blocking + bit_count(xor)
+    Hamming verify. The oracle is the BRUTE-FORCE all-pairs Hamming join
+    — equality proves the banding (4 bands of 15 bits) is lossless for
+    Hamming distance <= 3."""
+    return (
+        simhash_pairs(load(spark, sf, "documents"), "doc_id", "text",
+                      max_hamming=3, n_bands=4)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ------------------------------------------------------------- similarity
 
 _DOT_SQL = ("list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip({a}, {b}), "
@@ -185,10 +209,13 @@ _MARK_SQL = {
     lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
     for lang, words in LANG_MARKERS.items()
 }
+# tokenization parity: the Spark side splits on \s+ (textstats._tokens),
+# so the oracles must too — a single-space split only matches while the
+# fixture text happens to contain no tabs or double spaces
 _RATIO_SQL = {
-    lang: (f"len(list_filter(string_split(lower(text), ' '), "
+    lang: (f"len(list_filter(string_split_regex(lower(text), '\\s+'), "
            f"t -> list_contains({arr}, t)))::DOUBLE "
-           f"/ greatest(len(string_split(lower(text), ' ')), 1)")
+           f"/ greatest(len(string_split_regex(lower(text), '\\s+')), 1)")
     for lang, arr in _MARK_SQL.items()
 }
 _BEST_SQL = "greatest(" + ", ".join(_RATIO_SQL[lang] for lang in sorted(LANG_MARKERS)) + ")"
@@ -214,12 +241,12 @@ def text_lang_id(spark, sf):
     ).orderBy("doc_id")
 
 
-@register("text_quality", """
+@register("text_quality", r"""
 SELECT doc_id,
        length(text)::INT AS n_chars,
-       len(string_split(lower(text), ' '))::INT AS n_tokens,
-       round_even(list_sum(list_transform(string_split(lower(text), ' '), t -> length(t)))::DOUBLE
-             / greatest(len(string_split(lower(text), ' ')), 1), 2) AS mean_token_len,
+       len(string_split_regex(lower(text), '\s+'))::INT AS n_tokens,
+       round_even(list_sum(list_transform(string_split_regex(lower(text), '\s+'), t -> length(t)))::DOUBLE
+             / greatest(len(string_split_regex(lower(text), '\s+')), 1), 2) AS mean_token_len,
        round_even(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
              / greatest(length(text), 1), 3) AS alpha_ratio
 FROM documents ORDER BY doc_id
@@ -255,9 +282,9 @@ def text_token_count(spark, sf):
     )
 
 
-@register("text_fingerprint", """
+@register("text_fingerprint", r"""
 SELECT doc_id,
-       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+       md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp
 FROM documents ORDER BY doc_id
 """)
 def text_fingerprint(spark, sf):
@@ -328,6 +355,114 @@ def column_analysis(spark, sf):
         .select("col_name", F.col("lit_class").alias("majority_class"), "class_ratio")
         .orderBy("col_name")
     )
+
+
+from lamapi_spark.functions.literals import (  # noqa: E402
+    ISO_DATETIME_PATTERN, classify_value_cb, xsd_of_class, XSD_BY_CLASS,
+)
+
+_CB_CASE = (
+    "CASE WHEN regexp_matches(v, '" + ISO_DATETIME_PATTERN + "') THEN 'DATETIME' "
+    "WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 'NUMBER' ELSE 'STRING' END"
+)
+
+@register("classify_value", f"""
+WITH vals AS (
+  SELECT CAST(p_size AS VARCHAR) AS v FROM part
+  UNION ALL SELECT CAST(p_retailprice AS VARCHAR) FROM part
+  UNION ALL SELECT strftime(o_orderdate, '%Y-%m-%d') FROM orders
+  UNION ALL SELECT lang FROM documents
+  UNION ALL SELECT strftime(ts, '%H:%M') FROM events
+)
+SELECT {_CB_CASE} AS cb_class, count(*)::BIGINT AS cnt
+FROM vals GROUP BY cb_class ORDER BY cb_class
+""")
+def classify_value(spark, sf):
+    """F6 — the cb-ingest classify_value cascade (parsing_cb.py:26-37):
+    ISO-parse -> DATETIME, float-cast -> NUMBER, else STRING. A different
+    function from the F5 regex cascade: '1996-01-02' is DATE under F5
+    but DATETIME here, '13:45' is TIME under F5 but STRING here."""
+    part = load(spark, sf, "part")
+    orders = load(spark, sf, "orders")
+    docs = load(spark, sf, "documents")
+    events = load(spark, sf, "events")
+    vals = (
+        part.select(F.col("p_size").cast("string").alias("v"))
+        .unionAll(part.select(F.col("p_retailprice").cast("string").alias("v")))
+        .unionAll(orders.select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("v")))
+        .unionAll(docs.select(F.col("lang").alias("v")))
+        .unionAll(events.select(F.date_format("ts", "HH:mm").alias("v")))
+    )
+    return (
+        vals.select(classify_value_cb(F.col("v")).alias("cb_class"))
+        .groupBy("cb_class").agg(F.count("*").alias("cnt"))
+        .orderBy("cb_class")
+    )
+
+
+_XSD_CASE = "CASE " + " ".join(
+    f"WHEN lit_class = '{cls}' THEN '{xsd}'" for cls, xsd in XSD_BY_CLASS.items()
+) + " ELSE 'xsd:string' END"
+
+@register("literal_xsd", f"""
+WITH vals AS (
+  SELECT CAST(p_size AS VARCHAR) AS v FROM part
+  UNION ALL SELECT strftime(o_orderdate, '%Y-%m-%d') FROM orders
+  UNION ALL SELECT lang FROM documents
+  UNION ALL SELECT strftime(ts, '%H:%M') FROM events
+), cls AS (
+  SELECT {_LIT_SQL_CASCADE} AS lit_class FROM vals
+)
+SELECT lit_class, {_XSD_CASE} AS xsd, count(*)::BIGINT AS cnt
+FROM cls GROUP BY lit_class, xsd ORDER BY lit_class
+""")
+def literal_xsd(spark, sf):
+    """The /literal-recognizer response surface: class -> xsd datatype
+    (data_retrievers/literal_classifier.py:8-30) attached to the F5
+    cascade output."""
+    part = load(spark, sf, "part")
+    orders = load(spark, sf, "orders")
+    docs = load(spark, sf, "documents")
+    events = load(spark, sf, "events")
+    from lamapi_spark.functions.literals import classify_literal
+    vals = (
+        part.select(F.col("p_size").cast("string").alias("v"))
+        .unionAll(orders.select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("v")))
+        .unionAll(docs.select(F.col("lang").alias("v")))
+        .unionAll(events.select(F.date_format("ts", "HH:mm").alias("v")))
+    )
+    return (
+        vals.select(classify_literal("v").alias("lit_class"))
+        .withColumn("xsd", xsd_of_class("lit_class"))
+        .groupBy("lit_class", "xsd").agg(F.count("*").alias("cnt"))
+        .orderBy("lit_class")
+    )
+
+
+@register("summary_labeled", """
+WITH s AS (
+  SELECT o_custkey AS pred, count(*)::BIGINT AS cnt FROM orders GROUP BY o_custkey
+)
+SELECT s.pred, s.cnt, coalesce(c.c_name, 'Unknown Label') AS label
+FROM s LEFT JOIN customer c ON s.pred = c.c_custkey
+ORDER BY s.pred
+""")
+def summary_labeled(spark, sf):
+    """Summary label resolution (scripts/summary.py:19-22,64-79): the
+    predicate-frequency summary joined to its human-readable labels,
+    'Unknown Label' when unresolved. Label side broadcast."""
+    from lamapi_spark.operators.summary import with_labels
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    summary = (
+        orders.groupBy(F.col("o_custkey").alias("pred"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    labeled = with_labels(
+        summary,
+        cust.select(F.col("c_custkey").alias("entity"), "c_name"),
+        key="pred", label_expr=F.col("c_name"))
+    return labeled.select("pred", "cnt", "label").orderBy("pred")
 
 
 @register("objects_nest", """
