@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lamapi_spark.functions import clean_str, ed_score, jaccard_ngram_score, jaccard_score
-from lamapi_spark.operators.label_dict import deletion_variants, fuzzy_token_index, token_inverted_index
+from lamapi_spark.operators.indexes import LookupIndex, prune_index
+from lamapi_spark.operators.label_dict import deletion_variants
 
 _DICT_COLS = [
     "entity", "name", "name_norm", "description", "kind", "NERtype",
@@ -63,33 +64,17 @@ def _prepare_mentions(mentions: DataFrame, mention_col: str = "mention") -> Data
     )
 
 
-def _prune_index(idx: DataFrame, key_col: str, limit_per_token: int) -> DataFrame:
-    """Keep the top-``limit_per_token`` dictionary rows per posting key,
-    by popularity (the ES static-index analogue of WAND pruning).
-
-    Exactness argument: the final per-mention candidate list is the
-    popularity-desc top-``limit`` of the union of per-token posting
-    lists. If a row ranks below position K within one of its tokens'
-    posting lists, at least K higher-popularity rows of that SAME
-    mention's candidate set outrank it — so with K >= limit it can never
-    appear in the final list. Pruning to top-K per key is therefore
-    lossless for candidate ranking; only the mention-level ambiguity /
-    corrects_tokens features (computed over the match union) see a
-    truncated tail, mirroring how the reference's ES token query is
-    itself truncated at `size=limit` (elastic.py:31-39).
-    """
-    w = Window.partitionBy(key_col).orderBy(
-        F.col("popularity").desc(), F.col("entity").asc(),
-        F.col("name").asc(), F.col("is_alias").asc())
-    return (idx.withColumn("_pk", F.row_number().over(w))
-            .filter(F.col("_pk") <= limit_per_token).drop("_pk"))
+# re-export: prune_index moved to operators/indexes.py so the offline
+# artifact writer can apply it at build time (same exactness argument)
+_prune_index = prune_index
 
 
 def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
                 broadcast_dict: bool = True, fuzzy: bool = False,
                 cache_narrow: bool = False,
                 limit_per_token: int | None = None,
-                fuzzy_edits: int = 2) -> DataFrame:
+                fuzzy_edits: int = 2,
+                index: LookupIndex | None = None) -> DataFrame:
     """OR-of-tokens match: one row per (mention, dictionary row) sharing
     >=1 token, with ``matched_tokens`` (count of distinct mention tokens
     found in the name) and ``fuzzy_matched`` counts.
@@ -97,7 +82,25 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
     This is J1 — the core join. Exact arm joins tokens directly; the
     fuzzy arm joins deletion-neighborhood variants then post-filters by
     real edit distance within ES 'auto' bands.
+
+    ``index``: a prebuilt :class:`LookupIndex`. With a BUCKETED index
+    (the cluster plan) the dictionary side needs no per-run variant
+    expansion, no pruning window, no shuffle and no broadcast — the
+    bucketed scans already satisfy the joins' hash distribution, so only
+    the mention side shuffles (into exactly n_buckets partitions).
+    Without one, the index frames are built in-line from ``label_dict``
+    and the ``broadcast_dict`` policy applies.
     """
+    if index is not None:
+        if fuzzy and index.fuzzy is None:
+            raise ValueError("fuzzy lookup requires an index built with fuzzy=True")
+        limit_per_token = index.limit_per_token
+        fuzzy_edits = index.fuzzy_edits
+    else:
+        index = LookupIndex.build(label_dict, fuzzy=fuzzy,
+                                  limit_per_token=limit_per_token,
+                                  fuzzy_edits=fuzzy_edits)
+
     m_tok = mentions_prepared.select(
         "mention_norm", F.explode(F.array_distinct("mention_tokens")).alias("m_token"),
     )
@@ -106,11 +109,8 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
     # through the joins and aggregations; the 9 payload columns attach
     # ONCE per surviving candidate via a broadcast join at the end.
     _KEY = ["entity", "name", "is_alias"]
-    dict_tok = token_inverted_index(label_dict).select("token", "popularity", *_KEY)
-    if limit_per_token is not None:
-        dict_tok = _prune_index(dict_tok, "token", limit_per_token)
-    dict_tok = dict_tok.drop("popularity")
-    if broadcast_dict:
+    dict_tok = index.probe_side(index.token)
+    if not index.bucketed and broadcast_dict:
         dict_tok = F.broadcast(dict_tok)
 
     exact = m_tok.join(dict_tok, m_tok.m_token == dict_tok.token, "inner").select(
@@ -138,18 +138,15 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
                 .otherwise(deletion_variants(F.col("m_token"), 1))
             ).alias("variant"),
         )
-        f_idx = fuzzy_token_index(label_dict, max_edits=fuzzy_edits).select(
-            "variant", "token", "popularity", *_KEY)
-        if limit_per_token is not None:
-            f_idx = _prune_index(f_idx, "variant", limit_per_token)
-        f_idx = f_idx.drop("popularity")
-        if broadcast_dict:
-            # measured: broadcasting the (pruned) variant index beats a
-            # shuffle-hash join at sandbox scale even though the build is
-            # a serial constant (165s vs 201s total at 8x4 executors on
-            # the 3M-turn workload); on a real cluster with a dictionary
-            # too large to broadcast, pass broadcast_dict=False and the
-            # join shuffles on variant with AQE skew handling
+        f_idx = index.probe_side(index.fuzzy)
+        if not index.bucketed and broadcast_dict:
+            # measured: broadcasting an in-memory (pruned) variant index
+            # beats a shuffle-hash join at sandbox scale even though the
+            # build is a serial constant (165s vs 201s total at 8x4
+            # executors on the 3M-turn workload). The bucketed-artifact
+            # path removes both the per-run build AND the broadcast —
+            # that is the cluster plan for dictionaries that cannot
+            # broadcast at all.
             f_idx = F.broadcast(f_idx)
         fuzzy_hits = (
             m_var.join(f_idx, "variant", "inner")
@@ -168,8 +165,8 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
         # precisely the candidate the linker must not lose. Guarantee
         # inclusion via (a) full-string equality and (b) deletion-1
         # name-level match, both cheap equi-joins.
-        names_full = label_dict.select("name_norm", *_KEY)
-        names_b = F.broadcast(names_full) if broadcast_dict else names_full
+        names_full = index.probe_side(index.names)
+        names_b = F.broadcast(names_full) if (broadcast_dict and not index.bucketed) else names_full
         m_norms = mentions_prepared.select("mention_norm")
         exact_name = (
             m_norms.join(names_b, F.col("mention_norm") == F.col("name_norm"))
@@ -179,11 +176,11 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
         )
         matched = matched.unionByName(exact_name)
         if fuzzy:
-            from lamapi_spark.pipeline.mentions import _del1, fuzzy_name_index
-            fn_idx = fuzzy_name_index(label_dict)
-            if broadcast_dict:
+            from lamapi_spark.pipeline.mentions import _del1
+            fn_idx = index.probe_side(index.fuzzy_names)
+            if broadcast_dict and not index.bucketed:
                 fn_idx = F.broadcast(fn_idx)
-            name_rows = F.broadcast(names_full) if broadcast_dict else names_full
+            name_rows = names_b
             fuzzy_name = (
                 m_norms.select("mention_norm",
                                F.explode(_del1(F.col("mention_norm"))).alias("variant"))
@@ -213,8 +210,11 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
         # executor is what OOMs at large dictionary x surface products,
         # while the payload re-attaches via a cheap broadcast join
         agg = agg.cache()
+    # payload re-attach: broadcast only under the in-memory policy — with
+    # a bucketed index the dictionary is presumed too big to broadcast,
+    # so this join shuffles on the candidate key (AQE picks the strategy)
     payload = label_dict.select(*_DICT_COLS)
-    if broadcast_dict:
+    if broadcast_dict and not index.bucketed:
         payload = F.broadcast(payload)
     return agg.join(payload, _KEY, "inner")
 
@@ -379,6 +379,7 @@ def lookup(
     limit_per_token: int | None = None,
     fuzzy_edits: int = 2,
     requested_ids: DataFrame | None = None,
+    index: LookupIndex | None = None,
 ) -> DataFrame:
     """Full lookup: mentions DF -> 19-field candidates DF keyed by
     ``mention_norm`` (one row per (mention, entity), reference parity
@@ -397,7 +398,7 @@ def lookup(
     # the slim match once for the three downstream references.
     cand = token_match(prepared, label_dict, broadcast_dict, fuzzy=fuzzy,
                        cache_narrow=True, limit_per_token=limit_per_token,
-                       fuzzy_edits=fuzzy_edits)
+                       fuzzy_edits=fuzzy_edits, index=index)
     base_match = cand.filter(F.col("matched_tokens") > 0) if fuzzy else cand
     feats = mention_features(base_match, prepared)
     if kind is not None:

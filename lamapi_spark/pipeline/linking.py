@@ -33,6 +33,7 @@ def candidates_for_surfaces(
     broadcast_dict: bool = True,
     limit_per_token: int | None = None,
     fuzzy_edits: int = 1,
+    index=None,
 ) -> DataFrame:
     """Distinct surface forms -> full 19-field candidates table
     (checkpointable stage; response-parity artifact). ``limit_per_token``
@@ -49,6 +50,7 @@ def candidates_for_surfaces(
         label_dict, items,
         limit=limit, fuzzy=fuzzy, broadcast_dict=broadcast_dict,
         limit_per_token=limit_per_token, fuzzy_edits=fuzzy_edits,
+        index=index,
     )
 
 

@@ -97,11 +97,17 @@ def detect_mentions(
     max_ntoken: int = 4,
     fuzzy: bool = True,
     broadcast_dict: bool = True,
+    index=None,
 ) -> DataFrame:
     """-> (conv_id, turn_idx, start, ntoken_span, surface, name_norm,
     edits) — one row per detected span, max-matched (no span contained
     in a longer matched span), deduped to the best (min-edit) dictionary
-    name per span."""
+    name per span.
+
+    ``index``: a prebuilt :class:`~lamapi_spark.operators.indexes.
+    LookupIndex`. With a bucketed index the span->name joins probe the
+    saved name / deletion-variant tables with no dictionary-side shuffle
+    or broadcast (distinct on the bucketed key is also shuffle-free)."""
     spans = _spans(
         _fan_out(transcripts, "conv_id"),
         max_ntoken,
@@ -115,16 +121,27 @@ def detect_mentions(
     # expensive-work principle as the lookup mention cache.
     span_strs = _fan_out(spans.select("span").distinct(), "span")
 
-    names = label_dict.select("name_norm").distinct()
-    names_b = F.broadcast(names) if broadcast_dict else names
+    bucketed = index is not None and index.bucketed
+    if index is not None:
+        names = index.names.select("name_norm").distinct()
+    else:
+        names = label_dict.select("name_norm").distinct()
+    if bucketed:
+        names_b = names.hint("shuffle_hash")
+    elif broadcast_dict:
+        names_b = F.broadcast(names)
+    else:
+        names_b = names
 
     exact_strs = span_strs.join(
         names_b, span_strs.span == names_b.name_norm, "inner"
     ).select("span", "name_norm", F.lit(0).alias("edits"))
 
     if fuzzy:
-        f_idx = fuzzy_name_index(label_dict)
-        if broadcast_dict:
+        f_idx = index.fuzzy_names if index is not None else fuzzy_name_index(label_dict)
+        if bucketed:
+            f_idx = f_idx.hint("shuffle_hash")
+        elif broadcast_dict:
             f_idx = F.broadcast(f_idx)
         fuzzy_strs = (
             span_strs.select("span", F.explode(_del1(F.col("span"))).alias("variant"))
@@ -138,6 +155,11 @@ def detect_mentions(
     else:
         matched_strs = exact_strs
 
+    # matched_strs derives from a join, so broadcasting it means compute
+    # -> driver collect -> re-ship. That is fine while distinct matched
+    # spans are small (they are bounded by the dictionary's distinct
+    # names, itself << span occurrences); pass broadcast_dict=False when
+    # the dictionary is cluster-scale and this join shuffles instead.
     matched = spans.join(
         F.broadcast(matched_strs) if broadcast_dict else matched_strs, "span"
     ).select("conv_id", "turn_idx", "start", "ntoken_span",
@@ -178,6 +200,7 @@ def detect_oov_mentions(
     max_run: int = 4,
     min_run: int = 2,
     broadcast_dict: bool = True,
+    index=None,
 ) -> DataFrame:
     """Candidate NIL mentions: maximal runs (min_run <= length <= max_run)
     of adjacent tokens that are out-of-vocabulary w.r.t. the dictionary
@@ -186,12 +209,18 @@ def detect_oov_mentions(
     ordinary verbs/nouns, not entity names.
 
     -> (conv_id, turn_idx, start, ntoken_span, surface)."""
-    vocab = (
-        label_dict.select(F.explode(F.split("name_norm", " ")).alias("token"))
-        .distinct().withColumn("_in_vocab", F.lit(True))
-    )
-    if broadcast_dict:
-        vocab = F.broadcast(vocab)
+    if index is not None and index.bucketed:
+        # token vocabulary straight from the bucketed token index:
+        # distinct on the bucket key is shuffle-free
+        vocab = (index.token.select("token").distinct()
+                 .withColumn("_in_vocab", F.lit(True)).hint("shuffle_hash"))
+    else:
+        vocab = (
+            label_dict.select(F.explode(F.split("name_norm", " ")).alias("token"))
+            .distinct().withColumn("_in_vocab", F.lit(True))
+        )
+        if broadcast_dict:
+            vocab = F.broadcast(vocab)
 
     toks = _fan_out(transcripts, "conv_id").select(
         "conv_id", "turn_idx",

@@ -17,12 +17,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import time
+
+from lamapi_spark.operators.indexes import LookupIndex
 from lamapi_spark.operators.label_dict import build_label_dict
 from lamapi_spark.pipeline.canonicalize import canonical_map, canonicalize_triples
 from lamapi_spark.pipeline.checkpoint import StageRunner
 from lamapi_spark.pipeline.linking import candidates_for_surfaces, link_mentions
 from lamapi_spark.pipeline.mentions import detect_mentions, detect_oov_mentions
 from lamapi_spark.pipeline.triples import extract_triples
+
+
+def build_index_artifacts(
+    spark: SparkSession,
+    kg_items: DataFrame,
+    fuzzy: bool = True,
+    limit_per_token: int | None = 100,
+    fuzzy_edits: int = 1,
+    n_buckets: int | None = None,
+    prefix: str = "lamapi_idx",
+    reuse: bool = True,
+) -> LookupIndex:
+    """The OFFLINE index build (the elastic_indexing.py analogue): label
+    dictionary -> four bucketed, sorted, pre-pruned saved tables. Run it
+    once per dictionary snapshot; every pipeline run then probes the
+    artifacts with no dictionary-side shuffle/broadcast. ``reuse=True``
+    loads existing tables instead of rebuilding."""
+    if reuse and LookupIndex.exists(spark, prefix, fuzzy=fuzzy):
+        return LookupIndex.load(spark, prefix, fuzzy=fuzzy,
+                                limit_per_token=limit_per_token,
+                                fuzzy_edits=fuzzy_edits)
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism
+    label_dict = build_label_dict(kg_items)
+    return LookupIndex.write(
+        label_dict, prefix=prefix, n_buckets=n_buckets, fuzzy=fuzzy,
+        limit_per_token=limit_per_token, fuzzy_edits=fuzzy_edits)
 
 
 def run_pipeline(
@@ -38,26 +68,40 @@ def run_pipeline(
     broadcast_dict: bool = True,
     broadcast_edges: bool = True,
     limit_per_token: int | None = 100,
+    index: LookupIndex | None = None,
+    use_index_artifacts: bool = False,
+    index_prefix: str = "lamapi_idx",
 ) -> dict[str, DataFrame]:
     runner = StageRunner(spark, checkpoint_dir or "", enabled=checkpoint_dir is not None)
     fp = f"fuzzy={fuzzy};nil={nil_threshold};k={max_ntoken};lpt={limit_per_token}"
 
-    # cache: the dictionary feeds the exact-token index, the fuzzy
-    # variant index, and the OOV vocabulary — one materialization, many
-    # consumers (on a cluster this is an offline artifact, here a cache)
+    if index is None and use_index_artifacts:
+        t0 = time.time()
+        index = build_index_artifacts(
+            spark, kg_items, fuzzy=fuzzy, limit_per_token=limit_per_token,
+            prefix=index_prefix)
+        runner.metrics.append({
+            "stage": "index_artifacts", "rows_out": None, "partitions": None,
+            "duration_s": round(time.time() - t0, 3), "fingerprint": fp,
+            "inputs": ["kg_items"], "resumed": False})
+
+    # cache: the dictionary feeds the token/variant indexes (non-artifact
+    # path), the candidate payload join and the ids-backfill arm — one
+    # materialization, many consumers (on a cluster the indexes are the
+    # offline artifacts above; the payload stays a plain table)
     label_dict = runner.run(
         "label_dict", lambda: build_label_dict(kg_items), fp, ("kg_items",)).cache()
 
     mentions = runner.run(
         "mentions",
         lambda: detect_mentions(transcripts, label_dict, max_ntoken, fuzzy,
-                                broadcast_dict),
+                                broadcast_dict, index=index),
         fp, ("transcripts", "label_dict"))
 
     oov = runner.run(
         "oov_mentions",
         lambda: detect_oov_mentions(transcripts, label_dict,
-                                    broadcast_dict=broadcast_dict),
+                                    broadcast_dict=broadcast_dict, index=index),
         fp, ("transcripts", "label_dict"))
 
     all_spans = mentions.select(
@@ -74,7 +118,7 @@ def run_pipeline(
         lambda: candidates_for_surfaces(
             surfaces,
             label_dict, kg_items, fuzzy=fuzzy, broadcast_dict=broadcast_dict,
-            limit_per_token=limit_per_token),
+            limit_per_token=limit_per_token, index=index),
         fp, ("mentions", "oov_mentions", "label_dict", "kg_items"))
 
     linked = runner.run(

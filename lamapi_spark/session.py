@@ -55,6 +55,15 @@ def get_spark(
     conf = dict(_BASE_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+    # bucketed index artifacts (saveAsTable) land here; keep the sandbox
+    # repo clean by defaulting to a per-process temp dir. Real clusters
+    # point this at shared storage behind a metastore/Iceberg catalog.
+    if "SPARK_WAREHOUSE_DIR" in os.environ:
+        conf.setdefault("spark.sql.warehouse.dir", os.environ["SPARK_WAREHOUSE_DIR"])
+    else:
+        import tempfile
+        conf.setdefault("spark.sql.warehouse.dir",
+                        tempfile.mkdtemp(prefix="spark-warehouse-"))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -230,6 +230,40 @@ def test_lookup_ids_backfill(spark):
     assert bf2.ambiguity_mention == rows[("blue car", "Q1")].ambiguity_mention
 
 
+# ------------------------------------------------- bucketed index artifacts
+
+
+def test_bucketed_index_artifacts_parity(spark):
+    """The bucketed-artifact path (no broadcast, no dict-side shuffle)
+    must produce byte-identical lookup output to the in-memory broadcast
+    path, and the artifact scans must really be bucketed."""
+    from lamapi_spark.operators.indexes import LookupIndex
+    from lamapi_spark.operators.label_dict import build_label_dict
+    from lamapi_spark.operators.lookup import lookup
+    from lamapi_spark.pipeline.fixtures import build_kg, kg_dataframes
+
+    kg = build_kg(seed=7, n_people=40, n_orgs=15, n_locs=8, n_films=25)
+    dfs = kg_dataframes(spark, kg)
+    ld = build_label_dict(dfs["kg_items"]).cache()
+    idx = LookupIndex.write(ld, prefix="t_r2_idx", n_buckets=4, fuzzy=True,
+                            limit_per_token=50, fuzzy_edits=1)
+    assert idx.bucketed and LookupIndex.exists(spark, "t_r2_idx")
+
+    mentions = spark.createDataFrame(
+        [("the blue film",), ("jon smith",), ("acme",), ("warp nonsense",)],
+        "mention string")
+    base = lookup(mentions, ld, dfs["kg_items"], fuzzy=True,
+                  limit_per_token=50, fuzzy_edits=1, broadcast_dict=True)
+    art = lookup(mentions, ld, dfs["kg_items"], fuzzy=True, index=idx)
+    key = lambda r: (r["mention_norm"], r["id"], r["name"])
+    a = sorted((tuple(r) for r in base.collect()), key=str)
+    b = sorted((tuple(r) for r in art.collect()), key=str)
+    assert a == b and len(a) > 0
+
+    plan = art._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+
+
 # ------------------------------------------------------------ bow operator
 
 
