@@ -465,6 +465,108 @@ def summary_labeled(spark, sf):
     return labeled.select("pred", "cnt", "label").orderBy("pred")
 
 
+_COLNE_CELLS = """
+  SELECT 'cust' AS col_name, c_name AS v FROM customer
+  UNION ALL SELECT 'supp', s_name FROM supplier
+  UNION ALL SELECT 'nat', n_name FROM nation
+  UNION ALL SELECT 'price', CAST(p_retailprice AS VARCHAR) FROM part
+  UNION ALL SELECT 'odate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+"""
+
+_COLNE_SQL = f"""
+WITH cells AS ({_COLNE_CELLS}),
+dict AS (
+  SELECT DISTINCT lower(c_name) AS name_norm, 'PERS' AS ner, 1.0 AS pop FROM customer
+  UNION ALL SELECT DISTINCT lower(s_name), 'ORG', 1.0 FROM supplier
+  UNION ALL SELECT DISTINCT lower(n_name), 'LOC', 1.0 FROM nation
+), totals AS (
+  SELECT col_name, count(*)::BIGINT AS n_total FROM cells GROUP BY col_name
+), lit AS (
+  SELECT col_name,
+         CASE WHEN cls IN ('INTEGER','FLOAT') THEN 'NUMBER'
+              WHEN cls IN ('DATE','DATETIME','TIME') THEN 'DATE'
+              ELSE 'STRING' END AS cls
+  FROM (SELECT col_name, {_LIT_SQL_CASCADE} AS cls FROM cells)
+), lit_counts AS (
+  SELECT col_name, cls, count(*)::BIGINT AS cnt FROM lit GROUP BY col_name, cls
+), lit_probs AS (
+  SELECT col_name,
+         array_to_string(list_sort(list(cls || ':' || CAST(cnt AS VARCHAR))), ' ') AS lp
+  FROM lit_counts GROUP BY col_name
+), lit_major AS (
+  SELECT col_name, cls AS lit_class, cnt AS lit_cnt FROM lit_counts
+  QUALIFY row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, cls) = 1
+), name_ner AS (
+  SELECT name_norm, ner FROM dict
+  QUALIFY row_number() OVER (PARTITION BY name_norm ORDER BY pop DESC, ner) = 1
+), ne_counts AS (
+  SELECT c.col_name,
+         CASE WHEN d.ner = 'PERS' THEN 'PERSON'
+              WHEN d.ner = 'ORG' THEN 'ORGANIZATION'
+              WHEN d.ner = 'LOC' THEN 'LOCATION' ELSE 'OTHER' END AS ne_class,
+         count(*)::BIGINT AS ne_cnt
+  FROM (SELECT col_name, trim(regexp_replace(lower(v), '\\s+', ' ', 'g')) AS name_norm
+        FROM cells) c
+  JOIN name_ner d USING (name_norm)
+  GROUP BY 1, 2
+), ne_probs AS (
+  SELECT col_name,
+         array_to_string(list_sort(list(ne_class || ':' || CAST(ne_cnt AS VARCHAR))), ' ') AS np
+  FROM ne_counts GROUP BY col_name
+), ne_major AS (
+  SELECT col_name, ne_class, ne_cnt FROM ne_counts
+  QUALIFY row_number() OVER (PARTITION BY col_name ORDER BY ne_cnt DESC, ne_class) = 1
+)
+SELECT t.col_name,
+       CASE WHEN l.lit_class = 'STRING' AND nm.ne_class IS NOT NULL
+            THEN 'NE' ELSE 'LIT' END AS tag,
+       CASE WHEN l.lit_class = 'STRING' AND nm.ne_class IS NOT NULL
+            THEN nm.ne_class ELSE l.lit_class END AS classification,
+       CASE WHEN l.lit_class = 'STRING' AND nm.ne_class IS NOT NULL
+            THEN nm.ne_class ELSE l.lit_class END AS datatype,
+       round_even(CASE WHEN l.lit_class = 'STRING' AND nm.ne_class IS NOT NULL
+                       THEN nm.ne_cnt ELSE l.lit_cnt END / t.n_total, 3) AS probability,
+       CASE WHEN l.lit_class = 'STRING' AND nm.ne_class IS NOT NULL
+            THEN np.np ELSE lp.lp END AS probabilities
+FROM totals t
+JOIN lit_major l USING (col_name)
+JOIN lit_probs lp USING (col_name)
+LEFT JOIN ne_major nm USING (col_name)
+LEFT JOIN ne_probs np USING (col_name)
+ORDER BY t.col_name
+"""
+
+
+@register("column_analysis_ne", _COLNE_SQL)
+def column_analysis_ne(spark, sf):
+    """U2 complete — the reference's adapted output shape
+    (column_analysis.py:24-85): NE vs LIT tag, NE type vote
+    (PERSON/ORGANIZATION/LOCATION/OTHER via dictionary NERtype), winning
+    datatype, probability, and the per-class probability map. Customer
+    names play PERS entities, suppliers ORG, nations LOC."""
+    from lamapi_spark.operators.column_analysis import classify_columns
+    cust = load(spark, sf, "customer")
+    supp = load(spark, sf, "supplier")
+    nat = load(spark, sf, "nation")
+    part = load(spark, sf, "part")
+    orders = load(spark, sf, "orders")
+    cells = (
+        cust.select(F.lit("cust").alias("col_name"), F.col("c_name").alias("v"))
+        .unionAll(supp.select(F.lit("supp"), F.col("s_name")))
+        .unionAll(nat.select(F.lit("nat"), F.col("n_name")))
+        .unionAll(part.select(F.lit("price"), F.col("p_retailprice").cast("string")))
+        .unionAll(orders.select(F.lit("odate"), F.date_format("o_orderdate", "yyyy-MM-dd")))
+    )
+    label_dict = (
+        cust.select(F.lower("c_name").alias("name_norm"),
+                    F.lit("PERS").alias("NERtype"), F.lit(1.0).alias("popularity"))
+        .unionAll(supp.select(F.lower("s_name"), F.lit("ORG"), F.lit(1.0)))
+        .unionAll(nat.select(F.lower("n_name"), F.lit("LOC"), F.lit(1.0)))
+        .distinct()
+    )
+    return classify_columns(cells, label_dict).orderBy("col_name")
+
+
 @register("objects_nest", """
 SELECT o_custkey AS entity,
        array_to_string(list_sort(list(o_orderkey)), ' ') AS object_ids,

@@ -230,6 +230,38 @@ def test_lookup_ids_backfill(spark):
     assert bf2.ambiguity_mention == rows[("blue car", "Q1")].ambiguity_mention
 
 
+# ---------------------------------------------------- column analysis (U2)
+
+
+def test_classify_columns_ne_vs_lit(spark):
+    from lamapi_spark.operators.column_analysis import classify_columns
+    cells = spark.createDataFrame(
+        [("who", "John Smith"), ("who", "Jane Doe"), ("who", "Acme Corp"),
+         ("where", "Paris"), ("where", "berlin"), ("where", "atlantis"),
+         ("num", "42"), ("num", "3.14"), ("num", "x"),
+         ("freeform", "no dictionary hits here"), ("freeform", "pure prose")],
+        "col_name string, v string")
+    label_dict = spark.createDataFrame(
+        [("john smith", "PERS", 0.9), ("jane doe", "PERS", 0.8),
+         ("acme corp", "ORG", 0.7), ("paris", "LOC", 0.9),
+         ("berlin", "LOC", 0.5), ("paris", "PERS", 0.1)],  # losing tie row
+        "name_norm string, NERtype string, popularity double")
+    out = {r.col_name: r for r in classify_columns(cells, label_dict).collect()}
+    who = out["who"]
+    assert who.tag == "NE" and who.classification == "PERSON"
+    assert who.probability == 0.667  # 2 of 3 cells vote PERSON
+    assert who.probabilities == "ORGANIZATION:1 PERSON:2"
+    where = out["where"]
+    assert where.tag == "NE" and where.classification == "LOCATION"
+    assert where.probability == 0.667  # 'atlantis' misses the dictionary
+    num = out["num"]
+    assert num.tag == "LIT" and num.classification == "NUMBER"
+    assert num.probability == 0.667 and "NUMBER:2" in num.probabilities
+    free = out["freeform"]
+    assert free.tag == "LIT" and free.classification == "STRING"
+    assert free.probability == 1.0
+
+
 # ------------------------------------------------- bucketed index artifacts
 
 
