@@ -639,22 +639,30 @@ ORDER BY m.doc_id, d.p_partkey
 def lookup_token_match(spark, sf):
     """J1 core — OR-of-tokens match: exploded mention tokens equi-join
     the exploded dictionary (ES whitespace-lowercase analyzer analogue,
-    kg_schema.json:7-17). Dictionary side broadcast."""
+    kg_schema.json:7-17). Dictionary side broadcast.
+
+    Plan notes: no .distinct() anywhere — doc_id/p_partkey are unique
+    keys and array_distinct already dedupes within a row, so the SQL
+    oracle's SELECT DISTINCT is a no-op the Spark side should not pay
+    two shuffles for. The aggregation runs on the NARROW (doc_id,
+    p_partkey) key; the wide p_name string re-attaches afterwards via a
+    broadcast join instead of riding the shuffle."""
     m_tok = (
         load(spark, sf, "documents")
         .select("doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token"))
-        .distinct()
     )
     d_tok = (
         load(spark, sf, "part")
-        .select("p_partkey", "p_name",
+        .select("p_partkey",
                 F.explode(F.array_distinct(F.split(F.lower("p_name"), " "))).alias("token"))
-        .distinct()
     )
+    names = load(spark, sf, "part").select("p_partkey", "p_name")
     return (
         m_tok.join(F.broadcast(d_tok), "token")
-        .groupBy("doc_id", "p_partkey", "p_name")
+        .groupBy("doc_id", "p_partkey")
         .agg(F.count("*").alias("matched_tokens"))
+        .join(F.broadcast(names), "p_partkey")
+        .select("doc_id", "p_partkey", "p_name", "matched_tokens")
         .orderBy("doc_id", "p_partkey")
     )
 
