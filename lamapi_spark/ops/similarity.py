@@ -94,10 +94,15 @@ def lsh_ann_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 3,
     n_planes: int = 8, n_tables: int = 2, dims: int = 64,
     query_id: str = "vec_id", corpus_id: str = "vec_id", vec: str = "embedding",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """ANN: exact cosine, but only within shared LSH buckets across
     ``n_tables`` independent hyperplane tables. Recall grows with tables;
-    cost ~ bucket sizes instead of |corpus|."""
+    cost ~ bucket sizes instead of |corpus|. ``max_bucket`` drops
+    corpus-side hot buckets (a degenerate hyperplane split — e.g. a
+    corpus of near-identical embeddings — would otherwise regenerate the
+    brute-force quadratic inside one bucket); queries falling only in
+    dropped buckets lose those candidates, the standard ANN trade."""
     def with_keys(df, idc):
         out = df.select(F.col(idc).alias("id"), F.col(vec).alias("v"))
         keys = F.array(*[
@@ -107,6 +112,10 @@ def lsh_ann_topk(
 
     qk = with_keys(queries, query_id)
     ck = with_keys(corpus, corpus_id)
+    if max_bucket is not None:
+        ck = (ck.withColumn("_bn", F.count("*").over(
+                Window.partitionBy("tbl", "key")))
+              .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     cand = (
         qk.alias("q").join(ck.alias("c"), ["tbl", "key"])
         .filter(F.col("q.id") != F.col("c.id"))

@@ -44,8 +44,13 @@ def worker(n_exec: int, cores: int, convs: int) -> None:
     from lamapi_spark.session import get_spark
 
     cpus = n_exec * cores
+    # 4x cores shuffle partitions: at 3M-turn scale an 8-partition
+    # aggregation puts whole-stage hash maps for ~1/8 of a 30M-row
+    # candidate set in one task's heap (measured: executor OOM, exit 52);
+    # finer partitions bound per-task memory and AQE coalesces the small
+    # ones back, so the only cost is scheduling a few more tasks
     spark = get_spark(app_name=f"scaling_{cpus}", master=_master(n_exec, cores),
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=cpus * 4)
     kg_scale = int(os.environ.get("SCALING_KG_SCALE", "1"))
     kg = build_kg(seed=42, n_people=400 * kg_scale, n_orgs=120 * kg_scale,
                   n_locs=60 * kg_scale, n_films=250 * kg_scale)
@@ -70,11 +75,14 @@ def worker(n_exec: int, cores: int, convs: int) -> None:
     # pre-built ES index. Bucket count is FIXED across cluster sizes
     # (a real artifact's layout does not change with the reader).
     n_buckets = int(os.environ.get("SCALING_N_BUCKETS", "32"))
-    t_idx = time.time()
-    idx = build_index_artifacts(spark, dfs["kg_items"], fuzzy=True,
-                                limit_per_token=100, n_buckets=n_buckets,
-                                reuse=False)
-    index_build_s = round(time.time() - t_idx, 2)
+    use_artifacts = os.environ.get("SCALING_USE_ARTIFACTS", "1") == "1"
+    idx, index_build_s = None, 0.0
+    if use_artifacts:
+        t_idx = time.time()
+        idx = build_index_artifacts(spark, dfs["kg_items"], fuzzy=True,
+                                    limit_per_token=100, n_buckets=n_buckets,
+                                    reuse=False)
+        index_build_s = round(time.time() - t_idx, 2)
 
     t0 = time.time()
     out = run_pipeline(spark, transcripts, dfs["kg_items"], dfs["kg_edges"],
