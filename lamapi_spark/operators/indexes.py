@@ -74,9 +74,9 @@ def _fuzzy_name_index(label_dict: DataFrame) -> DataFrame:
 class LookupIndex:
     """The four lookup-join index frames plus the build parameters that
     determine which guards the consumer must apply."""
-    token: DataFrame                 # (token, entity, name, is_alias)
-    fuzzy: DataFrame | None          # (variant, token, entity, name, is_alias)
-    names: DataFrame                 # (name_norm, entity, name, is_alias)
+    token: DataFrame                 # (token, popularity, entity, name, is_alias)
+    fuzzy: DataFrame | None          # (variant, token, popularity, entity, name, is_alias)
+    names: DataFrame                 # (name_norm, popularity, entity, name, is_alias)
     fuzzy_names: DataFrame | None    # (variant, name_norm)
     limit_per_token: int | None      # pruning K applied at build (None = unpruned)
     fuzzy_edits: int = 1
@@ -87,6 +87,9 @@ class LookupIndex:
               limit_per_token: int | None = None,
               fuzzy_edits: int = 1) -> "LookupIndex":
         """In-memory (per-run) index frames — the non-artifact path."""
+        # popularity stays IN the index rows: the consumer ranks/truncates
+        # on the narrow match (popularity, entity, name, is_alias) and
+        # attaches the wide payload only to the <=limit survivors
         tok = token_inverted_index(label_dict).select("token", "popularity", *_KEY)
         if limit_per_token is not None:
             tok = prune_index(tok, "token", limit_per_token)
@@ -97,11 +100,11 @@ class LookupIndex:
                 "variant", "token", "popularity", *_KEY)
             if limit_per_token is not None:
                 fz = prune_index(fz, "variant", limit_per_token)
-            fz = fz.drop("popularity")
             fn = _fuzzy_name_index(label_dict)
         return LookupIndex(
-            token=tok.drop("popularity"), fuzzy=fz,
-            names=label_dict.select("name_norm", *_KEY), fuzzy_names=fn,
+            token=tok, fuzzy=fz,
+            names=label_dict.select("name_norm", "popularity", *_KEY),
+            fuzzy_names=fn,
             limit_per_token=limit_per_token, fuzzy_edits=fuzzy_edits,
             bucketed=False)
 

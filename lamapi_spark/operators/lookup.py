@@ -36,7 +36,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lamapi_spark.functions import clean_str, ed_score, jaccard_ngram_score, jaccard_score
+from lamapi_spark.functions import (
+    clean_str, ed_score, jaccard_arrays, jaccard_ngram_score, jaccard_score, ngram_set,
+)
 from lamapi_spark.operators.indexes import LookupIndex, prune_index
 from lamapi_spark.operators.label_dict import deletion_variants
 
@@ -61,6 +63,10 @@ def _prepare_mentions(mentions: DataFrame, mention_col: str = "mention") -> Data
         F.length("mention_norm").alias("length_mention"),
         F.size(F.split("mention_norm", " ")).alias("ntoken_mention"),
         F.split("mention_norm", " ").alias("mention_tokens"),
+        # similarity sets built once per distinct mention; candidate
+        # scoring then pays only the array intersections per pair
+        F.array_distinct(F.split("mention_norm", " ")).alias("_m_tok_set"),
+        ngram_set("mention_norm", 3).alias("_m_gram_set"),
     )
 
 
@@ -74,7 +80,8 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
                 cache_narrow: bool = False,
                 limit_per_token: int | None = None,
                 fuzzy_edits: int = 2,
-                index: LookupIndex | None = None) -> DataFrame:
+                index: LookupIndex | None = None,
+                slim: bool = False) -> DataFrame:
     """OR-of-tokens match: one row per (mention, dictionary row) sharing
     >=1 token, with ``matched_tokens`` (count of distinct mention tokens
     found in the name) and ``fuzzy_matched`` counts.
@@ -105,16 +112,17 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
         "mention_norm", F.explode(F.array_distinct("mention_tokens")).alias("m_token"),
     )
 
-    # Slim match: only (mention, token, dict-row-key, edits) flows
-    # through the joins and aggregations; the 9 payload columns attach
-    # ONCE per surviving candidate via a broadcast join at the end.
+    # Slim match: only (mention, token, dict-row-key, popularity, edits)
+    # flows through the joins and aggregations. popularity rides along so
+    # ranking + limit-truncation can run on the NARROW frame; the wide
+    # payload columns attach only to the <=limit survivors.
     _KEY = ["entity", "name", "is_alias"]
     dict_tok = index.probe_side(index.token)
     if not index.bucketed and broadcast_dict:
         dict_tok = F.broadcast(dict_tok)
 
     exact = m_tok.join(dict_tok, m_tok.m_token == dict_tok.token, "inner").select(
-        "mention_norm", "m_token", *_KEY, F.lit(0).alias("edits"),
+        "mention_norm", "m_token", *_KEY, "popularity", F.lit(0).alias("edits"),
     )
 
     if not fuzzy:
@@ -154,7 +162,7 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
             # ES auto-fuzziness band is driven by the *query* token length
             .filter((F.col("edits") >= 1)
                     & (F.col("edits") <= F.least(F.col("_band"), F.lit(2))))
-            .select("mention_norm", "m_token", *_KEY, "edits")
+            .select("mention_norm", "m_token", *_KEY, "popularity", "edits")
         )
         matched = exact.unionByName(fuzzy_hits)
 
@@ -172,7 +180,7 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
             m_norms.join(names_b, F.col("mention_norm") == F.col("name_norm"))
             .select("mention_norm",
                     F.explode(F.array_distinct(F.split("name_norm", " "))).alias("m_token"),
-                    *_KEY, F.lit(0).alias("edits"))
+                    *_KEY, "popularity", F.lit(0).alias("edits"))
         )
         matched = matched.unionByName(exact_name)
         if fuzzy:
@@ -190,33 +198,42 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
                 .join(name_rows, "name_norm")
                 .select("mention_norm",
                         F.element_at(F.split("mention_norm", " "), 1).alias("m_token"),
-                        *_KEY, F.lit(1).alias("edits"))
+                        *_KEY, "popularity", F.lit(1).alias("edits"))
             )
             matched = matched.unionByName(fuzzy_name)
 
     # two-step aggregation instead of dual countDistinct (which would
     # force an Expand doubling the shuffle): per-token best edit first,
-    # then per-candidate token counts
+    # then per-candidate token counts. popularity is constant per KEY
+    # (label_dict is unique on it), so min() just carries it through.
     per_token = matched.groupBy("mention_norm", "m_token", *_KEY).agg(
-        F.min("edits").alias("_e"))
+        F.min("edits").alias("_e"), F.min("popularity").alias("_pop"))
     agg = per_token.groupBy("mention_norm", *_KEY).agg(
         F.count(F.when(F.col("_e") == 0, True)).alias("matched_tokens"),
         F.count("*").alias("matched_tokens_any"),
-    )
+        F.min("_pop").alias("popularity"),
+    ).withColumn("name_norm", clean_str("name"))
     if cache_narrow:
         # downstream plans reference the match several times (Catalyst
-        # does not dedupe common subtrees) — cache the 6-column aggregate,
+        # does not dedupe common subtrees) — cache the narrow aggregate,
         # NOT the payload-joined frame: the wide version cached per
         # executor is what OOMs at large dictionary x surface products,
         # while the payload re-attaches via a cheap broadcast join
         agg = agg.cache()
+    if slim:
+        # narrow candidate frame: ranking, truncation, and the mention-
+        # level features all run on this; the caller attaches payload to
+        # the survivors only (label_dict invariant: name_norm ==
+        # clean_str(name), so the slim frame recomputes it per row
+        # instead of joining for it)
+        return agg
     # payload re-attach: broadcast only under the in-memory policy — with
     # a bucketed index the dictionary is presumed too big to broadcast,
     # so this join shuffles on the candidate key (AQE picks the strategy)
     payload = label_dict.select(*_DICT_COLS)
     if broadcast_dict and not index.bucketed:
         payload = F.broadcast(payload)
-    return agg.join(payload, _KEY, "inner")
+    return agg.drop("popularity", "name_norm").join(payload, _KEY, "inner")
 
 
 def mention_features(candidates: DataFrame, mentions_prepared: DataFrame) -> DataFrame:
@@ -364,6 +381,46 @@ def ids_backfill(
     return _emit(bf, feats)
 
 
+def best_links(cand_slim: DataFrame, prepared: DataFrame,
+               label_dict: DataFrame, broadcast_dict: bool = True) -> DataFrame:
+    """Per-mention argmax by the LINK score (ed + jaccard + jaccardNgram
+    desc, then popularity desc, then id asc — linking.py's decision rule)
+    over the FULL un-truncated narrow match. The 19-field response build
+    is thereby off the linking critical path entirely, and linking sees
+    every matched candidate instead of a popularity-truncated list.
+    Similarity sets come precomputed per distinct dictionary name and per
+    distinct mention; per-pair work is two array intersections plus one
+    levenshtein. Score values are identical to the response fields by
+    construction (same functions, same inputs).
+
+    -> (mention_norm, id, link_score)."""
+    name_sets = label_dict.select("name_norm").distinct().select(
+        "name_norm",
+        F.array_distinct(F.split("name_norm", " ")).alias("_n_tok_set"),
+        ngram_set("name_norm", 3).alias("_n_gram_set"))
+    if broadcast_dict:
+        name_sets = F.broadcast(name_sets)
+    scored = (
+        cand_slim
+        .join(prepared.select("mention_norm", "_m_tok_set", "_m_gram_set"),
+              "mention_norm")
+        .join(name_sets, "name_norm")
+        .withColumn(
+            "_score",
+            ed_score("name_norm", "mention_norm")
+            + jaccard_arrays("_n_tok_set", "_m_tok_set")
+            + jaccard_arrays("_n_gram_set", "_m_gram_set"))
+    )
+    w = Window.partitionBy("mention_norm").orderBy(
+        F.col("_score").desc(), F.col("popularity").desc(), F.col("entity").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("mention_norm", F.col("entity").alias("id"),
+                F.col("_score").alias("link_score"))
+    )
+
+
 def lookup(
     mentions: DataFrame,
     label_dict: DataFrame,
@@ -380,6 +437,8 @@ def lookup(
     fuzzy_edits: int = 2,
     requested_ids: DataFrame | None = None,
     index: LookupIndex | None = None,
+    prepared: DataFrame | None = None,
+    match: DataFrame | None = None,
 ) -> DataFrame:
     """Full lookup: mentions DF -> 19-field candidates DF keyed by
     ``mention_norm`` (one row per (mention, entity), reference parity
@@ -388,28 +447,55 @@ def lookup(
     ``requested_ids`` (optional, columns (mention, entity)): the
     reference's ``ids`` request parameter — every requested id is
     guaranteed to appear in the response for its mention, via the
-    id-retrieval arm when the token match misses it (J7)."""
-    prepared = _prepare_mentions(mentions, mention_col)
+    id-retrieval arm when the token match misses it (J7).
+
+    ``prepared``/``match``: precomputed _prepare_mentions / slim
+    token_match frames — lets a pipeline share ONE (cached) match pass
+    between the response build and best_links linking."""
+    if prepared is None:
+        prepared = _prepare_mentions(mentions, mention_col)
 
     # One token-match pass serves both consumers: the mention-level
     # feature pass (the reference's extra non-fuzzy ES round-trip at
     # :49-51) is exactly the subset with >=1 exact token hit, so the
     # fuzzy run never recomputes the exact arm. cache_narrow materializes
     # the slim match once for the three downstream references.
-    cand = token_match(prepared, label_dict, broadcast_dict, fuzzy=fuzzy,
-                       cache_narrow=True, limit_per_token=limit_per_token,
-                       fuzzy_edits=fuzzy_edits, index=index)
+    if match is None:
+        match = token_match(prepared, label_dict, broadcast_dict, fuzzy=fuzzy,
+                            cache_narrow=True, limit_per_token=limit_per_token,
+                            fuzzy_edits=fuzzy_edits, index=index, slim=True)
+    cand = match
     base_match = cand.filter(F.col("matched_tokens") > 0) if fuzzy else cand
     feats = mention_features(base_match, prepared)
-    if kind is not None:
-        cand = cand.filter(F.col("kind") == kind)
-    if ner_type is not None:
-        cand = cand.filter(F.col("NERtype") == ner_type)
-    if language is not None:
-        cand = cand.filter(F.array_contains("language", language))
-    if types is not None:
-        wanted = sorted(types.split(" "))
-        cand = cand.filter(F.arrays_overlap("types", F.array(*[F.lit(t) for t in wanted])))
+
+    # payload columns (description, kind, NERtype, types, length, ntoken,
+    # language + precomputed similarity sets). Attached EARLY only when a
+    # request filter needs a payload column (the reference's ES query
+    # filters before ranking); otherwise ranking + limit-truncation run
+    # on the narrow match and the payload joins only the survivors —
+    # at 10^5 surfaces x 10^2 candidates that is the difference between
+    # sorting 33M wide rows and 33M narrow ones.
+    _KEY = ["entity", "name", "is_alias"]
+    payload = label_dict.select(
+        *_KEY, "description", "kind", "NERtype", "types", "length", "ntoken",
+        "language",
+        F.array_distinct(F.split("name_norm", " ")).alias("_n_tok_set"),
+        ngram_set("name_norm", 3).alias("_n_gram_set"),
+    )
+    if broadcast_dict and (index is None or not index.bucketed):
+        payload = F.broadcast(payload)
+    payload_filtered = any(x is not None for x in (kind, ner_type, language, types))
+    if payload_filtered:
+        cand = cand.join(payload, _KEY, "inner")
+        if kind is not None:
+            cand = cand.filter(F.col("kind") == kind)
+        if ner_type is not None:
+            cand = cand.filter(F.col("NERtype") == ner_type)
+        if language is not None:
+            cand = cand.filter(F.array_contains("language", language))
+        if types is not None:
+            wanted = sorted(types.split(" "))
+            cand = cand.filter(F.arrays_overlap("types", F.array(*[F.lit(t) for t in wanted])))
 
     # ES executes: sort popularity desc, truncate at `limit`, then
     # pos_score = rank/len and es_score = score/max_score over the
@@ -424,7 +510,8 @@ def lookup(
     )
     cand = (
         cand
-        .join(prepared.select("mention_norm", "ntoken_mention", "length_mention"), "mention_norm")
+        .join(prepared.select("mention_norm", "ntoken_mention", "length_mention",
+                              "_m_tok_set", "_m_gram_set"), "mention_norm")
         .withColumn("_rank", F.row_number().over(w_pop))
         .filter(F.col("_rank") <= limit)
         .withColumn("_raw_score", raw_score)
@@ -437,13 +524,20 @@ def lookup(
         .withColumn("pos_score", F.bround(F.col("_rank") / F.col("_n_hits"), 3))
         .withColumn("es_score", F.bround(F.col("_raw_score") / F.col("_max_score"), 3))
     )
+    if not payload_filtered:
+        cand = cand.join(payload, _KEY, "inner")
 
     # String-similarity features on the cleaned label vs the mention.
+    # Token/3-gram sets come PRECOMPUTED from the dictionary payload and
+    # the prepared mentions (built once per name / per mention, not per
+    # candidate pair); per-row work is the intersections only. Same
+    # values as jaccard_score / jaccard_ngram_score by construction.
     cand = (
         cand
         .withColumn("ed_score", ed_score("name_norm", "mention_norm"))
-        .withColumn("jaccard_score", jaccard_score("name_norm", "mention_norm"))
-        .withColumn("jaccardNgram_score", jaccard_ngram_score("name_norm", "mention_norm"))
+        .withColumn("jaccard_score", jaccard_arrays("_n_tok_set", "_m_tok_set"))
+        .withColumn("jaccardNgram_score", jaccard_arrays("_n_gram_set", "_m_gram_set"))
+        .drop("_n_tok_set", "_n_gram_set", "_m_tok_set", "_m_gram_set")
     )
 
     cand = resolve_type_names(cand, items)

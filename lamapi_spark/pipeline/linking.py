@@ -34,23 +34,24 @@ def candidates_for_surfaces(
     limit_per_token: int | None = None,
     fuzzy_edits: int = 1,
     index=None,
+    prepared: DataFrame | None = None,
+    match: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct surface forms -> full 19-field candidates table
     (checkpointable stage; response-parity artifact). ``limit_per_token``
     enables the pruned posting-list path for huge dictionaries (see
-    lookup._prune_index). NB: _prune_index's exactness argument requires
-    K >= limit; the pipeline default (K=100 < limit=1000) is therefore a
-    recall-trading heuristic, guarded only by the exact-name and
-    1-edit-name inclusion joins — a low-popularity candidate matching
-    only partial tokens can drop out of the tail of the candidate list.
-    The LINK decision (argmax) is unaffected whenever the best-scoring
-    candidate is an exact/1-edit name match, which the guards keep."""
+    indexes.prune_index) — rank-lossless for the candidate list whenever
+    K >= limit (the pipeline passes K=100 with candidate_limit=100, so
+    the artifact is exact); the exact-name / 1-edit-name guards
+    additionally pin those matches into the match set. The LINK decision
+    does not depend on this frame at all — run_pipeline links from
+    lookup.best_links over the full un-truncated match."""
     return lookup(
         surfaces.select(F.col("surface").alias("mention")),
         label_dict, items,
         limit=limit, fuzzy=fuzzy, broadcast_dict=broadcast_dict,
         limit_per_token=limit_per_token, fuzzy_edits=fuzzy_edits,
-        index=index,
+        index=index, prepared=prepared, match=match,
     )
 
 
@@ -60,27 +61,37 @@ def nil_id(col):
 
 def link_mentions(
     mentions: DataFrame,
-    candidates: DataFrame,
+    candidates: DataFrame | None = None,
     nil_threshold: float = 1.0,
+    best: DataFrame | None = None,
 ) -> DataFrame:
     """mentions: detect_mentions ∪ detect_oov_mentions output (OOV rows
-    may lack name_norm/edits). candidates: keyed by mention_norm.
+    may lack name_norm/edits). Provide EITHER ``candidates`` (the
+    19-field response frame — argmax computed here over whatever that
+    frame contains, including its limit truncation) OR ``best`` (a
+    precomputed (mention_norm, id, link_score) frame, e.g. from
+    lookup.best_links over the FULL un-truncated match — the exact
+    linking decision with no response build on the critical path).
 
     -> (conv_id, turn_idx, start, ntoken_span, surface, entity, link_score,
         nil) — every input span appears exactly once."""
-    best = (
-        candidates
-        .withColumn("_score", link_score_col())
-        .withColumn("_rn", F.row_number().over(
-            Window.partitionBy("mention_norm").orderBy(
-                F.col("_score").desc(), F.col("popularity").desc(), F.col("id").asc())))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("mention_norm"),
-            F.col("id").alias("_best_id"),
-            F.col("_score").alias("link_score"),
+    if best is not None:
+        best = best.select(
+            "mention_norm", F.col("id").alias("_best_id"), "link_score")
+    else:
+        best = (
+            candidates
+            .withColumn("_score", link_score_col())
+            .withColumn("_rn", F.row_number().over(
+                Window.partitionBy("mention_norm").orderBy(
+                    F.col("_score").desc(), F.col("popularity").desc(), F.col("id").asc())))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("mention_norm"),
+                F.col("id").alias("_best_id"),
+                F.col("_score").alias("link_score"),
+            )
         )
-    )
     m = mentions.select(
         "conv_id", "turn_idx", "start", "ntoken_span", "surface",
     ).withColumn("mention_norm", F.col("surface"))

@@ -71,9 +71,11 @@ def run_pipeline(
     index: LookupIndex | None = None,
     use_index_artifacts: bool = False,
     index_prefix: str = "lamapi_idx",
+    candidate_limit: int = 100,
 ) -> dict[str, DataFrame]:
     runner = StageRunner(spark, checkpoint_dir or "", enabled=checkpoint_dir is not None)
-    fp = f"fuzzy={fuzzy};nil={nil_threshold};k={max_ntoken};lpt={limit_per_token}"
+    fp = (f"fuzzy={fuzzy};nil={nil_threshold};k={max_ntoken};"
+          f"lpt={limit_per_token};cl={candidate_limit}")
 
     if index is None and use_index_artifacts:
         t0 = time.time()
@@ -113,17 +115,36 @@ def run_pipeline(
     # (exact arm, fuzzy arm, two feature joins) — cache it
     surfaces = all_spans.select("surface").distinct().cache()
 
+    # ONE narrow match pass (cached) feeds both consumers:
+    # - the response-parity candidates artifact (19 fields, truncated at
+    #   candidate_limit — lookup() itself defaults to the reference's
+    #   limit=1000; the pipeline artifact defaults to 100 because LINKING
+    #   NO LONGER DEPENDS ON IT: best_links takes the argmax over the
+    #   FULL un-truncated match, so shrinking the artifact costs nothing
+    #   in link quality and cuts the heaviest stage's build+write ~3x);
+    # - best_links, the exact per-surface linking decision.
+    from lamapi_spark.operators.lookup import _prepare_mentions, best_links, token_match
+    prepared = _prepare_mentions(
+        surfaces.select(F.col("surface").alias("mention")), "mention")
+    slim = token_match(prepared, label_dict, broadcast_dict, fuzzy=fuzzy,
+                       cache_narrow=True, limit_per_token=limit_per_token,
+                       fuzzy_edits=1, index=index, slim=True)
+
     candidates = runner.run(
         "candidates",
         lambda: candidates_for_surfaces(
             surfaces,
             label_dict, kg_items, fuzzy=fuzzy, broadcast_dict=broadcast_dict,
-            limit_per_token=limit_per_token, index=index),
+            limit=candidate_limit,
+            limit_per_token=limit_per_token, index=index,
+            prepared=prepared, match=slim),
         fp, ("mentions", "oov_mentions", "label_dict", "kg_items"))
 
     linked = runner.run(
         "linked",
-        lambda: link_mentions(all_spans, candidates, nil_threshold),
+        lambda: link_mentions(
+            all_spans, nil_threshold=nil_threshold,
+            best=best_links(slim, prepared, label_dict, broadcast_dict)),
         fp, ("mentions", "candidates"))
 
     triples_raw = runner.run(
