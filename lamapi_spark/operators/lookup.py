@@ -400,24 +400,38 @@ def best_links(cand_slim: DataFrame, prepared: DataFrame,
         ngram_set("name_norm", 3).alias("_n_gram_set"))
     if broadcast_dict:
         name_sets = F.broadcast(name_sets)
-    scored = (
-        cand_slim
-        .join(prepared.select("mention_norm", "_m_tok_set", "_m_gram_set"),
-              "mention_norm")
-        .join(name_sets, "name_norm")
-        .withColumn(
-            "_score",
-            ed_score("name_norm", "mention_norm")
-            + jaccard_arrays("_n_tok_set", "_m_tok_set")
-            + jaccard_arrays("_n_gram_set", "_m_gram_set"))
-    )
-    w = Window.partitionBy("mention_norm").orderBy(
-        F.col("_score").desc(), F.col("popularity").desc(), F.col("entity").asc())
+    def scored():
+        return (
+            cand_slim
+            .join(prepared.select("mention_norm", "_m_tok_set", "_m_gram_set"),
+                  "mention_norm")
+            .join(name_sets, "name_norm")
+            .withColumn(
+                "_score",
+                ed_score("name_norm", "mention_norm")
+                + jaccard_arrays("_n_tok_set", "_m_tok_set")
+                + jaccard_arrays("_n_gram_set", "_m_gram_set"))
+        )
+
+    # argmax WITHOUT a window: a row_number over 10^7-10^8 match rows is
+    # a full shuffle + sort; instead (1) partial-aggregate the per-mention
+    # max (score, popularity) — map-side combine collapses to ~|mentions|
+    # rows before any shuffle — then (2) broadcast that tiny frame back,
+    # keep only rows achieving the max, and take min(entity) for the
+    # id-asc tiebreak. Scoring runs twice over the (cached) match, which
+    # is cheap; no large shuffle or sort runs at all.
+    mx = scored().groupBy("mention_norm").agg(
+        F.max(F.struct(F.col("_score").alias("s"),
+                       F.col("popularity").alias("p"))).alias("_m"))
+    # mx has one row per distinct mention — AQE auto-broadcasts it at
+    # any realistic batch size; a 10^9-mention batch degrades to a
+    # shuffle join on mention_norm, still sort-free
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("mention_norm", F.col("entity").alias("id"),
-                F.col("_score").alias("link_score"))
+        scored().join(mx, "mention_norm")
+        .filter((F.col("_score") == F.col("_m.s"))
+                & (F.col("popularity") == F.col("_m.p")))
+        .groupBy("mention_norm")
+        .agg(F.min("entity").alias("id"), F.max("_score").alias("link_score"))
     )
 
 
