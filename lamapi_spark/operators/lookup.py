@@ -405,36 +405,35 @@ def best_links(cand_slim: DataFrame, prepared: DataFrame,
         ngram_set("name_norm", 3).alias("_n_gram_set"))
     if broadcast_dict:
         name_sets = F.broadcast(name_sets)
-    def scored():
-        return (
-            cand_slim
-            .join(prepared.select("mention_norm", "_m_tok_set", "_m_gram_set"),
-                  "mention_norm")
-            .join(name_sets, "name_norm")
-            .withColumn(
-                "_score",
-                ed_score("name_norm", "mention_norm")
+    def score_col():
+        return (ed_score("name_norm", "mention_norm")
                 + jaccard_arrays("_n_tok_set", "_m_tok_set")
                 + jaccard_arrays("_n_gram_set", "_m_gram_set"))
-        )
+
+    def with_sets(df):
+        return (df.join(prepared.select("mention_norm", "_m_tok_set", "_m_gram_set"),
+                        "mention_norm")
+                  .join(name_sets, "name_norm"))
 
     # argmax WITHOUT a window: a row_number over 10^7-10^8 match rows is
     # a full shuffle + sort; instead (1) partial-aggregate the per-mention
     # max (score, popularity) — map-side combine collapses to ~|mentions|
-    # rows before any shuffle — then (2) broadcast that tiny frame back,
-    # keep only rows achieving the max, and take min(entity) for the
-    # id-asc tiebreak. Scoring runs twice over the (cached) match, which
-    # is cheap; no large shuffle or sort runs at all.
-    mx = scored().groupBy("mention_norm").agg(
+    # rows before any shuffle — then (2) broadcast that tiny frame back
+    # and re-derive only the achieving rows: filter by popularity
+    # equality FIRST (no scoring), score the handful of survivors, take
+    # min(entity) for the id-asc tiebreak. One full scoring pass total,
+    # no large shuffle or sort anywhere.
+    mx = with_sets(cand_slim).withColumn("_score", score_col()).groupBy(
+        "mention_norm").agg(
         F.max(F.struct(F.col("_score").alias("s"),
                        F.col("popularity").alias("p"))).alias("_m"))
-    # mx has one row per distinct mention — AQE auto-broadcasts it at
-    # any realistic batch size; a 10^9-mention batch degrades to a
-    # shuffle join on mention_norm, still sort-free
+    survivors = (
+        cand_slim.join(F.broadcast(mx), "mention_norm")
+        .filter(F.col("popularity") == F.col("_m.p"))
+    )
     return (
-        scored().join(mx, "mention_norm")
-        .filter((F.col("_score") == F.col("_m.s"))
-                & (F.col("popularity") == F.col("_m.p")))
+        with_sets(survivors).withColumn("_score", score_col())
+        .filter(F.col("_score") == F.col("_m.s"))
         .groupBy("mention_norm")
         .agg(F.min("entity").alias("id"), F.max("_score").alias("link_score"))
     )

@@ -28,7 +28,15 @@ CONVS = int(os.environ.get("SCALING_CONVS", "8000"))
 # multi-JVM penalty (8 executor JVMs sharing ONE box's memory bandwidth,
 # which a real 4N-node cluster would not) at the cost of sharing one
 # allocator. Report whichever is configured; BENCH.md states the mode.
-LEVELS = ((2, 4), (8, 4))
+def _parse_levels(s: str):
+    return tuple(tuple(int(x) for x in lv.split("x")) for lv in s.split(","))
+
+# override with e.g. SCALING_LEVELS=1x4,4x4 — useful because the sandbox
+# box saturates its memory bandwidth around 8-16 active cores (measured:
+# local[8] == local[32] wall on the same input), so the 2x4 vs 8x4 pair
+# measures the hardware ceiling, not the engine; 1x4 vs 4x4 stays inside
+# the machine's linear region while still being N vs 4N executors.
+LEVELS = _parse_levels(os.environ.get("SCALING_LEVELS", "2x4,8x4"))
 MODE = os.environ.get("SCALING_MODE", "cluster")
 _EXEC_MEM_MB = int(os.environ.get("SCALING_EXEC_MEM_MB", "10240"))
 
