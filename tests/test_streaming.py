@@ -1,0 +1,61 @@
+"""Structured Streaming twins agree with their batch counterparts."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lamapi_spark.streaming import stream_sessionize, stream_text_stats
+from lamapi_spark.streaming.sessions import run_available_now
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = tmp_path_factory.mktemp("stream") / "events"
+    src.withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(str(d))
+    return str(d)
+
+
+def test_stream_sessionize_matches_batch(spark, events_dir):
+    got = run_available_now(
+        stream_sessionize(spark, events_dir, gap="30 minutes"),
+        "t_sessions", mode="complete")
+    stream_counts = {
+        r.user_id: r.n for r in
+        got.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    # batch twin: the sessionize_events gaps-and-islands query
+    from lamapi_spark.queries import queries
+    batch = {r.user_id: r.n_sessions for r in
+             queries()["sessionize_events"](spark, "/root/testdata/sf0.001").collect()}
+    assert stream_counts == batch
+    # session windows never overlap per user and each holds >= 1 event
+    rows = got.collect()
+    assert all(r.n_events >= 1 for r in rows)
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_stream_text_stats_matches_batch(spark, tmp_path):
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path / "docs")
+    src.select("doc_id", "text").write.parquet(d)
+    got = run_available_now(
+        stream_text_stats(spark, d), "t_textstats", mode="append")
+    g = {r.doc_id: (r.lang_pred, r.n_chars, r.ws_tokens) for r in got.collect()}
+    from lamapi_spark.ops.textstats import lang_id, quality_features, token_counts
+    q = quality_features(F.col("text"))
+    tc = token_counts(F.col("text"))
+    want = {r.doc_id: (r.lang_pred, r.n_chars, r.ws_tokens) for r in src.select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred"),
+        q["n_chars"].alias("n_chars"), tc["ws_tokens"].alias("ws_tokens"),
+    ).collect()}
+    assert g == want and len(g) == src.count()
+    shutil.rmtree(d, ignore_errors=True)
