@@ -55,8 +55,16 @@ def main():
                       shuffle_partitions=int(cpus))
     qs = queries()
 
-    # warm the JVM/codegen once on a trivial action
-    spark.range(1000).count()
+    # steady-state warmup: run the headline set once at the smallest SF
+    # so whole-stage codegen compilation and executor spin-up are not
+    # billed to the first measured query (standard JVM benchmarking
+    # practice; the measured numbers then reflect per-query plan cost)
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            qs[name](spark, warm_dir).count()
+        except Exception:
+            pass
 
     per_query: dict[str, float] = {}
     total = 0.0

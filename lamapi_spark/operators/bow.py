@@ -53,8 +53,9 @@ def bow_similarity(texts: DataFrame, bows: DataFrame,
                    candidates: DataFrame | None = None,
                    broadcast_bows: bool = True,
                    cross_score_all: bool = False,
-                   tokenizer: Callable[[Column], Column] = bow_tokens) -> DataFrame:
-    """-> (request_id, entity, similarity_score, matched_words).
+                   tokenizer: Callable[[Column], Column] = bow_tokens,
+                   with_matched_words: bool = True) -> DataFrame:
+    """-> (request_id, entity, similarity_score[, matched_words]).
 
     - ``candidates`` given: score exactly those (request_id, entity)
       pairs — the reference's per-request ids list (zero scores kept).
@@ -62,6 +63,11 @@ def bow_similarity(texts: DataFrame, bows: DataFrame,
     - ``cross_score_all=True``: legacy all-pairs cross join (every
       (text, entity) pair incl. zero scores) — |texts| x |bows| rows,
       only for small BoW tables.
+    - ``with_matched_words=False`` (default path only): skip the
+      intersection ARRAY — the overlap count falls straight out of the
+      token equi-join aggregation, so neither side's token arrays ride
+      any join. Both token sets are deduped, so |intersection| == the
+      per-pair join hit count.
     """
     t = texts.select(F.col(id_col).alias("request_id"),
                      tokenizer(F.col(text_col)).alias("toks"))
@@ -80,13 +86,26 @@ def bow_similarity(texts: DataFrame, bows: DataFrame,
         return _score(t.crossJoin(b))
 
     # inverted-index path: distinct (token, entity) postings from the BoW
-    # side, exploded text tokens probe them, surviving pairs re-attach
-    # the two arrays for exact scoring. One shuffle on the pair key;
+    # side, exploded text tokens probe them. One shuffle on the pair key;
     # the postings join is broadcast when the BoW table is.
-    t_tok = t.select("request_id", F.explode("toks").alias("token"))
-    b_tok = bows.select("entity", F.explode("bow").alias("token"))
+    t_tok = t.select("request_id", F.size("toks").alias("_n"),
+                     F.explode("toks").alias("token"))
+    b_tok = bows.select("entity", F.explode(F.array_distinct("bow")).alias("token"))
     if broadcast_bows:
         b_tok = F.broadcast(b_tok)
+
+    if not with_matched_words:
+        return (
+            t_tok.join(b_tok, "token")
+            .groupBy("request_id", "entity")
+            .agg(F.count("*").alias("_overlap"), F.first("_n").alias("_nt"))
+            .select(
+                "request_id", "entity",
+                F.bround(F.col("_overlap") / F.greatest("_nt", F.lit(1)), 2)
+                .alias("similarity_score"),
+            )
+        )
+
     pairs = (
         t_tok.join(b_tok, "token")
         .select("request_id", "entity").distinct()

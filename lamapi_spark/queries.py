@@ -258,7 +258,8 @@ def bow_similarity(spark, sf):
         token_set(F.lower("p_name"), pre_cleaned=True).alias("bow"))
     out = bow_op(
         docs, parts, text_col="text", id_col="doc_id",
-        tokenizer=lambda c: token_set(F.lower(c), pre_cleaned=True))
+        tokenizer=lambda c: token_set(F.lower(c), pre_cleaned=True),
+        with_matched_words=False)
     return (
         out.select(
             F.col("request_id").alias("doc_id"),
