@@ -30,6 +30,14 @@ def main(argv=None) -> None:
     ap.add_argument("--checkpoint")
     ap.add_argument("--fuzzy", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--use-index-artifacts", action="store_true",
+                    help="probe bucketed offline LookupIndex tables "
+                         "(built once per dictionary snapshot; required "
+                         "when the dictionary cannot broadcast)")
+    ap.add_argument("--no-broadcast-dict", action="store_true",
+                    help="never broadcast dictionary-derived frames "
+                         "(cluster-scale dictionaries)")
+    ap.add_argument("--candidate-limit", type=int, default=100)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -57,7 +65,10 @@ def main(argv=None) -> None:
         edges, sameas = dfs["kg_edges"], dfs["kg_sameas"]
 
     out = run_pipeline(spark, transcripts, items, edges, sameas,
-                       checkpoint_dir=args.checkpoint, fuzzy=args.fuzzy)
+                       checkpoint_dir=args.checkpoint, fuzzy=args.fuzzy,
+                       use_index_artifacts=args.use_index_artifacts,
+                       broadcast_dict=not args.no_broadcast_dict,
+                       candidate_limit=args.candidate_limit)
     out["triples"].write.mode("overwrite").parquet(f"{args.output}/triples")
     out["canonical_map"].write.mode("overwrite").parquet(f"{args.output}/canonical_map")
     n = spark.read.parquet(f"{args.output}/triples").count()
