@@ -23,12 +23,23 @@ the per-mention max, and rank (``pos_score``) by popularity desc exactly
 as the reference's ES query sorts (:264). The parity target is candidate
 sets + deterministic features (SURVEY §7 'hard parts').
 
-Scale: the dictionary side is an inverted token index, pre-bucketed by
-token; the mention side explodes to (mention, token) and equi-joins.
-Broadcast when the dictionary fits (<~256 MB), otherwise a shuffle join
-with AQE skew splitting; pure-stopword tokens are the classic skew key —
-they are kept for parity but the fuzzy index never expands tokens <3
-chars, and AQE handles residual skew.
+Scale (the round-2 architecture):
+- the dictionary side is an inverted token index; as OFFLINE ARTIFACTS
+  (operators/indexes.py) the token/variant/name tables are bucketed +
+  sorted + pruned saved tables that every join probes with no
+  dictionary-side shuffle or broadcast — only the mention side shuffles,
+  into exactly n_buckets partitions. In-memory mode broadcasts when the
+  dictionary fits (<~256 MB), else shuffles with AQE skew splitting.
+- ranking + limit truncation run on the NARROW match (popularity rides
+  the slim aggregate); the wide payload and precomputed token/3-gram
+  similarity sets attach only to the <=limit survivors.
+- linking does not consume the response at all: ``best_links`` takes
+  the argmax over the FULL un-truncated match with a sort-free two-pass
+  aggregation.
+Pure-stopword tokens are the classic skew key — kept for parity, but
+the fuzzy index never expands tokens <3 chars and AQE handles residual
+skew; posting lists are pruned top-K-per-token at artifact build
+(rank-lossless for K >= limit, see indexes.prune_index).
 """
 
 from __future__ import annotations
