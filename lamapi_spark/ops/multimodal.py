@@ -2,13 +2,19 @@
 columns with typed metadata, processed by Arrow-batched pandas UDF
 stages over ``mapInPandas``.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``decode_image_meta`` ships a deterministic fake decoder
-(byte length, md5, fake dims derived from the hash) and
-``decode_image_real`` raises NotImplementedError with the intended
-integration point documented. Everything Spark-side — schema, explicit
-conv/batch partitioning, UDF signature, Arrow batch shape — is real and
-tested; swapping the fake for PIL/libvips is a one-function change.
+Decode paths:
+
+- ``decode_image`` — a REAL decoder (pure numpy, no image libraries):
+  NetPBM P2/P3/P5/P6 and uncompressed 24-bit BMP headers + pixels,
+  emitting true width/height/channels/mean luminance plus a 64-bit
+  average-hash (8x8 block-mean grayscale thresholded at its mean — the
+  classic aHash), which feeds perceptual image dedup exactly like
+  SimHash feeds text dedup (pair on bit_count(xor) <= d).
+- ``decode_image_meta`` — deterministic metadata-only pass for opaque
+  payloads of ANY format (byte length, md5, hash-derived stand-in dims).
+- ``decode_image_real`` — the integration point for compressed formats
+  (JPEG/PNG need a codec library not present in this container) —
+  still NotImplementedError, with the same mapInPandas shape.
 
 Scale notes: binary payloads dominate partition size — repartition by a
 content-hash bucket before the UDF stage so Arrow batches stay bounded
@@ -63,15 +69,155 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=META_SCHEMA)
 
 
+DECODE_SCHEMA = ("id bigint, format string, width int, height int, "
+                 "channels int, mean_luma double, ahash bigint")
+
+
+def _parse_netpbm(b: bytes):
+    """P2/P3 (ascii) / P5/P6 (binary) gray/RGB images -> (fmt, w, h,
+    float64 HxWxC array). Raises ValueError on anything else."""
+    import numpy as np
+
+    if len(b) < 2 or b[0:1] != b"P" or b[1:2] not in b"2356":
+        raise ValueError("not netpbm")
+    fmt = b[:2].decode()
+    # header tokens: magic, width, height, maxval — comments (#...) skipped
+    tokens, i, n = [], 2, len(b)
+    while len(tokens) < 3 and i < n:
+        c = b[i:i + 1]
+        if c == b"#":
+            while i < n and b[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not b[j:j + 1].isspace():
+                j += 1
+            tokens.append(b[i:j])
+            i = j
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    i += 1  # single whitespace after maxval
+    ch = 3 if fmt in ("P3", "P6") else 1
+    count = w * h * ch
+    if fmt in ("P5", "P6"):
+        if maxval > 255:
+            raise ValueError("16-bit netpbm unsupported")
+        px = np.frombuffer(b, dtype=np.uint8, count=count, offset=i)
+    else:
+        px = np.array(b[i:].split()[:count], dtype=np.int64)
+    return fmt, w, h, px.reshape(h, w, ch).astype(np.float64)
+
+
+def _parse_bmp(b: bytes):
+    """Uncompressed 24-bit BI_RGB BMP -> ('BMP', w, h, HxWx3 float64)."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not bmp")
+    off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return "BMP", w, h, rows[:, :, ::-1].astype(np.float64)  # BGR -> RGB
+
+
+def _ahash64(gray) -> int:
+    """Average hash: block-mean the grayscale to 8x8, threshold at the
+    mean, pack row-major into 64 bits (bit 63 = top-left)."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = (np.arange(8 + 1) * h) // 8
+    xs = (np.arange(8 + 1) * w) // 8
+    cells = np.empty((8, 8))
+    for r in range(8):
+        for c in range(8):
+            cells[r, c] = gray[ys[r]:max(ys[r + 1], ys[r] + 1),
+                               xs[c]:max(xs[c + 1], xs[c] + 1)].mean()
+    bits = (cells >= cells.mean()).flatten()
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    return out
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """REAL image decode over binary payloads (Arrow-batched, numpy
+    only): NetPBM (P2/P3/P5/P6) and uncompressed 24-bit BMP. Emits true
+    dimensions, channel count, mean luminance (ITU-R 601 for RGB) and a
+    64-bit average-hash. Unrecognized/corrupt payloads emit format
+    'unknown' with null fields instead of failing the batch (P6-style
+    null guard). Pair near-duplicate images downstream with
+    bit_count(ahash_a ^ ahash_b) <= d — same banding machinery as
+    ops/dedup.simhash_pairs."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("id", "format", "width", "height", "channels",
+                     "mean_luma", "ahash")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload)
+                try:
+                    try:
+                        fmt, w, h, px = _parse_netpbm(b)
+                    except ValueError:
+                        fmt, w, h, px = _parse_bmp(b)
+                    if px.shape[2] == 3:
+                        gray = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                                + 0.114 * px[:, :, 2])
+                    else:
+                        gray = px[:, :, 0]
+                    # keep the hash in signed-64 range for Spark's bigint
+                    ah = _ahash64(gray)
+                    if ah >= 1 << 63:
+                        ah -= 1 << 64
+                    rows["id"].append(i); rows["format"].append(fmt)
+                    rows["width"].append(w); rows["height"].append(h)
+                    rows["channels"].append(px.shape[2])
+                    rows["mean_luma"].append(float(np.round(gray.mean(), 3)))
+                    rows["ahash"].append(ah)
+                except Exception:
+                    rows["id"].append(i); rows["format"].append("unknown")
+                    rows["width"].append(None); rows["height"].append(None)
+                    rows["channels"].append(None)
+                    rows["mean_luma"].append(None); rows["ahash"].append(None)
+            # nullable Int64, NOT object/float: a mixed batch (decoded +
+            # unknown rows) would otherwise coerce the hash column to
+            # float64 and silently round 64-bit hashes past the 53-bit
+            # mantissa (observed: ...095 -> ...080)
+            rows["ahash"] = pd.array(rows["ahash"], dtype="Int64")
+            rows["width"] = pd.array(rows["width"], dtype="Int32")
+            rows["height"] = pd.array(rows["height"], dtype="Int32")
+            rows["channels"] = pd.array(rows["channels"], dtype="Int32")
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
 def decode_image_real(df: DataFrame) -> DataFrame:
-    """Integration point for a real decoder (PIL / torchvision /
-    libvips): same mapInPandas shape as ``decode_image_meta`` but
-    returning decoded tensors/features. Not available in this container.
-    """
+    """Integration point for COMPRESSED formats (JPEG/PNG/WebP): same
+    mapInPandas shape as ``decode_image``, but those codecs need an
+    image library not present in this container. Uncompressed formats
+    (NetPBM, 24-bit BMP) decode for real via ``decode_image``."""
     raise NotImplementedError(
-        "real image decoding requires an image library not present in "
-        "this environment; use decode_image_meta (deterministic fake) "
-        "for plumbing tests, and swap in a PIL-based batch fn here")
+        "JPEG/PNG decoding requires a codec library not present in this "
+        "environment; decode_image handles NetPBM/BMP for real, and a "
+        "PIL-based batch fn drops into this mapInPandas shape")
 
 
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:

@@ -138,6 +138,8 @@ def detect_mentions(
     ).select("span", "name_norm", F.lit(0).alias("edits"))
 
     if fuzzy:
+        if index is not None and index.fuzzy_names is None:
+            raise ValueError("fuzzy detection requires an index built with fuzzy=True")
         f_idx = index.fuzzy_names if index is not None else fuzzy_name_index(label_dict)
         if bucketed:
             f_idx = f_idx.hint("shuffle_hash")

@@ -590,6 +590,43 @@ def objects_nest(spark, sf):
 
 # ------------------------------------------------------------- multimodal
 
+@register("multimodal_decode", """
+WITH imgs AS (
+  SELECT p_partkey AS id,
+         list_transform(range(1, 17), i -> (p_partkey * i * 7) % 256) AS px
+  FROM part WHERE p_partkey % 40 = 1
+)
+SELECT id, 'P2' AS format, 4 AS width, 4 AS height, 1 AS channels,
+       round_even(list_sum(px) / 16.0, 3) AS mean_luma
+FROM imgs ORDER BY id
+""")
+def multimodal_decode(spark, sf):
+    """REAL image decoding through the Arrow stage: deterministic 4x4
+    NetPBM P2 images are synthesized from part keys (ASCII pixels, so
+    both engines can state the expected values), decoded by the numpy
+    header+pixel parser in ops/multimodal.decode_image, and the oracle
+    checks format/dimensions/channels/mean luminance. The perceptual
+    aHash has no SQL twin (8x8 block means) — it is covered by pytest
+    (tests/test_multimodal_decode.py) including Hamming locality."""
+    part = load(spark, sf, "part").filter(F.col("p_partkey") % 40 == 1)
+    px = F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda i: (F.col("p_partkey") * i * 7) % 256)
+    payload = part.select(
+        F.col("p_partkey").alias("id"),
+        F.encode(
+            F.concat(F.lit("P2\n4 4\n255\n"),
+                     F.concat_ws(" ", px)), "utf-8").alias("payload"),
+        F.lit("image").alias("modality"),
+    )
+    from lamapi_spark.ops.multimodal import decode_image
+    return (
+        decode_image(payload)
+        .select("id", "format", "width", "height", "channels", "mean_luma")
+        .orderBy("id")
+    )
+
+
 @register("multimodal_meta", """
 SELECT doc_id AS id,
        octet_length(encode(text))::INT AS n_bytes,
