@@ -296,6 +296,30 @@ def test_bucketed_index_artifacts_parity(spark):
     assert "Bucketed: true" in plan
 
 
+def test_pipeline_with_index_artifacts_matches_default(spark, tmp_path):
+    """run_pipeline(use_index_artifacts=True) — the scaling-bench path —
+    must emit byte-identical triples to the broadcast path."""
+    from lamapi_spark.pipeline.fixtures import (
+        build_kg, build_transcripts, kg_dataframes, transcript_dataframes,
+    )
+    from lamapi_spark.pipeline.run import run_pipeline
+    kg = build_kg(seed=11, n_people=30, n_orgs=10, n_locs=6, n_films=20)
+    dfs = kg_dataframes(spark, kg)
+    tr = build_transcripts(kg, seed=12, n_convs=30, turns_per_conv=(3, 6))
+    dfs.update(transcript_dataframes(spark, *tr))
+    base = run_pipeline(spark, dfs["transcripts"], dfs["kg_items"],
+                        dfs["kg_edges"], dfs["kg_sameas"], fuzzy=True)
+    art = run_pipeline(spark, dfs["transcripts"], dfs["kg_items"],
+                       dfs["kg_edges"], dfs["kg_sameas"], fuzzy=True,
+                       use_index_artifacts=True, index_prefix="t_r2_pipe_idx")
+    key = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    a = sorted(tuple(r) for r in base["triples"].select(*key).collect())
+    b = sorted(tuple(r) for r in art["triples"].select(*key).collect())
+    assert a == b and len(a) > 0
+    # the offline build is recorded in the stage metrics
+    assert any(m["stage"] == "index_artifacts" for m in art["metrics"])
+
+
 # ------------------------------------------------------------ bow operator
 
 
