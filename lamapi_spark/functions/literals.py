@@ -125,9 +125,14 @@ def xsd_of_class(c: Column | str) -> Column:
 # ISO-8601 subset accepted by the cb cascade's DATETIME probe — the Spark
 # twin of dateutil.parser.isoparse (scripts/parsing_cb.py:27-29): year /
 # year-month / date, optionally a time part after ANY single separator
-# char (isoparse accepts any one-char sep, not just 'T' — hence the `.`),
-# optional seconds/fraction and Z/offset. Field validity (month 01-12,
-# day 01-31, hour 00-23, min/sec 00-59) is encoded in the pattern since
+# char. The `.` separator class is deliberate and INCLUDES digits:
+# isoparse slices the date positionally (chars [0:10]) and treats
+# whatever follows as the separator without validating it — verified
+# against dateutil in this environment, isoparse('2016-01-05912:30')
+# == datetime(2016,1,5,12,30) (tested in tests/test_literals.py), so a
+# [^0-9] class here would diverge from the real classifier. Optional
+# seconds/fraction and Z/offset. Field validity (month 01-12, day
+# 01-31, hour 00-23, min/sec 00-59) is encoded in the pattern since
 # rlike cannot raise like isoparse does. Documented deviations from
 # isoparse: compact forms (20160101), ISO week dates (2016-W01) and
 # ordinal dates (2016-123) classify as NUMBER/STRING here.

@@ -358,14 +358,23 @@ def ids_backfill(
     mention_col: str = "mention",
 ) -> DataFrame:
     """J7 — guarantee every requested (mention, id) appears in the
-    response (lookup_retriever.py:213-234): ids already present are left
-    alone; missing ones are fetched by the id-retrieval arm
-    (create_ids_query:247-259 — ``id`` match, ``language`` contains
-    'en', ``is_alias`` false) and appended with the same mention-level
-    features. One deterministic row per requested id (the reference's
-    ES call runs with size=1). pos_score ranks the backfilled set by
-    popularity; es_score is 1.0 (an id equality match has a constant
-    score, so score/max_score degenerates to 1)."""
+    response: ids already present are left alone; missing ones are
+    fetched by the id-retrieval arm (create_ids_query:247-259 — ``id``
+    match, ``language`` contains 'en', ``is_alias`` false) and appended
+    with the same mention-level features.
+
+    DELIBERATE DEVIATION from the reference: _check_ids
+    (lookup_retriever.py:213-234) issues ONE ES ids-query for ALL
+    missing ids with ``size=1`` — i.e. it appends at most ONE
+    backfilled candidate per request (the top popularity hit of the
+    missing-id set), so a request with several missing ids still gets
+    only one of them back. We treat that as an artifact of the
+    size-limit plumbing, not intent, and emit one deterministic row PER
+    requested id — the guarantee the parameter name promises. The
+    DuckDB oracle (queries.lookup_ids_backfill) mirrors this richer
+    behavior. pos_score ranks the backfilled set by popularity;
+    es_score is 1.0 (an id equality match has a constant score, so
+    score/max_score degenerates to 1)."""
     req = requested_ids.select(
         clean_str(mention_col).alias("mention_norm"), "entity").distinct()
     missing = req.join(
@@ -401,9 +410,16 @@ def best_links(cand_slim: DataFrame, prepared: DataFrame,
                label_dict: DataFrame, broadcast_dict: bool = True) -> DataFrame:
     """Per-mention argmax by the LINK score (ed + jaccard + jaccardNgram
     desc, then popularity desc, then id asc — linking.py's decision rule)
-    over the FULL un-truncated narrow match. The 19-field response build
-    is thereby off the linking critical path entirely, and linking sees
-    every matched candidate instead of a popularity-truncated list.
+    over the narrow match, un-truncated at the MENTION level: the
+    19-field response build (and its ``limit``) is off the linking
+    critical path entirely. Scope caveat: when the index was built with
+    ``limit_per_token`` pruning (pipeline default 100), the match itself
+    is still top-K-per-token by POPULARITY — prune_index's losslessness
+    argument covers popularity-ranked candidate lists, not this
+    ed+jaccard link score, so a low-popularity high-string-similarity
+    candidate that is neither an exact nor 1-edit name match can be
+    absent from the argmax. The exact-name / 1-edit-name inclusion
+    guards in token_match are the recall backstop for the link decision.
     Similarity sets come precomputed per distinct dictionary name and per
     distinct mention; per-pair work is two array intersections plus one
     levenshtein. Score values are identical to the response fields by

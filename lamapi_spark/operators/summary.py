@@ -51,13 +51,19 @@ def with_labels(summary: DataFrame, items: DataFrame, key: str = "pred",
     """Attach human-readable labels to a predicate summary — the
     reference resolves each summarized PID to its English label before
     inserting, defaulting to 'Unknown Label' (scripts/summary.py:19-22,
-    64-79). The label side is tiny (distinct predicates), so it joins
-    broadcast; the default label expression reads ``labels['en']`` from a
-    kg_items frame."""
+    64-79). The default label expression reads ``labels['en']`` from a
+    kg_items frame.
+
+    Plan shape: ``items`` is NOT force-broadcast — it is only
+    column-pruned here, so at a 10^8-entity items table an unconditional
+    broadcast OOMs the driver. The summary side (distinct predicates) is
+    the tiny one: semi-join the label frame down to the summary's keys
+    first, then let AQE pick broadcast for the now-small label side."""
     lab_col = label_expr if label_expr is not None else F.col("labels").getItem("en")
-    lab = items.select(F.col("entity").alias(key), lab_col.alias("_lab"))
+    lab = (items.select(F.col("entity").alias(key), lab_col.alias("_lab"))
+           .join(summary.select(key).distinct(), key, "left_semi"))
     return (
-        summary.join(F.broadcast(lab), key, "left")
+        summary.join(lab, key, "left")
         .withColumn("label", F.coalesce("_lab", F.lit("Unknown Label")))
         .drop("_lab")
     )

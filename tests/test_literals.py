@@ -54,6 +54,30 @@ def test_python_twin_matches_corpus():
         assert classify_literal_py(value) == expect, value
 
 
+def test_iso_pattern_digit_separator_matches_isoparse():
+    """The `.` date/time separator class in ISO_DATETIME_PATTERN
+    deliberately includes digits: dateutil isoparse slices the date
+    positionally and accepts ANY separator char — '2016-01-05912:30'
+    really parses as 2016-01-05 12:30. Guards the pattern against a
+    well-meaning [^0-9] 'fix' that would diverge from the reference's
+    classifier."""
+    import re
+
+    from lamapi_spark.functions.literals import (
+        ISO_DATETIME_PATTERN, classify_value_cb_py,
+    )
+
+    for v in ("2016-01-05912:30", "2016-01-05T12:30", "2016-01-05#12:30"):
+        assert re.match(ISO_DATETIME_PATTERN, v), v
+        assert classify_value_cb_py(v) == "DATETIME", v
+    try:
+        from dateutil import parser
+        import datetime
+        assert parser.isoparse("2016-01-05912:30") == datetime.datetime(2016, 1, 5, 12, 30)
+    except ImportError:
+        pass
+
+
 def test_spark_matches_python_twin(spark):
     values = [v for v, _ in CORPUS] + [
         "Q30", "12:99", "25:00", "1.2.3", "a@b.c", "10 ft", "1997.08.26",
