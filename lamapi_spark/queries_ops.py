@@ -190,15 +190,62 @@ def embed_cosine_topk(spark, sf):
     )
 
 
-@register("embed_ann_lsh", None)  # non-SQL-expressible oracle (hyperplane tables)
+# The hyperplane weights are deterministic md5 arithmetic
+# (ops/similarity.py hyperplane_bits): weight(t,p,d) =
+# ((int(md5('t|p|d')[:12], 16) % 2001) - 1000) / 1000.0 — the same
+# construction the dedup_simhash oracle expresses with token_hash60.
+# Plane dots and cosines sum left-to-right (list_reduce mirrors Spark's
+# F.aggregate), so bucket keys and ranks are bit-identical.
+_ANN_PLANES, _ANN_TABLES, _ANN_DIMS = 6, 2, 64
+
+_ANN_SQL = f"""
+WITH wts AS (
+  SELECT t, p,
+         list(((('0x' || substr(md5(t::VARCHAR || '|' || p::VARCHAR || '|' || d::VARCHAR),
+                 1, 12))::UBIGINT % 2001)::BIGINT - 1000) / 1000.0 ORDER BY d) AS wvec
+  FROM range({_ANN_TABLES}) tt(t), range({_ANN_PLANES}) pp(p), range({_ANN_DIMS}) dd(d)
+  GROUP BY t, p
+), keys AS (
+  SELECT e.vec_id AS id, w.t AS tbl,
+         sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, {_ANN_DIMS + 1}),
+                              d -> e.embedding[d]::DOUBLE * w.wvec[d])),
+               (x, y) -> x + y) > 0
+             THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS key
+  FROM embeddings e CROSS JOIN wts w
+  GROUP BY e.vec_id, w.t
+), cand AS (
+  SELECT DISTINCT q.id AS q_id, c.id AS n_id
+  FROM keys q JOIN keys c ON q.tbl = c.tbl AND q.key = c.key
+  WHERE q.id < 5 AND q.id <> c.id
+), scored AS (
+  SELECT cand.q_id, cand.n_id,
+         {_DOT_SQL.format(a='eq.embedding', b='ec.embedding')}
+         / (sqrt({_DOT_SQL.format(a='eq.embedding', b='eq.embedding')})
+            * sqrt({_DOT_SQL.format(a='ec.embedding', b='ec.embedding')})) AS cosine
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.q_id
+  JOIN embeddings ec ON ec.vec_id = cand.n_id
+)
+SELECT q_id, n_id, cosine,
+       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+FROM scored QUALIFY rnk <= 3 ORDER BY q_id, rnk
+"""
+
+
+@register("embed_ann_lsh", _ANN_SQL)
 def embed_ann_lsh(spark, sf):
     """LSH-bucketed ANN (scale path): exact cosine within md5-derived
-    hyperplane buckets across 2 tables. Rows-only driver check; recall
-    vs brute force is asserted in tests."""
+    hyperplane buckets across 2 independent tables. The oracle rebuilds
+    the hyperplane weights, bucket keys, candidate join and ranked
+    cosine in SQL (md5 arithmetic + ordered list_reduce sums), so the
+    full ANN dataflow is hash-checked; recall vs brute force is
+    additionally asserted in tests. max_bucket (100k) is a no-op at
+    sandbox scale and omitted from the oracle."""
     emb = load(spark, sf, "embeddings")
     return (
         lsh_ann_topk(emb.filter(F.col("vec_id") < 5), emb, k=3,
-                     n_planes=6, n_tables=2, dims=64)
+                     n_planes=_ANN_PLANES, n_tables=_ANN_TABLES, dims=_ANN_DIMS)
         .orderBy("q_id", "rnk")
     )
 
