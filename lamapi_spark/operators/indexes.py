@@ -39,6 +39,10 @@ from lamapi_spark.operators.label_dict import fuzzy_token_index, token_inverted_
 
 _KEY = ["entity", "name", "is_alias"]
 
+# sentinel: limit_per_token=None is a meaningful value (unpruned), so
+# "not passed" needs its own marker
+_UNSET = object()
+
 
 def prune_index(idx: DataFrame, key_col: str, limit_per_token: int) -> DataFrame:
     """Keep the top-``limit_per_token`` dictionary rows per posting key,
@@ -81,6 +85,7 @@ class LookupIndex:
     limit_per_token: int | None      # pruning K applied at build (None = unpruned)
     fuzzy_edits: int = 1
     bucketed: bool = False           # True -> joins need no dict-side shuffle
+    n_buckets: int | None = None     # bucket count of the saved tables
 
     @staticmethod
     def build(label_dict: DataFrame, fuzzy: bool = True,
@@ -136,27 +141,89 @@ class LookupIndex:
         if fuzzy:
             save(mem.fuzzy, "fuzzy", "variant")
             save(mem.fuzzy_names, "fuzzy_names", "variant")
-        return LookupIndex.load(spark, prefix, fuzzy=fuzzy,
-                                limit_per_token=limit_per_token,
-                                fuzzy_edits=fuzzy_edits)
+        # the build parameters ARE part of the artifact: a consumer that
+        # loads a PRUNED index with the wrong limit_per_token silently
+        # skips the exact-name/1-edit recall guards in token_match, and a
+        # mismatched fuzzy_edits silently changes the fuzzy bands — so
+        # they persist in a 1-row sidecar table next to the data
+        meta = spark.createDataFrame(
+            [(bool(fuzzy),
+              None if limit_per_token is None else int(limit_per_token),
+              int(fuzzy_edits), int(n_buckets))],
+            "fuzzy boolean, limit_per_token int, fuzzy_edits int, n_buckets int")
+        (meta.write.mode("overwrite").format("parquet")
+         .saveAsTable(f"{prefix}_meta"))
+        return LookupIndex.load(spark, prefix)
+
+    @staticmethod
+    def read_meta(spark: SparkSession, prefix: str = "lamapi_idx") -> dict | None:
+        """The persisted build parameters, or None for a pre-meta artifact."""
+        if not spark.catalog.tableExists(f"{prefix}_meta"):
+            return None
+        r = spark.table(f"{prefix}_meta").head()
+        return {"fuzzy": r.fuzzy, "limit_per_token": r.limit_per_token,
+                "fuzzy_edits": r.fuzzy_edits, "n_buckets": r.n_buckets}
 
     @staticmethod
     def load(spark: SparkSession, prefix: str = "lamapi_idx",
-             fuzzy: bool = True, limit_per_token: int | None = None,
-             fuzzy_edits: int = 1) -> "LookupIndex":
+             fuzzy: bool | None = None, limit_per_token=_UNSET,
+             fuzzy_edits: int | None = None) -> "LookupIndex":
+        """Load saved artifacts. Build parameters come from the persisted
+        ``<prefix>_meta`` sidecar; explicitly passed values are VALIDATED
+        against it (a silent mismatch would drop recall guards), raising
+        ValueError on conflict. For pre-meta artifacts (no sidecar) the
+        explicit values are required."""
+        meta = LookupIndex.read_meta(spark, prefix)
+        if meta is None:
+            if fuzzy is None or limit_per_token is _UNSET or fuzzy_edits is None:
+                raise ValueError(
+                    f"index artifact '{prefix}' has no _meta sidecar; pass "
+                    "fuzzy/limit_per_token/fuzzy_edits explicitly or rebuild "
+                    "with LookupIndex.write")
+            meta = {"fuzzy": fuzzy, "limit_per_token": limit_per_token,
+                    "fuzzy_edits": fuzzy_edits, "n_buckets": None}
+        else:
+            mismatches = {}
+            if fuzzy is not None and fuzzy != meta["fuzzy"]:
+                mismatches["fuzzy"] = (fuzzy, meta["fuzzy"])
+            if limit_per_token is not _UNSET and limit_per_token != meta["limit_per_token"]:
+                mismatches["limit_per_token"] = (limit_per_token, meta["limit_per_token"])
+            if fuzzy_edits is not None and fuzzy_edits != meta["fuzzy_edits"]:
+                mismatches["fuzzy_edits"] = (fuzzy_edits, meta["fuzzy_edits"])
+            if mismatches:
+                raise ValueError(
+                    f"index artifact '{prefix}' was built with different "
+                    f"parameters: requested vs persisted {mismatches}; "
+                    "rebuild with LookupIndex.write or drop the argument")
         return LookupIndex(
             token=spark.table(f"{prefix}_token"),
-            fuzzy=spark.table(f"{prefix}_fuzzy") if fuzzy else None,
+            fuzzy=spark.table(f"{prefix}_fuzzy") if meta["fuzzy"] else None,
             names=spark.table(f"{prefix}_names"),
-            fuzzy_names=spark.table(f"{prefix}_fuzzy_names") if fuzzy else None,
-            limit_per_token=limit_per_token, fuzzy_edits=fuzzy_edits,
-            bucketed=True)
+            fuzzy_names=(spark.table(f"{prefix}_fuzzy_names")
+                         if meta["fuzzy"] else None),
+            limit_per_token=meta["limit_per_token"],
+            fuzzy_edits=meta["fuzzy_edits"],
+            bucketed=True, n_buckets=meta["n_buckets"])
 
     @staticmethod
     def exists(spark: SparkSession, prefix: str = "lamapi_idx",
-               fuzzy: bool = True) -> bool:
+               fuzzy: bool | None = None, limit_per_token=_UNSET,
+               fuzzy_edits: int | None = None) -> bool:
+        """True when a loadable artifact with COMPATIBLE build parameters
+        exists: tables present, meta sidecar present, and any explicitly
+        passed parameter equal to the persisted one — so reuse logic
+        rebuilds instead of silently probing a mismatched artifact."""
+        meta = LookupIndex.read_meta(spark, prefix)
+        if meta is None:
+            return False
+        if fuzzy is not None and meta["fuzzy"] != fuzzy:
+            return False
+        if limit_per_token is not _UNSET and meta["limit_per_token"] != limit_per_token:
+            return False
+        if fuzzy_edits is not None and meta["fuzzy_edits"] != fuzzy_edits:
+            return False
         needed = [f"{prefix}_token", f"{prefix}_names"]
-        if fuzzy:
+        if meta["fuzzy"]:
             needed += [f"{prefix}_fuzzy", f"{prefix}_fuzzy_names"]
         return all(spark.catalog.tableExists(t) for t in needed)
 

@@ -43,10 +43,14 @@ def build_index_artifacts(
     once per dictionary snapshot; every pipeline run then probes the
     artifacts with no dictionary-side shuffle/broadcast. ``reuse=True``
     loads existing tables instead of rebuilding."""
-    if reuse and LookupIndex.exists(spark, prefix, fuzzy=fuzzy):
-        return LookupIndex.load(spark, prefix, fuzzy=fuzzy,
-                                limit_per_token=limit_per_token,
-                                fuzzy_edits=fuzzy_edits)
+    # reuse only a PARAMETER-COMPATIBLE artifact (exists() validates the
+    # requested params against the persisted _meta sidecar); otherwise
+    # rebuild — silently probing an artifact pruned with a different K
+    # would drop the exact-name/1-edit recall guards
+    if reuse and LookupIndex.exists(spark, prefix, fuzzy=fuzzy,
+                                    limit_per_token=limit_per_token,
+                                    fuzzy_edits=fuzzy_edits):
+        return LookupIndex.load(spark, prefix)
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
     label_dict = build_label_dict(kg_items)
