@@ -158,12 +158,17 @@ def detect_mentions(
         matched_strs = exact_strs
 
     # matched_strs derives from a join, so broadcasting it means compute
-    # -> driver collect -> re-ship. That is fine while distinct matched
-    # spans are small (they are bounded by the dictionary's distinct
-    # names, itself << span occurrences); pass broadcast_dict=False when
-    # the dictionary is cluster-scale and this join shuffles instead.
+    # -> driver collect -> re-ship on every run. In the in-memory path
+    # that is an acceptable trade (distinct matched spans are bounded by
+    # the dictionary's distinct names, << span occurrences). In the
+    # ARTIFACT path (bucketed index = the cluster plan) the dictionary is
+    # presumed too big to broadcast, so the forced hint is never applied:
+    # the spans<->matched join shuffles on span and AQE upgrades it to a
+    # runtime broadcast only if the actual size warrants it — no
+    # unconditional driver round-trip.
+    force_broadcast = broadcast_dict and not bucketed
     matched = spans.join(
-        F.broadcast(matched_strs) if broadcast_dict else matched_strs, "span"
+        F.broadcast(matched_strs) if force_broadcast else matched_strs, "span"
     ).select("conv_id", "turn_idx", "start", "ntoken_span",
              F.col("span").alias("surface"), "name_norm", "edits")
 
@@ -239,8 +244,12 @@ def detect_oov_mentions(
         .filter(F.length("token") > 2)
         .select("token")
     )
+    # oov_tokens is join-derived (anti-join vs the vocabulary): forcing a
+    # broadcast is the same driver round-trip as above — only do it in
+    # the in-memory path, never with a bucketed (cluster-scale) index
+    force_broadcast = broadcast_dict and not (index is not None and index.bucketed)
     oov = toks.join(
-        F.broadcast(oov_tokens) if broadcast_dict else oov_tokens, "token")
+        F.broadcast(oov_tokens) if force_broadcast else oov_tokens, "token")
     # gaps-and-islands: adjacent OOV tokens share (pos - row_number)
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
     runs = (

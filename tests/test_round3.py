@@ -56,6 +56,60 @@ def test_index_meta_roundtrip_and_validation(spark, small_kg):
     assert not LookupIndex.exists(spark, "t_r3_absent")
 
 
+# -------------------------------------- artifact path: no forced broadcast
+
+
+def test_artifact_mention_path_no_forced_broadcast(spark, small_kg):
+    """With a bucketed index, detect_mentions / detect_oov_mentions must
+    not force-broadcast their join-derived frames (matched_strs /
+    oov_tokens): forcing one is a compute -> driver-collect -> re-ship
+    round trip on every run. Asserted on the EXECUTED plan with
+    auto-broadcast disabled (so the only possible BroadcastExchange
+    would come from an explicit hint) — and the artifact path's output
+    must equal the broadcast path's."""
+    from lamapi_spark.pipeline.fixtures import (
+        build_transcripts, transcript_dataframes,
+    )
+    from lamapi_spark.pipeline.mentions import detect_mentions, detect_oov_mentions
+
+    kg = build_kg(seed=31, n_people=25, n_orgs=10, n_locs=6, n_films=15)
+    tr = build_transcripts(kg, seed=32, n_convs=20, turns_per_conv=(3, 5))
+    transcripts = transcript_dataframes(spark, *tr)["transcripts"]
+    ld = small_kg["label_dict"]
+    idx = LookupIndex.write(ld, prefix="t_r3_mnt_idx", n_buckets=2,
+                            fuzzy=True, limit_per_token=50, fuzzy_edits=1)
+
+    base = detect_mentions(transcripts, ld, fuzzy=True, broadcast_dict=True)
+    base_rows = sorted(tuple(r) for r in base.collect())
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        art = detect_mentions(transcripts, ld, fuzzy=True,
+                              broadcast_dict=True, index=idx)
+        art_rows = sorted(tuple(r) for r in art.collect())
+        plan = art._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        assert art_rows == base_rows and len(art_rows) > 0
+
+        oov = detect_oov_mentions(transcripts, ld, index=idx)
+        oov.collect()
+        oov_plan = oov._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in oov_plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_index_unpruned_meta_none_limit(spark, small_kg):
     """limit_per_token=None (unpruned) round-trips through the sidecar —
     the consumer must NOT re-apply the exact-name guards for it."""
