@@ -37,13 +37,23 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    metastore_dir: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     in the sandbox; on a real cluster pass ``None`` with a cluster master
     configured via spark-submit.
-    """
+
+    ``metastore_dir`` (or env ``SPARK_GRAFT_METASTORE_DIR``) turns on a
+    PERSISTENT catalog: Hive support over an embedded Derby metastore in
+    that directory, warehouse alongside it. Bucketed index artifacts
+    written via ``LookupIndex.write`` then survive session restarts —
+    the offline-index lifecycle of the reference's ES index
+    (scripts/elastic_indexing.py builds once, every lookup probes). On a
+    real cluster the same code path points at a shared Hive metastore /
+    Iceberg catalog; embedded Derby is single-session-at-a-time, which
+    matches offline-build-then-probe usage."""
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
@@ -55,10 +65,19 @@ def get_spark(
     conf = dict(_BASE_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
-    # bucketed index artifacts (saveAsTable) land here; keep the sandbox
-    # repo clean by defaulting to a per-process temp dir. Real clusters
-    # point this at shared storage behind a metastore/Iceberg catalog.
-    if "SPARK_WAREHOUSE_DIR" in os.environ:
+    if metastore_dir is None:
+        metastore_dir = os.environ.get("SPARK_GRAFT_METASTORE_DIR")
+    hive = metastore_dir is not None
+    if hive:
+        conf.setdefault("spark.sql.warehouse.dir", f"{metastore_dir}/warehouse")
+        conf.setdefault(
+            "spark.hadoop.javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={metastore_dir}/metastore_db;create=true")
+        conf.setdefault("spark.sql.catalogImplementation", "hive")
+    elif "SPARK_WAREHOUSE_DIR" in os.environ:
+        # bucketed index artifacts (saveAsTable) land here; in-memory
+        # catalog = per-session artifacts (bucketing metadata is lost on
+        # exit — use metastore_dir for cross-session artifacts)
         conf.setdefault("spark.sql.warehouse.dir", os.environ["SPARK_WAREHOUSE_DIR"])
     else:
         import tempfile
@@ -68,6 +87,8 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
+    if hive:
+        builder = builder.enableHiveSupport()
     return builder.getOrCreate()
 
 

@@ -56,6 +56,40 @@ def test_index_meta_roundtrip_and_validation(spark, small_kg):
     assert not LookupIndex.exists(spark, "t_r3_absent")
 
 
+# -------------------------------------- cross-session artifact persistence
+
+
+def test_index_artifacts_survive_session_restart(tmp_path):
+    """The offline-index lifecycle: one process builds the bucketed
+    artifacts into a Derby-backed Hive metastore; a FRESH process loads
+    them (params from the _meta sidecar, no dictionary rebuild), probes
+    with a bucketed scan, and matches the broadcast-path answer —
+    elastic_indexing.py's build-once / probe-many, for real."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "tools", "index_session.py")
+    ms, out = str(tmp_path / "ms"), str(tmp_path / "out")
+
+    def run(mode):
+        proc = subprocess.run(
+            [sys.executable, script, mode, "--metastore", ms, "--out", out],
+            capture_output=True, text=True, timeout=420, cwd=str(tmp_path))
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(
+            [l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+
+    built = run("build")
+    assert built["built"] and built["expected_rows"] > 0
+    probed = run("probe")
+    assert probed["match"], probed
+    assert probed["bucketed_scan"], probed
+    assert probed["limit_per_token"] == 50 and probed["n_buckets"] == 4
+
+
 # -------------------------------------- artifact path: no forced broadcast
 
 
