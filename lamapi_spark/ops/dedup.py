@@ -172,28 +172,29 @@ def token_hash60(token: Column) -> Column:
     return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str,
+def hamming_pairs(
+    sig: DataFrame, bits: int,
     max_hamming: int = 3, n_bands: int = 4, max_bucket: int = 1000,
 ) -> DataFrame:
-    """Near-dup pairs (id_a < id_b) by SimHash Hamming distance
-    <= ``max_hamming`` — the pairing stage that makes SimHash usable as a
-    dedup path (signature computation alone finds nothing).
+    """Near-dup pairs (id_a < id_b) by Hamming distance <= ``max_hamming``
+    over any fixed-width bit signature — the shared pairing stage for
+    text SimHash (60 bits) and perceptual image aHash (64 bits).
 
-    Banded-prefix blocking: the 60-bit signature splits into ``n_bands``
-    contiguous bit bands; by pigeonhole, two signatures within Hamming
-    distance d < n_bands agree EXACTLY on at least one band, so an
-    equi-join per band finds every qualifying pair (lossless for
-    max_hamming <= n_bands - 1; the default 4 bands cover d <= 3).
-    Candidates verify with bit_count(a XOR b). ``max_bucket`` drops
-    degenerate hot buckets (all-identical boilerplate) exactly like the
-    MinHash guard.
+    ``sig``: (id, sim:bigint). Banded-prefix blocking: the signature
+    splits into ``n_bands`` contiguous bit bands; by pigeonhole, two
+    signatures within Hamming distance d < n_bands agree EXACTLY on at
+    least one band, so an equi-join per band finds every qualifying pair
+    (lossless for max_hamming <= n_bands - 1). Candidates verify with
+    bit_count(a XOR b). ``max_bucket`` drops degenerate hot buckets
+    (all-identical boilerplate) exactly like the MinHash guard. Sign-safe
+    for 64-bit signatures: the arithmetic shiftright's sign-extension is
+    masked off per band, and bit_count(xor) is sign-agnostic.
     """
     if max_hamming > n_bands - 1:
         raise ValueError("banding is lossless only for max_hamming <= n_bands - 1")
-    bits_per_band = 60 // n_bands
-    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
-    sig = df.select(F.col(id_col).alias("id"), simhash60(toks).alias("sim"))
+    if bits % n_bands != 0:
+        raise ValueError("bits must divide evenly into n_bands")
+    bits_per_band = bits // n_bands
     mask = (1 << bits_per_band) - 1
     banded = sig.select(
         "id", "sim",
@@ -216,6 +217,20 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    max_hamming: int = 3, n_bands: int = 4, max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by text-SimHash Hamming distance — the pairing
+    stage that makes SimHash usable as a dedup path (signature
+    computation alone finds nothing). See :func:`hamming_pairs` for the
+    banding/losslessness argument."""
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    sig = df.select(F.col(id_col).alias("id"), simhash60(toks).alias("sim"))
+    return hamming_pairs(sig, bits=60, max_hamming=max_hamming,
+                         n_bands=n_bands, max_bucket=max_bucket)
 
 
 def simhash60(tokens: Column) -> Column:

@@ -209,6 +209,24 @@ def decode_image(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=DECODE_SCHEMA)
 
 
+def image_neardup_pairs(
+    decoded: DataFrame, max_hamming: int = 3, n_bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Perceptual image near-duplicate pairs (id_a < id_b) by aHash
+    Hamming distance <= ``max_hamming`` — the image twin of text SimHash
+    dedup, sharing the banded-prefix pairing stage
+    (ops/dedup.hamming_pairs, lossless for d <= n_bands - 1). Input is
+    ``decode_image`` output; undecodable rows (format 'unknown', null
+    ahash) are excluded from pairing."""
+    from lamapi_spark.ops.dedup import hamming_pairs
+
+    sig = (decoded.filter(F.col("ahash").isNotNull())
+           .select("id", F.col("ahash").alias("sim")))
+    return hamming_pairs(sig, bits=64, max_hamming=max_hamming,
+                         n_bands=n_bands, max_bucket=max_bucket)
+
+
 def decode_image_real(df: DataFrame) -> DataFrame:
     """Integration point for COMPRESSED formats (JPEG/PNG/WebP): same
     mapInPandas shape as ``decode_image``, but those codecs need an

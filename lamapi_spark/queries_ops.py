@@ -674,6 +674,75 @@ def multimodal_decode(spark, sf):
     )
 
 
+# Near-dup image corpus, engine-portable by construction: 8x8 NetPBM P2
+# images where pixel i of group g is 220/30 by a pure-integer pattern
+# and each member flips exactly one pixel (position key*13 % 64). On an
+# 8x8 image every aHash cell is one pixel, and since every pixel is 30
+# or 220 the threshold (the exact mean, n/64 arithmetic) never sits on
+# a pixel value — so aHash bits are exactly (pixel == 220) in BOTH
+# engines, no float edge cases. Same-group pairs differ in <= 2 pixels
+# (Hamming <= 2); cross-group patterns differ in ~80% of positions.
+_IMG_PAIRS_SQL = """
+WITH imgs AS (
+  SELECT p_partkey AS id, p_partkey % 3 AS g, (p_partkey * 13) % 64 AS fp
+  FROM part WHERE p_partkey % 11 = 1
+), px AS (
+  SELECT id, list_transform(range(64), i ->
+    CASE WHEN i = fp
+         THEN (CASE WHEN ((g * 7 + i * 3) % 5) < 2 THEN 30 ELSE 220 END)
+         ELSE (CASE WHEN ((g * 7 + i * 3) % 5) < 2 THEN 220 ELSE 30 END) END) AS px
+  FROM imgs
+), bits AS (
+  SELECT id, list_transform(px, v -> v >= list_aggregate(px, 'avg')) AS bt
+  FROM px
+), ham AS (
+  SELECT x.id AS id_a, y.id AS id_b,
+         len(list_filter(range(1, 65), i -> x.bt[i] <> y.bt[i]))::INT AS hamming
+  FROM bits x JOIN bits y ON x.id < y.id
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
+@register("image_neardup_pairs", _IMG_PAIRS_SQL)
+def image_neardup_pairs_q(spark, sf):
+    """Image near-dup END TO END: synthesize deterministic 8x8 P2
+    near-duplicate images, decode them with the REAL numpy NetPBM parser
+    (Arrow mapInPandas), compute the 64-bit perceptual aHash, and pair
+    via the banded Hamming join (ops/multimodal.image_neardup_pairs,
+    shared with text SimHash). Oracle: brute-force all-pairs Hamming
+    over first-principles aHash bits — equality proves decoder, hash,
+    and banding (lossless for d <= 3 with 4 bands) in one shot."""
+    from lamapi_spark.ops.multimodal import decode_image, image_neardup_pairs
+
+    part = load(spark, sf, "part").filter(F.col("p_partkey") % 11 == 1)
+    g = F.col("p_partkey") % 3
+    fp = (F.col("p_partkey") * 13) % 64
+
+    def pattern(i):
+        return ((g * 7 + i * 3) % 5) < 2
+
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(
+            i == fp,
+            F.when(pattern(i), F.lit(30)).otherwise(F.lit(220))
+        ).otherwise(
+            F.when(pattern(i), F.lit(220)).otherwise(F.lit(30))))
+    payload = part.select(
+        F.col("p_partkey").alias("id"),
+        F.encode(F.concat(F.lit("P2\n8 8\n255\n"), F.concat_ws(" ", px)),
+                 "utf-8").alias("payload"),
+        F.lit("image").alias("modality"),
+    )
+    decoded = decode_image(payload)
+    return (
+        image_neardup_pairs(decoded, max_hamming=3, n_bands=4)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register("multimodal_meta", """
 SELECT doc_id AS id,
        octet_length(encode(text))::INT AS n_bytes,

@@ -43,6 +43,35 @@ def test_stream_sessionize_matches_batch(spark, events_dir):
         assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
 
 
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """The streaming dedup keeps exactly one row per distinct content
+    hash over the drained input, and its hash set equals the batch
+    exact_dedup's. (The surviving doc_id is arrival-order-dependent —
+    batch pins min(id) — so only the hash set is the invariant.)"""
+    from lamapi_spark.ops.dedup import exact_dedup
+    from lamapi_spark.streaming.dedup import stream_exact_dedup
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # duplicate some docs so dedup has real work, synthesize event time
+    feed = (
+        src.select("doc_id", "text")
+        .unionAll(src.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+                  .filter(F.col("doc_id") % 3 == 0))
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 600))
+    )
+    d = str(tmp_path / "docs_dedup")
+    feed.write.parquet(d)
+
+    got = run_available_now(stream_exact_dedup(spark, d), "t_dedup", mode="append")
+    rows = got.collect()
+    hashes = [r.content_hash for r in rows]
+    assert len(hashes) == len(set(hashes))  # exactly one row per hash
+    batch_hashes = {r.content_hash
+                    for r in exact_dedup(feed, "text", "doc_id").collect()}
+    assert set(hashes) == batch_hashes and len(batch_hashes) > 0
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stream_text_stats_matches_batch(spark, tmp_path):
     src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     d = str(tmp_path / "docs")
