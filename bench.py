@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "lookup_candidates",
+    "lookup_candidates_indexed",
     "lookup_token_match",
     "literal_freq",
     "pred_freq",
@@ -97,6 +98,29 @@ def main():
     per_query["kg_pipeline"] = round(kg_sec, 3)
     total += kg_sec
 
+    # ARTIFACT plan, measured side by side: the pipeline probing bucketed
+    # offline index tables (the plan a 10^8-entity dictionary runs) —
+    # the offline build is reported separately, exactly as the
+    # reference's lookups probe a pre-built ES index. Both plans emit
+    # identical triples (asserted).
+    from lamapi_spark.pipeline.run import build_index_artifacts
+
+    t_idx = time.time()
+    idx = build_index_artifacts(spark, dfs["kg_items"], fuzzy=True,
+                                limit_per_token=100, prefix="bench_idx",
+                                reuse=False)
+    index_build_sec = time.time() - t_idx
+    t0 = time.time()
+    out_idx = run_pipeline(spark, transcripts, dfs["kg_items"], dfs["kg_edges"],
+                           dfs["kg_sameas"], checkpoint_dir=tmp + "/ckpt_idx",
+                           fuzzy=True, index=idx)
+    n_triples_idx = out_idx["triples"].count()
+    kg_idx_sec = time.time() - t0
+    assert n_triples_idx == n_triples, (n_triples_idx, n_triples)
+    per_query["kg_pipeline_indexed"] = round(kg_idx_sec, 3)
+    per_query["index_build_offline"] = round(index_build_sec, 3)
+    total += kg_idx_sec + index_build_sec
+
     result = {
         "metric": "headline_queries_plus_kg_pipeline",
         "value": round(total, 3),
@@ -107,6 +131,10 @@ def main():
         "kg_triples": n_triples,
         "kg_triples_per_sec": round(n_triples / kg_sec, 1) if kg_sec > 0 else None,
         "kg_turns_per_sec": round(n_turns / kg_sec, 1) if kg_sec > 0 else None,
+        "kg_triples_per_sec_indexed": round(n_triples_idx / kg_idx_sec, 1)
+        if kg_idx_sec > 0 else None,
+        "kg_turns_per_sec_indexed": round(n_turns / kg_idx_sec, 1)
+        if kg_idx_sec > 0 else None,
         "cpus": int(cpus),
     }
     spark.stop()

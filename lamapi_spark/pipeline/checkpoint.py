@@ -65,10 +65,13 @@ class StageRunner:
             "overwrite").parquet(data_path)
         n_rows = int(obs.get["rows"])
         out = self.spark.read.parquet(data_path)
+        # partition count from the written files — df.rdd.getNumPartitions()
+        # would build a whole RDD conversion per stage just for a metric
+        n_parts = sum(1 for f in os.listdir(data_path) if f.startswith("part-"))
         meta = {
             "stage": stage,
             "rows_out": n_rows,
-            "partitions": out.rdd.getNumPartitions(),
+            "partitions": n_parts,
             "duration_s": round(time.time() - t0, 3),
             "fingerprint": fingerprint,
             "inputs": list(inputs),
