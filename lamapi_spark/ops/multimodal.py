@@ -10,6 +10,12 @@ Decode paths:
   average-hash (8x8 block-mean grayscale thresholded at its mean — the
   classic aHash), which feeds perceptual image dedup exactly like
   SimHash feeds text dedup (pair on bit_count(xor) <= d).
+- ``decode_audio`` — a REAL audio decoder (struct/numpy): RIFF/WAVE
+  PCM 8/16-bit header + samples, emitting channels/rate/frames/duration
+  and integer-exact amplitude stats. Compressed audio (MP3/OGG/FLAC) is
+  the same codec-library boundary as JPEG/PNG.
+- ``image_neardup_pairs`` — perceptual near-dup pairing on the aHash
+  via the shared banded Hamming stage (ops/dedup.hamming_pairs).
 - ``decode_image_meta`` — deterministic metadata-only pass for opaque
   payloads of ANY format (byte length, md5, hash-derived stand-in dims).
 - ``decode_image_real`` — the integration point for compressed formats
@@ -207,6 +213,93 @@ def decode_image(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+AUDIO_SCHEMA = ("id bigint, format string, channels int, sample_rate int, "
+                "n_samples int, duration_s double, peak_abs int, mean_abs double")
+
+
+def _parse_wav(b: bytes):
+    """RIFF/WAVE PCM (8/16-bit) -> (channels, rate, int64 samples[n, ch]).
+    Raises ValueError on anything else. Pure struct/numpy — WAV PCM is
+    uncompressed, so this is a REAL decoder with no codec library,
+    exactly like the NetPBM/BMP image path."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not wav")
+    pos, n = 12, len(b)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = b[pos:pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _brate, _balign, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError("only 8/16-bit PCM supported")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2",
+                                count=len(data) // 2).astype(np.int64)
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    frames = len(samples) // channels
+    return channels, rate, samples[: frames * channels].reshape(frames, channels)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """REAL audio decode over binary payloads (Arrow-batched, numpy
+    only): RIFF/WAVE PCM header + samples. Emits channel count, sample
+    rate, frame count, duration, and integer-exact amplitude stats
+    (peak and mean absolute sample value — sums of int64s, so
+    engine-portable with no float accumulation order issues).
+    Unrecognized/corrupt payloads emit format 'unknown' with null fields
+    (same null-degrade contract as decode_image). Compressed audio
+    (MP3/OGG/FLAC) needs a codec library not in this container — same
+    documented boundary as JPEG/PNG in decode_image_real."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = {k: [] for k in ("id", "format", "channels", "sample_rate",
+                                    "n_samples", "duration_s", "peak_abs",
+                                    "mean_abs")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    ch, rate, samples = _parse_wav(bytes(payload))
+                    frames = samples.shape[0]
+                    absv = np.abs(samples)
+                    rows["id"].append(i); rows["format"].append("WAV")
+                    rows["channels"].append(ch)
+                    rows["sample_rate"].append(rate)
+                    rows["n_samples"].append(frames)
+                    rows["duration_s"].append(frames / rate)
+                    rows["peak_abs"].append(int(absv.max()) if frames else None)
+                    # integer sum / count — exact, no float order issues
+                    rows["mean_abs"].append(
+                        float(int(absv.sum()) / absv.size) if frames else None)
+                except Exception:
+                    rows["id"].append(i); rows["format"].append("unknown")
+                    for k in ("channels", "sample_rate", "n_samples",
+                              "duration_s", "peak_abs", "mean_abs"):
+                        rows[k].append(None)
+            rows["channels"] = pd.array(rows["channels"], dtype="Int32")
+            rows["sample_rate"] = pd.array(rows["sample_rate"], dtype="Int32")
+            rows["n_samples"] = pd.array(rows["n_samples"], dtype="Int32")
+            rows["peak_abs"] = pd.array(rows["peak_abs"], dtype="Int32")
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=AUDIO_SCHEMA)
 
 
 def image_neardup_pairs(

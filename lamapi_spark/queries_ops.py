@@ -743,6 +743,61 @@ def image_neardup_pairs_q(spark, sf):
     )
 
 
+# WAV corpus, engine-portable: 16-bit PCM mono, 8000 Hz, 128 samples per
+# clip, sample i of clip `id` = ((id*7 + i*13) % 4001) - 2000 — pure
+# integer arithmetic, and mean_abs divides an exact int sum by 128 (a
+# power of two), so every emitted stat is bit-identical across engines.
+_AUDIO_SQL = """
+WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 33 = 1),
+s AS (
+  SELECT id,
+         list_transform(range(128), i -> abs((id * 7 + i * 13) % 4001 - 2000)) AS a
+  FROM ids
+)
+SELECT id, 'WAV' AS format, 1 AS channels, 8000 AS sample_rate,
+       128 AS n_samples, 128 / 8000.0 AS duration_s,
+       list_max(a)::INT AS peak_abs,
+       list_sum(a) / 128.0 AS mean_abs
+FROM s ORDER BY id
+"""
+
+
+@register("multimodal_audio", _AUDIO_SQL)
+def multimodal_audio(spark, sf):
+    """REAL audio decoding through the Arrow stage: deterministic
+    RIFF/WAVE PCM16 clips are synthesized from part keys (struct-packed
+    bytes), parsed by the numpy WAV decoder in ops/multimodal.
+    decode_audio, and the oracle checks format/channels/rate/frames/
+    duration plus integer-exact amplitude stats computed from the same
+    sample formula."""
+    from lamapi_spark.ops.multimodal import decode_audio
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 33 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import struct
+
+        import pandas as pd
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                samples = [((int(pid) * 7 + i * 13) % 4001) - 2000
+                           for i in range(128)]
+                data = b"".join(struct.pack("<h", s) for s in samples)
+                hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                       + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                               16000, 2, 16)
+                       + b"data" + struct.pack("<I", len(data)))
+                payloads.append(hdr + data)
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["audio"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    return decode_audio(payload).orderBy("id")
+
+
 @register("multimodal_meta", """
 SELECT doc_id AS id,
        octet_length(encode(text))::INT AS n_bytes,

@@ -58,15 +58,19 @@ def worker(n_exec: int, cores: int, convs: int) -> None:
     from lamapi_spark.session import get_spark
 
     cpus = n_exec * cores
-    # shuffle partitions PINNED to 32 at BOTH levels — same job, same
-    # layout. 8 partitions at the N level puts whole-stage hash maps for
-    # 1/8 of a 30M-row candidate set in one task's heap (measured:
-    # executor OOM, exit 52); 128 at the 4N level drowns the small
-    # stages in task-scheduling overhead (measured: triples_raw 2x
-    # slower at 4x cores). AQE coalesces below 32 where volumes are
-    # small, so 32 is an upper bound, not a waste.
+    # shuffle partitions PINNED at BOTH levels — same job, same layout.
+    # 8 partitions at the N level puts whole-stage hash maps for 1/8 of
+    # a 30M-row candidate set in one task's heap (measured: executor
+    # OOM, exit 52); 128 at the 4N level drowns the small stages in
+    # task-scheduling overhead (measured: triples_raw 2x slower at 4x
+    # cores). AQE coalesces below the pin where volumes are small, so
+    # it is an upper bound, not a waste. Scale the pin with input size
+    # (SCALING_SHUFFLE_PARTITIONS): at 2.5x the default workload, 32
+    # partitions are each 2.5x bigger and OOM a 20G executor the same
+    # way 8 did at 1x.
+    shuffle_parts = int(os.environ.get("SCALING_SHUFFLE_PARTITIONS", "32"))
     spark = get_spark(app_name=f"scaling_{cpus}", master=_master(n_exec, cores),
-                      shuffle_partitions=32)
+                      shuffle_partitions=shuffle_parts)
     kg_scale = int(os.environ.get("SCALING_KG_SCALE", "1"))
     kg = build_kg(seed=42, n_people=400 * kg_scale, n_orgs=120 * kg_scale,
                   n_locs=60 * kg_scale, n_films=250 * kg_scale)
