@@ -407,7 +407,8 @@ def ids_backfill(
 
 
 def best_links(cand_slim: DataFrame, prepared: DataFrame,
-               label_dict: DataFrame, broadcast_dict: bool = True) -> DataFrame:
+               label_dict: DataFrame, broadcast_dict: bool = True,
+               index: LookupIndex | None = None) -> DataFrame:
     """Per-mention argmax by the LINK score (ed + jaccard + jaccardNgram
     desc, then popularity desc, then id asc — linking.py's decision rule)
     over the narrow match, un-truncated at the MENTION level: the
@@ -426,12 +427,23 @@ def best_links(cand_slim: DataFrame, prepared: DataFrame,
     construction (same functions, same inputs).
 
     -> (mention_norm, id, link_score)."""
-    name_sets = label_dict.select("name_norm").distinct().select(
-        "name_norm",
-        F.array_distinct(F.split("name_norm", " ")).alias("_n_tok_set"),
-        ngram_set("name_norm", 3).alias("_n_gram_set"))
-    if broadcast_dict:
-        name_sets = F.broadcast(name_sets)
+    if index is not None and index.bucketed:
+        # bucketed names artifact: distinct on the bucket key is
+        # shuffle-free, the derived set columns are narrow projections
+        # (bucketing survives), and the shuffle_hash hint keeps the
+        # dictionary side exchange-free in the joins below
+        name_sets = index.names.select("name_norm").distinct().select(
+            "name_norm",
+            F.array_distinct(F.split("name_norm", " ")).alias("_n_tok_set"),
+            ngram_set("name_norm", 3).alias("_n_gram_set")).hint("shuffle_hash")
+        broadcast_dict = False
+    else:
+        name_sets = label_dict.select("name_norm").distinct().select(
+            "name_norm",
+            F.array_distinct(F.split("name_norm", " ")).alias("_n_tok_set"),
+            ngram_set("name_norm", 3).alias("_n_gram_set"))
+        if broadcast_dict:
+            name_sets = F.broadcast(name_sets)
     def score_col():
         return (ed_score("name_norm", "mention_norm")
                 + jaccard_arrays("_n_tok_set", "_m_tok_set")
@@ -454,8 +466,13 @@ def best_links(cand_slim: DataFrame, prepared: DataFrame,
         "mention_norm").agg(
         F.max(F.struct(F.col("_score").alias("s"),
                        F.col("popularity").alias("p"))).alias("_m"))
+    # mx is one row per distinct mention — small relative to the match,
+    # but still O(|mentions|): under the broadcast policy it ships to
+    # every executor; with broadcast_dict=False (cluster-scale surfaces)
+    # the join shuffles on mention_norm and AQE decides from real size
+    mx_b = F.broadcast(mx) if broadcast_dict else mx
     survivors = (
-        cand_slim.join(F.broadcast(mx), "mention_norm")
+        cand_slim.join(mx_b, "mention_norm")
         .filter(F.col("popularity") == F.col("_m.p"))
     )
     return (

@@ -144,11 +144,17 @@ def run_pipeline(
             prepared=prepared, match=slim),
         fp, ("mentions", "oov_mentions", "label_dict", "kg_items"))
 
+    # with a bucketed index the dictionary is presumed non-broadcastable:
+    # best_links then derives its name-set frame from the bucketed names
+    # artifact (shuffle-free dictionary side) and never ships it — or the
+    # per-mention max frame — through the driver; same policy as the
+    # mention joins above
     linked = runner.run(
         "linked",
         lambda: link_mentions(
             all_spans, nil_threshold=nil_threshold,
-            best=best_links(slim, prepared, label_dict, broadcast_dict)),
+            best=best_links(slim, prepared, label_dict, broadcast_dict,
+                            index=index)),
         fp, ("mentions", "candidates"))
 
     triples_raw = runner.run(

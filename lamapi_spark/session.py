@@ -21,6 +21,10 @@ _BASE_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+    # a 256MB-compressed broadcast side can serialize past the 1g
+    # maxResultSize default during the driver collect; size the limit to
+    # the broadcast policy instead of failing mid-plan
+    "spark.driver.maxResultSize": "4g",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),

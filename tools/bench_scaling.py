@@ -69,8 +69,14 @@ def worker(n_exec: int, cores: int, convs: int) -> None:
     # partitions are each 2.5x bigger and OOM a 20G executor the same
     # way 8 did at 1x.
     shuffle_parts = int(os.environ.get("SCALING_SHUFFLE_PARTITIONS", "32"))
+    # local-cluster[n,c,mem] only caps what the WORKER offers; the
+    # executor still requests spark.executor.memory (default 1g) — set
+    # it explicitly or every executor runs at 1g regardless of the
+    # master string (measured: exit-52 OOMs at 2.5x input)
     spark = get_spark(app_name=f"scaling_{cpus}", master=_master(n_exec, cores),
-                      shuffle_partitions=shuffle_parts)
+                      shuffle_partitions=shuffle_parts,
+                      extra_conf={"spark.executor.memory": f"{_EXEC_MEM_MB}m"}
+                      if MODE != "local" else None)
     kg_scale = int(os.environ.get("SCALING_KG_SCALE", "1"))
     kg = build_kg(seed=42, n_people=400 * kg_scale, n_orgs=120 * kg_scale,
                   n_locs=60 * kg_scale, n_films=250 * kg_scale)
