@@ -469,8 +469,11 @@ def best_links(cand_slim: DataFrame, prepared: DataFrame,
     # mx is one row per distinct mention — small relative to the match,
     # but still O(|mentions|): under the broadcast policy it ships to
     # every executor; with broadcast_dict=False (cluster-scale surfaces)
-    # the join shuffles on mention_norm and AQE decides from real size
-    mx_b = F.broadcast(mx) if broadcast_dict else mx
+    # the join is PINNED to shuffle_hash on mention_norm — mx is
+    # join-derived, and static size estimates for such frames are
+    # unreliable enough that the planner has picked 11GiB "broadcasts"
+    # from <256MB estimates (see pipeline/mentions.py)
+    mx_b = F.broadcast(mx) if broadcast_dict else mx.hint("shuffle_hash")
     survivors = (
         cand_slim.join(mx_b, "mention_norm")
         .filter(F.col("popularity") == F.col("_m.p"))

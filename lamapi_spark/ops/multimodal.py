@@ -14,6 +14,11 @@ Decode paths:
   PCM 8/16-bit header + samples, emitting channels/rate/frames/duration
   and integer-exact amplitude stats. Compressed audio (MP3/OGG/FLAC) is
   the same codec-library boundary as JPEG/PNG.
+- ``decode_video`` — a REAL video decoder + frame sampler (numpy):
+  YUV4MPEG2 (.y4m) header + raw luma planes, emitting per-sampled-frame
+  dimensions/fps/frame-count/mean-luma plus the same 64-bit aHash as
+  images, so video frames feed ``image_neardup_pairs`` directly.
+  Compressed video (H.264/VP9/AV1) is the same codec boundary.
 - ``image_neardup_pairs`` — perceptual near-dup pairing on the aHash
   via the shared banded Hamming stage (ops/dedup.hamming_pairs).
 - ``decode_image_meta`` — deterministic metadata-only pass for opaque
@@ -331,13 +336,120 @@ def decode_image_real(df: DataFrame) -> DataFrame:
         "PIL-based batch fn drops into this mapInPandas shape")
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling stub: emits (id, frame_idx) for frames the
-    real decoder would extract — plumbing for downstream per-frame ops.
-    Frame count is faked deterministically from payload length."""
-    return df.select(
-        "id",
-        F.explode(
-            F.sequence(F.lit(0), F.octet_length("payload") % 10, F.lit(1))
-        ).alias("frame_idx"),
-    ).filter(F.col("frame_idx") % F.lit(max(every_n // 30, 1)) == 0)
+VIDEO_SCHEMA = ("id bigint, format string, width int, height int, "
+                "fps double, n_frames int, frame_idx int, mean_y double, "
+                "ahash bigint")
+
+_Y4M_CHROMA_DIV = {
+    # colorspace tag prefix -> (x_div, y_div) for the U/V planes
+    "420": (2, 2), "422": (2, 1), "444": (1, 1),
+}
+
+
+def _parse_y4m(b: bytes):
+    """YUV4MPEG2 (.y4m) uncompressed video -> (w, h, fps, [Y planes]).
+
+    Y4M is raw planar YUV with a plain-text header — the video analogue
+    of NetPBM/WAV: no codec library needed, so this is a REAL decoder.
+    Stream header: ``YUV4MPEG2 W<w> H<h> F<num>:<den> [C<cs>] ...\\n``;
+    each frame: ``FRAME[ params]\\n`` + Y plane (w*h bytes) + U + V
+    planes (subsampled per colorspace; absent for Cmono). Only the luma
+    plane is decoded into arrays — chroma is skipped by offset, which
+    is all the downstream stats/hash need. Raises ValueError on
+    anything else (compressed video — H.264/VP9/AV1 — is the same
+    codec-library boundary as JPEG/PNG/MP3)."""
+    import numpy as np
+
+    if not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not y4m")
+    nl = b.index(b"\n")
+    w = h = None
+    num, den = 30, 1
+    chroma = "420"
+    for tok in b[9:nl].split():
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = (int(x) for x in val.split(":"))
+        elif tag == b"C":
+            chroma = val
+    if not w or not h or den <= 0:
+        raise ValueError("bad y4m header")
+    if chroma.startswith("mono"):
+        chroma_bytes = 0
+    else:
+        div = next((d for p, d in _Y4M_CHROMA_DIV.items()
+                    if chroma.startswith(p)), None)
+        if div is None:
+            raise ValueError(f"unsupported colorspace {chroma}")
+        chroma_bytes = 2 * ((w + div[0] - 1) // div[0]) * ((h + div[1] - 1) // div[1])
+    y_bytes = w * h
+    planes, pos, n = [], nl + 1, len(b)
+    while pos < n:
+        if b[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad frame marker")
+        fnl = b.index(b"\n", pos)
+        pos = fnl + 1
+        if pos + y_bytes + chroma_bytes > n:
+            raise ValueError("truncated frame")
+        planes.append(np.frombuffer(b, dtype=np.uint8, count=y_bytes,
+                                    offset=pos).reshape(h, w))
+        pos += y_bytes + chroma_bytes
+    if not planes:
+        raise ValueError("no frames")
+    return w, h, num / den, planes
+
+
+def decode_video(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video decode + frame sampling over binary payloads
+    (Arrow-batched, numpy only): YUV4MPEG2 header + raw luma planes.
+    Emits one row per SAMPLED frame (``frame_idx % every_n == 0``) with
+    true dimensions, fps, total frame count, the frame's integer-exact
+    mean luma (int sum / (w*h)) and its 64-bit aHash — so video frames
+    feed the same perceptual near-dup pairing as still images
+    (``image_neardup_pairs`` over any (id, ahash) frame set).
+    Unrecognized/corrupt payloads emit one format-'unknown' null row
+    (same null-degrade contract as decode_image/decode_audio).
+
+    Replaces the round-2 ``frame_sample_stub`` (fake frame counts from
+    payload length) with actual frame extraction; reference analogue:
+    none (the reference is text-only) — this is part of the
+    training-data-pipeline surface."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = {k: [] for k in ("id", "format", "width", "height", "fps",
+                                    "n_frames", "frame_idx", "mean_y",
+                                    "ahash")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    w, h, fps, planes = _parse_y4m(bytes(payload))
+                    for fi in range(0, len(planes), max(every_n, 1)):
+                        y = planes[fi]
+                        ah = _ahash64(y.astype("float64"))
+                        if ah >= 1 << 63:
+                            ah -= 1 << 64
+                        rows["id"].append(i); rows["format"].append("Y4M")
+                        rows["width"].append(w); rows["height"].append(h)
+                        rows["fps"].append(fps)
+                        rows["n_frames"].append(len(planes))
+                        rows["frame_idx"].append(fi)
+                        # integer sum / pixel count — exact, portable
+                        rows["mean_y"].append(float(int(y.sum(dtype="int64"))
+                                                    / (w * h)))
+                        rows["ahash"].append(ah)
+                except Exception:
+                    rows["id"].append(i); rows["format"].append("unknown")
+                    for k in ("width", "height", "fps", "n_frames",
+                              "frame_idx", "mean_y", "ahash"):
+                        rows[k].append(None)
+            for k in ("width", "height", "n_frames", "frame_idx"):
+                rows[k] = pd.array(rows[k], dtype="Int32")
+            rows["ahash"] = pd.array(rows["ahash"], dtype="Int64")
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=VIDEO_SCHEMA)

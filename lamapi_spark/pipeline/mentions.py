@@ -162,13 +162,15 @@ def detect_mentions(
     # that is an acceptable trade (distinct matched spans are bounded by
     # the dictionary's distinct names, << span occurrences). In the
     # ARTIFACT path (bucketed index = the cluster plan) the dictionary is
-    # presumed too big to broadcast, so the forced hint is never applied:
-    # the spans<->matched join shuffles on span and AQE upgrades it to a
-    # runtime broadcast only if the actual size warrants it — no
-    # unconditional driver round-trip.
+    # presumed too big to broadcast, so the join is pinned to
+    # shuffle_hash on span: join-DERIVED frames have garbage size
+    # estimates (measured: the static planner picked broadcast from a
+    # <256MB estimate and hit Spark's hard 8GiB broadcast cap at 11.1GiB
+    # actual), so leaving the strategy to the estimate is not an option.
     force_broadcast = broadcast_dict and not bucketed
     matched = spans.join(
-        F.broadcast(matched_strs) if force_broadcast else matched_strs, "span"
+        F.broadcast(matched_strs) if force_broadcast
+        else matched_strs.hint("shuffle_hash"), "span"
     ).select("conv_id", "turn_idx", "start", "ntoken_span",
              F.col("span").alias("surface"), "name_norm", "edits")
 
@@ -249,7 +251,8 @@ def detect_oov_mentions(
     # the in-memory path, never with a bucketed (cluster-scale) index
     force_broadcast = broadcast_dict and not (index is not None and index.bucketed)
     oov = toks.join(
-        F.broadcast(oov_tokens) if force_broadcast else oov_tokens, "token")
+        F.broadcast(oov_tokens) if force_broadcast
+        else oov_tokens.hint("shuffle_hash"), "token")
     # gaps-and-islands: adjacent OOV tokens share (pos - row_number)
     w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
     runs = (

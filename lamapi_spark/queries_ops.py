@@ -798,6 +798,63 @@ def multimodal_audio(spark, sf):
     return decode_audio(payload).orderBy("id")
 
 
+# Y4M corpus, engine-portable: 8x8 C420 clips, 25 fps, 6 frames; luma
+# pixel i of frame f of clip `id` = (id*7 + f*31 + i*13) % 256 — pure
+# integer arithmetic, and mean_y divides an exact int sum by 64 (a
+# power of two), so every emitted stat is bit-identical across engines.
+# Sampling every 2nd frame keeps frames 0/2/4 of 6.
+_VIDEO_SQL = """
+WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 27 = 1),
+f AS (SELECT id, unnest([0, 2, 4]) AS frame_idx FROM ids),
+s AS (
+  SELECT id, frame_idx,
+         list_sum(list_transform(range(64),
+                  i -> (id * 7 + frame_idx * 31 + i * 13) % 256)) AS ysum
+  FROM f
+)
+SELECT id, 'Y4M' AS format, 8 AS width, 8 AS height, 25.0 AS fps,
+       6 AS n_frames, frame_idx::INT AS frame_idx, ysum / 64.0 AS mean_y
+FROM s ORDER BY id, frame_idx
+"""
+
+
+@register("multimodal_video", _VIDEO_SQL)
+def multimodal_video(spark, sf):
+    """REAL video decoding + frame sampling through the Arrow stage:
+    deterministic YUV4MPEG2 clips (8x8 C420, 6 frames, 25 fps) are
+    synthesized from part keys, parsed by the numpy Y4M decoder in
+    ops/multimodal.decode_video with every_n=2, and the oracle checks
+    dimensions/fps/frame-count/sampled-frame indices plus the
+    integer-exact per-frame mean luma from the same pixel formula. The
+    per-frame aHash has no SQL twin (8x8 block means) — covered by
+    pytest (tests/test_multimodal_decode.py), and it feeds
+    image_neardup_pairs exactly like still-image hashes."""
+    from lamapi_spark.ops.multimodal import decode_video
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 27 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import pandas as pd
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                frames = []
+                for f in range(6):
+                    y = bytes((int(pid) * 7 + f * 31 + i * 13) % 256
+                              for i in range(64))
+                    frames.append(b"FRAME\n" + y + bytes([128]) * 32)
+                payloads.append(b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420jpeg\n"
+                                + b"".join(frames))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["video"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    return (decode_video(payload, every_n=2)
+            .drop("ahash").orderBy("id", "frame_idx"))
+
+
 @register("multimodal_meta", """
 SELECT doc_id AS id,
        octet_length(encode(text))::INT AS n_bytes,

@@ -91,3 +91,84 @@ def test_ahash_perceptual_locality(spark):
         .select("a.id", "b.id").collect()
     )
     assert [(r[0], r[1]) for r in near_pairs] == [(1, 2)]
+
+
+# ------------------------------------------------------------- video (Y4M)
+
+def y4m(w, h, luma_frames, chroma="C420jpeg", fps=b"F25:1"):
+    """Assemble a YUV4MPEG2 clip from per-frame luma byte rows."""
+    div = {"C420jpeg": 4, "C422": 2, "C444": 1}.get(chroma)
+    hdr = b"YUV4MPEG2 W%d H%d " % (w, h) + fps + b" Ip A1:1 " + chroma.encode() + b"\n"
+    out = [hdr]
+    for fr in luma_frames:
+        y = bytes(v for row in fr for v in row)
+        n_chroma = 0 if chroma == "Cmono" else 2 * (w * h) // div
+        out.append(b"FRAME\n" + y + bytes([128]) * n_chroma)
+    return b"".join(out)
+
+
+def test_parse_y4m_colorspaces_and_failures():
+    import numpy as np
+
+    from lamapi_spark.ops.multimodal import _parse_y4m
+
+    fr = [[[(f * 31 + (y * 8 + x) * 13) % 256 for x in range(8)]
+           for y in range(8)] for f in range(3)]
+    for cs in ("C420jpeg", "C422", "C444"):
+        w, h, fps, planes = _parse_y4m(y4m(8, 8, fr, chroma=cs))
+        assert (w, h, fps, len(planes)) == (8, 8, 25.0, 3)
+        assert planes[1].tolist() == fr[1]
+    # mono: no chroma planes at all
+    hdr = b"YUV4MPEG2 W4 H2 F30000:1001 Cmono\n"
+    clip = hdr + b"FRAME\n" + bytes(range(8)) + b"FRAME\n" + bytes(range(8))
+    w, h, fps, planes = _parse_y4m(clip)
+    assert (w, h, len(planes)) == (4, 2, 2) and abs(fps - 30000 / 1001) < 1e-9
+    for bad in (
+        b"RIFF not video",
+        b"YUV4MPEG2 W8 F25:1\nFRAME\n" + bytes(96),      # missing H
+        b"YUV4MPEG2 W8 H8 C999x\nFRAME\n" + bytes(96),   # unknown colorspace
+        b"YUV4MPEG2 W8 H8 F25:1\nFRAME\n" + bytes(10),   # truncated frame
+        b"YUV4MPEG2 W8 H8 F25:1\nBLAH\n" + bytes(96),    # bad marker
+        b"YUV4MPEG2 W8 H8 F25:1\n",                      # no frames
+    ):
+        try:
+            _parse_y4m(bad)
+            raise AssertionError(f"accepted {bad[:24]!r}")
+        except ValueError:
+            pass
+
+
+def test_decode_video_sampling_stats_and_neardup(spark):
+    from lamapi_spark.ops.multimodal import decode_video, image_neardup_pairs
+
+    base = [[[(f * 31 + (y * 8 + x) * 13) % 256 for x in range(8)]
+             for y in range(8)] for f in range(6)]
+    # clip 2 = clip 1 with one pixel nudged per frame (near-dup frames);
+    # clip 3 = inverted (far)
+    near = [[[min(v + (1 if (y, x) == (0, 0) else 0), 255) for x, v in enumerate(row)]
+             for y, row in enumerate(fr)] for fr in base]
+    far = [[[255 - v for v in row] for row in fr] for fr in base]
+    rows = spark.createDataFrame(
+        [(1, bytearray(y4m(8, 8, base)), "video"),
+         (2, bytearray(y4m(8, 8, near)), "video"),
+         (3, bytearray(y4m(8, 8, far)), "video"),
+         (4, bytearray(b"\x00\x00\x01\xba not y4m"), "video")],
+        "id bigint, payload binary, modality string")
+    out = decode_video(rows, every_n=2).collect()
+    ok = [r for r in out if r.format == "Y4M"]
+    bad = [r for r in out if r.format == "unknown"]
+    # 3 clips x frames {0,2,4}; the non-video payload degrades to one null row
+    assert len(ok) == 9 and [r.frame_idx for r in ok if r.id == 1] == [0, 2, 4]
+    assert len(bad) == 1 and bad[0].id == 4 and bad[0].ahash is None
+    r0 = next(r for r in ok if r.id == 1 and r.frame_idx == 0)
+    assert (r0.width, r0.height, r0.fps, r0.n_frames) == (8, 8, 25.0, 6)
+    exact = sum((0 * 31 + i * 13) % 256 for i in range(64)) / 64
+    assert r0.mean_y == exact
+    # frame aHashes feed the SAME pairing operator as still images:
+    # per-frame near-dups pair, inverted frames don't
+    frames = decode_video(rows, every_n=2).filter(F.col("ahash").isNotNull()).select(
+        (F.col("id") * 100 + F.col("frame_idx")).alias("id"), "ahash")
+    pairs = {(r.id_a, r.id_b)
+             for r in image_neardup_pairs(frames, max_hamming=3).collect()}
+    assert {(100 + f, 200 + f) for f in (0, 2, 4)} <= pairs
+    assert not any(a // 100 == 3 or b // 100 == 3 for a, b in pairs)

@@ -199,3 +199,56 @@ def test_index_unpruned_meta_none_limit(spark, small_kg):
     assert idx.fuzzy is None
     assert LookupIndex.exists(spark, "t_r3_meta_np", limit_per_token=None)
     assert not LookupIndex.exists(spark, "t_r3_meta_np", limit_per_token=5)
+
+
+def test_best_links_artifact_path_no_forced_broadcast(spark, small_kg):
+    """With a bucketed index, best_links must derive its name-set frame
+    from the bucketed names artifact and never force-broadcast either it
+    or the join-derived per-mention max frame (both are driver
+    round-trips at cluster scale). Asserted on the EXECUTED plan with
+    auto-broadcast disabled, and the artifact path's argmax must equal
+    the broadcast path's."""
+    from pyspark.sql import functions as F
+
+    from lamapi_spark.operators.lookup import (
+        _prepare_mentions, best_links, token_match,
+    )
+
+    ld = small_kg["label_dict"]
+    idx = LookupIndex.write(ld, prefix="t_r3_bl_idx", n_buckets=2,
+                            fuzzy=True, limit_per_token=50, fuzzy_edits=1)
+    surfaces = ld.select(F.col("name_norm").alias("mention")).distinct().limit(40)
+    prepared = _prepare_mentions(surfaces, "mention")
+
+    base_slim = token_match(prepared, ld, True, fuzzy=True,
+                            limit_per_token=50, fuzzy_edits=1, slim=True)
+    base = sorted(tuple(r) for r in
+                  best_links(base_slim, prepared, ld, True).collect())
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        slim = token_match(prepared, ld, False, fuzzy=True,
+                           limit_per_token=50, fuzzy_edits=1, index=idx,
+                           slim=True)
+        art = best_links(slim, prepared, ld, broadcast_dict=False, index=idx)
+        art_rows = sorted(tuple(r) for r in art.collect())
+        plan = art._jdf.queryExecution().executedPlan().toString()
+        # 1-row stat frames (IdentityBroadcastMode cross joins inside
+        # token_match) are legitimately broadcast; what must NOT appear
+        # is a hash-join broadcast of a real relation
+        assert "BroadcastHashJoin" not in plan
+        assert "HashedRelationBroadcastMode" not in plan
+        assert art_rows == base and len(art_rows) > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
