@@ -86,6 +86,11 @@ class LookupIndex:
     fuzzy_edits: int = 1
     bucketed: bool = False           # True -> joins need no dict-side shuffle
     n_buckets: int | None = None     # bucket count of the saved tables
+    n_names: int | None = None       # REAL row count of the names table,
+                                     # counted once at build — lets consumers
+                                     # size-gate broadcasts on an actual
+                                     # cardinality instead of a Catalyst
+                                     # estimate (None = unknown/pre-meta)
 
     @staticmethod
     def build(label_dict: DataFrame, fuzzy: bool = True,
@@ -146,11 +151,17 @@ class LookupIndex:
         # skips the exact-name/1-edit recall guards in token_match, and a
         # mismatched fuzzy_edits silently changes the fuzzy bands — so
         # they persist in a 1-row sidecar table next to the data
+        # the names-table cardinality is counted ONCE here (offline) and
+        # persisted: it is the bound on every matched-span frame a
+        # consumer might want to broadcast, and an actual count beats any
+        # runtime size estimate (see pipeline/mentions.py)
+        n_names = spark.table(f"{prefix}_names").count()
         meta = spark.createDataFrame(
             [(bool(fuzzy),
               None if limit_per_token is None else int(limit_per_token),
-              int(fuzzy_edits), int(n_buckets))],
-            "fuzzy boolean, limit_per_token int, fuzzy_edits int, n_buckets int")
+              int(fuzzy_edits), int(n_buckets), int(n_names))],
+            "fuzzy boolean, limit_per_token int, fuzzy_edits int, "
+            "n_buckets int, n_names bigint")
         (meta.write.mode("overwrite").format("parquet")
          .saveAsTable(f"{prefix}_meta"))
         return LookupIndex.load(spark, prefix)
@@ -161,8 +172,11 @@ class LookupIndex:
         if not spark.catalog.tableExists(f"{prefix}_meta"):
             return None
         r = spark.table(f"{prefix}_meta").head()
+        d = r.asDict()
         return {"fuzzy": r.fuzzy, "limit_per_token": r.limit_per_token,
-                "fuzzy_edits": r.fuzzy_edits, "n_buckets": r.n_buckets}
+                "fuzzy_edits": r.fuzzy_edits, "n_buckets": r.n_buckets,
+                # pre-round-3 sidecars lack the count — degrade to None
+                "n_names": d.get("n_names")}
 
     @staticmethod
     def load(spark: SparkSession, prefix: str = "lamapi_idx",
@@ -181,7 +195,8 @@ class LookupIndex:
                     "fuzzy/limit_per_token/fuzzy_edits explicitly or rebuild "
                     "with LookupIndex.write")
             meta = {"fuzzy": fuzzy, "limit_per_token": limit_per_token,
-                    "fuzzy_edits": fuzzy_edits, "n_buckets": None}
+                    "fuzzy_edits": fuzzy_edits, "n_buckets": None,
+                    "n_names": None}
         else:
             mismatches = {}
             if fuzzy is not None and fuzzy != meta["fuzzy"]:
@@ -203,7 +218,8 @@ class LookupIndex:
                          if meta["fuzzy"] else None),
             limit_per_token=meta["limit_per_token"],
             fuzzy_edits=meta["fuzzy_edits"],
-            bucketed=True, n_buckets=meta["n_buckets"])
+            bucketed=True, n_buckets=meta["n_buckets"],
+            n_names=meta.get("n_names"))
 
     @staticmethod
     def exists(spark: SparkSession, prefix: str = "lamapi_idx",

@@ -39,6 +39,15 @@ from lamapi_spark.functions import clean_str
 from lamapi_spark.functions.literals import classify_literal
 from lamapi_spark.functions.strings import STOPWORDS
 
+# Broadcast the matched-span list only when the dictionary's PERSISTED
+# name count (index meta, counted once at build) bounds it safely:
+# matched rows ~= names x (1 + fuzzy collisions), ~100B serialized each,
+# so 2M names keeps the worst-case broadcast in the few-hundred-MB range
+# — far under Spark's 8GiB hard cap, comparable to the session's 256MB
+# auto-broadcast policy. Above the cap the join falls back to a span
+# shuffle with AQE skew splitting.
+_BROADCAST_NAME_CAP = 2_000_000
+
 
 def _fan_out(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition with an EXPLICIT partition count before a row-exploding
@@ -157,17 +166,23 @@ def detect_mentions(
     else:
         matched_strs = exact_strs
 
-    # matched_strs derives from a join, so broadcasting it means compute
-    # -> driver collect -> re-ship on every run. In the in-memory path
-    # that is an acceptable trade (distinct matched spans are bounded by
-    # the dictionary's distinct names, << span occurrences). In the
-    # ARTIFACT path (bucketed index = the cluster plan) the dictionary is
-    # presumed too big to broadcast, so the join is pinned to
-    # shuffle_hash on span: join-DERIVED frames have garbage size
-    # estimates (measured: the static planner picked broadcast from a
-    # <256MB estimate and hit Spark's hard 8GiB broadcast cap at 11.1GiB
-    # actual), so leaving the strategy to the estimate is not an option.
-    force_broadcast = broadcast_dict and not bucketed
+    # matched_strs derives from a join, so its Catalyst size estimate is
+    # garbage in BOTH directions — measured: the static planner once
+    # picked an 11.1GiB "broadcast" of the spans side from a <256MB
+    # estimate (Spark's hard 8GiB cap), and pinning the join to
+    # shuffle_hash instead shuffles every span OCCURRENCE by its (very
+    # skewed, template-heavy) string and scales NEGATIVELY on more
+    # executors. So the strategy is decided from an ACTUAL cardinality,
+    # never an estimate: matched_strs is bounded by the dictionary's
+    # name count, which the bucketed artifact persisted at build time
+    # (index.n_names). Small dictionary -> broadcast the matched list
+    # (one bounded driver round-trip, no spans shuffle, no skew); huge
+    # dictionary -> shuffle on span and let AQE's skew-join split the
+    # hot strings. The in-memory path keeps the caller's broadcast
+    # policy (distinct matched spans << span occurrences).
+    force_broadcast = (broadcast_dict and not bucketed) or (
+        bucketed and index.n_names is not None
+        and index.n_names <= _BROADCAST_NAME_CAP)
     matched = spans.join(
         F.broadcast(matched_strs) if force_broadcast
         else matched_strs.hint("shuffle_hash"), "span"

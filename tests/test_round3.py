@@ -94,13 +94,18 @@ def test_index_artifacts_survive_session_restart(tmp_path):
 
 
 def test_artifact_mention_path_no_forced_broadcast(spark, small_kg):
-    """With a bucketed index, detect_mentions / detect_oov_mentions must
-    not force-broadcast their join-derived frames (matched_strs /
-    oov_tokens): forcing one is a compute -> driver-collect -> re-ship
-    round trip on every run. Asserted on the EXECUTED plan with
-    auto-broadcast disabled (so the only possible BroadcastExchange
-    would come from an explicit hint) — and the artifact path's output
-    must equal the broadcast path's."""
+    """The artifact path's broadcast decisions must come from ACTUAL
+    sizes, never estimates or unconditional hints. Two cases:
+
+    - huge-dictionary fallback (n_names unknown/over cap): the
+      spans<->matched join must shuffle — zero BroadcastExchange in the
+      executed plan with auto-broadcast disabled;
+    - gated path (persisted n_names under cap): matched_strs IS
+      broadcast (bounded driver round-trip, no spans shuffle/skew).
+
+    Both must equal the in-memory broadcast path's output."""
+    import dataclasses
+
     from lamapi_spark.pipeline.fixtures import (
         build_transcripts, transcript_dataframes,
     )
@@ -112,6 +117,10 @@ def test_artifact_mention_path_no_forced_broadcast(spark, small_kg):
     ld = small_kg["label_dict"]
     idx = LookupIndex.write(ld, prefix="t_r3_mnt_idx", n_buckets=2,
                             fuzzy=True, limit_per_token=50, fuzzy_edits=1)
+    assert idx.n_names is not None and idx.n_names > 0
+    # the same artifact as a 10^8-name dictionary would present itself:
+    # cardinality unknown/over the broadcast cap -> shuffle fallback
+    idx_big = dataclasses.replace(idx, n_names=None)
 
     base = detect_mentions(transcripts, ld, fuzzy=True, broadcast_dict=True)
     base_rows = sorted(tuple(r) for r in base.collect())
@@ -126,11 +135,16 @@ def test_artifact_mention_path_no_forced_broadcast(spark, small_kg):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         art = detect_mentions(transcripts, ld, fuzzy=True,
-                              broadcast_dict=True, index=idx)
+                              broadcast_dict=True, index=idx_big)
         art_rows = sorted(tuple(r) for r in art.collect())
         plan = art._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" not in plan
         assert art_rows == base_rows and len(art_rows) > 0
+
+        gated = detect_mentions(transcripts, ld, fuzzy=True,
+                                broadcast_dict=True, index=idx)
+        gated_rows = sorted(tuple(r) for r in gated.collect())
+        assert gated_rows == base_rows
 
         oov = detect_oov_mentions(transcripts, ld, index=idx)
         oov.collect()
