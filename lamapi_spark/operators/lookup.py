@@ -429,14 +429,25 @@ def best_links(cand_slim: DataFrame, prepared: DataFrame,
     -> (mention_norm, id, link_score)."""
     if index is not None and index.bucketed:
         # bucketed names artifact: distinct on the bucket key is
-        # shuffle-free, the derived set columns are narrow projections
-        # (bucketing survives), and the shuffle_hash hint keeps the
-        # dictionary side exchange-free in the joins below
+        # shuffle-free and the derived set columns are narrow
+        # projections. name_sets has EXACTLY index.n_names rows (one per
+        # distinct name_norm), so the broadcast decision is made from
+        # that persisted count, not an estimate: small dictionary ->
+        # broadcast (measured: the shuffle-pinned variant dropped the
+        # linked stage's core-scaling from 3.5x to 2.1x on 4x cores —
+        # shuffling the match by mention string is skew-bound); huge
+        # dictionary -> shuffle_hash keeps the artifact side
+        # exchange-free with no driver round-trip.
+        from lamapi_spark.pipeline.mentions import _BROADCAST_NAME_CAP
         name_sets = index.names.select("name_norm").distinct().select(
             "name_norm",
             F.array_distinct(F.split("name_norm", " ")).alias("_n_tok_set"),
-            ngram_set("name_norm", 3).alias("_n_gram_set")).hint("shuffle_hash")
-        broadcast_dict = False
+            ngram_set("name_norm", 3).alias("_n_gram_set"))
+        gated = (index.n_names is not None
+                 and index.n_names <= _BROADCAST_NAME_CAP)
+        name_sets = (F.broadcast(name_sets) if gated
+                     else name_sets.hint("shuffle_hash"))
+        broadcast_dict = gated
     else:
         name_sets = label_dict.select("name_norm").distinct().select(
             "name_norm",
@@ -466,13 +477,14 @@ def best_links(cand_slim: DataFrame, prepared: DataFrame,
         "mention_norm").agg(
         F.max(F.struct(F.col("_score").alias("s"),
                        F.col("popularity").alias("p"))).alias("_m"))
-    # mx is one row per distinct mention — small relative to the match,
-    # but still O(|mentions|): under the broadcast policy it ships to
-    # every executor; with broadcast_dict=False (cluster-scale surfaces)
-    # the join is PINNED to shuffle_hash on mention_norm — mx is
-    # join-derived, and static size estimates for such frames are
-    # unreliable enough that the planner has picked 11GiB "broadcasts"
-    # from <256MB estimates (see pipeline/mentions.py)
+    # mx is one row per distinct MATCHED mention — bounded by the same
+    # O(names x fuzzy collisions) band as detect_mentions' matched_strs,
+    # so it rides the same n_names gate (broadcast_dict was set from it
+    # above when an index is present): gated-small -> broadcast the tiny
+    # argmax frame; huge dictionary -> shuffle_hash on mention_norm (mx
+    # is join-derived, and static size estimates for such frames have
+    # picked 11GiB "broadcasts" from <256MB estimates — the strategy
+    # must never come from an estimate; see pipeline/mentions.py)
     mx_b = F.broadcast(mx) if broadcast_dict else mx.hint("shuffle_hash")
     survivors = (
         cand_slim.join(mx_b, "mention_norm")

@@ -25,9 +25,12 @@ linking maps to deterministic NIL ids. This replaces the reference's
 model-based NER for unknown entities.
 
 Scale notes: transcripts are explicitly repartitioned by ``conv_id``
-before windowed work (north-rule requirement); the dictionary side is
-broadcast when it fits, otherwise the span->dict join shuffles on the
-span string with AQE skew handling.
+before windowed work (north-rule requirement). The span->matched join's
+strategy is decided from the dictionary cardinality PERSISTED at index
+build (never a Catalyst estimate, never an unconditional hint — both
+measured pathological, see ``_BROADCAST_NAME_CAP``): small dictionary ->
+broadcast the matched-span list; huge dictionary -> shuffle on the span
+string with AQE skew handling.
 """
 
 from __future__ import annotations

@@ -216,12 +216,15 @@ def test_index_unpruned_meta_none_limit(spark, small_kg):
 
 
 def test_best_links_artifact_path_no_forced_broadcast(spark, small_kg):
-    """With a bucketed index, best_links must derive its name-set frame
-    from the bucketed names artifact and never force-broadcast either it
-    or the join-derived per-mention max frame (both are driver
-    round-trips at cluster scale). Asserted on the EXECUTED plan with
-    auto-broadcast disabled, and the artifact path's argmax must equal
-    the broadcast path's."""
+    """best_links' artifact-path strategy must come from the PERSISTED
+    dictionary cardinality, never an estimate: with n_names
+    unknown/over-cap (a 10^8-name dictionary's presentation) the
+    name-set and argmax joins must shuffle — no hash-join broadcast of
+    any real relation in the executed plan with auto-broadcast disabled;
+    with n_names under the cap the tiny frames ARE broadcast. Both
+    variants must equal the in-memory broadcast path's argmax."""
+    import dataclasses
+
     from pyspark.sql import functions as F
 
     from lamapi_spark.operators.lookup import (
@@ -231,6 +234,7 @@ def test_best_links_artifact_path_no_forced_broadcast(spark, small_kg):
     ld = small_kg["label_dict"]
     idx = LookupIndex.write(ld, prefix="t_r3_bl_idx", n_buckets=2,
                             fuzzy=True, limit_per_token=50, fuzzy_edits=1)
+    idx_big = dataclasses.replace(idx, n_names=None)
     surfaces = ld.select(F.col("name_norm").alias("mention")).distinct().limit(40)
     prepared = _prepare_mentions(surfaces, "mention")
 
@@ -249,9 +253,10 @@ def test_best_links_artifact_path_no_forced_broadcast(spark, small_kg):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         slim = token_match(prepared, ld, False, fuzzy=True,
-                           limit_per_token=50, fuzzy_edits=1, index=idx,
+                           limit_per_token=50, fuzzy_edits=1, index=idx_big,
                            slim=True)
-        art = best_links(slim, prepared, ld, broadcast_dict=False, index=idx)
+        art = best_links(slim, prepared, ld, broadcast_dict=False,
+                         index=idx_big)
         art_rows = sorted(tuple(r) for r in art.collect())
         plan = art._jdf.queryExecution().executedPlan().toString()
         # 1-row stat frames (IdentityBroadcastMode cross joins inside
@@ -260,6 +265,14 @@ def test_best_links_artifact_path_no_forced_broadcast(spark, small_kg):
         assert "BroadcastHashJoin" not in plan
         assert "HashedRelationBroadcastMode" not in plan
         assert art_rows == base and len(art_rows) > 0
+
+        gated_slim = token_match(prepared, ld, False, fuzzy=True,
+                                 limit_per_token=50, fuzzy_edits=1,
+                                 index=idx, slim=True)
+        gated = best_links(gated_slim, prepared, ld, broadcast_dict=False,
+                           index=idx)
+        gated_rows = sorted(tuple(r) for r in gated.collect())
+        assert gated_rows == base
     finally:
         for k, v in saved.items():
             if v is None:
