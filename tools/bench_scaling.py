@@ -36,9 +36,12 @@ def _parse_levels(s: str):
 # local[8] == local[32] wall on the same input), so the 2x4 vs 8x4 pair
 # measures the hardware ceiling, not the engine; 1x4 vs 4x4 stays inside
 # the machine's linear region while still being N vs 4N executors.
-LEVELS = _parse_levels(os.environ.get("SCALING_LEVELS", "2x4,8x4"))
+LEVELS = _parse_levels(os.environ.get("SCALING_LEVELS", "1x4,4x4"))
 MODE = os.environ.get("SCALING_MODE", "cluster")
-_EXEC_MEM_MB = int(os.environ.get("SCALING_EXEC_MEM_MB", "10240"))
+# 6144 per 4-core executor: measured (BENCH.md) — four co-located 20GiB
+# G1 heaps run 2.7x SLOWER than 6GiB ones on this allocation-heavy
+# string workload; right-size heaps to a few GiB per core.
+_EXEC_MEM_MB = int(os.environ.get("SCALING_EXEC_MEM_MB", "6144"))
 
 
 def _master(n_exec: int, cores: int) -> str:
