@@ -71,7 +71,9 @@ def worker(n_exec: int, cores: int, convs: int) -> None:
     # (SCALING_SHUFFLE_PARTITIONS): at 2.5x the default workload, 32
     # partitions are each 2.5x bigger and OOM a 20G executor the same
     # way 8 did at 1x.
-    shuffle_parts = int(os.environ.get("SCALING_SHUFFLE_PARTITIONS", "32"))
+    # default 80 = the documented 2.5x-input protocol (BENCH.md); scale
+    # the pin with input size per the note above
+    shuffle_parts = int(os.environ.get("SCALING_SHUFFLE_PARTITIONS", "80"))
     # local-cluster[n,c,mem] only caps what the WORKER offers; the
     # executor still requests spark.executor.memory (default 1g) — set
     # it explicitly or every executor runs at 1g regardless of the
