@@ -67,6 +67,17 @@ def main():
         except Exception:
             pass
 
+    # the indexed-lookup artifact for the TARGET sf is built here, once,
+    # outside the timed loop (and reported separately below): the timed
+    # lookup_candidates_indexed entry is then PROBE-ONLY — comparable
+    # round over round, like the reference's lookups probing a pre-built
+    # ES index. (The sf0.001 warmup above built its own sf-scoped index.)
+    from lamapi_spark.queries import _lci_index
+
+    t_lci = time.time()
+    _lci_index(spark, sf_dir)[1].token.count()
+    lci_build_sec = time.time() - t_lci
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -92,7 +103,8 @@ def main():
     n_turns = transcripts.count()
     t0 = time.time()
     out = run_pipeline(spark, transcripts, dfs["kg_items"], dfs["kg_edges"],
-                       dfs["kg_sameas"], checkpoint_dir=tmp + "/ckpt", fuzzy=True)
+                       dfs["kg_sameas"], checkpoint_dir=tmp + "/ckpt", fuzzy=True,
+                       use_index_artifacts=False)  # the broadcast plan, explicitly
     n_triples = out["triples"].count()
     kg_sec = time.time() - t0
     per_query["kg_pipeline"] = round(kg_sec, 3)
@@ -119,7 +131,8 @@ def main():
     assert n_triples_idx == n_triples, (n_triples_idx, n_triples)
     per_query["kg_pipeline_indexed"] = round(kg_idx_sec, 3)
     per_query["index_build_offline"] = round(index_build_sec, 3)
-    total += kg_idx_sec + index_build_sec
+    per_query["lci_index_build_offline"] = round(lci_build_sec, 3)
+    total += kg_idx_sec + index_build_sec + lci_build_sec
 
     result = {
         "metric": "headline_queries_plus_kg_pipeline",

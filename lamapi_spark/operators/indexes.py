@@ -172,6 +172,12 @@ class LookupIndex:
         if not spark.catalog.tableExists(f"{prefix}_meta"):
             return None
         r = spark.table(f"{prefix}_meta").head()
+        if r is None:
+            # a crash between the data saveAsTable and the meta write (or
+            # an interrupted overwrite) can leave an EMPTY meta table:
+            # treat it as meta-absent so load()/exists() fall back to the
+            # explicit-params / rebuild path instead of raising on None
+            return None
         d = r.asDict()
         return {"fuzzy": r.fuzzy, "limit_per_token": r.limit_per_token,
                 "fuzzy_edits": r.fuzzy_edits, "n_buckets": r.n_buckets,

@@ -119,8 +119,14 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
                                   limit_per_token=limit_per_token,
                                   fuzzy_edits=fuzzy_edits)
 
+    # m_ti is the token's ORDINAL in the mention's distinct-token array:
+    # a per-mention bijection with the token string, so every downstream
+    # group-by keys on the int instead of shuffling the token string
+    # (shuffle-byte cut on the biggest exchange; the string itself is
+    # only needed as the dictionary join key and for the fuzzy band).
     m_tok = mentions_prepared.select(
-        "mention_norm", F.explode(F.array_distinct("mention_tokens")).alias("m_token"),
+        "mention_norm",
+        F.posexplode(F.array_distinct("mention_tokens")).alias("m_ti", "m_token"),
     )
 
     # Slim match: only (mention, token, dict-row-key, popularity, edits)
@@ -133,7 +139,7 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
         dict_tok = F.broadcast(dict_tok)
 
     exact = m_tok.join(dict_tok, m_tok.m_token == dict_tok.token, "inner").select(
-        "mention_norm", "m_token", *_KEY, "popularity", F.lit(0).alias("edits"),
+        "mention_norm", "m_ti", *_KEY, "popularity", F.lit(0).alias("edits"),
     )
 
     if not fuzzy:
@@ -151,7 +157,7 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
         # exact arm already covers that — generating their variants would
         # only produce edits=0 rows that the >=1 filter drops
         m_var = m_tok.withColumn("_band", band).filter(F.col("_band") >= 1).select(
-            "mention_norm", "m_token", "_band",
+            "mention_norm", "m_ti", "m_token", "_band",
             F.explode(
                 F.when(F.col("_band") == 2, deletion_variants(F.col("m_token"), 2))
                 .otherwise(deletion_variants(F.col("m_token"), 1))
@@ -173,7 +179,7 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
             # ES auto-fuzziness band is driven by the *query* token length
             .filter((F.col("edits") >= 1)
                     & (F.col("edits") <= F.least(F.col("_band"), F.lit(2))))
-            .select("mention_norm", "m_token", *_KEY, "popularity", "edits")
+            .select("mention_norm", "m_ti", *_KEY, "popularity", "edits")
         )
         matched = exact.unionByName(fuzzy_hits)
 
@@ -187,11 +193,15 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
         names_full = index.probe_side(index.names)
         names_b = F.broadcast(names_full) if (broadcast_dict and not index.bucketed) else names_full
         m_norms = mentions_prepared.select("mention_norm")
+        # mention_norm == name_norm here, so positions in the name's
+        # distinct-token array ARE the mention's m_ti ordinals
         exact_name = (
             m_norms.join(names_b, F.col("mention_norm") == F.col("name_norm"))
             .select("mention_norm",
-                    F.explode(F.array_distinct(F.split("name_norm", " "))).alias("m_token"),
+                    F.posexplode(F.array_distinct(F.split("name_norm", " ")))
+                    .alias("m_ti", "_tok"),
                     *_KEY, "popularity", F.lit(0).alias("edits"))
+            .drop("_tok")
         )
         matched = matched.unionByName(exact_name)
         if fuzzy:
@@ -207,8 +217,10 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
                 .filter(F.levenshtein("mention_norm", "name_norm") == 1)
                 .select("mention_norm", "name_norm").distinct()
                 .join(name_rows, "name_norm")
-                .select("mention_norm",
-                        F.element_at(F.split("mention_norm", " "), 1).alias("m_token"),
+                # the 1-edit name guard pins its hit to the mention's
+                # FIRST token — ordinal 0 in the distinct-token array
+                # (array_distinct preserves first-occurrence order)
+                .select("mention_norm", F.lit(0).alias("m_ti"),
                         *_KEY, "popularity", F.lit(1).alias("edits"))
             )
             matched = matched.unionByName(fuzzy_name)
@@ -217,7 +229,9 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
     # force an Expand doubling the shuffle): per-token best edit first,
     # then per-candidate token counts. popularity is constant per KEY
     # (label_dict is unique on it), so min() just carries it through.
-    per_token = matched.groupBy("mention_norm", "m_token", *_KEY).agg(
+    # Keyed on the token ORDINAL m_ti, not the token string — same
+    # groups (per-mention bijection), fewer shuffled bytes.
+    per_token = matched.groupBy("mention_norm", "m_ti", *_KEY).agg(
         F.min("edits").alias("_e"), F.min("popularity").alias("_pop"))
     agg = per_token.groupBy("mention_norm", *_KEY).agg(
         F.count(F.when(F.col("_e") == 0, True)).alias("matched_tokens"),
@@ -408,7 +422,8 @@ def ids_backfill(
 
 def best_links(cand_slim: DataFrame, prepared: DataFrame,
                label_dict: DataFrame, broadcast_dict: bool = True,
-               index: LookupIndex | None = None) -> DataFrame:
+               index: LookupIndex | None = None,
+               mentions_bounded: bool = True) -> DataFrame:
     """Per-mention argmax by the LINK score (ed + jaccard + jaccardNgram
     desc, then popularity desc, then id asc — linking.py's decision rule)
     over the narrow match, un-truncated at the MENTION level: the
@@ -426,13 +441,26 @@ def best_links(cand_slim: DataFrame, prepared: DataFrame,
     levenshtein. Score values are identical to the response fields by
     construction (same functions, same inputs).
 
+    ``mentions_bounded``: True (the pipeline path) asserts the mention
+    batch derives from dictionary matching (detect_mentions), so the
+    per-mention argmax frame ``mx`` is bounded by the same
+    O(n_names x fuzzy collisions) band as the name-set frame and may
+    ride the n_names broadcast gate. Service-style callers with
+    ARBITRARY mention batches (the reference's lookup-request shape)
+    must pass False: their distinct-mention count is independent of the
+    dictionary size, so mx stays under shuffle_hash regardless of how
+    small the dictionary is.
+
     -> (mention_norm, id, link_score)."""
     if index is not None and index.bucketed:
         # bucketed names artifact: distinct on the bucket key is
         # shuffle-free and the derived set columns are narrow
-        # projections. name_sets has EXACTLY index.n_names rows (one per
-        # distinct name_norm), so the broadcast decision is made from
-        # that persisted count, not an estimate: small dictionary ->
+        # projections. name_sets has AT MOST index.n_names rows —
+        # n_names counts the names TABLE rows (one per entity/name/
+        # is_alias; aliases and shared names inflate it), so the
+        # distinct-name_norm count is bounded above by it and the gate
+        # stays conservative. The broadcast decision is made from that
+        # persisted count, not an estimate: small dictionary ->
         # broadcast (measured: the shuffle-pinned variant dropped the
         # linked stage's core-scaling from 3.5x to 2.1x on 4x cores —
         # shuffling the match by mention string is skew-bound); huge
@@ -477,15 +505,18 @@ def best_links(cand_slim: DataFrame, prepared: DataFrame,
         "mention_norm").agg(
         F.max(F.struct(F.col("_score").alias("s"),
                        F.col("popularity").alias("p"))).alias("_m"))
-    # mx is one row per distinct MATCHED mention — bounded by the same
-    # O(names x fuzzy collisions) band as detect_mentions' matched_strs,
-    # so it rides the same n_names gate (broadcast_dict was set from it
-    # above when an index is present): gated-small -> broadcast the tiny
-    # argmax frame; huge dictionary -> shuffle_hash on mention_norm (mx
-    # is join-derived, and static size estimates for such frames have
-    # picked 11GiB "broadcasts" from <256MB estimates — the strategy
-    # must never come from an estimate; see pipeline/mentions.py)
-    mx_b = F.broadcast(mx) if broadcast_dict else mx.hint("shuffle_hash")
+    # mx is one row per distinct MATCHED mention. On the PIPELINE path
+    # (mentions_bounded=True) that is bounded by the same O(names x
+    # fuzzy collisions) band as detect_mentions' matched_strs, so it
+    # rides the same n_names gate (broadcast_dict was set from it above
+    # when an index is present). For arbitrary mention batches the bound
+    # does NOT hold — distinct matched mentions track the batch, not the
+    # dictionary — so mentions_bounded=False pins shuffle_hash even for
+    # a tiny dictionary. Never un-hinted: mx is join-derived, and static
+    # size estimates for such frames have picked 11GiB "broadcasts" from
+    # <256MB estimates (see pipeline/mentions.py).
+    mx_b = (F.broadcast(mx) if (broadcast_dict and mentions_bounded)
+            else mx.hint("shuffle_hash"))
     survivors = (
         cand_slim.join(mx_b, "mention_norm")
         .filter(F.col("popularity") == F.col("_m.p"))

@@ -35,6 +35,8 @@ string with AQE skew handling.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,8 +50,11 @@ from lamapi_spark.functions.strings import STOPWORDS
 # so 2M names keeps the worst-case broadcast in the few-hundred-MB range
 # — far under Spark's 8GiB hard cap, comparable to the session's 256MB
 # auto-broadcast policy. Above the cap the join falls back to a span
-# shuffle with AQE skew splitting.
-_BROADCAST_NAME_CAP = 2_000_000
+# shuffle with AQE skew splitting. Env-overridable (LAMAPI_BROADCAST_
+# NAME_CAP) so the huge-dictionary fallback arm can be FORCED and
+# benchmarked at sandbox dictionary sizes (set 0 to always shuffle).
+_BROADCAST_NAME_CAP = int(os.environ.get("LAMAPI_BROADCAST_NAME_CAP",
+                                         2_000_000))
 
 
 def _fan_out(df: DataFrame, *cols: str) -> DataFrame:
@@ -186,23 +191,38 @@ def detect_mentions(
     force_broadcast = (broadcast_dict and not bucketed) or (
         bucketed and index.n_names is not None
         and index.n_names <= _BROADCAST_NAME_CAP)
-    matched = spans.join(
-        F.broadcast(matched_strs) if force_broadcast
-        else matched_strs.hint("shuffle_hash"), "span"
+    # Shuffle-byte cut: the span OCCURRENCE frame (the big side) ships a
+    # 96-bit composite hash of the span instead of the raw multi-word
+    # string — the string rides only on the (bounded) matched side and
+    # comes back through the join, so the fallback arm's shuffle moves
+    # fixed-width rows (4 ints + conv_id) on a measured memory-bandwidth-
+    # bound box. Correctness: a wrong surface would need two DISTINCT
+    # span strings colliding on BOTH xxhash64 and crc32 (~2^-96 per
+    # pair): at 10^12 distinct spans x 10^8 matched names the expected
+    # collision count is ~1e-9 — far below any hardware error rate.
+    def _span_key(df: DataFrame) -> DataFrame:
+        return df.withColumn("_h1", F.xxhash64("span")).withColumn(
+            "_h2", F.crc32(F.encode("span", "utf-8")))
+
+    spans_h = _span_key(spans).drop("span")
+    matched_keyed = _span_key(matched_strs)
+    matched = spans_h.join(
+        F.broadcast(matched_keyed) if force_broadcast
+        else matched_keyed.hint("shuffle_hash"), ["_h1", "_h2"]
     ).select("conv_id", "turn_idx", "start", "ntoken_span",
              F.col("span").alias("surface"), "name_norm", "edits")
 
-    # best dictionary name per span: fewest edits, then lexicographic
-    w_span = Window.partitionBy("conv_id", "turn_idx", "start", "ntoken_span").orderBy(
-        "edits", "name_norm")
-    matched = (
-        matched.withColumn("_rn", F.row_number().over(w_span))
-        .filter(F.col("_rn") == 1).drop("_rn")
-    )
-
-    # max-match: drop spans strictly contained in a longer matched span.
-    # Turn-local: collect the turn's spans (bounded by turn length), keep
-    # spans with no containing span.
+    # Per-turn span resolution in ONE shuffle (was: a row_number window
+    # over (conv_id, turn_idx, start, ntoken) THEN a group-by over
+    # (conv_id, turn_idx) — two full exchanges of the matched rows).
+    # Collect each turn's matched spans (bounded by turn length x
+    # matches) and resolve inside the array:
+    # - best dictionary name per span position: fewest edits, then
+    #   lexicographic (strict (edits, name_norm) comparison — name_norm
+    #   is distinct within a position, so the minimum is unique);
+    # - max-match: drop spans strictly contained in a longer matched
+    #   span (containment only inspects positions, so checking against
+    #   the pre-dedup array is equivalent).
     per_turn = matched.groupBy("conv_id", "turn_idx").agg(
         F.collect_list(F.struct("start", "ntoken_span", "surface", "name_norm", "edits")).alias("_ms"))
     kept = per_turn.select(
@@ -210,6 +230,13 @@ def detect_mentions(
         F.explode(F.filter(
             "_ms",
             lambda s: ~F.exists(
+                "_ms",
+                lambda o: (o["start"] == s["start"])
+                & (o["ntoken_span"] == s["ntoken_span"])
+                & ((o["edits"] < s["edits"])
+                   | ((o["edits"] == s["edits"])
+                      & (o["name_norm"] < s["name_norm"]))),
+            ) & ~F.exists(
                 "_ms",
                 lambda o: (o["start"] <= s["start"])
                 & (o["start"] + o["ntoken_span"] >= s["start"] + s["ntoken_span"])

@@ -73,23 +73,34 @@ def run_pipeline(
     broadcast_edges: bool = True,
     limit_per_token: int | None = 100,
     index: LookupIndex | None = None,
-    use_index_artifacts: bool = False,
+    use_index_artifacts: bool = True,
     index_prefix: str = "lamapi_idx",
     candidate_limit: int = 100,
 ) -> dict[str, DataFrame]:
+    """``use_index_artifacts`` defaults to True: the bucketed-artifact
+    plan is the plan users get (oracle-gated, bench-measured — the one a
+    non-broadcastable dictionary must run); pass False for the explicit
+    small-job broadcast opt-out. The artifact PREFIX names a dictionary
+    snapshot — like the reference's named ES index, rebuilding when the
+    dictionary changes is the caller's contract (pass a fresh prefix or
+    drop the tables); reuse only validates build PARAMETERS via the
+    ``_meta`` sidecar."""
     runner = StageRunner(spark, checkpoint_dir or "", enabled=checkpoint_dir is not None)
     fp = (f"fuzzy={fuzzy};nil={nil_threshold};k={max_ntoken};"
           f"lpt={limit_per_token};cl={candidate_limit}")
 
     if index is None and use_index_artifacts:
         t0 = time.time()
+        reused = LookupIndex.exists(spark, index_prefix, fuzzy=fuzzy,
+                                    limit_per_token=limit_per_token,
+                                    fuzzy_edits=1)
         index = build_index_artifacts(
             spark, kg_items, fuzzy=fuzzy, limit_per_token=limit_per_token,
             prefix=index_prefix)
         runner.metrics.append({
             "stage": "index_artifacts", "rows_out": None, "partitions": None,
             "duration_s": round(time.time() - t0, 3), "fingerprint": fp,
-            "inputs": ["kg_items"], "resumed": False})
+            "inputs": ["kg_items"], "resumed": reused})
 
     # cache: the dictionary feeds the token/variant indexes (non-artifact
     # path), the candidate payload join and the ids-backfill arm — one

@@ -737,7 +737,13 @@ def image_neardup_pairs_q(spark, sf):
     )
     decoded = decode_image(payload)
     return (
-        image_neardup_pairs(decoded, max_hamming=3, n_bands=4)
+        # max_bucket sized ABOVE any sf's per-group population (sf=1 has
+        # ~18k ids in the p%11 slice, ~6k per group, and same-group
+        # images share most bands): the default 1000 would start dropping
+        # pairs the brute-force oracle keeps once a band bucket exceeds
+        # it, silently breaking Spark<->oracle equivalence at larger sf.
+        image_neardup_pairs(decoded, max_hamming=3, n_bands=4,
+                            max_bucket=1_000_000)
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("id_a", "id_b")
     )

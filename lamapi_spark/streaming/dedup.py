@@ -25,7 +25,9 @@ def stream_exact_dedup(
     schema: str = DOC_SCHEMA,
 ) -> DataFrame:
     """File-source document stream -> first row per distinct md5(text)
-    within the watermark horizon. Emits (doc_id, content_hash, _ts)."""
+    within the watermark horizon. Emits (doc_id, content_hash) — the
+    event time only drives the watermark and is dropped from the
+    output."""
     docs = spark.readStream.schema(schema).parquet(path)
     return (
         docs

@@ -297,8 +297,8 @@ def test_bucketed_index_artifacts_parity(spark):
 
 
 def test_pipeline_with_index_artifacts_matches_default(spark, tmp_path):
-    """run_pipeline(use_index_artifacts=True) — the scaling-bench path —
-    must emit byte-identical triples to the broadcast path."""
+    """run_pipeline with index artifacts (now the DEFAULT plan) must emit
+    byte-identical triples to the broadcast opt-out path."""
     from lamapi_spark.pipeline.fixtures import (
         build_kg, build_transcripts, kg_dataframes, transcript_dataframes,
     )
@@ -308,7 +308,8 @@ def test_pipeline_with_index_artifacts_matches_default(spark, tmp_path):
     tr = build_transcripts(kg, seed=12, n_convs=30, turns_per_conv=(3, 6))
     dfs.update(transcript_dataframes(spark, *tr))
     base = run_pipeline(spark, dfs["transcripts"], dfs["kg_items"],
-                        dfs["kg_edges"], dfs["kg_sameas"], fuzzy=True)
+                        dfs["kg_edges"], dfs["kg_sameas"], fuzzy=True,
+                        use_index_artifacts=False)
     art = run_pipeline(spark, dfs["transcripts"], dfs["kg_items"],
                        dfs["kg_edges"], dfs["kg_sameas"], fuzzy=True,
                        use_index_artifacts=True, index_prefix="t_r2_pipe_idx")

@@ -30,10 +30,13 @@ def main(argv=None) -> None:
     ap.add_argument("--checkpoint")
     ap.add_argument("--fuzzy", action="store_true")
     ap.add_argument("--master", default=None)
-    ap.add_argument("--use-index-artifacts", action="store_true",
-                    help="probe bucketed offline LookupIndex tables "
-                         "(built once per dictionary snapshot; required "
-                         "when the dictionary cannot broadcast)")
+    ap.add_argument("--no-index-artifacts", action="store_true",
+                    help="small-job opt-out: skip the bucketed offline "
+                         "LookupIndex tables and broadcast the in-memory "
+                         "dictionary instead (the artifact plan — probe "
+                         "tables built once per dictionary snapshot — is "
+                         "the DEFAULT, and the only plan a dictionary "
+                         "that cannot broadcast can run)")
     ap.add_argument("--no-broadcast-dict", action="store_true",
                     help="never broadcast dictionary-derived frames "
                          "(cluster-scale dictionaries)")
@@ -66,7 +69,7 @@ def main(argv=None) -> None:
 
     out = run_pipeline(spark, transcripts, items, edges, sameas,
                        checkpoint_dir=args.checkpoint, fuzzy=args.fuzzy,
-                       use_index_artifacts=args.use_index_artifacts,
+                       use_index_artifacts=not args.no_index_artifacts,
                        broadcast_dict=not args.no_broadcast_dict,
                        candidate_limit=args.candidate_limit)
     out["triples"].write.mode("overwrite").parquet(f"{args.output}/triples")
