@@ -4,16 +4,18 @@ stages over ``mapInPandas``.
 
 Decode paths:
 
-- ``decode_image`` — a REAL decoder (pure numpy, no image libraries):
-  NetPBM P2/P3/P5/P6 and uncompressed 24-bit BMP headers + pixels,
-  emitting true width/height/channels/mean luminance plus a 64-bit
-  average-hash (8x8 block-mean grayscale thresholded at its mean — the
-  classic aHash), which feeds perceptual image dedup exactly like
-  SimHash feeds text dedup (pair on bit_count(xor) <= d).
+- ``decode_image`` — a REAL decoder (stdlib + numpy, no image
+  libraries): NetPBM P2/P3/P5/P6, uncompressed 24-bit BMP, and 8-bit
+  PNG (gray/RGB/gray+alpha/RGBA — DEFLATE via stdlib zlib plus the five
+  scanline filters unfiltered in numpy), emitting true width/height/
+  channels/mean luminance plus a 64-bit average-hash (8x8 block-mean
+  grayscale thresholded at its mean — the classic aHash), which feeds
+  perceptual image dedup exactly like SimHash feeds text dedup (pair on
+  bit_count(xor) <= d).
 - ``decode_audio`` — a REAL audio decoder (struct/numpy): RIFF/WAVE
   PCM 8/16-bit header + samples, emitting channels/rate/frames/duration
   and integer-exact amplitude stats. Compressed audio (MP3/OGG/FLAC) is
-  the same codec-library boundary as JPEG/PNG.
+  the same codec-library boundary as JPEG/WebP.
 - ``decode_video`` — a REAL video decoder + frame sampler (numpy):
   YUV4MPEG2 (.y4m) header + raw luma planes, emitting per-sampled-frame
   dimensions/fps/frame-count/mean-luma plus the same 64-bit aHash as
@@ -23,9 +25,11 @@ Decode paths:
   via the shared banded Hamming stage (ops/dedup.hamming_pairs).
 - ``decode_image_meta`` — deterministic metadata-only pass for opaque
   payloads of ANY format (byte length, md5, hash-derived stand-in dims).
-- ``decode_image_real`` — the integration point for compressed formats
-  (JPEG/PNG need a codec library not present in this container) —
-  still NotImplementedError, with the same mapInPandas shape.
+- ``decode_image_real`` — the integration point for lossy-codec
+  formats (JPEG/WebP need a codec library not present in this
+  container) — still NotImplementedError, with the same mapInPandas
+  shape. PNG moved OUT of it in round 4: zlib inflate + the five
+  scanline filters make it decodable for real.
 
 Scale notes: binary payloads dominate partition size — repartition by a
 content-hash bucket before the UDF stage so Arrow batches stay bounded
@@ -144,6 +148,89 @@ def _parse_bmp(b: bytes):
     return "BMP", w, h, rows[:, :, ::-1].astype(np.float64)  # BGR -> RGB
 
 
+def _parse_png(b: bytes):
+    """8-bit PNG (gray / RGB / gray+alpha / RGBA, non-interlaced) ->
+    ('PNG', w, h, HxWxC float64) via stdlib ``zlib`` + numpy.
+
+    PNG is NOT behind the codec boundary the compressed formats sit
+    behind: the pixel stream is DEFLATE (stdlib zlib) of per-scanline
+    filtered bytes, and the five filters (None/Sub/Up/Average/Paeth)
+    are plain integer arithmetic — so this is a REAL decoder, same
+    contract as the NetPBM/BMP/WAV/Y4M parsers. Filter notes: Sub
+    unfilters as a per-channel cumulative sum; Up is one vectorized row
+    add; Average/Paeth carry a true sequential left-dependency, decoded
+    byte-at-a-time (clarity-first reference implementation — the Arrow
+    stage amortizes it per batch, and a columns-with-stride vectorization
+    or a codec library drops in behind the same signature). Unsupported
+    (raises ValueError -> null-degrade upstream): 16-bit channels,
+    palette (type 3), interlaced."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not png")
+    pos, n = 8, len(b)
+    ihdr, idat = None, []
+    while pos + 8 <= n:
+        length, ctype = struct.unpack_from(">I4s", b, pos)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack_from(">IIBBBBB", b, pos + 8)
+        elif ctype == b"IDAT":
+            idat.append(b[pos + 8: pos + 8 + length])
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + payload + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError("palette PNG unsupported")
+    if not w or not h:
+        raise ValueError("empty image")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated scanlines")
+    lines = np.frombuffer(raw, dtype=np.uint8,
+                          count=h * (stride + 1)).reshape(h, stride + 1)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ft = int(lines[r, 0])
+        line = lines[r, 1:].astype(np.int64)
+        if ft == 0:                                   # None
+            cur = line
+        elif ft == 1:                                 # Sub
+            cur = np.cumsum(line.reshape(w, bpp), axis=0,
+                            dtype=np.int64).reshape(stride) % 256
+        elif ft == 2:                                 # Up
+            cur = (line + prev) % 256
+        elif ft in (3, 4):                            # Average / Paeth
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 3:
+                    pred = (a + up) >> 1
+                else:
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[r] = cur
+        prev = cur
+    return "PNG", w, h, out.reshape(h, w, channels).astype(np.float64)
+
+
 def _ahash64(gray) -> int:
     """Average hash: block-mean the grayscale to 8x8, threshold at the
     mean, pack row-major into 64 bits (bit 63 = top-left)."""
@@ -165,9 +252,10 @@ def _ahash64(gray) -> int:
 
 
 def decode_image(df: DataFrame) -> DataFrame:
-    """REAL image decode over binary payloads (Arrow-batched, numpy
-    only): NetPBM (P2/P3/P5/P6) and uncompressed 24-bit BMP. Emits true
-    dimensions, channel count, mean luminance (ITU-R 601 for RGB) and a
+    """REAL image decode over binary payloads (Arrow-batched, stdlib +
+    numpy only): NetPBM (P2/P3/P5/P6), uncompressed 24-bit BMP, and
+    8-bit non-interlaced PNG. Emits true dimensions, channel count,
+    mean luminance (ITU-R 601 for RGB/RGBA; alpha never contributes) and a
     64-bit average-hash. Unrecognized/corrupt payloads emit format
     'unknown' with null fields instead of failing the batch (P6-style
     null guard). Pair near-duplicate images downstream with
@@ -187,11 +275,17 @@ def decode_image(df: DataFrame) -> DataFrame:
                     try:
                         fmt, w, h, px = _parse_netpbm(b)
                     except ValueError:
-                        fmt, w, h, px = _parse_bmp(b)
-                    if px.shape[2] == 3:
+                        try:
+                            fmt, w, h, px = _parse_bmp(b)
+                        except ValueError:
+                            fmt, w, h, px = _parse_png(b)
+                    if px.shape[2] >= 3:
+                        # RGB / RGBA: ITU-R 601 luma over the color
+                        # channels (alpha never contributes)
                         gray = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
                                 + 0.114 * px[:, :, 2])
                     else:
+                        # gray / gray+alpha: the luma IS channel 0
                         gray = px[:, :, 0]
                     # keep the hash in signed-64 range for Spark's bigint
                     ah = _ahash64(gray)
@@ -270,7 +364,7 @@ def decode_audio(df: DataFrame) -> DataFrame:
     Unrecognized/corrupt payloads emit format 'unknown' with null fields
     (same null-degrade contract as decode_image). Compressed audio
     (MP3/OGG/FLAC) needs a codec library not in this container — same
-    documented boundary as JPEG/PNG in decode_image_real."""
+    documented boundary as JPEG/WebP in decode_image_real."""
     import numpy as np
     import pandas as pd
 
@@ -326,14 +420,17 @@ def image_neardup_pairs(
 
 
 def decode_image_real(df: DataFrame) -> DataFrame:
-    """Integration point for COMPRESSED formats (JPEG/PNG/WebP): same
+    """Integration point for LOSSY-CODEC formats (JPEG/WebP): same
     mapInPandas shape as ``decode_image``, but those codecs need an
-    image library not present in this container. Uncompressed formats
-    (NetPBM, 24-bit BMP) decode for real via ``decode_image``."""
+    image library not present in this container. Everything whose pixel
+    stream is reachable with stdlib + numpy decodes FOR REAL via
+    ``decode_image``: NetPBM, 24-bit BMP, and 8-bit PNG (zlib inflate +
+    the five scanline filters)."""
     raise NotImplementedError(
-        "JPEG/PNG decoding requires a codec library not present in this "
-        "environment; decode_image handles NetPBM/BMP for real, and a "
-        "PIL-based batch fn drops into this mapInPandas shape")
+        "JPEG/WebP decoding requires a codec library not present in "
+        "this environment; decode_image handles NetPBM/BMP/PNG for "
+        "real, and a PIL-based batch fn drops into this mapInPandas "
+        "shape")
 
 
 VIDEO_SCHEMA = ("id bigint, format string, width int, height int, "
@@ -357,7 +454,7 @@ def _parse_y4m(b: bytes):
     plane is decoded into arrays — chroma is skipped by offset, which
     is all the downstream stats/hash need. Raises ValueError on
     anything else (compressed video — H.264/VP9/AV1 — is the same
-    codec-library boundary as JPEG/PNG/MP3)."""
+    codec-library boundary as JPEG/WebP/MP3)."""
     import numpy as np
 
     if not b.startswith(b"YUV4MPEG2"):

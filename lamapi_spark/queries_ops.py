@@ -876,3 +876,246 @@ def multimodal_meta(spark, sf):
     documented stub in ops/multimodal.py)."""
     payload = attach_binary(load(spark, sf, "documents"), "text", "doc_id")
     return decode_image_meta(payload).orderBy("id")
+
+
+# ------------------------------------------------------------------- png
+
+def _png_encode(px_rows, channels=1):
+    """Minimal PNG encoder for the synth corpora (8-bit, non-interlaced):
+    row r is filtered with type r % 5, so ONE image exercises all five
+    scanline filters (None/Sub/Up/Average/Paeth) and a correct decode
+    proves every unfilter path at once. ``px_rows`` is a list of rows,
+    each ``width * channels`` ints in 0..255."""
+    import struct
+    import zlib
+
+    h, stride = len(px_rows), len(px_rows[0])
+    w = stride // channels
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    bpp = channels
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    raw = bytearray()
+    prev = [0] * stride
+    for r, row in enumerate(px_rows):
+        ft = r % 5
+        raw.append(ft)
+        for x, v in enumerate(row):
+            a = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (a + up) >> 1
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+            raw.append((v - pred) % 256)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+@register("multimodal_png", """
+WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 23 = 1),
+s AS (
+  SELECT id,
+         list_sum(list_transform(range(64), i -> (id * 7 + i * 13) % 256)) AS ps
+  FROM ids
+)
+SELECT id, 'PNG' AS format, 8 AS width, 8 AS height, 1 AS channels,
+       round_even(ps / 64.0, 3) AS mean_luma
+FROM s ORDER BY id
+""")
+def multimodal_png(spark, sf):
+    """REAL PNG decoding through the Arrow stage: deterministic 8x8
+    grayscale PNGs are synthesized from part keys (pixel i of clip `id`
+    = (id*7 + i*13) % 256 — pure integer arithmetic; mean divides an
+    exact int sum by 64, so stats are bit-identical across engines),
+    DEFLATE-compressed with filter type r % 5 on row r (all five
+    scanline filters in every image), inflated + unfiltered by the
+    stdlib-zlib/numpy decoder in ops/multimodal._parse_png, and the
+    oracle checks format/dimensions/channels/mean luminance computed
+    from the same pixel formula. Closes the round-3 'codec boundary'
+    gap: PNG is DEFLATE + integer filters, not a lossy codec."""
+    from lamapi_spark.ops.multimodal import decode_image
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 23 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import pandas as pd
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                px = [(int(pid) * 7 + i * 13) % 256 for i in range(64)]
+                rows = [px[r * 8:(r + 1) * 8] for r in range(8)]
+                payloads.append(_png_encode(rows, channels=1))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["image"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    return (decode_image(payload)
+            .select("id", "format", "width", "height", "channels", "mean_luma")
+            .orderBy("id"))
+
+
+# Near-dup PNG corpus: the same engine-portable 30/220 two-level pixel
+# pattern as the NetPBM image_neardup_pairs corpus (aHash bits are
+# exactly (pixel == 220) in both engines — the threshold never sits on a
+# pixel value), on an independent id slice, PNG-ENCODED with the r % 5
+# filter schedule. Equality against the brute-force oracle proves
+# inflate + all five unfilters + aHash + banding end to end.
+_PNG_PAIRS_SQL = """
+WITH imgs AS (
+  SELECT p_partkey AS id, p_partkey % 3 AS g, (p_partkey * 13) % 64 AS fp
+  FROM part WHERE p_partkey % 13 = 1
+), px AS (
+  SELECT id, list_transform(range(64), i ->
+    CASE WHEN i = fp
+         THEN (CASE WHEN ((g * 7 + i * 3) % 5) < 2 THEN 30 ELSE 220 END)
+         ELSE (CASE WHEN ((g * 7 + i * 3) % 5) < 2 THEN 220 ELSE 30 END) END) AS px
+  FROM imgs
+), bits AS (
+  SELECT id, list_transform(px, v -> v >= list_aggregate(px, 'avg')) AS bt
+  FROM px
+), ham AS (
+  SELECT x.id AS id_a, y.id AS id_b,
+         len(list_filter(range(1, 65), i -> x.bt[i] <> y.bt[i]))::INT AS hamming
+  FROM bits x JOIN bits y ON x.id < y.id
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
+@register("png_neardup_pairs", _PNG_PAIRS_SQL)
+def png_neardup_pairs_q(spark, sf):
+    """PNG near-dup END TO END: synthesize deterministic 8x8 grayscale
+    near-duplicate PNGs (filter type r % 5 per row), decode with the
+    REAL zlib/numpy PNG parser (Arrow mapInPandas), compute the 64-bit
+    perceptual aHash, and pair via the banded Hamming join — the PNG
+    twin of image_neardup_pairs, against the same brute-force oracle
+    shape."""
+    from lamapi_spark.ops.multimodal import decode_image, image_neardup_pairs
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 13 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import pandas as pd
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                pid = int(pid)
+                g, fp = pid % 3, (pid * 13) % 64
+                px = []
+                for i in range(64):
+                    base = 220 if ((g * 7 + i * 3) % 5) < 2 else 30
+                    px.append((250 - base) if i == fp else base)
+                rows = [px[r * 8:(r + 1) * 8] for r in range(8)]
+                payloads.append(_png_encode(rows, channels=1))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["image"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    decoded = decode_image(payload)
+    return (
+        # max_bucket sized above any sf's group population, same
+        # reasoning as image_neardup_pairs
+        image_neardup_pairs(decoded, max_hamming=3, n_bands=4,
+                            max_bucket=1_000_000)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# Cross-clip video near-dup corpus: 8x8 Y4M clips, 4 frames each; frame
+# f of clip `id` carries the clip-group (id % 3) base pattern (220/30,
+# engine-portable aHash exactly as the image corpora) with ONE flipped
+# pixel at (id*13 + f*7) % 64. Sampled frames (every_n=2 -> f in {0,2})
+# of clips in the SAME group differ in <= 2 pixels — near-dup across
+# different videos — while cross-group frames differ in ~80% of
+# positions. Frame identity for pairing: fid = id*10 + frame_idx.
+_VIDEO_PAIRS_SQL = """
+WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 29 = 1),
+fr AS (SELECT id, unnest([0, 2]) AS f FROM ids),
+px AS (
+  SELECT id, f, list_transform(range(64), i ->
+    CASE WHEN i = (id * 13 + f * 7) % 64
+         THEN (CASE WHEN ((id % 3) * 7 + i * 3) % 5 < 2 THEN 30 ELSE 220 END)
+         ELSE (CASE WHEN ((id % 3) * 7 + i * 3) % 5 < 2 THEN 220 ELSE 30 END) END) AS px
+  FROM fr
+), bits AS (
+  SELECT id * 10 + f AS fid,
+         list_transform(px, v -> v >= list_aggregate(px, 'avg')) AS bt
+  FROM px
+), ham AS (
+  SELECT x.fid AS id_a, y.fid AS id_b,
+         len(list_filter(range(1, 65), i -> x.bt[i] <> y.bt[i]))::INT AS hamming
+  FROM bits x JOIN bits y ON x.fid < y.fid
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
+@register("video_neardup_pairs", _VIDEO_PAIRS_SQL)
+def video_neardup_pairs_q(spark, sf):
+    """Video near-dup ACROSS CLIPS, end to end: synthesize deterministic
+    Y4M clips whose sampled frames repeat a group pattern with one
+    flipped pixel per (clip, frame), decode + frame-sample with the REAL
+    numpy Y4M parser (every_n=2), and pair the sampled frames of ALL
+    clips through the shared banded Hamming join — the last hop of the
+    multimodal dataflow (decode_video's (id, ahash) rows feeding
+    image_neardup_pairs' machinery) under a brute-force oracle."""
+    from lamapi_spark.ops.dedup import hamming_pairs
+    from lamapi_spark.ops.multimodal import decode_video
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 29 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import pandas as pd
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                pid = int(pid)
+                g = pid % 3
+                frames = []
+                for f in range(4):
+                    fp = (pid * 13 + f * 7) % 64
+                    y = bytes(
+                        (250 - (220 if ((g * 7 + i * 3) % 5) < 2 else 30))
+                        if i == fp
+                        else (220 if ((g * 7 + i * 3) % 5) < 2 else 30)
+                        for i in range(64))
+                    frames.append(b"FRAME\n" + y + bytes([128]) * 32)
+                payloads.append(b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420jpeg\n"
+                                + b"".join(frames))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["video"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    sig = (decode_video(payload, every_n=2)
+           .filter(F.col("ahash").isNotNull())
+           .select((F.col("id") * 10 + F.col("frame_idx")).alias("id"),
+                   F.col("ahash").alias("sim")))
+    return (
+        hamming_pairs(sig, bits=64, max_hamming=3, n_bands=4,
+                      max_bucket=1_000_000)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )

