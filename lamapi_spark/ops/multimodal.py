@@ -161,9 +161,10 @@ def _parse_png(b: bytes):
     add; Average/Paeth carry a true sequential left-dependency, decoded
     byte-at-a-time (clarity-first reference implementation — the Arrow
     stage amortizes it per batch, and a columns-with-stride vectorization
-    or a codec library drops in behind the same signature). Unsupported
-    (raises ValueError -> null-degrade upstream): 16-bit channels,
-    palette (type 3), interlaced."""
+    or a codec library drops in behind the same signature). Palette
+    (type 3) resolves indices through PLTE to RGB after unfiltering.
+    Unsupported (raises ValueError -> null-degrade upstream): 16-bit
+    channels, interlaced (Adam7), missing/invalid PLTE."""
     import struct
     import zlib
 
@@ -172,13 +173,15 @@ def _parse_png(b: bytes):
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not png")
     pos, n = 8, len(b)
-    ihdr, idat = None, []
+    ihdr, idat, plte = None, [], None
     while pos + 8 <= n:
         length, ctype = struct.unpack_from(">I4s", b, pos)
         if ctype == b"IHDR":
             ihdr = struct.unpack_from(">IIBBBBB", b, pos + 8)
         elif ctype == b"IDAT":
             idat.append(b[pos + 8: pos + 8 + length])
+        elif ctype == b"PLTE":
+            plte = b[pos + 8: pos + 8 + length]
         elif ctype == b"IEND":
             break
         pos += 12 + length  # length + type + payload + crc
@@ -187,9 +190,13 @@ def _parse_png(b: bytes):
     w, h, depth, color, comp, filt, interlace = ihdr
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("only 8-bit non-interlaced PNG supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    # color type 3 (palette): 1 byte/pixel of PLTE indices; resolved to
+    # RGB after unfiltering (filters operate on the INDEX bytes per spec)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
-        raise ValueError("palette PNG unsupported")
+        raise ValueError(f"unsupported color type {color}")
+    if color == 3 and (plte is None or len(plte) % 3 != 0 or not plte):
+        raise ValueError("palette PNG missing/invalid PLTE")
     if not w or not h:
         raise ValueError("empty image")
     raw = zlib.decompress(b"".join(idat))
@@ -228,6 +235,12 @@ def _parse_png(b: bytes):
             raise ValueError(f"bad filter type {ft}")
         out[r] = cur
         prev = cur
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idxs = out.reshape(h, w)
+        if int(idxs.max()) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        return "PNG", w, h, pal[idxs].astype(np.float64)
     return "PNG", w, h, out.reshape(h, w, channels).astype(np.float64)
 
 

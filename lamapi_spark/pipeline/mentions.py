@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lamapi_spark.functions import clean_str
@@ -298,20 +298,46 @@ def detect_oov_mentions(
     oov = toks.join(
         F.broadcast(oov_tokens) if force_broadcast
         else oov_tokens.hint("shuffle_hash"), "token")
-    # gaps-and-islands: adjacent OOV tokens share (pos - row_number)
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
-    runs = (
-        oov.withColumn("_grp", F.col("pos") - F.row_number().over(w))
-        .groupBy("conv_id", "turn_idx", "_grp")
-        .agg(
-            (F.min("pos") + 1).alias("start"),  # 1-based like _spans
-            F.count("*").alias("ntoken_span"),
-            F.concat_ws(" ", F.collect_list("token")).alias("surface"),
-        )
-        .filter((F.col("ntoken_span") <= max_run) & (F.col("ntoken_span") >= min_run))
-        .drop("_grp")
+    # Gaps-and-islands in ONE shuffle (was: a row_number window over
+    # (conv_id, turn_idx) THEN a group-by over (conv_id, turn_idx, _grp)
+    # — two full exchanges of the OOV token rows, and the second's
+    # collect_list order was only incidentally right). Collect each
+    # turn's OOV tokens once, sort in-array by position (explicit
+    # determinism), and fold adjacent positions into runs with a single
+    # array aggregate; arrays are bounded by turn length.
+    per_turn = oov.groupBy("conv_id", "turn_idx").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "token"))).alias("_tk"))
+    empty_runs = F.expr(
+        "CAST(array() AS array<struct<start:int,ntoken_span:int,toks:array<string>>>)")
+
+    def fold(acc, e):
+        runs_arr = acc["runs"]
+        extend = e["pos"] == acc["last"] + 1
+        lr = F.element_at(runs_arr, -1)
+        upd = F.struct(
+            lr["start"].alias("start"),
+            (lr["ntoken_span"] + F.lit(1)).alias("ntoken_span"),
+            F.concat(lr["toks"], F.array(e["token"])).alias("toks"))
+        appended = F.concat(F.slice(runs_arr, 1, F.size(runs_arr) - 1), F.array(upd))
+        fresh = F.concat(runs_arr, F.array(F.struct(
+            (e["pos"] + 1).cast("int").alias("start"),  # 1-based like _spans
+            F.lit(1).alias("ntoken_span"),
+            F.array(e["token"]).alias("toks"))))
+        return F.struct(
+            F.when(extend, appended).otherwise(fresh).alias("runs"),
+            e["pos"].alias("last"))
+
+    init = F.struct(empty_runs.alias("runs"), F.lit(-100).alias("last"))
+    runs = per_turn.select(
+        "conv_id", "turn_idx",
+        F.explode(F.aggregate("_tk", init, fold)["runs"]).alias("r"))
+    return (
+        runs
+        .filter((F.col("r.ntoken_span") <= max_run)
+                & (F.col("r.ntoken_span") >= min_run))
+        .select("conv_id", "turn_idx", "r.start", "r.ntoken_span",
+                F.concat_ws(" ", "r.toks").alias("surface"))
     )
-    return runs
 
 
 def detect_mentions_pandas(

@@ -260,7 +260,7 @@ def test_decode_png_unsupported_degrades_to_unknown(spark):
     good = _png_encode([[10, 20], [30, 40]], channels=1)
     truncated = good[:len(good) // 2]
     rows = [
-        (1, bytearray(png_hdr(color=3)), "image"),        # palette
+        (1, bytearray(png_hdr(color=3)), "image"),        # palette, NO PLTE
         (2, bytearray(png_hdr(depth=16)), "image"),       # 16-bit
         (3, bytearray(png_hdr(interlace=1)), "image"),    # Adam7
         (4, bytearray(truncated), "image"),               # cut mid-IDAT
@@ -271,3 +271,60 @@ def test_decode_png_unsupported_degrades_to_unknown(spark):
     for i in (1, 2, 3, 4):
         assert out[i].format == "unknown" and out[i].ahash is None, i
     assert out[5].format == "PNG" and out[5].mean_luma == 25.0
+
+
+def test_decode_png_palette_resolves_to_rgb(spark):
+    """Color type 3: filters run on the INDEX bytes, then PLTE lookup
+    yields RGB — a palette image of the same colors as a truecolor PNG
+    must produce identical luma and aHash."""
+    import struct
+    import zlib
+
+    from lamapi_spark.queries_ops import _png_encode
+
+    grad = _gradient(8, 8)
+    # palette = the distinct colors of grad, index rows into it
+    colors = sorted({px for row in grad for px in row})
+    cidx = {c: i for i, c in enumerate(colors)}
+    idx_rows = [[cidx[px] for px in row] for row in grad]
+    rgb_flat = [[c for px in row for c in px] for row in grad]
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # filtered index scanlines, one filter type per row (r % 5) — the
+    # filters operate on the index bytes, exactly per spec
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 3, 0, 0, 0)
+    raw = bytearray()
+    prev = [0] * 8
+    for r, row in enumerate(idx_rows):
+        ft = r % 5
+        raw.append(ft)
+        for x, v in enumerate(row):
+            a = row[x - 1] if x >= 1 else 0
+            up = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            pred = (0 if ft == 0 else a if ft == 1 else up if ft == 2
+                    else (a + up) >> 1 if ft == 3
+                    else (a if (abs(a + up - c - a) <= abs(a + up - c - up)
+                                and abs(a + up - c - a) <= abs(a + up - c - c))
+                          else (up if abs(a + up - c - up) <= abs(a + up - c - c)
+                                else c)))
+            raw.append((v - pred) % 256)
+        prev = row
+    plte = bytes(c for col in colors for c in col)
+    pal_png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"PLTE", plte)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+
+    rows = [
+        (1, bytearray(pal_png), "image"),
+        (2, bytearray(_png_encode(rgb_flat, channels=3)), "image"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary, modality string")
+    out = {r.id: r for r in decode_image(df).collect()}
+    assert out[1].format == "PNG" and out[1].channels == 3
+    assert out[1].mean_luma == out[2].mean_luma
+    assert out[1].ahash == out[2].ahash
