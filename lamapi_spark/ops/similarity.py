@@ -130,3 +130,43 @@ def lsh_ann_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "cosine", "rnk")
     )
+
+
+def embed_neardup_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec: str = "embedding",
+    threshold: float = 0.98,
+    n_planes: int = 8, n_tables: int = 2, dims: int = 64,
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Embedding-cosine NEAR-DUP PAIRS (id_a < id_b, cosine >=
+    ``threshold``) — the embedding member of the dedup family (exact /
+    MinHash / SimHash / n-gram Jaccard / embedding-cosine), same
+    bucket-join shape as hamming_pairs and the MinHash band join:
+    candidates are corpus self-join pairs sharing >= 1 LSH bucket across
+    ``n_tables`` independent md5-derived hyperplane tables, then
+    verified with the exact deterministic cosine. Precision is exact;
+    recall is the standard ANN trade (a true pair bucketed apart in
+    every table is missed — recall grows with n_tables). ``max_bucket``
+    drops degenerate hot buckets exactly like the MinHash guard."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
+    keys = F.array(*[
+        hyperplane_bits(F.col("v"), n_planes, dims, t) for t in range(n_tables)
+    ])
+    bk = base.select("id", "v", F.posexplode(keys).alias("tbl", "key"))
+    if max_bucket is not None:
+        bk = (bk.withColumn("_bn", F.count("*").over(
+                  Window.partitionBy("tbl", "key")))
+              .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+    a = bk.select("tbl", "key", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = bk.select("tbl", "key", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    cand = (
+        a.join(b, ["tbl", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine_exact(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1119,3 +1119,84 @@ def video_neardup_pairs_q(spark, sf):
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------------- embedding near-dup pairs
+
+# Corpus with PLANTED near-duplicates: every 5th vector gets a copy
+# (id + 1000000) whose FIRST component is nudged by +0.05, cast back to
+# float32 in both engines so the perturbed values are bit-identical.
+# cosine(v, v') stays ~0.999 for the planted pairs while random 64-dim
+# pairs sit near 0 — threshold 0.98 selects exactly the plants that LSH
+# buckets together. The oracle REPRODUCES the bucket-candidate step
+# (like embed_ann_lsh's), so Spark == oracle independent of LSH recall;
+# max_bucket (100k) is a no-op at sandbox scale and omitted from it.
+_EMBED_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS id,
+         -- float -> DOUBLE add -> float, exactly Spark's cast chain
+         -- (a bare 0.05 literal is DECIMAL in DuckDB and rounds
+         -- differently in the last ulp)
+         list_concat([CAST(CAST(embedding[1] AS DOUBLE) + 0.05::DOUBLE AS FLOAT)],
+                     embedding[2:]) AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+), wts AS (
+  SELECT t, p,
+         list(((('0x' || substr(md5(t::VARCHAR || '|' || p::VARCHAR || '|' || d::VARCHAR),
+                 1, 12))::UBIGINT % 2001)::BIGINT - 1000) / 1000.0 ORDER BY d) AS wvec
+  FROM range({_ANN_TABLES}) tt(t), range({_ANN_PLANES}) pp(p), range({_ANN_DIMS}) dd(d)
+  GROUP BY t, p
+), keys AS (
+  SELECT e.id, w.t AS tbl,
+         sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(range(1, {_ANN_DIMS + 1}),
+                              d -> e.embedding[d]::DOUBLE * w.wvec[d])),
+               (x, y) -> x + y) > 0
+             THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS key
+  FROM corpus e CROSS JOIN wts w
+  GROUP BY e.id, w.t
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.key = b.key
+  WHERE a.id < b.id
+), scored AS (
+  SELECT cand.id_a, cand.id_b,
+         {_DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
+         / (sqrt({_DOT_SQL.format(a='ea.embedding', b='ea.embedding')})
+            * sqrt({_DOT_SQL.format(a='eb.embedding', b='eb.embedding')})) AS cosine
+  FROM cand
+  JOIN corpus ea ON ea.id = cand.id_a
+  JOIN corpus eb ON eb.id = cand.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.98
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_embed_cosine", _EMBED_PAIRS_SQL)
+def dedup_embed_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs (the embedding member of the
+    dedup family): LSH-bucketed candidate self-join + exact-cosine
+    verify >= 0.98 over a corpus with planted perturbed copies. The
+    oracle rebuilds the md5 hyperplanes, bucket keys, candidate pair
+    join, and ordered-sum cosines in SQL, so the whole approximate
+    dataflow is value-hash-checked (not just its exact subset)."""
+    from lamapi_spark.ops.similarity import embed_neardup_pairs
+
+    emb = load(spark, sf, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1).cast("double")
+                     + F.lit(0.05)).cast("float")),
+            F.slice("embedding", 2, _ANN_DIMS - 1),
+        ).alias("embedding"))
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    return (
+        embed_neardup_pairs(corpus, "vec_id", "embedding", threshold=0.98,
+                            n_planes=_ANN_PLANES, n_tables=_ANN_TABLES,
+                            dims=_ANN_DIMS)
+        .orderBy("id_a", "id_b")
+    )

@@ -139,6 +139,10 @@ def test_artifact_mention_path_no_forced_broadcast(spark, small_kg):
         art_rows = sorted(tuple(r) for r in art.collect())
         plan = art._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" not in plan
+        # round-4 shuffle-byte cut: the span-occurrence side of the
+        # fallback join must exchange on the 96-bit composite hash key,
+        # never on the raw span string
+        assert "hashpartitioning(_h1" in plan, plan[:2000]
         assert art_rows == base_rows and len(art_rows) > 0
 
         gated = detect_mentions(transcripts, ld, fuzzy=True,
