@@ -97,3 +97,30 @@ def test_multimodal_stub_and_meta(spark, docs):
     assert 1 <= by_id[0].fake_width <= 256
     with pytest.raises(NotImplementedError):
         decode_image_real(payload)
+
+
+def test_embed_neardup_pairs_plants_and_precision(spark):
+    """Planted near-identical vectors are found (every planted pair
+    co-buckets in >= 1 table at this perturbation size), random pairs
+    are not, and every emitted cosine clears the threshold (exact
+    verify = exact precision)."""
+    import random
+
+    from lamapi_spark.ops.similarity import embed_neardup_pairs
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(30)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant: ids 1000+i are tiny perturbations of ids i (i % 3 == 0)
+    for i in range(0, 30, 3):
+        v = list(base[i])
+        v[0] += 0.01
+        rows.append((1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in embed_neardup_pairs(df, dims=16, threshold=0.99).collect()}
+    want_pairs = {(i, 1000 + i) for i in range(0, 30, 3)}
+    assert want_pairs <= set(got), sorted(want_pairs - set(got))
+    assert all(c >= 0.99 for c in got.values())
+    # nothing random sneaks in: every found pair is planted-vs-original
+    assert set(got) == want_pairs
