@@ -5,13 +5,15 @@ stages over ``mapInPandas``.
 Decode paths:
 
 - ``decode_image`` — a REAL decoder (stdlib + numpy, no image
-  libraries): NetPBM P2/P3/P5/P6, uncompressed 24-bit BMP, and 8-bit
+  libraries): NetPBM P2/P3/P5/P6, uncompressed 24-bit BMP, 8-bit
   PNG (gray/RGB/gray+alpha/RGBA — DEFLATE via stdlib zlib plus the five
-  scanline filters unfiltered in numpy), emitting true width/height/
-  channels/mean luminance plus a 64-bit average-hash (8x8 block-mean
-  grayscale thresholded at its mean — the classic aHash), which feeds
-  perceptual image dedup exactly like SimHash feeds text dedup (pair on
-  bit_count(xor) <= d).
+  scanline filters unfiltered in numpy), and baseline JPEG (SOF0/SOF1,
+  canonical-Huffman entropy decode + dequant + exact float64 IDCT +
+  chroma upsampling + BT.601 YCbCr->RGB, in ops/jpeg.py), emitting true
+  width/height/channels/mean luminance plus a 64-bit average-hash (8x8
+  block-mean grayscale thresholded at its mean — the classic aHash),
+  which feeds perceptual image dedup exactly like SimHash feeds text
+  dedup (pair on bit_count(xor) <= d).
 - ``decode_audio`` — a REAL audio decoder (struct/numpy): RIFF/WAVE
   PCM 8/16-bit header + samples, emitting channels/rate/frames/duration
   and integer-exact amplitude stats. Compressed audio (MP3/OGG/FLAC) is
@@ -25,11 +27,12 @@ Decode paths:
   via the shared banded Hamming stage (ops/dedup.hamming_pairs).
 - ``decode_image_meta`` — deterministic metadata-only pass for opaque
   payloads of ANY format (byte length, md5, hash-derived stand-in dims).
-- ``decode_image_real`` — the integration point for lossy-codec
-  formats (JPEG/WebP need a codec library not present in this
-  container) — still NotImplementedError, with the same mapInPandas
-  shape. PNG moved OUT of it in round 4: zlib inflate + the five
-  scanline filters make it decodable for real.
+- ``decode_image_real`` — the integration point for the formats that
+  genuinely need a codec library (WebP/VP8, progressive + arithmetic
+  JPEG) — still NotImplementedError, with the same mapInPandas shape.
+  PNG moved OUT of it in round 4 (zlib inflate + integer filters);
+  baseline JPEG moved out the same round (Huffman + IDCT are stdlib +
+  numpy arithmetic, ops/jpeg.py).
 
 Scale notes: binary payloads dominate partition size — repartition by a
 content-hash bucket before the UDF stage so Arrow batches stay bounded
@@ -244,6 +247,17 @@ def _parse_png(b: bytes):
     return "PNG", w, h, out.reshape(h, w, channels).astype(np.float64)
 
 
+def _parse_jpeg(b: bytes):
+    """Baseline JPEG -> ('JPEG', w, h, HxWxC float64) via the stdlib +
+    numpy codec in ops/jpeg.py (canonical Huffman + dequant + exact
+    IDCT + chroma upsampling + BT.601 YCbCr->RGB). Raises ValueError on
+    non-JPEG or non-baseline profiles (progressive/arithmetic/12-bit/
+    CMYK) -> null-degrade upstream, same contract as the other parsers."""
+    from lamapi_spark.ops.jpeg import parse_jpeg
+
+    return parse_jpeg(b)
+
+
 def _ahash64(gray) -> int:
     """Average hash: block-mean the grayscale to 8x8, threshold at the
     mean, pack row-major into 64 bits (bit 63 = top-left)."""
@@ -266,8 +280,9 @@ def _ahash64(gray) -> int:
 
 def decode_image(df: DataFrame) -> DataFrame:
     """REAL image decode over binary payloads (Arrow-batched, stdlib +
-    numpy only): NetPBM (P2/P3/P5/P6), uncompressed 24-bit BMP, and
-    8-bit non-interlaced PNG. Emits true dimensions, channel count,
+    numpy only): NetPBM (P2/P3/P5/P6), uncompressed 24-bit BMP, 8-bit
+    non-interlaced PNG, and baseline JPEG (gray + YCbCr 4:4:4/4:2:2/
+    4:2:0, ops/jpeg.py). Emits true dimensions, channel count,
     mean luminance (ITU-R 601 for RGB/RGBA; alpha never contributes) and a
     64-bit average-hash. Unrecognized/corrupt payloads emit format
     'unknown' with null fields instead of failing the batch (P6-style
@@ -285,13 +300,14 @@ def decode_image(df: DataFrame) -> DataFrame:
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload)
                 try:
-                    try:
-                        fmt, w, h, px = _parse_netpbm(b)
-                    except ValueError:
+                    for parser in (_parse_netpbm, _parse_bmp, _parse_png,
+                                   _parse_jpeg):
                         try:
-                            fmt, w, h, px = _parse_bmp(b)
+                            fmt, w, h, px = parser(b)
+                            break
                         except ValueError:
-                            fmt, w, h, px = _parse_png(b)
+                            if parser is _parse_jpeg:
+                                raise
                     if px.shape[2] >= 3:
                         # RGB / RGBA: ITU-R 601 luma over the color
                         # channels (alpha never contributes)
@@ -433,17 +449,18 @@ def image_neardup_pairs(
 
 
 def decode_image_real(df: DataFrame) -> DataFrame:
-    """Integration point for LOSSY-CODEC formats (JPEG/WebP): same
-    mapInPandas shape as ``decode_image``, but those codecs need an
-    image library not present in this container. Everything whose pixel
+    """Integration point for the formats that genuinely need a codec
+    library (WebP/VP8; progressive + arithmetic-coded JPEG): same
+    mapInPandas shape as ``decode_image``. Everything whose pixel
     stream is reachable with stdlib + numpy decodes FOR REAL via
-    ``decode_image``: NetPBM, 24-bit BMP, and 8-bit PNG (zlib inflate +
-    the five scanline filters)."""
+    ``decode_image``: NetPBM, 24-bit BMP, 8-bit PNG (zlib inflate +
+    the five scanline filters), and baseline JPEG (canonical Huffman +
+    IDCT, ops/jpeg.py)."""
     raise NotImplementedError(
-        "JPEG/WebP decoding requires a codec library not present in "
-        "this environment; decode_image handles NetPBM/BMP/PNG for "
-        "real, and a PIL-based batch fn drops into this mapInPandas "
-        "shape")
+        "WebP and progressive/arithmetic JPEG require a codec library "
+        "not present in this environment; decode_image handles "
+        "NetPBM/BMP/PNG/baseline-JPEG for real, and a PIL-based batch "
+        "fn drops into this mapInPandas shape")
 
 
 VIDEO_SCHEMA = ("id bigint, format string, width int, height int, "

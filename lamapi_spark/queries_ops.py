@@ -1200,3 +1200,139 @@ def dedup_embed_cosine(spark, sf):
                             dims=_ANN_DIMS)
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------------------------------ jpeg
+
+# JPEG corpus, engine-portable BY CONSTRUCTION: 16x16 grayscale baseline
+# JPEGs of four constant 8x8 blocks, block k of image `id` valued
+# (id*7 + k*53) % 256. The synthesizer plants QUANTIZED COEFFICIENTS
+# directly (DC = v - 128 under DC quant step 8, all AC zero), and the
+# IDCT of a DC-only block is constant — so the decoded pixels equal the
+# source values bit-exactly despite the full Huffman/zigzag/IDCT chain
+# running, and the mean divides an exact int sum by 256 (a power of
+# two). The oracle never runs the codec: stats come from the same
+# integer formula.
+_JPEG_SQL = """
+WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 31 = 1),
+s AS (
+  SELECT id,
+         list_sum(list_transform(range(4), k -> (id * 7 + k * 53) % 256)) AS bs
+  FROM ids
+)
+SELECT id, 'JPEG' AS format, 16 AS width, 16 AS height, 1 AS channels,
+       bs / 4.0 AS mean_luma
+FROM s ORDER BY id
+"""
+
+
+@register("multimodal_jpeg", _JPEG_SQL)
+def multimodal_jpeg(spark, sf):
+    """REAL baseline-JPEG decoding through the Arrow stage: deterministic
+    16x16 grayscale JPEGs (four constant 8x8 blocks per image) are
+    synthesized from part keys by planting quantized coefficients
+    (ops/jpeg.encode_jpeg — no FDCT), decoded by the stdlib+numpy
+    baseline decoder (canonical Huffman -> differential DC -> dezigzag
+    -> dequant -> IDCT) in ops/jpeg.parse_jpeg via decode_image's
+    parser chain, and the oracle checks format/dimensions/channels/mean
+    luminance from the same integer formula — non-circularly, since a
+    constant block under DC quant step 8 decodes bit-exactly. The AC
+    coefficient path, color (4:2:0/4:2:2/4:4:4 YCbCr), restart markers,
+    and 16-bit quant tables are pytest-covered against an independent
+    dense-IDCT implementation (tests/test_jpeg.py)."""
+    from lamapi_spark.ops.jpeg import constant_block, encode_jpeg
+    from lamapi_spark.ops.multimodal import decode_image
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 31 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import pandas as pd
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                blocks = [constant_block((int(pid) * 7 + k * 53) % 256)
+                          for k in range(4)]
+                payloads.append(encode_jpeg(16, 16, [blocks]))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["image"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    return (decode_image(payload)
+            .select("id", "format", "width", "height", "channels", "mean_luma")
+            .orderBy("id"))
+
+
+# Near-dup JPEG corpus: 64x64 grayscale images of 64 constant 8x8
+# blocks — each aHash cell is EXACTLY one JPEG block, so the hash bits
+# are closed-form (block value >= mean of block values) in both engines,
+# with the same 30/220 group pattern + one flipped block as the PNG/
+# image corpora (block j of image `id`: group g = id % 3, flip at
+# (id*13) % 64). Every block rides the differential-DC Huffman chain
+# (diffs up to +/-190), so equality against the brute-force oracle
+# proves the entropy decoder across 64-block scans end to end.
+_JPEG_PAIRS_SQL = """
+WITH imgs AS (
+  SELECT p_partkey AS id, p_partkey % 3 AS g, (p_partkey * 13) % 64 AS fp
+  FROM part WHERE p_partkey % 17 = 1
+), px AS (
+  SELECT id, list_transform(range(64), j ->
+    CASE WHEN j = fp
+         THEN (CASE WHEN ((g * 7 + j * 3) % 5) < 2 THEN 30 ELSE 220 END)
+         ELSE (CASE WHEN ((g * 7 + j * 3) % 5) < 2 THEN 220 ELSE 30 END) END) AS px
+  FROM imgs
+), bits AS (
+  SELECT id, list_transform(px, v -> v >= list_aggregate(px, 'avg')) AS bt
+  FROM px
+), ham AS (
+  SELECT x.id AS id_a, y.id AS id_b,
+         len(list_filter(range(1, 65), i -> x.bt[i] <> y.bt[i]))::INT AS hamming
+  FROM bits x JOIN bits y ON x.id < y.id
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
+@register("jpeg_neardup_pairs", _JPEG_PAIRS_SQL)
+def jpeg_neardup_pairs_q(spark, sf):
+    """JPEG near-dup END TO END: synthesize deterministic 64x64
+    grayscale baseline JPEGs (64 constant blocks, planted coefficients),
+    decode with the REAL Huffman/IDCT decoder (Arrow mapInPandas),
+    compute the 64-bit perceptual aHash (one cell per JPEG block — the
+    hash is exact by construction), and pair via the banded Hamming
+    join — the JPEG twin of png_neardup_pairs, against the same
+    brute-force oracle shape."""
+    from lamapi_spark.ops.jpeg import constant_block, encode_jpeg
+    from lamapi_spark.ops.multimodal import decode_image, image_neardup_pairs
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 17 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import pandas as pd
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                pid = int(pid)
+                g, fp = pid % 3, (pid * 13) % 64
+                blocks = []
+                for j in range(64):
+                    base = 220 if ((g * 7 + j * 3) % 5) < 2 else 30
+                    blocks.append(constant_block(
+                        (250 - base) if j == fp else base))
+                payloads.append(encode_jpeg(64, 64, [blocks]))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["image"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    decoded = decode_image(payload)
+    return (
+        # max_bucket sized above any sf's group population, same
+        # reasoning as image_neardup_pairs
+        image_neardup_pairs(decoded, max_hamming=3, n_bands=4,
+                            max_bucket=1_000_000)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )

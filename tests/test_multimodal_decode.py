@@ -328,3 +328,45 @@ def test_decode_png_palette_resolves_to_rgb(spark):
     assert out[1].format == "PNG" and out[1].channels == 3
     assert out[1].mean_luma == out[2].mean_luma
     assert out[1].ahash == out[2].ahash
+
+
+def test_decode_jpeg_through_arrow_stage(spark):
+    """Baseline JPEG through decode_image's parser chain: constant-block
+    grayscale decodes bit-exactly (so PGM and JPEG of the same pixels
+    agree on luma AND aHash), 4:2:0 color converts through BT.601, and a
+    progressive-mutated payload null-degrades to 'unknown'."""
+    from lamapi_spark.ops.jpeg import constant_block, encode_jpeg
+
+    vals = [30, 100, 180, 250]
+    jb = encode_jpeg(16, 16, [[constant_block(v) for v in vals]])
+    # same pixels as a PGM: 4 constant 8x8 quadrants
+    gray = [[vals[(y // 8) * 2 + (x // 8)] for x in range(16)]
+            for y in range(16)]
+    color = encode_jpeg(16, 16,
+                        [[constant_block(120)] * 4, [constant_block(100)],
+                         [constant_block(150)]],
+                        sampling=[(2, 2), (1, 1), (1, 1)])
+    i = jb.index(b"\xff\xc0")
+    progressive = jb[:i + 1] + b"\xc2" + jb[i + 2:]
+    rows = [
+        (1, bytearray(jb), "image"),
+        (2, bytearray(pgm_p5(16, 16, gray)), "image"),
+        (3, bytearray(color), "image"),
+        (4, bytearray(progressive), "image"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary, modality string")
+    out = {r.id: r for r in decode_image(df).collect()}
+
+    assert out[1].format == "JPEG"
+    assert (out[1].width, out[1].height, out[1].channels) == (16, 16, 1)
+    assert out[1].mean_luma == sum(vals) / 4
+    # bit-exact pixels -> identical luma and aHash across formats
+    assert out[2].format == "P5"
+    assert out[1].mean_luma == out[2].mean_luma
+    assert out[1].ahash == out[2].ahash
+    assert out[3].format == "JPEG" and out[3].channels == 3
+    r, g, b = (round(120 + 1.402 * 22), round(120 - 0.344136 * -28
+               - 0.714136 * 22), round(120 + 1.772 * -28))
+    lum = 0.299 * r + 0.587 * g + 0.114 * b
+    assert out[3].mean_luma == pytest.approx(round(lum, 3))
+    assert out[4].format == "unknown" and out[4].ahash is None
