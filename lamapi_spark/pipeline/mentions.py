@@ -298,45 +298,44 @@ def detect_oov_mentions(
     oov = toks.join(
         F.broadcast(oov_tokens) if force_broadcast
         else oov_tokens.hint("shuffle_hash"), "token")
-    # Gaps-and-islands in ONE shuffle (was: a row_number window over
-    # (conv_id, turn_idx) THEN a group-by over (conv_id, turn_idx, _grp)
-    # — two full exchanges of the OOV token rows, and the second's
-    # collect_list order was only incidentally right). Collect each
-    # turn's OOV tokens once, sort in-array by position (explicit
-    # determinism), and fold adjacent positions into runs with a single
-    # array aggregate; arrays are bounded by turn length.
+    # Gaps-and-islands in ONE shuffle: collect each turn's OOV tokens
+    # once, sort in-array by position (explicit determinism), then runs
+    # are the distinct values of (pos - index) over the sorted array —
+    # adjacent positions share the key — materialized with indexed
+    # transform/filter lambdas (scalar comparisons only). This replaces
+    # the round-4 F.aggregate fold, which rebuilt the runs array with
+    # concat(slice(...)) per element: measured (tools/ab_oov.py, 3.75M
+    # turns, 1x4 and 4x4 executors) the fold cost ~8-10% more wall than
+    # this formulation at both levels for identical output hashes. The
+    # pre-round-4 row_number-window + group-by is ~5% faster still on
+    # this box but its collect_list surface order is ARRIVAL-dependent —
+    # the A/B caught it emitting different hashes across identical runs
+    # at 4x4 — which breaks the engine's bit-identical-across-parallelism
+    # guarantee, so it is disqualified, not slow. Arrays are bounded by
+    # turn length (10-20 tokens), so the O(runs x n) lambda work is
+    # trivial per row.
     per_turn = oov.groupBy("conv_id", "turn_idx").agg(
         F.sort_array(F.collect_list(F.struct("pos", "token"))).alias("_tk"))
-    empty_runs = F.expr(
-        "CAST(array() AS array<struct<start:int,ntoken_span:int,toks:array<string>>>)")
-
-    def fold(acc, e):
-        runs_arr = acc["runs"]
-        extend = e["pos"] == acc["last"] + 1
-        lr = F.element_at(runs_arr, -1)
-        upd = F.struct(
-            lr["start"].alias("start"),
-            (lr["ntoken_span"] + F.lit(1)).alias("ntoken_span"),
-            F.concat(lr["toks"], F.array(e["token"])).alias("toks"))
-        appended = F.concat(F.slice(runs_arr, 1, F.size(runs_arr) - 1), F.array(upd))
-        fresh = F.concat(runs_arr, F.array(F.struct(
-            (e["pos"] + 1).cast("int").alias("start"),  # 1-based like _spans
-            F.lit(1).alias("ntoken_span"),
-            F.array(e["token"]).alias("toks"))))
-        return F.struct(
-            F.when(extend, appended).otherwise(fresh).alias("runs"),
-            e["pos"].alias("last"))
-
-    init = F.struct(empty_runs.alias("runs"), F.lit(-100).alias("last"))
     runs = per_turn.select(
         "conv_id", "turn_idx",
-        F.explode(F.aggregate("_tk", init, fold)["runs"]).alias("r"))
+        F.explode(F.expr("""
+          transform(
+            array_distinct(transform(_tk, (e, i) -> e.pos - i)),
+            g -> named_struct(
+              'start', filter(_tk, (e, i) -> e.pos - i = g)[0].pos + 1,
+              'ntoken_span', size(filter(_tk, (e, i) -> e.pos - i = g)),
+              'surface', array_join(transform(
+                  filter(_tk, (e, i) -> e.pos - i = g), e -> e.token), ' ')))
+        """)).alias("r"))
     return (
         runs
         .filter((F.col("r.ntoken_span") <= max_run)
                 & (F.col("r.ntoken_span") >= min_run))
-        .select("conv_id", "turn_idx", "r.start", "r.ntoken_span",
-                F.concat_ws(" ", "r.toks").alias("surface"))
+        .select("conv_id", "turn_idx",
+                # 1-based like _spans
+                F.col("r.start").cast("int").alias("start"),
+                F.col("r.ntoken_span").alias("ntoken_span"),
+                F.col("r.surface").alias("surface"))
     )
 
 
