@@ -7,9 +7,10 @@ Decode paths:
 - ``decode_image`` — a REAL decoder (stdlib + numpy, no image
   libraries): NetPBM P2/P3/P5/P6, uncompressed 24-bit BMP, 8-bit
   PNG (gray/RGB/gray+alpha/RGBA — DEFLATE via stdlib zlib plus the five
-  scanline filters unfiltered in numpy), and baseline JPEG (SOF0/SOF1,
-  canonical-Huffman entropy decode + dequant + exact float64 IDCT +
-  chroma upsampling + BT.601 YCbCr->RGB, in ops/jpeg.py), emitting true
+  scanline filters unfiltered in numpy), and JPEG — baseline AND
+  progressive/SOF2 (canonical-Huffman entropy decode incl. Annex-G
+  successive approximation + dequant + exact float64 IDCT + chroma
+  upsampling + BT.601 YCbCr->RGB, in ops/jpeg.py), emitting true
   width/height/channels/mean luminance plus a 64-bit average-hash (8x8
   block-mean grayscale thresholded at its mean — the classic aHash),
   which feeds perceptual image dedup exactly like SimHash feeds text
@@ -28,11 +29,11 @@ Decode paths:
 - ``decode_image_meta`` — deterministic metadata-only pass for opaque
   payloads of ANY format (byte length, md5, hash-derived stand-in dims).
 - ``decode_image_real`` — the integration point for the formats that
-  genuinely need a codec library (WebP/VP8, progressive + arithmetic
-  JPEG) — still NotImplementedError, with the same mapInPandas shape.
-  PNG moved OUT of it in round 4 (zlib inflate + integer filters);
-  baseline JPEG moved out the same round (Huffman + IDCT are stdlib +
-  numpy arithmetic, ops/jpeg.py).
+  genuinely need a codec library (WebP/VP8, arithmetic-coded JPEG) —
+  still NotImplementedError, with the same mapInPandas shape. PNG moved
+  OUT of it in round 4 (zlib inflate + integer filters); baseline AND
+  progressive JPEG moved out the same round (Huffman + Annex-G bit
+  arithmetic + IDCT are stdlib + numpy, ops/jpeg.py).
 
 Scale notes: binary payloads dominate partition size — repartition by a
 content-hash bucket before the UDF stage so Arrow batches stay bounded
@@ -248,11 +249,12 @@ def _parse_png(b: bytes):
 
 
 def _parse_jpeg(b: bytes):
-    """Baseline JPEG -> ('JPEG', w, h, HxWxC float64) via the stdlib +
-    numpy codec in ops/jpeg.py (canonical Huffman + dequant + exact
-    IDCT + chroma upsampling + BT.601 YCbCr->RGB). Raises ValueError on
-    non-JPEG or non-baseline profiles (progressive/arithmetic/12-bit/
-    CMYK) -> null-degrade upstream, same contract as the other parsers."""
+    """Baseline or progressive JPEG -> ('JPEG', w, h, HxWxC float64)
+    via the stdlib + numpy codec in ops/jpeg.py (canonical Huffman incl.
+    Annex-G successive approximation + dequant + exact IDCT + chroma
+    upsampling + BT.601 YCbCr->RGB). Raises ValueError on non-JPEG or
+    unsupported profiles (arithmetic/hierarchical/12-bit/CMYK) ->
+    null-degrade upstream, same contract as the other parsers."""
     from lamapi_spark.ops.jpeg import parse_jpeg
 
     return parse_jpeg(b)
@@ -281,8 +283,8 @@ def _ahash64(gray) -> int:
 def decode_image(df: DataFrame) -> DataFrame:
     """REAL image decode over binary payloads (Arrow-batched, stdlib +
     numpy only): NetPBM (P2/P3/P5/P6), uncompressed 24-bit BMP, 8-bit
-    non-interlaced PNG, and baseline JPEG (gray + YCbCr 4:4:4/4:2:2/
-    4:2:0, ops/jpeg.py). Emits true dimensions, channel count,
+    non-interlaced PNG, and baseline + progressive JPEG (gray + YCbCr
+    4:4:4/4:2:2/4:2:0, ops/jpeg.py). Emits true dimensions, channel count,
     mean luminance (ITU-R 601 for RGB/RGBA; alpha never contributes) and a
     64-bit average-hash. Unrecognized/corrupt payloads emit format
     'unknown' with null fields instead of failing the batch (P6-style
@@ -450,17 +452,17 @@ def image_neardup_pairs(
 
 def decode_image_real(df: DataFrame) -> DataFrame:
     """Integration point for the formats that genuinely need a codec
-    library (WebP/VP8; progressive + arithmetic-coded JPEG): same
-    mapInPandas shape as ``decode_image``. Everything whose pixel
-    stream is reachable with stdlib + numpy decodes FOR REAL via
-    ``decode_image``: NetPBM, 24-bit BMP, 8-bit PNG (zlib inflate +
-    the five scanline filters), and baseline JPEG (canonical Huffman +
+    library (WebP/VP8; arithmetic-coded JPEG): same mapInPandas shape
+    as ``decode_image``. Everything whose pixel stream is reachable
+    with stdlib + numpy decodes FOR REAL via ``decode_image``: NetPBM,
+    24-bit BMP, 8-bit PNG (zlib inflate + the five scanline filters),
+    and baseline + progressive JPEG (canonical Huffman + Annex-G +
     IDCT, ops/jpeg.py)."""
     raise NotImplementedError(
-        "WebP and progressive/arithmetic JPEG require a codec library "
-        "not present in this environment; decode_image handles "
-        "NetPBM/BMP/PNG/baseline-JPEG for real, and a PIL-based batch "
-        "fn drops into this mapInPandas shape")
+        "WebP and arithmetic-coded JPEG require a codec library not "
+        "present in this environment; decode_image handles NetPBM/BMP/"
+        "PNG/baseline-and-progressive-JPEG for real, and a PIL-based "
+        "batch fn drops into this mapInPandas shape")
 
 
 VIDEO_SCHEMA = ("id bigint, format string, width int, height int, "

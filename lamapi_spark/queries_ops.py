@@ -1336,3 +1336,47 @@ def jpeg_neardup_pairs_q(spark, sf):
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register("multimodal_jpeg_prog", """
+WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 31 = 1),
+s AS (
+  SELECT id,
+         list_sum(list_transform(range(4), k -> (id * 7 + k * 53) % 256)) AS bs
+  FROM ids
+)
+SELECT id, 'JPEG' AS format, 16 AS width, 16 AS height, 1 AS channels,
+       bs / 4.0 AS mean_luma
+FROM s ORDER BY id
+""")
+def multimodal_jpeg_prog(spark, sf):
+    """PROGRESSIVE (SOF2) JPEG decoding through the Arrow stage: the
+    same constant-block corpus as multimodal_jpeg, but encoded with the
+    four-stage progressive scan script (DC first/refine with successive
+    approximation, per-component AC first/refine with EOB runs —
+    ops/jpeg.encode_jpeg_progressive), so the driver gate covers the
+    Annex-G decode paths with the same non-circular closed-form oracle.
+    Identical stats to the baseline query by construction: both encode
+    the same coefficients."""
+    from lamapi_spark.ops.jpeg import constant_block, encode_jpeg_progressive
+    from lamapi_spark.ops.multimodal import decode_image
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 31 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import pandas as pd
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                blocks = [constant_block((int(pid) * 7 + k * 53) % 256)
+                          for k in range(4)]
+                payloads.append(encode_jpeg_progressive(16, 16, [blocks]))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["image"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    return (decode_image(payload)
+            .select("id", "format", "width", "height", "channels", "mean_luma")
+            .orderBy("id"))

@@ -158,3 +158,73 @@ def test_decode_image_parser_chain_picks_jpeg():
 
     fmt, w, h, px = _parse_jpeg(encode_jpeg(8, 8, [[constant_block(33)]]))
     assert fmt == "JPEG" and np.all(px == 33)
+
+
+# ------------------------------------------------------------ progressive
+
+def _assert_prog_equals_baseline(width, height, comp_blocks, sampling=None,
+                                 qtable=None):
+    from lamapi_spark.ops.jpeg import encode_jpeg_progressive
+
+    base = parse_jpeg(encode_jpeg(width, height, comp_blocks,
+                                  sampling=sampling, qtable=qtable))
+    prog = parse_jpeg(encode_jpeg_progressive(width, height, comp_blocks,
+                                              sampling=sampling,
+                                              qtable=qtable))
+    assert base[0] == prog[0] == "JPEG"
+    assert base[1:3] == prog[1:3]
+    assert np.array_equal(base[3], prog[3]), (
+        np.abs(base[3] - prog[3]).max())
+    return prog[3]
+
+
+def test_progressive_constant_blocks_match_baseline():
+    # odd values exercise the DC refinement bit; negatives after the
+    # -128 shift exercise the two's-complement OR reassembly
+    vals = [0, 77, 128, 200, 255, 1]
+    px = _assert_prog_equals_baseline(
+        48, 8, [[constant_block(v) for v in vals]])
+    for k, v in enumerate(vals):
+        assert np.all(px[:, 8 * k:8 * k + 8, 0] == v)
+
+
+def test_progressive_rich_ac_match_baseline():
+    # scattered ACs: odd/even/negative magnitudes (correction bits 1/0),
+    # +-1 newly-nonzero inserts, a >16 zero gap WITH history inside it
+    # (stretch-accurate ZRL + corrections), and position 63
+    blocks = [
+        {0: 10, 1: 5, 5: -7, 17: 2, 40: 1, 63: -1},
+        {0: -30, 2: 1, 30: -1},                    # inserts only
+        {0: 4, 3: 9, 4: -8, 45: 3},                # history only, no inserts
+        {0: 0},                                    # all-zero band (EOB run)
+        {0: 7, 1: 2, 25: 1, 26: -4, 60: 1},        # gap with history inside
+        {0: 0},
+        {0: 0},                                    # consecutive EOB-run blocks
+        {0: 12, 63: 1},                            # insert at band end
+    ]
+    _assert_prog_equals_baseline(64, 8, [blocks])
+
+
+def test_progressive_color_420_match_baseline():
+    yb = [constant_block(120), {0: -8, 7: 3}, constant_block(130),
+          {0: 50, 2: -1}]
+    cb = [{0: -28, 1: 2}]
+    cr = [{0: 22, 10: -3}]
+    _assert_prog_equals_baseline(16, 16, [yb, cb, cr],
+                                 sampling=[(2, 2), (1, 1), (1, 1)])
+
+
+def test_progressive_nonuniform_qtable_match_baseline():
+    rng = np.random.RandomState(11)
+    qt = rng.randint(1, 30, size=64).tolist()
+    qt[0] = 8
+    blocks = [{0: 6, 1: -3, 9: 4, 28: 1, 50: -1}, {0: -2, 33: 5}]
+    _assert_prog_equals_baseline(16, 8, [blocks], qtable=qt)
+
+
+def test_progressive_eob_run_spans_many_blocks():
+    # 6 of 8 blocks have empty AC bands -> multi-block EOB runs in both
+    # AC scans, including runs with correction bits riding the run
+    blocks = ([{0: 40, 5: 9}] + [constant_block(100)] * 3
+              + [{0: -10, 11: -6}] + [constant_block(20)] * 3)
+    _assert_prog_equals_baseline(64, 8, [blocks])

@@ -331,14 +331,19 @@ def test_decode_png_palette_resolves_to_rgb(spark):
 
 
 def test_decode_jpeg_through_arrow_stage(spark):
-    """Baseline JPEG through decode_image's parser chain: constant-block
-    grayscale decodes bit-exactly (so PGM and JPEG of the same pixels
-    agree on luma AND aHash), 4:2:0 color converts through BT.601, and a
-    progressive-mutated payload null-degrades to 'unknown'."""
-    from lamapi_spark.ops.jpeg import constant_block, encode_jpeg
+    """JPEG through decode_image's parser chain: constant-block
+    grayscale decodes bit-exactly (so PGM, baseline JPEG, and
+    PROGRESSIVE JPEG of the same pixels agree on luma AND aHash), 4:2:0
+    color converts through BT.601, and a malformed stream (SOF2 frame
+    with a sequential scan header — a DC+AC mixed progressive scan)
+    null-degrades to 'unknown'."""
+    from lamapi_spark.ops.jpeg import (
+        constant_block, encode_jpeg, encode_jpeg_progressive,
+    )
 
     vals = [30, 100, 180, 250]
-    jb = encode_jpeg(16, 16, [[constant_block(v) for v in vals]])
+    blocks = [constant_block(v) for v in vals]
+    jb = encode_jpeg(16, 16, [blocks])
     # same pixels as a PGM: 4 constant 8x8 quadrants
     gray = [[vals[(y // 8) * 2 + (x // 8)] for x in range(16)]
             for y in range(16)]
@@ -347,12 +352,13 @@ def test_decode_jpeg_through_arrow_stage(spark):
                          [constant_block(150)]],
                         sampling=[(2, 2), (1, 1), (1, 1)])
     i = jb.index(b"\xff\xc0")
-    progressive = jb[:i + 1] + b"\xc2" + jb[i + 2:]
+    malformed = jb[:i + 1] + b"\xc2" + jb[i + 2:]
     rows = [
         (1, bytearray(jb), "image"),
         (2, bytearray(pgm_p5(16, 16, gray)), "image"),
         (3, bytearray(color), "image"),
-        (4, bytearray(progressive), "image"),
+        (4, bytearray(malformed), "image"),
+        (5, bytearray(encode_jpeg_progressive(16, 16, [blocks])), "image"),
     ]
     df = spark.createDataFrame(rows, "id bigint, payload binary, modality string")
     out = {r.id: r for r in decode_image(df).collect()}
@@ -370,3 +376,7 @@ def test_decode_jpeg_through_arrow_stage(spark):
     lum = 0.299 * r + 0.587 * g + 0.114 * b
     assert out[3].mean_luma == pytest.approx(round(lum, 3))
     assert out[4].format == "unknown" and out[4].ahash is None
+    # real progressive stream: identical pixels -> identical luma + hash
+    assert out[5].format == "JPEG"
+    assert out[5].mean_luma == out[1].mean_luma
+    assert out[5].ahash == out[1].ahash
