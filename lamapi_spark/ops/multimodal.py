@@ -16,9 +16,11 @@ Decode paths:
   which feeds perceptual image dedup exactly like SimHash feeds text
   dedup (pair on bit_count(xor) <= d).
 - ``decode_audio`` — a REAL audio decoder (struct/numpy): RIFF/WAVE
-  PCM 8/16-bit header + samples, emitting channels/rate/frames/duration
-  and integer-exact amplitude stats. Compressed audio (MP3/OGG/FLAC) is
-  the same codec-library boundary as JPEG/WebP.
+  with PCM 8/16-bit, G.711 mu-law/A-law companding, and IMA ADPCM mono
+  (a genuinely compressed 4:1 codec — per-block predictor/step-index
+  state machine), emitting channels/rate/frames/duration and
+  integer-exact amplitude stats. Perceptual codecs (MP3/OGG/FLAC) stay
+  behind the codec-library boundary, like WebP.
 - ``decode_video`` — a REAL video decoder + frame sampler (numpy):
   YUV4MPEG2 (.y4m) header + raw luma planes, emitting per-sampled-frame
   dimensions/fps/frame-count/mean-luma plus the same 64-bit aHash as
@@ -349,11 +351,97 @@ AUDIO_SCHEMA = ("id bigint, format string, channels int, sample_rate int, "
                 "n_samples int, duration_s double, peak_abs int, mean_abs double")
 
 
+def _ulaw_expand(u8):
+    """G.711 mu-law bytes -> int16-range samples, vectorized numpy.
+    Silence byte 0xFF decodes to 0; sign bit set (after the bitwise
+    complement) means negative."""
+    import numpy as np
+
+    u = (~u8.astype(np.int64)) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    t = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -t, t)
+
+
+def _alaw_expand(a8):
+    """G.711 A-law bytes -> int16-range samples, vectorized numpy.
+    Even bits are inverted on the wire (xor 0x55); sign bit SET means
+    positive (opposite of mu-law) — 0xD5 decodes to +8."""
+    import numpy as np
+
+    u = a8.astype(np.int64) ^ 0x55
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    t = np.where(exp == 0, (mant << 4) + 8,
+                 ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign, t, -t)
+
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int):
+    """IMA/DVI ADPCM (WAV format 0x11, mono) -> int64 sample array.
+
+    Block layout: 4-byte header (int16 predictor — emitted as the
+    block's first sample — uint8 step index, reserved), then 4-bit
+    nibbles, LOW nibble of each byte first. A real ~4:1 compressed
+    audio codec decoded with no library — the audio analogue of the
+    JPEG move."""
+    import struct
+
+    import numpy as np
+
+    if block_align < 5:
+        raise ValueError("bad ADPCM block align")
+    out = []
+    for off in range(0, len(data) - (len(data) % block_align), block_align):
+        pred, index = struct.unpack_from("<hB", data, off)
+        index = min(max(index, 0), 88)
+        out.append(pred)
+        for byte in data[off + 4: off + block_align]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEPS[index]
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = min(max(pred, -32768), 32767)
+                index = min(max(index + _IMA_INDEX[nib & 7], 0), 88)
+                out.append(pred)
+    if not out:
+        raise ValueError("empty ADPCM stream")
+    return np.array(out, dtype=np.int64)
+
+
 def _parse_wav(b: bytes):
-    """RIFF/WAVE PCM (8/16-bit) -> (channels, rate, int64 samples[n, ch]).
-    Raises ValueError on anything else. Pure struct/numpy — WAV PCM is
-    uncompressed, so this is a REAL decoder with no codec library,
-    exactly like the NetPBM/BMP image path."""
+    """RIFF/WAVE -> (format_name, channels, rate, int64 samples[n, ch]).
+
+    REAL decoders, no codec library (same contract as the image path):
+    - PCM 8/16-bit (format 1)            -> 'WAV'
+    - G.711 A-law companding (format 6)  -> 'WAV-ALAW'
+    - G.711 mu-law companding (format 7) -> 'WAV-ULAW'
+    - IMA/DVI ADPCM mono (format 0x11)   -> 'WAV-ADPCM' (a genuinely
+      compressed ~4:1 codec: per-block predictor + step-index state
+      machine over 4-bit nibbles)
+    Raises ValueError on anything else (MP3/OGG/FLAC stay behind the
+    codec-library boundary)."""
     import struct
 
     import numpy as np
@@ -374,28 +462,43 @@ def _parse_wav(b: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_fmt, channels, rate, _brate, _balign, bits = fmt
-    if audio_fmt != 1 or bits not in (8, 16):
-        raise ValueError("only 8/16-bit PCM supported")
-    if bits == 16:
-        samples = np.frombuffer(data, dtype="<i2",
-                                count=len(data) // 2).astype(np.int64)
+    audio_fmt, channels, rate, _brate, balign, bits = fmt
+    if audio_fmt == 1 and bits in (8, 16):
+        name = "WAV"
+        if bits == 16:
+            samples = np.frombuffer(data, dtype="<i2",
+                                    count=len(data) // 2).astype(np.int64)
+        else:
+            samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    elif audio_fmt == 7 and bits == 8:
+        name = "WAV-ULAW"
+        samples = _ulaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif audio_fmt == 6 and bits == 8:
+        name = "WAV-ALAW"
+        samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif audio_fmt == 0x11 and bits == 4 and channels == 1:
+        name = "WAV-ADPCM"
+        samples = _ima_adpcm_decode(data, balign)
     else:
-        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+        raise ValueError("unsupported WAV format "
+                         f"{audio_fmt}/{bits}-bit/{channels}ch")
     frames = len(samples) // channels
-    return channels, rate, samples[: frames * channels].reshape(frames, channels)
+    return (name, channels, rate,
+            samples[: frames * channels].reshape(frames, channels))
 
 
 def decode_audio(df: DataFrame) -> DataFrame:
     """REAL audio decode over binary payloads (Arrow-batched, numpy
-    only): RIFF/WAVE PCM header + samples. Emits channel count, sample
-    rate, frame count, duration, and integer-exact amplitude stats
-    (peak and mean absolute sample value — sums of int64s, so
-    engine-portable with no float accumulation order issues).
-    Unrecognized/corrupt payloads emit format 'unknown' with null fields
-    (same null-degrade contract as decode_image). Compressed audio
-    (MP3/OGG/FLAC) needs a codec library not in this container — same
-    documented boundary as JPEG/WebP in decode_image_real."""
+    only): RIFF/WAVE with PCM 8/16-bit, G.711 mu-law/A-law companding,
+    or IMA ADPCM mono (a genuinely compressed 4:1 codec — see
+    _parse_wav). Emits the format name, channel count, sample rate,
+    frame count, duration, and integer-exact amplitude stats (peak and
+    mean absolute sample value — sums of int64s, so engine-portable
+    with no float accumulation order issues). Unrecognized/corrupt
+    payloads emit format 'unknown' with null fields (same null-degrade
+    contract as decode_image). Perceptual audio codecs (MP3/OGG/FLAC)
+    stay behind the codec-library boundary, like WebP in
+    decode_image_real."""
     import numpy as np
     import pandas as pd
 
@@ -406,10 +509,10 @@ def decode_audio(df: DataFrame) -> DataFrame:
                                     "mean_abs")}
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 try:
-                    ch, rate, samples = _parse_wav(bytes(payload))
+                    name, ch, rate, samples = _parse_wav(bytes(payload))
                     frames = samples.shape[0]
                     absv = np.abs(samples)
-                    rows["id"].append(i); rows["format"].append("WAV")
+                    rows["id"].append(i); rows["format"].append(name)
                     rows["channels"].append(ch)
                     rows["sample_rate"].append(rate)
                     rows["n_samples"].append(frames)

@@ -1380,3 +1380,135 @@ def multimodal_jpeg_prog(spark, sf):
     return (decode_image(payload)
             .select("id", "format", "width", "height", "channels", "mean_luma")
             .orderBy("id"))
+
+
+# ----------------------------------------------------------- audio codecs
+
+# G.711 mu-law corpus: 128 companded bytes per clip, byte i of clip
+# `id` = (id*13 + i*29) % 256. The oracle implements the G.711
+# expansion INDEPENDENTLY in SQL integer arithmetic (complement, then
+# ((mant*8 + 132) << exp) - 132 with the sign bit negating), so the
+# vectorized numpy decoder is checked non-circularly over stats of the
+# full byte range.
+_ULAW_SQL = """
+WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 37 = 1),
+s AS (
+  SELECT id, list_transform(range(128), i ->
+    xor((id * 13 + i * 29) % 256, 255)) AS u
+  FROM ids
+), d AS (
+  SELECT id, list_transform(u, x ->
+    abs(((((x % 128) % 16) * 8 + 132) << (((x % 128) // 16) % 8)) - 132)) AS m
+  FROM s
+)
+SELECT id, 'WAV-ULAW' AS format, 1 AS channels, 8000 AS sample_rate,
+       128 AS n_samples, 128 / 8000.0 AS duration_s,
+       list_max(m)::INT AS peak_abs,
+       list_sum(m) / 128.0 AS mean_abs
+FROM d ORDER BY id
+"""
+
+
+@register("multimodal_ulaw", _ULAW_SQL)
+def multimodal_ulaw(spark, sf):
+    """G.711 mu-law audio decoding through the Arrow stage: companded
+    bytes are synthesized from part keys into RIFF/WAVE format-7 clips,
+    expanded by the vectorized numpy decoder (ops/multimodal.
+    _ulaw_expand), and the oracle re-derives the amplitude stats from
+    an independent SQL implementation of the same ITU-T G.711 formula
+    (abs() collapses the sign bit, so only magnitudes matter — exact
+    integer arithmetic end to end). A-law and the full 256-byte decode
+    tables are pytest-covered (tests/test_multimodal_decode.py)."""
+    import struct
+
+    from lamapi_spark.ops.multimodal import decode_audio
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 37 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import pandas as pd
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                data = bytes((int(pid) * 13 + i * 29) % 256 for i in range(128))
+                hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                       + b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, 8000,
+                                               8000, 1, 8)
+                       + b"data" + struct.pack("<I", len(data)))
+                payloads.append(hdr + data)
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["audio"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    return decode_audio(payload).orderBy("id")
+
+
+# IMA ADPCM corpus, exact BY CONSTRUCTION: one mono block per clip,
+# predictor p0 = (id*7) % 2000 + 500, step index 0, 64 nibbles from
+# {0 -> +0, 1 -> +1, 9 -> -1} chosen by (id + j) % 3. All three nibbles
+# keep the step index clamped at 0 (index deltas are -1), so step stays
+# 7 and the decoded samples are p0 followed by p0 + prefix-sums of the
+# deltas — closed-form in SQL, never near the int16 clamp rails. The
+# general state machine (step walks, clamping, multi-block) is
+# pytest-covered.
+_ADPCM_SQL = """
+WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 41 = 1),
+d AS (
+  SELECT id, (id * 7) % 2000 + 500 AS p0,
+         list_transform(range(1, 65), j ->
+           CASE (id + j - 1) % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE -1 END) AS dl
+  FROM ids
+), s AS (
+  SELECT id,
+         list_prepend(p0, list_transform(range(1, 65),
+                          j -> p0 + list_sum(dl[1:j]))) AS smp
+  FROM d
+), m AS (SELECT id, list_transform(smp, x -> abs(x)) AS a FROM s)
+SELECT id, 'WAV-ADPCM' AS format, 1 AS channels, 8000 AS sample_rate,
+       65 AS n_samples, 65 / 8000.0 AS duration_s,
+       list_max(a)::INT AS peak_abs,
+       list_sum(a) / 65.0 AS mean_abs
+FROM m ORDER BY id
+"""
+
+
+@register("multimodal_adpcm", _ADPCM_SQL)
+def multimodal_adpcm(spark, sf):
+    """IMA/DVI ADPCM decoding through the Arrow stage — a genuinely
+    COMPRESSED (4:1) audio codec decoded with no library, the audio
+    analogue of the JPEG move: one-block mono clips are synthesized
+    with nibbles restricted to {+0, +1, -1} at step index 0, so the
+    decoder's predictor walk is a closed-form prefix sum the DuckDB
+    oracle reproduces without running the state machine (non-circular).
+    Richer nibble sequences, step-table walks, clamping, and
+    multi-block streams are pytest-covered."""
+    import struct
+
+    from lamapi_spark.ops.multimodal import decode_audio
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 41 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import pandas as pd
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                pid = int(pid)
+                p0 = (pid * 7) % 2000 + 500
+                nibs = [(0, 1, 9)[(pid + j) % 3] for j in range(64)]
+                data = struct.pack("<hBB", p0, 0, 0) + bytes(
+                    nibs[2 * k] | (nibs[2 * k + 1] << 4) for k in range(32))
+                hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                       + b"fmt " + struct.pack("<IHHIIHH", 16, 0x11, 1, 8000,
+                                               4000, 36, 4)
+                       + b"data" + struct.pack("<I", len(data)))
+                payloads.append(hdr + data)
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["audio"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    return decode_audio(payload).orderBy("id")

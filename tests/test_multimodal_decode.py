@@ -380,3 +380,94 @@ def test_decode_jpeg_through_arrow_stage(spark):
     assert out[5].format == "JPEG"
     assert out[5].mean_luma == out[1].mean_luma
     assert out[5].ahash == out[1].ahash
+
+
+def _wav(fmt, channels, rate, bits, data, block_align=None):
+    ba = block_align if block_align is not None else max(1, channels * bits // 8)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, fmt, channels, rate,
+                                    rate * ba, ba, bits)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_g711_expand_full_byte_range():
+    """Vectorized mu-law/A-law vs independent per-byte reference loops
+    over all 256 codes, plus the canonical anchor values."""
+    import numpy as np
+
+    from lamapi_spark.ops.multimodal import _alaw_expand, _ulaw_expand
+
+    def ulaw_ref(u):
+        u = ~u & 0xFF
+        t = ((((u & 15) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        return -t if u & 0x80 else t
+
+    def alaw_ref(a):
+        a ^= 0x55
+        e, m = (a >> 4) & 7, a & 15
+        t = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+        return t if a & 0x80 else -t
+
+    allb = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(_ulaw_expand(allb),
+                          [ulaw_ref(int(x)) for x in allb])
+    assert np.array_equal(_alaw_expand(allb),
+                          [alaw_ref(int(x)) for x in allb])
+    # anchors: mu-law silence is 0xFF; A-law 0xD5 is +8; extremes
+    assert _ulaw_expand(np.array([0xFF, 0x00, 0x80], np.uint8)).tolist() == \
+        [0, -32124, 32124]
+    assert _alaw_expand(np.array([0xD5, 0x55, 0xAA, 0x2A], np.uint8)).tolist() == \
+        [8, -8, 32256, -32256]
+
+
+def test_ima_adpcm_state_machine():
+    """Hand-computed nibble walk, step-table advance, int16 clamping,
+    and multi-block predictor reset."""
+    from lamapi_spark.ops.multimodal import _ima_adpcm_decode
+
+    # step index 0 (step 7): nibbles 0,1,9,9 -> +0,+1,-1,-1
+    blk = struct.pack("<hBB", 1000, 0, 0) + bytes([0x10, 0x99])
+    assert _ima_adpcm_decode(blk, 6).tolist() == [1000, 1000, 1001, 1000, 999]
+    # nibble 7 at index 0: diff = 0+7+3+1 = 11, index -> +8
+    # then nibble 7 at index 8 (step 16): diff = 2+16+8+4 = 30
+    blk2 = struct.pack("<hBB", 0, 0, 0) + bytes([0x77])
+    assert _ima_adpcm_decode(blk2, 5).tolist() == [0, 11, 41]
+    # clamp at the positive rail from near-max predictor at max step
+    blk3 = struct.pack("<hBB", 32000, 88, 0) + bytes([0x77])
+    assert _ima_adpcm_decode(blk3, 5).max() == 32767
+    # two blocks: second block's header resets predictor and index
+    two = (struct.pack("<hBB", 100, 0, 0) + bytes([0x00])
+           + struct.pack("<hBB", -200, 0, 0) + bytes([0x11]))
+    assert _ima_adpcm_decode(two, 5).tolist() == [100, 100, 100, -200, -199, -198]
+
+
+def test_decode_audio_codec_formats(spark):
+    """All four WAV variants through the Arrow stage, plus degrade on a
+    format that genuinely needs a codec library (MP3-marked)."""
+    import numpy as np
+
+    from lamapi_spark.ops.multimodal import _ulaw_expand, decode_audio
+
+    pcm = _wav(1, 1, 8000, 16, struct.pack("<4h", 100, -200, 300, -400))
+    ulaw_bytes = bytes(range(0, 256, 2))
+    ulaw = _wav(7, 1, 8000, 8, ulaw_bytes)
+    alaw = _wav(6, 1, 8000, 8, bytes([0xD5, 0x55, 0xAA, 0x2A]))
+    adpcm = _wav(0x11, 1, 8000, 4,
+                 struct.pack("<hBB", 1000, 0, 0) + bytes([0x10, 0x99]),
+                 block_align=6)
+    mp3ish = _wav(0x55, 1, 8000, 0, b"\xff\xfb" + b"\x00" * 30)
+    rows = [(1, bytearray(pcm), "audio"), (2, bytearray(ulaw), "audio"),
+            (3, bytearray(alaw), "audio"), (4, bytearray(adpcm), "audio"),
+            (5, bytearray(mp3ish), "audio")]
+    df = spark.createDataFrame(rows, "id bigint, payload binary, modality string")
+    out = {r.id: r for r in decode_audio(df).collect()}
+
+    assert out[1].format == "WAV" and out[1].peak_abs == 400
+    exp = np.abs(_ulaw_expand(np.frombuffer(ulaw_bytes, dtype=np.uint8)))
+    assert out[2].format == "WAV-ULAW"
+    assert out[2].peak_abs == int(exp.max())
+    assert out[2].mean_abs == float(int(exp.sum()) / exp.size)
+    assert out[3].format == "WAV-ALAW" and out[3].peak_abs == 32256
+    assert out[4].format == "WAV-ADPCM" and out[4].n_samples == 5
+    assert out[4].peak_abs == 1001
+    assert out[5].format == "unknown" and out[5].peak_abs is None
