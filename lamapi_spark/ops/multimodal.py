@@ -154,8 +154,53 @@ def _parse_bmp(b: bytes):
     return "BMP", w, h, rows[:, :, ::-1].astype(np.float64)  # BGR -> RGB
 
 
+# Adam7 pass origins/steps: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_unfilter(lines, h, stride, bpp):
+    """Filtered scanlines (h, stride+1 uint8; first byte = filter type)
+    -> unfiltered bytes (h, stride int64). The five PNG filters; Sub is
+    a per-channel cumulative sum, Up one vectorized add, Average/Paeth
+    carry a true sequential left-dependency (byte-at-a-time)."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ft = int(lines[r, 0])
+        line = lines[r, 1:].astype(np.int64)
+        if ft == 0:                                   # None
+            cur = line
+        elif ft == 1:                                 # Sub
+            cur = np.cumsum(line.reshape(stride // bpp, bpp), axis=0,
+                            dtype=np.int64).reshape(stride) % 256
+        elif ft == 2:                                 # Up
+            cur = (line + prev) % 256
+        elif ft in (3, 4):                            # Average / Paeth
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 3:
+                    pred = (a + up) >> 1
+                else:
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[r] = cur
+        prev = cur
+    return out
+
+
 def _parse_png(b: bytes):
-    """8-bit PNG (gray / RGB / gray+alpha / RGBA, non-interlaced) ->
+    """8- or 16-bit PNG (gray / RGB / gray+alpha / RGBA / palette),
+    non-interlaced OR Adam7-interlaced ->
     ('PNG', w, h, HxWxC float64) via stdlib ``zlib`` + numpy.
 
     PNG is NOT behind the codec boundary the compressed formats sit
@@ -168,9 +213,15 @@ def _parse_png(b: bytes):
     byte-at-a-time (clarity-first reference implementation — the Arrow
     stage amortizes it per batch, and a columns-with-stride vectorization
     or a codec library drops in behind the same signature). Palette
-    (type 3) resolves indices through PLTE to RGB after unfiltering.
-    Unsupported (raises ValueError -> null-degrade upstream): 16-bit
-    channels, interlaced (Adam7), missing/invalid PLTE."""
+    (type 3, 8-bit) resolves indices through PLTE to RGB after
+    unfiltering. 16-bit channels combine big-endian byte pairs AFTER
+    unfiltering (filters operate on bytes per spec, bpp = 2*channels);
+    samples keep their native 0..65535 range (downstream luma/aHash are
+    scale-invariant). Adam7 interlacing decodes the seven
+    independently-filtered sub-images and scatters them back with
+    strided assignment. Unsupported (raises ValueError -> null-degrade
+    upstream): 1/2/4-bit depths, 16-bit palette, missing/invalid
+    PLTE."""
     import struct
     import zlib
 
@@ -194,8 +245,10 @@ def _parse_png(b: bytes):
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError("only 8-bit non-interlaced PNG supported")
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("only 8/16-bit depth, interlace 0/1 supported")
+    if color == 3 and depth != 8:
+        raise ValueError("palette PNG must be 8-bit")
     # color type 3 (palette): 1 byte/pixel of PLTE indices; resolved to
     # RGB after unfiltering (filters operate on the INDEX bytes per spec)
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
@@ -206,48 +259,47 @@ def _parse_png(b: bytes):
     if not w or not h:
         raise ValueError("empty image")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated scanlines")
-    lines = np.frombuffer(raw, dtype=np.uint8,
-                          count=h * (stride + 1)).reshape(h, stride + 1)
-    bpp = channels  # bytes per pixel at 8-bit depth
-    out = np.zeros((h, stride), dtype=np.int64)
-    prev = np.zeros(stride, dtype=np.int64)
-    for r in range(h):
-        ft = int(lines[r, 0])
-        line = lines[r, 1:].astype(np.int64)
-        if ft == 0:                                   # None
-            cur = line
-        elif ft == 1:                                 # Sub
-            cur = np.cumsum(line.reshape(w, bpp), axis=0,
-                            dtype=np.int64).reshape(stride) % 256
-        elif ft == 2:                                 # Up
-            cur = (line + prev) % 256
-        elif ft in (3, 4):                            # Average / Paeth
-            cur = np.empty(stride, dtype=np.int64)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                up = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                if ft == 3:
-                    pred = (a + up) >> 1
-                else:
-                    p = a + up - c
-                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                cur[x] = (line[x] + pred) % 256
-        else:
-            raise ValueError(f"bad filter type {ft}")
-        out[r] = cur
-        prev = cur
+    sample_bytes = depth // 8
+    bpp = channels * sample_bytes  # filters operate on BYTES (PNG spec)
+
+    def read_pass(pos, pw, ph):
+        stride = pw * bpp
+        need = ph * (stride + 1)
+        if len(raw) < pos + need:
+            raise ValueError("truncated scanlines")
+        lines = np.frombuffer(raw, dtype=np.uint8, count=need,
+                              offset=pos).reshape(ph, stride + 1)
+        return _png_unfilter(lines, ph, stride, bpp), pos + need
+
+    def to_samples(bytes2d, pw, ph):
+        if sample_bytes == 1:
+            return bytes2d.reshape(ph, pw, channels)
+        b2 = bytes2d.reshape(ph, pw, channels, 2)
+        return (b2[..., 0] << 8) | b2[..., 1]  # 16-bit is big-endian
+
+    if interlace == 0:
+        block, _pos = read_pass(0, w, h)
+        out = to_samples(block, w, h)
+    else:
+        # Adam7: seven independently-filtered sub-images scattered back
+        # by (x_start, y_start, x_step, y_step); empty passes carry no
+        # bytes. Strided numpy assignment is the whole deinterlace.
+        out = np.zeros((h, w, channels), dtype=np.int64)
+        pos = 0
+        for (xs, ys, xstep, ystep) in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            block, pos = read_pass(pos, pw, ph)
+            out[ys::ystep, xs::xstep, :] = to_samples(block, pw, ph)
     if color == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idxs = out.reshape(h, w)
+        idxs = out[:, :, 0]
         if int(idxs.max()) >= pal.shape[0]:
             raise ValueError("palette index out of range")
         return "PNG", w, h, pal[idxs].astype(np.float64)
-    return "PNG", w, h, out.reshape(h, w, channels).astype(np.float64)
+    return "PNG", w, h, out.astype(np.float64)
 
 
 def _parse_jpeg(b: bytes):

@@ -1512,3 +1512,103 @@ def multimodal_adpcm(spark, sf):
     payload = ids.mapInPandas(
         synth, schema="id bigint, payload binary, modality string")
     return decode_audio(payload).orderBy("id")
+
+
+def _png_encode_gray(img, depth=8, interlace=0):
+    """Grayscale PNG encoder for the synth corpora, generalizing
+    _png_encode: 8- or 16-bit samples (big-endian pairs), optional
+    Adam7 interlacing (each pass filtered independently), filter type
+    r % 5 on row r of every pass — one image exercises all five
+    unfilters in every pass."""
+    import struct
+    import zlib
+
+    H, W = len(img), len(img[0])
+    sb = depth // 8
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    def ser_row(rowvals):
+        return b"".join(struct.pack(">H", v) if depth == 16 else bytes([v])
+                        for v in rowvals)
+
+    passes = ([(0, 0, 1, 1)] if interlace == 0 else
+              [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)])
+    raw = bytearray()
+    for (xs, ys, xst, yst) in passes:
+        sub = [row[xs::xst] for row in img[ys::yst]]
+        if not sub or not sub[0]:
+            continue
+        prev = bytes(len(sub[0]) * sb)
+        for ri, rowvals in enumerate(sub):
+            line = ser_row(rowvals)
+            ft = ri % 5
+            raw.append(ft)
+            for x in range(len(line)):
+                a = line[x - sb] if x >= sb else 0
+                up = prev[x]
+                c = prev[x - sb] if x >= sb else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = up
+                elif ft == 3:
+                    pred = (a + up) >> 1
+                else:
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                raw.append((line[x] - pred) % 256)
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", W, H, depth, 0, 0, 0, interlace)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+@register("multimodal_png_i16", """
+WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 43 = 1),
+s AS (
+  SELECT id,
+         list_sum(list_transform(range(64), i -> (id * 97 + i * 513) % 65536)) AS ps
+  FROM ids
+)
+SELECT id, 'PNG' AS format, 8 AS width, 8 AS height, 1 AS channels,
+       round_even(ps / 64.0, 3) AS mean_luma
+FROM s ORDER BY id
+""")
+def multimodal_png_i16(spark, sf):
+    """16-bit + Adam7-INTERLACED PNG decoding through the Arrow stage:
+    8x8 grayscale 16-bit images (pixel i of clip `id` = (id*97 +
+    i*513) % 65536 — native 0..65535 range kept end to end) are Adam7-
+    encoded with the r % 5 filter schedule inside every pass, decoded
+    by the extended zlib/numpy PNG parser (per-pass unfilter -> strided
+    scatter -> big-endian byte-pair combine), and the oracle checks the
+    stats from the same integer formula (sum / 64 is exact — a power
+    of two). Closes the last two PNG profile gaps behind the round-4
+    decoder."""
+    from lamapi_spark.ops.multimodal import decode_image
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 43 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import pandas as pd
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                img = [[(int(pid) * 97 + (r * 8 + c) * 513) % 65536
+                        for c in range(8)] for r in range(8)]
+                payloads.append(_png_encode_gray(img, depth=16, interlace=1))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["image"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    return (decode_image(payload)
+            .select("id", "format", "width", "height", "channels", "mean_luma")
+            .orderBy("id"))

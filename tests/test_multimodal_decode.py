@@ -471,3 +471,32 @@ def test_decode_audio_codec_formats(spark):
     assert out[4].format == "WAV-ADPCM" and out[4].n_samples == 5
     assert out[4].peak_abs == 1001
     assert out[5].format == "unknown" and out[5].peak_abs is None
+
+
+def test_png_adam7_and_16bit_roundtrip():
+    """Adam7 deinterlace + 16-bit byte-pair combine (+ both together),
+    with all five filters cycling inside every pass, on non-multiple-
+    of-8 dimensions — against the known source pixels."""
+    import numpy as np
+
+    from lamapi_spark.ops.multimodal import _parse_png
+    from lamapi_spark.queries_ops import _png_encode_gray
+
+    img8 = [[(r * 31 + c * 17) % 256 for c in range(10)] for r in range(9)]
+    fmt, w, h, arr = _parse_png(_png_encode_gray(img8, interlace=1))
+    assert (fmt, w, h) == ("PNG", 10, 9)
+    assert np.array_equal(arr[:, :, 0], np.array(img8))
+
+    img16 = [[(r * 4099 + c * 257 + 13) % 65536 for c in range(6)]
+             for r in range(7)]
+    for interlace in (0, 1):
+        fmt, w, h, arr = _parse_png(
+            _png_encode_gray(img16, depth=16, interlace=interlace))
+        assert (w, h) == (6, 7)
+        assert np.array_equal(arr[:, :, 0], np.array(img16)), interlace
+    # 1-bit depth still degrades
+    import pytest as _pytest
+    bad = bytearray(_png_encode_gray(img8))
+    bad[24] = 1  # IHDR bit depth byte
+    with _pytest.raises(ValueError):
+        _parse_png(bytes(bad))
