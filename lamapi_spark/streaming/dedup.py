@@ -117,3 +117,74 @@ def stream_simhash_pairs(
         .dropDuplicatesWithinWatermark(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
+
+
+def stream_minhash_pairs(
+    spark: SparkSession, path: str,
+    k_shingle: int = 3, n_hashes: int = 16, n_bands: int = 4,
+    watermark: str = "2 hours", horizon: str = "2 hours",
+    schema: str = DOC_SCHEMA,
+) -> DataFrame:
+    """Streaming twin of the MinHash+LSH near-dup pairing
+    (ops/dedup.minhash_lsh_pairs): document stream -> (id_a, id_b,
+    sig_agree) for pairs sharing >= 1 LSH band whose event times are
+    within ``horizon`` of each other — completing the streaming dedup
+    family (exact / SimHash / MinHash).
+
+    Shape, exactly like stream_simhash_pairs: shingling, the minhash
+    signature, and the band keys are PURE column expressions shared with
+    the batch operator (md5-based, engine-portable), the banded blocking
+    is a posexplode, and the candidate join is a watermarked
+    STREAM-STREAM self-join on (band, band_key) with a time-range
+    constraint; cross-band duplicates collapse through a downstream
+    dropDuplicatesWithinWatermark on the pair key. State is bounded by
+    input rate x horizon.
+
+    CONTRACT DELTA vs batch (same as the SimHash twin): pairs whose
+    documents arrive more than ``horizon`` apart in event time are not
+    emitted; over any input slice inside the horizon the pair set
+    equals batch minhash_lsh_pairs (tested). No hot-bucket cap — a
+    streaming per-bucket count would itself be unbounded state; the
+    horizon IS the bucket bound (see stream_simhash_pairs)."""
+    from lamapi_spark.ops.dedup import (
+        lsh_band_keys, minhash_signature, word_shingles,
+    )
+
+    rows_per_band = n_hashes // n_bands
+    docs = spark.readStream.schema(schema).parquet(path)
+    sig = (
+        docs
+        .withColumn("_ts", F.col("ts").cast("timestamp"))
+        .withColumn("shingles", word_shingles("text", k_shingle))
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+        .withWatermark("_ts", watermark)
+        .select("doc_id", "sig", "_ts",
+                F.posexplode(lsh_band_keys(F.col("sig"), n_bands,
+                                           rows_per_band))
+                .alias("band", "band_key"))
+    )
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"),
+                   F.col("_ts").alias("ts_a"), "band", "band_key")
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"),
+                   F.col("_ts").alias("ts_b"),
+                   F.col("band").alias("band_b"), F.col("band_key").alias("key_b"))
+    pairs = a.join(
+        b,
+        F.expr(f"""
+            band = band_b AND band_key = key_b AND id_a < id_b
+            AND ts_b BETWEEN ts_a - INTERVAL {horizon}
+                         AND ts_a + INTERVAL {horizon}
+        """),
+        "inner",
+    )
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.bround(agree / F.size("sig_a"), 3).alias("sig_agree"),
+            F.col("ts_a").alias("_ts"))
+        .dropDuplicatesWithinWatermark(["id_a", "id_b"])
+        .select("id_a", "id_b", "sig_agree")
+    )

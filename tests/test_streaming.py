@@ -126,3 +126,41 @@ def test_stream_simhash_pairs_matches_batch(spark, tmp_path):
     assert gotd == want and len(want) > 0
     assert gotd[(0, 1)] == 0  # exact dup at distance 0
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_minhash_pairs_matches_batch(spark, tmp_path):
+    """The streaming MinHash+LSH pairing twin: over an input slice whose
+    event times all fall inside the horizon, the emitted
+    (pair, sig_agree) set equals batch minhash_lsh_pairs exactly
+    (shingling, signature, and band keys are shared column expressions;
+    only the candidate join changes shape)."""
+    from lamapi_spark.ops.dedup import minhash_lsh_pairs
+    from lamapi_spark.streaming.dedup import stream_minhash_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays a very long tune about data pipelines and shuffle "
+            "partitions in a distributed engine")
+    rows = [
+        (0, base),
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),
+        (3, base.replace("quick", "slow").replace("tune", "song")),
+        (4, "completely different text about cooking pasta with garlic "
+            "and butter in a large pan on slow heat for dinner"),
+        (5, "completely different text about cooking pasta with garlic "
+            "and butter in a large pan on high heat for dinner"),
+        (6, "unrelated short note"),
+    ]
+    feed = (spark.createDataFrame(rows, "doc_id bigint, text string")
+            .withColumn("ts", F.timestamp_seconds(
+                F.lit(1700000000) + F.col("doc_id") * 60)))
+    d = str(tmp_path / "docs_minhash")
+    feed.write.parquet(d)
+
+    got = run_available_now(stream_minhash_pairs(spark, d),
+                            "t_minhash_pairs", mode="append")
+    gotd = {(r.id_a, r.id_b): r.sig_agree for r in got.collect()}
+    want = {(r.id_a, r.id_b): r.sig_agree
+            for r in minhash_lsh_pairs(feed, "doc_id", "text").collect()}
+    assert gotd == want and len(want) > 0
+    assert gotd[(0, 1)] == 1.0  # exact dup agrees on every minhash
