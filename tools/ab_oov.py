@@ -14,10 +14,16 @@ the artifact pipeline):
      per-row exprs)
   C: single exchange + cheap indexed lambdas — collect_list once, run
      keys from (pos - index), runs via transform/filter (no array
-     rebuilding, no second exchange)
+     rebuilding, no second exchange) — ADOPTED in pipeline/mentions.py
+  D: B + in-array (pos, token) sort — determinism at B's shape
 
-Each variant runs REPEATS times interleaved; all variants are asserted
-hash-identical. Usage:
+Each variant runs REPEATS times interleaved (AB_VARIANTS selects,
+AB_EXECUTORS sets the local-cluster size); the deterministic variants
+(A/C/D) are asserted hash-identical via an order-independent
+bit_xor(xxhash64(...)). B is EXPECTED to disagree — this tool is what
+caught its arrival-order-dependent collect_list surfaces emitting
+different hashes across identical 4x4 runs, which is why B is
+disqualified despite being ~5-8% faster (BENCH.md). Usage:
   SPARK_DRIVER_MEMORY=16g python tools/ab_oov.py
 """
 
