@@ -91,6 +91,9 @@ class LookupIndex:
                                      # size-gate broadcasts on an actual
                                      # cardinality instead of a Catalyst
                                      # estimate (None = unknown/pre-meta)
+    reused: bool = False             # set by build_index_artifacts when an
+                                     # existing artifact was loaded instead
+                                     # of rebuilt (metrics/bench attribution)
 
     @staticmethod
     def build(label_dict: DataFrame, fuzzy: bool = True,
@@ -122,7 +125,8 @@ class LookupIndex:
     def write(label_dict: DataFrame, prefix: str = "lamapi_idx",
               n_buckets: int = 32, fuzzy: bool = True,
               limit_per_token: int | None = None, fuzzy_edits: int = 1,
-              overwrite: bool = True) -> "LookupIndex":
+              overwrite: bool = True,
+              source_fp: str | None = None) -> "LookupIndex":
         """Materialize the bucketed artifacts (offline index build — the
         elastic_indexing.py analogue) and return the loaded index.
 
@@ -156,12 +160,17 @@ class LookupIndex:
         # consumer might want to broadcast, and an actual count beats any
         # runtime size estimate (see pipeline/mentions.py)
         n_names = spark.table(f"{prefix}_names").count()
+        # source_fp fingerprints the DICTIONARY SNAPSHOT the artifact was
+        # built from (build_index_artifacts computes it over kg_items):
+        # reuse logic validates it so a pipeline handed a DIFFERENT
+        # kg_items frame can never silently link against a stale index
         meta = spark.createDataFrame(
             [(bool(fuzzy),
               None if limit_per_token is None else int(limit_per_token),
-              int(fuzzy_edits), int(n_buckets), int(n_names))],
+              int(fuzzy_edits), int(n_buckets), int(n_names),
+              source_fp)],
             "fuzzy boolean, limit_per_token int, fuzzy_edits int, "
-            "n_buckets int, n_names bigint")
+            "n_buckets int, n_names bigint, source_fp string")
         (meta.write.mode("overwrite").format("parquet")
          .saveAsTable(f"{prefix}_meta"))
         return LookupIndex.load(spark, prefix)
@@ -181,8 +190,9 @@ class LookupIndex:
         d = r.asDict()
         return {"fuzzy": r.fuzzy, "limit_per_token": r.limit_per_token,
                 "fuzzy_edits": r.fuzzy_edits, "n_buckets": r.n_buckets,
-                # pre-round-3 sidecars lack the count — degrade to None
-                "n_names": d.get("n_names")}
+                # older sidecars lack these fields — degrade to None
+                "n_names": d.get("n_names"),
+                "source_fp": d.get("source_fp")}
 
     @staticmethod
     def load(spark: SparkSession, prefix: str = "lamapi_idx",
@@ -230,11 +240,19 @@ class LookupIndex:
     @staticmethod
     def exists(spark: SparkSession, prefix: str = "lamapi_idx",
                fuzzy: bool | None = None, limit_per_token=_UNSET,
-               fuzzy_edits: int | None = None) -> bool:
+               fuzzy_edits: int | None = None,
+               source_fp: str | None = None) -> bool:
         """True when a loadable artifact with COMPATIBLE build parameters
         exists: tables present, meta sidecar present, and any explicitly
         passed parameter equal to the persisted one — so reuse logic
-        rebuilds instead of silently probing a mismatched artifact."""
+        rebuilds instead of silently probing a mismatched artifact.
+
+        ``source_fp`` (when provided) must ALSO match the persisted
+        dictionary-snapshot fingerprint; an artifact without one (built
+        by an older writer, or with validation off) is treated as
+        incompatible, forcing one rebuild that upgrades the sidecar —
+        conservative on purpose: silently reusing an unverifiable
+        artifact is exactly the stale-dictionary footgun this guards."""
         meta = LookupIndex.read_meta(spark, prefix)
         if meta is None:
             return False
@@ -243,6 +261,8 @@ class LookupIndex:
         if limit_per_token is not _UNSET and meta["limit_per_token"] != limit_per_token:
             return False
         if fuzzy_edits is not None and meta["fuzzy_edits"] != fuzzy_edits:
+            return False
+        if source_fp is not None and meta.get("source_fp") != source_fp:
             return False
         needed = [f"{prefix}_token", f"{prefix}_names"]
         if meta["fuzzy"]:

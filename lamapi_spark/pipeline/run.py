@@ -37,26 +37,47 @@ def build_index_artifacts(
     n_buckets: int | None = None,
     prefix: str = "lamapi_idx",
     reuse: bool = True,
+    validate_source: bool = True,
 ) -> LookupIndex:
     """The OFFLINE index build (the elastic_indexing.py analogue): label
     dictionary -> four bucketed, sorted, pre-pruned saved tables. Run it
     once per dictionary snapshot; every pipeline run then probes the
     artifacts with no dictionary-side shuffle/broadcast. ``reuse=True``
-    loads existing tables instead of rebuilding."""
-    # reuse only a PARAMETER-COMPATIBLE artifact (exists() validates the
-    # requested params against the persisted _meta sidecar); otherwise
-    # rebuild — silently probing an artifact pruned with a different K
-    # would drop the exact-name/1-edit recall guards
+    loads existing tables instead of rebuilding; the returned index's
+    ``reused`` flag records which happened."""
+    # Reuse only an artifact that is COMPATIBLE on two axes, both
+    # validated against the persisted _meta sidecar:
+    # - build PARAMETERS (silently probing an artifact pruned with a
+    #   different K would drop the exact-name/1-edit recall guards);
+    # - the dictionary SNAPSHOT: a cheap order-independent fingerprint
+    #   of kg_items (count + bit_xor(xxhash64(entity, popularity)) — one
+    #   scalar aggregation, trivially parallel). Without this, a caller
+    #   handing a DIFFERENT kg_items frame under the default prefix
+    #   would silently link against the stale dictionary. Snapshot-
+    #   managed deployments (fresh prefix per dictionary version) can
+    #   skip the validation scan with ``validate_source=False``; label
+    #   edits that keep (entity, popularity) identical elude the fast
+    #   fingerprint — version the prefix for those.
+    source_fp = None
+    if validate_source:
+        r = kg_items.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(entity, popularity))").alias("h")).head()
+        source_fp = f"{r['n']}:{r['h']}"
     if reuse and LookupIndex.exists(spark, prefix, fuzzy=fuzzy,
                                     limit_per_token=limit_per_token,
-                                    fuzzy_edits=fuzzy_edits):
-        return LookupIndex.load(spark, prefix)
+                                    fuzzy_edits=fuzzy_edits,
+                                    source_fp=source_fp):
+        idx = LookupIndex.load(spark, prefix)
+        idx.reused = True
+        return idx
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
     label_dict = build_label_dict(kg_items)
     return LookupIndex.write(
         label_dict, prefix=prefix, n_buckets=n_buckets, fuzzy=fuzzy,
-        limit_per_token=limit_per_token, fuzzy_edits=fuzzy_edits)
+        limit_per_token=limit_per_token, fuzzy_edits=fuzzy_edits,
+        source_fp=source_fp)
 
 
 def run_pipeline(
@@ -81,26 +102,24 @@ def run_pipeline(
     plan is the plan users get (oracle-gated, bench-measured — the one a
     non-broadcastable dictionary must run); pass False for the explicit
     small-job broadcast opt-out. The artifact PREFIX names a dictionary
-    snapshot — like the reference's named ES index, rebuilding when the
-    dictionary changes is the caller's contract (pass a fresh prefix or
-    drop the tables); reuse only validates build PARAMETERS via the
-    ``_meta`` sidecar."""
+    snapshot — like the reference's named ES index — and reuse validates
+    BOTH the build parameters and a fingerprint of the kg_items snapshot
+    against the ``_meta`` sidecar (build_index_artifacts), so a changed
+    dictionary under the same prefix rebuilds instead of silently
+    linking against the stale index."""
     runner = StageRunner(spark, checkpoint_dir or "", enabled=checkpoint_dir is not None)
     fp = (f"fuzzy={fuzzy};nil={nil_threshold};k={max_ntoken};"
           f"lpt={limit_per_token};cl={candidate_limit}")
 
     if index is None and use_index_artifacts:
         t0 = time.time()
-        reused = LookupIndex.exists(spark, index_prefix, fuzzy=fuzzy,
-                                    limit_per_token=limit_per_token,
-                                    fuzzy_edits=1)
         index = build_index_artifacts(
             spark, kg_items, fuzzy=fuzzy, limit_per_token=limit_per_token,
             prefix=index_prefix)
         runner.metrics.append({
             "stage": "index_artifacts", "rows_out": None, "partitions": None,
             "duration_s": round(time.time() - t0, 3), "fingerprint": fp,
-            "inputs": ["kg_items"], "resumed": reused})
+            "inputs": ["kg_items"], "resumed": index.reused})
 
     # cache: the dictionary feeds the token/variant indexes (non-artifact
     # path), the candidate payload join and the ids-backfill arm — one

@@ -239,8 +239,13 @@ def test_decode_png_alpha_channels_ignored_in_luma(spark):
 
 
 def test_decode_png_unsupported_degrades_to_unknown(spark):
-    """Palette / 16-bit / interlaced / truncated PNGs hit the ValueError
-    paths and emit format 'unknown' nulls — never fail the batch."""
+    """PNGs outside the decoder's profile (PLTE-less palette, 1/2/4-bit
+    depths, 16-bit palette) and truncated streams hit the ValueError
+    paths and emit format 'unknown' nulls — never fail the batch.
+    (16-bit depth and Adam7 interlacing are SUPPORTED since round 4 —
+    covered by test_png_adam7_and_16bit_roundtrip — so they no longer
+    belong here; short-IDAT truncation covers the malformed-stream
+    path for any header.)"""
     import struct
     import zlib
 
@@ -261,14 +266,16 @@ def test_decode_png_unsupported_degrades_to_unknown(spark):
     truncated = good[:len(good) // 2]
     rows = [
         (1, bytearray(png_hdr(color=3)), "image"),        # palette, NO PLTE
-        (2, bytearray(png_hdr(depth=16)), "image"),       # 16-bit
-        (3, bytearray(png_hdr(interlace=1)), "image"),    # Adam7
+        (2, bytearray(png_hdr(depth=4)), "image"),        # sub-byte depth
+        (3, bytearray(png_hdr(depth=16, color=3)), "image"),  # 16-bit palette
         (4, bytearray(truncated), "image"),               # cut mid-IDAT
+        (6, bytearray(png_hdr(depth=16)), "image"),       # 16-bit, IDAT too short
+        (7, bytearray(png_hdr(interlace=1)), "image"),    # Adam7, IDAT too short
         (5, bytearray(good), "image"),                    # control
     ]
     df = spark.createDataFrame(rows, "id bigint, payload binary, modality string")
     out = {r.id: r for r in decode_image(df).collect()}
-    for i in (1, 2, 3, 4):
+    for i in (1, 2, 3, 4, 6, 7):
         assert out[i].format == "unknown" and out[i].ahash is None, i
     assert out[5].format == "PNG" and out[5].mean_luma == 25.0
 

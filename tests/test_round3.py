@@ -283,3 +283,41 @@ def test_best_links_artifact_path_no_forced_broadcast(spark, small_kg):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_index_reuse_validates_dictionary_fingerprint(spark, small_kg):
+    """build_index_artifacts only reuses an artifact whose persisted
+    dictionary-snapshot fingerprint matches the kg_items it was handed:
+    same frame -> reused; a changed dictionary under the SAME prefix ->
+    rebuild (the round-4 review's stale-artifact footgun)."""
+    from pyspark.sql import functions as F
+
+    from lamapi_spark.pipeline.run import build_index_artifacts
+
+    items = small_kg["kg_items"]
+    idx1 = build_index_artifacts(spark, items, fuzzy=True, limit_per_token=9,
+                                 n_buckets=2, prefix="t_r4_fp")
+    assert not idx1.reused
+    idx2 = build_index_artifacts(spark, items, fuzzy=True, limit_per_token=9,
+                                 n_buckets=2, prefix="t_r4_fp")
+    assert idx2.reused and idx2.n_names == idx1.n_names
+
+    # a different dictionary snapshot (one popularity bumped) must NOT
+    # silently reuse the stale artifact
+    changed = items.withColumn(
+        "popularity",
+        F.when(F.col("entity") == items.select("entity").head()[0],
+               F.col("popularity") + 1).otherwise(F.col("popularity")))
+    idx3 = build_index_artifacts(spark, changed, fuzzy=True, limit_per_token=9,
+                                 n_buckets=2, prefix="t_r4_fp")
+    assert not idx3.reused
+    # and the rebuilt artifact now reuses against the NEW snapshot
+    idx4 = build_index_artifacts(spark, changed, fuzzy=True, limit_per_token=9,
+                                 n_buckets=2, prefix="t_r4_fp")
+    assert idx4.reused
+    # explicit opt-out (snapshot-managed prefixes) skips the scan and
+    # keeps parameter-only validation
+    idx5 = build_index_artifacts(spark, items, fuzzy=True, limit_per_token=9,
+                                 n_buckets=2, prefix="t_r4_fp",
+                                 validate_source=False)
+    assert idx5.reused

@@ -8,8 +8,9 @@ concat(slice(...)) per element).
 
 Variants, all over the identical `oov` token frame (same vocab path as
 the artifact pipeline):
-  A: HEAD — collect_list + F.aggregate fold (one exchange, O(n^2)
-     array copies per turn in an interpreted lambda)
+  A: the round-4 fold (REPLACED by C at HEAD) — collect_list +
+     F.aggregate (one exchange, O(n^2) array copies per turn in an
+     interpreted lambda)
   B: pre-round-4 — row_number window + group-by (two exchanges, cheap
      per-row exprs)
   C: single exchange + cheap indexed lambdas — collect_list once, run
@@ -75,7 +76,7 @@ def build_oov(spark, transcripts, index):
 
 
 def variant_a(oov, max_run=4, min_run=2):
-    """HEAD: collect_list + F.aggregate fold."""
+    """The round-4 F.aggregate fold (replaced by variant C at HEAD)."""
     per_turn = oov.groupBy("conv_id", "turn_idx").agg(
         F.sort_array(F.collect_list(F.struct("pos", "token"))).alias("_tk"))
     empty_runs = F.expr(
