@@ -7,7 +7,9 @@ Decode paths:
 - ``decode_image`` — a REAL decoder (stdlib + numpy, no image
   libraries): NetPBM P2/P3/P5/P6, uncompressed 24-bit BMP, 8-bit
   PNG (gray/RGB/gray+alpha/RGBA — DEFLATE via stdlib zlib plus the five
-  scanline filters unfiltered in numpy), and JPEG — baseline AND
+  scanline filters unfiltered in numpy), GIF87a/89a (a direct LZW
+  implementation — variable-width LSB-first codes — plus palettes and
+  4-pass interlacing), and JPEG — baseline AND
   progressive/SOF2 (canonical-Huffman entropy decode incl. Annex-G
   successive approximation + dequant + exact float64 IDCT + chroma
   upsampling + BT.601 YCbCr->RGB, in ops/jpeg.py), emitting true
@@ -302,6 +304,144 @@ def _parse_png(b: bytes):
     return "PNG", w, h, out.astype(np.float64)
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF-flavor LZW: variable-width codes (min+1 .. 12 bits) packed
+    LSB-FIRST, CLEAR resets the dictionary, EOI ends the stream. Pure
+    bit arithmetic — the same no-library claim as DEFLATE-via-zlib,
+    except LZW is small enough to implement directly."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit reader state (LSB-first within each byte)
+    acc = nbits = pos = 0
+
+    def read_code(width: int):
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    width = min_code_size + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        code = read_code(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW code before clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if len(out) < n_pixels:
+        raise ValueError("LZW stream short of pixel count")
+    return out[:n_pixels]
+
+
+# GIF interlace passes: (row_start, row_step)
+_GIF_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _parse_gif(b: bytes):
+    """GIF87a/GIF89a -> ('GIF', w, h, HxWx3 float64): logical screen +
+    color tables + LZW-compressed indices of the FIRST image frame
+    (later frames of an animation are ignored — the decode contract
+    emits one stats/hash row per payload), with 4-pass interlacing
+    supported. Pure stdlib/numpy: LZW is implemented directly
+    (_gif_lzw_decode). Raises ValueError on non-GIF/malformed input ->
+    null-degrade upstream."""
+    import struct
+
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not gif")
+    if len(b) < 14:
+        raise ValueError("truncated gif header")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    global_table = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        global_table = np.frombuffer(b, dtype=np.uint8, count=3 * n,
+                                     offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                raise ValueError("truncated image descriptor")
+            _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos + 1)
+            pos += 10
+            table = global_table
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                table = np.frombuffer(b, dtype=np.uint8, count=3 * n,
+                                      offset=pos).reshape(n, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("no color table")
+            if not w or not h:
+                raise ValueError("empty image")
+            min_code_size = b[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 11:
+                raise ValueError("bad LZW min code size")
+            chunks = []
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                chunks.append(b[pos + 1: pos + 1 + ln])
+                pos += 1 + ln
+            idxs = np.array(
+                _gif_lzw_decode(b"".join(chunks), min_code_size, w * h),
+                dtype=np.int64)
+            if int(idxs.max()) >= table.shape[0]:
+                raise ValueError("color index out of range")
+            rows = idxs.reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                out = np.empty_like(rows)
+                src = 0
+                for (start, step) in _GIF_PASSES:
+                    n_rows = len(range(start, h, step))
+                    out[start::step] = rows[src:src + n_rows]
+                    src += n_rows
+                rows = out
+            return "GIF", w, h, table[rows].astype(np.float64)
+        elif block == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError("bad GIF block")
+    raise ValueError("no image data")
+
+
 def _parse_jpeg(b: bytes):
     """Baseline or progressive JPEG -> ('JPEG', w, h, HxWxC float64)
     via the stdlib + numpy codec in ops/jpeg.py (canonical Huffman incl.
@@ -337,8 +477,9 @@ def _ahash64(gray) -> int:
 def decode_image(df: DataFrame) -> DataFrame:
     """REAL image decode over binary payloads (Arrow-batched, stdlib +
     numpy only): NetPBM (P2/P3/P5/P6), uncompressed 24-bit BMP, 8-bit
-    non-interlaced PNG, and baseline + progressive JPEG (gray + YCbCr
-    4:4:4/4:2:2/4:2:0, ops/jpeg.py). Emits true dimensions, channel count,
+    non-interlaced PNG, GIF (direct LZW + palette + interlacing), and
+    baseline + progressive JPEG (gray + YCbCr 4:4:4/4:2:2/4:2:0,
+    ops/jpeg.py). Emits true dimensions, channel count,
     mean luminance (ITU-R 601 for RGB/RGBA; alpha never contributes) and a
     64-bit average-hash. Unrecognized/corrupt payloads emit format
     'unknown' with null fields instead of failing the batch (P6-style
@@ -357,7 +498,7 @@ def decode_image(df: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 try:
                     for parser in (_parse_netpbm, _parse_bmp, _parse_png,
-                                   _parse_jpeg):
+                                   _parse_gif, _parse_jpeg):
                         try:
                             fmt, w, h, px = parser(b)
                             break

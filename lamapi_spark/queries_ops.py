@@ -1612,3 +1612,87 @@ def multimodal_png_i16(spark, sf):
     return (decode_image(payload)
             .select("id", "format", "width", "height", "channels", "mean_luma")
             .orderBy("id"))
+
+
+# ------------------------------------------------------------------- gif
+
+def _gif_encode_gray(w, h, idxs, interlace=False):
+    """Minimal valid GIF89a for the synth corpora: 256-entry grayscale
+    identity palette (index v -> (v,v,v)), one image, LZW stream built
+    with the spec's simplest valid strategy — CLEAR before every
+    literal, so every code is 9 bits and the dictionary never grows.
+    Deliberately INDEPENDENT of any real LZW encoder: the decoder's
+    dictionary-growth path is exercised separately in pytest with a
+    greedy encoder."""
+    import struct
+
+    def pack_lsb(codes):
+        acc = nbits = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += 9
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    codes = []
+    for v in idxs:
+        codes += [256, v]
+    codes.append(257)
+    data = pack_lsb(codes)
+    sub = b"".join(bytes([min(255, len(data) - o)]) + data[o:o + 255]
+                   for o in range(0, len(data), 255)) + b"\x00"
+    desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 0x40 if interlace else 0)
+    return hdr + pal + desc + bytes([8]) + sub + b"\x3B"
+
+
+@register("multimodal_gif", """
+WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 47 = 1),
+s AS (
+  SELECT id,
+         list_sum(list_transform(range(64), i -> (id * 7 + i * 19) % 256)) AS ps
+  FROM ids
+)
+SELECT id, 'GIF' AS format, 8 AS width, 8 AS height, 3 AS channels,
+       round_even(ps / 64.0, 3) AS mean_luma
+FROM s ORDER BY id
+""")
+def multimodal_gif(spark, sf):
+    """REAL GIF decoding through the Arrow stage: deterministic 8x8
+    GIFs (grayscale identity palette, pixel i of clip `id` = (id*7 +
+    i*19) % 256) are synthesized with the spec's trivial
+    CLEAR-per-literal LZW stream, decoded by the direct LZW
+    implementation in ops/multimodal._parse_gif (variable-width
+    LSB-first codes, palette resolve), and the oracle checks the stats
+    from the same integer formula (identity palette -> R=G=B=index, so
+    BT.601 luma equals the index exactly and the mean divides an exact
+    int sum by 64). Dictionary growth, width bumps, interlacing, and
+    degrade paths are pytest-covered with a greedy LZW encoder."""
+    from lamapi_spark.ops.multimodal import decode_image
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 47 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import pandas as pd
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                idxs = [(int(pid) * 7 + i * 19) % 256 for i in range(64)]
+                payloads.append(_gif_encode_gray(8, 8, idxs))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["image"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    return (decode_image(payload)
+            .select("id", "format", "width", "height", "channels", "mean_luma")
+            .orderBy("id"))

@@ -507,3 +507,73 @@ def test_png_adam7_and_16bit_roundtrip():
     bad[24] = 1  # IHDR bit depth byte
     with _pytest.raises(ValueError):
         _parse_png(bytes(bad))
+
+
+def test_gif_lzw_and_interlace():
+    """GIF decode: trivial CLEAR-per-literal streams, 4-pass interlace
+    restore, REAL dictionary growth (greedy LZW encoder with width
+    bumps), and degrade paths."""
+    import numpy as np
+
+    from lamapi_spark.ops.multimodal import _gif_lzw_decode, _parse_gif
+    from lamapi_spark.queries_ops import _gif_encode_gray
+
+    w, h = 10, 6
+    idxs = [(r * 37 + c * 11) % 256 for r in range(h) for c in range(w)]
+    exp = np.array(idxs).reshape(h, w)
+    fmt, gw, gh, px = _parse_gif(_gif_encode_gray(w, h, idxs))
+    assert (fmt, gw, gh) == ("GIF", 10, 6) and px.shape == (6, 10, 3)
+    for ch in range(3):  # identity grayscale palette
+        assert np.array_equal(px[:, :, ch], exp)
+
+    # interlaced: rows stored in 4-pass order, restored to raster
+    order = [r for (s, st) in [(0, 8), (4, 8), (2, 4), (1, 2)]
+             for r in range(s, h, st)]
+    inter = [idxs[r * w + c] for r in order for c in range(w)]
+    _, _, _, px2 = _parse_gif(_gif_encode_gray(w, h, inter, interlace=True))
+    assert np.array_equal(px2[:, :, 0], exp)
+
+    # greedy LZW with dictionary growth + width bumps + repeats
+    def lzw_encode(vals, mcs=8):
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, width = eoi + 1, mcs + 1
+        codes = [(clear, width)]
+        cur = b""
+        for v in vals:
+            nxt = cur + bytes([v])
+            if nxt in table:
+                cur = nxt
+                continue
+            codes.append((table[cur], width))
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            cur = bytes([v])
+        codes.append((table[cur], width))
+        codes.append((eoi, width))
+        return codes
+
+    def pack(codes):
+        acc = nbits = 0
+        out = bytearray()
+        for c, cw in codes:
+            acc |= c << nbits
+            nbits += cw
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rep = ([5, 5, 5, 5, 7, 7, 5, 5, 7, 7] * 40)[:320]
+    assert _gif_lzw_decode(pack(lzw_encode(rep)), 8, len(rep)) == rep
+
+    import pytest as _pytest
+    for bad in (b"notagif", b"GIF89a" + b"\x00" * 5,
+                _gif_encode_gray(4, 4, [0] * 16)[:25]):
+        with _pytest.raises(ValueError):
+            _parse_gif(bad)
