@@ -233,6 +233,52 @@ def simhash_pairs(
                          n_bands=n_bands, max_bucket=max_bucket)
 
 
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS: (doc_id, canonical_id,
+    cluster_size), the decision stage that turns any pairing operator's
+    output into an actual keep/drop verdict (keep = doc_id ==
+    canonical_id, the component minimum; reference analogue: none — the
+    reference is a lookup service; this is builder's-brief training-data
+    surface).
+
+    ``pairs`` is (id_a, id_b) from any of the pairing stages (SimHash /
+    MinHash-LSH / n-gram Jaccard / image aHash / embedding cosine) —
+    transitive closure matters because near-dup is not transitive: A~B
+    and B~C must collapse into ONE cluster or the survivor set still
+    contains a near-dup pair. Components come from the same iterative
+    hash-min propagation the entity canonicalizer uses
+    (pipeline/canonicalize.py — one shuffle per iteration, O(diameter)
+    iterations). Near-dup clusters are template groups, i.e. dense
+    quasi-cliques with tiny diameter, so the loop converges in 2-3
+    iterations; a pathological long-chain graph would need the
+    alternating star variant, which nothing in this corpus shape ever
+    produces. Singletons (docs in no pair) canonicalize to themselves
+    via the left join + coalesce, NOT by feeding the CC loop — the
+    propagation frame stays proportional to the PAIRED docs only.
+
+    cluster_size counts every member (singletons = 1) with one window
+    over the canonical key — same single shuffle a groupBy+join would
+    take, without the second scan.
+    """
+    from lamapi_spark.pipeline.canonicalize import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    comp = connected_components(edges, max_iter=max_iter).withColumnRenamed(
+        "entity", "doc_id")
+    labeled = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("canonical_id"))
+    )
+    return labeled.select(
+        "doc_id", "canonical_id",
+        F.count("*").over(Window.partitionBy("canonical_id")).alias("cluster_size"),
+    )
+
+
 def simhash60(tokens: Column) -> Column:
     """60-bit SimHash over a token array: bit b is set when the sum of
     (+1/-1) votes of each token's hash bit b is positive."""

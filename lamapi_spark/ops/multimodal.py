@@ -633,8 +633,10 @@ def _parse_wav(b: bytes):
     - IMA/DVI ADPCM mono (format 0x11)   -> 'WAV-ADPCM' (a genuinely
       compressed ~4:1 codec: per-block predictor + step-index state
       machine over 4-bit nibbles)
-    Raises ValueError on anything else (MP3/OGG/FLAC stay behind the
-    codec-library boundary)."""
+    Raises ValueError on anything else. Native FLAC is handled by
+    :func:`_parse_flac` (dispatched on magic in decode_audio); only
+    perceptual codecs (MP3/OGG) stay behind the codec-library
+    boundary."""
     import struct
 
     import numpy as np
@@ -680,6 +682,494 @@ def _parse_wav(b: bytes):
             samples[: frames * channels].reshape(frames, channels))
 
 
+class _FlacBits:
+    """MSB-first bit reader over bytes (FLAC is big-endian bit-packed,
+    unlike the LSB-first GIF LZW reader)."""
+
+    __slots__ = ("d", "pos")
+
+    def __init__(self, d: bytes):
+        self.d = d
+        self.pos = 0  # bit position
+
+    def bits(self, n: int) -> int:
+        v, pos, d = 0, self.pos, self.d
+        if pos + n > len(d) * 8:
+            raise ValueError("flac: truncated bitstream")
+        while n:
+            byte = d[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = avail if avail < n else n
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.pos = pos
+        return v
+
+    def sbits(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly 0x07, init 0 (FLAC frame-header CRC)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 (FLAC whole-frame CRC)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+# frame-header lookup tables (FLAC format spec §9.1)
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+               7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+_FLAC_SSIZE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_utf8(r: _FlacBits) -> int:
+    """FLAC's UTF-8-style extended coded number (frame/sample index)."""
+    v = r.bits(8)
+    if v < 0x80:
+        return v
+    n_cont = 0
+    mask = 0x40
+    while v & mask:
+        n_cont += 1
+        mask >>= 1
+    if n_cont < 1 or n_cont > 6:
+        raise ValueError("flac: bad utf8 coded number")
+    val = v & (mask - 1)
+    for _ in range(n_cont):
+        c = r.bits(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("flac: bad utf8 continuation")
+        val = (val << 6) | (c & 0x3F)
+    return val
+
+
+def _flac_residual(r: _FlacBits, bsize: int, order: int) -> list[int]:
+    """Rice-coded residual section: 2-bit method (4- or 5-bit params),
+    4-bit partition order, per-partition Rice parameter with the
+    all-ones escape to fixed-width raw samples."""
+    method = r.bits(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = r.bits(4)
+    n_part = 1 << porder
+    if bsize % n_part:
+        raise ValueError("flac: block size not divisible by partitions")
+    psize = bsize >> porder
+    res: list[int] = []
+    for p in range(n_part):
+        cnt = psize - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("flac: partition smaller than predictor order")
+        param = r.bits(pbits)
+        if param == escape:
+            raw = r.bits(5)
+            if raw == 0:
+                res.extend([0] * cnt)
+            else:
+                res.extend(r.sbits(raw) for _ in range(cnt))
+        else:
+            for _ in range(cnt):
+                u = (r.unary() << param) | (r.bits(param) if param else 0)
+                res.append((u >> 1) ^ -(u & 1))  # zigzag unfold
+    return res
+
+
+_FLAC_FIXED = {
+    0: lambda s, i: 0,
+    1: lambda s, i: s[i - 1],
+    2: lambda s, i: 2 * s[i - 1] - s[i - 2],
+    3: lambda s, i: 3 * s[i - 1] - 3 * s[i - 2] + s[i - 3],
+    4: lambda s, i: 4 * s[i - 1] - 6 * s[i - 2] + 4 * s[i - 3] - s[i - 4],
+}
+
+
+def _flac_subframe(r: _FlacBits, bsize: int, bps: int) -> list[int]:
+    if r.bits(1):
+        raise ValueError("flac: subframe padding bit set")
+    t = r.bits(6)
+    wasted = 0
+    if r.bits(1):
+        wasted = r.unary() + 1
+    eb = bps - wasted
+    if eb <= 0:
+        raise ValueError("flac: wasted bits exceed sample size")
+    if t == 0:
+        s = [r.sbits(eb)] * bsize
+    elif t == 1:
+        s = [r.sbits(eb) for _ in range(bsize)]
+    elif 8 <= t <= 12:
+        order = t & 7
+        if order > bsize:
+            raise ValueError("flac: order exceeds block size")
+        s = [r.sbits(eb) for _ in range(order)]
+        res = _flac_residual(r, bsize, order)
+        pred = _FLAC_FIXED[order]
+        for i in range(order, bsize):
+            s.append(res[i - order] + pred(s, i))
+    elif t >= 32:
+        order = (t & 31) + 1
+        if order > bsize:
+            raise ValueError("flac: order exceeds block size")
+        s = [r.sbits(eb) for _ in range(order)]
+        prec = r.bits(4) + 1
+        if prec == 16:
+            raise ValueError("flac: invalid lpc precision")
+        shift = r.sbits(5)
+        if shift < 0:
+            raise ValueError("flac: negative lpc shift")
+        coefs = [r.sbits(prec) for _ in range(order)]
+        res = _flac_residual(r, bsize, order)
+        for i in range(order, bsize):
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * s[i - 1 - j]
+            s.append(res[i - order] + (acc >> shift))  # arithmetic shift
+    else:
+        raise ValueError(f"flac: reserved subframe type {t}")
+    if wasted:
+        s = [v << wasted for v in s]
+    return s
+
+
+def _parse_flac(b: bytes):
+    """Native FLAC -> ('FLAC', channels, rate, int64 samples[n, ch]).
+
+    A REAL decoder in the PNG/JPEG mold (stdlib + numpy, no codec
+    library): STREAMINFO metadata, frame sync + CRC-8-checked headers,
+    UTF-8-coded frame numbers, constant / verbatim / fixed-predictor /
+    LPC subframes, Rice-partitioned residuals (4- and 5-bit parameters,
+    raw-bits escape), wasted-bits shift, all four stereo decorrelation
+    modes (independent, left-side, right-side, mid-side), CRC-16-checked
+    frame footers. FLAC is LOSSLESS, so decoded PCM equals the encoder
+    input bit-for-bit — the equivalence oracle the contract query and
+    tests/test_flac.py exploit. Reference analogue: none (the reference
+    is text-only); this extends the builder's-brief multimodal surface,
+    leaving only perceptual codecs (MP3/OGG) behind the library
+    boundary."""
+    import numpy as np
+
+    if len(b) < 42 or b[:4] != b"fLaC":
+        raise ValueError("not flac")
+    pos, n = 4, len(b)
+    info = None
+    while True:
+        if pos + 4 > n:
+            raise ValueError("flac: truncated metadata")
+        last, btype = b[pos] >> 7, b[pos] & 0x7F
+        length = int.from_bytes(b[pos + 1:pos + 4], "big")
+        if pos + 4 + length > n:
+            raise ValueError("flac: truncated metadata block")
+        if btype == 0:
+            body = b[pos + 4:pos + 4 + length]
+            if length < 34:
+                raise ValueError("flac: short STREAMINFO")
+            raw = int.from_bytes(body[10:18], "big")
+            info = {
+                "rate": raw >> 44,
+                "channels": ((raw >> 41) & 0x7) + 1,
+                "bps": ((raw >> 36) & 0x1F) + 1,
+                "total": raw & ((1 << 36) - 1),
+            }
+        pos += 4 + length
+        if last:
+            break
+    if info is None or info["rate"] == 0:
+        raise ValueError("flac: missing STREAMINFO")
+    channels, bps = info["channels"], info["bps"]
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    decoded = 0
+    while decoded < info["total"]:
+        frame_start = pos
+        r = _FlacBits(b)
+        r.pos = pos * 8
+        if r.bits(14) != 0x3FFE:
+            raise ValueError("flac: lost frame sync")
+        r.bits(1)  # reserved
+        r.bits(1)  # blocking strategy
+        bs_code, sr_code = r.bits(4), r.bits(4)
+        ch_code, ss_code = r.bits(4), r.bits(3)
+        r.bits(1)  # reserved
+        _flac_utf8(r)
+        if bs_code == 0:
+            raise ValueError("flac: reserved block size code")
+        elif bs_code == 1:
+            bsize = 192
+        elif bs_code <= 5:
+            bsize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            bsize = r.bits(8) + 1
+        elif bs_code == 7:
+            bsize = r.bits(16) + 1
+        else:
+            bsize = 256 << (bs_code - 8)
+        if sr_code == 12:
+            r.bits(8)
+        elif sr_code in (13, 14):
+            r.bits(16)
+        elif sr_code == 15:
+            raise ValueError("flac: invalid sample rate code")
+        fbps = _FLAC_SSIZE.get(ss_code, bps) if ss_code else bps
+        header_end = r.pos >> 3  # header is byte-aligned here
+        crc8 = r.bits(8)
+        if _crc8(b[frame_start:header_end]) != crc8:
+            raise ValueError("flac: frame header CRC mismatch")
+        if ch_code < 8:
+            n_sub = ch_code + 1
+            if n_sub != channels:
+                raise ValueError("flac: channel count mismatch")
+            subs = [_flac_subframe(r, bsize, fbps) for _ in range(n_sub)]
+        elif ch_code in (8, 9, 10):
+            if channels != 2:
+                raise ValueError("flac: stereo mode in non-stereo stream")
+            left_extra = 1 if ch_code == 9 else 0
+            right_extra = 1 if ch_code in (8, 10) else 0
+            c0 = _flac_subframe(r, bsize, fbps + left_extra)
+            c1 = _flac_subframe(r, bsize, fbps + right_extra)
+            if ch_code == 8:      # left-side: c1 = L - R
+                subs = [c0, [l - s for l, s in zip(c0, c1)]]
+            elif ch_code == 9:    # right-side: c0 = L - R
+                subs = [[rr + s for s, rr in zip(c0, c1)], c1]
+            else:                 # mid-side
+                left, right = [], []
+                for m, s in zip(c0, c1):
+                    m = (m << 1) | (s & 1)
+                    left.append((m + s) >> 1)
+                    right.append((m - s) >> 1)
+                subs = [left, right]
+        else:
+            raise ValueError("flac: reserved channel assignment")
+        r.align()
+        payload_end = r.pos >> 3
+        crc16 = r.bits(16)
+        if _crc16(b[frame_start:payload_end]) != crc16:
+            raise ValueError("flac: frame CRC mismatch")
+        take = min(bsize, info["total"] - decoded)
+        for c in range(channels):
+            chans[c].extend(subs[c][:take])
+        decoded += take
+        pos = r.pos >> 3
+    out = np.empty((decoded, channels), dtype=np.int64)
+    for c in range(channels):
+        out[:, c] = chans[c]
+    return ("FLAC", channels, info["rate"], out)
+
+
+class _FlacWBits:
+    """MSB-first bit writer (the encoder-side twin of _FlacBits)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nb = 0
+
+    def w(self, v: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nb += n
+        while self.nb >= 8:
+            self.nb -= 8
+            self.out.append((self.acc >> self.nb) & 0xFF)
+        self.acc &= (1 << self.nb) - 1
+
+    def sw(self, v: int, n: int) -> None:
+        self.w(v & ((1 << n) - 1), n)
+
+    def align(self) -> None:
+        if self.nb:
+            self.w(0, 8 - self.nb)
+
+    def data(self) -> bytes:
+        return bytes(self.out)
+
+
+def _flac_utf8_enc(w: _FlacWBits, val: int) -> None:
+    if val < 0x80:
+        w.w(val, 8)
+        return
+    nbytes = 2
+    while val >= (1 << (5 * nbytes + 1)):
+        nbytes += 1
+    lead = (0xFF ^ ((1 << (8 - nbytes)) - 1)) | (val >> (6 * (nbytes - 1)))
+    w.w(lead, 8)
+    for k in range(nbytes - 2, -1, -1):
+        w.w(0x80 | ((val >> (6 * k)) & 0x3F), 8)
+
+
+def _flac_enc_residual(w: _FlacWBits, res: list[int], bsize: int, order: int,
+                       porder: int, escape_part) -> None:
+    if bsize % (1 << porder):
+        porder = 0
+    w.w(0, 2)       # method 0: 4-bit Rice parameters
+    w.w(porder, 4)
+    psize = bsize >> porder
+    idx = 0
+    for p in range(1 << porder):
+        cnt = psize - (order if p == 0 else 0)
+        part = res[idx:idx + cnt]
+        idx += cnt
+        if escape_part is not None and p == escape_part:
+            raw = max([1] + [(v if v >= 0 else ~v).bit_length() + 1 for v in part])
+            w.w(15, 4)
+            w.w(raw, 5)
+            for v in part:
+                w.sw(v, raw)
+            continue
+        us = [(v << 1) if v >= 0 else ((-v) << 1) - 1 for v in part]
+        best_p = min(range(15),
+                     key=lambda pp: sum((u >> pp) + 1 + pp for u in us))
+        w.w(best_p, 4)
+        for u in us:
+            w.w(1, (u >> best_p) + 1)        # unary quotient: q zeros + 1
+            w.w(u & ((1 << best_p) - 1), best_p)
+
+
+def _flac_enc_subframe(w: _FlacWBits, s: list[int], bps: int, kind: str,
+                       porder: int, escape_part) -> None:
+    bsize = len(s)
+    if kind == "constant" and len(set(s)) != 1:
+        kind = "verbatim"
+    if kind.startswith("fixed") and int(kind[5:]) >= bsize:
+        kind = "verbatim"
+    if kind == "lpc" and bsize <= 2:
+        kind = "verbatim"
+    w.w(0, 1)  # padding
+    if kind == "constant":
+        w.w(0, 6)
+        w.w(0, 1)
+        w.sw(s[0], bps)
+    elif kind == "verbatim":
+        w.w(1, 6)
+        w.w(0, 1)
+        for v in s:
+            w.sw(v, bps)
+    elif kind.startswith("fixed"):
+        order = int(kind[5:])
+        w.w(8 | order, 6)
+        w.w(0, 1)
+        for v in s[:order]:
+            w.sw(v, bps)
+        res = [s[i] - _FLAC_FIXED[order](s, i) for i in range(order, bsize)]
+        _flac_enc_residual(w, res, bsize, order, porder, escape_part)
+    elif kind == "lpc":
+        order, prec, shift, coefs = 2, 5, 1, [2, -1]
+        w.w(32 | (order - 1), 6)
+        w.w(0, 1)
+        for v in s[:order]:
+            w.sw(v, bps)
+        w.w(prec - 1, 4)
+        w.sw(shift, 5)
+        for c in coefs:
+            w.sw(c, prec)
+        res = [s[i] - ((coefs[0] * s[i - 1] + coefs[1] * s[i - 2]) >> shift)
+               for i in range(order, bsize)]
+        _flac_enc_residual(w, res, bsize, order, porder, escape_part)
+    else:
+        raise ValueError(f"unknown subframe kind {kind}")
+
+
+def encode_flac(samples, rate: int = 8000, bps: int = 16, block: int = 256,
+                mode: str = "indep", subframe: str = "fixed2",
+                porder: int = 0, escape_part=None) -> bytes:
+    """Test-side FLAC encoder (the equivalence-oracle pattern the JPEG
+    codec uses: encode_jpeg in ops/jpeg.py): emits spec-conformant
+    streams — STREAMINFO, CRC-8 frame headers, UTF-8 frame numbers,
+    constant/verbatim/fixed/LPC subframes, Rice partitions with
+    optional raw-bits escape, all four stereo modes, CRC-16 footers —
+    and since FLAC is lossless, _parse_flac MUST reproduce the input
+    PCM bit-for-bit. ``mode``: indep | left-side | right-side |
+    mid-side (stereo only); ``subframe``: constant | verbatim |
+    fixed0..fixed4 | lpc; ``escape_part`` forces that partition index
+    onto the raw-bits escape path."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    total, ch = arr.shape
+    if mode != "indep" and ch != 2:
+        raise ValueError("stereo modes need 2 channels")
+    w = _FlacWBits()
+    w.out += b"fLaC"
+    w.w(1, 1)        # last metadata block
+    w.w(0, 7)        # STREAMINFO
+    w.w(34, 24)
+    w.w(min(block, total) if total else block, 16)   # min blocksize
+    w.w(block, 16)                                   # max blocksize
+    w.w(0, 24)
+    w.w(0, 24)
+    w.w(rate, 20)
+    w.w(ch - 1, 3)
+    w.w(bps - 1, 5)
+    w.w(total, 36)
+    w.out += b"\x00" * 16                            # md5 unset
+    frame_no = 0
+    for start in range(0, total, block):
+        blk = arr[start:start + block]
+        bsize = blk.shape[0]
+        fw = _FlacWBits()
+        fw.w(0x3FFE, 14)
+        fw.w(0, 1)
+        fw.w(0, 1)       # fixed-blocksize strategy
+        fw.w(7, 4)       # blocksize: 16-bit at end of header
+        fw.w(0, 4)       # sample rate: from STREAMINFO
+        ch_code = {"indep": ch - 1, "left-side": 8,
+                   "right-side": 9, "mid-side": 10}[mode]
+        fw.w(ch_code, 4)
+        ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
+        fw.w(ss_code, 3)
+        fw.w(0, 1)
+        _flac_utf8_enc(fw, frame_no)
+        fw.w(bsize - 1, 16)
+        fw.w(_crc8(fw.data()), 8)
+        if mode == "indep":
+            subs = [(list(blk[:, c]), bps) for c in range(ch)]
+        else:
+            left, right = list(blk[:, 0]), list(blk[:, 1])
+            side = [l - r for l, r in zip(left, right)]
+            if mode == "left-side":
+                subs = [(left, bps), (side, bps + 1)]
+            elif mode == "right-side":
+                subs = [(side, bps + 1), (right, bps)]
+            else:
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                subs = [(mid, bps), (side, bps + 1)]
+        for s, sbps in subs:
+            _flac_enc_subframe(fw, [int(v) for v in s], sbps, subframe,
+                               porder, escape_part)
+        fw.align()
+        fw.w(_crc16(fw.data()), 16)
+        w.out += fw.data()
+        frame_no += 1
+    return w.data()
+
+
 def decode_audio(df: DataFrame) -> DataFrame:
     """REAL audio decode over binary payloads (Arrow-batched, numpy
     only): RIFF/WAVE with PCM 8/16-bit, G.711 mu-law/A-law companding,
@@ -689,9 +1179,11 @@ def decode_audio(df: DataFrame) -> DataFrame:
     mean absolute sample value — sums of int64s, so engine-portable
     with no float accumulation order issues). Unrecognized/corrupt
     payloads emit format 'unknown' with null fields (same null-degrade
-    contract as decode_image). Perceptual audio codecs (MP3/OGG/FLAC)
-    stay behind the codec-library boundary, like WebP in
-    decode_image_real."""
+    contract as decode_image). Native FLAC (lossless: constant /
+    verbatim / fixed / LPC subframes, Rice partitions, all stereo
+    modes, CRC-checked) decodes for real too — see _parse_flac; only
+    perceptual codecs (MP3/OGG) stay behind the codec-library
+    boundary, like WebP in decode_image_real."""
     import numpy as np
     import pandas as pd
 
@@ -702,7 +1194,11 @@ def decode_audio(df: DataFrame) -> DataFrame:
                                     "mean_abs")}
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 try:
-                    name, ch, rate, samples = _parse_wav(bytes(payload))
+                    pb = bytes(payload)
+                    if pb[:4] == b"fLaC":
+                        name, ch, rate, samples = _parse_flac(pb)
+                    else:
+                        name, ch, rate, samples = _parse_wav(pb)
                     frames = samples.shape[0]
                     absv = np.abs(samples)
                     rows["id"].append(i); rows["format"].append(name)

@@ -82,6 +82,59 @@ def token_counts(text: Column) -> dict[str, Column]:
     return {"ws_tokens": ws, "regex_tokens": bpe_ish}
 
 
+# PII patterns chosen for cross-engine regex parity (Java regex on the
+# Spark side, RE2 in DuckDB oracles): ASCII classes, non-capturing
+# groups, \b, and bounded quantifiers behave identically in both.
+# Insertion order IS the redaction order (email first so the phone
+# pattern never eats an address's digit run).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9 -]{6,}[0-9]",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (email / IPv4 / +intl phone) — the
+    detection half of the standard training-data scrubbing stage. Pure
+    regexp_extract_all column expressions; no UDF."""
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder (``<EMAIL>``,
+    ``<IPV4>``, ``<PHONE>``), applied in PII_PATTERNS order."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals: duplicate-token fraction and the
+    most-frequent-2-gram fraction. Both are array expressions over the
+    token list — the 2-gram mode is O(distinct x total) per document,
+    bounded by document length, never a shuffle."""
+    toks = _tokens(text)
+    n = F.greatest(F.size(toks), F.lit(1))
+    dup_frac = F.bround(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 3)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    top = F.array_max(F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    ))
+    top_frac = F.when(F.size(grams) > 0,
+                      F.bround(top / F.size(grams), 3)).otherwise(F.lit(0.0))
+    return {"dup_token_frac": dup_frac, "top_2gram_frac": top_frac}
+
+
 def fingerprint(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set (the classic 'fingerprint clustering' normalization)."""

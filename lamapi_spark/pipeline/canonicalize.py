@@ -31,10 +31,15 @@ def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
     iterations (near-degenerate components), so eager checking beats
     running blind extra rounds of shuffles.
     """
+    # materialize the symmetric edge set ONCE: it feeds every iteration's
+    # propagation join, and the upstream edge plan may be expensive (the
+    # dedup_clusters caller hands us an LSH band self-join — without the
+    # checkpoint that join would re-execute per iteration)
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("entity"))

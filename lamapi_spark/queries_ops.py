@@ -14,13 +14,14 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lamapi_spark.ops.dedup import (
-    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash60,
-    simhash_pairs, word_shingles,
+    dedup_clusters, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
+    simhash60, simhash_pairs, word_shingles,
 )
 from lamapi_spark.ops.multimodal import attach_binary, decode_image_meta
 from lamapi_spark.ops.similarity import brute_force_topk, lsh_ann_topk
 from lamapi_spark.ops.textstats import (
-    LANG_MARKERS, fingerprint, lang_id, lang_scores, quality_features, token_counts,
+    LANG_MARKERS, PII_PATTERNS, fingerprint, lang_id, lang_scores, pii_counts,
+    quality_features, redact_pii, repetition_features, token_counts,
 )
 from lamapi_spark.queries import load, register
 
@@ -81,10 +82,14 @@ FROM pairs ORDER BY id_a, id_b
 """)
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidate pairs: shingle -> 16 md5-minhashes
-    -> 4 bands -> band-bucket join; sig_agree estimates Jaccard."""
+    -> 4 bands -> band-bucket join; sig_agree estimates Jaccard.
+    max_bucket lifted above any sf's template-group size — the oracle
+    does not model the hot-bucket drop, so the guard must stay a no-op
+    for oracle equivalence (same reasoning as image_neardup_pairs)."""
     return (
         minhash_lsh_pairs(load(spark, sf, "documents"), "doc_id", "text",
-                          k_shingle=3, n_hashes=_N_HASHES, n_bands=_N_BANDS)
+                          k_shingle=3, n_hashes=_N_HASHES, n_bands=_N_BANDS,
+                          max_bucket=1_000_000)
         .orderBy("id_a", "id_b")
     )
 
@@ -107,10 +112,14 @@ WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
 ORDER BY id_a, id_b
 """)
 def dedup_ngram_jaccard(spark, sf):
-    """Exact shingle-Jaccard pairs >= 0.2 with shared-shingle prefilter."""
+    """Exact shingle-Jaccard pairs >= 0.2 with shared-shingle prefilter.
+    max_df lifted above any sf's document count — the oracle's
+    candidate join has no document-frequency prune, so the hot-shingle
+    guard must stay a no-op for oracle equivalence (same reasoning as
+    the max_bucket no-ops on the LSH queries)."""
     return (
         ngram_jaccard_pairs(load(spark, sf, "documents"), "doc_id", "text",
-                            k_shingle=3, threshold=0.2)
+                            k_shingle=3, threshold=0.2, max_df=1_000_000)
         .orderBy("id_a", "id_b")
     )
 
@@ -152,13 +161,53 @@ def dedup_simhash_pairs(spark, sf):
     """SimHash pairing stage: banded-prefix blocking + bit_count(xor)
     Hamming verify. The oracle is the BRUTE-FORCE all-pairs Hamming join
     — equality proves the banding (4 bands of 15 bits) is lossless for
-    Hamming distance <= 3."""
+    Hamming distance <= 3. max_bucket is lifted above any sf's
+    template-group size so the hot-bucket guard stays a no-op and the
+    operator remains oracle-equivalent at larger sf (same guard as
+    image_neardup_pairs)."""
     return (
         simhash_pairs(load(spark, sf, "documents"), "doc_id", "text",
-                      max_hamming=3, n_bands=4)
+                      max_hamming=3, n_bands=4, max_bucket=1_000_000)
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register("dedup_cluster", f"""
+WITH RECURSIVE
+h AS (SELECT doc_id, {_SIMHASH_SQL_HASHES} AS h FROM documents),
+sig AS (SELECT doc_id, ({_SIMHASH_SQL})::BIGINT AS sim FROM h),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+walk(node, lab) AS (
+    SELECT a, a FROM e
+    UNION
+    SELECT e.b, w.lab FROM walk w JOIN e ON e.a = w.node
+),
+comp AS (SELECT node, min(lab) AS canonical FROM walk GROUP BY node),
+lab AS (SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+SELECT doc_id, canonical_id,
+       count(*) OVER (PARTITION BY canonical_id)::BIGINT AS cluster_size
+FROM lab ORDER BY doc_id
+""")
+def dedup_cluster(spark, sf):
+    """Pairs -> transitive-closure clusters -> keep/drop verdict. The
+    oracle recomputes the SimHash pairs BRUTE-FORCE (as in
+    dedup_simhash_pairs) and the components as the min reachable id via
+    a recursive CTE — an independent closure construction, so Spark's
+    iterative hash-min propagation is checked against a fixpoint
+    computed a completely different way."""
+    docs = load(spark, sf, "documents")
+    # max_bucket sized above any sf's template-group population (the
+    # same oracle-equivalence guard image_neardup_pairs documents):
+    # same-group docs share most bands, so the default 1000 would drop
+    # pairs the brute-force oracle keeps once a group exceeds it.
+    pairs = simhash_pairs(docs, "doc_id", "text", max_hamming=3, n_bands=4,
+                          max_bucket=1_000_000)
+    return dedup_clusters(docs, pairs, "doc_id").orderBy("doc_id")
 
 
 # ------------------------------------------------------------- similarity
@@ -339,6 +388,141 @@ def text_fingerprint(spark, sf):
     return (
         load(spark, sf, "documents")
         .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+# Planted-PII corpus: the synthetic documents carry no PII, so the
+# contract query augments them DETERMINISTICALLY from doc_id (the same
+# synthesized-corpus pattern the multimodal queries use); the identical
+# CASE runs in both engines, so matches are known-by-construction
+# without being circular (the oracle still re-runs detection itself).
+_PII_AUG_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com now' "
+    "WHEN doc_id % 5 = 0 THEN text || ' from 10.0.' || "
+    "CAST(doc_id % 250 AS VARCHAR) || '.7 at +1 555 01' || "
+    "CAST(doc_id AS VARCHAR) ELSE text END"
+)
+
+
+def _pii_aug_col():
+    did = F.col("doc_id")
+    return (
+        F.when(did % 3 == 0, F.concat(
+            F.col("text"), F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com now")))
+        .when(did % 5 == 0, F.concat(
+            F.col("text"), F.lit(" from 10.0."), (did % 250).cast("string"),
+            F.lit(".7 at +1 555 01"), did.cast("string")))
+        .otherwise(F.col("text"))
+    )
+
+
+@register("text_pii", f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{PII_PATTERNS["email"]}'))::INT AS n_email,
+       len(regexp_extract_all(t, '{PII_PATTERNS["ipv4"]}'))::INT AS n_ipv4,
+       len(regexp_extract_all(t, '{PII_PATTERNS["phone"]}'))::INT AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+           '{PII_PATTERNS["ipv4"]}', '<IPV4>', 'g'),
+           '{PII_PATTERNS["phone"]}', '<PHONE>', 'g')) AS redacted_hash
+FROM aug ORDER BY doc_id
+""")
+def text_pii(spark, sf):
+    """PII detection + redaction over the planted corpus. The oracle
+    re-runs both regex stages in DuckDB (RE2) against Spark's Java
+    regex — the patterns are written for cross-engine parity
+    (PII_PATTERNS); note DuckDB regexp_replace needs the 'g' flag to
+    match Spark's replace-all semantics."""
+    aug = _pii_aug_col()
+    counts = pii_counts(aug)
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id",
+                counts["n_email"].alias("n_email"),
+                counts["n_ipv4"].alias("n_ipv4"),
+                counts["n_phone"].alias("n_phone"),
+                F.md5(redact_pii(aug)).alias("redacted_hash"))
+        .orderBy("doc_id")
+    )
+
+
+_TOKS_SQL = r"string_split_regex(lower(text), '\s+')"
+_GRAMS_SQL = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(range(1, len(toks)), "
+    "i -> array_to_string(toks[i:i+1], ' ')) "
+    "ELSE []::VARCHAR[] END"
+)
+
+
+@register("text_repetition", f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, toks, {_GRAMS_SQL} AS grams FROM t)
+SELECT doc_id,
+       round_even(1.0 - len(list_distinct(toks))::DOUBLE
+                  / greatest(len(toks), 1), 3) AS dup_token_frac,
+       CASE WHEN len(grams) > 0 THEN
+           round_even(list_max(list_transform(list_distinct(grams),
+               x -> len(list_filter(grams, y -> y = x))))::DOUBLE
+               / len(grams), 3)
+       ELSE 0.0 END AS top_2gram_frac
+FROM g ORDER BY doc_id
+""")
+def text_repetition(spark, sf):
+    """Gopher-style repetition signals (duplicate-token fraction,
+    most-frequent-2-gram fraction) — per-document array expressions,
+    no shuffle beyond the scan."""
+    rep = repetition_features(F.col("text"))
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id",
+                rep["dup_token_frac"].alias("dup_token_frac"),
+                rep["top_2gram_frac"].alias("top_2gram_frac"))
+        .orderBy("doc_id")
+    )
+
+
+@register("quality_filter", f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents),
+q AS (SELECT doc_id,
+       len(toks) AS n_tokens,
+       round_even(list_sum(list_transform(toks, s -> length(s)))::DOUBLE
+             / greatest(len(toks), 1), 2) AS mean_token_len,
+       round_even(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1), 3) AS alpha_ratio,
+       round_even(1.0 - len(list_distinct(toks))::DOUBLE
+             / greatest(len(toks), 1), 3) AS dup_token_frac
+FROM t)
+SELECT doc_id,
+       (n_tokens BETWEEN 10 AND 1000) AS r_len,
+       (mean_token_len BETWEEN 2 AND 12) AS r_mean,
+       (alpha_ratio >= 0.6) AS r_alpha,
+       (dup_token_frac <= 0.8) AS r_dup,
+       ((n_tokens BETWEEN 10 AND 1000) AND (mean_token_len BETWEEN 2 AND 12)
+        AND alpha_ratio >= 0.6 AND dup_token_frac <= 0.8) AS keep
+FROM q ORDER BY doc_id
+""")
+def quality_filter(spark, sf):
+    """Gopher-rule composition: per-rule verdicts + the final keep flag.
+    Thresholds compare the ROUNDED features (bround/round_even computed
+    identically in both engines), so a boundary value can never split
+    the engines on float dust."""
+    q = quality_features(F.col("text"))
+    rep = repetition_features(F.col("text"))
+    r_len = q["n_tokens"].between(10, 1000)
+    r_mean = q["mean_token_len"].between(2, 12)
+    r_alpha = q["alpha_ratio"] >= 0.6
+    r_dup = rep["dup_token_frac"] <= 0.8
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id",
+                r_len.alias("r_len"), r_mean.alias("r_mean"),
+                r_alpha.alias("r_alpha"), r_dup.alias("r_dup"),
+                (r_len & r_mean & r_alpha & r_dup).alias("keep"))
         .orderBy("doc_id")
     )
 
@@ -796,6 +980,76 @@ def multimodal_audio(spark, sf):
                                                16000, 2, 16)
                        + b"data" + struct.pack("<I", len(data)))
                 payloads.append(hdr + data)
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["audio"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    return decode_audio(payload).orderBy("id")
+
+
+# FLAC corpus, engine-portable: sample j of clip `id` =
+# ((id*7919 + j*104729) % 65521) - 32760 (fits 16-bit PCM); clip length
+# and the codec profile vary by id so one contract query exercises
+# fixed/LPC subframes, mid-side + left-side stereo, Rice partitioning
+# with the raw-bits escape, and a short last frame. The oracle NEVER
+# parses FLAC — it recomputes the stats from the same closed-form PCM
+# formula, and losslessness is what makes that non-circular: the
+# decoder must reproduce the exact integers the formula defines.
+_FLAC_SQL = """
+WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 29 = 1),
+p AS (SELECT id, 300 + (id % 5) * 40 AS n,
+             CASE WHEN id % 4 IN (1, 2) THEN 2 ELSE 1 END AS ch
+      FROM ids),
+s AS (SELECT id, n, ch,
+             list_transform(range(n * ch),
+                 j -> abs((id * 7919 + j * 104729) % 65521 - 32760)) AS a
+      FROM p)
+SELECT id, 'FLAC' AS format, ch::INT AS channels, 8000 AS sample_rate,
+       n::INT AS n_samples, n / 8000.0 AS duration_s,
+       list_max(a)::INT AS peak_abs,
+       list_sum(a)::DOUBLE / (n * ch) AS mean_abs
+FROM s ORDER BY id
+"""
+
+
+@register("multimodal_flac", _FLAC_SQL)
+def multimodal_flac(spark, sf):
+    """REAL FLAC decoding through the Arrow stage: clips are
+    encoded executor-side by ops/multimodal.encode_flac (profile
+    varies by id: mono fixed-predictor, mid-side fixed1, left-side
+    LPC, and Rice-partitioned with a forced escape partition), decoded
+    by _parse_flac, and the oracle recomputes the amplitude stats from
+    the closed-form PCM formula."""
+    from lamapi_spark.ops.multimodal import decode_audio
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 29 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import pandas as pd
+
+        from lamapi_spark.ops.multimodal import encode_flac
+
+        profiles = {
+            0: ("indep", "fixed2", 0, None),
+            1: ("mid-side", "fixed1", 0, None),
+            2: ("left-side", "lpc", 0, None),
+            3: ("indep", "fixed3", 2, 1),
+        }
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                pid = int(pid)
+                n = 300 + (pid % 5) * 40
+                ch = 2 if pid % 4 in (1, 2) else 1
+                vals = [((pid * 7919 + j * 104729) % 65521) - 32760
+                        for j in range(n * ch)]
+                arr = [vals[j * ch:(j + 1) * ch] for j in range(n)]
+                mode, kind, po, esc = profiles[pid % 4]
+                payloads.append(encode_flac(
+                    arr, rate=8000, bps=16, block=256, mode=mode,
+                    subframe=kind, porder=po, escape_part=esc))
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
                                 "modality": ["audio"] * len(payloads)})
 

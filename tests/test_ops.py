@@ -124,3 +124,49 @@ def test_embed_neardup_pairs_plants_and_precision(spark):
     assert all(c >= 0.99 for c in got.values())
     # nothing random sneaks in: every found pair is planted-vs-original
     assert set(got) == want_pairs
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    # chain 0-1, 1-2 must collapse into ONE cluster (near-dup is not
+    # transitive; the closure is the point), 3-4 a second, 5 a singleton.
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id bigint, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a bigint, id_b bigint")
+    from lamapi_spark.ops.dedup import dedup_clusters
+    out = {r.doc_id: (r.canonical_id, r.cluster_size)
+           for r in dedup_clusters(docs, pairs, "doc_id").collect()}
+    assert out == {0: (0, 3), 1: (0, 3), 2: (0, 3),
+                   3: (3, 2), 4: (3, 2), 5: (5, 1)}
+
+
+def test_pii_detect_and_redact(spark):
+    from lamapi_spark.ops.textstats import pii_counts, redact_pii
+    df = spark.createDataFrame(
+        [(0, "mail me at jo.doe+x@sub.example.org or 192.168.0.1 / +44 20 7946 0958"),
+         (1, "no pii here at all")],
+        "doc_id bigint, text string")
+    c = pii_counts(F.col("text"))
+    row = (df.select("doc_id", *(c[k].alias(k) for k in c),
+                     redact_pii(F.col("text")).alias("red"))
+             .orderBy("doc_id").collect())
+    assert (row[0].n_email, row[0].n_ipv4, row[0].n_phone) == (1, 1, 1)
+    assert row[0].red == "mail me at <EMAIL> or <IPV4> / <PHONE>"
+    assert (row[1].n_email, row[1].n_ipv4, row[1].n_phone) == (0, 0, 0)
+    assert row[1].red == "no pii here at all"
+
+
+def test_repetition_features(spark):
+    from lamapi_spark.ops.textstats import repetition_features
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"),     # 6 toks, 2 distinct; grams: 'a b' x3, 'b a' x2
+         (1, "x y z"),           # no repetition: dup 1-3/3=0, top gram 1/2
+         (2, "solo")],           # single token: no grams -> 0.0
+        "doc_id bigint, text string")
+    rep = repetition_features(F.col("text"))
+    rows = (df.select("doc_id", rep["dup_token_frac"].alias("d"),
+                      rep["top_2gram_frac"].alias("t"))
+              .orderBy("doc_id").collect())
+    assert (rows[0].d, rows[0].t) == (pytest.approx(0.667), pytest.approx(0.6))
+    assert (rows[1].d, rows[1].t) == (0.0, 0.5)
+    assert (rows[2].d, rows[2].t) == (0.0, 0.0)
