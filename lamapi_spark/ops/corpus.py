@@ -1,0 +1,185 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+Unicode normalization, benchmark-contamination detection, deterministic
+stratified/mixture sampling, and unigram-LM quality scoring.
+
+Reference analogue: none (the reference is a lookup service) — this is
+builder's-brief training-data surface, same tier as ops/dedup.py and
+ops/textstats.py. Every operator here is engine-portable by
+construction (the DuckDB oracles in queries_corpus.py re-run the same
+logic), and scale-shaped: no driver round-trips, no per-row Python
+except the one genuinely non-SQL step (NFC normalization, which Spark
+SQL lacks — Arrow-batched pandas UDF, never row-at-a-time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# Control characters stripped by normalize_text: C0 minus \t\n\r, plus
+# DEL. Spelled as an explicit class so the Java (Spark) and RE2 (DuckDB
+# oracle) regex engines agree byte-for-byte.
+CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+# returnType as a DataType INSTANCE, not the DDL string "string": the
+# string form parses through the active SparkContext, which would make
+# importing this module require a running session
+@pandas_udf(StringType())
+def _nfc(s):
+    import unicodedata
+
+    return s.map(lambda v: unicodedata.normalize("NFC", v)
+                 if v is not None else None)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text cleanup: NFC Unicode normalization (combining
+    sequences -> precomposed), control-character strip, whitespace-run
+    collapse, trim.
+
+    NFC is the ONE step Spark SQL cannot express (no normalize
+    function), so it runs as an Arrow-batched pandas UDF; the regex
+    steps stay JVM-side column expressions on its output. DuckDB's
+    nfc_normalize implements the same Unicode algorithm, which is what
+    makes the cross-engine oracle meaningful: two independent NFC
+    implementations must agree on every document."""
+    cleaned = F.regexp_replace(_nfc(text), CONTROL_CLASS, "")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def token_ngrams(text: Column, n: int) -> Column:
+    """Token n-grams as space-joined strings over the whitespace
+    tokenization (lower-cased) — the contamination unit."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination(
+    train: DataFrame, eval_df: DataFrame, n: int = 8,
+    id_col: str = "doc_id", text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination check (the n-gram-overlap decontamination
+    every serious pretraining pipeline runs before training): for each
+    train document, how many of its distinct token ``n``-grams appear
+    anywhere in the evaluation set.
+
+    -> (doc_id, n_grams, n_overlap, contaminated) where ``n_grams`` is
+    the doc's distinct-n-gram count, ``n_overlap`` how many of those
+    occur in eval, and ``contaminated`` flags any overlap at all (the
+    conservative decontamination rule; callers wanting a fraction
+    threshold have both counts).
+
+    Scale shape: the eval side collapses to DISTINCT n-grams first
+    (benchmarks are small — thousands of documents — so the distinct
+    gram set broadcasts; ``broadcast_eval=False`` leaves the join to a
+    shuffle hash on the gram string for a pathologically large eval
+    suite). The train side never shuffles its text: grams explode,
+    semi-join against eval grams, and re-aggregate on the doc id. A
+    left join + count-distinct-match instead of a semi-join would drag
+    every non-matching gram through the aggregation; the semi-join
+    prunes first."""
+    grams = F.explode(F.array_distinct(token_ngrams(F.col(text_col), n)))
+    train_grams = train.select(F.col(id_col).alias("doc_id"),
+                               grams.alias("gram"))
+    eval_grams = eval_df.select(grams.alias("gram")).distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    totals = train_grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"))
+    hits = (train_grams.join(eval_grams, "gram", "left_semi")
+            .groupBy("doc_id").agg(F.count("*").alias("n_overlap")))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select("doc_id", "n_grams",
+                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
+        .withColumn("contaminated", F.col("n_overlap") > 0)
+    )
+
+
+def sample_hash(key: Column, salt: str = "s0") -> Column:
+    """Deterministic per-row sampling coordinate in [0, 10000): the
+    first 8 hex digits of md5(key|salt) mod 10000. md5 (not xxhash64)
+    because the oracle must recompute it — DuckDB has md5 but not
+    Spark's xxhash64; both engines parse the same hex substring."""
+    h = F.conv(F.substring(F.md5(F.concat(key.cast("string"),
+                                          F.lit("|" + salt))), 1, 8),
+               16, 10).cast("long")
+    return h % 10000
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, rates: dict[str, float],
+    key_col: str = "doc_id", default_rate: float = 0.0, salt: str = "s0",
+) -> DataFrame:
+    """Deterministic stratified / mixture-weighted sampling — the
+    training-mixture step (e.g. upweight books, downsample web) done the
+    only way that survives a 100x scale-up: a pure per-row hash
+    predicate. No sort, no shuffle, no RNG state; the sample is a
+    FUNCTION of (key, salt), so re-runs, resumes, and different
+    partitionings all select the identical row set, and a row's
+    verdict can be recomputed by anyone (the DuckDB oracle does).
+
+    ``rates`` maps stratum value -> keep fraction in [0, 1]; rows whose
+    stratum is absent keep with ``default_rate``. Keep iff
+    sample_hash(key) < round(rate * 10000)."""
+    rate_bp = F.lit(int(round(default_rate * 10000)))
+    for value, rate in sorted(rates.items()):
+        rate_bp = F.when(F.col(strata_col) == value,
+                         F.lit(int(round(rate * 10000)))).otherwise(rate_bp)
+    return (
+        df.withColumn("_sample_bp", sample_hash(F.col(key_col), salt))
+        .filter(F.col("_sample_bp") < rate_bp)
+        .drop("_sample_bp")
+    )
+
+
+def unigram_lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model quality score (the CCNet/Gopher-style
+    perplexity proxy, with the corpus itself as the LM): add-one
+    smoothed unigram probabilities from corpus-wide token counts, then
+    per-document mean negative log-probability (nats). High = unusual
+    token distribution = low-quality or off-domain candidate.
+
+    -> (doc_id, n_tokens, avg_neg_logp).
+
+    Engine parity: -ln p(w) is rounded to 6 decimals PER TOKEN, the
+    per-doc sum runs in DECIMAL (exact, order-free), and the final
+    average is bround'ed — so the one float op either engine performs
+    is ln() of a rational, where a 1-ulp libm difference would need to
+    land within ~1e-10 of a rounding boundary to split the engines
+    (one boundary check per DISTINCT count value, not per token).
+
+    Scale shape: two aggregations (token counts; per-doc score) plus
+    one join from tokens to their counts — count frames are
+    vocabulary-sized, so the stats (total tokens, vocab size) ride a
+    1-row cross-join broadcast and the count join shuffles on the
+    token string with map-side combine already applied. No Python."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    stats = counts.agg(F.sum("c").alias("total"),
+                       F.count("*").alias("vocab"))
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_nlp", F.bround(
+            -F.log((F.col("c") + 1).cast("double")
+                   / (F.col("total") + F.col("vocab")).cast("double")), 6))
+    )
+    return (
+        scored.groupBy("doc_id").agg(
+            F.count("*").alias("n_tokens"),
+            F.bround(F.sum(F.col("_nlp").cast("decimal(28,6)")).cast("double")
+                     / F.count("*"), 4).alias("avg_neg_logp"))
+    )

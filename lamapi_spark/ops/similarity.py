@@ -170,3 +170,101 @@ def embed_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_assign(
+    df: DataFrame, centroids: DataFrame,
+    id_col: str = "id", vec_col: str = "v",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by exact cosine
+    (tie -> lowest cell id). Centroids are tiny (n_cells rows) and ride
+    an explicit broadcast; the argmin is a max(struct) aggregate, not a
+    window — map-side combine collapses each vector's n_cells candidate
+    rows before any shuffle."""
+    scored = (
+        df.join(F.broadcast(centroids), how="cross")
+        .withColumn("_cos", cosine_exact(F.col(vec_col), F.col("c_vec")))
+    )
+    return (
+        scored.groupBy(id_col).agg(
+            F.max(F.struct(F.col("_cos").alias("s"),
+                           (-F.col("cell")).alias("nc"))).alias("_m"))
+        .select(id_col, (-F.col("_m.nc")).cast("int").alias("cell"))
+    )
+
+
+def ivf_ann_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 3,
+    n_cells: int = 8, n_probe: int = 2,
+    query_id: str = "vec_id", corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the second scale path next to
+    lsh_ann_topk, trading LSH's data-independent buckets for
+    data-adaptive cells: corpus vectors are assigned to their nearest
+    of ``n_cells`` centroid vectors (the inverted file), and each query
+    probes only its ``n_probe`` nearest cells, scanning ~n_probe/n_cells
+    of the corpus instead of all of it.
+
+    Centroids are MEDOIDS — actual corpus rows picked by a
+    deterministic md5 rank over ids (cell = rank order) — not Lloyd
+    means: averaging would make centroid floats depend on summation
+    order and engine, while medoid selection + the deterministic
+    fixed-order cosine keeps every assignment, probe, and rank
+    bit-reproducible across engines and partitionings (the DuckDB
+    oracle rebuilds the whole structure). Hash-ranked medoids are a
+    random sample of the data distribution — the standard IVF seeding —
+    and the structure (assign / probe / scan-within-cell) is exactly
+    FAISS IndexIVFFlat's.
+
+    Scale shape: the centroid frame is n_cells rows (broadcast
+    everywhere); corpus assignment is one broadcast join + partial-agg
+    argmin (no shuffle of vectors beyond the final cell key); the
+    probe join shuffles on the cell id, so cell-population skew is
+    bounded by the corpus's cluster structure (n_probe > 1 is also the
+    recall lever). Self-matches are excluded; recall misses are the
+    standard IVF trade when a true neighbor lives in an unprobed cell.
+
+    -> (q_id, n_id, cosine, rnk)."""
+    c = corpus.select(F.col(corpus_id).alias("id"), F.col(vec).alias("v"))
+    q = queries.select(F.col(query_id).alias("id"), F.col(vec).alias("v"))
+
+    # medoid pick: global top-n_cells by (md5 rank, id). orderBy+limit
+    # compiles to TakeOrderedAndProject — a distributed per-partition
+    # top-k plus a driver merge of n_cells-row partial results — NOT a
+    # single-partition global sort; only the n_cells survivors (a frame
+    # that broadcasts anyway) see the unpartitioned row_number.
+    picked = (
+        c.withColumn("_hk", F.conv(F.substring(F.md5(F.col("id").cast("string")),
+                                               1, 8), 16, 10).cast("long"))
+        .orderBy("_hk", "id").limit(n_cells)
+    )
+    centroids = (
+        picked.withColumn("_r", F.row_number().over(
+            Window.orderBy(F.col("_hk"), F.col("id"))))
+        .select(F.col("_r").cast("int").alias("cell"), F.col("v").alias("c_vec"))
+    )
+
+    inv = (c.join(ivf_assign(c, centroids), "id")
+           .select(F.col("id").alias("n_id"), F.col("v").alias("n_vec"), "cell"))
+
+    probe_scored = (
+        q.join(F.broadcast(centroids), how="cross")
+        .withColumn("_cos", cosine_exact(F.col("v"), F.col("c_vec")))
+    )
+    probe_w = Window.partitionBy("id").orderBy(F.desc("_cos"), F.asc("cell"))
+    probes = (
+        probe_scored.withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= n_probe)
+        .select(F.col("id").alias("q_id"), F.col("v").alias("q_vec"), "cell")
+    )
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        probes.join(inv, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", cosine_exact(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "cosine", "rnk")
+    )

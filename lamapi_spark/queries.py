@@ -1036,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _load_extra_registrations() -> None:
-    # queries_ops registers into _REGISTRY on import; deferred to avoid a
-    # circular import at module load
+    # queries_ops/queries_corpus register into _REGISTRY on import;
+    # deferred to avoid a circular import at module load
+    import lamapi_spark.queries_corpus  # noqa: F401
     import lamapi_spark.queries_ops  # noqa: F401

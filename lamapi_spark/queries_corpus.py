@@ -1,0 +1,232 @@
+"""Round-4 corpus-preparation contract queries: Unicode normalization,
+benchmark contamination, deterministic mixture sampling, unigram-LM
+scoring, and IVF ANN — each paired with a DuckDB oracle that rebuilds
+the full dataflow independently (registered into the queries.py
+registry like queries_ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lamapi_spark.ops.corpus import (
+    contamination, normalize_text, sample_hash, stratified_sample,
+    unigram_lm_score,
+)
+from lamapi_spark.ops.similarity import ivf_ann_topk
+from lamapi_spark.queries import load, register
+from lamapi_spark.queries_ops import _DOT_SQL
+
+# --------------------------------------------------------- normalization
+
+# Planted-normalization corpus: the synthetic documents are ASCII-clean,
+# so the contract query augments them deterministically from doc_id with
+# exactly the dirt normalize_text exists to remove — a decomposed
+# combining acute (NFC recomposes), a BEL control char (stripped), a tab
+# (whitespace-collapsed), and padding/double spaces (collapsed+trimmed).
+# The identical CASE runs in both engines; the oracle still re-runs NFC
+# (DuckDB's own implementation) and both regex stages itself.
+_NORM_AUG_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN text || ' cafe' || chr(769) "
+    "WHEN doc_id % 4 = 1 THEN text || chr(9) || 'x' || chr(7) || 'y' "
+    "WHEN doc_id % 4 = 2 THEN '  ' || text || '  tail   end ' "
+    "ELSE text END"
+)
+
+
+def _norm_aug_col():
+    did = F.col("doc_id")
+    return (
+        F.when(did % 4 == 0, F.concat(F.col("text"), F.lit(" cafe\u0301")))
+        .when(did % 4 == 1, F.concat(F.col("text"), F.lit("\tx\x07y")))
+        .when(did % 4 == 2, F.concat(F.lit("  "), F.col("text"),
+                                     F.lit("  tail   end ")))
+        .otherwise(F.col("text"))
+    )
+
+
+@register("text_normalize", f"""
+WITH aug AS (SELECT doc_id, {_NORM_AUG_SQL} AS t FROM documents),
+norm AS (SELECT doc_id,
+       trim(regexp_replace(regexp_replace(nfc_normalize(t),
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+            '\\s+', ' ', 'g')) AS n
+FROM aug)
+SELECT doc_id, md5(n) AS norm_hash, length(n)::INT AS n_chars_norm
+FROM norm ORDER BY doc_id
+""")
+def text_normalize(spark, sf):
+    """NFC normalization + control strip + whitespace collapse over the
+    planted-dirt corpus. Two INDEPENDENT NFC implementations must agree
+    on every document (Python unicodedata in the Arrow stage vs
+    DuckDB's nfc_normalize); the regex stages are written for Java/RE2
+    parity (explicit control-char class; DuckDB needs the 'g' flag for
+    Spark's replace-all semantics)."""
+    norm = normalize_text(_norm_aug_col())
+    return (
+        load(spark, sf, "documents")
+        .select("doc_id", F.md5(norm).alias("norm_hash"),
+                F.length(norm).alias("n_chars_norm"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------- contamination
+
+_CONTAM_N = 4
+_TOKS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+_GRAMS_SQL = (
+    f"CASE WHEN len(toks) >= {_CONTAM_N} THEN "
+    f"list_distinct(list_transform(range(1, len(toks) - {_CONTAM_N} + 2), "
+    f"i -> array_to_string(toks[i:i+{_CONTAM_N}-1], ' '))) "
+    "ELSE []::VARCHAR[] END"
+)
+
+
+@register("contamination_check", f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_GRAMS_SQL}) AS gram FROM t),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0),
+tr AS (SELECT g.doc_id, count(*) AS n_grams,
+              count(e.gram) AS n_overlap
+       FROM g LEFT JOIN e ON e.gram = g.gram
+       WHERE g.doc_id % 11 <> 0 GROUP BY g.doc_id)
+SELECT doc_id, n_grams, n_overlap, n_overlap > 0 AS contaminated
+FROM tr ORDER BY doc_id
+""")
+def contamination_check(spark, sf):
+    """Benchmark-decontamination sweep: token 4-gram overlap of every
+    train document (doc_id % 11 != 0) against the eval slice
+    (doc_id % 11 = 0). The oracle rebuilds gram explosion, the distinct
+    eval-gram set, and both counts."""
+    docs = load(spark, sf, "documents")
+    return (
+        contamination(docs.filter(F.col("doc_id") % 11 != 0),
+                      docs.filter(F.col("doc_id") % 11 == 0), n=_CONTAM_N)
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------------- sampling
+
+_MIX_RATES = {"en": 0.7, "fr": 0.5, "de": 0.25, "zh": 0.1}
+_MIX_DEFAULT = 0.05  # es and anything unexpected
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{v}' THEN {int(round(r * 10000))}"
+    for v, r in sorted(_MIX_RATES.items())
+) + f" ELSE {int(round(_MIX_DEFAULT * 10000))} END"
+
+
+@register("sample_mixture", f"""
+SELECT doc_id, lang,
+       (('0x' || substr(md5(doc_id::VARCHAR || '|s0'), 1, 8))::BIGINT
+        % 10000)::INT AS sample_bp
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|s0'), 1, 8))::BIGINT
+      % 10000 < {_RATE_CASE}
+ORDER BY doc_id
+""")
+def sample_mixture(spark, sf):
+    """Deterministic mixture-weighted sampling by language (the
+    training-mixture step): keep iff md5(doc_id|salt)-derived basis
+    points fall under the stratum's rate. The oracle recomputes every
+    row's hash coordinate and verdict; the sample is a pure function of
+    (doc_id, salt), independent of partitioning."""
+    docs = load(spark, sf, "documents")
+    kept = stratified_sample(docs, "lang", _MIX_RATES,
+                             key_col="doc_id", default_rate=_MIX_DEFAULT)
+    return (
+        kept.select("doc_id", "lang",
+                    sample_hash(F.col("doc_id")).cast("int").alias("sample_bp"))
+        .orderBy("doc_id")
+    )
+
+
+# ----------------------------------------------------------- LM scoring
+
+
+@register("unigram_lm_score", r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+stats AS (SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS vocab
+          FROM counts),
+scored AS (
+  SELECT t.doc_id,
+         round_even(-ln((c.c + 1)::DOUBLE / (s.total + s.vocab)::DOUBLE),
+                    6)::DECIMAL(28,6) AS nlp
+  FROM toks t JOIN counts c ON t.tok = c.tok CROSS JOIN stats s)
+SELECT doc_id, count(*) AS n_tokens,
+       round_even(sum(nlp)::DOUBLE / count(*), 4) AS avg_neg_logp
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""")
+def unigram_lm_q(spark, sf):
+    """Corpus-as-LM quality score: add-one-smoothed unigram
+    probabilities from corpus-wide counts, per-document mean negative
+    log-probability. Engine parity: per-token round-even at 6 decimals,
+    DECIMAL (exact, order-free) sums, final divide in double — see
+    ops/corpus.unigram_lm_score."""
+    return unigram_lm_score(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- IVF ANN
+
+_IVF_CELLS, _IVF_PROBE, _IVF_K = 8, 2, 3
+
+_COS = ("{d} / (sqrt({da}) * sqrt({db}))".format(
+    d=_DOT_SQL.format(a="{a}", b="{b}"),
+    da=_DOT_SQL.format(a="{a}", b="{a}"),
+    db=_DOT_SQL.format(a="{b}", b="{b}")))
+
+_IVF_SQL = f"""
+WITH picked AS (
+  SELECT vec_id, embedding,
+         ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS hk
+  FROM embeddings ORDER BY hk, vec_id LIMIT {_IVF_CELLS}),
+cent AS (
+  SELECT row_number() OVER (ORDER BY hk, vec_id) AS cell,
+         embedding AS c_vec
+  FROM picked),
+assign AS (
+  SELECT id, cell FROM (
+    SELECT e.vec_id AS id, ct.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS.format(a='e.embedding', b='ct.c_vec')} DESC,
+                        ct.cell) AS r
+    FROM embeddings e CROSS JOIN cent ct) WHERE r = 1),
+probes AS (
+  SELECT id AS q_id, cell FROM (
+    SELECT e.vec_id AS id, ct.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_COS.format(a='e.embedding', b='ct.c_vec')} DESC,
+                        ct.cell) AS r
+    FROM embeddings e CROSS JOIN cent ct WHERE e.vec_id < 5)
+  WHERE r <= {_IVF_PROBE}),
+scored AS (
+  SELECT p.q_id, a.id AS n_id,
+         {_COS.format(a='eq.embedding', b='ec.embedding')} AS cosine
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.id <> p.q_id
+  JOIN embeddings eq ON eq.vec_id = p.q_id
+  JOIN embeddings ec ON ec.vec_id = a.id)
+SELECT q_id, n_id, cosine,
+       row_number() OVER (PARTITION BY q_id
+                          ORDER BY cosine DESC, n_id) AS rnk
+FROM scored QUALIFY rnk <= {_IVF_K} ORDER BY q_id, rnk
+"""
+
+
+@register("embed_ann_ivf", _IVF_SQL)
+def embed_ann_ivf(spark, sf):
+    """IVF ANN (the data-adaptive scale path next to embed_ann_lsh):
+    md5-ranked medoid centroids, nearest-cell inverted file, 2-cell
+    probes, exact ranked cosine within probed cells. The oracle
+    rebuilds the complete structure — medoid pick, every assignment
+    argmin, the probe set, and the ranked scan — so the whole index is
+    hash-checked, not just the final distances."""
+    emb = load(spark, sf, "embeddings")
+    return (
+        ivf_ann_topk(emb.filter(F.col("vec_id") < 5), emb,
+                     k=_IVF_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
+        .orderBy("q_id", "rnk")
+    )

@@ -1,0 +1,118 @@
+"""Corpus-preparation operators: NFC normalization, contamination,
+deterministic mixture sampling, unigram-LM scoring, IVF ANN."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lamapi_spark.ops.corpus import (
+    contamination, normalize_text, sample_hash, stratified_sample,
+    unigram_lm_score,
+)
+
+
+def test_normalize_text_nfc_ctrl_ws(spark):
+    df = spark.createDataFrame(
+        [(0, "café bar"),          # decomposed -> composed
+         (1, "a\x07b\x00c"),              # control chars stripped
+         (2, "  x \t\t y\n\n z  "),       # ws runs collapse, trim
+         (3, "plain")],
+        "doc_id bigint, text string")
+    rows = {r.doc_id: r.n for r in df.select(
+        "doc_id", normalize_text(F.col("text")).alias("n")).collect()}
+    assert rows[0] == "café bar" and len(rows[0]) == 8
+    assert rows[1] == "abc"
+    assert rows[2] == "x y z"
+    assert rows[3] == "plain"
+
+
+def test_contamination_planted(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over dogs"),   # contains eval 4-gram
+         (2, "completely unrelated text with no overlap here"),
+         (3, "a b")],                                   # < n tokens: no grams
+        "doc_id bigint, text string")
+    eval_df = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in contamination(train, eval_df, n=4).collect()}
+    assert out[1].contaminated and out[1].n_overlap == 1  # 'the quick brown fox'
+    assert not out[2].contaminated and out[2].n_overlap == 0
+    assert 3 not in out  # too short to have any 4-gram
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)],
+        "doc_id bigint, lang string")
+    rates = {"en": 0.5, "zh": 0.1}
+    a = stratified_sample(df, "lang", rates).collect()
+    b = stratified_sample(df, "lang", rates).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    by_lang = {}
+    for r in a:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    # 1000 per stratum; md5 coordinates are uniform, allow +-6%
+    assert abs(by_lang["en"] - 500) < 60
+    assert abs(by_lang["zh"] - 100) < 60
+    # different salt selects a different (deterministic) row set
+    c = stratified_sample(df, "lang", rates, salt="s1").collect()
+    assert sorted(r.doc_id for r in c) != sorted(r.doc_id for r in a)
+
+
+def test_sample_hash_matches_duckdb(spark):
+    import duckdb
+    got = spark.range(50).select(
+        sample_hash(F.col("id")).alias("bp")).collect()
+    want = duckdb.connect().execute(
+        "SELECT (('0x' || substr(md5(r::VARCHAR || '|s0'), 1, 8))::BIGINT"
+        " % 10000) FROM range(50) t(r) ORDER BY r").fetchall()
+    assert [r.bp for r in got] == [w[0] for w in want]
+
+
+def test_unigram_lm_score_hand_check(spark):
+    # corpus: 'a a b' + 'b c' -> counts a:2 b:2 c:1, total=5, vocab=3
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], "doc_id bigint, text string")
+    out = {r.doc_id: r for r in unigram_lm_score(docs).collect()}
+    denom = 5 + 3
+    nl = {w: round(-math.log((c + 1) / denom), 6)
+          for w, c in {"a": 2, "b": 2, "c": 1}.items()}
+    assert out[0].n_tokens == 3
+    assert out[0].avg_neg_logp == pytest.approx(
+        round((2 * nl["a"] + nl["b"]) / 3, 4), abs=1e-9)
+    assert out[1].n_tokens == 2
+    assert out[1].avg_neg_logp == pytest.approx(
+        round((nl["b"] + nl["c"]) / 2, 4), abs=1e-9)
+
+
+def test_ivf_ann_recall_on_clustered_vectors(spark):
+    # two tight clusters far apart: IVF must return same-cluster
+    # neighbors for every query (nearest cells contain the cluster)
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        center = np.zeros(8)
+        center[0 if i < 20 else 4] = 10.0
+        v = center + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    from lamapi_spark.ops.similarity import brute_force_topk, ivf_ann_topk
+
+    qs = emb.filter(F.col("vec_id").isin([0, 25]))
+    ivf = ivf_ann_topk(qs, emb, k=3, n_cells=4, n_probe=2)
+    bf = brute_force_topk(qs, emb, k=3)
+    got = {(r.q_id, r.n_id) for r in ivf.collect()}
+    want = {(r.q_id, r.n_id) for r in bf.collect()}
+    assert got == want  # clusters dominate: IVF top-3 == exact top-3
+    # determinism: a second run returns the identical ranked list
+    again = {(r.q_id, r.n_id, r.rnk) for r in ivf.collect()}
+    first = {(r.q_id, r.n_id, r.rnk) for r in ivf_ann_topk(
+        qs, emb, k=3, n_cells=4, n_probe=2).collect()}
+    assert again == first
