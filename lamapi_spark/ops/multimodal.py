@@ -18,11 +18,13 @@ Decode paths:
   which feeds perceptual image dedup exactly like SimHash feeds text
   dedup (pair on bit_count(xor) <= d).
 - ``decode_audio`` — a REAL audio decoder (struct/numpy): RIFF/WAVE
-  with PCM 8/16-bit, G.711 mu-law/A-law companding, and IMA ADPCM mono
+  with PCM 8/16-bit, G.711 mu-law/A-law companding, IMA ADPCM mono
   (a genuinely compressed 4:1 codec — per-block predictor/step-index
-  state machine), emitting channels/rate/frames/duration and
-  integer-exact amplitude stats. Perceptual codecs (MP3/OGG/FLAC) stay
-  behind the codec-library boundary, like WebP.
+  state machine), and native FLAC (lossless — fixed/LPC subframes,
+  Rice partitions, all stereo modes, CRC-checked), emitting
+  channels/rate/frames/duration and integer-exact amplitude stats.
+  Perceptual codecs (MP3/OGG) stay behind the codec-library boundary,
+  like lossy WebP/VP8.
 - ``decode_video`` — a REAL video decoder + frame sampler (numpy):
   YUV4MPEG2 (.y4m) header + raw luma planes, emitting per-sampled-frame
   dimensions/fps/frame-count/mean-luma plus the same 64-bit aHash as
@@ -33,11 +35,13 @@ Decode paths:
 - ``decode_image_meta`` — deterministic metadata-only pass for opaque
   payloads of ANY format (byte length, md5, hash-derived stand-in dims).
 - ``decode_image_real`` — the integration point for the formats that
-  genuinely need a codec library (WebP/VP8, arithmetic-coded JPEG) —
-  still NotImplementedError, with the same mapInPandas shape. PNG moved
-  OUT of it in round 4 (zlib inflate + integer filters); baseline AND
-  progressive JPEG moved out the same round (Huffman + Annex-G bit
-  arithmetic + IDCT are stdlib + numpy, ops/jpeg.py).
+  genuinely need a codec library (lossy WebP/VP8, arithmetic-coded
+  JPEG) — still NotImplementedError, with the same mapInPandas shape.
+  PNG moved OUT of it in round 4 (zlib inflate + integer filters);
+  baseline AND progressive JPEG moved out the same round (Huffman +
+  Annex-G bit arithmetic + IDCT, ops/jpeg.py); lossless WebP/VP8L
+  moved out too (prefix codes + LZ77 + color cache + the four
+  transforms, ops/webp.py).
 
 Scale notes: binary payloads dominate partition size — repartition by a
 content-hash bucket before the UDF stage so Arrow batches stay bounded
@@ -454,6 +458,17 @@ def _parse_jpeg(b: bytes):
     return parse_jpeg(b)
 
 
+def _parse_webp(b: bytes):
+    """Lossless WebP (VP8L) -> ('WEBP', w, h, HxWx4 float64 RGBA) via
+    the stdlib + numpy codec in ops/webp.py (canonical prefix codes,
+    LZ77 over pixels with the 2D distance map, color cache, meta
+    prefix codes, and all four inverse transforms). Lossy 'VP8 '
+    chunks raise ValueError -> null-degrade upstream."""
+    from lamapi_spark.ops.webp import parse_webp
+
+    return parse_webp(b)
+
+
 def _ahash64(gray) -> int:
     """Average hash: block-mean the grayscale to 8x8, threshold at the
     mean, pack row-major into 64 bits (bit 63 = top-left)."""
@@ -477,9 +492,11 @@ def _ahash64(gray) -> int:
 def decode_image(df: DataFrame) -> DataFrame:
     """REAL image decode over binary payloads (Arrow-batched, stdlib +
     numpy only): NetPBM (P2/P3/P5/P6), uncompressed 24-bit BMP, 8-bit
-    non-interlaced PNG, GIF (direct LZW + palette + interlacing), and
+    non-interlaced PNG, GIF (direct LZW + palette + interlacing),
     baseline + progressive JPEG (gray + YCbCr 4:4:4/4:2:2/4:2:0,
-    ops/jpeg.py). Emits true dimensions, channel count,
+    ops/jpeg.py), and lossless WebP/VP8L (prefix codes + LZ77 + color
+    cache + all four transforms, ops/webp.py). Emits true dimensions,
+    channel count,
     mean luminance (ITU-R 601 for RGB/RGBA; alpha never contributes) and a
     64-bit average-hash. Unrecognized/corrupt payloads emit format
     'unknown' with null fields instead of failing the batch (P6-style
@@ -498,7 +515,7 @@ def decode_image(df: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 try:
                     for parser in (_parse_netpbm, _parse_bmp, _parse_png,
-                                   _parse_gif, _parse_jpeg):
+                                   _parse_gif, _parse_webp, _parse_jpeg):
                         try:
                             fmt, w, h, px = parser(b)
                             break
@@ -1244,17 +1261,19 @@ def image_neardup_pairs(
 
 def decode_image_real(df: DataFrame) -> DataFrame:
     """Integration point for the formats that genuinely need a codec
-    library (WebP/VP8; arithmetic-coded JPEG): same mapInPandas shape
-    as ``decode_image``. Everything whose pixel stream is reachable
-    with stdlib + numpy decodes FOR REAL via ``decode_image``: NetPBM,
+    library (lossy WebP/VP8 — intra prediction + boolean arithmetic
+    coder; arithmetic-coded JPEG): same mapInPandas shape as
+    ``decode_image``. Everything whose pixel stream is reachable with
+    stdlib + numpy decodes FOR REAL via ``decode_image``: NetPBM,
     24-bit BMP, 8-bit PNG (zlib inflate + the five scanline filters),
-    and baseline + progressive JPEG (canonical Huffman + Annex-G +
-    IDCT, ops/jpeg.py)."""
+    GIF (direct LZW), baseline + progressive JPEG (canonical Huffman +
+    Annex-G + IDCT, ops/jpeg.py), and lossless WebP/VP8L (prefix codes
+    + LZ77 + color cache + all four transforms, ops/webp.py)."""
     raise NotImplementedError(
-        "WebP and arithmetic-coded JPEG require a codec library not "
-        "present in this environment; decode_image handles NetPBM/BMP/"
-        "PNG/baseline-and-progressive-JPEG for real, and a PIL-based "
-        "batch fn drops into this mapInPandas shape")
+        "lossy WebP (VP8) and arithmetic-coded JPEG require a codec "
+        "library not present in this environment; decode_image handles "
+        "NetPBM/BMP/PNG/GIF/JPEG/lossless-WebP for real, and a "
+        "PIL-based batch fn drops into this mapInPandas shape")
 
 
 VIDEO_SCHEMA = ("id bigint, format string, width int, height int, "

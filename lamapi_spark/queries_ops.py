@@ -1950,3 +1950,174 @@ def multimodal_gif(spark, sf):
     return (decode_image(payload)
             .select("id", "format", "width", "height", "channels", "mean_luma")
             .orderBy("id"))
+
+
+# WebP corpus, engine-portable: 8x8 RGBA images with R=G=B drawn from
+# the two-level 30/220 pattern (one flipped pixel at (id*13) % 64), so
+# the aHash threshold sits strictly between the two luma levels in any
+# float rounding and bit i is exactly (pixel_i == 220) — the same
+# never-on-the-boundary trick as the PNG/video corpora, here packed to
+# the signed-64 hash Spark emits (HUGEINT fold + two's-complement
+# wrap). The encoder profile varies by id so one contract query
+# exercises literals, subtract-green, every-other predictor mode,
+# 1-bit palette packing, color cache + LZ77 (both distance shapes),
+# and the 2-group meta-prefix-code path. The oracle NEVER parses WebP
+# — it recomputes the bits from the same closed-form pixel formula,
+# and VP8L's losslessness is what makes that non-circular.
+_WEBP_SQL = """
+WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 31 = 1),
+px AS (
+  SELECT id, list_transform(range(64), i ->
+    CASE WHEN i = (id * 13) % 64
+         THEN (CASE WHEN ((id * 7 + i * 3) % 5) < 2 THEN 220 ELSE 30 END)
+         ELSE (CASE WHEN ((id * 7 + i * 3) % 5) < 2 THEN 30 ELSE 220 END)
+    END) AS px
+  FROM ids
+), ah AS (
+  SELECT id, list_sum(list_transform(range(64), i ->
+      (CASE WHEN px[i + 1] = 220 THEN 1 ELSE 0 END)::HUGEINT
+      * (1::HUGEINT << (63 - i)))) AS s
+  FROM px
+)
+SELECT id, 'WEBP' AS format, 8 AS width, 8 AS height, 4 AS channels,
+       (CASE WHEN s >= 9223372036854775808::HUGEINT
+             THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT
+       AS ahash
+FROM ah ORDER BY id
+"""
+
+
+def _webp_pixel_rows(pid: int):
+    px = []
+    for i in range(64):
+        base = 30 if ((pid * 7 + i * 3) % 5) < 2 else 220
+        px.append((250 - base) if i == (pid * 13) % 64 else base)
+    return px
+
+
+_WEBP_PROFILES = {
+    0: {},
+    1: {"sub_green": True},
+    2: {"transform_bits": 2},            # pred_mode filled per id
+    3: {"palette": True},                # two colors -> 1-bit packing
+    4: {"cache_bits": 4, "lz77": "both"},
+    5: {"meta_bits": 3, "sub_green": True},
+}
+
+
+@register("multimodal_webp", _WEBP_SQL)
+def multimodal_webp(spark, sf):
+    """REAL lossless-WebP decoding through the Arrow stage: images are
+    encoded executor-side by ops/webp.encode_webp (profile varies by
+    id: plain, subtract-green, per-tile predictor, palette, color
+    cache + LZ77, meta prefix codes), decoded by parse_webp inside
+    decode_image, and the oracle recomputes dimensions and the exact
+    64-bit aHash from the closed-form pixel formula."""
+    from lamapi_spark.ops.multimodal import decode_image
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 31 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import numpy as np
+        import pandas as pd
+
+        from lamapi_spark.ops.webp import encode_webp
+
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                pid = int(pid)
+                px = _webp_pixel_rows(pid)
+                arr = np.empty((8, 8, 4), dtype=np.uint8)
+                for i, v in enumerate(px):
+                    arr[i // 8, i % 8, :3] = v
+                arr[:, :, 3] = 255
+                kw = dict(_WEBP_PROFILES[pid % 6])
+                if pid % 6 == 2:
+                    kw["pred_mode"] = (pid // 6) % 14
+                payloads.append(encode_webp(arr, **kw))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["image"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    return (decode_image(payload)
+            .select("id", "format", "width", "height", "channels", "ahash")
+            .orderBy("id"))
+
+
+# Near-dup WebP corpus: identical two-level group pattern as the
+# PNG/NetPBM pair corpora (id % 3 groups, one flipped pixel), on its
+# own id slice, WEBP-ENCODED with the per-id profile rotation.
+# Equality against the brute-force oracle proves prefix decode + all
+# transforms + aHash + banding end to end.
+_WEBP_PAIRS_SQL = """
+WITH imgs AS (
+  SELECT p_partkey AS id, p_partkey % 3 AS g, (p_partkey * 13) % 64 AS fp
+  FROM part WHERE p_partkey % 17 = 1
+), px AS (
+  SELECT id, list_transform(range(64), i ->
+    CASE WHEN i = fp
+         THEN (CASE WHEN ((g * 7 + i * 3) % 5) < 2 THEN 30 ELSE 220 END)
+         ELSE (CASE WHEN ((g * 7 + i * 3) % 5) < 2 THEN 220 ELSE 30 END) END) AS px
+  FROM imgs
+), bits AS (
+  SELECT id, list_transform(px, v -> v = 220) AS bt
+  FROM px
+), ham AS (
+  SELECT x.id AS id_a, y.id AS id_b,
+         len(list_filter(range(1, 65), i -> x.bt[i] <> y.bt[i]))::INT AS hamming
+  FROM bits x JOIN bits y ON x.id < y.id
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
+@register("webp_neardup_pairs", _WEBP_PAIRS_SQL)
+def webp_neardup_pairs_q(spark, sf):
+    """WebP near-dup END TO END: synthesize deterministic 8x8
+    near-duplicate lossless WebPs (profile rotation per id), decode
+    with parse_webp, and pair via the banded Hamming join — the WebP
+    twin of image_neardup_pairs/png_neardup_pairs, against the same
+    brute-force oracle shape."""
+    from lamapi_spark.ops.multimodal import decode_image, image_neardup_pairs
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 17 == 1).select(
+        F.col("p_partkey").alias("id"))
+
+    def synth(it):
+        import numpy as np
+        import pandas as pd
+
+        from lamapi_spark.ops.webp import encode_webp
+
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                pid = int(pid)
+                g, fp = pid % 3, (pid * 13) % 64
+                arr = np.empty((8, 8, 4), dtype=np.uint8)
+                for i in range(64):
+                    base = 220 if ((g * 7 + i * 3) % 5) < 2 else 30
+                    v = (250 - base) if i == fp else base
+                    arr[i // 8, i % 8, :3] = v
+                arr[:, :, 3] = 255
+                kw = dict(_WEBP_PROFILES[pid % 6])
+                if pid % 6 == 2:
+                    kw["pred_mode"] = (pid // 6) % 14
+                payloads.append(encode_webp(arr, **kw))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["image"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    decoded = decode_image(payload)
+    return (
+        # max_bucket sized above any sf's group population, same
+        # reasoning as image_neardup_pairs
+        image_neardup_pairs(decoded, max_hamming=3, n_bands=4,
+                            max_bucket=1_000_000)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
