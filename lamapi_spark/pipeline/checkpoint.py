@@ -26,6 +26,45 @@ from typing import Callable
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+# per-partition lineage detail is capped: at cluster scale a stage can
+# write tens of thousands of files and the sidecar must stay a small
+# metadata record, not a second copy of the file listing
+_LINEAGE_DETAIL_CAP = 64
+
+
+def _partition_lineage(data_path: str, parts: list[str]) -> dict:
+    """PER-PARTITION lineage from the parquet FOOTERS (north-rule
+    requirement: per-partition lineage + metrics). Footer reads are a
+    few KB of I/O per file, driver-side, no data scan. Records each
+    partition's rows + serialized bytes (detail capped at
+    _LINEAGE_DETAIL_CAP files; the skew summary always covers ALL
+    partitions), so a resumed/re-run stage can be audited file-by-file
+    and skew is visible per stage without touching the data."""
+    import pyarrow.parquet as pq
+
+    rows, bytes_ = [], []
+    for f in parts:
+        md = pq.read_metadata(os.path.join(data_path, f))
+        rows.append(md.num_rows)
+        bytes_.append(md.serialized_size
+                      + sum(md.row_group(i).total_byte_size
+                            for i in range(md.num_row_groups)))
+    detail = [
+        {"file": f, "rows": r, "bytes": b}
+        for f, r, b in list(zip(parts, rows, bytes_))[:_LINEAGE_DETAIL_CAP]
+    ]
+    nonzero = [r for r in rows if r] or [0]
+    return {
+        "files": detail,
+        "detail_truncated": len(parts) > _LINEAGE_DETAIL_CAP,
+        "max_rows": max(rows, default=0),
+        "min_rows": min(rows, default=0),
+        # rows in the largest partition / mean nonzero rows — the skew
+        # signal that predicts a straggler task on rerun
+        "skew": round(max(rows, default=0)
+                      / (sum(nonzero) / len(nonzero)), 3) if any(rows) else 0.0,
+    }
+
 
 @dataclass
 class StageRunner:
@@ -67,11 +106,12 @@ class StageRunner:
         out = self.spark.read.parquet(data_path)
         # partition count from the written files — df.rdd.getNumPartitions()
         # would build a whole RDD conversion per stage just for a metric
-        n_parts = sum(1 for f in os.listdir(data_path) if f.startswith("part-"))
+        parts = sorted(f for f in os.listdir(data_path) if f.startswith("part-"))
         meta = {
             "stage": stage,
             "rows_out": n_rows,
-            "partitions": n_parts,
+            "partitions": len(parts),
+            "partition_lineage": _partition_lineage(data_path, parts),
             "duration_s": round(time.time() - t0, 3),
             "fingerprint": fingerprint,
             "inputs": list(inputs),

@@ -86,6 +86,17 @@ def test_resume_from_checkpoint(spark, fix, tmp_path):
     assert t1 == t2
     assert all(m["resumed"] for m in out2["metrics"]), out2["metrics"]
 
+    # per-partition lineage (north rule): every materialized stage
+    # records per-file rows/bytes harvested from the parquet footers,
+    # and the per-file rows sum to the stage's observed row count
+    staged = [m for m in out1["metrics"] if m.get("partition_lineage")]
+    assert staged, out1["metrics"]
+    for m in staged:
+        pl = m["partition_lineage"]
+        assert pl["files"] and all(f["bytes"] >= 0 for f in pl["files"])
+        if not pl["detail_truncated"]:
+            assert sum(f["rows"] for f in pl["files"]) == m["rows_out"]
+
     # changed parameters must invalidate the checkpoint, not reuse it
     out3 = run_pipeline(*args, checkpoint_dir=ckpt, nil_threshold=0.5)
     assert not all(m["resumed"] for m in out3["metrics"])
