@@ -67,11 +67,14 @@ def _fan_out(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
-def _spans(transcripts: DataFrame, max_ntoken: int) -> DataFrame:
-    """All 1..K-token windows of each turn: (conv_id, turn_idx, start,
-    ntoken_span, span). ``start`` is the 1-based token offset."""
+def _spans(transcripts: DataFrame, max_ntoken: int,
+           carry: tuple[str, ...] = ()) -> DataFrame:
+    """All 1..K-token windows of each turn: (conv_id, turn_idx[, carry],
+    start, ntoken_span, span). ``start`` is the 1-based token offset.
+    ``carry`` names extra columns to ride along unchanged (the streaming
+    twin carries the event-time column through for its watermark)."""
     toks = transcripts.select(
-        "conv_id", "turn_idx",
+        "conv_id", "turn_idx", *carry,
         F.split(clean_str("text"), " ").alias("toks"),
     )
     span_structs = F.flatten(F.transform(
@@ -86,8 +89,9 @@ def _spans(transcripts: DataFrame, max_ntoken: int) -> DataFrame:
         ),
     ))
     return toks.select(
-        "conv_id", "turn_idx", F.explode(span_structs).alias("s")
-    ).select("conv_id", "turn_idx", "s.start", "s.ntoken_span", "s.span")
+        "conv_id", "turn_idx", *carry, F.explode(span_structs).alias("s")
+    ).select("conv_id", "turn_idx", *carry,
+             "s.start", "s.ntoken_span", "s.span")
 
 
 def _del1(c):

@@ -1,0 +1,185 @@
+"""Streaming twin of the KG-construction core: transcript turns arriving
+on a stream -> linked mentions -> (subj, pred, obj) triples, with ONE
+watermark-bounded stateful operator.
+
+The batch pipeline (pipeline/run.py) decides each link as a pure
+function of the surface form alone (lookup.best_links is per
+mention_norm — context never enters the decision; reference analogue:
+the lookup endpoint scores each query string independently,
+api/model/data_retrievers/lookup_retriever.py). That makes the whole
+dictionary side PRECOMPUTABLE: :func:`build_link_index` materializes
+(name_norm, entity, link_score) — the linking verdict for every
+distinct dictionary name — once, offline, exactly as the reference
+builds its ES index offline (scripts/elastic_indexing.py) and serves
+lookups from it.
+
+The stream then needs only
+- stateless span explosion per turn (the batch ``_spans`` expression),
+- a stream-static join against the link index (exact arm: a span
+  matches iff its string IS a dictionary name),
+- ONE watermarked per-turn aggregation whose array resolves max-match
+  overlap AND generates ordered co-occurrence pairs in-place (both
+  turn-local, so no second stateful operator), and
+- a stream-static join against the edges table for the predicate probe.
+
+Scope: the exact arm only (fuzzy 1-edit matching needs the span's OWN
+deletion neighborhood — per-surface work the static index cannot hold;
+batch covers it). Exact-arm output is equivalence-tested against the
+batch pipeline per micro-batch-boundary-independent construction: every
+operator between source and sink is turn-local or stream-static, so
+arrival order and batch slicing cannot change the emitted set — UP TO
+the watermark contract: a turn arriving later than ``watermark`` behind
+the stream's max event time is late data and is dropped (the standard
+streaming trade; the equivalence test sizes the watermark above its
+input's full time span so nothing is late).
+
+At cluster scale the link index is a saved bucketed artifact (like
+operators/indexes.LookupIndex); the sandbox tests broadcast it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lamapi_spark.pipeline.mentions import _spans
+
+TRANSCRIPT_SCHEMA = ("conv_id string, turn_idx int, role string, "
+                     "text string, tool string, ts timestamp")
+
+
+def build_link_index(label_dict: DataFrame, index=None,
+                     limit_per_token: int | None = None) -> DataFrame:
+    """(name_norm, entity, link_score): the batch linking decision for
+    every distinct dictionary name, precomputed offline.
+
+    For a surface that IS a dictionary name the batch argmax
+    (best_links: ed+jaccard+jaccardNgram desc, popularity desc, id asc)
+    depends only on the surface string, so this frame IS the batch
+    ``best`` frame restricted to dictionary-name surfaces — streaming
+    rows joined through it link identically to the batch pipeline.
+    Fuzzy=False: the index keys exact surfaces; candidate SCORING inside
+    best_links still ranks the full token-match candidate set.
+    """
+    from lamapi_spark.operators.lookup import (
+        _prepare_mentions, best_links, token_match,
+    )
+    names = label_dict.select(F.col("name_norm").alias("mention")).distinct()
+    prepared = _prepare_mentions(names, "mention")
+    slim = token_match(prepared, label_dict, broadcast_dict=True,
+                       fuzzy=False, limit_per_token=limit_per_token,
+                       index=index, slim=True)
+    best = best_links(slim, prepared, label_dict, broadcast_dict=True,
+                      index=index)
+    return best.select(
+        F.col("mention_norm").alias("name_norm"),
+        F.col("id").alias("entity"),
+        "link_score",
+    )
+
+
+def _resolved_turns(stream: DataFrame, link_index: DataFrame,
+                    watermark: str, max_ntoken: int) -> DataFrame:
+    """-> one row per closed turn: (conv_id, turn_idx, ts, _ms) where
+    ``_ms`` holds the turn's max-match-resolved linked mentions."""
+    spans = _spans(stream.withWatermark("ts", watermark), max_ntoken,
+                   carry=("ts",))
+    # exact arm: a span matches at most ONE dictionary name (name_norm
+    # is distinct in the index and equals the span string), so no
+    # best-name-per-position resolution is needed — only max-match.
+    matched = spans.join(
+        F.broadcast(link_index),
+        F.col("span") == F.col("name_norm"), "inner")
+    per_turn = matched.groupBy("conv_id", "turn_idx", "ts").agg(
+        F.collect_list(F.struct(
+            "start", "ntoken_span", F.col("span").alias("surface"),
+            "entity", "link_score")).alias("_all"))
+    # max-match: drop spans strictly contained in a longer matched span
+    # (same predicate as batch detect_mentions, positions only)
+    return per_turn.select(
+        "conv_id", "turn_idx", "ts",
+        F.filter(
+            "_all",
+            lambda s: ~F.exists(
+                "_all",
+                lambda o: (o["start"] <= s["start"])
+                & (o["start"] + o["ntoken_span"]
+                   >= s["start"] + s["ntoken_span"])
+                & (o["ntoken_span"] > s["ntoken_span"]),
+            ),
+        ).alias("_ms"),
+    )
+
+
+def stream_link_mentions(
+    spark: SparkSession,
+    path: str,
+    link_index: DataFrame,
+    watermark: str = "10 minutes",
+    max_ntoken: int = 4,
+    nil_threshold: float = 1.0,
+    schema: str = TRANSCRIPT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming linked-mention feed (exact arm): one row per kept span,
+    (conv_id, turn_idx, ts, start, ntoken_span, surface, entity,
+    link_score, nil). Append-mode-safe: the only stateful operator is
+    the watermarked per-turn aggregation."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(path)
+    turns = _resolved_turns(stream, link_index, watermark, max_ntoken)
+    return turns.select(
+        "conv_id", "turn_idx", "ts", F.explode("_ms").alias("m"),
+    ).select(
+        "conv_id", "turn_idx", "ts", "m.start", "m.ntoken_span",
+        "m.surface", "m.entity", "m.link_score",
+        (F.col("m.link_score") < F.lit(nil_threshold)).alias("nil"),
+    )
+
+
+def stream_extract_triples(
+    spark: SparkSession,
+    path: str,
+    link_index: DataFrame,
+    edges: DataFrame,
+    watermark: str = "10 minutes",
+    max_ntoken: int = 4,
+    nil_threshold: float = 1.0,
+    schema: str = TRANSCRIPT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming triples: (subj, pred, obj, conv_id, turn_idx, ts).
+
+    Pair generation is TURN-LOCAL (pipeline/triples.py mention_pairs:
+    earlier-offset non-NIL mention is subject, distinct per turn), so it
+    folds into the SAME aggregation pass that resolves max-match —
+    array-level pair building instead of a self-join, no second stateful
+    operator. The edge probe is a stream-static equi-join on
+    (subj, obj); at scale the static side is the flat edges table,
+    AQE-skew-handled exactly as in batch.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(path)
+    turns = _resolved_turns(stream, link_index, watermark, max_ntoken)
+    linked = F.filter("_ms", lambda s: s["link_score"] >= F.lit(nil_threshold))
+    pairs = F.array_distinct(F.flatten(F.transform(
+        linked,
+        lambda a: F.transform(
+            F.filter(
+                linked,
+                lambda b: (a["start"] < b["start"])
+                & (a["entity"] != b["entity"]),
+            ),
+            lambda b: F.struct(a["entity"].alias("subj"),
+                               b["entity"].alias("obj")),
+        ),
+    )))
+    pair_rows = turns.select(
+        "conv_id", "turn_idx", "ts", F.explode(pairs).alias("p"),
+    ).select("conv_id", "turn_idx", "ts", "p.subj", "p.obj")
+    return pair_rows.join(edges, ["subj", "obj"], "inner").select(
+        "subj", "pred", "obj", "conv_id", "turn_idx", "ts")
