@@ -1039,4 +1039,5 @@ def _load_extra_registrations() -> None:
     # queries_ops/queries_corpus register into _REGISTRY on import;
     # deferred to avoid a circular import at module load
     import lamapi_spark.queries_corpus  # noqa: F401
+    import lamapi_spark.queries_graph  # noqa: F401
     import lamapi_spark.queries_ops  # noqa: F401

@@ -1,0 +1,174 @@
+"""Graph analytics over materialized KG-style edges — degree stats,
+fixed-iteration PageRank, and k-hop expansion, each with a DuckDB
+oracle that rebuilds the full computation independently.
+
+A KG-construction engine's output is a graph; these are the first
+queries a consumer runs against it (the reference exposes the adjacency
+through its predicates endpoint — these go one step further to whole-
+graph statistics). The contract tables have no explicit graph, so the
+edge set derives from orders ⋈ lineitem: customer c ordered from
+supplier s, SYMMETRIZED (both directions) so the graph has real cycles
+rather than a one-hop bipartite cascade. Node ids are 'c<custkey>' /
+'s<suppkey>' strings — the two key spaces overlap numerically.
+
+PageRank is computed in INTEGER FIXED POINT (BIGINT units of 1e-9):
+per-edge contributions are integer divisions and the combine is a
+BIGINT sum — exact, order-independent, identical in any engine, so the
+result is bit-reproducible across partitionings and hash-comparable
+against the oracle. Float PageRank would make the per-node sum depend
+on the combine order (doubles don't associate); DECIMAL division scale
+rules differ between engines. The truncation error is < 1e-9 per edge
+per iteration — far below any ranking-relevant difference. Bound: the
+weighted sums stay under 2^63 while n_nodes * SCALE * 85 < 9.2e18,
+i.e. ~1e8 nodes at SCALE=1e9; a larger graph drops SCALE or moves the
+accumulator to DECIMAL(38,0).
+
+Scale notes: the edge derivation is one shuffle join + a distinct that
+reuses its partitioning; degree/PageRank aggregations shuffle on node
+id (hot hubs are handled by AQE skew splitting — contributions are
+pre-divided so the hot side carries fixed-width rows); each PageRank
+iteration is one join + one aggregation, and a long-running job would
+localCheckpoint per iteration exactly as pipeline/canonicalize.py does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lamapi_spark.queries import load, register
+
+_SCALE = 10**9          # fixed-point unit: 1.0 == 1e9 units
+_TELEPORT = 15 * _SCALE // 100   # (1-d) with d = 0.85, sum-to-N convention
+_N_ITER = 3
+
+# symmetric edge set, shared by all three queries (SQL + Spark twins)
+_EDGES_SQL = """
+base AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT src, dst FROM base
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM base
+)"""
+
+
+def _edges(spark, sf):
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+        .distinct()
+    )
+    return base.unionAll(base.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+
+
+@register("graph_degree", f"""
+WITH {_EDGES_SQL}
+SELECT src AS node, count(*)::BIGINT AS degree,
+       count(DISTINCT dst)::BIGINT AS n_neighbors
+FROM edges GROUP BY src ORDER BY node
+""")
+def graph_degree(spark, sf):
+    """Per-node degree + distinct-neighbor count over the symmetric
+    edge set (degree == n_neighbors iff the edge derivation is already
+    distinct — a structural invariant the oracle double-checks)."""
+    return (
+        _edges(spark, sf)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("degree"),
+             F.countDistinct("dst").alias("n_neighbors"))
+        .orderBy("node")
+    )
+
+
+def _pagerank_iter_sql(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""
+r{k} AS (
+  SELECT n.node,
+         CAST({_TELEPORT} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.degree) AS s
+    FROM edges e
+    JOIN {prev} r ON r.node = e.src
+    JOIN outdeg d ON d.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+
+
+@register("graph_pagerank", f"""
+WITH {_EDGES_SQL},
+outdeg AS (SELECT src AS node, count(*)::BIGINT AS degree
+           FROM edges GROUP BY src),
+nodes AS (SELECT node FROM outdeg),
+r0 AS (SELECT node, {_SCALE}::BIGINT AS rank FROM nodes),
+{",".join(_pagerank_iter_sql(k) for k in range(1, _N_ITER + 1))}
+SELECT node, rank AS rank_units FROM r{_N_ITER} ORDER BY node
+""")
+def graph_pagerank(spark, sf):
+    """{_N_ITER} PageRank iterations (d=0.85, ranks sum ~N convention,
+    rank'[v] = 0.15 + 0.85 * sum(rank[u]/deg[u] over in-edges)), all in
+    BIGINT fixed point — see the module docstring for why. Symmetric
+    edges mean every node has out-degree >= 1, so no dangling-mass
+    term; isolated nodes don't exist in an edge-derived node set."""
+    edges = _edges(spark, sf).cache()
+    outdeg = (edges.groupBy(F.col("src").alias("node"))
+              .agg(F.count("*").alias("degree")).cache())
+    nodes = outdeg.select("node")
+    rank = nodes.select("node", F.lit(_SCALE).cast("bigint").alias("rank"))
+    for _ in range(_N_ITER):
+        contrib = (
+            edges.join(rank.withColumnRenamed("node", "src"), "src")
+            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank div degree")).alias("s"))
+        )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(_TELEPORT)
+             + F.expr("85 * coalesce(s, 0L) div 100")).alias("rank"),
+        )
+    return rank.select("node", F.col("rank").alias("rank_units")).orderBy("node")
+
+
+@register("graph_khop", f"""
+WITH {_EDGES_SQL},
+seeds AS (SELECT DISTINCT 'c' || o_custkey AS seed FROM orders
+          WHERE o_custkey <= 20),
+h1 AS (SELECT DISTINCT s.seed, e.dst AS n1
+       FROM seeds s JOIN edges e ON e.src = s.seed),
+h2 AS (SELECT DISTINCT h1.seed, e.dst AS n2
+       FROM h1 JOIN edges e ON e.src = h1.n1)
+SELECT a.seed, a.n_1hop, b.n_2hop
+FROM (SELECT seed, count(DISTINCT n1)::BIGINT AS n_1hop
+      FROM h1 GROUP BY seed) a
+JOIN (SELECT seed, count(DISTINCT n2)::BIGINT AS n_2hop
+      FROM h2 GROUP BY seed) b USING (seed)
+ORDER BY seed
+""")
+def graph_khop(spark, sf):
+    """1-hop and 2-hop distinct-reach counts from a fixed seed set
+    (customers with custkey <= 20). The frontier is DISTINCT-ed before
+    the second expansion — the difference between O(frontier) and
+    O(paths) at hub nodes, which is what makes k-hop survive a
+    hub-heavy graph at scale."""
+    edges = _edges(spark, sf).cache()
+    seeds = (load(spark, sf, "orders").filter(F.col("o_custkey") <= 20)
+             .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("seed"))
+             .distinct())
+    h1 = (seeds.join(edges, seeds.seed == edges.src)
+          .select("seed", F.col("dst").alias("n1")).distinct())
+    h2 = (h1.join(edges, h1.n1 == edges.src)
+          .select("seed", F.col("dst").alias("n2")).distinct())
+    return (
+        h1.groupBy("seed").agg(F.countDistinct("n1").alias("n_1hop"))
+        .join(h2.groupBy("seed").agg(F.countDistinct("n2").alias("n_2hop")),
+              "seed")
+        .orderBy("seed")
+    )
