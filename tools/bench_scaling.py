@@ -231,9 +231,13 @@ Per-stage seconds:
 Regenerate: `python tools/bench_scaling.py` (env `SCALING_CONVS` sizes the
 workload).
 """
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "BENCH.md"), "w") as fh:
-        fh.write(md)
+    # SCALING_WRITE_MD=0 keeps the curated BENCH.md dossier intact (the
+    # JSON line above is the machine-readable result either way) — the
+    # default overwrite is for a from-scratch regeneration only
+    if os.environ.get("SCALING_WRITE_MD", "1") != "0":
+        with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                               "BENCH.md"), "w") as fh:
+            fh.write(md)
 
 
 if __name__ == "__main__":
