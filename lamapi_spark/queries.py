@@ -1021,6 +1021,50 @@ def sessionize_events(spark, sf):
     )
 
 
+@register("events_latest_state", """
+SELECT user_id, event_type,
+       epoch_us(ts)::BIGINT AS last_ts_us,
+       event_id AS last_event_id,
+       value AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id, event_type
+""")
+def events_latest_state(spark, sf):
+    """CDC latest-state snapshot: the current value per (user_id,
+    event_type) key — the upsert/merge compaction every incrementally
+    maintained table needs (apply a change feed, keep the newest row
+    per key). ONE aggregation with a struct max instead of a
+    row_number window: struct comparison is lexicographic, so
+    max(struct(ts, event_id, value)) picks the latest row with the
+    unique event_id as the deterministic tiebreak — map-side partial
+    aggregation collapses each partition to one row per live key
+    before the shuffle, where a window would shuffle and sort EVERY
+    change-feed row. That is the difference between O(keys) and
+    O(history) shuffled rows when compacting a long-history feed at
+    scale. Timestamps emit as epoch MICROS — parquet's native
+    precision, so the ordering key is bit-identical to the stored
+    timestamp in both engines (millis would truncate and could flip a
+    sub-millisecond tie against the oracle's full-precision ORDER BY)."""
+    e = load(spark, sf, "events").withColumn(
+        "_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.max(F.struct(
+            F.col("_us").alias("us"),
+            F.col("event_id").alias("event_id"),
+            F.col("value").alias("value"))).alias("_last"))
+        .select(
+            "user_id", "event_type",
+            F.col("_last.us").alias("last_ts_us"),
+            F.col("_last.event_id").alias("last_event_id"),
+            F.col("_last.value").alias("last_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # public registry accessors
 # --------------------------------------------------------------------------

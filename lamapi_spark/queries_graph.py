@@ -137,6 +137,103 @@ def graph_pagerank(spark, sf):
     return rank.select("node", F.col("rank").alias("rank_units")).orderBy("node")
 
 
+@register("graph_components", """
+WITH RECURSIVE base AS (
+  SELECT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM base
+  UNION ALL
+  SELECT b, a FROM base
+),
+reach AS (
+  SELECT src AS node, dst AS r FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT node, least(node, min(r)) AS component
+FROM reach GROUP BY node ORDER BY node
+""")
+def graph_components(spark, sf):
+    """CONVERGED connected components through the engine's real CC
+    operator (pipeline/canonicalize.connected_components — the exact
+    code canonicalization and dedup_clusters run), under a DuckDB
+    WITH RECURSIVE oracle that enumerates full reachability and takes
+    the per-node minimum — so the gate checks true components, not a
+    fixed-iteration approximation on both sides.
+
+    The edge set is deliberately FRAGMENTING (repeat-trade pairs:
+    customer bought from supplier in >= 2 distinct orders), because the
+    raw c<->s graph is one giant component at any sf — trivially
+    correct and structurally uninformative. Repeat edges scatter into
+    many small components plus chains, the shape the hash-min loop's
+    convergence logic actually has to handle.
+    """
+    from lamapi_spark.pipeline.canonicalize import connected_components
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+                 F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"))
+        .agg(F.count("*").alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .select("a", "b")
+    )
+    return (
+        connected_components(base)
+        .select(F.col("entity").alias("node"), "component")
+        .orderBy("node")
+    )
+
+
+@register("graph_common_neighbors", """
+WITH cs AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT s, count(*)::BIGINT AS degree FROM cs GROUP BY s),
+p AS (
+  SELECT x.s AS node_a, y.s AS node_b, count(*)::BIGINT AS common
+  FROM cs x JOIN cs y ON x.c = y.c AND x.s < y.s
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT node_a, node_b, common, da.degree AS degree_a,
+       db.degree AS degree_b,
+       common / (da.degree + db.degree - common) AS jaccard
+FROM p
+JOIN deg da ON da.s = node_a
+JOIN deg db ON db.s = node_b
+ORDER BY node_a, node_b
+""")
+def graph_common_neighbors(spark, sf):
+    """Supplier pairs sharing >= 3 customers, with neighbor-set Jaccard
+    — the graph-adjacency entity-resolution primitive (two nodes whose
+    neighborhoods overlap heavily are merge candidates), through
+    ops/graph.common_neighbor_pairs. max_fanout is lifted above any
+    sf's per-customer supplier fanout (TPC-H orders carry ~4 items) so
+    operator and brute-force oracle stay equivalent at every test sf;
+    a web-scale hub-heavy graph would lower it and accept the
+    documented recall trade on hub-mediated pairs.
+    """
+    from lamapi_spark.ops.graph import common_neighbor_pairs
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+    )
+    return (
+        common_neighbor_pairs(cs, min_common=3, max_fanout=1_000_000)
+        .orderBy("node_a", "node_b")
+    )
+
+
 @register("graph_khop", f"""
 WITH {_EDGES_SQL},
 seeds AS (SELECT DISTINCT 'c' || o_custkey AS seed FROM orders

@@ -170,3 +170,31 @@ def test_repetition_features(spark):
     assert (rows[0].d, rows[0].t) == (pytest.approx(0.667), pytest.approx(0.6))
     assert (rows[1].d, rows[1].t) == (0.0, 0.5)
     assert (rows[2].d, rows[2].t) == (0.0, 0.0)
+
+
+def test_common_neighbor_pairs_and_fanout_guard(spark):
+    from lamapi_spark.ops.graph import common_neighbor_pairs
+    # c1 links s1,s2,s3; c2 links s1,s2; c3 (hub) links all four
+    edges = spark.createDataFrame(
+        [("c1", "s1"), ("c1", "s2"), ("c1", "s3"),
+         ("c2", "s1"), ("c2", "s2"),
+         ("c3", "s1"), ("c3", "s2"), ("c3", "s3"), ("c3", "s4"),
+         ("c3", "s4")],  # duplicate edge: must not double-count
+        "src string, dst string")
+    full = {(r.node_a, r.node_b): (r.common, r.degree_a, r.degree_b,
+                                   r.jaccard)
+            for r in common_neighbor_pairs(edges).collect()}
+    # s1~s2 share c1,c2,c3; degrees 3,3 -> jaccard 3/(3+3-3)
+    assert full[("s1", "s2")] == (3, 3, 3, 1.0)
+    assert full[("s1", "s3")][0] == 2 and full[("s3", "s4")][0] == 1
+    # fanout guard: c3 (fanout 4) excluded from pair generation -> the
+    # s4 pairs (hub-mediated only) vanish, s1~s2 drops to common=2,
+    # but degrees still count every distinct edge (s1 stays degree 3)
+    guarded = {(r.node_a, r.node_b): (r.common, r.degree_a, r.degree_b)
+               for r in common_neighbor_pairs(
+                   edges, max_fanout=3).collect()}
+    assert guarded[("s1", "s2")] == (2, 3, 3)
+    assert not any("s4" in k for k in guarded)
+    # min_common truncation
+    strong = common_neighbor_pairs(edges, min_common=3).collect()
+    assert {(r.node_a, r.node_b) for r in strong} == {("s1", "s2")}

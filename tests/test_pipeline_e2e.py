@@ -100,3 +100,50 @@ def test_resume_from_checkpoint(spark, fix, tmp_path):
     # changed parameters must invalidate the checkpoint, not reuse it
     out3 = run_pipeline(*args, checkpoint_dir=ckpt, nil_threshold=0.5)
     assert not all(m["resumed"] for m in out3["metrics"])
+
+
+def test_incremental_equals_full(spark, fix, tmp_path):
+    """Incremental maintenance invariant: two delta appends == one full
+    run (set equality); a re-run with no new conversations is a no-op;
+    a re-delivered delta (lost sidecar write) converges instead of
+    duplicating."""
+    from lamapi_spark.pipeline.incremental import run_pipeline_incremental
+
+    kg, dfs = fix
+    tr = dfs["transcripts"]
+    convs = sorted(r.conv_id for r in tr.select("conv_id").distinct().collect())
+    first, second = set(convs[:len(convs) // 2]), set(convs[len(convs) // 2:])
+    out_dir = str(tmp_path / "inc")
+    args = (dfs["kg_items"], dfs["kg_edges"])
+    kw = dict(kg_sameas=dfs["kg_sameas"], use_index_artifacts=False,
+              n_output_buckets=4)
+
+    r1 = run_pipeline_incremental(
+        spark, tr.filter(F.col("conv_id").isin(first)), *args, out_dir, **kw)
+    assert r1["new_convs"] == len(first) and r1["skipped_convs"] == 0
+
+    r2 = run_pipeline_incremental(spark, tr, *args, out_dir, **kw)
+    assert r2["new_convs"] == len(second)
+    assert r2["skipped_convs"] == len(first)
+
+    full = run_pipeline(spark, tr, *args, kg_sameas=dfs["kg_sameas"],
+                        use_index_artifacts=False)
+    keys = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    want = {tuple(r) for r in full["triples"].select(*keys).collect()}
+    got = {tuple(r) for r in r2["triples"].select(*keys).collect()}
+    assert got == want and len(got) == r1["new_triples"] + r2["new_triples"]
+
+    # idempotence: nothing new -> no-op
+    r3 = run_pipeline_incremental(spark, tr, *args, out_dir, **kw)
+    assert r3["new_convs"] == 0 and r3["skipped_convs"] == len(convs)
+    assert {tuple(r) for r in r3["triples"].select(*keys).collect()} == want
+
+    # re-delivery: wipe the sidecar record of the SECOND delta -> those
+    # convs re-run, bucket overwrite replaces (not duplicates) rows
+    import shutil
+
+    shutil.rmtree(out_dir + "/_convs")
+    run_pipeline_incremental(
+        spark, tr.filter(F.col("conv_id").isin(first)), *args, out_dir, **kw)
+    r4 = run_pipeline_incremental(spark, tr, *args, out_dir, **kw)
+    assert {tuple(r) for r in r4["triples"].select(*keys).collect()} == want
