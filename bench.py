@@ -35,6 +35,9 @@ HEADLINE = [
     "pair_predicate_probe",
     "sessionize_events",
     "literal_classify",
+    # round 4: the iterative-graph representative (3 fixed-point
+    # PageRank rounds — join+agg per round over the derived edge set)
+    "graph_pagerank",
 ]
 
 

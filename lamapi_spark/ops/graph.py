@@ -24,6 +24,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pagerank_fixed_point(
+    edges: DataFrame, n_iter: int = 3, scale: int = 10**9,
+    damping_pct: int = 85, checkpoint_every: int | None = 1,
+) -> DataFrame:
+    """Fixed-iteration PageRank over (src, dst) edges in BIGINT FIXED
+    POINT (units of 1/scale; sum-to-N convention): per-edge
+    contributions are integer divisions, the combine an exact BIGINT
+    sum — order-independent, so the result is bit-reproducible across
+    partitionings and engines (float PageRank depends on the combine
+    order; DECIMAL division scale rules differ between engines). The
+    truncation error is < 1/scale per edge per iteration. Overflow
+    bound: n_nodes * scale * damping_pct < 2^63, i.e. ~1e8 nodes at
+    scale=1e9 — a larger graph drops scale or widens to DECIMAL(38,0).
+
+    -> (node, rank) with rank in fixed-point units. Every node in the
+    edge set gets a row (isolated nodes cannot exist in an edge-derived
+    node set); dangling mass needs no term when edges are symmetric
+    (out-degree >= 1 everywhere) — an asymmetric caller must add it.
+
+    ``checkpoint_every`` localCheckpoints the rank frame every K
+    iterations (the same lineage-truncation discipline as
+    pipeline/canonicalize.py): each iteration is one join + one
+    aggregation, and without truncation the plan deepens linearly with
+    n_iter — at cluster scale that re-executes the whole prefix on any
+    retry and bloats the optimizer's input. None disables (bounded
+    n_iter on small graphs, e.g. inside a short-lived contract query).
+    """
+    teleport = (100 - damping_pct) * scale // 100
+    outdeg = (edges.groupBy(F.col("src").alias("node"))
+              .agg(F.count("*").alias("degree")))
+    if checkpoint_every is not None:
+        edges = edges.localCheckpoint(eager=True)
+        outdeg = outdeg.localCheckpoint(eager=True)
+    nodes = outdeg.select("node")
+    rank = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    for i in range(n_iter):
+        contrib = (
+            edges.join(rank.withColumnRenamed("node", "src"), "src")
+            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank div degree")).alias("_s"))
+        )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(teleport)
+             + F.expr(f"{damping_pct} * coalesce(_s, 0L) div 100")
+             ).alias("rank"),
+        )
+        if checkpoint_every is not None and (i + 1) % checkpoint_every == 0:
+            rank = rank.localCheckpoint(eager=True)
+    return rank
+
+
 def common_neighbor_pairs(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     min_common: int = 1, max_fanout: int | None = None,

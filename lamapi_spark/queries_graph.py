@@ -113,27 +113,15 @@ SELECT node, rank AS rank_units FROM r{_N_ITER} ORDER BY node
 """)
 def graph_pagerank(spark, sf):
     """{_N_ITER} PageRank iterations (d=0.85, ranks sum ~N convention,
-    rank'[v] = 0.15 + 0.85 * sum(rank[u]/deg[u] over in-edges)), all in
-    BIGINT fixed point — see the module docstring for why. Symmetric
-    edges mean every node has out-degree >= 1, so no dangling-mass
-    term; isolated nodes don't exist in an edge-derived node set."""
-    edges = _edges(spark, sf).cache()
-    outdeg = (edges.groupBy(F.col("src").alias("node"))
-              .agg(F.count("*").alias("degree")).cache())
-    nodes = outdeg.select("node")
-    rank = nodes.select("node", F.lit(_SCALE).cast("bigint").alias("rank"))
-    for _ in range(_N_ITER):
-        contrib = (
-            edges.join(rank.withColumnRenamed("node", "src"), "src")
-            .join(outdeg.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.expr("rank div degree")).alias("s"))
-        )
-        rank = nodes.join(contrib, "node", "left").select(
-            "node",
-            (F.lit(_TELEPORT)
-             + F.expr("85 * coalesce(s, 0L) div 100")).alias("rank"),
-        )
+    rank'[v] = 0.15 + 0.85 * sum(rank[u]/deg[u] over in-edges)) through
+    ops/graph.pagerank_fixed_point — BIGINT fixed point, per-iteration
+    localCheckpoint (the cluster-scale lineage discipline; see the op's
+    docstring). Symmetric edges mean every node has out-degree >= 1, so
+    no dangling-mass term."""
+    from lamapi_spark.ops.graph import pagerank_fixed_point
+
+    rank = pagerank_fixed_point(_edges(spark, sf), n_iter=_N_ITER,
+                                scale=_SCALE, damping_pct=85)
     return rank.select("node", F.col("rank").alias("rank_units")).orderBy("node")
 
 

@@ -116,7 +116,10 @@ def test_incremental_equals_full(spark, fix, tmp_path):
     out_dir = str(tmp_path / "inc")
     args = (dfs["kg_items"], dfs["kg_edges"])
     kw = dict(kg_sameas=dfs["kg_sameas"], use_index_artifacts=False,
-              n_output_buckets=4)
+              n_output_buckets=4,
+              # exercises the per-delta checkpoint scoping: a shared dir
+              # across increments must never resume another delta's stage
+              checkpoint_dir=str(tmp_path / "inc_ckpt"))
 
     r1 = run_pipeline_incremental(
         spark, tr.filter(F.col("conv_id").isin(first)), *args, out_dir, **kw)

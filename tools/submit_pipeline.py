@@ -41,6 +41,13 @@ def main(argv=None) -> None:
                     help="never broadcast dictionary-derived frames "
                          "(cluster-scale dictionaries)")
     ap.add_argument("--candidate-limit", type=int, default=100)
+    ap.add_argument("--incremental", action="store_true",
+                    help="process only conversations not yet recorded in "
+                         "<output>'s _convs sidecar and append their "
+                         "triples (pipeline/incremental.py: idempotent "
+                         "under re-delivery; parameters must match "
+                         "across increments — same output dir == same "
+                         "pipeline config)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -67,11 +74,22 @@ def main(argv=None) -> None:
         transcripts, items = dfs["transcripts"], dfs["kg_items"]
         edges, sameas = dfs["kg_edges"], dfs["kg_sameas"]
 
-    out = run_pipeline(spark, transcripts, items, edges, sameas,
-                       checkpoint_dir=args.checkpoint, fuzzy=args.fuzzy,
-                       use_index_artifacts=not args.no_index_artifacts,
-                       broadcast_dict=not args.no_broadcast_dict,
-                       candidate_limit=args.candidate_limit)
+    kw = dict(checkpoint_dir=args.checkpoint, fuzzy=args.fuzzy,
+              use_index_artifacts=not args.no_index_artifacts,
+              broadcast_dict=not args.no_broadcast_dict,
+              candidate_limit=args.candidate_limit)
+    if args.incremental:
+        from lamapi_spark.pipeline.incremental import run_pipeline_incremental
+
+        inc = run_pipeline_incremental(spark, transcripts, items, edges,
+                                       args.output, kg_sameas=sameas, **kw)
+        print(json.dumps({"new_convs": inc["new_convs"],
+                          "new_triples": inc["new_triples"],
+                          "skipped_convs": inc["skipped_convs"],
+                          "triples_total": inc["triples"].count()}))
+        spark.stop()
+        return
+    out = run_pipeline(spark, transcripts, items, edges, sameas, **kw)
     out["triples"].write.mode("overwrite").parquet(f"{args.output}/triples")
     out["canonical_map"].write.mode("overwrite").parquet(f"{args.output}/canonical_map")
     n = spark.read.parquet(f"{args.output}/triples").count()
