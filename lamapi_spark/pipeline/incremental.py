@@ -118,12 +118,19 @@ def run_pipeline_incremental(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         if seen is not None:
+            # the delta's bucket list comes from the CACHED conv set,
+            # not from new_triples — probing new_triples for it would
+            # execute the whole delta pipeline once for the list and
+            # again for the write (a conv yielding zero triples adds
+            # its bucket harmlessly: overwrite rewrites it unchanged)
+            delta_buckets = delta_convs.select(
+                F.pmod(F.xxhash64("conv_id"),
+                       F.lit(n_output_buckets)).alias("_bucket")).distinct()
             prior = (spark.read.parquet(triples_path)
                      .withColumn("_bucket",
                                  F.pmod(F.xxhash64("conv_id"),
                                         F.lit(n_output_buckets)))
-                     .join(F.broadcast(new_triples.select("_bucket")
-                                       .distinct()), "_bucket")
+                     .join(F.broadcast(delta_buckets), "_bucket")
                      # drop any half-appended rows of the delta itself
                      .join(F.broadcast(delta_convs), "conv_id", "left_anti")
                      .select(*_TRIPLE_COLS, "_bucket"))
