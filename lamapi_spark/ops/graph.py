@@ -94,7 +94,12 @@ def common_neighbor_pairs(
     super-hubs (which carry the least similarity signal per the usual
     tf-idf argument) for a bounded shuffle.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    # cache the narrow distinct edge frame: Catalyst does not dedupe
+    # common subtrees, and this one feeds FOUR consumers (both pair-join
+    # sides, the degree agg, the fanout gate) — without it the upstream
+    # edge derivation executes once per consumer (plan-audited)
+    e = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+         .distinct().cache())
     deg = e.groupBy(F.col("_d").alias("_n")).agg(F.count("*").alias("degree"))
     pe = e
     if max_fanout is not None:

@@ -1043,7 +1043,10 @@ def events_latest_state(spark, sf):
     before the shuffle, where a window would shuffle and sort EVERY
     change-feed row. That is the difference between O(keys) and
     O(history) shuffled rows when compacting a long-history feed at
-    scale. Timestamps emit as epoch MICROS — parquet's native
+    scale. (Plan-audited: Spark runs this as partial+final
+    SortAggregate — struct buffers are not hash-aggregable — so the
+    residual cost is a map-side sort per partition; the shuffle stays
+    O(keys).) Timestamps emit as epoch MICROS — parquet's native
     precision, so the ordering key is bit-identical to the stored
     timestamp in both engines (millis would truncate and could flip a
     sub-millisecond tie against the oracle's full-precision ORDER BY)."""
