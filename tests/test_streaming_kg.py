@@ -125,3 +125,60 @@ def test_link_index_is_the_batch_decision(spark, kg_stream):
            for r in kg_stream["link_index"]
            .join(sample, "name_norm").collect()}
     assert best == idx and len(idx) == 40
+
+
+def test_stream_triples_to_graph_exactly_once(spark, kg_stream, tmp_path):
+    """foreachBatch materialization: two invocations over a growing
+    input directory; the second resumes from the checkpoint (only new
+    files), and the union equals the batch exact-arm triples over ALL
+    input — no duplicates. Wave-2 event times sit ahead of wave 1's
+    sentinel because the watermark persists in the checkpoint."""
+    from lamapi_spark.streaming.kg import stream_triples_to_graph
+
+    d = str(tmp_path / "turns")
+    out = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+    dfs = kg_stream["dfs"]
+    tr = kg_stream["transcripts"]
+    convs = sorted(r.conv_id for r in tr.select("conv_id").distinct().collect())
+    w1, w2 = set(convs[:20]), set(convs[20:])
+
+    # wave 1 + flush sentinel (2027); wave 2 shifted to 2028 + sentinel
+    # 2029 — each wave's sentinel closes that wave's turns
+    tr.filter(F.col("conv_id").isin(w1)).repartition(3).write.parquet(d)
+    flush1 = spark.createDataFrame(
+        [(SENTINEL_CONV, 0, "user", "zzz", None, dt.datetime(2027, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    flush1.coalesce(1).write.mode("append").parquet(d)
+
+    def _read(df):
+        return {tuple(r) for r in
+                df.filter(F.col("conv_id") != SENTINEL_CONV)
+                .select("subj", "pred", "obj", "conv_id", "turn_idx")
+                .collect()}
+
+    args = (spark, d, kg_stream["link_index"], dfs["kg_edges"], out, ckpt)
+    got1 = _read(stream_triples_to_graph(*args, watermark="90 days",
+                                         max_files_per_trigger=2))
+
+    shifted = tr.filter(F.col("conv_id").isin(w2)).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 730 DAYS"))
+    shifted.repartition(2).write.mode("append").parquet(d)
+    flush2 = spark.createDataFrame(
+        [(SENTINEL_CONV + "-2", 0, "user", "zzz", None,
+          dt.datetime(2029, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    flush2.coalesce(1).write.mode("append").parquet(d)
+
+    got2 = _read(stream_triples_to_graph(*args, watermark="90 days",
+                                         max_files_per_trigger=2)
+                 .filter(F.col("conv_id") != SENTINEL_CONV + "-2"))
+
+    batch = kg_stream["batch"]
+    want = {tuple(r) for r in batch["triples"]
+            .select("subj", "pred", "obj", "conv_id", "turn_idx").collect()}
+    want1 = {t for t in want if t[3] in w1}
+    assert got1 == want1 and len(got1) > 5
+    assert got2 == want, (len(got2), len(want))
