@@ -1,0 +1,112 @@
+"""Temporal join operators Spark's built-ins don't provide directly:
+as-of join and interval/range join — the builder's-brief "custom
+operator" axis (reference analogue: none; the reference has no temporal
+queries). Both are compositions of existing DataFrame ops chosen for
+their SCALE shape, not mapInPandas fallbacks:
+
+- as-of join: the union + partitioned-sort + last-non-null carry —
+  ONE shuffle on the key, one in-partition sort, state O(1) per row
+  (the classic merge-join formulation; a point-in-time join per left
+  row would be a per-row subquery, and Spark's own inequality join
+  would fall back to a broadcast-nested-loop).
+- range join: coarse time-bin replication + equi-join + exact filter —
+  turns an inequality join (BroadcastNestedLoopJoin: O(|L|*|R|) work,
+  single-node build side) into a shuffled hash join on (key, bin).
+  ``bin_s`` trades replication of the interval side (ceil(len/bin)
+  copies) against join selectivity; points are never replicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame, right: DataFrame, key: str,
+    left_ts: str = "ts_us", right_ts: str = "ts_us",
+    payload: tuple[str, ...] = ("value",),
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """For every left row, attach the LATEST right row with
+    ``right_ts <= left_ts`` on the same key (backward as-of, inclusive
+    — DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics), as columns
+    ``asof_<payload>...`` plus ``asof_ts`` (null when no prior right
+    row, or when it is older than ``tolerance_us``).
+
+    CONTRACT: right must be unique per (key, right_ts) — pre-aggregate
+    ties away (a duplicate would make the carried payload depend on
+    sort-tie order). Timestamps are integer micros (engine-portable).
+
+    Implementation: tag and union both sides, sort each key partition
+    by (ts, right-first-on-ties), carry the right payload forward with
+    last(ignorenulls) over an unbounded-preceding window, keep left
+    rows. One exchange, one sort; the window state is a single row.
+    """
+    lcols = [c for c in left.columns]
+    l = (left.withColumn("_ts", F.col(left_ts).cast("long"))
+         .withColumn("_is_r", F.lit(0)))
+    for p in payload:
+        l = l.withColumn(f"_p_{p}", F.lit(None).cast(
+            dict(right.dtypes)[p]))
+    r = (right.withColumn("_ts", F.col(right_ts).cast("long"))
+         .withColumn("_is_r", F.lit(1)))
+    for p in payload:
+        r = r.withColumn(f"_p_{p}", F.col(p))
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    cols = [key, "_ts", "_is_r", *[f"_p_{p}" for p in payload],
+            *[c for c in lcols if c != key]]
+    u = l.select(*cols).unionByName(r.select(*cols))
+
+    # right rows sort before left rows at the same timestamp, so an
+    # equal-ts right row IS visible to the left row (inclusive >=)
+    w = (Window.partitionBy(key).orderBy(F.col("_ts"), F.desc("_is_r"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = [F.last(f"_p_{p}", ignorenulls=True).over(w).alias(f"asof_{p}")
+               for p in payload]
+    m_ts = F.last(F.when(F.col("_is_r") == 1, F.col("_ts")),
+                  ignorenulls=True).over(w).alias("asof_ts")
+    out = (u.select(*cols, *carried, m_ts)
+           .filter(F.col("_is_r") == 0))
+    if tolerance_us is not None:
+        stale = (F.col("asof_ts").isNull()
+                 | (F.col("_ts") - F.col("asof_ts") > tolerance_us))
+        out = out.select(
+            *cols, "asof_ts",
+            *[F.when(stale, F.lit(None)).otherwise(F.col(f"asof_{p}"))
+              .alias(f"asof_{p}") for p in payload]
+        ).withColumn("asof_ts",
+                     F.when(stale, F.lit(None)).otherwise(F.col("asof_ts")))
+    return out.select(*lcols, "asof_ts",
+                      *[f"asof_{p}" for p in payload])
+
+
+def range_join_binned(
+    intervals: DataFrame, points: DataFrame, key: str,
+    lo: str = "lo_us", hi: str = "hi_us", pt_ts: str = "ts_us",
+    bin_s: int = 1800,
+) -> DataFrame:
+    """All (interval, point) pairs on the same key with
+    ``lo <= pt_ts <= hi`` — via coarse-bin replication: each interval
+    explodes to its covered bins, each point maps to its ONE bin, the
+    pair space shrinks to an equi-join on (key, bin) plus the exact
+    containment filter. No pair duplicates by construction (a point
+    lives in exactly one bin). Returns intervals' columns + points'.
+
+    Bins are floor(ts / bin) in integer micros; intervals must satisfy
+    lo <= hi. Skewed bins (a hot key x time window) are ordinary
+    equi-join skew — AQE splits them like any other.
+    """
+    bw = F.lit(int(bin_s) * 1_000_000)
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(F.col(lo) / bw),
+                             F.floor(F.col(hi) / bw))))
+    pt = points.withColumn("_bin", F.floor(F.col(pt_ts) / bw))
+    return (
+        iv.join(pt, [key, "_bin"])
+        .filter(F.col(pt_ts).between(F.col(lo), F.col(hi)))
+        .drop("_bin")
+    )

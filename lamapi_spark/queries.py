@@ -1088,3 +1088,4 @@ def _load_extra_registrations() -> None:
     import lamapi_spark.queries_corpus  # noqa: F401
     import lamapi_spark.queries_graph  # noqa: F401
     import lamapi_spark.queries_ops  # noqa: F401
+    import lamapi_spark.queries_temporal  # noqa: F401

@@ -1,0 +1,205 @@
+"""Temporal-operator and sketch contract queries over ``events``:
+as-of join (DuckDB's NATIVE ``ASOF JOIN`` as the oracle — a fully
+independent implementation of the semantics), binned range join,
+multi-granularity rollup, and a deterministic KMV distinct sketch.
+
+These cover the builder's-brief custom-operator axis (as-of join,
+range join, hypertable rollup, sketches) — operators Spark lacks as
+built-ins, implemented as scale-shaped compositions (ops/temporal.py)
+rather than UDF fallbacks. Reference analogue: none (the reference has
+no temporal surface); the shapes are the standard feature-store /
+event-analytics workloads a KG-over-transcripts deployment sits next
+to.
+
+Engine-parity notes: timestamps flow as integer MICROS everywhere
+(epoch_us <-> unix_micros); the KMV hash is the repo's md5-hex-prefix
+integer (48 bits — exact in BIGINT and DOUBLE alike); rollup nulls and
+grouping ids follow the shared SQL-standard bit encoding (verified:
+Spark grouping_id() == DuckDB GROUPING(a, b)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lamapi_spark.queries import load, register
+
+_KMV_K = 64
+_HASH48_SPACE = float(2 ** 48)
+
+
+def _events_us(spark, sf):
+    return load(spark, sf, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+
+
+@register("events_asof_state", """
+WITH v AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS ts_us,
+         max_by(value, event_id) AS value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+c AS (
+  SELECT event_id, user_id, epoch_us(ts)::BIGINT AS ts_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts_us,
+       v.ts_us AS asof_ts, v.value AS asof_value
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts_us >= v.ts_us
+ORDER BY c.event_id
+""")
+def events_asof_state(spark, sf):
+    """Backward as-of join: every click gets the user's latest
+    prior-or-simultaneous 'view' value — the point-in-time feature
+    lookup. The oracle is DuckDB's NATIVE ASOF JOIN (an independent
+    engine implementation of the semantics, not a reconstruction of
+    ours). The view side is pre-aggregated unique per (user, ts)
+    (struct-max on the unique event_id) per the operator's tie
+    contract."""
+    from lamapi_spark.ops.temporal import asof_join
+
+    e = _events_us(spark, sf)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max(F.struct(F.col("event_id").alias("eid"),
+                            F.col("value").alias("v"))).alias("_m"))
+        .select("user_id", "ts_us", F.col("_m.v").alias("value"))
+    )
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts_us"))
+    return (
+        asof_join(clicks, views, key="user_id", payload=("value",))
+        .select("event_id", "user_id", "ts_us", "asof_ts",
+                F.col("asof_value"))
+        .orderBy("event_id")
+    )
+
+
+@register("events_range_join", """
+WITH f AS (
+  SELECT user_id, min(epoch_us(ts))::BIGINT AS lo_us
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+)
+SELECT f.user_id, f.lo_us, e.event_id,
+       epoch_us(e.ts)::BIGINT AS ts_us
+FROM f JOIN events e
+  ON e.user_id = f.user_id
+ AND epoch_us(e.ts) BETWEEN f.lo_us AND f.lo_us + 7200000000
+ORDER BY f.user_id, e.event_id
+""")
+def events_range_join(spark, sf):
+    """Interval containment: all events inside the two-hour window
+    opening at each user's first click — through the binned range join
+    (30-min bins: the interval side replicates <= 5x, points never
+    replicate, and the would-be BroadcastNestedLoopJoin becomes a
+    shuffled equi-join on (user, bin)). Oracle: the plain inequality
+    join DuckDB can afford at test scale."""
+    from lamapi_spark.ops.temporal import range_join_binned
+
+    e = _events_us(spark, sf)
+    intervals = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id").agg(F.min("ts_us").alias("lo_us"))
+        .withColumn("hi_us", F.col("lo_us") + F.lit(7_200_000_000))
+    )
+    return (
+        range_join_binned(intervals, e.select("user_id", "event_id", "ts_us"),
+                          key="user_id", bin_s=1800)
+        .select("user_id", "lo_us", "event_id", "ts_us")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register("events_rollup", """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       GROUPING(event_type, day)::BIGINT AS gid
+FROM events
+GROUP BY ROLLUP (event_type, day)
+ORDER BY gid, event_type, day
+""")
+def events_rollup(spark, sf):
+    """Hypertable-style multi-granularity rollup in ONE pass:
+    (event_type, day) / (event_type) / grand total via ROLLUP —
+    partial aggregation handles all three granularities in the same
+    shuffle instead of three scans. Day renders as a string so the
+    rollup NULL and the date itself are engine-portable; sums go
+    through DECIMAL for order-independence (repo convention)."""
+    e = load(spark, sf, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts").cast("timestamp")),
+                             "yyyy-MM-dd"))
+    return (
+        e.rollup("event_type", "day")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("sum_value"),
+             F.grouping_id().alias("gid"))
+        .orderBy("gid", "event_type", "day")
+    )
+
+
+@register("sketch_kmv_distinct", f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 12))::UBIGINT)::BIGINT AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       least(n, {_KMV_K})::BIGINT AS k_used,
+       max(CASE WHEN rn = least(n, {_KMV_K}) THEN h END) AS kth_hash,
+       CASE WHEN n >= {_KMV_K}
+            THEN ({_KMV_K} - 1) * {_HASH48_SPACE!r} / max(CASE WHEN rn = {_KMV_K} THEN h END)
+            ELSE n::DOUBLE END AS est_distinct
+FROM r GROUP BY event_type, n ORDER BY event_type
+""")
+def sketch_kmv_distinct(spark, sf):
+    """KMV (k-minimum-values) distinct-count sketch per event_type —
+    a DETERMINISTIC sketch (unlike HLL register layouts, which differ
+    between engines): keep the k smallest 48-bit md5 hashes of the
+    values; estimate = (k-1) * 2^48 / kth_min. Exactly reproducible in
+    SQL, mergeable by taking the k smallest of a union (how a sketch
+    rolls up across partitions/days), and exact below k values.
+
+    Scale note: the per-type k-smallest runs as a row_number window
+    over the DISTINCT (type, hash) frame — one shuffle of distinct
+    hashes. At true web scale the same sketch folds into an
+    aggregation via a bounded sorted-array merge; the window keeps
+    this contract query exactly equal to the SQL oracle."""
+    e = load(spark, sf, "events")
+    h = (e.select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                   16, 10).cast("long").alias("h"))
+         .distinct())
+    w = Window.partitionBy("event_type").orderBy("h")
+    wn = Window.partitionBy("event_type")
+    r = (h.withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count("*").over(wn)))
+    k = F.least(F.col("n"), F.lit(_KMV_K))
+    return (
+        r.groupBy("event_type", "n")
+        .agg(
+            F.max(F.when(F.col("rn") == F.least(F.col("n"), F.lit(_KMV_K)),
+                         F.col("h"))).alias("kth_hash"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("_kth_full"),
+        )
+        .select(
+            "event_type",
+            F.least(F.col("n"), F.lit(_KMV_K)).cast("long").alias("k_used"),
+            "kth_hash",
+            F.when(F.col("n") >= _KMV_K,
+                   F.lit(float(_KMV_K - 1)) * F.lit(_HASH48_SPACE)
+                   / F.col("_kth_full"))
+            .otherwise(F.col("n").cast("double")).alias("est_distinct"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,134 @@
+"""Temporal operators: as-of join semantics (inclusivity, ties,
+tolerance, missing-prior nulls), binned range join vs a naive
+inequality join (plus the no-BNLJ plan assertion), and KMV sketch
+accuracy/exactness. Reference analogue: none — builder's-brief custom
+operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lamapi_spark.ops.temporal import asof_join, range_join_binned
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # (key, ts_us, value) — the "state" side
+    rows = [
+        ("a", 100, 1.0),
+        ("a", 200, 2.0),
+        ("a", 500, 5.0),
+        ("b", 300, 30.0),
+    ]
+    return spark.createDataFrame(rows, "k string, ts_us long, value double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    # (id, key, ts_us) — the "probe" side
+    rows = [
+        (1, "a", 50),    # before any quote -> null
+        (2, "a", 100),   # equal ts -> inclusive match (1.0)
+        (3, "a", 250),   # between 200 and 500 -> 2.0
+        (4, "a", 900),   # after last -> 5.0
+        (5, "b", 299),   # before b's only quote -> null
+        (6, "b", 301),   # after -> 30.0
+        (7, "c", 400),   # key with no right rows -> null
+    ]
+    return spark.createDataFrame(rows, "id long, k string, ts_us long")
+
+
+def test_asof_backward_inclusive(spark, quotes, trades):
+    out = {r.id: (r.asof_ts, r.asof_value)
+           for r in asof_join(trades, quotes, key="k").collect()}
+    assert out[1] == (None, None)
+    assert out[2] == (100, 1.0)        # equal-ts right row IS visible
+    assert out[3] == (200, 2.0)
+    assert out[4] == (500, 5.0)
+    assert out[5] == (None, None)
+    assert out[6] == (300, 30.0)
+    assert out[7] == (None, None)
+    # left row count preserved
+    assert len(out) == 7
+
+
+def test_asof_tolerance_nulls_stale(spark, quotes, trades):
+    out = {r.id: (r.asof_ts, r.asof_value)
+           for r in asof_join(trades, quotes, key="k",
+                              tolerance_us=100).collect()}
+    assert out[2] == (100, 1.0)        # age 0 <= 100
+    assert out[3] == (200, 2.0)        # age 50
+    assert out[4] == (None, None)      # age 400 > 100 -> stale
+    assert out[6] == (300, 30.0)       # age 1 -> kept
+
+
+def test_asof_tolerance_boundary(spark, quotes, trades):
+    out = {r.id: r.asof_value
+           for r in asof_join(trades, quotes, key="k",
+                              tolerance_us=50).collect()}
+    assert out[3] == 2.0               # age exactly 50: kept (<=)
+    assert out[4] is None              # age 400: stale
+    assert out[6] == 30.0              # age 1: kept
+
+
+def test_asof_multi_payload(spark):
+    right = spark.createDataFrame(
+        [("a", 10, 1.0, "x")], "k string, ts_us long, v double, tag string")
+    left = spark.createDataFrame([(1, "a", 20)], "id long, k string, ts_us long")
+    row = asof_join(left, right, key="k", payload=("v", "tag")).collect()[0]
+    assert (row.asof_v, row.asof_tag, row.asof_ts) == (1.0, "x", 10)
+
+
+def _naive_range(intervals, points, key):
+    return (intervals.join(points, key)
+            .filter(F.col("ts_us").between(F.col("lo_us"), F.col("hi_us"))))
+
+
+@pytest.mark.parametrize("bin_s", [1, 7, 1800])
+def test_range_join_matches_naive(spark, bin_s):
+    # intervals straddle bin boundaries at every tested width
+    iv = spark.createDataFrame(
+        [("a", 0, 10_000_000), ("a", 5_000_000, 5_000_000),  # degenerate lo==hi
+         ("b", 2_000_000, 3_999_999)],
+        "k string, lo_us long, hi_us long")
+    pts = spark.createDataFrame(
+        [("a", i, i * 1_000_000) for i in range(12)]
+        + [("b", 100 + i, i * 1_000_000) for i in range(6)],
+        "k string, event_id long, ts_us long")
+    got = sorted((r.k, r.lo_us, r.event_id) for r in
+                 range_join_binned(iv, pts, key="k", bin_s=bin_s).collect())
+    want = sorted((r.k, r.lo_us, r.event_id) for r in
+                  _naive_range(iv, pts, "k").collect())
+    assert got == want and len(want) > 0
+    # boundary inclusivity: point at exactly lo and exactly hi both present
+    assert ("a", 0, 0) in got and ("a", 0, 10) in got
+    assert ("a", 5_000_000, 5) in got  # degenerate interval keeps its point
+
+
+def test_range_join_plan_has_no_bnlj(spark):
+    iv = spark.createDataFrame([("a", 0, 10)], "k string, lo_us long, hi_us long")
+    pts = spark.createDataFrame([("a", 1, 5)], "k string, event_id long, ts_us long")
+    plan = range_join_binned(iv, pts, key="k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark, tmp_path):
+    # build an events-shaped parquet dir so the contract query runs on it
+    import pyspark.sql.functions as F2
+    n_small, n_big = 20, 5000
+    rows = ([("small", f"u{i}", i, "2024-01-01 00:00:00", "1") for i in range(n_small)]
+            + [("big", f"u{i}", 10_000 + i, "2024-01-01 00:00:00", "1")
+               for i in range(n_big)])
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id string, event_id long, ts string, value string")
+    df.withColumn("ts", F2.col("ts").cast("timestamp")) \
+        .write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from lamapi_spark.queries_temporal import sketch_kmv_distinct
+    out = {r.event_type: r for r in sketch_kmv_distinct(spark, str(tmp_path)).collect()}
+    assert out["small"].k_used == n_small
+    assert out["small"].est_distinct == float(n_small)   # exact below k
+    assert out["big"].k_used == 64
+    # KMV relative error ~ 1/sqrt(k-1) ≈ 12.6%; allow 4 sigma
+    assert abs(out["big"].est_distinct - n_big) / n_big < 0.5
