@@ -171,35 +171,86 @@ def sketch_kmv_distinct(spark, sf):
 
     Scale note: the per-type k-smallest runs as a row_number window
     over the DISTINCT (type, hash) frame — one shuffle of distinct
-    hashes. At true web scale the same sketch folds into an
-    aggregation via a bounded sorted-array merge; the window keeps
-    this contract query exactly equal to the SQL oracle."""
+    hashes, <= k survivors per group reach the collect
+    (ops/sketches.py:kmv_sketch)."""
+    from lamapi_spark.ops.sketches import kmv_estimate, kmv_sketch
+
     e = load(spark, sf, "events")
-    h = (e.select(
-            "event_type",
-            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
-                   16, 10).cast("long").alias("h"))
-         .distinct())
-    w = Window.partitionBy("event_type").orderBy("h")
-    wn = Window.partitionBy("event_type")
-    r = (h.withColumn("rn", F.row_number().over(w))
-         .withColumn("n", F.count("*").over(wn)))
-    k = F.least(F.col("n"), F.lit(_KMV_K))
     return (
-        r.groupBy("event_type", "n")
-        .agg(
-            F.max(F.when(F.col("rn") == F.least(F.col("n"), F.lit(_KMV_K)),
-                         F.col("h"))).alias("kth_hash"),
-            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("_kth_full"),
-        )
-        .select(
-            "event_type",
-            F.least(F.col("n"), F.lit(_KMV_K)).cast("long").alias("k_used"),
-            "kth_hash",
-            F.when(F.col("n") >= _KMV_K,
-                   F.lit(float(_KMV_K - 1)) * F.lit(_HASH48_SPACE)
-                   / F.col("_kth_full"))
-            .otherwise(F.col("n").cast("double")).alias("est_distinct"),
-        )
+        kmv_estimate(kmv_sketch(e, ["event_type"], "user_id", k=_KMV_K),
+                     k=_KMV_K)
+        .select("event_type", "k_used", "kth_hash", "est_distinct")
         .orderBy("event_type")
     )
+
+
+@register("sketch_kmv_merge", """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 12))::UBIGINT)::BIGINT AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       least(n, {k})::BIGINT AS k_used,
+       max(CASE WHEN rn = least(n, {k}) THEN h END) AS kth_hash,
+       CASE WHEN n >= {k}
+            THEN ({k} - 1) * {space!r} / max(CASE WHEN rn = {k} THEN h END)
+            ELSE n::DOUBLE END AS est_distinct
+FROM r GROUP BY event_type, n ORDER BY event_type
+""".format(k=_KMV_K, space=_HASH48_SPACE))
+def sketch_kmv_merge(spark, sf):
+    """KMV MERGEABILITY under an independent oracle: sketch each of 8
+    event_id-modulo shards separately, merge the shard sketches
+    (union, re-take k smallest — ops/sketches.py:kmv_merge), estimate.
+    The oracle computes the GLOBAL sketch directly from the raw table —
+    green means merge-of-parts is bit-identical to sketch-of-union,
+    the property that lets daily/partition sketches roll up at scale."""
+    from lamapi_spark.ops.sketches import kmv_estimate, kmv_merge, kmv_sketch
+
+    e = load(spark, sf, "events").withColumn(
+        "shard", F.col("event_id") % F.lit(8))
+    shards = kmv_sketch(e, ["event_type", "shard"], "user_id", k=_KMV_K)
+    return (
+        kmv_estimate(kmv_merge(shards, ["event_type"], k=_KMV_K), k=_KMV_K)
+        .select("event_type", "k_used", "kth_hash", "est_distinct")
+        .orderBy("event_type")
+    )
+
+
+@register("sketch_hist_quantiles", """
+WITH h AS (
+  SELECT event_type, floor(value / 10.0)::BIGINT AS bin,
+         count(*)::BIGINT AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, bin
+),
+c AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)::BIGINT AS cum,
+         sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM h
+),
+q AS (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+SELECT c.event_type, q.q,
+       bin * 10.0 + 10.0 * (q.q * n - (cum - cnt)) / cnt AS est
+FROM c JOIN q ON cum >= q.q * n AND cum - cnt < q.q * n
+ORDER BY event_type, q
+""")
+def sketch_hist_quantiles(spark, sf):
+    """Histogram-quantile sketch: fixed-width (10.0) bin counts per
+    event_type (mergeable — counts add), then p50/p95/p99 by linear
+    interpolation inside the first bin whose cumulative count reaches
+    q*n (ops/sketches.py:hist_quantiles). Plain double arithmetic in a
+    fixed order, so the oracle reproduces the estimates bit-for-bit."""
+    from lamapi_spark.ops.sketches import hist_quantiles, hist_sketch
+
+    e = load(spark, sf, "events")
+    h = hist_sketch(e, ["event_type"], "value", width=10.0)
+    return (hist_quantiles(h, ["event_type"], width=10.0,
+                           qs=(0.5, 0.95, 0.99))
+            .orderBy("event_type", "q"))

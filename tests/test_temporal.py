@@ -114,6 +114,42 @@ def test_range_join_plan_has_no_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_kmv_merge_equals_global_sketch(spark):
+    from lamapi_spark.ops.sketches import kmv_estimate, kmv_merge, kmv_sketch
+    rows = [("t", i % 5, f"v{i % 300}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, shard long, v string")
+    direct = kmv_sketch(df, ["g"], "v", k=16).collect()[0]
+    merged = kmv_merge(kmv_sketch(df, ["g", "shard"], "v", k=16),
+                       ["g"], k=16).collect()[0]
+    assert merged.kmv == direct.kmv          # bit-identical sketch
+    est = kmv_estimate(kmv_merge(kmv_sketch(df, ["g", "shard"], "v", k=16),
+                                 ["g"], k=16), k=16).collect()[0]
+    assert est.k_used == 16
+    assert abs(est.est_distinct - 300) / 300 < 1.0   # ~1/sqrt(15) sigma
+
+
+def test_hist_quantiles_uniform_exact_shape(spark):
+    from lamapi_spark.ops.sketches import hist_quantiles, hist_sketch
+    # 1000 values uniform on [0, 100): true quantile q -> 100q; the
+    # histogram estimate must land within one bin width
+    df = spark.createDataFrame([("u", float(i) / 10.0) for i in range(1000)],
+                               "g string, v double")
+    h = hist_sketch(df, ["g"], "v", width=10.0)
+    assert h.count() == 10 and all(r.cnt == 100 for r in h.collect())
+    out = {r.q: r.est for r in
+           hist_quantiles(h, ["g"], 10.0, (0.1, 0.5, 0.99)).collect()}
+    for q, est in out.items():
+        assert abs(est - 100.0 * q) <= 10.0
+    # merge = counts add: splitting the input leaves estimates unchanged
+    a, b = df.filter(F.col("v") < 37), df.filter(F.col("v") >= 37)
+    ha, hb = (hist_sketch(x, ["g"], "v", width=10.0) for x in (a, b))
+    merged = (ha.unionByName(hb).groupBy("g", "bin")
+              .agg(F.sum("cnt").alias("cnt")))
+    out2 = {r.q: r.est for r in
+            hist_quantiles(merged, ["g"], 10.0, (0.1, 0.5, 0.99)).collect()}
+    assert out2 == out
+
+
 def test_kmv_exact_below_k_and_estimate_above(spark, tmp_path):
     # build an events-shaped parquet dir so the contract query runs on it
     import pyspark.sql.functions as F2
