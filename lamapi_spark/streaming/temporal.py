@@ -1,0 +1,72 @@
+"""Streaming twin of the as-of join (ops/temporal.asof_join) — the
+point-in-time feature serve: an unbounded probe stream looks up, per
+row, the latest state row at-or-before its event time.
+
+Shape: the STATIC right side collapses offline into one row per key
+holding its time-sorted (ts, payload...) array (`asof_state_table` —
+the feature-store "state snapshot" analogue of the pipeline's offline
+link/lookup indexes). The stream then needs only a STATELESS
+stream-static equi-join on the key plus pure array expressions
+(`filter` + `array_max`) to resolve the as-of per probe row: no
+streaming aggregation, no watermark state, no per-batch driver logic —
+every micro-batch row is independent, so any trigger/sink works and
+the result is row-for-row equal to the batch operator (tested,
+tests/test_streaming.py).
+
+The trade: one key's whole history lives in one array cell, so the
+static side must be bounded per key (feature stores retain the last N
+versions; cap with ``max_versions`` — KEEPS THE NEWEST n). The batch
+operator has no such bound — it is the backfill twin; this is the
+serve twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_state_table(
+    right: DataFrame, key: str, right_ts: str = "ts_us",
+    payload: tuple[str, ...] = ("value",),
+    max_versions: int | None = None,
+) -> DataFrame:
+    """One row per key: ``_state`` = ascending-by-ts array of
+    struct(_ts, <payload...>). Right must be unique per (key, ts) —
+    the batch operator's tie contract. ``max_versions`` keeps only the
+    newest n versions per key (probes older than the retained horizon
+    then resolve to null — the documented serve-vs-backfill delta)."""
+    st = F.struct(F.col(right_ts).cast("long").alias("_ts"),
+                  *[F.col(p).alias(p) for p in payload])
+    agg = F.sort_array(F.collect_list(st))
+    if max_versions is not None:
+        agg = F.slice(agg, -int(max_versions), int(max_versions))
+    return right.groupBy(key).agg(agg.alias("_state"))
+
+
+def stream_asof_join(
+    probes: DataFrame, state: DataFrame, key: str,
+    left_ts: str = "ts_us", payload: tuple[str, ...] = ("value",),
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """``probes`` may be a streaming OR batch frame; ``state`` is an
+    `asof_state_table`. Returns probes' columns + ``asof_ts`` +
+    ``asof_<payload>...`` with the batch operator's exact semantics
+    (inclusive backward, tolerance nulling)."""
+    lcols = list(probes.columns)
+    ts = F.col(left_ts).cast("long")
+    hits = F.filter("_state", lambda s: s["_ts"] <= ts)
+    # structs order by leading field first and right is unique per
+    # (key, ts), so array_max(hits) IS the latest at-or-before row
+    m = F.when(F.size(hits) > 0, F.array_max(hits))
+    stale = (F.lit(False) if tolerance_us is None
+             else ts - m["_ts"] > F.lit(int(tolerance_us)))
+    keep = m.isNotNull() & ~stale
+    return (
+        probes.join(state, key, "left")
+        .select(
+            *lcols,
+            F.when(keep, m["_ts"]).alias("asof_ts"),
+            *[F.when(keep, m[p]).alias(f"asof_{p}") for p in payload],
+        )
+    )

@@ -164,3 +164,58 @@ def test_stream_minhash_pairs_matches_batch(spark, tmp_path):
             for r in minhash_lsh_pairs(feed, "doc_id", "text").collect()}
     assert gotd == want and len(want) > 0
     assert gotd[(0, 1)] == 1.0  # exact dup agrees on every minhash
+
+
+def test_stream_asof_join_matches_batch(spark, tmp_path):
+    """The streaming as-of (stateless stream-static join against the
+    per-key sorted state table) is ROW-FOR-ROW equal to the batch
+    asof_join on the same probes — same events-derived fixture as the
+    events_asof_state contract query."""
+    from lamapi_spark.ops.temporal import asof_join
+    from lamapi_spark.streaming.temporal import asof_state_table, stream_asof_join
+
+    e = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+         .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))))
+    views = (e.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts_us")
+             .agg(F.max(F.struct("event_id", "value"))["value"].alias("value")))
+    clicks = e.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts_us")
+    d = str(tmp_path / "clicks")
+    clicks.write.parquet(d)
+
+    state = asof_state_table(views, key="user_id")
+    probes = spark.readStream.schema(
+        "event_id bigint, user_id bigint, ts_us bigint").parquet(d)
+    got = run_available_now(
+        stream_asof_join(probes, state, key="user_id"),
+        "t_asof", mode="append")
+    g = {r.event_id: (r.asof_ts, r.asof_value) for r in got.collect()}
+    want = {r.event_id: (r.asof_ts, r.asof_value)
+            for r in asof_join(clicks, views, key="user_id").collect()}
+    assert g == want and len(g) == clicks.count()
+    # tolerance arm agrees too (batch semantics: age > tol -> null)
+    got_t = stream_asof_join(clicks, state, key="user_id",
+                             tolerance_us=60_000_000)
+    want_t = asof_join(clicks, views, key="user_id",
+                       tolerance_us=60_000_000)
+    assert ({r.event_id: (r.asof_ts, r.asof_value) for r in got_t.collect()}
+            == {r.event_id: (r.asof_ts, r.asof_value) for r in want_t.collect()})
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_asof_state_table_retention(spark):
+    """max_versions keeps the NEWEST n versions; probes older than the
+    retained horizon degrade to null (the serve-vs-backfill delta)."""
+    from lamapi_spark.streaming.temporal import asof_state_table, stream_asof_join
+
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0), ("a", 30, 3.0)],
+        "k string, ts_us long, value double")
+    probes = spark.createDataFrame(
+        [(1, "a", 15), (2, "a", 35)], "id long, k string, ts_us long")
+    state = asof_state_table(right, key="k", max_versions=2)  # keeps 20, 30
+    out = {r.id: (r.asof_ts, r.asof_value)
+           for r in stream_asof_join(probes, state, key="k").collect()}
+    assert out[1] == (None, None)   # ts=15 predates the retained horizon
+    assert out[2] == (30, 3.0)
