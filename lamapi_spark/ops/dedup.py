@@ -166,6 +166,74 @@ def ngram_jaccard_pairs(
     return scored
 
 
+def substring_dup_spans(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 5, min_count: int = 2,
+) -> DataFrame:
+    """Exact substring dedup: maximal duplicated token spans per
+    document — the suffix-array-style training-data operator ("dedup
+    the repeated PASSAGES, not the documents"; reference analogue:
+    none — builder's-brief surface). A token position is *duplicated*
+    when the k-token gram starting there occurs >= ``min_count`` times
+    CORPUS-WIDE (including repeats within the same document). The
+    duplicated region of a doc is the union of those k-token windows;
+    this returns its maximal contiguous spans:
+
+    -> (doc_id, start, ntoken_span) — ``start`` 1-based token offset;
+    every token in the span lies in >= 1 corpus-duplicated k-gram, and
+    spans are maximal (the next dup window starts > k tokens after the
+    previous, else they'd merge).
+
+    Scale shape: one explode to (doc, pos, md5(gram)) rows; the gram
+    count is a partial-agg groupBy on the uniform md5 key; duplicated
+    positions come back via a left-semi join on that key (build side is
+    one row per DISTINCT dup gram — no hot-key blowup however often a
+    boilerplate gram repeats); then ONE exchange collects each doc's
+    dup positions and the spans resolve in-array in O(n): boundary
+    indices via an indexed filter (each element looks back one), then
+    one transform over the (few) boundaries with O(1) element lookups
+    — no per-element prefix sums, no second window exchange (BENCH.md
+    plan lessons #5/#7). Arrays are bounded by per-doc DUP-position
+    count <= token count.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+        .filter(F.size("_t") >= k)
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("_t") - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice("_t", i, k))).alias("gram")),
+        )).alias("g"),
+    ).select("doc_id", "g.pos", "g.gram")
+    dup = (
+        grams.groupBy("gram").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count).select("gram")
+    )
+    dpos = grams.join(dup, "gram", "left_semi")
+    per_doc = dpos.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("_ps"))
+    # windows [p, p+k-1] of successive dup positions overlap or touch
+    # iff the position gap is <= k, so islands split where gap > k
+    with_b = per_doc.withColumn("_b", F.expr(
+        f"filter(sequence(0, size(_ps)-1), i -> i = 0 OR _ps[i] - _ps[i-1] > {k})"))
+    return (
+        with_b.select("doc_id", F.explode(F.expr(f"""
+          transform(_b, (s, j) -> named_struct(
+            'start', _ps[s],
+            'ntoken_span',
+            _ps[CASE WHEN j = size(_b)-1 THEN size(_ps)-1 ELSE _b[j+1]-1 END]
+              - _ps[s] + {k}))
+        """)).alias("r"))
+        .select("doc_id", F.col("r.start").cast("int").alias("start"),
+                F.col("r.ntoken_span").cast("int").alias("ntoken_span"))
+    )
+
+
 def token_hash60(token: Column) -> Column:
     """Deterministic 60-bit integer from a token: first 15 hex chars of
     md5 parsed base-16 (engine-portable)."""

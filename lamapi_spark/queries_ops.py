@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from lamapi_spark.ops.dedup import (
     dedup_clusters, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
-    simhash60, simhash_pairs, word_shingles,
+    simhash60, simhash_pairs, substring_dup_spans, word_shingles,
 )
 from lamapi_spark.ops.multimodal import attach_binary, decode_image_meta
 from lamapi_spark.ops.similarity import brute_force_topk, lsh_ann_topk
@@ -121,6 +121,45 @@ def dedup_ngram_jaccard(spark, sf):
         ngram_jaccard_pairs(load(spark, sf, "documents"), "doc_id", "text",
                             k_shingle=3, threshold=0.2, max_df=1_000_000)
         .orderBy("id_a", "id_b")
+    )
+
+
+@register("dedup_substring_spans", """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), p AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS pos
+  FROM t WHERE len(toks) >= 5
+), g AS (
+  SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+4], ' ')) AS gram FROM p
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+), dpos AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+              OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS b
+  FROM dpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), grp AS (
+  SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+  FROM brk
+)
+SELECT doc_id, min(pos)::INT AS start, (max(pos) - min(pos) + 5)::INT AS ntoken_span
+FROM grp GROUP BY doc_id, gid ORDER BY doc_id, start
+""")
+def dedup_substring_spans(spark, sf):
+    """Exact substring dedup: maximal corpus-duplicated >=5-token spans
+    per document (suffix-array-style passage dedup — dedup the repeated
+    PASSAGES, not the documents). A position is duplicated when its
+    5-gram occurs >= 2 times corpus-wide; overlapping/touching windows
+    merge into maximal spans. The oracle resolves islands with lag/sum
+    windows; the operator does the same split in-array after ONE
+    per-doc exchange."""
+    return (
+        substring_dup_spans(load(spark, sf, "documents"), "doc_id", "text",
+                            k=5, min_count=2)
+        .orderBy("doc_id", "start")
     )
 
 

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from lamapi_spark.ops.dedup import (
     exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash60,
+    substring_dup_spans,
 )
 from lamapi_spark.ops.multimodal import attach_binary, decode_image_meta, decode_image_real
 from lamapi_spark.ops.similarity import brute_force_topk, lsh_ann_topk
@@ -51,6 +52,36 @@ def test_ngram_jaccard_scores(spark, docs):
     assert pairs[(0, 1)] == 1.0
     assert 0.3 <= pairs[(0, 2)] < 1.0
     assert (3, 4) in pairs
+
+
+def test_substring_dup_spans(spark):
+    # k=3, min_count=2. Hand-computed corpus-wide duplicated 3-grams:
+    #   "a b c" x4 (d0@1, d1@3, d3@1, d3@8), "b c d" x2 (d0@2, d1@4),
+    #   "q q q" x2 (d3@4, d3@5) — everything else unique.
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "x x a b c d y z"),
+        (2, "p q r s t u"),                # no duplicated gram -> no rows
+        (3, "a b c q q q q a b c"),        # dup pos 1,4,5,8: gaps <= k merge
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r.doc_id, r.start, r.ntoken_span)
+           for r in substring_dup_spans(docs, "doc_id", "text",
+                                        k=3, min_count=2).collect()}
+    assert out == {(0, 1, 4), (1, 3, 4), (3, 1, 10)}
+
+
+def test_substring_dup_spans_splits_islands(spark):
+    # dup grams separated by MORE than k tokens stay separate spans
+    rows = [
+        (0, "a b c z1 z2 z3 z4 z5 a b c"),   # "a b c" at pos 1 and 9, gap 8 > 3
+        (1, "a b c y1 y2 y3 y4 y5 a b c"),   # makes both occurrences corpus-dups
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r.doc_id, r.start, r.ntoken_span)
+           for r in substring_dup_spans(docs, "doc_id", "text",
+                                        k=3, min_count=2).collect()}
+    assert out == {(0, 1, 3), (0, 9, 3), (1, 1, 3), (1, 9, 3)}
 
 
 def test_simhash_locality(spark, docs):
