@@ -234,6 +234,37 @@ def substring_dup_spans(
     )
 
 
+def substring_dup_stats(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 5, min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-token budget from the maximal spans of
+    ``substring_dup_spans``: the standard "drop documents whose
+    duplicated fraction exceeds X" training-data filter.
+
+    -> (doc_id, ntokens, dup_tokens, dup_fraction) for EVERY input doc
+    (docs with no corpus-duplicated k-gram emit 0 / 0.0, including docs
+    shorter than k tokens). Spans within a doc are disjoint and maximal
+    by construction, so their length sum IS the dup-token count.
+
+    Scale shape: the span plan plus one per-doc partial-agg sum and a
+    left join back to the (doc_id, ntokens) projection — both sides
+    keyed on doc_id, no new wide columns shuffle.
+    """
+    spans = substring_dup_spans(df, id_col, text_col, k=k, min_count=min_count)
+    dup = spans.groupBy("doc_id").agg(
+        F.sum("ntoken_span").cast("int").alias("dup_tokens"))
+    ntok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.lower(F.col(text_col)), " ")).alias("ntokens"))
+    return (
+        ntok.join(dup, "doc_id", "left")
+        .withColumn("dup_tokens", F.coalesce("dup_tokens", F.lit(0)))
+        .withColumn("dup_fraction",
+                    F.bround(F.col("dup_tokens") / F.col("ntokens"), 3))
+    )
+
+
 def token_hash60(token: Column) -> Column:
     """Deterministic 60-bit integer from a token: first 15 hex chars of
     md5 parsed base-16 (engine-portable)."""

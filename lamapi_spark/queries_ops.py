@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 
 from lamapi_spark.ops.dedup import (
     dedup_clusters, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
-    simhash60, simhash_pairs, substring_dup_spans, word_shingles,
+    simhash60, simhash_pairs, substring_dup_spans, substring_dup_stats,
+    word_shingles,
 )
 from lamapi_spark.ops.multimodal import attach_binary, decode_image_meta
 from lamapi_spark.ops.similarity import brute_force_topk, lsh_ann_topk
@@ -160,6 +161,49 @@ def dedup_substring_spans(spark, sf):
         substring_dup_spans(load(spark, sf, "documents"), "doc_id", "text",
                             k=5, min_count=2)
         .orderBy("doc_id", "start")
+    )
+
+
+@register("dedup_substring_stats", """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), p AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS pos
+  FROM t WHERE len(toks) >= 5
+), g AS (
+  SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+4], ' ')) AS gram FROM p
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+), dpos AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+              OR pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS b
+  FROM dpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), grp AS (
+  SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+  FROM brk
+), spans AS (
+  SELECT doc_id, max(pos) - min(pos) + 5 AS span_len
+  FROM grp GROUP BY doc_id, gid
+), agg AS (
+  SELECT doc_id, sum(span_len) AS dup_tokens FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks)::INT AS ntokens,
+       coalesce(agg.dup_tokens, 0)::INT AS dup_tokens,
+       round_even(coalesce(agg.dup_tokens, 0)::DOUBLE / len(t.toks), 3)
+         AS dup_fraction
+FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+""")
+def dedup_substring_stats(spark, sf):
+    """Per-document duplicated-token fraction from the maximal
+    corpus-duplicated >=5-token spans — the 'drop docs above X% dup'
+    training-data filter. Every doc emits a row (0.0 when clean)."""
+    return (
+        substring_dup_stats(load(spark, sf, "documents"), "doc_id", "text",
+                            k=5, min_count=2)
+        .orderBy("doc_id")
     )
 
 

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from lamapi_spark.ops.dedup import (
     exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash60,
-    substring_dup_spans,
+    substring_dup_spans, substring_dup_stats,
 )
 from lamapi_spark.ops.multimodal import attach_binary, decode_image_meta, decode_image_real
 from lamapi_spark.ops.similarity import brute_force_topk, lsh_ann_topk
@@ -82,6 +82,21 @@ def test_substring_dup_spans_splits_islands(spark):
            for r in substring_dup_spans(docs, "doc_id", "text",
                                         k=3, min_count=2).collect()}
     assert out == {(0, 1, 3), (0, 9, 3), (1, 1, 3), (1, 9, 3)}
+
+
+def test_substring_dup_stats(spark):
+    rows = [
+        (0, "a b c d e f g h"),       # dup span (1,4) -> 4/8
+        (1, "x x a b c d y z"),       # dup span (3,4) -> 4/8
+        (2, "p q r s t u"),           # clean -> 0/6
+        (3, "a b"),                   # shorter than k -> 0/2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.ntokens, r.dup_tokens, r.dup_fraction)
+           for r in substring_dup_stats(docs, "doc_id", "text",
+                                        k=3, min_count=2).collect()}
+    assert out == {0: (8, 4, 0.5), 1: (8, 4, 0.5),
+                   2: (6, 0, 0.0), 3: (2, 0, 0.0)}
 
 
 def test_simhash_locality(spark, docs):
