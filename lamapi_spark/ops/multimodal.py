@@ -1259,6 +1259,87 @@ def image_neardup_pairs(
                          n_bands=n_bands, max_bucket=max_bucket)
 
 
+AUDIO_FP_SCHEMA = "id bigint, format string, n_samples int, afp bigint"
+
+
+def audio_fingerprint(df: DataFrame, n_windows: int = 65) -> DataFrame:
+    """Acoustic fingerprint over binary audio payloads (Arrow-batched,
+    numpy only) — the audio member of the near-dup family (text SimHash,
+    image/video aHash). Decodes like :func:`decode_audio` (WAV PCM /
+    G.711 / ADPCM + native FLAC), takes channel 0, splits the frames
+    into ``n_windows`` contiguous windows, and computes each window's
+    ENERGY as the integer sum of |sample| (exact — no float accumulation
+    order). Bit b is 1 iff E[b] > E[b+1] — the sign-of-energy-delta
+    shape of the classic Haitsma/Kalker energy-difference fingerprint,
+    time axis only — packed MSB-first into a signed 64-bit int exactly
+    like aHash (n_windows=65 -> 64 comparisons). Amplitude scaling and
+    lossless re-encodes (e.g. WAV -> FLAC) preserve every comparison,
+    so they collide exactly; near-identical clips land within a small
+    Hamming distance and pair via the shared banded stage.
+
+    Undecodable payloads emit format 'unknown'; decodable clips shorter
+    than ``n_windows`` frames keep their format but a null afp (no
+    non-empty-window guarantee) — same null-degrade contract as
+    decode_image.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = {k: [] for k in ("id", "format", "n_samples", "afp")}
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    pb = bytes(payload)
+                    if pb[:4] == b"fLaC":
+                        name, _ch, _rate, samples = _parse_flac(pb)
+                    else:
+                        name, _ch, _rate, samples = _parse_wav(pb)
+                    n = samples.shape[0]
+                    rows["id"].append(i); rows["format"].append(name)
+                    rows["n_samples"].append(n)
+                    if n < n_windows:
+                        rows["afp"].append(None)
+                        continue
+                    a = np.abs(samples[:, 0].astype(np.int64))
+                    ys = (np.arange(n_windows + 1) * n) // n_windows
+                    e = np.add.reduceat(a, ys[:-1])
+                    fp = 0
+                    for b in range(n_windows - 1):
+                        fp = (fp << 1) | int(e[b] > e[b + 1])
+                    if fp >= 1 << 63:
+                        fp -= 1 << 64
+                    rows["afp"].append(fp)
+                except Exception:
+                    rows["id"].append(i); rows["format"].append("unknown")
+                    rows["n_samples"].append(None); rows["afp"].append(None)
+            rows["n_samples"] = pd.array(rows["n_samples"], dtype="Int32")
+            # Int64, not object/float: a mixed batch would round 64-bit
+            # fingerprints past the float53 mantissa (same guard as ahash)
+            rows["afp"] = pd.array(rows["afp"], dtype="Int64")
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_neardup_pairs(
+    fingerprinted: DataFrame, max_hamming: int = 3, n_bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Acoustic near-duplicate pairs (id_a < id_b) by fingerprint
+    Hamming distance <= ``max_hamming`` — the audio twin of image
+    near-dup, sharing the banded-prefix pairing stage
+    (ops/dedup.hamming_pairs, lossless for d <= n_bands - 1). Input is
+    ``audio_fingerprint`` output; undecodable/short rows (null afp) are
+    excluded from pairing."""
+    from lamapi_spark.ops.dedup import hamming_pairs
+
+    sig = (fingerprinted.filter(F.col("afp").isNotNull())
+           .select("id", F.col("afp").alias("sim")))
+    return hamming_pairs(sig, bits=64, max_hamming=max_hamming,
+                         n_bands=n_bands, max_bucket=max_bucket)
+
+
 def decode_image_real(df: DataFrame) -> DataFrame:
     """Integration point for the formats that genuinely need a codec
     library (lossy WebP/VP8 — intra prediction + boolean arithmetic

@@ -1141,6 +1141,127 @@ def multimodal_flac(spark, sf):
     return decode_audio(payload).orderBy("id")
 
 
+# Acoustic-fingerprint corpus, engine-portable by construction: mono
+# clips of 130 samples (65 energy windows of exactly 2 samples),
+# sample i of clip `id` = ((g*31 + i*17) % 1601) - 800 boosted by
+# +1200 in the clip's own window w0 = id % 64 (g = id % 3). Window
+# energies are integer |sample| sums, bit b = (E[b] > E[b+1]) — pure
+# integer comparisons, no float anywhere, so the oracle recomputes the
+# fingerprint closed-form from the formula. Cross-codec: even ids ship
+# as WAV PCM16, odd ids as FLAC of the SAME PCM — losslessness means
+# the fingerprint cannot tell them apart, which the format column
+# proves the decoder still can. Same-group clips differ only around
+# their boost windows (Hamming <= 4); cross-group bases differ in most
+# windows.
+_AUDIO_FP_CORPUS = """
+WITH ids AS (SELECT p_partkey AS id, p_partkey % 3 AS g, p_partkey % 64 AS w0
+             FROM part WHERE p_partkey % 53 = 1),
+a AS (
+  SELECT id, list_transform(range(130), i ->
+    abs((g*31 + i*17) % 1601 - 800
+        + (CASE WHEN i // 2 = w0 THEN 1200 ELSE 0 END))) AS a
+  FROM ids
+), e AS (
+  SELECT id, list_transform(range(65), w -> a[2*w + 1] + a[2*w + 2]) AS e FROM a
+)"""
+
+_AUDIO_FP_SQL = _AUDIO_FP_CORPUS + """, fp AS (
+  SELECT id, list_sum(list_transform(range(64), b ->
+      (CASE WHEN e[b+1] > e[b+2] THEN 1 ELSE 0 END)::HUGEINT
+      * (1::HUGEINT << (63 - b)))) AS s
+  FROM e
+)
+SELECT id, CASE WHEN id % 2 = 0 THEN 'WAV' ELSE 'FLAC' END AS format,
+       130 AS n_samples,
+       (CASE WHEN s >= 9223372036854775808::HUGEINT
+             THEN s - 18446744073709551616::HUGEINT ELSE s END)::BIGINT AS afp
+FROM fp ORDER BY id
+"""
+
+_AUDIO_PAIRS_SQL = _AUDIO_FP_CORPUS + """, bits AS (
+  SELECT id, list_transform(range(64), b -> e[b+1] > e[b+2]) AS bt FROM e
+), ham AS (
+  SELECT x.id AS id_a, y.id AS id_b,
+         len(list_filter(range(1, 65), i -> x.bt[i] <> y.bt[i]))::INT AS hamming
+  FROM bits x JOIN bits y ON x.id < y.id
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
+def _audio_fp_synth(it):
+    """Shared corpus builder for the fingerprint queries: deterministic
+    PCM from the closed-form formula, WAV-packed for even ids and
+    FLAC-encoded for odd ids (same integers either way)."""
+    import struct
+
+    import pandas as pd
+
+    from lamapi_spark.ops.multimodal import encode_flac
+
+    for pdf in it:
+        payloads = []
+        for pid in pdf["id"]:
+            pid = int(pid)
+            g, w0 = pid % 3, pid % 64
+            samples = [((g * 31 + i * 17) % 1601) - 800
+                       + (1200 if i // 2 == w0 else 0) for i in range(130)]
+            if pid % 2 == 0:
+                data = b"".join(struct.pack("<h", s) for s in samples)
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                            16000, 2, 16)
+                    + b"data" + struct.pack("<I", len(data)) + data)
+            else:
+                payloads.append(encode_flac(
+                    [[s] for s in samples], rate=8000, bps=16, block=256,
+                    mode="indep", subframe="fixed2"))
+        yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                            "modality": ["audio"] * len(payloads)})
+
+
+def _audio_fp_frames(spark, sf):
+    from lamapi_spark.ops.multimodal import audio_fingerprint
+
+    ids = load(spark, sf, "part").filter(F.col("p_partkey") % 53 == 1).select(
+        F.col("p_partkey").alias("id"))
+    payload = ids.mapInPandas(
+        _audio_fp_synth, schema="id bigint, payload binary, modality string")
+    return audio_fingerprint(payload, n_windows=65)
+
+
+@register("multimodal_audio_fp", _AUDIO_FP_SQL)
+def multimodal_audio_fp(spark, sf):
+    """Acoustic fingerprinting END TO END and CROSS-CODEC: deterministic
+    PCM clips ship as WAV (even ids) or FLAC (odd ids), decode through
+    the real parsers, and the 64-bit energy-difference fingerprint must
+    equal the oracle's closed-form recomputation from the sample
+    formula — identical for both codecs because FLAC is lossless, while
+    the format column proves the decoder still distinguishes them."""
+    return _audio_fp_frames(spark, sf).orderBy("id")
+
+
+@register("audio_neardup_pairs", _AUDIO_PAIRS_SQL)
+def audio_neardup_pairs_q(spark, sf):
+    """Audio near-dup END TO END: synthesize near-duplicate clips
+    (shared per-group base signal, per-clip boost window), fingerprint
+    via the real decoders + energy-difference hash, and pair through
+    the shared banded Hamming join (ops/multimodal.audio_neardup_pairs).
+    Oracle: brute-force all-pairs Hamming over first-principles
+    fingerprint bits. max_bucket lifted above any sf's group population
+    — the oracle has no hot-bucket drop, so the guard must stay a no-op
+    for oracle equivalence (same reasoning as image_neardup_pairs)."""
+    from lamapi_spark.ops.multimodal import audio_neardup_pairs
+
+    return (
+        audio_neardup_pairs(_audio_fp_frames(spark, sf), max_hamming=3,
+                            n_bands=4, max_bucket=1_000_000)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 # Y4M corpus, engine-portable: 8x8 C420 clips, 25 fps, 6 frames; luma
 # pixel i of frame f of clip `id` = (id*7 + f*31 + i*13) % 256 — pure
 # integer arithmetic, and mean_y divides an exact int sum by 64 (a

@@ -577,3 +577,34 @@ def test_gif_lzw_and_interlace():
                 _gif_encode_gray(4, 4, [0] * 16)[:25]):
         with _pytest.raises(ValueError):
             _parse_gif(bad)
+
+
+def test_audio_fingerprint_invariants(spark):
+    from lamapi_spark.ops.multimodal import audio_fingerprint, audio_neardup_pairs
+
+    def pcm16(samples):
+        return _wav(1, 1, 8000, 16,
+                    b"".join(struct.pack("<h", s) for s in samples))
+
+    base = [((i * 37) % 901) - 450 for i in range(260)]
+    rows = [
+        (0, pcm16(base)),
+        (1, pcm16([s * 2 for s in base])),            # amplitude-scaled
+        (2, pcm16(base[::-1])),                       # time-reversed
+        (3, pcm16(base[:64])),                        # shorter than 65 windows
+        (4, b"not audio at all"),                     # undecodable
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    out = {r.id: r for r in audio_fingerprint(df).collect()}
+    # scaling preserves every energy comparison -> identical fingerprint
+    assert out[1].afp == out[0].afp
+    # time reversal reverses the energy sequence -> different fingerprint
+    assert out[2].afp != out[0].afp and out[2].format == "WAV"
+    # short clip keeps its format with a null fingerprint
+    assert out[3].format == "WAV" and out[3].afp is None
+    assert out[4].format == "unknown" and out[4].afp is None
+    # exact dup pairs at hamming 0; null rows never pair
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in audio_neardup_pairs(audio_fingerprint(df)).collect()}
+    assert pairs[(0, 1)] == 0
+    assert not any({a, b} & {3, 4} for a, b in pairs)
