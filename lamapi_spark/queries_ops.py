@@ -164,6 +164,69 @@ def dedup_substring_spans(spark, sf):
     )
 
 
+# BM25 workload: 4 fixed queries over the documents vocabulary (q4
+# carries an out-of-vocabulary term that must contribute nothing).
+# Per-term scores round_even to 6 decimals in BOTH engines before the
+# token-ordered list_reduce/F.aggregate sum, so ln() ulp differences
+# cannot flip a rank boundary.
+_BM25_QUERIES = [("q1", "table scan fast"), ("q2", "query join order"),
+                 ("q3", "stream window"), ("q4", "zzz-oov spark")]
+_BM25_TERMS = sorted({t for _, qs in _BM25_QUERIES for t in qs.split()})
+_BM25_Q_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, qs in _BM25_QUERIES for t in sorted(set(qs.split())))
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+@register("bm25_topk", f"""
+WITH docs_t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), dl AS (
+  SELECT doc_id, len(t) AS dl FROM docs_t
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+), q(query_id, tok) AS (
+  VALUES {{values}}
+), tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM docs_t)
+  WHERE tok IN ({{terms}}) GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
+), term AS (
+  SELECT q.query_id, tf.doc_id, tf.tok,
+         round_even(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS ts
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+       JOIN q ON q.tok = tf.tok, stats s
+), agg AS (
+  SELECT query_id, doc_id,
+         round_even(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_sort(list({{'tok': tok, 'ts': ts}})),
+                          x -> x.ts)), (acc, v) -> acc + v), 6) AS score
+  FROM term GROUP BY query_id, doc_id
+), rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT query_id, doc_id, score, rank::INT AS rank
+FROM rk WHERE rank <= 5 ORDER BY query_id, rank
+""".replace("{values}", _BM25_Q_VALUES).replace("{terms}", _BM25_TERM_LIST))
+def bm25_topk_q(spark, sf):
+    """Lucene-flavored BM25 top-5 per query over the documents corpus
+    (the reference's ES scoring model as an explicit batch operator).
+    Oracle recomputes idf/tf/length-norm closed-form with the same
+    6-decimal per-term rounding and token-ordered summation."""
+    from lamapi_spark.ops.ranking import bm25_topk
+
+    return (
+        bm25_topk(load(spark, sf, "documents"), "doc_id", "text",
+                  _BM25_QUERIES, k=5, k1=1.2, b=0.75)
+        .orderBy("query_id", "rank")
+    )
+
+
 @register("dedup_substring_stats", """
 WITH t AS (
   SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents

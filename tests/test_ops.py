@@ -244,3 +244,28 @@ def test_common_neighbor_pairs_and_fanout_guard(spark):
     # min_common truncation
     strong = common_neighbor_pairs(edges, min_common=3).collect()
     assert {(r.node_a, r.node_b) for r in strong} == {("s1", "s2")}
+
+
+def test_bm25_semantics(spark):
+    from lamapi_spark.ops.ranking import bm25_topk
+
+    rows = [
+        (0, "apple banana cherry date"),            # rare term holder
+        (1, "banana banana banana banana"),         # high tf, common term
+        (2, "banana fig"),                          # short doc, common term
+        (3, "fig grape kiwi lemon mango nectarine peach plum quince fig"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {(r.query_id, r.rank): (r.doc_id, r.score)
+           for r in bm25_topk(docs, "doc_id", "text",
+                              [("qa", "apple banana"), ("qb", "fig"),
+                               ("qc", "zzz-oov")], k=3).collect()}
+    # 'apple' is rarer (df=1) than 'banana' (df=3): doc 0 must top qa
+    assert out[("qa", 1)][0] == 0
+    # qb 'fig': doc 2 (dl=2, tf=1) beats doc 3 (dl=10, tf=2 but long) —
+    # length normalization at b=0.75 outweighs the extra occurrence
+    assert out[("qb", 1)][0] == 2 and out[("qb", 2)][0] == 3
+    # an out-of-vocabulary query matches nothing at all
+    assert not any(qid == "qc" for qid, _ in out)
+    # scores are positive and non-increasing within a query
+    assert out[("qa", 1)][1] >= out[("qa", 2)][1] > 0
