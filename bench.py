@@ -38,6 +38,10 @@ HEADLINE = [
     # round 4: the iterative-graph representative (3 fixed-point
     # PageRank rounds — join+agg per round over the derived edge set)
     "graph_pagerank",
+    # round 4 late adds: corpus-wide passage dedup (full gram explode +
+    # two exchanges) and BM25 ranked retrieval (scan-bound)
+    "dedup_substring_spans",
+    "bm25_topk",
 ]
 
 

@@ -78,10 +78,18 @@ def worker(n_exec: int, cores: int, convs: int) -> None:
     # executor still requests spark.executor.memory (default 1g) — set
     # it explicitly or every executor runs at 1g regardless of the
     # master string (measured: exit-52 OOMs at 2.5x input)
+    # SCALING_EXTRA_CONF="k=v;k=v" threads arbitrary Spark conf into the
+    # session at BOTH levels — the A/B knob for plan-side experiments
+    # (e.g. spark.io.compression.codec=zstd on the bandwidth-bound box)
+    extra = ({"spark.executor.memory": f"{_EXEC_MEM_MB}m"}
+             if MODE != "local" else {})
+    for kv in os.environ.get("SCALING_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            extra[k.strip()] = v.strip()
     spark = get_spark(app_name=f"scaling_{cpus}", master=_master(n_exec, cores),
                       shuffle_partitions=shuffle_parts,
-                      extra_conf={"spark.executor.memory": f"{_EXEC_MEM_MB}m"}
-                      if MODE != "local" else None)
+                      extra_conf=extra or None)
     kg_scale = int(os.environ.get("SCALING_KG_SCALE", "1"))
     kg = build_kg(seed=42, n_people=400 * kg_scale, n_orgs=120 * kg_scale,
                   n_locs=60 * kg_scale, n_films=250 * kg_scale)
