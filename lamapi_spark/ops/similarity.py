@@ -172,6 +172,32 @@ def embed_neardup_pairs(
     )
 
 
+def medoid_centroids(c: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic MEDOID centroid frame over ``(id, v)``: the
+    n_cells corpus rows with the smallest (md5-rank, id), numbered in
+    that order. Medoids (actual rows) rather than Lloyd means keep the
+    centroid floats — and therefore every downstream assignment —
+    bit-reproducible across engines and partitionings; hash-ranked
+    medoids are a uniform random sample of the data distribution, the
+    standard IVF seeding.
+
+    The orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    per-partition top-k plus a driver merge of n_cells-row partial
+    results, NOT a single-partition global sort; only the n_cells
+    survivors (a frame that broadcasts anyway) see the unpartitioned
+    row_number. -> (cell:int, c_vec)."""
+    picked = (
+        c.withColumn("_hk", F.conv(F.substring(F.md5(F.col("id").cast("string")),
+                                               1, 8), 16, 10).cast("long"))
+        .orderBy("_hk", "id").limit(n_cells)
+    )
+    return (
+        picked.withColumn("_r", F.row_number().over(
+            Window.orderBy(F.col("_hk"), F.col("id"))))
+        .select(F.col("_r").cast("int").alias("cell"), F.col("v").alias("c_vec"))
+    )
+
+
 def ivf_assign(
     df: DataFrame, centroids: DataFrame,
     id_col: str = "id", vec_col: str = "v",
@@ -228,22 +254,7 @@ def ivf_ann_topk(
     -> (q_id, n_id, cosine, rnk)."""
     c = corpus.select(F.col(corpus_id).alias("id"), F.col(vec).alias("v"))
     q = queries.select(F.col(query_id).alias("id"), F.col(vec).alias("v"))
-
-    # medoid pick: global top-n_cells by (md5 rank, id). orderBy+limit
-    # compiles to TakeOrderedAndProject — a distributed per-partition
-    # top-k plus a driver merge of n_cells-row partial results — NOT a
-    # single-partition global sort; only the n_cells survivors (a frame
-    # that broadcasts anyway) see the unpartitioned row_number.
-    picked = (
-        c.withColumn("_hk", F.conv(F.substring(F.md5(F.col("id").cast("string")),
-                                               1, 8), 16, 10).cast("long"))
-        .orderBy("_hk", "id").limit(n_cells)
-    )
-    centroids = (
-        picked.withColumn("_r", F.row_number().over(
-            Window.orderBy(F.col("_hk"), F.col("id"))))
-        .select(F.col("_r").cast("int").alias("cell"), F.col("v").alias("c_vec"))
-    )
+    centroids = medoid_centroids(c, n_cells)
 
     inv = (c.join(ivf_assign(c, centroids), "id")
            .select(F.col("id").alias("n_id"), F.col("v").alias("n_vec"), "cell"))
@@ -267,4 +278,65 @@ def ivf_ann_topk(
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "cosine", "rnk")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame, id_col: str = "vec_id", vec: str = "embedding",
+    threshold: float = 0.98, n_cells: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, compare vectors
+    only WITHIN a cluster, and drop every vector that has a
+    smaller-id cell-mate with cosine >= ``threshold``. The paper keeps
+    an arbitrary member per epsilon-group; keep-lowest-id is that
+    choice made deterministic — the same "keep first occurrence" rule
+    as exact_dedup, applied pairwise (NOT transitively: use
+    dedup_clusters on the surviving pair set if closure semantics are
+    wanted).
+
+    Clustering is the engine's deterministic IVF structure
+    (medoid_centroids + ivf_assign) rather than k-means — Lloyd means
+    would make cluster membership summation-order- and
+    engine-dependent, while the md5-ranked medoid pick keeps every
+    assignment (and so every verdict) bit-reproducible, and is the
+    oracle-checkable analogue of SemDeDup's k-means step.
+
+    Scale shape: the centroid frame is n_cells rows and broadcasts;
+    assignment is a partial-agg argmin (vectors shuffle once, on their
+    cell key); the verify self-join never crosses a cell boundary, so
+    the quadratic blow-up is bounded by the largest cell — n_cells is
+    the lever (SemDeDup itself runs k ~ sqrt(N); recall misses when a
+    true near-dup lands in a different cell are the same documented
+    trade as every bucketed pairing operator here).
+
+    -> one row PER INPUT VECTOR: (id, cell, dropped, dup_of, dup_cos)
+    where dup_of is the smallest same-cell id above threshold (null
+    for survivors) and dup_cos its cosine rounded to 6 decimals."""
+    c = df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
+    centroids = medoid_centroids(c, n_cells)
+    assigned = c.join(ivf_assign(c, centroids), "id")  # (id, v, cell)
+
+    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_exact(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_b", "id_a", "cosine")
+    )
+    # argmin by id_a (struct min orders by its first field; id_a is
+    # unique within an id_b group, so the cosine never breaks a tie) —
+    # map-side combine, no window.
+    dups = pairs.groupBy("id_b").agg(
+        F.min(F.struct(F.col("id_a"), F.col("cosine"))).alias("_m"))
+    return (
+        assigned.join(dups, assigned["id"] == dups["id_b"], "left")
+        .select(
+            "id", "cell",
+            F.col("_m").isNotNull().alias("dropped"),
+            F.col("_m.id_a").alias("dup_of"),
+            F.bround(F.col("_m.cosine"), 6).alias("dup_cos"),
+        )
     )

@@ -14,7 +14,9 @@ from lamapi_spark.ops.corpus import (
 )
 from lamapi_spark.ops.similarity import ivf_ann_topk
 from lamapi_spark.queries import load, register
-from lamapi_spark.queries_ops import _DOT_SQL
+from lamapi_spark.queries_ops import (
+    _DOT_SQL, _EMBED_PLANT_SQL, planted_embeddings,
+)
 
 # --------------------------------------------------------- normalization
 
@@ -229,4 +231,69 @@ def embed_ann_ivf(spark, sf):
         ivf_ann_topk(emb.filter(F.col("vec_id") < 5), emb,
                      k=_IVF_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)
         .orderBy("q_id", "rnk")
+    )
+
+
+# ----------------------------------------------------- semantic dedup
+
+_SEMDD_CELLS, _SEMDD_THRESH = 8, 0.98
+
+_SEMDD_SQL = f"""
+WITH corpus AS (
+{{plant}}
+), picked AS (
+  SELECT id, embedding,
+         ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT AS hk
+  FROM corpus ORDER BY hk, id LIMIT {_SEMDD_CELLS}),
+cent AS (
+  SELECT row_number() OVER (ORDER BY hk, id) AS cell, embedding AS c_vec
+  FROM picked),
+assign AS (
+  SELECT id, cell::INT AS cell FROM (
+    SELECT e.id, ct.cell,
+           row_number() OVER (PARTITION BY e.id
+               ORDER BY {{cos_ec}} DESC, ct.cell) AS r
+    FROM corpus e CROSS JOIN cent ct) WHERE r = 1),
+pairs AS (
+  SELECT * FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           {{cos_ab}} AS cosine
+    FROM (SELECT c.id, c.embedding, s.cell FROM corpus c JOIN assign s ON s.id = c.id) a
+    JOIN (SELECT c.id, c.embedding, s.cell FROM corpus c JOIN assign s ON s.id = c.id) b
+      ON a.cell = b.cell AND a.id < b.id)
+  WHERE cosine >= {_SEMDD_THRESH}),
+dups AS (SELECT id_b, min(id_a) AS dup_of FROM pairs GROUP BY id_b),
+dupc AS (
+  SELECT d.id_b, d.dup_of, p.cosine
+  FROM dups d JOIN pairs p ON p.id_b = d.id_b AND p.id_a = d.dup_of)
+SELECT a.id AS id, a.cell,
+       dupc.id_b IS NOT NULL AS dropped,
+       dupc.dup_of AS dup_of,
+       round_even(dupc.cosine, 6) AS dup_cos
+FROM assign a LEFT JOIN dupc ON a.id = dupc.id_b
+ORDER BY id
+""".format(
+    plant=_EMBED_PLANT_SQL,
+    cos_ec=_COS.format(a="e.embedding", b="ct.c_vec"),
+    cos_ab=_COS.format(a="a.embedding", b="b.embedding"),
+)
+
+
+@register("dedup_semantic", _SEMDD_SQL)
+def dedup_semantic(spark, sf):
+    """SemDeDup over the planted near-dup corpus (ops/similarity.py:
+    semantic_dedup): md5-medoid IVF cells, within-cell exact-cosine
+    pairs >= 0.98, keep-lowest-id verdict per vector. The oracle
+    rebuilds the ENTIRE structure — medoid pick, every cell assignment,
+    the within-cell pair join, the argmin dup choice — so cluster
+    membership and every keep/drop verdict are value-hash-checked.
+    Every planted copy (id + 1000000) must be dropped with dup_of = its
+    original (cosine ~0.999 vs a 0.51 max between distinct vectors)."""
+    from lamapi_spark.ops.similarity import semantic_dedup
+
+    corpus = planted_embeddings(spark, sf)
+    return (
+        semantic_dedup(corpus, "vec_id", "embedding",
+                       threshold=_SEMDD_THRESH, n_cells=_SEMDD_CELLS)
+        .orderBy("id")
     )

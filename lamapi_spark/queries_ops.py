@@ -1652,8 +1652,9 @@ def video_neardup_pairs_q(spark, sf):
 # buckets together. The oracle REPRODUCES the bucket-candidate step
 # (like embed_ann_lsh's), so Spark == oracle independent of LSH recall;
 # max_bucket (100k) is a no-op at sandbox scale and omitted from it.
-_EMBED_PAIRS_SQL = f"""
-WITH corpus AS (
+# Planted near-dup corpus, shared by dedup_embed_cosine and
+# queries_corpus.dedup_semantic (SQL CTE body + Spark twin below).
+_EMBED_PLANT_SQL = """
   SELECT vec_id AS id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000 AS id,
@@ -1663,6 +1664,28 @@ WITH corpus AS (
          list_concat([CAST(CAST(embedding[1] AS DOUBLE) + 0.05::DOUBLE AS FLOAT)],
                      embedding[2:]) AS embedding
   FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
+def planted_embeddings(spark, sf):
+    """The Spark twin of _EMBED_PLANT_SQL: embeddings plus a perturbed
+    copy (+0.05 on component 1, refloated) of every 5th vector at
+    id + 1000000 — cosine(v, v') ~ 0.999 while random 64-dim pairs sit
+    near 0, so a 0.98 threshold selects exactly the plants."""
+    emb = load(spark, sf, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1).cast("double")
+                     + F.lit(0.05)).cast("float")),
+            F.slice("embedding", 2, _ANN_DIMS - 1),
+        ).alias("embedding"))
+    return emb.select("vec_id", "embedding").unionByName(planted)
+
+
+_EMBED_PAIRS_SQL = f"""
+WITH corpus AS (
+{_EMBED_PLANT_SQL}
 ), wts AS (
   SELECT t, p,
          list(((('0x' || substr(md5(t::VARCHAR || '|' || p::VARCHAR || '|' || d::VARCHAR),
@@ -1706,15 +1729,7 @@ def dedup_embed_cosine(spark, sf):
     dataflow is value-hash-checked (not just its exact subset)."""
     from lamapi_spark.ops.similarity import embed_neardup_pairs
 
-    emb = load(spark, sf, "embeddings")
-    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.concat(
-            F.array((F.element_at("embedding", 1).cast("double")
-                     + F.lit(0.05)).cast("float")),
-            F.slice("embedding", 2, _ANN_DIMS - 1),
-        ).alias("embedding"))
-    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    corpus = planted_embeddings(spark, sf)
     return (
         embed_neardup_pairs(corpus, "vec_id", "embedding", threshold=0.98,
                             n_planes=_ANN_PLANES, n_tables=_ANN_TABLES,

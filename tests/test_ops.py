@@ -269,3 +269,57 @@ def test_bm25_semantics(spark):
     assert not any(qid == "qc" for qid, _ in out)
     # scores are positive and non-increasing within a query
     assert out[("qa", 1)][1] >= out[("qa", 2)][1] > 0
+
+
+def test_semantic_dedup_matches_numpy_reconstruction(spark):
+    """semantic_dedup's whole verdict frame (cells, drops, dup_of)
+    equals an independent numpy reconstruction of the same semantics:
+    md5-ranked medoids, exact-cosine argmin assignment (tie -> lowest
+    cell), drop iff a smaller-id cell-mate clears the threshold."""
+    import hashlib
+    import random
+
+    import numpy as np
+
+    from lamapi_spark.ops.similarity import semantic_dedup
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for i in range(0, 40, 4):  # plants: near-copies at id 1000+i
+        v = list(base[i])
+        v[0] += 0.01
+        rows.append((1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r.id: (r.cell, r.dropped, r.dup_of)
+           for r in semantic_dedup(df, "vec_id", "embedding",
+                                   threshold=0.99, n_cells=4).collect()}
+
+    ids = [i for i, _ in rows]
+    V = np.array([np.array(v, dtype=np.float32).astype(np.float64)
+                  for _, v in rows])
+    hk = {i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids}
+    medoid_ids = sorted(ids, key=lambda i: (hk[i], i))[:4]
+    C = V[[ids.index(m) for m in medoid_ids]]
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cell = {}
+    for ix, i in enumerate(ids):
+        scores = [(-cos(V[ix], C[c]), c + 1) for c in range(4)]
+        cell[i] = min(scores)[1]
+    dup_of = {}
+    for ix, i in enumerate(ids):
+        mates = [j for jx, j in enumerate(ids)
+                 if j < i and cell[j] == cell[i]
+                 and cos(V[ix], V[jx]) >= 0.99]
+        if mates:
+            dup_of[i] = min(mates)
+    assert set(got) == set(ids)
+    for i in ids:
+        assert got[i][0] == cell[i], (i, got[i], cell[i])
+        assert got[i][1] == (i in dup_of), (i, got[i])
+        assert got[i][2] == dup_of.get(i), (i, got[i], dup_of.get(i))
+    # the plants are exactly the drops
+    assert {i for i in ids if got[i][1]} == {1000 + i for i in range(0, 40, 4)}
