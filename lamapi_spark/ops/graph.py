@@ -20,7 +20,7 @@ map-side-combine groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -125,5 +125,87 @@ def common_neighbor_pairs(
             (F.col("common")
              / (F.col("degree_a") + F.col("degree_b") - F.col("common"))
              ).alias("jaccard"),
+        )
+    )
+
+
+def _h48(col: Column) -> Column:
+    """48-bit md5-derived non-negative BIGINT (the engine's standard
+    deterministic draw; DuckDB mirror: ('0x' || substr(md5(x), 1,
+    12))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def negative_samples(
+    triples: DataFrame, pool: DataFrame,
+    subj: str = "subj", pred: str = "pred", obj: str = "obj",
+    ent_col: str = "entity", n_buckets: int = 16, salt: str = "neg",
+) -> DataFrame:
+    """TransE-style negative sampling for KG-embedding training: every
+    (subj, pred, obj) triple gets a deterministically drawn corrupted
+    tail ``neg_obj`` from the entity ``pool`` (Bordes et al. 2013 —
+    the corrupted-triple side of the margin loss every translational
+    KG embedding trains on). The draw is a pure function of the triple
+    and ``salt`` — partition-independent, reproducible across engines
+    and reruns, re-derivable for any single triple (the same
+    auditability argument as corpus.sample_hash).
+
+    Scale shape (a driver-side `random.choice` over a collected entity
+    list, or a global row_number over the pool, would both die at 10^8
+    entities): the pool is md5-bucketed into ``n_buckets`` groups and
+    ranked WITHIN each bucket (the only window is per-bucket — each
+    holds ~|pool|/n_buckets rows, so n_buckets is the lever); the
+    bucket-size frame is n_buckets rows and broadcasts; each triple
+    hashes to a (bucket, rank) address and the draw is a shuffled
+    equi-join on that fixed-width composite key — md5 addresses are
+    uniform, so no skew. Draws are uniform within the chosen bucket
+    and buckets are chosen uniformly, so the overall draw deviates
+    from pool-uniform only by the (md5-balanced) bucket-size variance.
+
+    Collision handling is bounded, not retried: if the drawn entity
+    equals the true object, the NEXT entity in the bucket (rank
+    wrap-around) is used; if that also equals it (only possible in a
+    single-entity bucket), neg_obj degrades to null rather than
+    emitting a false negative.
+
+    -> the input triple columns plus ``neg_obj`` (null on the
+    degenerate case above)."""
+    ent = pool.select(F.col(ent_col).cast("long").alias("ent")).distinct()
+    ranked = ent.withColumn("bucket", _h48(F.col("ent").cast("string")) % n_buckets)
+    ranked = ranked.withColumn(
+        "rank", F.row_number().over(
+            Window.partitionBy("bucket").orderBy("ent")))
+    # triples address NONEMPTY buckets through a dense 0..K-1 index —
+    # an address into a hash-empty bucket would otherwise silently drop
+    # the triple in the inner join (only reachable when |pool| ~<
+    # n_buckets, but the degrade must be null, not a lost row). sizes
+    # is n_buckets rows; the window and count over it are trivial.
+    sizes = (ranked.groupBy("bucket").agg(F.count("*").alias("bsize"))
+             .withColumn("bidx", F.row_number().over(Window.orderBy("bucket")) - 1))
+    k = sizes.agg(F.count("*").alias("_k"))
+
+    t = triples.select(
+        F.col(subj).alias("subj"), F.col(pred).alias("pred"),
+        F.col(obj).alias("obj"))
+    key = F.concat_ws("|", F.col("subj").cast("string"), F.col("pred"),
+                      F.col("obj").cast("string"))
+    addressed = (
+        t.crossJoin(F.broadcast(k))
+        .withColumn("bidx", _h48(F.concat(key, F.lit(f"|{salt}:b"))) % F.col("_k"))
+        .join(F.broadcast(sizes), "bidx")
+        .withColumn("idx1", _h48(F.concat(key, F.lit(f"|{salt}:i"))) % F.col("bsize") + 1)
+        .withColumn("idx2", F.col("idx1") % F.col("bsize") + 1)
+    )
+    r1 = ranked.select("bucket", F.col("rank").alias("idx1"),
+                       F.col("ent").alias("_e1"))
+    r2 = ranked.select("bucket", F.col("rank").alias("idx2"),
+                       F.col("ent").alias("_e2"))
+    return (
+        addressed.join(r1, ["bucket", "idx1"]).join(r2, ["bucket", "idx2"])
+        .select(
+            "subj", "pred", "obj",
+            F.when(F.col("_e1") != F.col("obj"), F.col("_e1"))
+            .when(F.col("_e2") != F.col("obj"), F.col("_e2"))
+            .alias("neg_obj"),
         )
     )

@@ -257,3 +257,68 @@ def graph_khop(spark, sf):
               "seed")
         .orderBy("seed")
     )
+
+
+# ------------------------------------------------- negative sampling
+
+_NEG_BUCKETS = 16
+
+_NEG_SQL = f"""
+WITH ent AS (SELECT DISTINCT p_partkey::BIGINT AS ent FROM part),
+ranked AS (
+  SELECT ent,
+         ('0x' || substr(md5(ent::VARCHAR), 1, 12))::BIGINT % {_NEG_BUCKETS} AS bucket,
+         row_number() OVER (
+           PARTITION BY ('0x' || substr(md5(ent::VARCHAR), 1, 12))::BIGINT % {_NEG_BUCKETS}
+           ORDER BY ent) AS rank
+  FROM ent),
+sizes AS (
+  SELECT bucket, count(*)::BIGINT AS bsize,
+         row_number() OVER (ORDER BY bucket) - 1 AS bidx
+  FROM ranked GROUP BY bucket),
+kk AS (SELECT count(*)::BIGINT AS k FROM sizes),
+t AS (SELECT DISTINCT l_orderkey AS subj, 'has_part' AS pred, l_partkey AS obj
+      FROM lineitem WHERE l_orderkey % 19 = 0),
+addressed AS (
+  SELECT a.subj, a.pred, a.obj, s.bucket, s.bsize,
+         ('0x' || substr(md5(a.key || '|neg:i'), 1, 12))::BIGINT % s.bsize + 1 AS idx1
+  FROM (
+    SELECT subj, pred, obj,
+           subj::VARCHAR || '|' || pred || '|' || obj::VARCHAR AS key,
+           ('0x' || substr(md5(subj::VARCHAR || '|' || pred || '|' || obj::VARCHAR
+                               || '|neg:b'), 1, 12))::BIGINT % kk.k AS bidx
+    FROM t CROSS JOIN kk) a
+  JOIN sizes s ON s.bidx = a.bidx),
+drawn AS (
+  SELECT ad.subj, ad.pred, ad.obj, r1.ent AS e1, r2.ent AS e2
+  FROM addressed ad
+  JOIN ranked r1 ON r1.bucket = ad.bucket AND r1.rank = ad.idx1
+  JOIN ranked r2 ON r2.bucket = ad.bucket AND r2.rank = ad.idx1 % ad.bsize + 1)
+SELECT subj, pred, obj,
+       CASE WHEN e1 <> obj THEN e1 WHEN e2 <> obj THEN e2 END AS neg_obj
+FROM drawn ORDER BY subj, obj
+"""
+
+
+@register("kg_negative_samples", _NEG_SQL)
+def kg_negative_samples(spark, sf):
+    """TransE-style corrupted tails for KG-embedding training
+    (ops/graph.py:negative_samples) over (orderkey, has_part, partkey)
+    triples with the part keys as the entity pool: md5-bucketed pool
+    ranking, per-triple deterministic (bucket, rank) draw, bounded
+    wrap-around collision handling. The oracle re-derives every bucket,
+    rank, and draw in SQL integer arithmetic, so each of the ~3k
+    sampled negatives is individually value-hash-checked."""
+    from lamapi_spark.ops.graph import negative_samples
+
+    t = (load(spark, sf, "lineitem")
+         .filter(F.col("l_orderkey") % 19 == 0)
+         .select(F.col("l_orderkey").alias("subj"),
+                 F.lit("has_part").alias("pred"),
+                 F.col("l_partkey").alias("obj"))
+         .distinct())
+    return (
+        negative_samples(t, load(spark, sf, "part"), ent_col="p_partkey",
+                         n_buckets=_NEG_BUCKETS)
+        .orderBy("subj", "obj")
+    )

@@ -323,3 +323,35 @@ def test_semantic_dedup_matches_numpy_reconstruction(spark):
         assert got[i][2] == dup_of.get(i), (i, got[i], dup_of.get(i))
     # the plants are exactly the drops
     assert {i for i in ids if got[i][1]} == {1000 + i for i in range(0, 40, 4)}
+
+
+def test_negative_samples_validity_and_degrade(spark):
+    from lamapi_spark.ops.graph import negative_samples
+
+    pool = spark.createDataFrame([(i,) for i in range(1, 51)], "entity bigint")
+    triples = spark.createDataFrame(
+        [(s, "rel", (s * 3) % 50 + 1) for s in range(200)],
+        "subj bigint, pred string, obj bigint")
+    out = negative_samples(triples, pool, n_buckets=8).collect()
+    # every input triple comes back exactly once
+    assert len(out) == 200
+    assert {(r.subj, r.pred, r.obj) for r in out} == \
+        {(s, "rel", (s * 3) % 50 + 1) for s in range(200)}
+    # negatives are valid: never the true object, always from the pool
+    assert all(r.neg_obj is not None for r in out)  # 50-entity pool: no degenerate buckets
+    assert all(r.neg_obj != r.obj for r in out)
+    assert all(1 <= r.neg_obj <= 50 for r in out)
+    # deterministic: a different input partitioning draws the same negatives
+    out2 = negative_samples(triples.repartition(7), pool.repartition(3),
+                            n_buckets=8).collect()
+    assert {(r.subj, r.obj, r.neg_obj) for r in out2} == \
+        {(r.subj, r.obj, r.neg_obj) for r in out}
+    # diversity: the draw spreads over the pool, not a constant
+    assert len({r.neg_obj for r in out}) > 20
+
+    # single-entity pool whose only entity IS the true object: the draw
+    # must degrade to null, not vanish or emit a false negative
+    one = spark.createDataFrame([(5,)], "entity bigint")
+    t5 = spark.createDataFrame([(1, "rel", 5)], "subj bigint, pred string, obj bigint")
+    deg = negative_samples(t5, one, n_buckets=8).collect()
+    assert len(deg) == 1 and deg[0].neg_obj is None
