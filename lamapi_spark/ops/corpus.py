@@ -183,3 +183,68 @@ def unigram_lm_score(
             F.bround(F.sum(F.col("_nlp").cast("decimal(28,6)")).cast("double")
                      / F.count("*"), 4).alias("avg_neg_logp"))
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model quality score — the context-aware member
+    of the LM-scoring family next to unigram_lm_score (a KenLM-style
+    fluency proxy with the corpus itself as the LM): add-one smoothed
+    P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c_ctx(w_{i-1}) + V)
+    from corpus-wide counts, then per-document mean negative
+    log-probability over bigram positions. Repetitive template text
+    scores LOW (its bigrams are corpus-frequent); shuffled or
+    off-domain text scores HIGH even when its unigrams are common —
+    exactly what the unigram score cannot see.
+
+    c_ctx(w) counts occurrences of w AS A BIGRAM CONTEXT (i.e.
+    excluding document-final positions), so probabilities per context
+    sum to 1 over the observed successor set plus smoothing mass; V is
+    the full unigram vocabulary. Documents with fewer than two tokens
+    have no bigram positions and are omitted (the composing filter
+    treats absent as unscorable, like the multimodal null degrade).
+
+    Engine parity: identical discipline to unigram_lm_score — one ln()
+    per distinct (bigram count, context count) pair rounded to 6
+    decimals per position, DECIMAL order-free sums, bround'ed final
+    average.
+
+    Scale shape: three aggregations (bigram counts, context counts,
+    per-doc score) and two count joins, each shuffling on its key with
+    map-side combine; the vocabulary size rides a 1-row broadcast.
+    Bigram keys are strictly more selective than tokens, so the count
+    join's skew is bounded by the unigram hot-key skew the unigram
+    scorer already tolerates. No Python.
+
+    -> (doc_id, n_bigrams, avg_neg_logp)."""
+    ts = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("ts"))
+    bigrams = ts.select(
+        "doc_id",
+        F.explode(F.zip_with(
+            F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+            F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b))).alias("bg"))
+    bc = bigrams.groupBy("bg").agg(F.count("*").alias("cbg"))
+    ctx = (bigrams
+           .select(F.substring_index(F.col("bg"), " ", 1).alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("cctx")))
+    vocab = (ts.select(F.explode("ts").alias("tok")).select("tok").distinct()
+             .agg(F.count("*").alias("vocab")))
+    scored = (
+        bigrams.join(bc, "bg")
+        .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("_nlp", F.bround(
+            -F.log((F.col("cbg") + 1).cast("double")
+                   / (F.col("cctx") + F.col("vocab")).cast("double")), 6))
+    )
+    return (
+        scored.groupBy("doc_id").agg(
+            F.count("*").alias("n_bigrams"),
+            F.bround(F.sum(F.col("_nlp").cast("decimal(28,6)")).cast("double")
+                     / F.count("*"), 4).alias("avg_neg_logp"))
+    )

@@ -297,3 +297,42 @@ def dedup_semantic(spark, sf):
                        threshold=_SEMDD_THRESH, n_cells=_SEMDD_CELLS)
         .orderBy("id")
     )
+
+
+# ------------------------------------------------------- bigram LM
+
+@register("bigram_lm_score", r"""
+WITH ts AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
+  FROM ts),
+bc AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY bg),
+ctx AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS cctx
+        FROM bg GROUP BY split_part(bg, ' ', 1)),
+vocab AS (SELECT count(DISTINCT tok)::BIGINT AS vocab
+          FROM (SELECT unnest(ts) AS tok FROM ts)),
+scored AS (
+  SELECT b.doc_id,
+         round_even(-ln((bc.cbg + 1)::DOUBLE / (ctx.cctx + v.vocab)::DOUBLE),
+                    6)::DECIMAL(28,6) AS nlp
+  FROM bg b
+  JOIN bc ON bc.bg = b.bg
+  JOIN ctx ON ctx.w1 = split_part(b.bg, ' ', 1)
+  CROSS JOIN vocab v)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round_even(sum(nlp)::DOUBLE / count(*), 4) AS avg_neg_logp
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""")
+def bigram_lm_q(spark, sf):
+    """Corpus-as-LM bigram fluency score (ops/corpus.py:
+    bigram_lm_score): add-one-smoothed P(w_i | w_{i-1}) from
+    corpus-wide bigram and context counts, per-document mean negative
+    log-probability over bigram positions — the context-aware
+    companion to unigram_lm_score with the same per-position
+    rounding + DECIMAL-sum parity discipline."""
+    from lamapi_spark.ops.corpus import bigram_lm_score
+
+    return bigram_lm_score(load(spark, sf, "documents")).orderBy("doc_id")

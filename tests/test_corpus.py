@@ -116,3 +116,40 @@ def test_ivf_ann_recall_on_clustered_vectors(spark):
     first = {(r.q_id, r.n_id, r.rnk) for r in ivf_ann_topk(
         qs, emb, k=3, n_cells=4, n_probe=2).collect()}
     assert again == first
+
+
+def test_bigram_lm_score_matches_python_reconstruction(spark):
+    """bigram_lm_score equals an independent Python reconstruction of
+    add-one bigram smoothing (context counts exclude doc-final
+    positions; V = full unigram vocab), and a one-token doc is omitted
+    (no bigram positions)."""
+    import math
+    from collections import Counter
+
+    from lamapi_spark.ops.corpus import bigram_lm_score
+
+    rows = [(0, "a b a b c"), (1, "a b"), (2, "c a b"), (3, "x")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_bigrams, r.avg_neg_logp)
+           for r in bigram_lm_score(docs).collect()}
+
+    toks = {i: t.split() for i, t in rows}
+    bigrams = {i: list(zip(ts, ts[1:])) for i, ts in toks.items()}
+    bc = Counter(b for bs in bigrams.values() for b in bs)
+    ctx = Counter(b[0] for bs in bigrams.values() for b in bs)
+    vocab = len({w for ts in toks.values() for w in ts})
+    want = {}
+    for i, bs in bigrams.items():
+        if not bs:
+            continue
+        nlps = [round(-math.log((bc[b] + 1) / (ctx[b[0]] + vocab)), 6)
+                for b in bs]
+        want[i] = (len(bs), round(sum(nlps) / len(bs), 4))
+    assert set(got) == set(want) == {0, 1, 2}
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-9, (i, got[i], want[i])
+    # context-awareness: "b c" (rare continuation of a common context)
+    # must cost more than "a b" (the dominant continuation)
+    nlp = lambda b: round(-math.log((bc[b] + 1) / (ctx[b[0]] + vocab)), 6)
+    assert nlp(("b", "c")) > nlp(("a", "b"))
