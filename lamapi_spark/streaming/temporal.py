@@ -22,7 +22,7 @@ serve twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -68,5 +68,45 @@ def stream_asof_join(
             *lcols,
             F.when(keep, m["_ts"]).alias("asof_ts"),
             *[F.when(keep, m[p]).alias(f"asof_{p}") for p in payload],
+        )
+    )
+
+
+EVENT_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string")
+
+
+def stream_latest_state(
+    spark: SparkSession, path: str, schema: str = EVENT_SCHEMA,
+) -> DataFrame:
+    """Streaming twin of the CDC latest-state compaction
+    (queries.events_latest_state): a change feed folds into the
+    current-value-per-key snapshot as it arrives — the canonical
+    incrementally maintained materialized view.
+
+    Shape: ONE unwatermarked stateful aggregation whose buffer is the
+    same max(struct(ts_us, event_id, value)) the batch operator uses.
+    max is commutative and associative, so the result is independent
+    of arrival order — unlike the dedup twin there is NO survivor
+    delta: the snapshot is row-for-row equal to running the batch
+    operator over the drained feed (tested). State is exactly one
+    struct per live key — O(keys), the same bound as the batch op's
+    post-combine shuffle — and never expires (a key's current value
+    must outlive any watermark horizon; that state IS the view).
+    Run with update mode (emit changed keys per micro-batch) or
+    complete mode (full snapshot)."""
+    ev = spark.readStream.schema(schema).parquet(path)
+    return (
+        ev.withColumn("_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .groupBy("user_id", "event_type")
+        .agg(F.max(F.struct(
+            F.col("_us").alias("us"),
+            F.col("event_id").alias("event_id"),
+            F.col("value").alias("value"))).alias("_last"))
+        .select(
+            "user_id", "event_type",
+            F.col("_last.us").alias("last_ts_us"),
+            F.col("_last.event_id").alias("last_event_id"),
+            F.col("_last.value").alias("last_value"),
         )
     )

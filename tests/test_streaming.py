@@ -219,3 +219,22 @@ def test_asof_state_table_retention(spark):
            for r in stream_asof_join(probes, state, key="k").collect()}
     assert out[1] == (None, None)   # ts=15 predates the retained horizon
     assert out[2] == (30, 3.0)
+
+
+def test_stream_latest_state_matches_batch(spark, events_dir):
+    """The streaming CDC snapshot equals the batch events_latest_state
+    row for row over the drained feed — max(struct) is commutative, so
+    there is no arrival-order delta (unlike the dedup twin)."""
+    from lamapi_spark.queries import queries
+    from lamapi_spark.streaming.temporal import stream_latest_state
+
+    got = run_available_now(
+        stream_latest_state(spark, events_dir), "t_latest", mode="complete")
+    stream_rows = {(r.user_id, r.event_type):
+                   (r.last_ts_us, r.last_event_id, r.last_value)
+                   for r in got.collect()}
+    batch_rows = {(r.user_id, r.event_type):
+                  (r.last_ts_us, r.last_event_id, r.last_value)
+                  for r in queries()["events_latest_state"](
+                      spark, "/root/testdata/sf0.001").collect()}
+    assert stream_rows == batch_rows and len(batch_rows) > 0
