@@ -248,3 +248,81 @@ def bigram_lm_score(
             F.bround(F.sum(F.col("_nlp").cast("decimal(28,6)")).cast("double")
                      / F.count("*"), 4).alias("avg_neg_logp"))
     )
+
+
+def _bucket48(gram: Column, n_buckets: int) -> Column:
+    """md5-derived feature bucket in [0, n_buckets) — the hashed
+    n-gram feature map (DuckDB mirror: ('0x' || substr(md5(g), 1,
+    12))::BIGINT % n)."""
+    return F.conv(F.substring(F.md5(gram), 1, 12), 16, 10).cast("long") % n_buckets
+
+
+def _hashed_features(docs: DataFrame, id_col: str, text_col: str,
+                     n_buckets: int) -> DataFrame:
+    """(doc_id, bucket) per unigram+bigram OCCURRENCE (not distinct —
+    the feature model is a bag)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.concat(toks, token_ngrams(F.col(text_col), 2))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(grams).alias("_g"))
+        .select("doc_id", _bucket48(F.col("_g"), n_buckets).alias("bucket"))
+    )
+
+
+def dsir_importance(
+    raw: DataFrame, target: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights for domain-targeted data selection
+    (Xie et al. 2023, arXiv:2302.03169 — Data Selection via Importance
+    Resampling): score every RAW document by how much more likely its
+    hashed unigram+bigram bag is under the TARGET domain's feature
+    distribution than under the raw corpus's own,
+    log w(doc) = sum over feature occurrences of
+    ln p_target(bucket) - ln p_raw(bucket), with add-one smoothing
+    over the ``n_buckets`` hashed feature space. Resampling raw data
+    with these weights (e.g. keep the top mass, or sample_hash against
+    a sigmoid of the weight) tilts a web-scale corpus toward the
+    target domain — the published recipe behind domain-matched
+    pretraining subsets.
+
+    Scale shape: both feature distributions collapse to <= n_buckets
+    rows (one bounded-width aggregation each over the exploded grams),
+    so BOTH ride broadcast joins and the scoring pass never shuffles
+    document text — the only doc-keyed exchange is the final per-doc
+    sum. This is why the feature space is hashed: the paper's 10^4
+    buckets stay broadcastable no matter how large the corpora grow
+    (raw token-level distributions would not). Dropping to n_buckets
+    also caps the smoothing denominator, keeping every probability a
+    rational of two corpus-wide integers.
+
+    Engine parity: one ln-difference per occurrence rounded to 6
+    decimals (a pure function of the four integers c_t, T_t, c_r,
+    T_r), DECIMAL order-free sums, bround'ed final weight.
+
+    -> (doc_id, n_feats, log_ratio) per raw document; log_ratio > 0
+    means target-like."""
+    raw_f = _hashed_features(raw, id_col, text_col, n_buckets)
+    tgt_f = _hashed_features(target, id_col, text_col, n_buckets)
+    rc = raw_f.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tc = tgt_f.groupBy("bucket").agg(F.count("*").alias("ct"))
+    rs = rc.agg(F.sum("cr").alias("tr"))
+    ts = tc.agg(F.sum("ct").alias("tt"))
+    scored = (
+        raw_f.join(F.broadcast(rc), "bucket", "left")
+        .join(F.broadcast(tc), "bucket", "left")
+        .crossJoin(F.broadcast(rs)).crossJoin(F.broadcast(ts))
+        .withColumn("_lr", F.bround(
+            F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                  / (F.col("tt") + n_buckets).cast("double"))
+            - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tr") + n_buckets).cast("double")), 6))
+    )
+    return (
+        scored.groupBy("doc_id").agg(
+            F.count("*").alias("n_feats"),
+            F.bround(F.sum(F.col("_lr").cast("decimal(28,6)")).cast("double"), 4)
+            .alias("log_ratio"))
+    )

@@ -336,3 +336,52 @@ def bigram_lm_q(spark, sf):
     from lamapi_spark.ops.corpus import bigram_lm_score
 
     return bigram_lm_score(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+# ----------------------------------------------------- DSIR importance
+
+_DSIR_BUCKETS = 1024
+
+@register("dsir_importance", rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents),
+feats AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT % {_DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, unnest(list_concat(ts,
+      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]))) AS g
+    FROM toks)),
+rawf AS (SELECT * FROM feats WHERE doc_id % 11 <> 0),
+tgtf AS (SELECT * FROM feats WHERE doc_id % 11 = 0),
+rc AS (SELECT bucket, count(*) AS cr FROM rawf GROUP BY bucket),
+tc AS (SELECT bucket, count(*) AS ct FROM tgtf GROUP BY bucket),
+rs AS (SELECT sum(cr)::BIGINT AS tr FROM rc),
+tsx AS (SELECT sum(ct)::BIGINT AS tt FROM tc),
+scored AS (
+  SELECT f.doc_id,
+         round_even(ln((coalesce(tc.ct, 0) + 1)::DOUBLE / (tt + {_DSIR_BUCKETS})::DOUBLE)
+                  - ln((coalesce(rc.cr, 0) + 1)::DOUBLE / (tr + {_DSIR_BUCKETS})::DOUBLE),
+                  6)::DECIMAL(28,6) AS lr
+  FROM rawf f LEFT JOIN rc USING (bucket) LEFT JOIN tc USING (bucket)
+  CROSS JOIN rs CROSS JOIN tsx)
+SELECT doc_id, count(*)::BIGINT AS n_feats,
+       round_even(sum(lr)::DOUBLE, 4) AS log_ratio
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""")
+def dsir_importance_q(spark, sf):
+    """DSIR importance weights (ops/corpus.py:dsir_importance): hashed
+    unigram+bigram feature log-ratio of every raw document
+    (doc_id % 11 != 0) against the target slice (doc_id % 11 = 0, the
+    same split as contamination_check). The oracle re-derives the
+    hashed feature map, both smoothed distributions, and every
+    per-occurrence ln difference."""
+    from lamapi_spark.ops.corpus import dsir_importance
+
+    docs = load(spark, sf, "documents")
+    return (
+        dsir_importance(docs.filter(F.col("doc_id") % 11 != 0),
+                        docs.filter(F.col("doc_id") % 11 == 0),
+                        n_buckets=_DSIR_BUCKETS)
+        .orderBy("doc_id")
+    )

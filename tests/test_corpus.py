@@ -153,3 +153,26 @@ def test_bigram_lm_score_matches_python_reconstruction(spark):
     # must cost more than "a b" (the dominant continuation)
     nlp = lambda b: round(-math.log((bc[b] + 1) / (ctx[b[0]] + vocab)), 6)
     assert nlp(("b", "c")) > nlp(("a", "b"))
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    """A raw document written in the target domain's vocabulary gets a
+    higher importance weight than one written off-domain, and the
+    weights are a pure function of the corpora (repartition-stable)."""
+    from lamapi_spark.ops.corpus import dsir_importance
+
+    target = spark.createDataFrame(
+        [(100 + i, "solar panels store energy in home batteries") for i in range(4)],
+        "doc_id bigint, text string")
+    raw = spark.createDataFrame(
+        [(0, "solar panels and home batteries store energy"),   # target-like
+         (1, "medieval castles guarded river crossings at night"),  # off-domain
+         (2, "solar energy and river crossings")],               # mixed
+        "doc_id bigint, text string")
+    got = {r.doc_id: r.log_ratio
+           for r in dsir_importance(raw, target, n_buckets=256).collect()}
+    assert got[0] > got[2] > got[1], got
+    got2 = {r.doc_id: r.log_ratio
+            for r in dsir_importance(raw.repartition(5), target.repartition(3),
+                                     n_buckets=256).collect()}
+    assert got == got2
