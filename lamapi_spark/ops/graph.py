@@ -209,3 +209,40 @@ def negative_samples(
             .alias("neg_obj"),
         )
     )
+
+
+def pmi_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    min_common: int = 2, max_fanout: int | None = None,
+) -> DataFrame:
+    """Pointwise-mutual-information association weights over
+    co-occurrence pairs — the classic statistical edge weighting a KG
+    consumer applies to raw co-occurrence edges before thresholding
+    them into relations (two entities sharing many contexts relative
+    to their individual frequencies are genuinely associated; two
+    frequent entities sharing a few contexts are not):
+
+        pmi(a, b) = ln( c(a,b) * N / (c(a) * c(b)) )
+
+    with contexts = distinct ``src`` values, c(x) = contexts containing
+    x, and N = total contexts. Positive = appears together more than
+    chance.
+
+    Built ON the common-neighbor machinery (common_neighbor_pairs
+    supplies c(a,b) and both marginals in one pass, with the same
+    ``max_fanout`` hub guard); N rides a 1-row broadcast. The ln is one
+    float op on a rational of four corpus integers, bround'ed to 6 —
+    the same cross-engine argument as the LM scorers.
+
+    -> (node_a, node_b, common, degree_a, degree_b, pmi)."""
+    pairs = common_neighbor_pairs(edges, src, dst,
+                                  min_common=min_common, max_fanout=max_fanout)
+    n_ctx = (edges.select(F.col(src).alias("_s")).distinct()
+             .agg(F.count("*").alias("_n")))
+    return (
+        pairs.crossJoin(F.broadcast(n_ctx))
+        .withColumn("pmi", F.bround(
+            F.log((F.col("common") * F.col("_n")).cast("double")
+                  / (F.col("degree_a") * F.col("degree_b")).cast("double")), 6))
+        .select("node_a", "node_b", "common", "degree_a", "degree_b", "pmi")
+    )

@@ -322,3 +322,37 @@ def kg_negative_samples(spark, sf):
                          n_buckets=_NEG_BUCKETS)
         .orderBy("subj", "obj")
     )
+
+
+# ---------------------------------------------------- PMI edge weights
+
+@register("graph_edge_pmi", """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+deg AS (SELECT p, count(*)::BIGINT AS degree FROM op GROUP BY p),
+n AS (SELECT count(DISTINCT o)::BIGINT AS n_ctx FROM op),
+pairs AS (
+  SELECT a.p AS node_a, b.p AS node_b, count(*)::BIGINT AS common
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= 2)
+SELECT pr.node_a, pr.node_b, pr.common,
+       da.degree AS degree_a, db.degree AS degree_b,
+       round_even(ln((pr.common * n.n_ctx)::DOUBLE
+                     / (da.degree * db.degree)::DOUBLE), 6) AS pmi
+FROM pairs pr
+JOIN deg da ON da.p = pr.node_a
+JOIN deg db ON db.p = pr.node_b
+CROSS JOIN n
+ORDER BY node_a, node_b
+""")
+def graph_edge_pmi(spark, sf):
+    """PMI association weights (ops/graph.py:pmi_edges) over the
+    order->part co-occurrence graph: parts sharing >= 2 orders, scored
+    by ln(c_ab * N / (c_a * c_b)) — the statistical edge weighting
+    applied to raw co-occurrence edges before thresholding them into
+    KG relations. The oracle recomputes contexts, marginals, and every
+    ln from the same four integers."""
+    from lamapi_spark.ops.graph import pmi_edges
+
+    edges = load(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst"))
+    return pmi_edges(edges, min_common=2).orderBy("node_a", "node_b")

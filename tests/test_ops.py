@@ -355,3 +355,27 @@ def test_negative_samples_validity_and_degrade(spark):
     t5 = spark.createDataFrame([(1, "rel", 5)], "subj bigint, pred string, obj bigint")
     deg = negative_samples(t5, one, n_buckets=8).collect()
     assert len(deg) == 1 and deg[0].neg_obj is None
+
+
+def test_pmi_edges_association_weighting(spark):
+    """Exclusive co-occurrence scores high positive PMI; ubiquitous
+    nodes co-occurring at chance score ~0 or below. Hand-checkable
+    graph: contexts 1..6; x,y appear ONLY together (ctx 1,2); u,v
+    appear in every context (so their pairing is pure chance)."""
+    import math
+
+    edges = []
+    for c in (1, 2):
+        edges += [(c, "x"), (c, "y")]
+    for c in range(1, 7):
+        edges += [(c, "u"), (c, "v")]
+    df = spark.createDataFrame(edges, "src int, dst string")
+    got = {(r.node_a, r.node_b): (r.common, r.degree_a, r.degree_b, r.pmi)
+           for r in __import__("lamapi_spark.ops.graph", fromlist=["pmi_edges"])
+           .pmi_edges(df, min_common=2).collect()}
+    # N=6 contexts. x,y: c=2, deg 2/2 -> pmi = ln(2*6/4) = ln 3
+    assert got[("x", "y")][3] == round(math.log(3.0), 6)
+    # u,v: c=6, deg 6/6 -> pmi = ln(6*6/36) = 0
+    assert got[("u", "v")][3] == 0.0
+    # x,u: c=2, deg 2*6 -> ln(12/12) = 0; and x-y beats every mixed pair
+    assert got[("x", "y")][3] > got[("u", "x")][3] == 0.0
