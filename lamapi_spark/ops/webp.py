@@ -916,7 +916,11 @@ def encode_webp(rgba, *, sub_green: bool = False, pred_mode: int | None = None,
         mw = (cur_w + (1 << transform_bits) - 1) >> transform_bits
         mh = (h + (1 << transform_bits) - 1) >> transform_bits
         g2r, g2b, r2b = color_cte
-        cte_px = [(0xFF << 24) | (r2b << 16) | (g2b << 8) | g2r] * (mw * mh)
+        # mask to uint8: elements are SIGNED int8 (e.g. -2 = 0xFE); an
+        # unmasked negative would corrupt the packed CTE pixel
+        # (hypothesis-found, tests/test_property.py)
+        cte_px = [(0xFF << 24) | ((r2b & 0xFF) << 16)
+                  | ((g2b & 0xFF) << 8) | (g2r & 0xFF)] * (mw * mh)
         _emit_entropy_coded(bw, cte_px, mw, mh, False)
         px = _fwd_color(px, color_cte)
     if pred_mode is not None:
