@@ -164,3 +164,36 @@ def test_png_gray_roundtrip_random(h, w, seed, depth, interlace):
     assert (fmt, ow, oh) == ("PNG", w, h)
     # the decoder emits native-depth samples (16-bit grays stay 16-bit)
     assert np.array_equal(px[:, :, 0], img)
+
+
+# ------------------------------------- JPEG baseline == progressive
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.data(),
+    n_blocks=st.integers(min_value=1, max_value=6),
+)
+def test_jpeg_progressive_equals_baseline_random(data, n_blocks):
+    """Differential oracle: the baseline and progressive encoders emit
+    the SAME quantized coefficients, so the two decode paths (Huffman
+    sequential vs Annex-G spectral selection + successive
+    approximation) must produce bit-identical pixels for ANY
+    coefficient content."""
+    from lamapi_spark.ops.jpeg import (
+        encode_jpeg, encode_jpeg_progressive, parse_jpeg,
+    )
+
+    blocks = []
+    for _ in range(n_blocks):
+        blk = {0: data.draw(st.integers(min_value=-140, max_value=140))}
+        n_ac = data.draw(st.integers(min_value=0, max_value=8))
+        for _ in range(n_ac):
+            pos = data.draw(st.integers(min_value=1, max_value=63))
+            blk[pos] = data.draw(st.integers(min_value=-120, max_value=120)
+                                 .filter(lambda v: v != 0))
+        blocks.append(blk)
+    base = parse_jpeg(encode_jpeg(8 * n_blocks, 8, [blocks]))
+    prog = parse_jpeg(encode_jpeg_progressive(8 * n_blocks, 8, [blocks]))
+    assert base[0] == prog[0] == "JPEG" and base[1:3] == prog[1:3]
+    assert np.array_equal(base[3], prog[3])
