@@ -170,7 +170,9 @@ def negative_samples(
 
     -> the input triple columns plus ``neg_obj`` (null on the
     degenerate case above)."""
-    ent = pool.select(F.col(ent_col).cast("long").alias("ent")).distinct()
+    # entity type is preserved (string QIDs or numeric ids alike);
+    # hashing and ordering go through the string rendering
+    ent = pool.select(F.col(ent_col).alias("ent")).distinct()
     ranked = ent.withColumn("bucket", _h48(F.col("ent").cast("string")) % n_buckets)
     ranked = ranked.withColumn(
         "rank", F.row_number().over(
