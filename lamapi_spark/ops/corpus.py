@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
+from lamapi_spark.functions.hashing import h48
+
 # Control characters stripped by normalize_text: C0 minus \t\n\r, plus
 # DEL. Spelled as an explicit class so the Java (Spark) and RE2 (DuckDB
 # oracle) regex engines agree byte-for-byte.
@@ -218,20 +220,22 @@ def bigram_lm_score(
     scorer already tolerates. No Python.
 
     -> (doc_id, n_bigrams, avg_neg_logp)."""
-    ts = docs.select(
+    # the same tokenization/bigram unit as contamination and
+    # dsir_importance (token_ngrams) — one construction to keep in sync.
+    # cache: the narrow (doc_id, bg) frame feeds THREE consumers
+    # (bigram counts, context counts, the scoring join); Catalyst does
+    # not dedupe common subtrees (the common_neighbor_pairs lesson), so
+    # without it the scan+explode runs once per consumer.
+    bigrams = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("ts"))
-    bigrams = ts.select(
-        "doc_id",
-        F.explode(F.zip_with(
-            F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
-            F.slice(F.col("ts"), 2, F.greatest(F.size("ts") - 1, F.lit(0))),
-            lambda a, b: F.concat_ws(" ", a, b))).alias("bg"))
+        F.explode(token_ngrams(F.col(text_col), 2)).alias("bg")).cache()
     bc = bigrams.groupBy("bg").agg(F.count("*").alias("cbg"))
     ctx = (bigrams
            .select(F.substring_index(F.col("bg"), " ", 1).alias("w1"))
            .groupBy("w1").agg(F.count("*").alias("cctx")))
-    vocab = (ts.select(F.explode("ts").alias("tok")).select("tok").distinct()
+    vocab = (docs.select(F.explode(
+                 F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
+             .select("tok").distinct()
              .agg(F.count("*").alias("vocab")))
     scored = (
         bigrams.join(bc, "bg")
@@ -252,9 +256,8 @@ def bigram_lm_score(
 
 def _bucket48(gram: Column, n_buckets: int) -> Column:
     """md5-derived feature bucket in [0, n_buckets) — the hashed
-    n-gram feature map (DuckDB mirror: ('0x' || substr(md5(g), 1,
-    12))::BIGINT % n)."""
-    return F.conv(F.substring(F.md5(gram), 1, 12), 16, 10).cast("long") % n_buckets
+    n-gram feature map over the shared h48 primitive."""
+    return h48(gram) % n_buckets
 
 
 def _hashed_features(docs: DataFrame, id_col: str, text_col: str,
@@ -300,11 +303,21 @@ def dsir_importance(
 
     Engine parity: one ln-difference per occurrence rounded to 6
     decimals (a pure function of the four integers c_t, T_t, c_r,
-    T_r), DECIMAL order-free sums, bround'ed final weight.
+    T_r), DECIMAL order-free sums — and NO final re-rounding: the sum
+    is exact on the 1e-6 grid, so unlike the LM scorers (whose /count
+    moves values off-grid) a coarser final round would sit on a
+    half-way tie for ~1% of documents, and Spark's bround (shortest
+    double repr -> HALF_EVEN) and DuckDB's round_even break such ties
+    differently (found by the sf0.001 contract gate: -4.172850 ->
+    -4.1728 vs -4.1729). The exact DECIMAL -> double cast is the same
+    IEEE value in both engines.
 
     -> (doc_id, n_feats, log_ratio) per raw document; log_ratio > 0
     means target-like."""
-    raw_f = _hashed_features(raw, id_col, text_col, n_buckets)
+    # raw_f feeds both the raw-count agg and the scoring join — cache
+    # the narrow (doc_id, bucket) frame rather than re-exploding the
+    # corpus (same two-consumer lesson as bigram_lm_score)
+    raw_f = _hashed_features(raw, id_col, text_col, n_buckets).cache()
     tgt_f = _hashed_features(target, id_col, text_col, n_buckets)
     rc = raw_f.groupBy("bucket").agg(F.count("*").alias("cr"))
     tc = tgt_f.groupBy("bucket").agg(F.count("*").alias("ct"))
@@ -323,6 +336,6 @@ def dsir_importance(
     return (
         scored.groupBy("doc_id").agg(
             F.count("*").alias("n_feats"),
-            F.bround(F.sum(F.col("_lr").cast("decimal(28,6)")).cast("double"), 4)
+            F.sum(F.col("_lr").cast("decimal(28,6)")).cast("double")
             .alias("log_ratio"))
     )

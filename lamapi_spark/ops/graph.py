@@ -20,8 +20,10 @@ map-side-combine groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from lamapi_spark.functions.hashing import h48 as _h48
 
 
 def pagerank_fixed_point(
@@ -129,13 +131,6 @@ def common_neighbor_pairs(
     )
 
 
-def _h48(col: Column) -> Column:
-    """48-bit md5-derived non-negative BIGINT (the engine's standard
-    deterministic draw; DuckDB mirror: ('0x' || substr(md5(x), 1,
-    12))::BIGINT)."""
-    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
-
-
 def negative_samples(
     triples: DataFrame, pool: DataFrame,
     subj: str = "subj", pred: str = "pred", obj: str = "obj",
@@ -235,6 +230,15 @@ def pmi_edges(
     ``max_fanout`` hub guard); N rides a 1-row broadcast. The ln is one
     float op on a rational of four corpus integers, bround'ed to 6 —
     the same cross-engine argument as the LM scorers.
+
+    ``max_fanout`` caveat: the guard excludes super-hub contexts from
+    PAIR GENERATION only, so c(a,b) undercounts hub-mediated
+    co-occurrences while the marginals and N still count every context
+    — gated PMI is therefore a LOWER BOUND on the true PMI (it only
+    ever under-claims association, never fabricates it; the discounted
+    contexts are the least informative ones by the usual tf-idf
+    argument). Callers thresholding near the boundary should raise the
+    threshold margin or leave max_fanout unset.
 
     -> (node_a, node_b, common, degree_a, degree_b, pmi)."""
     pairs = common_neighbor_pairs(edges, src, dst,

@@ -315,7 +315,10 @@ def semantic_dedup(
     for survivors) and dup_cos its cosine rounded to 6 decimals."""
     c = df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
     centroids = medoid_centroids(c, n_cells)
-    assigned = c.join(ivf_assign(c, centroids), "id")  # (id, v, cell)
+    # cache: assigned feeds THREE consumers (both pair-join sides and
+    # the final verdict join); without it the medoid pick + cross-join
+    # argmin re-executes per consumer (the common_neighbor_pairs lesson)
+    assigned = c.join(ivf_assign(c, centroids), "id").cache()  # (id, v, cell)
 
     a = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("v_b"))

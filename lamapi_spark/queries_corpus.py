@@ -366,7 +366,7 @@ scored AS (
   FROM rawf f LEFT JOIN rc USING (bucket) LEFT JOIN tc USING (bucket)
   CROSS JOIN rs CROSS JOIN tsx)
 SELECT doc_id, count(*)::BIGINT AS n_feats,
-       round_even(sum(lr)::DOUBLE, 4) AS log_ratio
+       sum(lr)::DOUBLE AS log_ratio
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """)
 def dsir_importance_q(spark, sf):
