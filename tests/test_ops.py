@@ -379,3 +379,40 @@ def test_pmi_edges_association_weighting(spark):
     assert got[("u", "v")][3] == 0.0
     # x,u: c=2, deg 2*6 -> ln(12/12) = 0; and x-y beats every mixed pair
     assert got[("x", "y")][3] > got[("u", "x")][3] == 0.0
+
+
+def test_new_ops_plan_shapes(spark):
+    """Plan audit for the round-4 additions (the discipline
+    test_round3 applies to the pipeline): no unbounded cartesian
+    products anywhere; every BroadcastNestedLoopJoin has a BOUNDED
+    build side by construction (the n_cells centroid frame or a 1-row
+    stat frame); the explicitly-broadcast count frames ride
+    BroadcastHashJoin."""
+    from lamapi_spark.ops.corpus import dsir_importance
+    from lamapi_spark.ops.graph import negative_samples
+    from lamapi_spark.ops.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p1 = (semantic_dedup(emb)._jdf.queryExecution()
+          .executedPlan().toString())
+    assert "CartesianProduct" not in p1
+    assert "SortMergeJoin" in p1 or "ShuffledHashJoin" in p1  # cell self-join shuffles
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    t = li.select(F.col("l_orderkey").alias("subj"),
+                  F.lit("p").alias("pred"),
+                  F.col("l_partkey").alias("obj"))
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    p2 = (negative_samples(t, part, ent_col="p_partkey")
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in p2
+    # exactly the 1-row k frame rides the nested-loop cross join
+    assert p2.count("BroadcastNestedLoopJoin") == 1
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p3 = (dsir_importance(docs.filter(F.col("doc_id") % 11 != 0),
+                          docs.filter(F.col("doc_id") % 11 == 0))
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in p3
+    # the two bucket-count frames are explicit broadcasts
+    assert p3.count("BroadcastHashJoin") >= 2
