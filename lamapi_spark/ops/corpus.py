@@ -339,3 +339,46 @@ def dsir_importance(
             F.sum(F.col("_lr").cast("decimal(28,6)")).cast("double")
             .alias("log_ratio"))
     )
+
+
+def dsir_model(
+    raw: DataFrame, target: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """The OFFLINE half of DSIR serving: collapse both corpora into one
+    per-bucket log-ratio table covering ALL ``n_buckets`` buckets
+    (lr(b) = ln p_target(b) - ln p_raw(b), add-one smoothed, rounded to
+    6 decimals — the exact per-occurrence value dsir_importance uses).
+    A document's importance weight is then just the sum of lr over its
+    feature occurrences, so any scorer — batch or a stateless stream —
+    needs only this <= n_buckets-row frame, the same
+    offline-state/online-probe split as streaming/kg.build_link_index
+    and streaming/temporal.asof_state_table.
+
+    Buckets absent from BOTH corpora still get a row (cr = ct = 0):
+    a serving-time document may hash a novel feature anywhere, and a
+    missing entry would silently drop its contribution.
+
+    -> (bucket, lr)."""
+    raw_f = _hashed_features(raw, id_col, text_col, n_buckets)
+    tgt_f = _hashed_features(target, id_col, text_col, n_buckets)
+    rc = raw_f.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tc = tgt_f.groupBy("bucket").agg(F.count("*").alias("ct"))
+    rs = rc.agg(F.sum("cr").alias("tr"))
+    ts = tc.agg(F.sum("ct").alias("tt"))
+    spark = raw.sparkSession
+    all_b = spark.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
+    return (
+        all_b.join(F.broadcast(rc), "bucket", "left")
+        .join(F.broadcast(tc), "bucket", "left")
+        .crossJoin(F.broadcast(rs)).crossJoin(F.broadcast(ts))
+        .select(
+            "bucket",
+            F.bround(
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                      / (F.col("tt") + n_buckets).cast("double"))
+                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+                        / (F.col("tr") + n_buckets).cast("double")), 6)
+            .alias("lr"))
+    )

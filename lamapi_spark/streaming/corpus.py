@@ -1,0 +1,66 @@
+"""Streaming twin of the DSIR importance scorer — the quality gate a
+production ingest pipeline runs on every incoming document.
+
+The same offline-state/online-probe split as the as-of serve twin and
+the streaming KG link index: `ops/corpus.dsir_model` collapses both
+corpora into one <= n_buckets-row (bucket, lr) table offline, and the
+stream scores each document with ZERO streaming state — the per-doc
+feature sum runs IN-ARRAY over a literal map of the model (the same
+map-literal zero-shuffle move as the reference's type-name resolution,
+operators/lookup.py J3), so there is no explode, no streaming
+aggregation, no watermark: every row is independent and any
+trigger/sink works.
+
+Parity with the batch scorer is exact: per-occurrence lr values are
+the model's 6-decimal-rounded entries converted to exact integer
+MICRO-units (x 1e6) and summed in BIGINT in token order — bit-equal to
+the batch DECIMAL(28,6) sum — and the final /1e6 is one
+correctly-rounded IEEE division of two exactly-representable doubles,
+the same nearest-double the batch DECIMAL -> DOUBLE cast produces
+(row-for-row equality is tested in tests/test_streaming.py). Overflow
+bound: |lr| < 14 nats -> 1.4e7 micro-units per feature, ~6.5e11
+features per document before BIGINT saturation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lamapi_spark.functions.hashing import h48
+from lamapi_spark.ops.corpus import token_ngrams
+
+DOC_SCHEMA = "doc_id bigint, text string"
+
+
+def stream_dsir_score(
+    spark: SparkSession, path: str, model: DataFrame,
+    n_buckets: int = 1024, schema: str = DOC_SCHEMA,
+) -> DataFrame:
+    """File-source document stream -> (doc_id, n_feats, log_ratio)
+    scored against a prebuilt dsir_model. ``model`` is collected to a
+    map literal — bounded by n_buckets BY CONSTRUCTION (the model
+    covers exactly the hashed bucket space, never the raw vocabulary),
+    so this is the documented small-state exception, like
+    detect_mentions_pandas' dictionary set."""
+    entries = {int(r["bucket"]): int(round(float(r["lr"]) * 1_000_000))
+               for r in model.collect()}
+    if len(entries) != n_buckets:
+        raise ValueError(
+            f"dsir model covers {len(entries)} of {n_buckets} buckets — "
+            "build it with ops/corpus.dsir_model (all-bucket coverage)")
+    lr_map = F.create_map(*[
+        F.lit(x) for b in sorted(entries) for x in (b, entries[b])])
+
+    docs = spark.readStream.schema(schema).parquet(path)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.concat(toks, token_ngrams(F.col("text"), 2))
+    micro = F.aggregate(
+        F.transform(grams, lambda g: F.element_at(lr_map, h48(g) % n_buckets)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return docs.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_feats"),
+        (micro.cast("double") / F.lit(1_000_000.0).cast("double"))
+        .alias("log_ratio"),
+    )

@@ -11,9 +11,15 @@ in milliseconds per example.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+# committed default keeps CI fast; deep one-off fuzz runs set e.g.
+# HYP_EXAMPLES=1500 (how the WebP CTE packing bug was found)
+_N = int(os.environ.get("HYP_EXAMPLES", "30"))
 
 # ----------------------------------------------------------------- FLAC
 
@@ -21,7 +27,7 @@ _SUBFRAMES = ["constant", "verbatim", "fixed0", "fixed1", "fixed2",
               "fixed3", "fixed4", "lpc"]
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_N, deadline=None)
 @given(
     data=st.data(),
     n=st.integers(min_value=1, max_value=700),
@@ -67,7 +73,7 @@ _WEBP_PROFILES = [
 ]
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_N, deadline=None)
 @given(
     data=st.data(),
     h=st.integers(min_value=1, max_value=16),
@@ -131,7 +137,7 @@ def _lzw_encode(vals, mcs=8):
     return bytes(out)
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=max(_N, 50), deadline=None)
 @given(vals=st.lists(st.integers(min_value=0, max_value=255),
                      min_size=1, max_size=600))
 def test_gif_lzw_roundtrip_random(vals):
@@ -143,7 +149,7 @@ def test_gif_lzw_roundtrip_random(vals):
 # ---------------------------------------------- PNG (gray, every filter)
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_N, deadline=None)
 @given(
     h=st.integers(min_value=1, max_value=12),
     w=st.integers(min_value=1, max_value=12),
@@ -169,7 +175,7 @@ def test_png_gray_roundtrip_random(h, w, seed, depth, interlace):
 # ------------------------------------- JPEG baseline == progressive
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_N, deadline=None)
 @given(
     data=st.data(),
     n_blocks=st.integers(min_value=1, max_value=6),

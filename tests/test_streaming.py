@@ -238,3 +238,31 @@ def test_stream_latest_state_matches_batch(spark, events_dir):
                   for r in queries()["events_latest_state"](
                       spark, "/root/testdata/sf0.001").collect()}
     assert stream_rows == batch_rows and len(batch_rows) > 0
+
+
+def test_stream_dsir_score_matches_batch(spark, tmp_path):
+    """The stateless streaming DSIR scorer (offline model -> in-array
+    micro-unit sum) equals the batch dsir_importance row for row —
+    including the final double, because the /1e6 is one correctly
+    rounded IEEE division of the same exact integer sum the batch
+    DECIMAL path holds."""
+    import shutil
+
+    from lamapi_spark.ops.corpus import dsir_importance, dsir_model
+    from lamapi_spark.streaming.corpus import stream_dsir_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw = docs.filter(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 11 == 0).select("doc_id", "text")
+    d = str(tmp_path / "docs_dsir")
+    raw.write.parquet(d)
+
+    model = dsir_model(raw, target, n_buckets=256)
+    got = run_available_now(
+        stream_dsir_score(spark, d, model, n_buckets=256),
+        "t_dsir", mode="append")
+    stream_rows = {r.doc_id: (r.n_feats, r.log_ratio) for r in got.collect()}
+    batch_rows = {r.doc_id: (r.n_feats, r.log_ratio)
+                  for r in dsir_importance(raw, target, n_buckets=256).collect()}
+    assert stream_rows == batch_rows and len(batch_rows) > 100
+    shutil.rmtree(d, ignore_errors=True)
