@@ -385,3 +385,44 @@ def dsir_importance_q(spark, sf):
                         n_buckets=_DSIR_BUCKETS)
         .orderBy("doc_id")
     )
+
+
+@register("dsir_model", rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents),
+feats AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT % {_DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, unnest(list_concat(ts,
+      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]))) AS g
+    FROM toks)),
+rc AS (SELECT bucket, count(*) AS cr FROM feats WHERE doc_id % 11 <> 0 GROUP BY bucket),
+tc AS (SELECT bucket, count(*) AS ct FROM feats WHERE doc_id % 11 = 0 GROUP BY bucket),
+rs AS (SELECT sum(cr)::BIGINT AS tr FROM rc),
+tsx AS (SELECT sum(ct)::BIGINT AS tt FROM tc)
+SELECT b.bucket,
+       round_even(ln((coalesce(tc.ct, 0) + 1)::DOUBLE / (tt + {_DSIR_BUCKETS})::DOUBLE)
+                - ln((coalesce(rc.cr, 0) + 1)::DOUBLE / (tr + {_DSIR_BUCKETS})::DOUBLE),
+                6) AS lr
+FROM (SELECT unnest(range({_DSIR_BUCKETS}))::BIGINT AS bucket) b
+LEFT JOIN rc ON rc.bucket = b.bucket
+LEFT JOIN tc ON tc.bucket = b.bucket
+CROSS JOIN rs CROSS JOIN tsx
+ORDER BY b.bucket
+""")
+def dsir_model_q(spark, sf):
+    """The DSIR serve model (ops/corpus.py:dsir_model): the all-bucket
+    per-feature log-ratio table the stateless streaming scorer probes —
+    offline state under the same hash gate as the scorer itself. The
+    oracle rebuilds every bucket's smoothed ratio including the
+    zero-count buckets the raw corpus never touched."""
+    from lamapi_spark.ops.corpus import dsir_model
+
+    docs = load(spark, sf, "documents")
+    return (
+        dsir_model(docs.filter(F.col("doc_id") % 11 != 0),
+                   docs.filter(F.col("doc_id") % 11 == 0),
+                   n_buckets=_DSIR_BUCKETS)
+        .orderBy("bucket")
+    )
