@@ -252,3 +252,53 @@ def pmi_edges(
                   / (F.col("degree_a") * F.col("degree_b")).cast("double")), 6))
         .select("node_a", "node_b", "common", "degree_a", "degree_b", "pmi")
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED edge set (edges may
+    arrive in either or both directions; self-loops are dropped) — the
+    clustering-structure primitive behind community detection and
+    entity-resolution confidence ("how interconnected is this entity's
+    neighborhood").
+
+    Scale shape — the degree-orientation trick (node-iterator would
+    enumerate sum(deg^2) wedges; a hub with 10^6 neighbors dies): every
+    undirected edge is oriented from its LOWER-degree endpoint to the
+    higher (ties by node id), which makes the oriented out-degree
+    O(sqrt(|E|)) for ANY degree distribution, so the wedge self-join on
+    the oriented source enumerates at most |E|^1.5 candidates total —
+    the optimal bound — and the hot hub never fans out. Three hash
+    exchanges: degrees, the wedge join, the closing-edge semi-join.
+
+    -> (node, triangles): one row per node that participates in >= 1
+    triangle; each triangle increments all three corners."""
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .filter(F.col("a") != F.col("b")))
+    und = (und.select(F.least("a", "b").alias("a"),
+                      F.greatest("a", "b").alias("b")).distinct().cache())
+    deg = (und.select(F.col("a").alias("n")).unionAll(
+               und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    withdeg = (und.join(deg.withColumnRenamed("n", "a")
+                        .withColumnRenamed("d", "da"), "a")
+               .join(deg.withColumnRenamed("n", "b")
+                     .withColumnRenamed("d", "db"), "b"))
+    # orient lower-(degree, id) -> higher
+    oriented = withdeg.select(
+        F.when((F.col("da") < F.col("db"))
+               | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+               F.struct(F.col("a").alias("u"), F.col("b").alias("v")))
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+        .alias("e")).select("e.u", "e.v")
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = (w1.join(w2, "u").filter(F.col("x") < F.col("y")))
+    # close the wedge: (x, y) must be an (undirected) edge
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])  # (u, x, y) = one triangle
+    corners = (tris.select(F.col("u").alias("node"))
+               .unionAll(tris.select(F.col("x").alias("node")))
+               .unionAll(tris.select(F.col("y").alias("node"))))
+    return corners.groupBy("node").agg(F.count("*").alias("triangles"))

@@ -356,3 +356,45 @@ def graph_edge_pmi(spark, sf):
     edges = load(spark, sf, "lineitem").select(
         F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst"))
     return pmi_edges(edges, min_common=2).orderBy("node_a", "node_b")
+
+
+# ------------------------------------------------------ triangle counts
+
+@register("graph_triangles", """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS a, b.p AS b
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= 2),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT node, count(*)::BIGINT AS triangles
+FROM corners GROUP BY node ORDER BY node
+""")
+def graph_triangles(spark, sf):
+    """Per-node triangle counts (ops/graph.py:triangle_counts,
+    degree-oriented wedge join — the |E|^1.5-bounded formulation) over
+    the parts-sharing->=2-orders graph. The oracle is an INDEPENDENT
+    formulation: the canonical ordered-triple join (a<b<c) — two
+    different triangle algorithms must agree on every node."""
+    from lamapi_spark.ops.graph import triangle_counts
+
+    op = (load(spark, sf, "lineitem")
+          .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+          .distinct())
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count("*").alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_counts(pairs).orderBy("node")

@@ -416,3 +416,16 @@ def test_new_ops_plan_shapes(spark):
     assert "CartesianProduct" not in p3
     # the two bucket-count frames are explicit broadcasts
     assert p3.count("BroadcastHashJoin") >= 2
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 gives every corner C(3,2)=3 triangles; a pendant path adds
+    none; duplicate/reversed/self-loop edges don't double-count."""
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+             ("b", "d"), ("c", "d"),            # K4
+             ("d", "e"), ("e", "f"),            # pendant path
+             ("b", "a"), ("c", "c"), ("a", "b")]  # reversed dup, loop, dup
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from lamapi_spark.ops.graph import triangle_counts
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
