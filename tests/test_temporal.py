@@ -168,3 +168,51 @@ def test_kmv_exact_below_k_and_estimate_above(spark, tmp_path):
     assert out["big"].k_used == 64
     # KMV relative error ~ 1/sqrt(k-1) ≈ 12.6%; allow 4 sigma
     assert abs(out["big"].est_distinct - n_big) / n_big < 0.5
+
+
+def test_asof_randomized_differential_vs_duckdb(spark):
+    """200 seeded random keys with random probe/state histories in ONE
+    Spark job vs DuckDB's NATIVE ASOF JOIN on the same rows — the
+    randomized sweep between the hand-picked fixtures (tie timestamps,
+    empty right sides, and pre-history probes all occur by
+    construction)."""
+    import random
+
+    import duckdb
+
+    from lamapi_spark.ops.temporal import asof_join
+
+    rng = random.Random(20260818)
+    probes, states = [], []
+    for k in range(200):
+        key = f"k{k}"
+        for _ in range(rng.randint(1, 8)):
+            probes.append((key, rng.randint(0, 50) * 10))  # ts multiples of 10
+        if k % 7 != 3:  # some keys have NO state rows at all
+            for j in range(rng.randint(1, 6)):
+                # ~1/5 state rows collide exactly with a probe ts
+                ts = rng.choice([rng.randint(0, 50) * 10,
+                                 rng.randint(0, 500)])
+                states.append((key, ts, float(j)))
+    # contract: right unique per (key, ts)
+    seen = set()
+    states = [s for s in states
+              if (s[0], s[1]) not in seen and not seen.add((s[0], s[1]))]
+
+    left = spark.createDataFrame(probes, "key string, ts_us long")
+    right = spark.createDataFrame(states, "key string, ts_us long, value double")
+    got = sorted((r.key, r.ts_us, r.asof_ts, r.asof_value) for r in
+                 asof_join(left, right, "key").collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE probes(key VARCHAR, ts BIGINT)")
+    con.executemany("INSERT INTO probes VALUES (?, ?)", probes)
+    con.execute("CREATE TABLE states(key VARCHAR, ts BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO states VALUES (?, ?, ?)", states)
+    want = sorted(tuple(r) for r in con.execute("""
+        SELECT p.key, p.ts, s.ts, s.value
+        FROM probes p ASOF LEFT JOIN states s
+          ON p.key = s.key AND p.ts >= s.ts
+        ORDER BY 1, 2
+    """).fetchall())
+    assert got == want
