@@ -429,3 +429,42 @@ def test_triangle_counts_hand_graph(spark):
     from lamapi_spark.ops.graph import triangle_counts
     got = {r.node: r.triangles for r in triangle_counts(df).collect()}
     assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_substring_dup_spans_randomized_differential(spark):
+    """Seeded random corpus from a 4-token vocabulary (forces heavy
+    gram collisions) vs an independent Python brute force of the
+    documented semantics: corpus-duplicated k-grams -> per-doc
+    positions -> maximal merged spans (gap <= k merges, > k splits)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(77)
+    vocab = ["a", "b", "c", "d"]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+            for i in range(30)]
+    k, min_count = 3, 2
+
+    def grams(text):
+        t = text.split()
+        return [" ".join(t[i:i + k]) for i in range(len(t) - k + 1)]
+
+    counts = Counter(g for _, text in docs for g in grams(text))
+    want = set()
+    for doc_id, text in docs:
+        pos = [i + 1 for i, g in enumerate(grams(text))
+               if counts[g] >= min_count]
+        runs = []
+        for p in pos:
+            if runs and p - runs[-1][-1] <= k:
+                runs[-1].append(p)
+            else:
+                runs.append([p])
+        for run in runs:
+            want.add((doc_id, run[0], run[-1] - run[0] + k))
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {(r.doc_id, r.start, r.ntoken_span)
+           for r in substring_dup_spans(df, "doc_id", "text",
+                                        k=k, min_count=min_count).collect()}
+    assert got == want and len(want) > 20
