@@ -468,3 +468,43 @@ def test_substring_dup_spans_randomized_differential(spark):
            for r in substring_dup_spans(df, "doc_id", "text",
                                         k=k, min_count=min_count).collect()}
     assert got == want and len(want) > 20
+
+
+def test_connected_components_randomized_vs_union_find(spark):
+    """The iterative hash-min CC loop (the canonicalization engine) on
+    seeded random graphs vs an independent union-find: same component
+    partition AND the engine's min-id representative convention."""
+    import random
+
+    from lamapi_spark.pipeline.canonicalize import connected_components
+
+    rng = random.Random(4242)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for a, b in edges:
+        for n in (a, b):
+            comp.setdefault(find(n), []).append(n)
+    want = {}
+    for members in comp.values():
+        rep = min(members)
+        for m in set(members):
+            want[m] = rep
+
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r.entity: r.component for r in connected_components(df).collect()}
+    assert got == want and len({v for v in want.values()}) > 5
