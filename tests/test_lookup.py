@@ -107,3 +107,45 @@ def test_lookup_filters_parity(spark, kg_ctx):
         spark_res = _spark_candidates(spark, dfs, label_dict, [pers_label], **kw)
         oracle_res = _oracle_candidates(dict_rows, type_names, [pers_label], **kw)
         _compare(spark_res, oracle_res)
+
+
+def test_lookup_randomized_mentions_parity(spark, kg_ctx):
+    """Seeded random mention mutations (typos at several edit
+    distances, case noise, token reorder/injection, cross-entity
+    concatenations) through BOTH arms, field-by-field vs the oracle —
+    the randomized sweep between the hand-picked parity fixtures,
+    hitting fuzzy band edges (len 3/6 thresholds) and multi-entity
+    token overlaps by construction."""
+    import random
+
+    kg, dfs, label_dict, dict_rows, type_names = kg_ctx
+    rng = random.Random(60)
+    surfaces = sorted({r["name"] for r in dict_rows})
+
+    def mutate(s):
+        ops = rng.randint(0, 4)
+        if ops == 0:   # char substitution (edit distance 1..2)
+            out = list(s)
+            for _ in range(rng.randint(1, 2)):
+                i = rng.randrange(len(out))
+                out[i] = rng.choice("abcdefgxyz")
+            return "".join(out)
+        if ops == 1:   # random case + punctuation noise
+            return "".join(c.upper() if rng.random() < 0.5 else c
+                           for c in s) + rng.choice(["!", " ,", ""])
+        if ops == 2:   # token reorder
+            t = s.split()
+            rng.shuffle(t)
+            return " ".join(t)
+        if ops == 3:   # inject an off-dictionary token
+            t = s.split()
+            t.insert(rng.randint(0, len(t)), rng.choice(["zq", "holding", "the"]))
+            return " ".join(t)
+        # concatenate a second entity's tokens (multi-entity overlap)
+        return s + " " + rng.choice(surfaces)
+
+    mentions = sorted({mutate(rng.choice(surfaces)) for _ in range(40)})
+    for kw in (dict(), dict(fuzzy=True)):
+        spark_res = _spark_candidates(spark, dfs, label_dict, mentions, **kw)
+        oracle_res = _oracle_candidates(dict_rows, type_names, mentions, **kw)
+        _compare(spark_res, oracle_res)
