@@ -216,3 +216,39 @@ def test_asof_randomized_differential_vs_duckdb(spark):
         ORDER BY 1, 2
     """).fetchall())
     assert got == want
+
+
+def test_range_join_binned_randomized_differential(spark):
+    """Seeded random intervals/points (deliberately clustered around
+    bin edges: bin_s=2s, timestamps near multiples of 2e6 micros) vs
+    the plain inequality join computed in Python — bin replication
+    must be invisible in the result."""
+    import random
+
+    from lamapi_spark.ops.temporal import range_join_binned
+
+    rng = random.Random(31)
+    bin_us = 2_000_000
+    ivals, pts = [], []
+    for i in range(150):
+        key = f"k{rng.randint(0, 9)}"
+        # half the endpoints land EXACTLY on bin boundaries
+        lo = (rng.randint(0, 20) * bin_us if rng.random() < 0.5
+              else rng.randint(0, 40_000_000))
+        hi = lo + (0 if rng.random() < 0.1 else rng.randint(1, 3 * bin_us))
+        ivals.append((i, key, lo, hi))
+    for j in range(300):
+        key = f"k{rng.randint(0, 9)}"
+        ts = (rng.randint(0, 20) * bin_us if rng.random() < 0.5
+              else rng.randint(0, 40_000_000))
+        pts.append((j, key, ts))
+
+    want = {(i, j) for (i, k, lo, hi) in ivals
+            for (j, pk, ts) in pts if pk == k and lo <= ts <= hi}
+    assert len(want) > 100  # the sweep actually exercises containment
+
+    idf = spark.createDataFrame(ivals, "iid bigint, key string, lo_us long, hi_us long")
+    pdf = spark.createDataFrame(pts, "pid bigint, key string, ts_us long")
+    got = {(r.iid, r.pid) for r in
+           range_join_binned(idf, pdf, "key", bin_s=2).collect()}
+    assert got == want
