@@ -149,3 +149,38 @@ def test_lookup_randomized_mentions_parity(spark, kg_ctx):
         spark_res = _spark_candidates(spark, dfs, label_dict, mentions, **kw)
         oracle_res = _oracle_candidates(dict_rows, type_names, mentions, **kw)
         _compare(spark_res, oracle_res)
+
+
+def test_lookup_randomized_mentions_parity_indexed(spark, kg_ctx):
+    """The same randomized mutation sweep through the ARTIFACT plan
+    (prebuilt LookupIndex, unpruned so it is rank-lossless): the plan
+    users actually get must match the oracle on arbitrary mentions,
+    not just the fixed contract corpus."""
+    import random
+
+    from lamapi_spark.operators.indexes import LookupIndex
+
+    kg, dfs, label_dict, dict_rows, type_names = kg_ctx
+    rng = random.Random(61)
+    surfaces = sorted({r["name"] for r in dict_rows})
+    mentions = sorted({
+        rng.choice(surfaces) if rng.random() < 0.3 else
+        rng.choice(surfaces).replace(rng.choice("aeiou"), "x", 1)
+        + rng.choice(["", " zq", "!"])
+        for _ in range(30)})
+
+    # fuzzy_edits=2 matches the oracle's ES-auto band (len>=6 -> 2
+    # edits); the index DEFAULT deliberately caps at 1 (the documented
+    # pipeline volume trade, operators/lookup.py:149) and would reject
+    # 2-edit mutations of >=6-char tokens the oracle accepts
+    idx = LookupIndex.build(label_dict, fuzzy=True, limit_per_token=None,
+                            fuzzy_edits=2)
+    for kw in (dict(), dict(fuzzy=True)):
+        mdf = spark.createDataFrame([(m,) for m in mentions], ["mention"])
+        out = lookup(mdf, label_dict, dfs["kg_items"], index=idx, **kw).collect()
+        spark_res = {}
+        for r in out:
+            d = r.asDict(recursive=True)
+            spark_res.setdefault(r.mention_norm, {})[(r.id, r.name)] = d
+        oracle_res = _oracle_candidates(dict_rows, type_names, mentions, **kw)
+        _compare(spark_res, oracle_res)
