@@ -602,39 +602,67 @@ _IMA_STEPS = [
 _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 
-def _ima_adpcm_decode(data: bytes, block_align: int):
-    """IMA/DVI ADPCM (WAV format 0x11, mono) -> int64 sample array.
+def _ima_step(state: list, nib: int) -> int:
+    """One IMA state-machine step; mutates [pred, index], returns the
+    new sample."""
+    pred, index = state
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = min(max(pred, -32768), 32767)
+    state[0] = pred
+    state[1] = min(max(index + _IMA_INDEX[nib & 7], 0), 88)
+    return pred
 
-    Block layout: 4-byte header (int16 predictor — emitted as the
-    block's first sample — uint8 step index, reserved), then 4-bit
-    nibbles, LOW nibble of each byte first. A real ~4:1 compressed
-    audio codec decoded with no library — the audio analogue of the
-    JPEG move."""
+
+def _ima_adpcm_decode(data: bytes, block_align: int, channels: int = 1):
+    """IMA/DVI ADPCM (WAV format 0x11, mono or stereo) -> int64
+    interleaved sample array.
+
+    Block layout: ONE 4-byte header PER CHANNEL (int16 predictor —
+    emitted as that channel's first sample — uint8 step index,
+    reserved), then 4-bit nibbles LOW-first; mono nibbles run
+    sequentially, stereo data alternates 4-byte (8-nibble) groups per
+    channel — the WAV interleaving rule. A real ~4:1 compressed audio
+    codec decoded with no library — the audio analogue of the JPEG
+    move."""
     import struct
 
     import numpy as np
 
-    if block_align < 5:
+    if channels not in (1, 2):
+        raise ValueError("ADPCM channels must be 1 or 2")
+    if block_align < 4 * channels + 1:
         raise ValueError("bad ADPCM block align")
     out = []
     for off in range(0, len(data) - (len(data) % block_align), block_align):
-        pred, index = struct.unpack_from("<hB", data, off)
-        index = min(max(index, 0), 88)
-        out.append(pred)
-        for byte in data[off + 4: off + block_align]:
-            for nib in (byte & 0x0F, byte >> 4):
-                step = _IMA_STEPS[index]
-                diff = step >> 3
-                if nib & 4:
-                    diff += step
-                if nib & 2:
-                    diff += step >> 1
-                if nib & 1:
-                    diff += step >> 2
-                pred = pred - diff if nib & 8 else pred + diff
-                pred = min(max(pred, -32768), 32767)
-                index = min(max(index + _IMA_INDEX[nib & 7], 0), 88)
-                out.append(pred)
+        states, chans = [], []
+        for c in range(channels):
+            pred, index = struct.unpack_from("<hB", data, off + 4 * c)
+            states.append([pred, min(max(index, 0), 88)])
+            chans.append([pred])
+        body = data[off + 4 * channels: off + block_align]
+        if channels == 1:
+            for byte in body:
+                for nib in (byte & 0x0F, byte >> 4):
+                    chans[0].append(_ima_step(states[0], nib))
+        else:
+            # complete 4-byte-per-channel groups only (a truncated
+            # trailing group has no partner-channel data)
+            group = 4 * channels
+            for g in range(0, len(body) - (len(body) % group), group):
+                for c in range(channels):
+                    for byte in body[g + 4 * c: g + 4 * c + 4]:
+                        for nib in (byte & 0x0F, byte >> 4):
+                            chans[c].append(_ima_step(states[c], nib))
+        for frame in zip(*chans):
+            out.extend(frame)
     if not out:
         raise ValueError("empty ADPCM stream")
     return np.array(out, dtype=np.int64)
@@ -647,7 +675,7 @@ def _parse_wav(b: bytes):
     - PCM 8/16-bit (format 1)            -> 'WAV'
     - G.711 A-law companding (format 6)  -> 'WAV-ALAW'
     - G.711 mu-law companding (format 7) -> 'WAV-ULAW'
-    - IMA/DVI ADPCM mono (format 0x11)   -> 'WAV-ADPCM' (a genuinely
+    - IMA/DVI ADPCM mono/stereo (0x11)   -> 'WAV-ADPCM' (a genuinely
       compressed ~4:1 codec: per-block predictor + step-index state
       machine over 4-bit nibbles)
     Raises ValueError on anything else. Native FLAC is handled by
@@ -688,9 +716,9 @@ def _parse_wav(b: bytes):
     elif audio_fmt == 6 and bits == 8:
         name = "WAV-ALAW"
         samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
-    elif audio_fmt == 0x11 and bits == 4 and channels == 1:
+    elif audio_fmt == 0x11 and bits == 4 and channels in (1, 2):
         name = "WAV-ADPCM"
-        samples = _ima_adpcm_decode(data, balign)
+        samples = _ima_adpcm_decode(data, balign, channels)
     else:
         raise ValueError("unsupported WAV format "
                          f"{audio_fmt}/{bits}-bit/{channels}ch")
