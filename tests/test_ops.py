@@ -508,3 +508,57 @@ def test_connected_components_randomized_vs_union_find(spark):
     df = spark.createDataFrame(edges, "a string, b string")
     got = {r.entity: r.component for r in connected_components(df).collect()}
     assert got == want and len({v for v in want.values()}) > 5
+
+
+def test_bm25_randomized_differential(spark):
+    """Seeded random corpus/queries vs an independent Python BM25 with
+    the engine's exact parity discipline (per-term round-half-even at
+    6 decimals, token-sorted summation, rank by score desc then
+    doc_id): full top-k lists must match, scores to the last rounded
+    digit."""
+    import math
+    import random
+
+    from lamapi_spark.ops.ranking import bm25_topk
+
+    rng = random.Random(5150)
+    vocab = ["scan", "join", "sort", "agg", "key", "row", "col", "hash"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(2, 20))))
+            for i in range(60)]
+    queries = [("q0", "scan join"), ("q1", "hash key row"),
+               ("q2", "sort nothere")]
+    k1, b, k = 1.2, 0.75, 5
+
+    toks = {i: t.lower().split(" ") for i, t in docs}
+    n = float(len(docs))
+    avgdl = sum(len(v) for v in toks.values()) / n
+    qterms = {qid: sorted(set(qs.split())) for qid, qs in queries}
+    df = {t: float(sum(1 for v in toks.values() if t in v))
+          for qs in qterms.values() for t in qs}
+    want = {}
+    for qid, terms in qterms.items():
+        rows = []
+        for i, v in toks.items():
+            parts = []
+            for t in sorted(terms):  # token-sorted summation order
+                tf = float(v.count(t))
+                if tf == 0 or df[t] == 0:
+                    continue
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s = idf * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * len(v) / avgdl))
+                parts.append(round(s, 6))
+            if parts:
+                acc = 0.0
+                for p in parts:
+                    acc += p
+                rows.append((i, round(acc, 6)))
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        for r, (i, s) in enumerate(rows[:k], 1):
+            want[(qid, r)] = (i, s)
+
+    ddf = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {(r.query_id, r.rank): (r.doc_id, r.score)
+           for r in bm25_topk(ddf, "doc_id", "text", queries, k=k).collect()}
+    assert got == want and len(want) >= 10
