@@ -1,0 +1,157 @@
+"""Distributed BPE tokenization: train merges as an iterative Spark
+job, apply them in an Arrow-batched stage.
+
+The canonical LLM preprocessing step the text ops still approximated
+(textstats.token_counts counts whitespace/regex tokens; real training
+budgets count TOKENIZER tokens). Two halves, the usual
+offline-train/online-apply split:
+
+- ``bpe_train``: Sennrich-style byte-pair-encoding merges learned from
+  corpus-wide WORD counts — the iteration granularity that makes BPE
+  trainable at 100 TB: after the first aggregation the working set is
+  the distinct-word frame (vocabulary-sized, not corpus-sized), every
+  iteration is one map-side-combined aggregation over it plus a
+  driver-collect of exactly ONE row (the argmax pair — same bounded
+  move as the medoid pick), and the symbol-merge rewrite is a pure
+  in-array fold (no shuffle). localCheckpoint every K iterations
+  truncates the linearly-deepening plan exactly like
+  pagerank_fixed_point.
+
+- ``bpe_apply`` / ``bpe_token_count``: apply a ranked merge list to
+  text. Per-word BPE apply is an inherently sequential loop, so it
+  runs as an Arrow-batched pandas UDF over the BROADCAST merge dict
+  (merge tables are small by construction — n_merges rows) with a
+  per-batch word cache; the documented Python stage, like NFC.
+
+Determinism: pair counts are exact integers; the argmax tie-break is
+(count desc, left asc, right asc), so the learned merge list is a pure
+function of the corpus — partition-independent and reproducible
+(differentially tested against an independent Python BPE in
+tests/test_tokenize.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+    )
+
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Replace every left-to-right non-overlapping adjacent (left,
+    right) in a symbol array with the concatenation — one BPE merge
+    step as a pure fold (the merged symbol differs from ``left``, so
+    the fold's last-element check reproduces the simultaneous
+    left-to-right semantics exactly)."""
+    def step(acc, cur):
+        merged = F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                          F.array(F.lit(left + right)))
+        hit = ((F.size(acc) > 0)
+               & (F.element_at(acc, -1) == F.lit(left))
+               & (cur == F.lit(right)))
+        return F.when(hit, merged).otherwise(F.concat(acc, F.array(cur)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 50,
+    checkpoint_every: int | None = 8,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the
+    ranked merge list (rank = list position). Words are whitespace
+    tokens lower-cased; symbols start as single characters (no
+    end-of-word marker — the apply side operates word-local, so
+    boundaries are implicit)."""
+    words = (_word_counts(docs, text_col)
+             .withColumn("syms", F.split(F.col("word"), ""))
+             .select("syms", "cnt")
+             .localCheckpoint(eager=True))
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pairs = (
+            words.select(
+                "cnt",
+                F.explode(F.when(
+                    F.size("syms") >= 2,
+                    F.zip_with(F.slice("syms", 1, F.size("syms") - 1),
+                               F.slice("syms", 2, F.size("syms") - 1),
+                               lambda a, b: F.struct(a.alias("l"),
+                                                     b.alias("r")))
+                ).otherwise(F.array().cast(
+                    "array<struct<l:string,r:string>>"))).alias("p"))
+            .groupBy("p.l", "p.r").agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not top or top[0]["n"] < 2:
+            break  # no pair worth merging (BPE stops at singletons)
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        words = words.select(_merge_pair(F.col("syms"), left, right).alias("syms"),
+                             "cnt")
+        if checkpoint_every is not None and (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    syms = list(word)
+    while len(syms) >= 2:
+        best, best_rank = None, None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = pair, r
+        if best is None:
+            break
+        left, right = best
+        out = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def bpe_apply(
+    docs: DataFrame, merges: list[tuple[str, str]],
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, tokens array<string>, n_tokens) under the ranked
+    merge list — the real token count a training-data budget needs.
+    Arrow-batched; the merge dict broadcasts via closure capture
+    (n_merges entries) and repeated words hit a per-batch cache."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc(t):
+            if t is None:
+                return None
+            out = []
+            for w in t.lower().strip().split():
+                if w not in cache:
+                    cache[w] = _encode_word(w, ranks)
+                out.extend(cache[w])
+            return out
+
+        return texts.map(enc)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        encode(F.col(text_col)).alias("tokens"),
+    ).withColumn("n_tokens", F.size("tokens"))
