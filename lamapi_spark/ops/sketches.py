@@ -121,3 +121,100 @@ def hist_quantiles(hist: DataFrame, keys: Sequence[str], width: float,
          * (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
          / F.col("cnt")).alias("est"),
     )
+
+
+# ------------------------------------------------------------- Bloom
+
+BLOOM_BITS = 256
+BLOOM_HASHES = 4
+_BLOOM_WORD = 32  # bits per word: 1 << 31 stays positive in BIGINT in
+#                   every engine (1 << 63 overflows or flips sign
+#                   differently across engines)
+
+
+def _bloom_positions(col, m_bits: int, j: int) -> F.Column:
+    """Array of the value's j bit positions: h48 of 'i|value' mod m —
+    each an independent engine-portable draw."""
+    return F.array(*[
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"),
+                                          F.col(col).cast("string"))), 1, 12),
+               16, 10).cast("long") % m_bits
+        for i in range(j)
+    ])
+
+
+def _bloom_assemble(words: DataFrame, keys: Sequence[str],
+                    n_words: int) -> DataFrame:
+    """(keys, widx, bits) -> (keys, bloom array<bigint> of n_words),
+    zero-filling absent words. The collect is bounded by n_words."""
+    return (
+        words.groupBy(*keys)
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("widx", "bits"))).alias("_m"))
+        .select(*keys, F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.element_at("_m", i.cast("int")),
+                                 F.lit(0).cast("long"))).alias("bloom"))
+    )
+
+
+def bloom_sketch(df: DataFrame, keys: Sequence[str], col: str,
+                 m_bits: int = BLOOM_BITS, j: int = BLOOM_HASHES) -> DataFrame:
+    """Per key group: a ``m_bits``-bit Bloom filter over the distinct
+    values of ``col`` as an array of 32-bit words in BIGINTs — the
+    MEMBERSHIP member of the sketch family (KMV = distinct count,
+    histogram = quantiles). Deterministic and engine-portable like its
+    siblings: bit positions are md5 draws, the aggregation is bit_or
+    (associative, commutative, idempotent), so the sketch is a pure
+    function of the value SET — any partitioning, any engine, and
+    merge-of-parts == sketch-of-union bit-for-bit (the contract query
+    proves it against a direct global oracle). No false negatives
+    ever; false-positive rate is the standard (1-e^{-jn/m})^j.
+
+    Scale shape: distinct -> j-position explode -> (key, word) bit_or
+    with map-side combine; only <= m_bits/32 word rows per group reach
+    the assembling collect."""
+    n_words = m_bits // _BLOOM_WORD
+    vals = df.select(*keys, F.col(col).alias("_v")).distinct()
+    pos = vals.select(*keys, F.explode(
+        _bloom_positions("_v", m_bits, j)).alias("_p"))
+    words = (
+        pos.select(*keys,
+                   (F.col("_p") / _BLOOM_WORD).cast("int").alias("widx"),
+                   F.expr(f"shiftleft(1L, int(_p % {_BLOOM_WORD}))").alias("_b"))
+        .groupBy(*keys, "widx").agg(F.bit_or("_b").alias("bits"))
+    )
+    return _bloom_assemble(words, keys, n_words)
+
+
+def bloom_merge(sketches: DataFrame, keys: Sequence[str],
+                m_bits: int = BLOOM_BITS) -> DataFrame:
+    """Merge sketches down to a coarser key set: element-wise bit_or."""
+    n_words = m_bits // _BLOOM_WORD
+    words = (
+        sketches.select(*keys, F.posexplode("bloom").alias("widx", "_b"))
+        .groupBy(*keys, "widx").agg(F.bit_or("_b").alias("bits"))
+    )
+    return _bloom_assemble(words, keys, n_words)
+
+
+def bloom_contains(sketches: DataFrame, probes: DataFrame,
+                   keys: Sequence[str], col: str,
+                   m_bits: int = BLOOM_BITS, j: int = BLOOM_HASHES) -> DataFrame:
+    """Probe rows against the per-key sketch: ``maybe_present`` is true
+    iff every one of the value's j bits is set (false => definitely
+    absent; the no-false-negative guarantee)."""
+    p = probes.join(sketches, list(keys))
+
+    def bit_set(pos):
+        # words hold 32-bit masks in BIGINTs (always positive), so the
+        # bit test is exact integer arithmetic: floor(word / 2^b) % 2.
+        # 2^b via double pow is exact for b <= 31 in every engine.
+        word = F.element_at("bloom", (pos / _BLOOM_WORD).cast("int") + 1)
+        mask = F.pow(F.lit(2.0), (pos % _BLOOM_WORD).cast("double")).cast("long")
+        return ((word / mask).cast("long") % 2) == 1
+
+    check = F.aggregate(
+        _bloom_positions(col, m_bits, j), F.lit(True),
+        lambda acc, pos: acc & bit_set(pos))
+    return p.withColumn("maybe_present", check)

@@ -254,3 +254,51 @@ def sketch_hist_quantiles(spark, sf):
     return (hist_quantiles(h, ["event_type"], width=10.0,
                            qs=(0.5, 0.95, 0.99))
             .orderBy("event_type", "q"))
+
+
+_BLOOM_POS = " , ".join(
+    f"(('0x' || substr(md5('{i}|' || v), 1, 12))::UBIGINT % 256)::BIGINT"
+    for i in range(4))
+
+
+@register("sketch_bloom_merge", f"""
+WITH vals AS (
+  SELECT DISTINCT event_type, user_id::VARCHAR AS v FROM events),
+pos AS (
+  SELECT event_type, unnest([{_BLOOM_POS}]) AS p FROM vals),
+words AS (
+  SELECT event_type, (p // 32)::INT AS widx,
+         bit_or(1::BIGINT << (p % 32)::INT) AS bits
+  FROM pos GROUP BY event_type, (p // 32)::INT),
+grid AS (
+  SELECT t.event_type, r.i::INT AS i, coalesce(w.bits, 0) AS bits
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN range(0, 8) r(i)
+  LEFT JOIN words w ON w.event_type = t.event_type AND w.widx = r.i)
+SELECT event_type,
+       array_to_string(list(bits::VARCHAR ORDER BY i), ',') AS bloom_words,
+       sum(bit_count(bits))::INT AS n_set_bits
+FROM grid GROUP BY event_type ORDER BY event_type
+""")
+def sketch_bloom_merge(spark, sf):
+    """Bloom MERGEABILITY under an independent oracle (the membership
+    member of the sketch family, ops/sketches.py:bloom_sketch): sketch
+    each of 8 event_id-modulo shards separately, bit_or-merge to
+    event_type, and compare the merged 256-bit filter WORD FOR WORD
+    against the oracle's direct global sketch — merge-of-parts must be
+    bit-identical to sketch-of-union."""
+    from lamapi_spark.ops.sketches import bloom_merge, bloom_sketch
+
+    e = load(spark, sf, "events").withColumn(
+        "shard", F.col("event_id") % F.lit(8))
+    shards = bloom_sketch(e, ["event_type", "shard"], "user_id")
+    merged = bloom_merge(shards, ["event_type"])
+    return (
+        merged.select(
+            "event_type",
+            F.array_join(F.transform("bloom", lambda w: w.cast("string")),
+                         ",").alias("bloom_words"),
+            F.aggregate("bloom", F.lit(0),
+                        lambda a, w: a + F.bit_count(w)).alias("n_set_bits"))
+        .orderBy("event_type")
+    )

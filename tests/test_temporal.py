@@ -252,3 +252,30 @@ def test_range_join_binned_randomized_differential(spark):
     got = {(r.iid, r.pid) for r in
            range_join_binned(idf, pdf, "key", bin_s=2).collect()}
     assert got == want
+
+
+def test_bloom_sketch_membership_and_merge(spark):
+    """No false negatives ever; most absent probes read definitely-
+    absent at this fill; shard-merge equals the direct global sketch
+    word for word (deterministic bit_or)."""
+    from lamapi_spark.ops.sketches import (
+        bloom_contains, bloom_merge, bloom_sketch,
+    )
+
+    rows = [("g", i) for i in range(60)]
+    df = spark.createDataFrame(rows, "key string, v bigint")
+    sk = bloom_sketch(df, ["key"], "v")
+
+    probes = spark.createDataFrame(
+        [("g", i) for i in range(120)], "key string, v bigint")
+    got = {r.v: r.maybe_present
+           for r in bloom_contains(sk, probes, ["key"], "v").collect()}
+    assert all(got[i] for i in range(60))           # no false negatives
+    absent = [got[i] for i in range(60, 120)]
+    assert absent.count(False) > 30                  # mostly definite-absent
+
+    # merge-of-parts == sketch-of-union, word for word
+    sh = bloom_sketch(df.withColumn("s", F.col("v") % 4), ["key", "s"], "v")
+    merged = bloom_merge(sh, ["key"]).collect()[0].bloom
+    direct = sk.collect()[0].bloom
+    assert merged == direct
