@@ -260,15 +260,23 @@ def _bucket48(gram: Column, n_buckets: int) -> Column:
     return h48(gram) % n_buckets
 
 
+def feature_grams(text: Column) -> Column:
+    """The DSIR feature unit: unigram tokens + token bigrams as ONE
+    array (a bag — occurrences, not distinct). Shared by the batch
+    scorer (_hashed_features) and the streaming scorer
+    (streaming/corpus.stream_dsir_score) so the two can never drift
+    onto different feature spaces."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    return F.concat(toks, token_ngrams(text, 2))
+
+
 def _hashed_features(docs: DataFrame, id_col: str, text_col: str,
                      n_buckets: int) -> DataFrame:
     """(doc_id, bucket) per unigram+bigram OCCURRENCE (not distinct —
     the feature model is a bag)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = F.concat(toks, token_ngrams(F.col(text_col), 2))
     return (
         docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(grams).alias("_g"))
+                    F.explode(feature_grams(F.col(text_col))).alias("_g"))
         .select("doc_id", _bucket48(F.col("_g"), n_buckets).alias("bucket"))
     )
 

@@ -1071,12 +1071,13 @@ def _flac_enc_residual(w: _FlacWBits, res: list[int], bsize: int, order: int,
                        porder: int, escape_part) -> None:
     if bsize % (1 << porder):
         porder = 0
-    # spec: the FIRST partition holds (bsize >> porder) - order
-    # residuals, so porder must shrink until that is non-negative —
-    # bites on short TAIL frames (e.g. 4 samples, porder 2, order 2;
-    # hypothesis-found, tests/test_property.py). Halving preserves
-    # divisibility.
-    while porder > 0 and (bsize >> porder) < order:
+    # spec (RFC 9639): block size >> partition order MUST be LARGER
+    # than the predictor order (a zero-residual first partition is
+    # forbidden — libFLAC clamps with <=), so shrink porder until the
+    # first partition holds >= 1 residual — bites on short TAIL frames
+    # (e.g. 4 samples, porder 2, order 2; hypothesis-found,
+    # tests/test_property.py). Halving preserves divisibility.
+    while porder > 0 and (bsize >> porder) <= order:
         porder -= 1
     w.w(0, 2)       # method 0: 4-bit Rice parameters
     w.w(porder, 4)

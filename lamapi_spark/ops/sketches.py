@@ -175,7 +175,11 @@ def bloom_sketch(df: DataFrame, keys: Sequence[str], col: str,
     with map-side combine; only <= m_bits/32 word rows per group reach
     the assembling collect."""
     n_words = m_bits // _BLOOM_WORD
-    vals = df.select(*keys, F.col(col).alias("_v")).distinct()
+    # nulls are ignored (a membership set has no null member; an
+    # unfiltered null would propagate into map_from_entries' key and
+    # kill the job)
+    vals = (df.select(*keys, F.col(col).alias("_v"))
+            .filter(F.col("_v").isNotNull()).distinct())
     pos = vals.select(*keys, F.explode(
         _bloom_positions("_v", m_bits, j)).alias("_p"))
     words = (
@@ -204,7 +208,9 @@ def bloom_contains(sketches: DataFrame, probes: DataFrame,
     """Probe rows against the per-key sketch: ``maybe_present`` is true
     iff every one of the value's j bits is set (false => definitely
     absent; the no-false-negative guarantee)."""
-    p = probes.join(sketches, list(keys))
+    # LEFT join: a probe whose key group has no sketch is DEFINITELY
+    # absent (maybe_present=false), not a silently dropped row
+    p = probes.join(sketches, list(keys), "left")
 
     def bit_set(pos):
         # words hold 32-bit masks in BIGINTs (always positive), so the
@@ -217,4 +223,6 @@ def bloom_contains(sketches: DataFrame, probes: DataFrame,
     check = F.aggregate(
         _bloom_positions(col, m_bits, j), F.lit(True),
         lambda acc, pos: acc & bit_set(pos))
-    return p.withColumn("maybe_present", check)
+    return p.withColumn(
+        "maybe_present",
+        F.when(F.col("bloom").isNull(), F.lit(False)).otherwise(check))

@@ -137,13 +137,22 @@ def bpe_apply(
 
     @pandas_udf("array<string>")
     def encode(texts: pd.Series) -> pd.Series:
+        import re
+
         cache: dict[str, list[str]] = {}
+        # ASCII \s+, empties dropped — the EXACT tokenization
+        # bpe_train's Spark side uses (Java \s is ASCII-only; Python's
+        # default str.split() is Unicode-aware and would split NBSP
+        # etc., silently segmenting words the trainer never saw)
+        ws = re.compile(r"\s+", re.ASCII)
 
         def enc(t):
             if t is None:
                 return None
             out = []
-            for w in t.lower().strip().split():
+            for w in ws.split(t.lower()):
+                if not w:
+                    continue
                 if w not in cache:
                     cache[w] = _encode_word(w, ranks)
                 out.extend(cache[w])

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lamapi_spark.functions.hashing import h48
-from lamapi_spark.ops.corpus import token_ngrams
+from lamapi_spark.ops.corpus import feature_grams
 
 DOC_SCHEMA = "doc_id bigint, text string"
 
@@ -52,9 +52,11 @@ def stream_dsir_score(
     lr_map = F.create_map(*[
         F.lit(x) for b in sorted(entries) for x in (b, entries[b])])
 
-    docs = spark.readStream.schema(schema).parquet(path)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams = F.concat(toks, token_ngrams(F.col("text"), 2))
+    # null-text documents are dropped, matching the batch scorer
+    # (whose explode of a null gram array emits no row at all)
+    docs = (spark.readStream.schema(schema).parquet(path)
+            .filter(F.col("text").isNotNull()))
+    grams = feature_grams(F.col("text"))
     micro = F.aggregate(
         F.transform(grams, lambda g: F.element_at(lr_map, h48(g) % n_buckets)),
         F.lit(0).cast("long"), lambda acc, v: acc + v)

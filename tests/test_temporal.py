@@ -279,3 +279,18 @@ def test_bloom_sketch_membership_and_merge(spark):
     merged = bloom_merge(sh, ["key"]).collect()[0].bloom
     direct = sk.collect()[0].bloom
     assert merged == direct
+
+
+def test_bloom_sketch_null_and_unseen_key_degrades(spark):
+    """A null value is ignored (not a job-killing null map key), and a
+    probe for a key with no sketch reads definitely-absent instead of
+    vanishing in the join."""
+    from lamapi_spark.ops.sketches import bloom_contains, bloom_sketch
+
+    df = spark.createDataFrame([("g", "1"), ("g", None)], "key string, v string")
+    sk = bloom_sketch(df, ["key"], "v")
+    probes = spark.createDataFrame(
+        [("g", "1"), ("h", "1")], "key string, v string")
+    got = {(r.key, r.v): r.maybe_present
+           for r in bloom_contains(sk, probes, ["key"], "v").collect()}
+    assert got == {("g", "1"): True, ("h", "1"): False}
