@@ -343,3 +343,41 @@ def semantic_dedup(
             F.bround(F.col("_m.cosine"), 6).alias("dup_cos"),
         )
     )
+
+
+def jl_project(
+    df: DataFrame, out_dims: int, dims: int = 64,
+    id_col: str = "vec_id", vec: str = "embedding", table: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dims``
+    dimensions — the standard cheap dimensionality reduction before
+    ANN or clustering (pairwise distances are preserved within
+    1 +- eps for out_dims ~ ln(N)/eps^2). The projection matrix is the
+    same md5-derived construction as the LSH hyperplanes
+    (hyperplane_bits), scaled by 1/sqrt(out_dims); keeping the dot
+    PRODUCT instead of its sign is the only difference — so the matrix
+    is deterministic, engine-reproducible, and needs no storage or
+    broadcast: every executor derives it from the expression alone.
+
+    Components sum left-to-right via the exact aggregate (bit-identical
+    across engines, like every dot product here) and emit bround'ed to
+    6 decimals. -> (id, proj array<double> of out_dims)."""
+    import math
+
+    def weight(p: int, d: int) -> Column:
+        h = F.conv(F.substring(F.md5(F.lit(f"{table}|{p}|{d}")), 1, 12),
+                   16, 10).cast("long")
+        return ((h % 2001) - 1000).cast("double") / 1000.0
+
+    scale = 1.0 / math.sqrt(out_dims)
+
+    def comp(p: int) -> Column:
+        dot = F.aggregate(
+            F.zip_with(F.col(vec),
+                       F.array(*[weight(p, d) for d in range(dims)]),
+                       lambda x, wgt: x.cast("double") * wgt),
+            F.lit(0.0), lambda acc, v: acc + v)
+        return F.bround(dot * F.lit(scale), 6)
+
+    return df.select(F.col(id_col).alias("id"),
+                     F.array(*[comp(p) for p in range(out_dims)]).alias("proj"))

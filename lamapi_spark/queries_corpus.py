@@ -426,3 +426,34 @@ def dsir_model_q(spark, sf):
                    n_buckets=_DSIR_BUCKETS)
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------------- JL random projection
+
+_JL_SCALE = 0.35355339059327373  # 1/sqrt(out_dims), identical literal in both engines
+
+@register("embed_jl_project", f"""
+WITH wts AS (
+  SELECT p,
+         list(((('0x' || substr(md5('0|' || p || '|' || d), 1, 12))::UBIGINT
+                % 2001)::BIGINT - 1000) / 1000.0 ORDER BY d) AS wvec
+  FROM range(8) pp(p), range(64) dd(d) GROUP BY p)
+SELECT e.vec_id AS id, w.p::INT AS dim,
+       round_even(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(range(1, 65), d -> e.embedding[d]::DOUBLE * w.wvec[d])),
+           (x, y) -> x + y) * {_JL_SCALE!r}, 6) AS comp
+FROM embeddings e CROSS JOIN wts w
+ORDER BY id, dim
+""")
+def embed_jl_project(spark, sf):
+    """Johnson-Lindenstrauss projection to 8 dims (ops/similarity.py:
+    jl_project): the md5-derived projection matrix, ordered-sum dots,
+    and 6-decimal components are all rebuilt by the oracle — every
+    projected coordinate of every vector is value-hash-checked."""
+    from lamapi_spark.ops.similarity import jl_project
+
+    return (
+        jl_project(load(spark, sf, "embeddings"), out_dims=8, dims=64)
+        .select("id", F.posexplode("proj").alias("dim", "comp"))
+        .orderBy("id", "dim")
+    )

@@ -562,3 +562,43 @@ def test_bm25_randomized_differential(spark):
     got = {(r.query_id, r.rank): (r.doc_id, r.score)
            for r in bm25_topk(ddf, "doc_id", "text", queries, k=k).collect()}
     assert got == want and len(want) >= 10
+
+
+def test_jl_project_preserves_distance_structure(spark):
+    """JL projection to 16 dims: pairwise squared distances of the
+    projections correlate strongly with the originals' (the JL
+    property), and the projection is a pure function of the value
+    (repartition-stable)."""
+    import numpy as np
+
+    from lamapi_spark.ops.similarity import jl_project
+
+    # clustered corpus: 8 far-apart centers, 6 tight members each —
+    # JL must keep every intra-cluster pair closer than every
+    # inter-cluster pair (distance gaps this large survive any valid
+    # projection; i.i.d.-ish distances would concentrate and tell us
+    # nothing)
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0, 10.0, (8, 64))
+    rows, cluster = [], {}
+    for c in range(8):
+        for m in range(6):
+            vid = c * 10 + m
+            v = centers[c] + rng.normal(0, 0.1, 64)
+            rows.append((vid, [float(x) for x in v]))
+            cluster[vid] = c
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = jl_project(df, out_dims=16, dims=64).collect()
+    P = {r.id: np.array(r.proj, dtype=np.float64) for r in out}
+    assert set(P) == set(cluster) and all(len(p) == 16 for p in P.values())
+
+    ids = sorted(P)
+    intra = [np.sum((P[a] - P[b]) ** 2) for a in ids for b in ids
+             if a < b and cluster[a] == cluster[b]]
+    inter = [np.sum((P[a] - P[b]) ** 2) for a in ids for b in ids
+             if a < b and cluster[a] != cluster[b]]
+    assert max(intra) < min(inter)
+
+    out2 = {r.id: list(r.proj) for r in
+            jl_project(df.repartition(7), out_dims=16, dims=64).collect()}
+    assert out2 == {i: list(P[i]) for i in P}
