@@ -395,3 +395,66 @@ def simhash60(tokens: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+
+
+def fuzzy_contamination(
+    train: DataFrame, eval_df: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    k_shingle: int = 3, n_hashes: int = 16, n_bands: int = 4,
+    threshold: float = 0.5, max_bucket: int = 1000,
+) -> DataFrame:
+    """Fuzzy cross-corpus decontamination — the near-duplicate
+    companion to corpus.contamination's exact n-gram check (paraphrased
+    or lightly edited benchmark items slip past exact grams; this is
+    the MinHash sweep the published pipelines run alongside it): flag
+    every TRAIN document whose estimated Jaccard similarity to ANY eval
+    document reaches ``threshold``.
+
+    Same machinery as minhash_lsh_pairs, but a CROSS-corpus band join
+    (train side x eval side — never train x train), so cost scales with
+    band-bucket co-occupancy, not |train| x |eval|. The verdict keeps
+    the best-matching eval doc for auditability.
+
+    -> one row per train doc with >= 1 banded eval candidate at or
+    above threshold: (doc_id, eval_id, sig_agree) — argmax by
+    (sig_agree, lowest eval_id). Clean docs emit nothing (compose with
+    a left anti-join to keep them)."""
+    rows_per_band = n_hashes // n_bands
+
+    def sigs(df, tag):
+        return (
+            df.select(F.col(id_col).alias(f"{tag}_id"),
+                      F.col(text_col).alias("text"))
+            .withColumn("sh", word_shingles("text", k_shingle))
+            .filter(F.size("sh") > 0)
+            .withColumn(f"{tag}_sig", minhash_signature(F.col("sh"), n_hashes))
+            .select(f"{tag}_id", f"{tag}_sig",
+                    F.posexplode(lsh_band_keys(F.col(f"{tag}_sig"), n_bands,
+                                               rows_per_band))
+                    .alias("band", "band_key"))
+        )
+
+    t = sigs(train, "t")
+    e = sigs(eval_df, "e")
+    if max_bucket is not None:
+        e = (e.withColumn("_bn", F.count("*").over(
+                 Window.partitionBy("band", "band_key")))
+             .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+    cand = (
+        t.join(e, ["band", "band_key"])
+        .select("t_id", "t_sig", "e_id", "e_sig")
+        .dropDuplicates(["t_id", "e_id"])
+    )
+    agree = F.size(F.filter(
+        F.zip_with("t_sig", "e_sig", lambda x, y: x == y), lambda m: m))
+    scored = (cand
+              .withColumn("sig_agree", F.bround(agree / F.size("t_sig"), 3))
+              .filter(F.col("sig_agree") >= threshold))
+    # argmax per train doc: best sig_agree, lowest eval id on ties
+    return (
+        scored.groupBy(F.col("t_id").alias("doc_id"))
+        .agg(F.max(F.struct(F.col("sig_agree"),
+                            (-F.col("e_id")).alias("ne"))).alias("_m"))
+        .select("doc_id", (-F.col("_m.ne")).alias("eval_id"),
+                F.col("_m.sig_agree").alias("sig_agree"))
+    )

@@ -2403,3 +2403,61 @@ def webp_neardup_pairs_q(spark, sf):
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------- fuzzy decontamination
+
+_FUZ_THRESH = 0.5
+
+@register("contamination_fuzzy", f"""
+WITH train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, 'zzq ' || text AS text
+  FROM documents WHERE doc_id % 11 = 0),
+ev AS (SELECT doc_id AS e_id, text FROM documents WHERE doc_id % 11 = 0),
+tsh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM train),
+esh AS (SELECT e_id, {_SHINGLES_SQL} AS sh FROM ev),
+tsig AS (SELECT doc_id, {_SIG_SQL} AS sig FROM tsh WHERE len(sh) > 0),
+esig AS (SELECT e_id, {_SIG_SQL} AS sig FROM esh WHERE len(sh) > 0),
+tb AS (SELECT doc_id, sig, unnest({_BANDS_SQL}) AS band_key,
+              unnest(range({_N_BANDS})) AS band FROM tsig),
+eb AS (SELECT e_id, sig, unnest({_BANDS_SQL}) AS band_key,
+              unnest(range({_N_BANDS})) AS band FROM esig),
+cand AS (
+  SELECT DISTINCT t.doc_id, t.sig AS t_sig, e.e_id, e.sig AS e_sig
+  FROM tb t JOIN eb e ON t.band = e.band AND t.band_key = e.band_key),
+scored AS (
+  SELECT doc_id, e_id,
+         round_even(len(list_filter(range(1, {_N_HASHES + 1}),
+                    i -> t_sig[i] = e_sig[i])) / {_N_HASHES}.0, 3) AS sig_agree
+  FROM cand),
+best AS (
+  SELECT doc_id, e_id AS eval_id, sig_agree,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sig_agree DESC, e_id) AS rn
+  FROM scored WHERE sig_agree >= {_FUZ_THRESH})
+SELECT doc_id, eval_id, sig_agree FROM best WHERE rn = 1 ORDER BY doc_id
+""")
+def contamination_fuzzy(spark, sf):
+    """Fuzzy (MinHash) decontamination (ops/dedup.py:
+    fuzzy_contamination): train docs — including PLANTED one-token
+    perturbations of every eval doc at id + 500000, which exact n-gram
+    overlap alone would under-flag — banded against the eval corpus;
+    a train doc is flagged when its best eval match reaches estimated
+    Jaccard 0.5. The oracle rebuilds both corpora's signatures, the
+    cross-corpus band join, and the per-doc argmax."""
+    from lamapi_spark.ops.dedup import fuzzy_contamination
+
+    docs = load(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 11 == 0).select("doc_id", "text")
+    tr = (docs.filter(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+          .unionByName(ev.select(
+              (F.col("doc_id") + 500000).alias("doc_id"),
+              F.concat(F.lit("zzq "), F.col("text")).alias("text"))))
+    return (
+        fuzzy_contamination(tr, ev, k_shingle=3, n_hashes=_N_HASHES,
+                            n_bands=_N_BANDS, threshold=_FUZ_THRESH,
+                            max_bucket=1_000_000)
+        .orderBy("doc_id")
+    )

@@ -602,3 +602,22 @@ def test_jl_project_preserves_distance_structure(spark):
     out2 = {r.id: list(r.proj) for r in
             jl_project(df.repartition(7), out_dims=16, dims=64).collect()}
     assert out2 == {i: list(P[i]) for i in P}
+
+
+def test_fuzzy_contamination_flags_paraphrased_eval_docs(spark):
+    from lamapi_spark.ops.dedup import fuzzy_contamination
+
+    ev = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog near the river bank"),
+         (1, "completely different benchmark question about solar panel energy storage")],
+        "doc_id bigint, text string")
+    tr = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog near the river"),  # near-dup of 0
+         (11, "unrelated training text about medieval castle architecture and stone masonry"),
+         (12, "completely different benchmark question about solar panel energy storage today")],  # near-dup of 1
+        "doc_id bigint, text string")
+    got = {r.doc_id: (r.eval_id, r.sig_agree) for r in
+           fuzzy_contamination(tr, ev, threshold=0.4).collect()}
+    assert set(got) == {10, 12}
+    assert got[10][0] == 0 and got[12][0] == 1
+    assert all(s >= 0.4 for _, s in got.values())
