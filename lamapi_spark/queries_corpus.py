@@ -457,3 +457,27 @@ def embed_jl_project(spark, sf):
         .select("id", F.posexplode("proj").alias("dim", "comp"))
         .orderBy("id", "dim")
     )
+
+
+# ------------------------------------------------ embedding generation
+
+@register("embed_generate", """
+SELECT doc_id, d::INT AS dim,
+       (((('0x' || substr(md5(d::VARCHAR || '|' || md5(text)), 1, 12))::UBIGINT
+          % 2001)::BIGINT - 1000) / 1000.0)::FLOAT AS comp
+FROM documents, range(64) dd(d)
+ORDER BY doc_id, dim
+""")
+def embed_generate(spark, sf):
+    """Batched embedding generation (ops/similarity.py:embed_texts —
+    mapInPandas, per-partition model lifecycle, explicit re-batching)
+    with the deterministic hash encoder: the oracle rebuilds every
+    component including the float32 rounding, so the Arrow plumbing's
+    output is value-hash-checked end to end."""
+    from lamapi_spark.ops.similarity import embed_texts
+
+    return (
+        embed_texts(load(spark, sf, "documents"), dims=64)
+        .select("doc_id", F.posexplode("embedding").alias("dim", "comp"))
+        .orderBy("doc_id", "dim")
+    )

@@ -621,3 +621,21 @@ def test_fuzzy_contamination_flags_paraphrased_eval_docs(spark):
     assert set(got) == {10, 12}
     assert got[10][0] == 0 and got[12][0] == 1
     assert all(s >= 0.4 for _, s in got.values())
+
+
+def test_embed_texts_plumbing(spark):
+    """The mapInPandas embedding scaffold: deterministic per-text
+    vectors (identical texts -> identical embeddings, any
+    partitioning/batch size), null degrade, and schema."""
+    from lamapi_spark.ops.similarity import embed_texts
+
+    rows = [(0, "alpha beta"), (1, "gamma"), (2, "alpha beta"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.embedding for r in embed_texts(df, dims=16).collect()}
+    assert len(got) == 4 and got[3] is None
+    assert got[0] == got[2] and got[0] != got[1]
+    assert len(got[0]) == 16 and all(-1.0 <= x <= 1.0 for x in got[0])
+    got2 = {r.doc_id: r.embedding
+            for r in embed_texts(df.repartition(3), dims=16,
+                                 batch_size=2).collect()}
+    assert got2 == got
