@@ -390,3 +390,26 @@ def dsir_model(
                         / (F.col("tr") + n_buckets).cast("double")), 6)
             .alias("lr"))
     )
+
+
+def split_by_group(
+    df: DataFrame, group_col: str, val_bp: int = 1000,
+    test_bp: int = 0, salt: str = "split0",
+) -> DataFrame:
+    """Leak-proof train/val(/test) assignment: the split is decided by
+    a hash of the GROUP key (conversation, document source, user), so
+    every row of a group lands in the same split — the guard against
+    the classic leakage bug where rows of one conversation straddle
+    train and eval. Basis points: val gets [0, val_bp), test
+    [val_bp, val_bp+test_bp), train the rest.
+
+    Pure per-row function of (group, salt) — the same auditability
+    contract as stratified_sample: no shuffle, no RNG state,
+    partition-independent, any row's verdict recomputable by anyone
+    (including the DuckDB oracle). -> input columns + ``split``."""
+    bp = sample_hash(F.col(group_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(bp < val_bp, F.lit("val"))
+        .when(bp < val_bp + test_bp, F.lit("test"))
+        .otherwise(F.lit("train")))

@@ -481,3 +481,29 @@ def embed_generate(spark, sf):
         .select("doc_id", F.posexplode("embedding").alias("dim", "comp"))
         .orderBy("doc_id", "dim")
     )
+
+
+# ------------------------------------------------- group-aware split
+
+@register("split_by_group", """
+SELECT event_id, user_id,
+       CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || '|split0'), 1, 8))::BIGINT
+                 % 10000 < 1500 THEN 'val'
+            WHEN ('0x' || substr(md5(user_id::VARCHAR || '|split0'), 1, 8))::BIGINT
+                 % 10000 < 2500 THEN 'test'
+            ELSE 'train' END AS split
+FROM events ORDER BY event_id
+""")
+def split_by_group_q(spark, sf):
+    """Leak-proof train/val/test split keyed on the GROUP hash
+    (ops/corpus.py:split_by_group) — every event of a user lands in
+    one split; the oracle recomputes every verdict from the same hash
+    coordinate."""
+    from lamapi_spark.ops.corpus import split_by_group
+
+    return (
+        split_by_group(load(spark, sf, "events"), "user_id",
+                       val_bp=1500, test_bp=1000)
+        .select("event_id", "user_id", "split")
+        .orderBy("event_id")
+    )

@@ -176,3 +176,26 @@ def test_dsir_importance_ranks_target_like_docs_higher(spark):
             for r in dsir_importance(raw.repartition(5), target.repartition(3),
                                      n_buckets=256).collect()}
     assert got == got2
+
+
+def test_split_by_group_no_leakage(spark):
+    """Every row of a group lands in ONE split; proportions are
+    roughly as requested; verdicts are partition-independent."""
+    from collections import Counter
+
+    from lamapi_spark.ops.corpus import split_by_group
+
+    rows = [(i, i % 200) for i in range(2000)]  # 200 groups x 10 rows
+    df = spark.createDataFrame(rows, "row_id bigint, grp bigint")
+    out = split_by_group(df, "grp", val_bp=1500, test_bp=1000).collect()
+    by_grp: dict = {}
+    for r in out:
+        by_grp.setdefault(r.grp, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_grp.values())  # no straddling
+    frac = Counter(next(iter(s)) for s in by_grp.values())
+    assert 0.08 < frac["val"] / 200 < 0.22       # ~15% of groups
+    assert 0.04 < frac["test"] / 200 < 0.18      # ~10%
+    out2 = {(r.row_id): r.split for r in
+            split_by_group(df.repartition(7), "grp",
+                           val_bp=1500, test_bp=1000).collect()}
+    assert out2 == {r.row_id: r.split for r in out}
