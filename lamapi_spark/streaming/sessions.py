@@ -78,6 +78,32 @@ def stream_text_stats(
     )
 
 
+def stream_quality_gate(
+    spark: SparkSession, path: str,
+    schema: str = "doc_id bigint, text string",
+) -> DataFrame:
+    """The composed Gopher-rule quality verdict as an ingest-time
+    stream — the filter a production pipeline applies to every
+    arriving document. Stateless (every rule is a pure column
+    expression over ROUNDED features, the exact expressions of the
+    batch quality_filter contract query), so any trigger/sink works
+    and verdicts are row-for-row equal to batch (tested)."""
+    from lamapi_spark.ops.textstats import repetition_features
+
+    docs = spark.readStream.schema(schema).parquet(path)
+    q = quality_features(F.col("text"))
+    rep = repetition_features(F.col("text"))
+    r_len = q["n_tokens"].between(10, 1000)
+    r_mean = q["mean_token_len"].between(2, 12)
+    r_alpha = q["alpha_ratio"] >= 0.6
+    r_dup = rep["dup_token_frac"] <= 0.8
+    return docs.select(
+        "doc_id",
+        r_len.alias("r_len"), r_mean.alias("r_mean"),
+        r_alpha.alias("r_alpha"), r_dup.alias("r_dup"),
+        (r_len & r_mean & r_alpha & r_dup).alias("keep"))
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       mode: str = "append") -> DataFrame:
     """Drain all currently-available input through the stream into an

@@ -266,3 +266,25 @@ def test_stream_dsir_score_matches_batch(spark, tmp_path):
                   for r in dsir_importance(raw, target, n_buckets=256).collect()}
     assert stream_rows == batch_rows and len(batch_rows) > 100
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_quality_gate_matches_batch(spark, tmp_path):
+    """The streaming quality gate's per-rule verdicts and keep flag
+    equal the batch quality_filter contract query row for row."""
+    import shutil
+
+    from lamapi_spark.queries import queries
+    from lamapi_spark.streaming.sessions import stream_quality_gate
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path / "docs_gate")
+    src.select("doc_id", "text").write.parquet(d)
+    got = run_available_now(stream_quality_gate(spark, d), "t_gate",
+                            mode="append")
+    stream_rows = {r.doc_id: (r.r_len, r.r_mean, r.r_alpha, r.r_dup, r.keep)
+                   for r in got.collect()}
+    batch_rows = {r.doc_id: (r.r_len, r.r_mean, r.r_alpha, r.r_dup, r.keep)
+                  for r in queries()["quality_filter"](
+                      spark, "/root/testdata/sf0.001").collect()}
+    assert stream_rows == batch_rows and len(batch_rows) == 500
+    shutil.rmtree(d, ignore_errors=True)
