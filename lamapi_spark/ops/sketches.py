@@ -1,6 +1,6 @@
 """Deterministic, mergeable sketches — the builder's-brief "novel
-sketch" custom-operator axis (reference analogue: none). Both sketches
-are chosen for ENGINE-PORTABLE determinism: identical results at any
+sketch" custom-operator axis (reference analogue: none). Every member
+is chosen for ENGINE-PORTABLE determinism: identical results at any
 parallelism, any partitioning, and exactly reproducible in the DuckDB
 SQL oracles (unlike HLL/t-digest, whose register/centroid layouts are
 engine- and merge-order-dependent).
@@ -13,6 +13,10 @@ engine- and merge-order-dependent).
 - Fixed-width histogram quantiles: the sketch is (bin, count); merge =
   counts add. Quantile estimate interpolates linearly inside the
   target bin — deterministic given only the bin width.
+- Bloom filter (membership): md5 bit draws into 32-bit words carried
+  in BIGINTs; merge = bit_or. No false negatives by construction.
+- Count-Min (frequency): md5 cell draws into a d x w BIGINT counter
+  matrix; merge = element-wise sum. Estimates never undercount.
 """
 
 from __future__ import annotations
@@ -200,6 +204,94 @@ def bloom_merge(sketches: DataFrame, keys: Sequence[str],
         .groupBy(*keys, "widx").agg(F.bit_or("_b").alias("bits"))
     )
     return _bloom_assemble(words, keys, n_words)
+
+
+def _cells_assemble(cells: DataFrame, keys: Sequence[str], n_cells: int,
+                    out_col: str) -> DataFrame:
+    """(keys, idx, cnt) -> (keys, out_col array<bigint> of n_cells),
+    zero-filling absent cells. The collect is bounded by n_cells."""
+    return (
+        cells.groupBy(*keys)
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("idx", "cnt"))).alias("_m"))
+        .select(*keys, F.transform(
+            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+            lambda i: F.coalesce(F.element_at("_m", i.cast("int")),
+                                 F.lit(0).cast("long"))).alias(out_col))
+    )
+
+
+# --------------------------------------------------------- Count-Min
+
+CMS_WIDTH = 64
+CMS_DEPTH = 4
+
+
+def _cms_positions(col, w: int, d: int) -> F.Column:
+    """Array of the value's d flat cell indexes (row r occupies
+    [r*w, (r+1)*w)): h48 of 'r|value' mod w, offset by r*w — the same
+    independent md5 draws as the Bloom positions."""
+    return F.array(*[
+        (F.lit(r * w)
+         + F.conv(F.substring(F.md5(F.concat(F.lit(f"{r}|"),
+                                             F.col(col).cast("string"))),
+                              1, 12), 16, 10).cast("long") % w)
+        for r in range(d)
+    ])
+
+
+def cms_sketch(df: DataFrame, keys: Sequence[str], col: str,
+               w: int = CMS_WIDTH, d: int = CMS_DEPTH) -> DataFrame:
+    """Per key group: a Count-Min sketch over the OCCURRENCES of
+    ``col`` (Cormode & Muthukrishnan 2005) — the FREQUENCY member of
+    the sketch family (KMV = distinct count, histogram = quantiles,
+    Bloom = membership), as a flat d*w array of BIGINT counters.
+    Deterministic and engine-portable like its siblings: cell indexes
+    are md5 draws, counters are plain sums (associative, commutative),
+    so the sketch is a pure function of the value BAG — any
+    partitioning, any engine, and merge-of-parts == sketch-of-union
+    counter-for-counter (the contract query proves it against a direct
+    global oracle). Estimates never undercount; overcount is the
+    standard collision term (expected <= n/w per row, min over d rows).
+
+    Scale shape: d-position explode -> (key, idx) count with map-side
+    combine; only <= d*w cell rows per group reach the assembling
+    collect. Null values carry no countable identity and are ignored
+    (same contract as bloom_sketch)."""
+    pos = (df.select(*keys, F.col(col).alias("_v"))
+           .filter(F.col("_v").isNotNull())
+           .select(*keys, F.explode(_cms_positions("_v", w, d)).alias("idx")))
+    cells = pos.groupBy(*keys, "idx").agg(F.count("*").alias("cnt"))
+    return _cells_assemble(cells, keys, d * w, "cms")
+
+
+def cms_merge(sketches: DataFrame, keys: Sequence[str],
+              w: int = CMS_WIDTH, d: int = CMS_DEPTH) -> DataFrame:
+    """Merge sketches down to a coarser key set: element-wise sum."""
+    cells = (
+        sketches.select(*keys, F.posexplode("cms").alias("idx", "_c"))
+        .groupBy(*keys, "idx").agg(F.sum("_c").alias("cnt"))
+    )
+    return _cells_assemble(cells, keys, d * w, "cms")
+
+
+def cms_estimate(sketches: DataFrame, probes: DataFrame,
+                 keys: Sequence[str], col: str,
+                 w: int = CMS_WIDTH, d: int = CMS_DEPTH) -> DataFrame:
+    """Attach ``est`` to each probe row: min over the d counters the
+    value hashes to — >= the true occurrence count ALWAYS (counters
+    only ever add). A probe whose key group has no sketch gets est=0
+    (definitely zero occurrences), not a dropped row."""
+    p = probes.join(sketches, list(keys), "left")
+    est = F.least(*[
+        F.element_at("cms", (F.element_at(_cms_positions(col, w, d), r + 1)
+                             ).cast("int") + 1)
+        for r in range(d)
+    ])
+    return p.withColumn(
+        "est",
+        F.when(F.col("cms").isNull(), F.lit(0).cast("long")).otherwise(est)
+    ).drop("cms")
 
 
 def bloom_contains(sketches: DataFrame, probes: DataFrame,

@@ -256,6 +256,105 @@ def sketch_hist_quantiles(spark, sf):
             .orderBy("event_type", "q"))
 
 
+_CMS_POS = " , ".join(
+    f"({r} * 64 + (('0x' || substr(md5('{r}|' || v), 1, 12))::UBIGINT % 64))::BIGINT"
+    for r in range(4))
+
+
+@register("sketch_cms_merge", f"""
+WITH occ AS (
+  SELECT event_type, user_id::VARCHAR AS v FROM events
+  WHERE user_id IS NOT NULL),
+pos AS (
+  SELECT event_type, unnest([{_CMS_POS}]) AS idx FROM occ),
+cells AS (
+  SELECT event_type, idx, count(*)::BIGINT AS cnt
+  FROM pos GROUP BY event_type, idx),
+grid AS (
+  SELECT t.event_type, r.i::INT AS i, coalesce(c.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN range(0, 256) r(i)
+  LEFT JOIN cells c ON c.event_type = t.event_type AND c.idx = r.i)
+SELECT event_type,
+       array_to_string(list(cnt::VARCHAR ORDER BY i), ',') AS cms_cells,
+       sum(cnt)::BIGINT AS cells_total
+FROM grid GROUP BY event_type ORDER BY event_type
+""")
+def sketch_cms_merge(spark, sf):
+    """Count-Min MERGEABILITY under an independent oracle (the
+    frequency member of the sketch family, ops/sketches.py:cms_sketch):
+    sketch each of 8 event_id-modulo shards separately, sum-merge to
+    event_type, and compare the merged 4x64 counter matrix CELL FOR
+    CELL against the oracle's direct global sketch — merge-of-parts
+    must be counter-identical to sketch-of-union (plain sums are
+    associative/commutative, so shard rollup is exact)."""
+    from lamapi_spark.ops.sketches import cms_merge, cms_sketch
+
+    e = load(spark, sf, "events").withColumn(
+        "shard", F.col("event_id") % F.lit(8))
+    shards = cms_sketch(e, ["event_type", "shard"], "user_id")
+    merged = cms_merge(shards, ["event_type"])
+    return (
+        merged.select(
+            "event_type",
+            F.array_join(F.transform("cms", lambda c: c.cast("string")),
+                         ",").alias("cms_cells"),
+            F.aggregate("cms", F.lit(0).cast("long"),
+                        lambda a, c: a + c).alias("cells_total"))
+        .orderBy("event_type")
+    )
+
+
+_CMS_PPOS = " , ".join(
+    f"({r} * 64 + (('0x' || substr(md5('{r}|' || user_id::VARCHAR), 1, 12))"
+    f"::UBIGINT % 64))::BIGINT"
+    for r in range(4))
+
+
+@register("sketch_cms_estimate", f"""
+WITH occ AS (
+  SELECT event_type, user_id::VARCHAR AS v FROM events
+  WHERE user_id IS NOT NULL),
+pos AS (
+  SELECT event_type, unnest([{_CMS_POS}]) AS idx FROM occ),
+cells AS (
+  SELECT event_type, idx, count(*)::BIGINT AS cnt
+  FROM pos GROUP BY event_type, idx),
+probes AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS exact
+  FROM events WHERE user_id % 101 = 0 GROUP BY event_type, user_id),
+ppos AS (
+  SELECT event_type, user_id, exact, unnest([{_CMS_PPOS}]) AS idx
+  FROM probes)
+SELECT p.event_type, p.user_id, p.exact,
+       min(coalesce(c.cnt, 0))::BIGINT AS est
+FROM ppos p
+LEFT JOIN cells c ON c.event_type = p.event_type AND c.idx = p.idx
+GROUP BY p.event_type, p.user_id, p.exact
+ORDER BY p.event_type, p.user_id
+""")
+def sketch_cms_estimate(spark, sf):
+    """Count-Min point estimates vs exact counts: probe every 101st
+    user's per-type occurrence count against the sketch. The oracle
+    rebuilds the full counter matrix AND the min-over-rows estimate;
+    the pytest twin asserts est >= exact on every row (counters only
+    ever add — the CMS one-sided error guarantee). The probe's exact
+    count rides along so the gate also pins the overcount the 4x64
+    matrix actually produces at this scale."""
+    from lamapi_spark.ops.sketches import cms_estimate, cms_sketch
+
+    e = load(spark, sf, "events")
+    sketch = cms_sketch(e, ["event_type"], "user_id")
+    probes = (e.filter(F.col("user_id") % 101 == 0)
+              .groupBy("event_type", "user_id")
+              .agg(F.count("*").alias("exact")))
+    return (
+        cms_estimate(sketch, probes, ["event_type"], "user_id")
+        .select("event_type", "user_id", "exact", "est")
+        .orderBy("event_type", "user_id")
+    )
+
+
 _BLOOM_POS = " , ".join(
     f"(('0x' || substr(md5('{i}|' || v), 1, 12))::UBIGINT % 256)::BIGINT"
     for i in range(4))

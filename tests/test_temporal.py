@@ -294,3 +294,47 @@ def test_bloom_sketch_null_and_unseen_key_degrades(spark):
     got = {(r.key, r.v): r.maybe_present
            for r in bloom_contains(sk, probes, ["key"], "v").collect()}
     assert got == {("g", "1"): True, ("h", "1"): False}
+
+
+def test_cms_sketch_estimate_and_merge(spark):
+    """Count-Min: every estimate >= the true count (one-sided error —
+    counters only ever add); with 256 cells over 8 distinct values the
+    estimates are EXACT absent collisions, so at least the total mass
+    bound holds; shard-merge equals the direct global sketch cell for
+    cell (sums are associative/commutative)."""
+    from lamapi_spark.ops.sketches import cms_estimate, cms_merge, cms_sketch
+
+    # value i appears i+1 times
+    rows = [("g", i) for i in range(8) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "key string, v bigint")
+    sk = cms_sketch(df, ["key"], "v")
+
+    probes = spark.createDataFrame(
+        [("g", i, i + 1) for i in range(8)] + [("g", 99, 0)],
+        "key string, v bigint, exact bigint")
+    got = {r.v: (r.est, r.exact)
+           for r in cms_estimate(sk, probes, ["key"], "v").collect()}
+    assert all(est >= exact for est, exact in got.values())  # never under
+    assert got[99][0] <= sum(i + 1 for i in range(8))        # bounded over
+
+    # merge-of-parts == sketch-of-union, cell for cell
+    sh = cms_sketch(df.withColumn("s", F.col("v") % 4), ["key", "s"], "v")
+    merged = cms_merge(sh, ["key"]).collect()[0].cms
+    direct = sk.collect()[0].cms
+    assert merged == direct
+
+
+def test_cms_sketch_null_and_unseen_key_degrades(spark):
+    """Null occurrences are ignored; a probe for a key with no sketch
+    reads est=0 (definitely zero occurrences), not a dropped row."""
+    from lamapi_spark.ops.sketches import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame(
+        [("g", "1"), ("g", "1"), ("g", None)], "key string, v string")
+    sk = cms_sketch(df, ["key"], "v")
+    probes = spark.createDataFrame(
+        [("g", "1"), ("h", "1")], "key string, v string")
+    got = {(r.key, r.v): r.est
+           for r in cms_estimate(sk, probes, ["key"], "v").collect()}
+    assert got[("g", "1")] == 2
+    assert got[("h", "1")] == 0
