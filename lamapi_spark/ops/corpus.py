@@ -413,3 +413,68 @@ def split_by_group(
         F.when(bp < val_bp, F.lit("val"))
         .when(bp < val_bp + test_bp, F.lit("test"))
         .otherwise(F.lit("train")))
+
+
+# ------------------------------------------------- sequence packing
+
+def pack_sequences(docs: DataFrame, seq_len: int,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   bucket_width: int = 4096) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's tokens
+    into ONE deterministic global stream (doc_id order) and cut it
+    into fixed ``seq_len`` training chunks — the standard pretraining
+    batch layout (docs cross chunk boundaries; no padding waste).
+    Token unit: the repo's BPE-ish regex count (\\w+ runs or single
+    non-space punctuation, ops/textstats.py:token_counts). Returns one
+    row per (chunk, doc) slice:
+
+      chunk_id, doc_id, doc_off (first token of the slice within the
+      doc), chunk_off (its position within the chunk), len (tokens).
+
+    Every chunk except the last covers exactly seq_len tokens; every
+    doc's slices cover exactly its tokens (pytest-pinned invariants).
+    Zero-token docs carry nothing into the stream and emit no rows.
+
+    Scale shape — the classic two-level scan (Blelloch), NOT a global
+    window (a single-task sort at 10^10 docs): (1) per-bucket token
+    totals (bucket = doc_id // bucket_width; tiny aggregate), (2) an
+    exclusive prefix sum over the bucket-totals frame — the only
+    serial step, #docs/bucket_width fixed-width rows, (3) broadcast
+    the bucket offsets back and take a WITHIN-bucket cumulative window
+    (parallel across buckets; the shuffle moves only (doc_id,
+    n_tokens) ints, never text), (4) per-doc chunk-range explode via
+    sequence() — a doc longer than seq_len spans multiple chunks with
+    no special case. Everything downstream is exact integer
+    arithmetic, so the DuckDB oracle reproduces every row."""
+    n_tok = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(r"(\w+|[^\w\s])"), 0)).cast("long")
+    d = (docs.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens"))
+         .filter(F.col("n_tokens") > 0)
+         .withColumn("bucket", F.floor(F.col("doc_id") / F.lit(bucket_width))))
+
+    per_bucket = d.groupBy("bucket").agg(F.sum("n_tokens").alias("_bn"))
+    w_pref = (Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    pref = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("_bn").over(w_pref), F.lit(0)).alias("_boff"))
+
+    w_loc = (Window.partitionBy("bucket").orderBy("doc_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    d2 = (d.join(F.broadcast(pref), "bucket")
+          .withColumn("off", F.col("_boff") + F.coalesce(
+              F.sum("n_tokens").over(w_loc), F.lit(0))))
+
+    first_c = F.floor(F.col("off") / seq_len)
+    last_c = F.floor((F.col("off") + F.col("n_tokens") - 1) / seq_len)
+    ex = d2.withColumn("chunk_id", F.explode(F.sequence(first_c, last_c)))
+    start = F.greatest(F.col("off"), F.col("chunk_id") * seq_len)
+    end = F.least(F.col("off") + F.col("n_tokens"),
+                  (F.col("chunk_id") + 1) * seq_len)
+    return ex.select(
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "doc_id",
+        (start - F.col("off")).cast("long").alias("doc_off"),
+        (start - F.col("chunk_id") * seq_len).cast("long").alias("chunk_off"),
+        (end - start).cast("long").alias("len"),
+    )

@@ -507,3 +507,43 @@ def split_by_group_q(spark, sf):
         .select("event_id", "user_id", "split")
         .orderBy("event_id")
     )
+
+
+# ----------------------------------------------------- sequence packing
+
+@register("pack_sequences", r"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '(\w+|[^\w\s])'))::BIGINT AS n
+  FROM documents),
+p AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::BIGINT AS off
+  FROM d WHERE n > 0),
+c AS (
+  SELECT doc_id, n, off,
+         unnest(generate_series(off // 256, (off + n - 1) // 256)) AS chunk_id
+  FROM p)
+SELECT chunk_id::BIGINT AS chunk_id, doc_id,
+       (greatest(off, chunk_id * 256) - off)::BIGINT AS doc_off,
+       (greatest(off, chunk_id * 256) - chunk_id * 256)::BIGINT AS chunk_off,
+       (least(off + n, (chunk_id + 1) * 256)
+        - greatest(off, chunk_id * 256))::BIGINT AS len
+FROM c ORDER BY chunk_id, doc_id
+""")
+def pack_sequences_q(spark, sf):
+    """GPT-style sequence packing (ops/corpus.py:pack_sequences):
+    concatenate all documents' tokens in doc_id order, cut into
+    256-token training chunks, one row per (chunk, doc) slice. The
+    Spark side runs the two-level distributed prefix sum (per-bucket
+    totals -> tiny exclusive scan -> broadcast back -> within-bucket
+    window); the oracle runs the single global window DuckDB can
+    afford at test scale — green means the distributed scan computes
+    EXACTLY the sequential semantics, offset for offset."""
+    from lamapi_spark.ops.corpus import pack_sequences
+
+    docs = load(spark, sf, "documents")
+    return (pack_sequences(docs, seq_len=256)
+            .orderBy("chunk_id", "doc_id"))

@@ -199,3 +199,57 @@ def test_split_by_group_no_leakage(spark):
             split_by_group(df.repartition(7), "grp",
                            val_bp=1500, test_bp=1000).collect()}
     assert out2 == {r.row_id: r.split for r in out}
+
+
+def test_pack_sequences_invariants(spark):
+    """Conservation: every chunk except the last covers exactly
+    seq_len tokens; every doc's slices cover exactly its tokens in
+    order; a doc longer than seq_len spans multiple chunks; zero-token
+    docs emit nothing; the result is partition- AND bucket-width-
+    independent (the two-level scan computes the sequential
+    semantics no matter how it is parallelized)."""
+    from lamapi_spark.ops.corpus import pack_sequences
+
+    rows = [
+        (1, "a b c d e"),            # 5 tokens
+        (2, ""),                     # 0 -> no rows
+        (3, " ".join(["t"] * 23)),   # spans >2 chunks at S=8
+        (7, "x y z"),                # 3
+        (10, "one two, three!"),     # 5 regex tokens (, and ! count)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = pack_sequences(docs, seq_len=8).collect()
+
+    assert not any(r.doc_id == 2 for r in out)
+    # per-doc conservation, contiguous doc_off
+    per_doc: dict = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.doc_off)):
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert sum(r.len for r in per_doc[1]) == 5
+    assert sum(r.len for r in per_doc[3]) == 23
+    assert sum(r.len for r in per_doc[10]) == 5
+    for slices in per_doc.values():
+        pos = 0
+        for s in slices:
+            assert s.doc_off == pos
+            pos += s.len
+    # chunk coverage: 36 tokens at S=8 -> chunks 0..3 full, chunk 4 has 4
+    per_chunk: dict = {}
+    for r in out:
+        per_chunk[r.chunk_id] = per_chunk.get(r.chunk_id, 0) + r.len
+    assert per_chunk == {0: 8, 1: 8, 2: 8, 3: 8, 4: 4}
+    assert len({r.chunk_id for r in per_doc[3]}) >= 3   # long doc spans
+    # within-chunk offsets tile the chunk
+    for cid in per_chunk:
+        ch = sorted((r for r in out if r.chunk_id == cid),
+                    key=lambda r: r.chunk_off)
+        pos = 0
+        for s in ch:
+            assert s.chunk_off == pos
+            pos += s.len
+
+    key = lambda r: (r.chunk_id, r.doc_id, r.doc_off, r.chunk_off, r.len)
+    base = sorted(map(key, out))
+    again = pack_sequences(docs.repartition(7), seq_len=8,
+                           bucket_width=2).collect()
+    assert sorted(map(key, again)) == base
