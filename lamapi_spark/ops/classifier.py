@@ -1,0 +1,130 @@
+"""Distributed linear quality-classifier training — the fastText-style
+(Joulin et al. 2016, arXiv:1607.01759) hashed bag-of-features linear
+model every production corpus pipeline trains to score documents, as
+an iterative Spark job with the SAME driver/executor split MLlib's
+LogisticRegression uses: executors compute the full-batch gradient,
+the driver applies the (n_buckets+1)-row weight step per iteration.
+
+Reference analogue: none (the reference is a lookup service) —
+builder's-brief training-data surface, tier of ops/corpus.py.
+
+Determinism protocol (the repo's micro-unit discipline, cf.
+dsir_importance): weights live on the 1e-6 grid as BIGINT micro-units,
+so every gradient aggregation is an EXACT integer sum — associative,
+commutative, overflow-safe below 2^53 micro-units per bucket (~1e9
+token occurrences per bucket at unit residuals; raise n_buckets before
+that) — and the trained weights are a pure function of the dataset:
+any partitioning, any engine. The only float ops are a fixed-order
+chain the DuckDB oracle replays literally:
+
+    z   = z_micro / 1e6                      (one correctly-rounded div)
+    p   = 0.5 + z / (2*(1+|z|))              (rational sigmoid — every
+                                              step correctly-rounded
+                                              IEEE, no exp() whose
+                                              libm rounding could
+                                              differ between engines)
+    r_u = round_even((p - y) * 1e6)          (per-doc residual, micro)
+    g_u[b] = sum_docs x[d,b] * r_u[d]        (exact BIGINT)
+    w_u[b] -= round_even(lr * g_u[b] / N)    (driver step; Python's
+                                              round() is half-even on
+                                              the identical double)
+
+The rational link replaces the logistic sigmoid for engine parity; the
+update is still a descent step on a smooth monotone link (pytest pins
+that training separates a planted corpus and that loss decreases).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lamapi_spark.ops.corpus import _hashed_features
+
+MICRO = 1_000_000.0
+
+
+def _tf_features(docs: DataFrame, id_col: str, text_col: str,
+                 n_buckets: int) -> DataFrame:
+    """(doc_id, bucket, x): hashed unigram+bigram term frequencies
+    plus an always-on intercept feature at bucket = n_buckets."""
+    tf = (_hashed_features(docs, id_col, text_col, n_buckets)
+          .groupBy("doc_id", "bucket")
+          .agg(F.count("*").cast("long").alias("x")))
+    intercept = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(n_buckets).cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("x"))
+    return tf.unionByName(intercept)
+
+
+def _p_from_zu(z_u) -> F.Column:
+    """The fixed-order float chain: micro z -> rational-sigmoid p."""
+    zd = z_u.cast("double") / F.lit(MICRO)
+    return F.lit(0.5) + zd / (F.lit(2.0) * (F.lit(1.0) + F.abs(zd)))
+
+
+def train_linear(docs: DataFrame, label_col: str,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = 64, iters: int = 2,
+                 lr: float = 0.5) -> DataFrame:
+    """Full-batch gradient descent on the hashed linear model. Returns
+    (bucket, w_micro) for buckets 0..n_buckets (last = intercept).
+
+    Scale shape per iteration: z is one (doc_id) aggregation over the
+    cached tf frame with the weights inlined as a LITERAL map (no join
+    — at the default dictionary sizes the map is tiny; above ~10^5
+    buckets switch the lookup to a broadcast join), the gradient is
+    one (bucket) aggregation, and only n_buckets+1 fixed-width rows
+    ever reach the driver (the same per-iteration driver reduction as
+    bpe_train's one-row argmax and MLlib's treeAggregate step). The tf
+    frame shuffles ONCE (persisted); iteration plans do not grow
+    because each round starts from literals, so no checkpoint chain is
+    needed."""
+    feats = _tf_features(docs, id_col, text_col, n_buckets).persist()
+    labels = docs.select(F.col(id_col).alias("doc_id"),
+                         F.col(label_col).cast("long").alias("y"))
+    n = docs.count()
+    w = {b: 0 for b in range(n_buckets + 1)}
+    try:
+        for _ in range(iters):
+            wmap = F.create_map(
+                *[F.lit(v).cast("long")
+                  for b in sorted(w) for v in (b, w[b])])
+            z = (feats
+                 .withColumn("_w", wmap[F.col("bucket")])
+                 .groupBy("doc_id")
+                 .agg(F.sum(F.col("x") * F.col("_w")).alias("z_u")))
+            r = (labels.join(z, "doc_id")
+                 .select("doc_id", F.bround(
+                     (_p_from_zu(F.col("z_u"))
+                      - F.col("y").cast("double")) * F.lit(MICRO),
+                     0).cast("long").alias("r_u")))
+            g = (feats.join(r, "doc_id")
+                 .groupBy("bucket")
+                 .agg(F.sum(F.col("x") * F.col("r_u")).alias("g_u")))
+            for row in g.collect():
+                # Python round() is HALF_EVEN on the identical IEEE
+                # double chain — bit-equal to the oracle's round_even
+                w[int(row.bucket)] -= int(round((lr * float(row.g_u)) / n))
+    finally:
+        feats.unpersist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        sorted((int(b), int(v)) for b, v in w.items()),
+        "bucket bigint, w_micro bigint")
+
+
+def score_linear(docs: DataFrame, weights: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = 64) -> DataFrame:
+    """Serve side: (doc_id, z_micro, p) for every document under a
+    trained (bucket, w_micro) table — one broadcast join against the
+    weight frame plus one (doc_id) aggregation; p repeats the
+    training-time float chain bit for bit."""
+    feats = _tf_features(docs, id_col, text_col, n_buckets)
+    z = (feats.join(F.broadcast(weights), "bucket")
+         .groupBy("doc_id")
+         .agg(F.sum(F.col("x") * F.col("w_micro")).alias("z_micro")))
+    return z.select("doc_id", "z_micro",
+                    _p_from_zu(F.col("z_micro")).alias("p"))

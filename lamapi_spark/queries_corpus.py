@@ -547,3 +547,106 @@ def pack_sequences_q(spark, sf):
     docs = load(spark, sf, "documents")
     return (pack_sequences(docs, seq_len=256)
             .orderBy("chunk_id", "doc_id"))
+
+
+# --------------------------------------------- linear classifier (GD)
+
+_CLF_BUCKETS = 64
+
+# The full two-iteration training run as CTEs: exact micro-unit BIGINT
+# gradients, the rational-sigmoid float chain in the operator's fixed
+# order, round_even everywhere Spark brounds (ops/classifier.py
+# docstring spells out the protocol). Shared by the train and score
+# gates.
+_CLF_TRAIN_SQL = rf"""
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents),
+f0 AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 12))::BIGINT % {_CLF_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, unnest(list_concat(ts,
+      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]))) AS g
+    FROM toks)),
+tf AS (
+  SELECT doc_id, bucket, count(*)::BIGINT AS x FROM f0 GROUP BY doc_id, bucket
+  UNION ALL
+  SELECT doc_id, {_CLF_BUCKETS}::BIGINT AS bucket, 1::BIGINT AS x FROM documents),
+y AS (
+  SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y
+  FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+r1 AS (
+  SELECT doc_id, round_even((0.5 - y) * 1000000.0, 0)::BIGINT AS r_u FROM y),
+g1 AS (
+  SELECT bucket, sum(tf.x * r1.r_u)::BIGINT AS g_u
+  FROM tf JOIN r1 USING (doc_id) GROUP BY bucket),
+w1 AS (
+  SELECT b.bucket,
+         -coalesce(round_even((0.5 * g1.g_u::DOUBLE) / nn.n, 0)::BIGINT, 0) AS w_u
+  FROM (SELECT unnest(generate_series(0, {_CLF_BUCKETS}))::BIGINT AS bucket) b
+  LEFT JOIN g1 USING (bucket) CROSS JOIN nn),
+z2 AS (
+  SELECT tf.doc_id, sum(tf.x * w1.w_u)::BIGINT AS z_u
+  FROM tf JOIN w1 USING (bucket) GROUP BY tf.doc_id),
+p2 AS (
+  SELECT y.doc_id, y.y,
+         0.5 + (z2.z_u::DOUBLE / 1000000.0)
+             / (2.0 * (1.0 + abs(z2.z_u::DOUBLE / 1000000.0))) AS p
+  FROM y JOIN z2 USING (doc_id)),
+r2 AS (
+  SELECT doc_id, round_even((p - y) * 1000000.0, 0)::BIGINT AS r_u FROM p2),
+g2 AS (
+  SELECT bucket, sum(tf.x * r2.r_u)::BIGINT AS g_u
+  FROM tf JOIN r2 USING (doc_id) GROUP BY bucket),
+w2 AS (
+  SELECT w1.bucket,
+         w1.w_u - coalesce(round_even((0.5 * g2.g_u::DOUBLE) / nn.n, 0)::BIGINT, 0)
+           AS w_micro
+  FROM w1 LEFT JOIN g2 USING (bucket) CROSS JOIN nn)
+"""
+
+
+@register("classifier_train", f"""
+WITH {_CLF_TRAIN_SQL}
+SELECT bucket, w_micro FROM w2 ORDER BY bucket
+""")
+def classifier_train_q(spark, sf):
+    """Two full-batch GD iterations of the hashed linear classifier
+    (ops/classifier.py:train_linear) on the is-English label — the
+    oracle replays BOTH iterations CTE by CTE: exact integer
+    gradients, the rational-sigmoid chain, every half-even round.
+    Green means the distributed training run is bit-reproducible in a
+    second engine — the strongest determinism claim in the repo's
+    discipline, now covering an ITERATIVE learner."""
+    from lamapi_spark.ops.classifier import train_linear
+
+    docs = load(spark, sf, "documents").withColumn(
+        "y", F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)))
+    return (train_linear(docs, "y", n_buckets=_CLF_BUCKETS, iters=2)
+            .orderBy("bucket"))
+
+
+@register("classifier_score", f"""
+WITH {_CLF_TRAIN_SQL},
+zs AS (
+  SELECT tf.doc_id, sum(tf.x * w2.w_micro)::BIGINT AS z_micro
+  FROM tf JOIN w2 USING (bucket) GROUP BY tf.doc_id)
+SELECT doc_id, z_micro,
+       0.5 + (z_micro::DOUBLE / 1000000.0)
+           / (2.0 * (1.0 + abs(z_micro::DOUBLE / 1000000.0))) AS p
+FROM zs ORDER BY doc_id
+""")
+def classifier_score_q(spark, sf):
+    """Serve side of the trained classifier (ops/classifier.py:
+    score_linear): every document's micro-unit margin and
+    rational-sigmoid probability under the two-iteration weights,
+    hash-checked INCLUDING the final doubles (the float chain is the
+    training one, fixed order)."""
+    from lamapi_spark.ops.classifier import score_linear, train_linear
+
+    docs = load(spark, sf, "documents").withColumn(
+        "y", F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)))
+    w = train_linear(docs, "y", n_buckets=_CLF_BUCKETS, iters=2)
+    return (score_linear(docs, w, n_buckets=_CLF_BUCKETS)
+            .orderBy("doc_id"))

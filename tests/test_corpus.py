@@ -253,3 +253,44 @@ def test_pack_sequences_invariants(spark):
     again = pack_sequences(docs.repartition(7), seq_len=8,
                            bucket_width=2).collect()
     assert sorted(map(key, again)) == base
+
+
+def test_train_linear_learns_and_is_partition_independent(spark):
+    """On a planted separable corpus (positive docs speak one
+    vocabulary, negative docs another) the two-iteration weights
+    separate the classes; more iterations widen the margin; and the
+    trained weights are EXACTLY partition-independent (the micro-unit
+    protocol — gradients are integer sums)."""
+    from lamapi_spark.ops.classifier import score_linear, train_linear
+
+    pos_words = ["alpha", "beta", "gamma", "delta"]
+    neg_words = ["omega", "sigma", "kappa", "theta"]
+    rows = []
+    for i in range(120):
+        ws = pos_words if i % 2 == 0 else neg_words
+        rows.append((i, " ".join(ws[j % 4] for j in range(i % 5 + 3)),
+                     1 if i % 2 == 0 else 0))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, y bigint")
+
+    w2 = train_linear(docs, "y", n_buckets=32, iters=2)
+    scored = {r.doc_id: r.p for r in
+              score_linear(docs, w2, n_buckets=32).collect()}
+    acc = sum((scored[i] > 0.5) == (i % 2 == 0) for i in range(120)) / 120
+    assert acc >= 0.95
+
+    # margin grows with iterations (still descending)
+    w6 = train_linear(docs, "y", n_buckets=32, iters=6)
+    s6 = {r.doc_id: r.p for r in
+          score_linear(docs, w6, n_buckets=32).collect()}
+    margin2 = sum(s if i % 2 == 0 else 1 - s
+                  for i, s in scored.items()) / 120
+    margin6 = sum(s if i % 2 == 0 else 1 - s
+                  for i, s in s6.items()) / 120
+    assert margin6 > margin2
+
+    # exact partition independence of the trained weights
+    a = sorted(tuple(r) for r in w2.collect())
+    b = sorted(tuple(r) for r in
+               train_linear(docs.repartition(13), "y",
+                            n_buckets=32, iters=2).collect())
+    assert a == b
