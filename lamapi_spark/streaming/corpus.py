@@ -1,5 +1,6 @@
-"""Streaming twin of the DSIR importance scorer — the quality gate a
-production ingest pipeline runs on every incoming document.
+"""Streaming twins of the offline-trained document scorers (DSIR
+importance, linear classifier) — the quality gates a production
+ingest pipeline runs on every incoming document.
 
 The same offline-state/online-probe split as the as-of serve twin and
 the streaming KG link index: `ops/corpus.dsir_model` collapses both
@@ -65,4 +66,42 @@ def stream_dsir_score(
         F.size(grams).cast("long").alias("n_feats"),
         (micro.cast("double") / F.lit(1_000_000.0).cast("double"))
         .alias("log_ratio"),
+    )
+
+
+def stream_classifier_score(
+    spark: SparkSession, path: str, weights: DataFrame,
+    n_buckets: int = 64, schema: str = DOC_SCHEMA,
+) -> DataFrame:
+    """Streaming serve twin of ops/classifier.score_linear: score each
+    incoming document against a trained (bucket, w_micro) table with
+    ZERO streaming state — the weights (n_buckets+1 rows BY
+    CONSTRUCTION, hashed feature space + intercept) become a map
+    literal and the per-doc margin is an in-array BIGINT fold over the
+    feature occurrences, exactly the integer sum the batch tf-frame
+    aggregation computes (x * w == w summed per occurrence). The
+    rational-sigmoid chain then repeats the training-time float ops in
+    the same order, so stream == batch row for row INCLUDING the
+    doubles (tested). Null-text docs score the bare intercept, same as
+    the batch intercept-only tf row."""
+    entries = {int(r["bucket"]): int(r["w_micro"]) for r in weights.collect()}
+    if len(entries) != n_buckets + 1:
+        raise ValueError(
+            f"weights cover {len(entries)} of {n_buckets + 1} buckets — "
+            "train with ops/classifier.train_linear (all-bucket coverage)")
+    w_map = F.create_map(*[
+        F.lit(x) for b in sorted(entries) for x in (b, entries[b])])
+
+    docs = spark.readStream.schema(schema).parquet(path)
+    grams = feature_grams(F.col("text"))
+    fold = F.aggregate(
+        F.transform(grams, lambda g: F.element_at(w_map, h48(g) % n_buckets)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    z_micro = (F.coalesce(fold, F.lit(0).cast("long"))
+               + F.lit(entries[n_buckets]).cast("long"))
+    zd = z_micro.cast("double") / F.lit(1_000_000.0)
+    return docs.select(
+        "doc_id",
+        z_micro.alias("z_micro"),
+        (F.lit(0.5) + zd / (F.lit(2.0) * (F.lit(1.0) + F.abs(zd)))).alias("p"),
     )

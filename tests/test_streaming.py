@@ -288,3 +288,31 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path):
                       spark, "/root/testdata/sf0.001").collect()}
     assert stream_rows == batch_rows and len(batch_rows) == 500
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_classifier_score_matches_batch(spark, tmp_path):
+    """The stateless streaming classifier scorer (trained weights as a
+    map literal -> in-array micro-unit fold) equals the batch
+    score_linear row for row including the final doubles — the
+    occurrence-wise integer sum is the same number as the tf-frame's
+    x*w aggregation, and the sigmoid chain repeats the same IEEE
+    ops."""
+    import shutil
+
+    from lamapi_spark.ops.classifier import score_linear, train_linear
+    from lamapi_spark.streaming.corpus import stream_classifier_score
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .withColumn("y", (F.col("lang") == "en").cast("bigint")))
+    d = str(tmp_path / "docs_clf")
+    docs.select("doc_id", "text").write.parquet(d)
+
+    w = train_linear(docs, "y", n_buckets=64, iters=2)
+    got = run_available_now(
+        stream_classifier_score(spark, d, w, n_buckets=64),
+        "t_clf", mode="append")
+    stream_rows = {r.doc_id: (r.z_micro, r.p) for r in got.collect()}
+    batch_rows = {r.doc_id: (r.z_micro, r.p)
+                  for r in score_linear(docs, w, n_buckets=64).collect()}
+    assert stream_rows == batch_rows and len(batch_rows) > 100
+    shutil.rmtree(d, ignore_errors=True)
