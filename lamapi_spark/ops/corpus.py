@@ -478,3 +478,32 @@ def pack_sequences(docs: DataFrame, seq_len: int,
         (start - F.col("chunk_id") * seq_len).cast("long").alias("chunk_off"),
         (end - start).cast("long").alias("len"),
     )
+
+
+def pack_chunks(docs: DataFrame, seq_len: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                bucket_width: int = 4096) -> DataFrame:
+    """Materialize the packed training sequences themselves:
+    (chunk_id, n_docs, tokens array<string>) — each chunk's seq_len
+    tokens assembled from the pack_sequences slice map. The join back
+    to text is by doc_id (no text ever rides the prefix-sum shuffle);
+    each doc is tokenized ONCE and sliced per overlapping chunk, and
+    the per-chunk assembly is a sort_array(collect_list) over at most
+    seq_len tokens' worth of slices — bounded state per group by
+    construction (a chunk holds exactly seq_len tokens, however many
+    docs contribute)."""
+    slices = pack_sequences(docs, seq_len, id_col=id_col,
+                            text_col=text_col, bucket_width=bucket_width)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(F.col(text_col),
+                             F.lit(r"(\w+|[^\w\s])"), 0).alias("_toks"))
+    j = (slices.join(toks, "doc_id")
+         .select("chunk_id", "chunk_off", "len",
+                 F.slice("_toks", F.col("doc_off").cast("int") + 1,
+                         F.col("len").cast("int")).alias("_part")))
+    return (j.groupBy("chunk_id")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.flatten(F.sort_array(F.collect_list(
+                     F.struct("chunk_off", "_part"))).getField("_part"))
+                 .alias("tokens")))

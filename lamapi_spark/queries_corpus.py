@@ -511,8 +511,11 @@ def split_by_group_q(spark, sf):
 
 # ----------------------------------------------------- sequence packing
 
-@register("pack_sequences", r"""
-WITH d AS (
+# The sequential-semantics reconstruction of pack_sequences: global
+# window prefix sum in doc_id order, chunk-range unnest, integer slice
+# arithmetic. Shared by the slice-map and materialized-chunk gates.
+_PACK_SQL = r"""
+d AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '(\w+|[^\w\s])'))::BIGINT AS n
   FROM documents),
@@ -526,6 +529,11 @@ c AS (
   SELECT doc_id, n, off,
          unnest(generate_series(off // 256, (off + n - 1) // 256)) AS chunk_id
   FROM p)
+"""
+
+
+@register("pack_sequences", f"""
+WITH {_PACK_SQL}
 SELECT chunk_id::BIGINT AS chunk_id, doc_id,
        (greatest(off, chunk_id * 256) - off)::BIGINT AS doc_off,
        (greatest(off, chunk_id * 256) - chunk_id * 256)::BIGINT AS chunk_off,
@@ -650,3 +658,38 @@ def classifier_score_q(spark, sf):
     w = train_linear(docs, "y", n_buckets=_CLF_BUCKETS, iters=2)
     return (score_linear(docs, w, n_buckets=_CLF_BUCKETS)
             .orderBy("doc_id"))
+
+
+@register("pack_chunks", rf"""
+WITH {_PACK_SQL},
+tok AS (
+  SELECT doc_id, regexp_extract_all(text, '(\w+|[^\w\s])') AS toks
+  FROM documents),
+parts AS (
+  SELECT c.chunk_id,
+         greatest(c.off, c.chunk_id * 256) - c.chunk_id * 256 AS chunk_off,
+         list_slice(t.toks,
+                    (greatest(c.off, c.chunk_id * 256) - c.off + 1)::INT,
+                    (least(c.off + c.n, (c.chunk_id + 1) * 256) - c.off)::INT)
+           AS part
+  FROM c JOIN tok t USING (doc_id))
+SELECT chunk_id::BIGINT AS chunk_id, count(*)::BIGINT AS n_docs,
+       array_to_string(flatten(list(part ORDER BY chunk_off)), ' ')
+         AS chunk_text
+FROM parts GROUP BY chunk_id ORDER BY chunk_id
+""")
+def pack_chunks_q(spark, sf):
+    """The materialized packed sequences (ops/corpus.py:pack_chunks):
+    every 256-token training chunk's actual token stream, assembled
+    from the slice map — text joins back by doc_id only (never rides
+    the prefix-sum shuffle), per-chunk state is bounded at seq_len
+    tokens by construction. Rendered as a space-joined string (regex
+    tokens contain no whitespace) so the gate hashes every token in
+    order."""
+    from lamapi_spark.ops.corpus import pack_chunks
+
+    docs = load(spark, sf, "documents")
+    return (pack_chunks(docs, seq_len=256)
+            .select("chunk_id", "n_docs",
+                    F.array_join("tokens", " ").alias("chunk_text"))
+            .orderBy("chunk_id"))
