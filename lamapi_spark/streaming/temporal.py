@@ -110,3 +110,25 @@ def stream_latest_state(
             F.col("_last.value").alias("last_value"),
         )
     )
+
+
+def stream_cms_cells(
+    spark: SparkSession, path: str, keys: tuple[str, ...], col: str,
+    schema: str, w: int = 64, d: int = 4,
+) -> DataFrame:
+    """Streaming Count-Min maintenance (the frequency sketch of
+    ops/sketches.py as a live aggregation): each arriving row adds 1
+    to its d cells, so the running (keys..., idx, cnt) state IS the
+    sketch, kept incrementally. State is bounded at keys x d*w cells
+    BY CONSTRUCTION — the whole point of sketching — so no watermark
+    is needed and the aggregation never grows past the sketch size.
+    Counter sums are commutative, so ANY drain of the stream equals
+    the batch cms_sketch cell for cell (tested); _cells_assemble on a
+    drained cut yields the identical array form for cms_merge /
+    cms_estimate."""
+    from lamapi_spark.ops.sketches import _cms_positions
+
+    src = (spark.readStream.schema(schema).parquet(path)
+           .filter(F.col(col).isNotNull()))
+    pos = src.select(*keys, F.explode(_cms_positions(col, w, d)).alias("idx"))
+    return pos.groupBy(*keys, "idx").agg(F.count("*").alias("cnt"))

@@ -316,3 +316,29 @@ def test_stream_classifier_score_matches_batch(spark, tmp_path):
                   for r in score_linear(docs, w, n_buckets=64).collect()}
     assert stream_rows == batch_rows and len(batch_rows) > 100
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_cms_cells_matches_batch(spark, tmp_path):
+    """The streaming Count-Min cell state, drained at any point,
+    equals the batch sketch cell for cell — counter sums are
+    commutative, and the state is bounded at keys x d*w cells by
+    construction."""
+    import shutil
+
+    from lamapi_spark.ops.sketches import cms_sketch
+    from lamapi_spark.streaming.temporal import stream_cms_cells
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "events_cms")
+    ev.select("event_type", "user_id").write.parquet(d)
+
+    got = run_available_now(
+        stream_cms_cells(spark, d, ("event_type",), "user_id",
+                         schema="event_type string, user_id bigint"),
+        "t_cms", mode="complete")
+    stream_cells = {(r.event_type, r.idx): r.cnt for r in got.collect()}
+
+    batch = cms_sketch(ev, ["event_type"], "user_id").collect()
+    batch_cells = {(r.event_type, i): c
+                   for r in batch for i, c in enumerate(r.cms) if c > 0}
+    assert stream_cells == batch_cells and len(batch_cells) > 100
