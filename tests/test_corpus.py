@@ -294,3 +294,96 @@ def test_train_linear_learns_and_is_partition_independent(spark):
                train_linear(docs.repartition(13), "y",
                             n_buckets=32, iters=2).collect())
     assert a == b
+
+
+def test_pack_sequences_randomized_differential(spark):
+    """Seeded random corpora (sparse ids, zero-token docs, docs much
+    longer than seq_len) through pack_sequences vs an INDEPENDENT
+    sequential Python packer — every offset, slice, and chunk
+    assignment must match at random bucket widths."""
+    import random
+
+    from lamapi_spark.ops.corpus import pack_sequences
+
+    rng = random.Random(20260818)
+    for trial in range(4):
+        seq_len = rng.choice([4, 8, 16])
+        bucket_width = rng.choice([1, 2, 7, 64])
+        ids = rng.sample(range(0, 5000), 60)
+        docs = [(i, " ".join("t%d" % j for j in range(rng.randint(0, 40))))
+                for i in ids]
+
+        expected, off = [], 0
+        for did, text in sorted(docs):
+            n = len(text.split()) if text else 0
+            if n <= 0:
+                continue
+            for c in range(off // seq_len, (off + n - 1) // seq_len + 1):
+                s, e = max(off, c * seq_len), min(off + n, (c + 1) * seq_len)
+                expected.append((c, did, s - off, s - c * seq_len, e - s))
+            off += n
+
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = sorted((r.chunk_id, r.doc_id, r.doc_off, r.chunk_off, r.len)
+                     for r in pack_sequences(df, seq_len,
+                                             bucket_width=bucket_width)
+                     .collect())
+        assert got == sorted(expected), f"trial {trial}"
+
+
+def test_train_linear_randomized_differential(spark):
+    """Seeded random corpora through train_linear vs an INDEPENDENT
+    pure-Python implementation of the protocol (re + hashlib + floats
+    in the documented order) — the trained micro-unit weights must be
+    IDENTICAL, iteration for iteration. This is the cross-
+    implementation check on the whole numeric chain (hashing, tf,
+    residual rounding, gradient sums, driver step)."""
+    import hashlib
+    import random
+    import re as _re
+
+    from lamapi_spark.ops.classifier import train_linear
+
+    def ref_train(docs, labels, m, iters, lr):
+        tf: dict = {}
+        for did, text in docs:
+            toks = _re.split(r"\s+", text.strip().lower()) if text else [""]
+            grams = list(toks)
+            grams += [toks[i] + " " + toks[i + 1]
+                      for i in range(len(toks) - 1)]
+            for g in grams:
+                b = int(hashlib.md5(g.encode()).hexdigest()[:12], 16) % m
+                tf[(did, b)] = tf.get((did, b), 0) + 1
+            tf[(did, m)] = 1
+        n = len(docs)
+        w = {b: 0 for b in range(m + 1)}
+        for _ in range(iters):
+            r_u = {}
+            for did, _text in docs:
+                z_u = sum(x * w[b] for (d2, b), x in tf.items() if d2 == did)
+                zd = float(z_u) / 1e6
+                p = 0.5 + zd / (2.0 * (1.0 + abs(zd)))
+                r_u[did] = round((p - float(labels[did])) * 1e6)
+            g = {b: 0 for b in range(m + 1)}
+            for (did, b), x in tf.items():
+                g[b] += x * r_u[did]
+            for b in g:
+                w[b] -= round((lr * float(g[b])) / n)
+        return w
+
+    rng = random.Random(42)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    for trial in range(3):
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(1, 12))))
+                for i in range(40)]
+        labels = {i: rng.randint(0, 1) for i in range(40)}
+        m, iters = rng.choice([8, 16]), rng.choice([1, 2, 3])
+
+        df = spark.createDataFrame(
+            [(i, t, labels[i]) for i, t in docs],
+            "doc_id bigint, text string, y bigint")
+        got = {r.bucket: r.w_micro
+               for r in train_linear(df, "y", n_buckets=m,
+                                     iters=iters).collect()}
+        assert got == ref_train(docs, labels, m, iters, 0.5), f"trial {trial}"
