@@ -64,23 +64,37 @@ def _p_from_zu(z_u) -> F.Column:
     return F.lit(0.5) + zd / (F.lit(2.0) * (F.lit(1.0) + F.abs(zd)))
 
 
+# Above this many buckets the per-iteration weight lookup switches
+# from a literal map (zero-shuffle, but the map rides the PLAN — fine
+# for hashed dictionaries, absurd at millions of buckets) to a
+# broadcast join against a driver-built weight frame. Both arms
+# compute the identical integer sums (tested bit-equal).
+WEIGHTS_MAP_CAP = 65_536
+
+
 def train_linear(docs: DataFrame, label_col: str,
                  id_col: str = "doc_id", text_col: str = "text",
                  n_buckets: int = 64, iters: int = 2,
-                 lr: float = 0.5) -> DataFrame:
+                 lr: float = 0.5,
+                 weights_via_join: bool | None = None) -> DataFrame:
     """Full-batch gradient descent on the hashed linear model. Returns
     (bucket, w_micro) for buckets 0..n_buckets (last = intercept).
 
     Scale shape per iteration: z is one (doc_id) aggregation over the
-    cached tf frame with the weights inlined as a LITERAL map (no join
-    — at the default dictionary sizes the map is tiny; above ~10^5
-    buckets switch the lookup to a broadcast join), the gradient is
-    one (bucket) aggregation, and only n_buckets+1 fixed-width rows
-    ever reach the driver (the same per-iteration driver reduction as
-    bpe_train's one-row argmax and MLlib's treeAggregate step). The tf
-    frame shuffles ONCE (persisted); iteration plans do not grow
-    because each round starts from literals, so no checkpoint chain is
+    cached tf frame with the weights inlined as a LITERAL map (no
+    join) while n_buckets <= WEIGHTS_MAP_CAP, else as a broadcast join
+    against the (n_buckets+1)-row weight frame — auto-picked from the
+    KNOWN cardinality, the same estimate-proof gate discipline as
+    pipeline/mentions.py; the gradient is one (bucket) aggregation,
+    and only n_buckets+1 fixed-width rows ever reach the driver (the
+    same per-iteration driver reduction as bpe_train's one-row argmax
+    and MLlib's treeAggregate step). The tf frame shuffles ONCE
+    (persisted); iteration plans do not grow because each round
+    starts from driver-held weights, so no checkpoint chain is
     needed."""
+    spark = docs.sparkSession
+    if weights_via_join is None:
+        weights_via_join = n_buckets > WEIGHTS_MAP_CAP
     feats = _tf_features(docs, id_col, text_col, n_buckets).persist()
     labels = docs.select(F.col(id_col).alias("doc_id"),
                          F.col(label_col).cast("long").alias("y"))
@@ -88,11 +102,16 @@ def train_linear(docs: DataFrame, label_col: str,
     w = {b: 0 for b in range(n_buckets + 1)}
     try:
         for _ in range(iters):
-            wmap = F.create_map(
-                *[F.lit(v).cast("long")
-                  for b in sorted(w) for v in (b, w[b])])
-            z = (feats
-                 .withColumn("_w", wmap[F.col("bucket")])
+            if weights_via_join:
+                wdf = spark.createDataFrame(
+                    sorted(w.items()), "bucket bigint, _w bigint")
+                withw = feats.join(F.broadcast(wdf), "bucket")
+            else:
+                wmap = F.create_map(
+                    *[F.lit(v).cast("long")
+                      for b in sorted(w) for v in (b, w[b])])
+                withw = feats.withColumn("_w", wmap[F.col("bucket")])
+            z = (withw
                  .groupBy("doc_id")
                  .agg(F.sum(F.col("x") * F.col("_w")).alias("z_u")))
             r = (labels.join(z, "doc_id")

@@ -387,3 +387,20 @@ def test_train_linear_randomized_differential(spark):
                for r in train_linear(df, "y", n_buckets=m,
                                      iters=iters).collect()}
         assert got == ref_train(docs, labels, m, iters, 0.5), f"trial {trial}"
+
+
+def test_train_linear_join_arm_bit_equal(spark):
+    """The broadcast-join weight arm (the >WEIGHTS_MAP_CAP plan a
+    million-bucket model runs) produces bit-identical weights to the
+    literal-map arm — both compute the same exact integer sums."""
+    from lamapi_spark.ops.classifier import train_linear
+
+    rows = [(i, "w%d x%d y" % (i % 9, i % 4), i % 2) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, y bigint")
+    a = sorted(tuple(r) for r in
+               train_linear(df, "y", n_buckets=16, iters=3,
+                            weights_via_join=False).collect())
+    b = sorted(tuple(r) for r in
+               train_linear(df, "y", n_buckets=16, iters=3,
+                            weights_via_join=True).collect())
+    assert a == b
