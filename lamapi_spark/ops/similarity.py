@@ -258,7 +258,15 @@ def ivf_ann_topk(
 
     inv = (c.join(ivf_assign(c, centroids), "id")
            .select(F.col("id").alias("n_id"), F.col("v").alias("n_vec"), "cell"))
+    return _ivf_probe(q, centroids, inv, k=k, n_probe=n_probe)
 
+
+def _ivf_probe(q: DataFrame, centroids: DataFrame, inv: DataFrame,
+               k: int, n_probe: int) -> DataFrame:
+    """The probe stage shared by the in-memory and artifact IVF paths:
+    rank cells per query against the (broadcast) centroid frame, keep
+    n_probe, scan the inverted file on the cell key, exact ranked
+    cosine. q = (id, v); inv = (n_id, n_vec, cell)."""
     probe_scored = (
         q.join(F.broadcast(centroids), how="cross")
         .withColumn("_cos", cosine_exact(F.col("v"), F.col("c_vec")))
@@ -437,3 +445,126 @@ def embed_texts(
     return (docs.select(F.col(id_col).alias("doc_id"),
                         F.col(text_col).alias("text"))
             .mapInPandas(gen, schema=schema))
+
+
+# ------------------------------------------------- IVF artifact path
+
+class IvfIndex:
+    """Persisted IVF structure — the embedding-side sibling of the
+    lookup artifacts (operators/indexes.py LookupIndex): build the
+    inverted file ONCE offline, probe it from any later session. The
+    FAISS train/add vs search split, on Spark tables.
+
+    Artifacts: ``<prefix>_inv`` — (n_id, n_vec, cell) bucketed+sorted
+    on the cell key, so every probe join reads pre-distributed buckets
+    (no corpus-side shuffle, same discipline as the lookup index);
+    ``<prefix>_centroids`` — the n_cells medoid rows (tiny, broadcast
+    by every consumer); ``<prefix>_meta`` — 1-row build-param sidecar
+    (n_cells, n_buckets, n_vecs, source_fp) validated on load, exactly
+    the stale-artifact guard the lookup index carries. Floats
+    round-trip parquet bit-exactly, so a loaded probe is bit-equal to
+    the in-memory ivf_ann_topk (tested, incl. across a process
+    restart)."""
+
+    def __init__(self, centroids: DataFrame, inv: DataFrame,
+                 n_cells: int, n_buckets: int | None = None,
+                 n_vecs: int | None = None):
+        self.centroids = centroids
+        self.inv = inv
+        self.n_cells = n_cells
+        self.n_buckets = n_buckets
+        self.n_vecs = n_vecs
+
+    @staticmethod
+    def write(corpus: DataFrame, prefix: str = "lamapi_ivf",
+              n_cells: int = 8, n_buckets: int = 16,
+              corpus_id: str = "vec_id", vec: str = "embedding",
+              overwrite: bool = True,
+              source_fp: str | None = None) -> "IvfIndex":
+        """Materialize the inverted file (offline index build). Size
+        ``n_buckets`` to >= the cluster's total cores — a bucket is
+        one probe task."""
+        spark = corpus.sparkSession
+        c = corpus.select(F.col(corpus_id).alias("id"), F.col(vec).alias("v"))
+        centroids = medoid_centroids(c, n_cells)
+        inv = (c.join(ivf_assign(c, centroids), "id")
+               .select(F.col("id").alias("n_id"),
+                       F.col("v").alias("n_vec"), "cell"))
+        mode = "overwrite" if overwrite else "errorifexists"
+        (inv.write.mode(mode).format("parquet")
+         .bucketBy(n_buckets, "cell").sortBy("cell")
+         .saveAsTable(f"{prefix}_inv"))
+        (centroids.write.mode(mode).format("parquet")
+         .saveAsTable(f"{prefix}_centroids"))
+        n_vecs = spark.table(f"{prefix}_inv").count()
+        meta = spark.createDataFrame(
+            [(int(n_cells), int(n_buckets), int(n_vecs), source_fp)],
+            "n_cells int, n_buckets int, n_vecs bigint, source_fp string")
+        (meta.write.mode("overwrite").format("parquet")
+         .saveAsTable(f"{prefix}_meta"))
+        return IvfIndex.load(spark, prefix)
+
+    @staticmethod
+    def read_meta(spark, prefix: str = "lamapi_ivf") -> dict | None:
+        """The persisted build parameters, or None when absent/empty
+        (a crash between the data and meta writes leaves an empty meta
+        table — treated as meta-absent so callers rebuild instead of
+        raising, cf. LookupIndex.read_meta)."""
+        if not spark.catalog.tableExists(f"{prefix}_meta"):
+            return None
+        r = spark.table(f"{prefix}_meta").head()
+        if r is None:
+            return None
+        return {"n_cells": r.n_cells, "n_buckets": r.n_buckets,
+                "n_vecs": r.n_vecs, "source_fp": r.source_fp}
+
+    @staticmethod
+    def load(spark, prefix: str = "lamapi_ivf",
+             n_cells: int | None = None) -> "IvfIndex":
+        """Load saved artifacts; an explicitly passed n_cells is
+        validated against the sidecar (a mismatch silently changes
+        recall — same footgun class as the lookup index's
+        limit_per_token)."""
+        meta = IvfIndex.read_meta(spark, prefix)
+        if meta is None:
+            raise ValueError(
+                f"IVF artifact '{prefix}' has no _meta sidecar; rebuild "
+                "with IvfIndex.write")
+        if n_cells is not None and n_cells != meta["n_cells"]:
+            raise ValueError(
+                f"IVF artifact '{prefix}' was built with n_cells="
+                f"{meta['n_cells']}, requested {n_cells}; rebuild or "
+                "drop the argument")
+        return IvfIndex(
+            centroids=spark.table(f"{prefix}_centroids"),
+            inv=spark.table(f"{prefix}_inv"),
+            n_cells=meta["n_cells"], n_buckets=meta["n_buckets"],
+            n_vecs=meta["n_vecs"])
+
+    @staticmethod
+    def exists(spark, prefix: str = "lamapi_ivf",
+               n_cells: int | None = None,
+               source_fp: str | None = None) -> bool:
+        """True when a loadable artifact with compatible build params
+        exists; a requested source_fp must equal the persisted corpus
+        fingerprint (an artifact without one is incompatible — the
+        stale-corpus guard, cf. LookupIndex.exists)."""
+        meta = IvfIndex.read_meta(spark, prefix)
+        if meta is None:
+            return False
+        if n_cells is not None and meta["n_cells"] != n_cells:
+            return False
+        if source_fp is not None and meta["source_fp"] != source_fp:
+            return False
+        return all(spark.catalog.tableExists(f"{prefix}_{t}")
+                   for t in ("inv", "centroids"))
+
+    def probe(self, queries: DataFrame, k: int = 3, n_probe: int = 2,
+              query_id: str = "vec_id", vec: str = "embedding") -> DataFrame:
+        """Search the persisted structure: identical semantics (and
+        bits) to ivf_ann_topk over the same corpus — the probe join
+        reads the bucketed inverted file with no corpus-side
+        shuffle."""
+        q = queries.select(F.col(query_id).alias("id"), F.col(vec).alias("v"))
+        return _ivf_probe(q, self.centroids, self.inv,
+                          k=k, n_probe=n_probe)

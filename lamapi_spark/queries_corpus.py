@@ -693,3 +693,23 @@ def pack_chunks_q(spark, sf):
             .select("chunk_id", "n_docs",
                     F.array_join("tokens", " ").alias("chunk_text"))
             .orderBy("chunk_id"))
+
+
+@register("embed_ann_ivf_indexed", _IVF_SQL)
+def embed_ann_ivf_indexed(spark, sf):
+    """The ARTIFACT IVF plan under the same oracle as embed_ann_ivf:
+    build the persisted inverted file (bucketed on the cell key, _meta
+    sidecar) via ops/similarity.IvfIndex.write, then probe the LOADED
+    tables. Green means the persisted structure — centroid floats
+    through parquet, every assignment, the bucketed probe join — is
+    bit-identical to the in-memory path, the same build-once/
+    probe-many certification the lookup index carries
+    (lookup_candidates_indexed)."""
+    from lamapi_spark.ops.similarity import IvfIndex
+
+    emb = load(spark, sf, "embeddings")
+    idx = IvfIndex.write(emb, prefix="lamapi_ivf_gate",
+                         n_cells=_IVF_CELLS, n_buckets=4)
+    return (idx.probe(emb.filter(F.col("vec_id") < 5),
+                      k=_IVF_K, n_probe=_IVF_PROBE)
+            .orderBy("q_id", "rnk"))

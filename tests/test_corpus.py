@@ -404,3 +404,35 @@ def test_train_linear_join_arm_bit_equal(spark):
                train_linear(df, "y", n_buckets=16, iters=3,
                             weights_via_join=True).collect())
     assert a == b
+
+
+def test_ivf_artifact_survives_session_restart(tmp_path):
+    """The embedding-side offline-index lifecycle: one process builds
+    the persisted inverted file (bucketed on the cell key, _meta
+    sidecar); a FRESH process loads it without touching the corpus and
+    probes bit-identically to the in-memory path — FAISS's build-once/
+    search-many, the sibling of the lookup-index restart test."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "tools", "index_session.py")
+    ms, out = str(tmp_path / "ms"), str(tmp_path / "out")
+
+    def run(mode):
+        proc = subprocess.run(
+            [sys.executable, script, mode, "--metastore", ms, "--out", out],
+            capture_output=True, text=True, timeout=420, cwd=str(tmp_path))
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads(
+            [l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+
+    built = run("build-ivf")
+    assert built["built"] and built["expected_rows"] > 0
+    probed = run("probe-ivf")
+    assert probed["match"], probed
+    assert probed["bucketed_scan"], probed
+    assert probed["n_cells"] == 8 and probed["n_buckets"] == 4
+    assert probed["n_vecs"] > 0

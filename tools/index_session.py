@@ -51,13 +51,48 @@ def _match(spark, label_dict, index):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["build", "probe"])
+    ap.add_argument("mode", choices=["build", "probe", "build-ivf",
+                                     "probe-ivf"])
     ap.add_argument("--metastore", required=True)
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
     spark = _session(args.metastore)
-    if args.mode == "build":
+    if args.mode == "build-ivf":
+        # the embedding-side artifact lifecycle: build the persisted
+        # inverted file, record the in-memory path's answer as expected
+        from lamapi_spark.ops.similarity import IvfIndex, ivf_ann_topk
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        IvfIndex.write(emb, prefix="xs_ivf", n_cells=8, n_buckets=4)
+        expected = ivf_ann_topk(emb.filter(F.col("vec_id") < 5), emb,
+                                k=3, n_cells=8, n_probe=2)
+        expected.write.mode("overwrite").parquet(f"{args.out}/expected_ivf")
+        print(json.dumps({"built": True, "expected_rows": expected.count()}))
+    elif args.mode == "probe-ivf":
+        # fresh process: no corpus scan, no centroid recompute — probe
+        # the persisted structure only
+        from lamapi_spark.ops.similarity import IvfIndex
+        from pyspark.sql import functions as F
+
+        idx = IvfIndex.load(spark, "xs_ivf")
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = idx.probe(emb.filter(F.col("vec_id") < 5), k=3, n_probe=2)
+        rows = sorted(tuple(r) for r in got.collect())
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        expected = sorted(
+            tuple(r) for r in
+            spark.read.parquet(f"{args.out}/expected_ivf").collect())
+        print(json.dumps({
+            "match": rows == expected,
+            "rows": len(rows),
+            "bucketed_scan": "Bucketed: true" in plan,
+            "n_cells": idx.n_cells,
+            "n_buckets": idx.n_buckets,
+            "n_vecs": idx.n_vecs,
+        }))
+    elif args.mode == "build":
         from lamapi_spark.operators.indexes import LookupIndex
         from lamapi_spark.operators.label_dict import build_label_dict
         from lamapi_spark.pipeline.fixtures import build_kg, kg_dataframes
