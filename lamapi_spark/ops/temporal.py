@@ -110,3 +110,31 @@ def range_join_binned(
         .filter(F.col(pt_ts).between(F.col(lo), F.col(hi)))
         .drop("_bin")
     )
+
+
+def resample_ffill(
+    events: DataFrame, key: str, ts: str = "ts_us",
+    payload: tuple[str, ...] = ("value",), step_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Hypertable-style gap-fill/resample: per key, a regular grid of
+    timestamps at ``step_us`` spacing (aligned to epoch multiples,
+    spanning floor(min/step)*step .. floor(max/step)*step of the key's
+    own event range) with the latest at-or-before payload carried onto
+    every grid point (forward fill; a leading grid point with no prior
+    event carries nulls). CONTRACT: events unique per (key, ts), same
+    as asof_join.
+
+    Composition, not new machinery: the grid is a bounded sequence()
+    explode off the per-key min/max aggregate (grid size = span/step
+    BY CONSTRUCTION — the resample contract), and the fill is exactly
+    the proven asof_join (one shuffle + one in-partition sort, O(1)
+    window state). Returns (key, grid_ts, asof_ts, asof_<payload>...).
+    """
+    step = F.lit(int(step_us))
+    bounds = events.groupBy(key).agg(
+        (F.floor(F.min(F.col(ts).cast("long")) / step) * step).alias("_lo"),
+        (F.floor(F.max(F.col(ts).cast("long")) / step) * step).alias("_hi"))
+    grid = bounds.select(
+        key, F.explode(F.sequence("_lo", "_hi", step)).alias("grid_ts"))
+    return asof_join(grid, events, key=key, left_ts="grid_ts",
+                     right_ts=ts, payload=payload)

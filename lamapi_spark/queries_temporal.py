@@ -401,3 +401,50 @@ def sketch_bloom_merge(spark, sf):
                         lambda a, w: a + F.bit_count(w)).alias("n_set_bits"))
         .orderBy("event_type")
     )
+
+
+_RESAMPLE_STEP = 7_200_000_000  # 2h in micros
+
+
+@register("events_resample", f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS ts_us,
+         max_by(value, event_id) AS value
+  FROM events WHERE event_type = 'view' AND user_id % 17 = 0
+  GROUP BY user_id, ts
+),
+b AS (
+  SELECT user_id,
+         (min(ts_us) // {_RESAMPLE_STEP}) * {_RESAMPLE_STEP} AS lo,
+         (max(ts_us) // {_RESAMPLE_STEP}) * {_RESAMPLE_STEP} AS hi
+  FROM e GROUP BY user_id),
+g AS (
+  SELECT user_id, unnest(generate_series(lo, hi, {_RESAMPLE_STEP})) AS grid_ts
+  FROM b)
+SELECT g.user_id, g.grid_ts, e.ts_us AS asof_ts, e.value AS asof_value
+FROM g ASOF LEFT JOIN e
+  ON g.user_id = e.user_id AND g.grid_ts >= e.ts_us
+ORDER BY g.user_id, g.grid_ts
+""")
+def events_resample(spark, sf):
+    """Gap-fill/resample (ops/temporal.py:resample_ffill): every 17th
+    user's 'view' value forward-filled onto a regular 2-hour grid
+    spanning their own event range — the hypertable resample next to
+    events_rollup. The oracle generates the same grid and fills it
+    with DuckDB's NATIVE ASOF JOIN (an independent engine
+    implementation, like events_asof_state's)."""
+    from lamapi_spark.ops.temporal import resample_ffill
+
+    e = (_events_us(spark, sf)
+         .filter((F.col("event_type") == "view")
+                 & (F.col("user_id") % 17 == 0))
+         .groupBy("user_id", "ts_us")
+         .agg(F.max(F.struct(F.col("event_id").alias("eid"),
+                             F.col("value").alias("v"))).alias("_m"))
+         .select("user_id", "ts_us", F.col("_m.v").alias("value")))
+    return (
+        resample_ffill(e, key="user_id", ts="ts_us",
+                       payload=("value",), step_us=_RESAMPLE_STEP)
+        .select("user_id", "grid_ts", "asof_ts", "asof_value")
+        .orderBy("user_id", "grid_ts")
+    )

@@ -338,3 +338,27 @@ def test_cms_sketch_null_and_unseen_key_degrades(spark):
            for r in cms_estimate(sk, probes, ["key"], "v").collect()}
     assert got[("g", "1")] == 2
     assert got[("h", "1")] == 0
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    """Grid spans floor(min/step)..floor(max/step) per key at step
+    spacing; values forward-fill between events; a leading grid point
+    before the first event carries nulls; a single-event key yields a
+    one-point grid."""
+    from lamapi_spark.ops.temporal import resample_ffill
+
+    rows = [
+        ("a", 150, 1.0),   # key a: events at 150 and 420
+        ("a", 420, 4.0),
+        ("b", 777, 7.0),   # key b: single event
+    ]
+    e = spark.createDataFrame(rows, "k string, ts_us long, value double")
+    out = {(r.k, r.grid_ts): (r.asof_ts, r.asof_value)
+           for r in resample_ffill(e, key="k", step_us=100).collect()}
+    assert out == {
+        ("a", 100): (None, None),        # before first event
+        ("a", 200): (150, 1.0),
+        ("a", 300): (150, 1.0),          # gap filled
+        ("a", 400): (150, 1.0),
+        ("b", 700): (None, None),        # 700 < 777
+    }
