@@ -507,3 +507,53 @@ def pack_chunks(docs: DataFrame, seq_len: int,
                  F.flatten(F.sort_array(F.collect_list(
                      F.struct("chunk_off", "_part"))).getField("_part"))
                  .alias("tokens")))
+
+
+# --------------------------------------- temperature mixture sampling
+
+def temperature_rates(docs: DataFrame, group_col: str = "lang",
+                      target_frac: float = 0.25) -> DataFrame:
+    """Temperature-flattened mixture rates — the multilingual sampling
+    step of XLM-R / mT5 (alpha-sampling, p_g proportional to n_g^alpha):
+    small groups are upweighted relative to their share so the head
+    language does not drown the tail. Alpha is FIXED at 0.5 (sqrt):
+    the one exponent whose float op is correctly-rounded IEEE in every
+    engine (pow's libm rounding is not), keeping the rates — and
+    therefore the sample — bit-reproducible in the DuckDB oracle.
+
+    Returns (group, n, rate_bp): basis-point keep-rates such that the
+    expected kept total is target_frac * N, distributed by sqrt share,
+    capped at 10000 (a filter cannot upsample past 1.0; the cap mass
+    is NOT redistributed — documented deviation, keeps every rate a
+    closed-form function of the counts). The float chain is fixed
+    order: denom folds sqrt(n_g) in group-lex order over a 1-row
+    collected frame (groups are few BY DEFINITION of a mixture;
+    the fold is the same 0.0-seeded left fold DuckDB's list_reduce
+    computes), then one bround per group."""
+    counts = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("long").alias("n"))
+    stats = counts.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(
+                "grp", F.sqrt(F.col("n").cast("double")).alias("s")))),
+            F.lit(0.0), lambda acc, e: acc + e["s"]).alias("denom"),
+        F.sum("n").alias("total"))
+    rate = F.bround(
+        ((F.lit(10000.0) * F.lit(float(target_frac))
+          * F.col("total").cast("double"))
+         * (F.sqrt(F.col("n").cast("double")) / F.col("denom")))
+        / F.col("n").cast("double"), 0).cast("long")
+    return (counts.crossJoin(F.broadcast(stats))
+            .select(F.col("grp").alias(group_col), "n",
+                    F.least(F.lit(10000).cast("long"), rate).alias("rate_bp")))
+
+
+def temperature_sample(docs: DataFrame, group_col: str = "lang",
+                       key_col: str = "doc_id",
+                       target_frac: float = 0.25) -> DataFrame:
+    """Apply temperature_rates: keep a row iff its md5 sampling
+    coordinate falls under its group's rate — deterministic, partition-
+    independent, pure function of (key, salt) like stratified_sample."""
+    rates = temperature_rates(docs, group_col, target_frac)
+    return (docs.join(F.broadcast(rates), group_col)
+            .filter(sample_hash(F.col(key_col)) < F.col("rate_bp")))

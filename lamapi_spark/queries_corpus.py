@@ -713,3 +713,44 @@ def embed_ann_ivf_indexed(spark, sf):
     return (idx.probe(emb.filter(F.col("vec_id") < 5),
                       k=_IVF_K, n_probe=_IVF_PROBE)
             .orderBy("q_id", "rnk"))
+
+
+# ------------------------------------- temperature mixture sampling
+
+@register("sample_temperature", """
+WITH c AS (
+  SELECT lang AS grp, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+st AS (
+  SELECT list_reduce(list(sqrt(n::DOUBLE) ORDER BY grp),
+                     (a, b) -> a + b) AS denom,
+         sum(n)::BIGINT AS total
+  FROM c),
+r AS (
+  SELECT grp, n,
+         least(10000,
+               round_even(((10000.0 * 0.25 * total::DOUBLE)
+                           * (sqrt(n::DOUBLE) / denom)) / n::DOUBLE,
+                          0)::BIGINT) AS rate_bp
+  FROM c CROSS JOIN st)
+SELECT d.doc_id, d.lang, r.rate_bp,
+       (('0x' || substr(md5(d.doc_id::VARCHAR || '|s0'), 1, 8))::BIGINT
+        % 10000) AS sample_bp
+FROM documents d JOIN r ON r.grp = d.lang
+WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || '|s0'), 1, 8))::BIGINT
+       % 10000) < r.rate_bp
+ORDER BY d.doc_id
+""")
+def sample_temperature_q(spark, sf):
+    """Temperature-flattened (alpha=0.5) mixture sampling
+    (ops/corpus.py:temperature_sample): sqrt-share keep-rates per
+    language targeting 25% of the corpus, applied through the md5
+    sampling coordinate. The oracle rebuilds the counts, the
+    group-lex-ordered sqrt fold, every bround'ed rate, and every
+    per-row verdict — the sample is a pure function of the corpus."""
+    from lamapi_spark.ops.corpus import sample_hash, temperature_sample
+
+    docs = load(spark, sf, "documents")
+    kept = temperature_sample(docs, "lang", "doc_id", target_frac=0.25)
+    return (kept.select("doc_id", "lang", "rate_bp",
+                        sample_hash(F.col("doc_id")).alias("sample_bp"))
+            .orderBy("doc_id"))

@@ -436,3 +436,26 @@ def test_ivf_artifact_survives_session_restart(tmp_path):
     assert probed["bucketed_scan"], probed
     assert probed["n_cells"] == 8 and probed["n_buckets"] == 4
     assert probed["n_vecs"] > 0
+
+
+def test_temperature_rates_flatten_the_mixture(spark):
+    """Sqrt flattening: the small group's keep-rate exceeds the big
+    group's; expected kept mass ~= target_frac * N; a group so small
+    its rate would exceed 1.0 is capped at 10000 bp; rates are
+    partition-independent."""
+    from lamapi_spark.ops.corpus import temperature_rates
+
+    rows = ([(i, "big") for i in range(900)]
+            + [(i + 1000, "small") for i in range(99)]
+            + [(2000, "tiny")])
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    r = {x.lang: x.rate_bp for x in
+         temperature_rates(df, "lang", target_frac=0.25).collect()}
+    assert r["small"] > r["big"]
+    assert r["tiny"] == 10000                      # capped, not >1
+    kept_mass = (900 * r["big"] + 99 * r["small"]) / 10000 + 1
+    assert 0.15 * 1000 < kept_mass < 0.40 * 1000   # ~target, cap-skewed
+    r2 = {x.lang: x.rate_bp for x in
+          temperature_rates(df.repartition(7), "lang",
+                            target_frac=0.25).collect()}
+    assert r2 == r
