@@ -36,6 +36,9 @@ that training separates a planted corpus and that loss decreases).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -76,7 +79,8 @@ def train_linear(docs: DataFrame, label_col: str,
                  id_col: str = "doc_id", text_col: str = "text",
                  n_buckets: int = 64, iters: int = 2,
                  lr: float = 0.5,
-                 weights_via_join: bool | None = None) -> DataFrame:
+                 weights_via_join: bool | None = None,
+                 checkpoint_dir: str | None = None) -> DataFrame:
     """Full-batch gradient descent on the hashed linear model. Returns
     (bucket, w_micro) for buckets 0..n_buckets (last = intercept).
 
@@ -91,7 +95,18 @@ def train_linear(docs: DataFrame, label_col: str,
     and MLlib's treeAggregate step). The tf frame shuffles ONCE
     (persisted); iteration plans do not grow because each round
     starts from driver-held weights, so no checkpoint chain is
-    needed."""
+    needed.
+
+    ``checkpoint_dir`` makes the run RESUMABLE (north-rule discipline;
+    StageRunner's data + sidecar-last convention at per-iteration
+    granularity): each completed iteration writes its weights plus a
+    metrics.json recording the param fingerprint, iteration, and
+    duration; a rerun resumes from the newest completed iteration
+    whose fingerprint matches — and because the protocol is exactly
+    deterministic, a killed-and-resumed run yields BIT-IDENTICAL final
+    weights to an uninterrupted one (tested)."""
+    import time as _time
+
     spark = docs.sparkSession
     if weights_via_join is None:
         weights_via_join = n_buckets > WEIGHTS_MAP_CAP
@@ -100,8 +115,25 @@ def train_linear(docs: DataFrame, label_col: str,
                          F.col(label_col).cast("long").alias("y"))
     n = docs.count()
     w = {b: 0 for b in range(n_buckets + 1)}
+    fp = f"m={n_buckets};lr={lr!r};n={n}"
+    start_iter = 0
+    if checkpoint_dir:
+        for k in range(iters, 0, -1):
+            base = os.path.join(checkpoint_dir, f"iter_{k:04d}")
+            mpath = os.path.join(base, "metrics.json")
+            if not os.path.exists(mpath):
+                continue  # sidecar absent => iteration never completed
+            with open(mpath) as fh:
+                meta = json.load(fh)
+            if meta.get("fingerprint") != fp:
+                continue  # different params/corpus size: never resume
+            rows = spark.read.parquet(os.path.join(base, "data")).collect()
+            w = {int(r.bucket): int(r.w_micro) for r in rows}
+            start_iter = k
+            break
     try:
-        for _ in range(iters):
+        for it in range(start_iter, iters):
+            t0 = _time.time()
             if weights_via_join:
                 wdf = spark.createDataFrame(
                     sorted(w.items()), "bucket bigint, _w bigint")
@@ -126,9 +158,21 @@ def train_linear(docs: DataFrame, label_col: str,
                 # Python round() is HALF_EVEN on the identical IEEE
                 # double chain — bit-equal to the oracle's round_even
                 w[int(row.bucket)] -= int(round((lr * float(row.g_u)) / n))
+            if checkpoint_dir:
+                base = os.path.join(checkpoint_dir, f"iter_{it + 1:04d}")
+                (spark.createDataFrame(
+                    sorted((int(b), int(v)) for b, v in w.items()),
+                    "bucket bigint, w_micro bigint")
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(base, "data")))
+                # sidecar LAST: its presence certifies the iteration
+                # landed (pipeline/incremental.py convention)
+                with open(os.path.join(base, "metrics.json"), "w") as fh:
+                    json.dump({"fingerprint": fp, "iter": it + 1,
+                               "duration_s": round(_time.time() - t0, 3)},
+                              fh)
     finally:
         feats.unpersist()
-    spark = docs.sparkSession
     return spark.createDataFrame(
         sorted((int(b), int(v)) for b, v in w.items()),
         "bucket bigint, w_micro bigint")

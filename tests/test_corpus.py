@@ -459,3 +459,35 @@ def test_temperature_rates_flatten_the_mixture(spark):
           temperature_rates(df.repartition(7), "lang",
                             target_frac=0.25).collect()}
     assert r2 == r
+
+
+def test_train_linear_resume_from_checkpoint(spark, tmp_path):
+    """Kill-and-resume: train 2 of 5 iterations with a checkpoint dir,
+    rerun asking for 5 — the rerun resumes from iteration 2 (only 3
+    new sidecars appear) and the final weights are BIT-IDENTICAL to an
+    uninterrupted 5-iteration run; a changed fingerprint (different
+    lr) refuses the stale checkpoints and retrains from zero."""
+    import os
+
+    from lamapi_spark.ops.classifier import train_linear
+
+    rows = [(i, "w%d q%d z" % (i % 7, i % 3), i % 2) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, y bigint")
+    ck = str(tmp_path / "clf_ck")
+
+    fresh = sorted(tuple(r) for r in
+                   train_linear(df, "y", n_buckets=16, iters=5).collect())
+    train_linear(df, "y", n_buckets=16, iters=2, checkpoint_dir=ck).collect()
+    assert sorted(os.listdir(ck)) == ["iter_0001", "iter_0002"]
+    resumed = sorted(tuple(r) for r in
+                     train_linear(df, "y", n_buckets=16, iters=5,
+                                  checkpoint_dir=ck).collect())
+    assert resumed == fresh
+    assert sorted(os.listdir(ck))[-1] == "iter_0005"
+
+    other_lr = sorted(tuple(r) for r in
+                      train_linear(df, "y", n_buckets=16, iters=5,
+                                   lr=0.25, checkpoint_dir=ck).collect())
+    assert other_lr == sorted(
+        tuple(r) for r in
+        train_linear(df, "y", n_buckets=16, iters=5, lr=0.25).collect())
