@@ -1,0 +1,230 @@
+"""Distributed TransE KG-embedding training, bit-reproducibly.
+
+The translational embedding model (Bordes et al. 2013, "Translating
+Embeddings for Modeling Multi-relational Data") is the canonical
+consumer of a constructed KG's triples: entities and relations become
+d-dim vectors with h + r ~ t, trained by a margin loss against
+corrupted triples (ops/graph.py:negative_samples supplies those).
+Reference analogue: none (the reference serves lookups over a static
+KG) — builder's-brief training surface, the graph-side sibling of
+ops/classifier.py.
+
+Determinism protocol (the repo's integer fixed-point discipline, cf.
+pagerank_fixed_point / train_linear): this is TransE-L1 in BIGINT
+micro-units end to end, so training is a pure function of the triple
+set — any partitioning, any engine, replayable CTE-by-CTE in SQL:
+
+  init     w_u[kind,id,dim] = h48(kind|id|dim|salt) % (2*init_u+1) - init_u
+  score    pos_u = sum_dim |h+r-t|,  neg_u = sum_dim |h+r-t'|   (BIGINT)
+  hinge    violated iff pos_u + margin_u > neg_u
+  grads    per violated triple, per dim, with s+ = sign(h+r-t),
+           s- = sign(h+r-t'):  g[h] += s+ - s-;  g[r] += s+ - s-;
+           g[t] += -s+;        g[t'] += s-          (all in {-2..2})
+  step     w_u' = clamp(w_u - lr_u * sum(g), -clamp_u, +clamp_u)
+
+L1 distance is chosen over L2 PRECISELY because its subgradients are
+signs — integers — so the full-batch gradient aggregation is an exact
+associative BIGINT sum with no float combine anywhere. The paper's
+per-epoch L2-ball projection becomes an L-inf clamp (the integer-exact
+norm constraint; documented deviation — it bounds every coordinate, so
+scores stay in [0, 2*d*clamp_u*3] and never overflow). Full-batch GD
+replaces the paper's SGD for the same reason train_linear's does: a
+sample order would be a partition order.
+
+Scale shape per iteration (embeddings = (kind, id, dim, w_u) rows,
+n_ent*d + n_rel*d total — row-per-dim keeps every step a fixed-width
+equi-join/aggregation instead of array zip_with chains an oracle can't
+replay): four shuffled joins land the h/r/t/t' coordinates on the
+triple rows (id+dim composite keys, uniform — no skew), ONE per-triple
+aggregation folds scores AND the per-dim sign list (collect_list
+bounded by d — the plan-lesson-5 shape: no second exchange for the
+violation flag), the gradient explode regroups by (kind,id,dim) with
+map-side combine, and the weight update is one left join. Lineage is
+localCheckpoint-truncated per iteration (the PageRank discipline).
+Nothing collects to the driver; the embedding frame never broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lamapi_spark.functions.hashing import h48 as _h48
+
+
+def _sign(c: F.Column) -> F.Column:
+    """Integer sign in {-1,0,1} as BIGINT (F.signum returns double)."""
+    return (F.when(c > 0, F.lit(1)).when(c < 0, F.lit(-1))
+            .otherwise(F.lit(0)).cast("long"))
+
+
+def init_embeddings(ids: DataFrame, kind: str, d: int,
+                    init_u: int, salt: str = "transe") -> DataFrame:
+    """Deterministic (kind, id, dim, w_u) grid: every coordinate is an
+    md5 draw in [-init_u, +init_u] — a pure function of (kind, id,
+    dim, salt), so init is storage-free and engine-reproducible (the
+    JL-matrix argument, ops/similarity.py:jl_project)."""
+    dims = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("dim")
+    return ids.select(F.col(ids.columns[0]).cast("string").alias("id")) \
+        .distinct() \
+        .select(F.lit(kind).alias("kind"), "id", dims) \
+        .select(
+            "kind", "id", "dim",
+            (_h48(F.concat_ws("|", F.lit(kind), F.col("id"),
+                              F.col("dim").cast("string"), F.lit(salt)))
+             % (2 * init_u + 1) - init_u).cast("long").alias("w_u"))
+
+
+def transe_init(triples_neg: DataFrame, d: int, init_u: int,
+                salt: str = "transe") -> DataFrame:
+    """Embedding grid for every entity and relation a corrupted-triple
+    frame (subj, pred, obj, neg_obj) touches: entities = subj u obj u
+    neg_obj under kind 'e', relations = pred under kind 'r'."""
+    ents = (triples_neg.select(F.col("subj").cast("string").alias("x"))
+            .unionByName(triples_neg.select(F.col("obj").cast("string").alias("x")))
+            .unionByName(triples_neg.select(F.col("neg_obj").cast("string").alias("x")))
+            .filter(F.col("x").isNotNull()).distinct())
+    rels = triples_neg.select(F.col("pred").cast("string").alias("x")).distinct()
+    return init_embeddings(ents, "e", d, init_u, salt).unionByName(
+        init_embeddings(rels, "r", d, init_u, salt))
+
+
+def _coords(triples: DataFrame, emb: DataFrame,
+            with_neg: bool) -> DataFrame:
+    """Land the h/r/t(/t') coordinates on each triple row, one row per
+    (triple, dim). The first join fans each triple out to its d dims;
+    the rest are (id, dim) composite-key equi-joins."""
+    e = emb.filter(F.col("kind") == "e").drop("kind")
+    r = emb.filter(F.col("kind") == "r").drop("kind")
+    t = triples.select(
+        F.col("subj").cast("string").alias("subj"),
+        F.col("pred").cast("string").alias("pred"),
+        F.col("obj").cast("string").alias("obj"),
+        *([F.col("neg_obj").cast("string").alias("neg_obj")]
+          if with_neg else []))
+    out = (t.join(e.select(F.col("id").alias("subj"), "dim",
+                           F.col("w_u").alias("h_u")), "subj")
+           .join(r.select(F.col("id").alias("pred"),
+                          F.col("dim").alias("dim"),
+                          F.col("w_u").alias("r_u")), ["pred", "dim"])
+           .join(e.select(F.col("id").alias("obj"),
+                          F.col("dim").alias("dim"),
+                          F.col("w_u").alias("t_u")), ["obj", "dim"]))
+    if with_neg:
+        out = out.join(
+            e.select(F.col("id").alias("neg_obj"), F.col("dim").alias("dim"),
+                     F.col("w_u").alias("n_u")), ["neg_obj", "dim"])
+    return out
+
+
+def transe_train(triples_neg: DataFrame, d: int = 4, iters: int = 2,
+                 lr_u: int = 2, margin_u: int = 100,
+                 init_u: int = 50, clamp_u: int = 1000,
+                 salt: str = "transe",
+                 checkpoint_every: int | None = 1) -> DataFrame:
+    """Full-batch TransE-L1 GD over (subj, pred, obj, neg_obj) rows
+    (null neg_obj rows — negative_samples' degenerate degrade — train
+    nothing and are dropped). Returns (kind, id, dim, w_u).
+
+    Hyperparameters are integers on the micro grid: lr_u multiplies
+    the per-coordinate gradient SUM (full-batch; callers with huge
+    triple counts lower lr_u rather than dividing — an integer division
+    by N would round each coordinate, still exact but noisier).
+    """
+    tn = triples_neg.filter(F.col("neg_obj").isNotNull())
+    emb = transe_init(tn, d, init_u, salt)
+    if checkpoint_every is not None:
+        tn = tn.localCheckpoint(eager=True)
+        emb = emb.localCheckpoint(eager=True)
+    for it in range(iters):
+        c = _coords(tn, emb, with_neg=True).select(
+            "subj", "pred", "obj", "neg_obj", "dim",
+            (F.col("h_u") + F.col("r_u") - F.col("t_u")).alias("dp"),
+            (F.col("h_u") + F.col("r_u") - F.col("n_u")).alias("dn"))
+        # ONE per-triple exchange: scores and the per-dim sign list
+        # fold in the same aggregation (collect_list bounded by d;
+        # order inside the list is irrelevant — every element carries
+        # its dim and the consumers are per-element explodes).
+        per_triple = (c.groupBy("subj", "pred", "obj", "neg_obj")
+                      .agg(F.sum(F.abs(F.col("dp"))).alias("pos_u"),
+                           F.sum(F.abs(F.col("dn"))).alias("neg_u"),
+                           F.collect_list(F.struct(
+                               F.col("dim"),
+                               _sign(F.col("dp")).alias("sp"),
+                               _sign(F.col("dn")).alias("sn"))).alias("g")))
+        violated = per_triple.filter(
+            F.col("pos_u") + F.lit(margin_u) > F.col("neg_u"))
+        # flatten the per-dim struct to plain columns BEFORE the second
+        # generator — two stacked explodes where the inner references
+        # the outer's struct fields trip a Catalyst binding bug
+        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on Spark 4.1)
+        per_dim = (violated.select(
+            "subj", "pred", "obj", "neg_obj", F.explode("g").alias("x"))
+            .select("subj", "pred", "obj", "neg_obj",
+                    F.col("x.dim").alias("dim"),
+                    F.col("x.sp").alias("sp"), F.col("x.sn").alias("sn")))
+        contrib = (per_dim.select(
+            "dim",
+            F.explode(F.array(
+                F.struct(F.lit("e").alias("kind"),
+                         F.col("subj").alias("id"),
+                         (F.col("sp") - F.col("sn")).alias("gv")),
+                F.struct(F.lit("r").alias("kind"),
+                         F.col("pred").alias("id"),
+                         (F.col("sp") - F.col("sn")).alias("gv")),
+                F.struct(F.lit("e").alias("kind"),
+                         F.col("obj").alias("id"),
+                         (-F.col("sp")).alias("gv")),
+                F.struct(F.lit("e").alias("kind"),
+                         F.col("neg_obj").alias("id"),
+                         F.col("sn").alias("gv")),
+            )).alias("c"))
+            .select("c.kind", "c.id", "dim", "c.gv"))
+        grad = (contrib.groupBy("kind", "id", "dim")
+                .agg(F.sum("gv").alias("g_u")))
+        emb = (emb.join(grad, ["kind", "id", "dim"], "left")
+               .select(
+                   "kind", "id", "dim",
+                   F.greatest(
+                       F.lit(-clamp_u).cast("long"),
+                       F.least(
+                           F.lit(clamp_u).cast("long"),
+                           F.col("w_u")
+                           - F.lit(lr_u) * F.coalesce(F.col("g_u"), F.lit(0))
+                       )).alias("w_u")))
+        if checkpoint_every is not None and (it + 1) % checkpoint_every == 0:
+            emb = emb.localCheckpoint(eager=True)
+    return emb
+
+
+def transe_score(triples: DataFrame, emb: DataFrame) -> DataFrame:
+    """Serve side: L1 plausibility score_u = sum_dim |h+r-t| for every
+    (subj, pred, obj) row under a trained embedding table — lower is
+    more plausible. Three coordinate joins + one per-triple sum; the
+    exact integer chain means serve scores replay anywhere."""
+    return (_coords(triples, emb, with_neg=False)
+            .groupBy("subj", "pred", "obj")
+            .agg(F.sum(F.abs(F.col("h_u") + F.col("r_u") - F.col("t_u")))
+                 .alias("score_u")))
+
+
+def transe_loss(triples_neg: DataFrame, emb: DataFrame,
+                margin_u: int = 100) -> DataFrame:
+    """Diagnostic: total hinge loss and violated-triple count of a
+    corrupted-triple frame under an embedding table (one row). The
+    quantity GD descends — pytest pins that it decreases over
+    iterations on a learnable corpus."""
+    c = _coords(triples_neg.filter(F.col("neg_obj").isNotNull()),
+                emb, with_neg=True)
+    per = (c.groupBy("subj", "pred", "obj", "neg_obj")
+           .agg(F.sum(F.abs(F.col("h_u") + F.col("r_u") - F.col("t_u")))
+                .alias("pos_u"),
+                F.sum(F.abs(F.col("h_u") + F.col("r_u") - F.col("n_u")))
+                .alias("neg_u")))
+    hinge = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("pos_u") + F.lit(margin_u) - F.col("neg_u"))
+    return per.agg(
+        F.sum(hinge).alias("loss_u"),
+        F.sum(F.when(hinge > 0, 1).otherwise(0)).cast("long")
+        .alias("n_violated"))

@@ -265,7 +265,7 @@ _NEG_BUCKETS = 16
 
 _NEG_SQL = f"""
 WITH ent AS (SELECT DISTINCT p_partkey::BIGINT AS ent FROM part),
-ranked AS (
+ranked AS MATERIALIZED (
   SELECT ent,
          ('0x' || substr(md5(ent::VARCHAR), 1, 12))::BIGINT % {_NEG_BUCKETS} AS bucket,
          row_number() OVER (
@@ -398,3 +398,180 @@ def graph_triangles(spark, sf):
         .select("src", "dst")
     )
     return triangle_counts(pairs).orderBy("node")
+
+
+# ------------------------------------------------- TransE embedding GD
+
+_TRANSE_D = 4
+_TRANSE_ITERS = 2
+_TRANSE_LR = 2
+_TRANSE_MARGIN = 100
+_TRANSE_INIT = 50
+_TRANSE_CLAMP = 1000
+
+# the kg_negative_samples dataflow again (proven oracle), cast to the
+# VARCHAR id space the embedding grid keys on, degenerate negs dropped
+_TRANSE_TN_SQL = f"""
+WITH ent AS (SELECT DISTINCT p_partkey::BIGINT AS ent FROM part),
+ranked AS (
+  SELECT ent,
+         ('0x' || substr(md5(ent::VARCHAR), 1, 12))::BIGINT % {_NEG_BUCKETS} AS bucket,
+         row_number() OVER (
+           PARTITION BY ('0x' || substr(md5(ent::VARCHAR), 1, 12))::BIGINT % {_NEG_BUCKETS}
+           ORDER BY ent) AS rank
+  FROM ent),
+sizes AS (
+  SELECT bucket, count(*)::BIGINT AS bsize,
+         row_number() OVER (ORDER BY bucket) - 1 AS bidx
+  FROM ranked GROUP BY bucket),
+kk AS (SELECT count(*)::BIGINT AS k FROM sizes),
+t AS (SELECT DISTINCT l_orderkey AS subj, 'has_part' AS pred, l_partkey AS obj
+      FROM lineitem WHERE l_orderkey % 19 = 0),
+addressed AS (
+  SELECT a.subj, a.pred, a.obj, s.bucket, s.bsize,
+         ('0x' || substr(md5(a.key || '|neg:i'), 1, 12))::BIGINT % s.bsize + 1 AS idx1
+  FROM (
+    SELECT subj, pred, obj,
+           subj::VARCHAR || '|' || pred || '|' || obj::VARCHAR AS key,
+           ('0x' || substr(md5(subj::VARCHAR || '|' || pred || '|' || obj::VARCHAR
+                               || '|neg:b'), 1, 12))::BIGINT % kk.k AS bidx
+    FROM t CROSS JOIN kk) a
+  JOIN sizes s ON s.bidx = a.bidx),
+drawn AS (
+  SELECT ad.subj, ad.pred, ad.obj, r1.ent AS e1, r2.ent AS e2
+  FROM addressed ad
+  JOIN ranked r1 ON r1.bucket = ad.bucket AND r1.rank = ad.idx1
+  JOIN ranked r2 ON r2.bucket = ad.bucket AND r2.rank = ad.idx1 % ad.bsize + 1),
+tn AS MATERIALIZED (
+  SELECT subj::VARCHAR AS subj, pred, obj::VARCHAR AS obj,
+         neg_obj::VARCHAR AS neg_obj
+  FROM (SELECT subj, pred, obj,
+               CASE WHEN e1 <> obj THEN e1 WHEN e2 <> obj THEN e2 END AS neg_obj
+        FROM drawn)
+  WHERE neg_obj IS NOT NULL),
+dims AS (SELECT range::BIGINT AS dim FROM range({_TRANSE_D})),
+eids AS (SELECT DISTINCT id FROM (
+  SELECT subj AS id FROM tn
+  UNION SELECT obj FROM tn
+  UNION SELECT neg_obj FROM tn)),
+rids AS (SELECT DISTINCT pred AS id FROM tn),
+emb0 AS MATERIALIZED (
+  SELECT kind, id, dim,
+         (('0x' || substr(md5(kind || '|' || id || '|' || dim::VARCHAR
+                              || '|transe'), 1, 12))::BIGINT
+          % (2 * {_TRANSE_INIT} + 1) - {_TRANSE_INIT})::BIGINT AS w_u
+  FROM (SELECT 'e' AS kind, id FROM eids UNION ALL SELECT 'r', id FROM rids)
+  CROSS JOIN dims)"""
+
+
+def _transe_iter_sql(k: int) -> str:
+    """One full-batch TransE-L1 GD step, emb{k-1} -> emb{k} — the SQL
+    replay of one loop body of ops/kg_embed.py:transe_train."""
+    p = f"emb{k - 1}"
+    return f""",
+coords{k} AS MATERIALIZED (
+  SELECT t.subj, t.pred, t.obj, t.neg_obj, eh.dim,
+         eh.w_u + er.w_u - et.w_u AS dp,
+         eh.w_u + er.w_u - en.w_u AS dn
+  FROM tn t
+  JOIN {p} eh ON eh.kind = 'e' AND eh.id = t.subj
+  JOIN {p} er ON er.kind = 'r' AND er.id = t.pred AND er.dim = eh.dim
+  JOIN {p} et ON et.kind = 'e' AND et.id = t.obj AND et.dim = eh.dim
+  JOIN {p} en ON en.kind = 'e' AND en.id = t.neg_obj AND en.dim = eh.dim),
+scored{k} AS (
+  SELECT subj, pred, obj, neg_obj,
+         sum(abs(dp)) AS pos_u, sum(abs(dn)) AS neg_u
+  FROM coords{k} GROUP BY subj, pred, obj, neg_obj),
+viol{k} AS MATERIALIZED (
+  SELECT c.subj, c.pred, c.obj, c.neg_obj, c.dim,
+         CASE WHEN c.dp > 0 THEN 1 WHEN c.dp < 0 THEN -1 ELSE 0 END AS sp,
+         CASE WHEN c.dn > 0 THEN 1 WHEN c.dn < 0 THEN -1 ELSE 0 END AS sn
+  FROM coords{k} c
+  JOIN scored{k} s ON s.subj = c.subj AND s.pred = c.pred
+                  AND s.obj = c.obj AND s.neg_obj = c.neg_obj
+  WHERE s.pos_u + {_TRANSE_MARGIN} > s.neg_u),
+grad{k} AS (
+  SELECT kind, id, dim, sum(gv)::BIGINT AS g_u FROM (
+    SELECT 'e' AS kind, subj AS id, dim, sp - sn AS gv FROM viol{k}
+    UNION ALL SELECT 'r', pred, dim, sp - sn FROM viol{k}
+    UNION ALL SELECT 'e', obj, dim, -sp FROM viol{k}
+    UNION ALL SELECT 'e', neg_obj, dim, sn FROM viol{k})
+  GROUP BY kind, id, dim),
+emb{k} AS MATERIALIZED (
+  SELECT e.kind, e.id, e.dim,
+         greatest((-{_TRANSE_CLAMP})::BIGINT, least(({_TRANSE_CLAMP})::BIGINT,
+             e.w_u - {_TRANSE_LR} * coalesce(g.g_u, 0)))::BIGINT AS w_u
+  FROM {p} e LEFT JOIN grad{k} g
+    ON g.kind = e.kind AND g.id = e.id AND g.dim = e.dim)"""
+
+
+_TRANSE_TRAIN_SQL = (
+    _TRANSE_TN_SQL
+    + "".join(_transe_iter_sql(k) for k in range(1, _TRANSE_ITERS + 1))
+    + f"""
+SELECT kind, id, dim, w_u FROM emb{_TRANSE_ITERS}
+ORDER BY kind, id, dim""")
+
+_TRANSE_SCORE_SQL = (
+    _TRANSE_TN_SQL
+    + "".join(_transe_iter_sql(k) for k in range(1, _TRANSE_ITERS + 1))
+    + f"""
+SELECT t.subj, t.pred, t.obj,
+       sum(abs(eh.w_u + er.w_u - et.w_u))::BIGINT AS score_u
+FROM (SELECT DISTINCT subj, pred, obj FROM tn) t
+JOIN emb{_TRANSE_ITERS} eh ON eh.kind = 'e' AND eh.id = t.subj
+JOIN emb{_TRANSE_ITERS} er ON er.kind = 'r' AND er.id = t.pred
+                          AND er.dim = eh.dim
+JOIN emb{_TRANSE_ITERS} et ON et.kind = 'e' AND et.id = t.obj
+                          AND et.dim = eh.dim
+GROUP BY t.subj, t.pred, t.obj
+ORDER BY subj, pred, obj""")
+
+
+def _transe_tn(spark, sf):
+    from lamapi_spark.ops.graph import negative_samples
+
+    t = (load(spark, sf, "lineitem")
+         .filter(F.col("l_orderkey") % 19 == 0)
+         .select(F.col("l_orderkey").alias("subj"),
+                 F.lit("has_part").alias("pred"),
+                 F.col("l_partkey").alias("obj"))
+         .distinct())
+    return negative_samples(t, load(spark, sf, "part"),
+                            ent_col="p_partkey", n_buckets=_NEG_BUCKETS)
+
+
+@register("kg_transe_train", _TRANSE_TRAIN_SQL)
+def kg_transe_train(spark, sf):
+    """TransE-L1 embeddings trained for 2 full-batch GD iterations over
+    the (orderkey, has_part, partkey) triples with md5-drawn corrupted
+    tails (ops/kg_embed.py:transe_train) — integer fixed point end to
+    end, so the oracle replays init, both iterations' scores, hinge
+    checks, sign gradients, and clamped steps CTE by CTE and every
+    final coordinate must match bit for bit."""
+    from lamapi_spark.ops.kg_embed import transe_train
+
+    emb = transe_train(_transe_tn(spark, sf), d=_TRANSE_D,
+                       iters=_TRANSE_ITERS, lr_u=_TRANSE_LR,
+                       margin_u=_TRANSE_MARGIN, init_u=_TRANSE_INIT,
+                       clamp_u=_TRANSE_CLAMP, checkpoint_every=None)
+    return emb.orderBy("kind", "id", "dim")
+
+
+@register("kg_transe_score", _TRANSE_SCORE_SQL)
+def kg_transe_score(spark, sf):
+    """Serve side of the trained model: the L1 plausibility score of
+    every training triple under the final embeddings
+    (ops/kg_embed.py:transe_score) — the link-prediction scoring a KG
+    consumer ranks candidate tails with. Exact integers, so the oracle
+    gates every score, not a sample."""
+    from lamapi_spark.ops.kg_embed import transe_score, transe_train
+
+    tn = _transe_tn(spark, sf)
+    emb = transe_train(tn, d=_TRANSE_D, iters=_TRANSE_ITERS,
+                       lr_u=_TRANSE_LR, margin_u=_TRANSE_MARGIN,
+                       init_u=_TRANSE_INIT, clamp_u=_TRANSE_CLAMP,
+                       checkpoint_every=None)
+    triples = (tn.filter(F.col("neg_obj").isNotNull())
+               .select("subj", "pred", "obj").distinct())
+    return transe_score(triples, emb).orderBy("subj", "pred", "obj")

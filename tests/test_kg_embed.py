@@ -1,0 +1,91 @@
+"""TransE-L1 fixed-point training (ops/kg_embed.py): learning on a
+planted translational structure, exact partition independence, the
+clamp bound, and the null-neg degrade."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lamapi_spark.ops.kg_embed import (
+    transe_init,
+    transe_loss,
+    transe_score,
+    transe_train,
+)
+
+
+def _planted(spark, n=40):
+    """A perfectly learnable KG: entities 0..n-1 on a line, relation
+    'next' links i -> i+1; corrupted tails drawn far away, so the
+    margin separates pos from neg once h + r ~ t."""
+    rows = [(str(i), "next", str(i + 1), str((i + 17) % n))
+            for i in range(n - 1)]
+    rows = [r for r in rows if r[3] != r[2]]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, neg_obj string")
+
+
+def test_loss_decreases_on_learnable_corpus(spark):
+    tn = _planted(spark)
+    kw = dict(d=4, lr_u=2, margin_u=100, init_u=50, clamp_u=1000)
+    e0 = transe_train(tn, iters=0, **kw)
+    e2 = transe_train(tn, iters=2, **kw)
+    e4 = transe_train(tn, iters=4, **kw)
+    l0 = transe_loss(tn, e0).collect()[0]
+    l2 = transe_loss(tn, e2).collect()[0]
+    l4 = transe_loss(tn, e4).collect()[0]
+    assert l0.loss_u > 0  # random init violates somewhere
+    assert l2.loss_u < l0.loss_u
+    assert l4.loss_u <= l2.loss_u
+
+
+def test_partition_independence_bit_exact(spark):
+    tn = _planted(spark)
+    kw = dict(d=3, iters=2, lr_u=2, margin_u=100, init_u=50, clamp_u=1000)
+    a = transe_train(tn, **kw)
+    b = transe_train(tn.repartition(7), **kw)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+
+
+def test_clamp_bounds_every_coordinate(spark):
+    tn = _planted(spark)
+    emb = transe_train(tn, d=3, iters=3, lr_u=500, margin_u=100,
+                       init_u=50, clamp_u=120)
+    mx = emb.agg(F.max(F.abs(F.col("w_u"))).alias("m")).collect()[0].m
+    assert mx <= 120
+
+
+def test_null_neg_rows_train_nothing(spark):
+    tn = _planted(spark)
+    with_nulls = tn.unionByName(spark.createDataFrame(
+        [("998", "next", "999", None)],
+        "subj string, pred string, obj string, neg_obj string"))
+    kw = dict(d=3, iters=2, lr_u=2, margin_u=100, init_u=50, clamp_u=1000)
+    a = sorted(map(tuple, transe_train(tn, **kw).collect()))
+    b = sorted(map(tuple, transe_train(with_nulls, **kw).collect()))
+    assert a == b  # the degraded row contributes no entity and no grad
+
+
+def test_score_prefers_true_tails_after_training(spark):
+    tn = _planted(spark, n=40)
+    emb = transe_train(tn, d=8, iters=6, lr_u=4, margin_u=200,
+                       init_u=50, clamp_u=1000)
+    pos = tn.select("subj", "pred", "obj")
+    neg = tn.select("subj", "pred",
+                    F.col("neg_obj").alias("obj"))
+    mean_pos = (transe_score(pos, emb)
+                .agg(F.avg("score_u").alias("m")).collect()[0].m)
+    mean_neg = (transe_score(neg, emb)
+                .agg(F.avg("score_u").alias("m")).collect()[0].m)
+    assert mean_pos < mean_neg  # lower L1 = more plausible
+
+
+def test_init_is_pure_function_of_ids(spark):
+    tn = _planted(spark)
+    a = sorted(map(tuple, transe_init(tn, d=2, init_u=10).collect()))
+    b = sorted(map(tuple, transe_init(tn.repartition(5), d=2,
+                                      init_u=10).collect()))
+    assert a == b
+    assert all(-10 <= r[3] <= 10 for r in a)
