@@ -557,3 +557,142 @@ def temperature_sample(docs: DataFrame, group_col: str = "lang",
     rates = temperature_rates(docs, group_col, target_frac)
     return (docs.join(F.broadcast(rates), group_col)
             .filter(sample_hash(F.col(key_col)) < F.col("rate_bp")))
+
+
+def ccnet_buckets(docs: DataFrame, group_col: str = "lang",
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data"): score every document with the corpus-LM
+    perplexity proxy (unigram_lm_score), then split EACH language into
+    head / middle / tail thirds by score rank — head is the
+    best-scoring third, the slice the published pipelines keep for
+    pretraining, tail the candidate discard.
+
+    Buckets are RANK-based (rank*3 vs n integer comparisons on a
+    (score, doc_id)-ordered row_number), not threshold-based — exact
+    tertiles, deterministic under ties, and engine-reproducible, where
+    CCNet's float thresholds would put boundary documents at the mercy
+    of quantile interpolation differences. Scale shape: scoring is
+    unigram_lm_score's two aggregations; bucketing is ONE per-language
+    window (CCNet itself sorts per language). A corpus too large to
+    sort per language takes thresholds from a stratified_sample of
+    scores instead — same comparisons, documented approximation.
+
+    -> (doc_id, <group_col>, n_tokens, avg_neg_logp, ppl_bucket)."""
+    scored = unigram_lm_score(docs, id_col=id_col, text_col=text_col)
+    meta = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(group_col))
+    s = scored.join(meta, "doc_id")
+    w = Window.partitionBy(group_col).orderBy("avg_neg_logp", "doc_id")
+    n = Window.partitionBy(group_col)
+    return (s
+            .withColumn("_rk", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(n))
+            .select(
+                "doc_id", group_col, "n_tokens", "avg_neg_logp",
+                F.when(F.col("_rk") * 3 <= F.col("_n"), F.lit("head"))
+                .when(F.col("_rk") * 3 <= F.col("_n") * 2, F.lit("middle"))
+                .otherwise(F.lit("tail")).alias("ppl_bucket")))
+
+
+def to_lines(docs: DataFrame, words_per_line: int = 6,
+             id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(doc_id, line_idx, line): the corpus as fixed-width token lines
+    — the line synthesis the contract corpus needs because its
+    documents carry no newlines (real web text passes '\\n'-split
+    lines straight in; this shim exists so the line operators stay
+    testable on the sandbox tables). Pure array expressions."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    w = words_per_line
+    # ceil(n/w) lines; split() never returns an empty array, so the
+    # sequence upper bound is always >= 0
+    n_lines = F.floor((F.size(toks) + F.lit(w - 1)) / F.lit(w)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.posexplode(lines).alias("line_idx", "line")))
+
+
+def c4_line_clean(lines: DataFrame, min_words: int = 3,
+                  blocklist: tuple[str, ...] = ()) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, the T5
+    corpus recipe) + corpus-global exact line dedup: drop lines with
+    fewer than ``min_words`` words or containing a blocklisted word,
+    then keep only the FIRST corpus occurrence of every surviving
+    line (C4 dedups any repeated three-sentence span; the unit here
+    is the line row), and reassemble documents from their surviving
+    lines. First = min (doc_id, line_idx) — an argmin, deterministic
+    under any partitioning, not an arrival-order survivor.
+
+    Scale shape: the filter is a stateless scan; the dedup is ONE
+    min_by aggregation keyed on the line's md5 (fixed-width key, no
+    line text on the shuffle) joined back to the kept rows; the
+    reassembly is one per-doc aggregation that sorts each doc's
+    bounded (line_idx, line) array in place. Documents whose every
+    line is dropped still emit a row (empty text) — the caller's
+    drop-or-keep policy stays visible.
+
+    -> (doc_id, text_clean, n_kept, n_dropped_filter, n_dropped_dup)."""
+    words = F.split(F.col("line"), r"\s+")
+    block = F.lit(False)
+    for w in blocklist:
+        block = block | F.array_contains(words, w)
+    tagged = lines.withColumn(
+        "_filt_ok", (F.size(words) >= min_words) & ~block)
+    ok = tagged.filter(F.col("_filt_ok"))
+    first = (ok.groupBy(F.md5(F.col("line")).alias("_h"))
+             .agg(F.min(F.struct("doc_id", "line_idx")).alias("_first")))
+    kept = (ok.join(first,
+                    F.md5(F.col("line")) == F.col("_h"))
+            .withColumn("_is_first",
+                        (F.col("doc_id") == F.col("_first.doc_id"))
+                        & (F.col("line_idx") == F.col("_first.line_idx"))))
+    per_doc_kept = (kept.filter(F.col("_is_first"))
+                    .groupBy("doc_id")
+                    .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("line_idx", "line"))),
+                            lambda s: s["line"]), " ").alias("text_clean"),
+                        F.count("*").alias("n_kept")))
+    stats = (kept.groupBy("doc_id")
+             .agg(F.sum(F.when(~F.col("_is_first"), 1).otherwise(0))
+                  .cast("long").alias("n_dropped_dup")))
+    filt = (tagged.groupBy("doc_id")
+            .agg(F.sum(F.when(~F.col("_filt_ok"), 1).otherwise(0))
+                 .cast("long").alias("n_dropped_filter")))
+    return (filt
+            .join(stats, "doc_id", "left")
+            .join(per_doc_kept, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                "n_dropped_filter",
+                F.coalesce("n_dropped_dup", F.lit(0)).cast("long")
+                .alias("n_dropped_dup")))
+
+
+def domain_cap(docs: DataFrame, cap: int,
+               domain_col: str = "source", id_col: str = "doc_id",
+               salt: str = "domcap") -> DataFrame:
+    """Per-domain document cap (the RefinedWeb/C4 anti-monoculture
+    rule: no single site may dominate the corpus): keep at most
+    ``cap`` documents per domain, chosen by md5 draw — an unbiased
+    per-domain sample, deterministic, partition-independent, every
+    verdict recomputable from (id, salt) like stratified_sample.
+
+    ONE per-domain window ordered by the 48-bit draw (doc_id breaks
+    the ~never-occurring hash ties); a domain too hot to sort ranks
+    within md5 sub-buckets first (the negative_samples trick).
+
+    -> input columns + kept_rank for the survivors only."""
+    w = Window.partitionBy(domain_col).orderBy(
+        h48(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))),
+        F.col(id_col))
+    return (docs.withColumn("kept_rank", F.row_number().over(w))
+            .filter(F.col("kept_rank") <= cap))

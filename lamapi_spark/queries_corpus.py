@@ -754,3 +754,139 @@ def sample_temperature_q(spark, sf):
     return (kept.select("doc_id", "lang", "rate_bp",
                         sample_hash(F.col("doc_id")).alias("sample_bp"))
             .orderBy("doc_id"))
+
+
+# ------------------------------------------------ CCNet ppl bucketing
+
+@register("ccnet_buckets", r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+stats AS (SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS vocab
+          FROM counts),
+scored AS (
+  SELECT t.doc_id,
+         round_even(-ln((c.c + 1)::DOUBLE / (s.total + s.vocab)::DOUBLE),
+                    6)::DECIMAL(28,6) AS nlp
+  FROM toks t JOIN counts c ON t.tok = c.tok CROSS JOIN stats s),
+lm AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round_even(sum(nlp)::DOUBLE / count(*), 4) AS avg_neg_logp
+  FROM scored GROUP BY doc_id),
+r AS (
+  SELECT l.doc_id, d.lang, l.n_tokens, l.avg_neg_logp,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY l.avg_neg_logp, l.doc_id) AS rk,
+         count(*) OVER (PARTITION BY d.lang) AS n
+  FROM lm l JOIN documents d ON d.doc_id = l.doc_id)
+SELECT doc_id, lang, n_tokens, avg_neg_logp,
+       CASE WHEN rk * 3 <= n THEN 'head'
+            WHEN rk * 3 <= n * 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM r ORDER BY doc_id
+""")
+def ccnet_buckets_q(spark, sf):
+    """CCNet-style per-language head/middle/tail perplexity tertiles
+    (ops/corpus.py:ccnet_buckets): the corpus-LM score ranked within
+    each language, rank*3 vs n integer bucket boundaries — exact,
+    tie-stable, engine-reproducible. The oracle rebuilds the LM, every
+    score, and both window counters."""
+    from lamapi_spark.ops.corpus import ccnet_buckets
+
+    return ccnet_buckets(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------- C4 line cleaning + line dedup
+
+_LINE_W, _LINE_MIN_WORDS, _LINE_BLOCK = 6, 4, "dup"
+
+@register("corpus_line_clean", rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+  FROM documents),
+lines AS (
+  SELECT doc_id, unnest(range((len(tk) + {_LINE_W - 1}) // {_LINE_W})) AS line_idx,
+         tk FROM toks),
+lined AS (
+  SELECT doc_id, line_idx,
+         array_to_string(list_slice(tk, line_idx * {_LINE_W} + 1,
+                                    line_idx * {_LINE_W} + {_LINE_W}),
+                         ' ') AS line
+  FROM lines),
+tagged AS (
+  SELECT doc_id, line_idx, line,
+         (len(string_split_regex(line, '\s+')) >= {_LINE_MIN_WORDS}
+          AND NOT list_contains(string_split_regex(line, '\s+'),
+                                '{_LINE_BLOCK}')) AS ok
+  FROM lined),
+okr AS (
+  SELECT doc_id, line_idx, line,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, line_idx) AS rn
+  FROM tagged WHERE ok),
+perdoc AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS text_clean,
+         count(*)::BIGINT AS n_kept
+  FROM okr WHERE rn = 1 GROUP BY doc_id),
+dups AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dropped_dup
+  FROM okr WHERE rn > 1 GROUP BY doc_id),
+filt AS (
+  SELECT doc_id,
+         sum(CASE WHEN NOT ok THEN 1 ELSE 0 END)::BIGINT AS n_dropped_filter
+  FROM tagged GROUP BY doc_id)
+SELECT f.doc_id,
+       coalesce(p.text_clean, '') AS text_clean,
+       coalesce(p.n_kept, 0)::BIGINT AS n_kept,
+       f.n_dropped_filter,
+       coalesce(d.n_dropped_dup, 0)::BIGINT AS n_dropped_dup
+FROM filt f
+LEFT JOIN perdoc p ON p.doc_id = f.doc_id
+LEFT JOIN dups d ON d.doc_id = f.doc_id
+ORDER BY f.doc_id
+""")
+def corpus_line_clean_q(spark, sf):
+    """C4-style line filtering + corpus-global exact line dedup
+    (ops/corpus.py:c4_line_clean over to_lines' fixed-width line
+    shim): lines under {min_words} words or containing the blocklist
+    word drop, every repeated surviving line keeps only its first
+    (doc_id, line_idx) occurrence corpus-wide, and documents
+    reassemble from what survives. The oracle rebuilds the lines, both
+    filters, the first-occurrence window, and every reassembled
+    string."""
+    from lamapi_spark.ops.corpus import c4_line_clean, to_lines
+
+    lines = to_lines(load(spark, sf, "documents"),
+                     words_per_line=_LINE_W)
+    return (c4_line_clean(lines, min_words=_LINE_MIN_WORDS,
+                          blocklist=(_LINE_BLOCK,))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------- per-domain cap
+
+_DOMCAP = 20
+
+@register("corpus_domain_cap", f"""
+SELECT doc_id, source, kept_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '|domcap'),
+                                    1, 12))::BIGINT,
+                    doc_id) AS kept_rank
+  FROM documents)
+WHERE kept_rank <= {_DOMCAP} ORDER BY doc_id
+""")
+def corpus_domain_cap_q(spark, sf):
+    """RefinedWeb-style per-domain cap (ops/corpus.py:domain_cap):
+    at most {cap} documents survive per source, picked by md5 draw —
+    deterministic, partition-independent, every keep/drop verdict
+    recomputable from (doc_id, salt). The oracle re-derives every
+    draw and rank."""
+    from lamapi_spark.ops.corpus import domain_cap
+
+    return (domain_cap(load(spark, sf, "documents"), cap=_DOMCAP)
+            .select("doc_id", "source", "kept_rank")
+            .orderBy("doc_id"))

@@ -491,3 +491,92 @@ def test_train_linear_resume_from_checkpoint(spark, tmp_path):
     assert other_lr == sorted(
         tuple(r) for r in
         train_linear(df, "y", n_buckets=16, iters=5, lr=0.25).collect())
+
+
+def test_ccnet_buckets_tertiles_and_ordering(spark):
+    from lamapi_spark.ops.corpus import ccnet_buckets
+
+    # 9 docs in one language: exact thirds; rarer tokens => higher nlp
+    rows = [(i, "en", "common " * 5 + f"rare{i} " * i) for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = ccnet_buckets(docs).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.ppl_bucket, []).append(r)
+    assert {k: len(v) for k, v in by_bucket.items()} == {
+        "head": 3, "middle": 3, "tail": 3}
+    # every head score <= every middle score <= every tail score
+    assert max(r.avg_neg_logp for r in by_bucket["head"]) <= \
+        min(r.avg_neg_logp for r in by_bucket["middle"])
+    assert max(r.avg_neg_logp for r in by_bucket["middle"]) <= \
+        min(r.avg_neg_logp for r in by_bucket["tail"])
+
+
+def test_ccnet_buckets_per_language_isolation(spark):
+    from lamapi_spark.ops.corpus import ccnet_buckets
+
+    rows = ([(i, "en", f"tok{i} " * 4) for i in range(6)]
+            + [(100 + i, "de", f"wort{i} " * 4) for i in range(3)])
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = ccnet_buckets(docs).collect()
+    en = [r for r in out if r.lang == "en"]
+    de = [r for r in out if r.lang == "de"]
+    assert len(en) == 6 and len(de) == 3
+    # each language gets its own tertiles regardless of the other
+    assert sorted(r.ppl_bucket for r in de) == ["head", "middle", "tail"]
+
+
+def test_to_lines_and_c4_line_clean(spark):
+    from lamapi_spark.ops.corpus import c4_line_clean, to_lines
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f a b c d e f g h"),   # line0 == dup of itself? no: line0 'a b c d e f', line1 'a b c d e f', line2 'g h'
+         (2, "a b c d e f x y z w v u"),        # line0 duplicates doc1's line0
+         (3, "short one")],
+        "doc_id bigint, text string")
+    lines = to_lines(docs, words_per_line=6)
+    got = {(r.doc_id, r.line_idx): r.line for r in lines.collect()}
+    assert got[(1, 0)] == "a b c d e f"
+    assert got[(1, 1)] == "a b c d e f"
+    assert got[(1, 2)] == "g h"
+    assert got[(3, 0)] == "short one"
+
+    out = {r.doc_id: r for r in
+           c4_line_clean(lines, min_words=3).collect()}
+    # doc1: line0 kept (first occurrence corpus-wide), line1 dropped as
+    # dup, line2 dropped by the min-words filter
+    assert out[1].text_clean == "a b c d e f"
+    assert out[1].n_kept == 1
+    assert out[1].n_dropped_dup == 1
+    assert out[1].n_dropped_filter == 1
+    # doc2: its line0 is a corpus dup of doc1's; line1 unique
+    assert out[2].text_clean == "x y z w v u"
+    assert out[2].n_dropped_dup == 1
+    # doc3: everything filtered -> empty but still a row
+    assert out[3].text_clean == "" and out[3].n_kept == 0
+
+
+def test_c4_line_clean_blocklist(spark):
+    from lamapi_spark.ops.corpus import c4_line_clean
+
+    lines = spark.createDataFrame(
+        [(1, 0, "clean line here ok"), (1, 1, "has spam word inside")],
+        "doc_id bigint, line_idx int, line string")
+    out = c4_line_clean(lines, min_words=2, blocklist=("spam",)).collect()[0]
+    assert out.text_clean == "clean line here ok"
+    assert out.n_dropped_filter == 1
+
+
+def test_domain_cap_deterministic_and_capped(spark):
+    from lamapi_spark.ops.corpus import domain_cap
+
+    rows = [(i, "d" + str(i % 3)) for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept = domain_cap(docs, cap=10).collect()
+    per = {}
+    for r in kept:
+        per.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) == 10 for v in per.values())
+    kept2 = domain_cap(docs.repartition(13), cap=10).collect()
+    assert sorted((r.source, r.doc_id) for r in kept)  == \
+        sorted((r.source, r.doc_id) for r in kept2)
