@@ -138,3 +138,44 @@ def resample_ffill(
         key, F.explode(F.sequence("_lo", "_hi", step)).alias("grid_ts"))
     return asof_join(grid, events, key=key, left_ts="grid_ts",
                      right_ts=ts, payload=payload)
+
+
+def interval_overlap_join(
+    left: DataFrame, right: DataFrame, key: str,
+    l_lo: str = "l_lo_us", l_hi: str = "l_hi_us",
+    r_lo: str = "r_lo_us", r_hi: str = "r_hi_us",
+    bin_s: int = 1800,
+) -> DataFrame:
+    """All (left, right) interval pairs on the same key that OVERLAP
+    (inclusive: ``l_lo <= r_hi AND r_lo <= l_hi``) — the
+    interval x interval generalization of range_join_binned, and the
+    other join Catalyst would plan as a BroadcastNestedLoopJoin.
+
+    Both sides explode to their covered coarse bins and the pair space
+    becomes an equi-join on (key, bin). An overlapping pair shares
+    EVERY bin between max(lo) and min(hi), so emitting the pair only
+    from the bin that contains max(l_lo, r_lo) — a bin both sides
+    provably cover — yields each pair EXACTLY once with no distinct
+    pass (the dedup-free trick range_join_binned gets for free from
+    points living in one bin). Returns left's columns + right's.
+
+    Bounds are integer micros with lo <= hi on both sides; bin_s
+    trades replication factor (interval_span/bin) against per-bin
+    join fan-in, exactly as in range_join_binned; hot (key, bin)
+    cells are ordinary equi-join skew for AQE."""
+    bw = F.lit(int(bin_s) * 1_000_000)
+    lv = left.withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(F.col(l_lo) / bw),
+                             F.floor(F.col(l_hi) / bw))))
+    rv = right.withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(F.col(r_lo) / bw),
+                             F.floor(F.col(r_hi) / bw))))
+    return (
+        lv.join(rv, [key, "_bin"])
+        .filter((F.col(l_lo) <= F.col(r_hi)) & (F.col(r_lo) <= F.col(l_hi)))
+        .filter(F.col("_bin")
+                == F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / bw))
+        .drop("_bin")
+    )

@@ -448,3 +448,61 @@ def events_resample(spark, sf):
         .select("user_id", "grid_ts", "asof_ts", "asof_value")
         .orderBy("user_id", "grid_ts")
     )
+
+
+# ------------------------------------- interval x interval overlap join
+
+_IVJ_DAY = 86_400_000_000  # one day in micros
+
+@register("events_interval_join", f"""
+WITH lo AS (
+  SELECT o_orderkey, o_custkey % 50 AS grp,
+         epoch_us(o_orderdate)::BIGINT AS l_lo_us,
+         epoch_us(o_orderdate)::BIGINT + 14 * {_IVJ_DAY} AS l_hi_us
+  FROM orders WHERE o_orderkey % 13 = 0),
+ro AS (
+  SELECT l_orderkey, l_linenumber, l_suppkey % 50 AS grp,
+         epoch_us(l_shipdate)::BIGINT AS r_lo_us,
+         epoch_us(l_shipdate)::BIGINT
+           + l_linenumber * 2 * {_IVJ_DAY} AS r_hi_us
+  FROM lineitem WHERE l_orderkey % 7 = 0)
+SELECT l.o_orderkey, l.grp, l.l_lo_us, l.l_hi_us,
+       r.l_orderkey, r.l_linenumber, r.r_lo_us, r.r_hi_us
+FROM lo l JOIN ro r
+  ON l.grp = r.grp AND l.l_lo_us <= r.r_hi_us AND r.r_lo_us <= l.l_hi_us
+ORDER BY l.o_orderkey, r.l_orderkey, r.l_linenumber
+""")
+def events_interval_join_q(spark, sf):
+    """Interval x interval overlap join
+    (ops/temporal.py:interval_overlap_join): order windows [orderdate,
+    +14d] against shipment windows [shipdate, +linenumber*2d] on a
+    50-way key — coarse-bin replication turns the would-be
+    BroadcastNestedLoopJoin into an equi-join on (key, bin), and each
+    overlapping pair is emitted exactly once from the bin holding
+    max(lo). The oracle is the INDEPENDENT formulation: DuckDB's
+    native inequality join over the same intervals."""
+    from lamapi_spark.ops.temporal import interval_overlap_join
+
+    lo = (load(spark, sf, "orders")
+          .filter(F.col("o_orderkey") % 13 == 0)
+          .select(
+              "o_orderkey",
+              (F.col("o_custkey") % 50).alias("grp"),
+              F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("l_lo_us"))
+          .withColumn("l_hi_us", F.col("l_lo_us") + 14 * _IVJ_DAY))
+    ro = (load(spark, sf, "lineitem")
+          .filter(F.col("l_orderkey") % 7 == 0)
+          .select(
+              "l_orderkey", "l_linenumber",
+              (F.col("l_suppkey") % 50).alias("grp"),
+              F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("r_lo_us"))
+          .withColumn(
+              "r_hi_us",
+              F.col("r_lo_us") + F.col("l_linenumber").cast("long")
+              * F.lit(2 * _IVJ_DAY)))
+    # one-day bins: order windows span 15 bins, shipment windows <= 15
+    return (interval_overlap_join(lo, ro, key="grp",
+                                  bin_s=_IVJ_DAY // 1_000_000)
+            .select("o_orderkey", "grp", "l_lo_us", "l_hi_us",
+                    "l_orderkey", "l_linenumber", "r_lo_us", "r_hi_us")
+            .orderBy("o_orderkey", "l_orderkey", "l_linenumber"))

@@ -362,3 +362,56 @@ def test_resample_ffill_grid_and_fill(spark):
         ("a", 400): (150, 1.0),
         ("b", 700): (None, None),        # 700 < 777
     }
+
+
+def test_interval_overlap_join_exact_and_once(spark):
+    from lamapi_spark.ops.temporal import interval_overlap_join
+
+    M = 1_000_000
+    left = spark.createDataFrame(
+        [(1, "k", 0 * M, 100 * M),       # overlaps r1, r2
+         (2, "k", 500 * M, 600 * M),     # overlaps r3 (touching edge)
+         (3, "k", 10_000 * M, 10_100 * M),  # overlaps nothing
+         (4, "x", 0 * M, 100 * M)],      # right key, wrong group
+        "lid int, grp string, l_lo_us long, l_hi_us long")
+    right = spark.createDataFrame(
+        [(1, "k", 50 * M, 70 * M),       # inside l1 (and spans bins)
+         (2, "k", 90 * M, 5_000 * M),    # straddles l1's end, wide
+         (3, "k", 600 * M, 700 * M),     # touches l2 at exactly 600s
+         (4, "k", 101 * M, 200 * M)],    # just past l1
+        "rid int, grp string, r_lo_us long, r_hi_us long")
+    out = interval_overlap_join(left, right, key="grp", bin_s=30)
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    # l1 overlaps r1 and r2; the wide r2 [90s,5000s] also reaches l2
+    # [500s,600s]; r3 touches l2 exactly at 600s (inclusive bounds)
+    assert pairs == [(1, 1), (1, 2), (2, 2), (2, 3)]
+    # exactly once each, despite multi-bin overlaps (no dedup pass)
+    assert len(pairs) == len(set(pairs))
+
+
+def test_interval_overlap_join_matches_brute_force_randomized(spark):
+    import random
+
+    from lamapi_spark.ops.temporal import interval_overlap_join
+
+    rng = random.Random(42)
+    M = 1_000_000
+    lrows, rrows = [], []
+    for i in range(120):
+        lo = rng.randrange(0, 50_000) * M
+        lrows.append((i, "g" + str(rng.randrange(3)), lo,
+                      lo + rng.randrange(0, 3_000) * M))
+    for j in range(150):
+        lo = rng.randrange(0, 50_000) * M
+        rrows.append((j, "g" + str(rng.randrange(3)), lo,
+                      lo + rng.randrange(0, 3_000) * M))
+    left = spark.createDataFrame(
+        lrows, "lid int, grp string, l_lo_us long, l_hi_us long")
+    right = spark.createDataFrame(
+        rrows, "rid int, grp string, r_lo_us long, r_hi_us long")
+    got = sorted((r.lid, r.rid) for r in interval_overlap_join(
+        left, right, key="grp", bin_s=600).collect())
+    want = sorted(
+        (l[0], r[0]) for l in lrows for r in rrows
+        if l[1] == r[1] and l[2] <= r[3] and r[2] <= l[3])
+    assert got == want
