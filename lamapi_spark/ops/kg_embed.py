@@ -121,7 +121,8 @@ def transe_train(triples_neg: DataFrame, d: int = 4, iters: int = 2,
                  lr_u: int = 2, margin_u: int = 100,
                  init_u: int = 50, clamp_u: int = 1000,
                  salt: str = "transe",
-                 checkpoint_every: int | None = 1) -> DataFrame:
+                 checkpoint_every: int | None = 1,
+                 checkpoint_dir: str | None = None) -> DataFrame:
     """Full-batch TransE-L1 GD over (subj, pred, obj, neg_obj) rows
     (null neg_obj rows — negative_samples' degenerate degrade — train
     nothing and are dropped). Returns (kind, id, dim, w_u).
@@ -130,13 +131,51 @@ def transe_train(triples_neg: DataFrame, d: int = 4, iters: int = 2,
     the per-coordinate gradient SUM (full-batch; callers with huge
     triple counts lower lr_u rather than dividing — an integer division
     by N would round each coordinate, still exact but noisier).
-    """
+
+    ``checkpoint_dir`` makes training RESUMABLE (the classifier's
+    per-iteration data + sidecar-last convention, ops/classifier.py):
+    each completed iteration writes the full embedding frame plus a
+    metrics.json whose fingerprint covers the hyperparameters AND the
+    corpus (count + bit_xor of xxhash64(triple) — the snapshot-
+    validation discipline of the lookup-index `_meta` sidecar); a
+    rerun resumes from the newest matching iteration, and since the
+    protocol is exactly deterministic, killed-and-resumed training is
+    BIT-IDENTICAL to uninterrupted (tested)."""
+    import json
+    import os
+    import time as _time
+
+    spark = triples_neg.sparkSession
     tn = triples_neg.filter(F.col("neg_obj").isNotNull())
     emb = transe_init(tn, d, init_u, salt)
     if checkpoint_every is not None:
         tn = tn.localCheckpoint(eager=True)
         emb = emb.localCheckpoint(eager=True)
-    for it in range(iters):
+    start_iter = 0
+    fp = None
+    if checkpoint_dir:
+        sig = tn.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("subj", "pred", "obj", "neg_obj"))
+            .alias("x")).collect()[0]
+        fp = (f"d={d};lr={lr_u};m={margin_u};i={init_u};c={clamp_u};"
+              f"salt={salt};n={sig.n};x={sig.x}")
+        for k in range(iters, 0, -1):
+            base = os.path.join(checkpoint_dir, f"iter_{k:04d}")
+            mpath = os.path.join(base, "metrics.json")
+            if not os.path.exists(mpath):
+                continue  # sidecar absent => iteration never completed
+            with open(mpath) as fh:
+                meta = json.load(fh)
+            if meta.get("fingerprint") != fp:
+                continue  # different params or corpus: never resume
+            emb = spark.read.parquet(os.path.join(base, "data"))
+            if checkpoint_every is not None:
+                emb = emb.localCheckpoint(eager=True)
+            start_iter = k
+            break
+    for it in range(start_iter, iters):
+        t0 = _time.time()
         c = _coords(tn, emb, with_neg=True).select(
             "subj", "pred", "obj", "neg_obj", "dim",
             (F.col("h_u") + F.col("r_u") - F.col("t_u")).alias("dp"),
@@ -194,6 +233,13 @@ def transe_train(triples_neg: DataFrame, d: int = 4, iters: int = 2,
                        )).alias("w_u")))
         if checkpoint_every is not None and (it + 1) % checkpoint_every == 0:
             emb = emb.localCheckpoint(eager=True)
+        if checkpoint_dir:
+            base = os.path.join(checkpoint_dir, f"iter_{it + 1:04d}")
+            emb.write.mode("overwrite").parquet(os.path.join(base, "data"))
+            # sidecar LAST: its presence certifies the iteration landed
+            with open(os.path.join(base, "metrics.json"), "w") as fh:
+                json.dump({"fingerprint": fp, "iter": it + 1,
+                           "duration_s": round(_time.time() - t0, 3)}, fh)
     return emb
 
 
@@ -228,3 +274,43 @@ def transe_loss(triples_neg: DataFrame, emb: DataFrame,
         F.sum(hinge).alias("loss_u"),
         F.sum(F.when(hinge > 0, 1).otherwise(0)).cast("long")
         .alias("n_violated"))
+
+
+def embedding_vectors(emb: DataFrame) -> DataFrame:
+    """Pivot the row-per-dim training layout to the SERVE layout:
+    (kind, id, vec array<long> ordered by dim) — one aggregation with
+    a d-bounded in-array sort, the shape the stateless streaming serve
+    twin (streaming/kg.py:stream_transe_score) joins against and the
+    natural persisted-artifact schema (floats/ints round-trip parquet
+    bit-exactly, cf. ops/similarity.IvfIndex)."""
+    return (emb.groupBy("kind", "id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "w_u"))),
+                lambda s: s["w_u"]).alias("vec")))
+
+
+def transe_score_vec(triples: DataFrame, vecs: DataFrame) -> DataFrame:
+    """transe_score over the pivoted vector layout: three stream-
+    static-joinable equi-joins plus a pure in-array fold — NO
+    aggregation, so the expression is legal in a stateless streaming
+    select and exactly equals the batch per-dim sum (integer adds
+    associate)."""
+    e = vecs.filter(F.col("kind") == "e").drop("kind")
+    r = vecs.filter(F.col("kind") == "r").drop("kind")
+    t = triples.select(
+        F.col("subj").cast("string").alias("subj"),
+        F.col("pred").cast("string").alias("pred"),
+        F.col("obj").cast("string").alias("obj"))
+    j = (t.join(e.select(F.col("id").alias("subj"),
+                         F.col("vec").alias("hv")), "subj")
+         .join(r.select(F.col("id").alias("pred"),
+                        F.col("vec").alias("rv")), "pred")
+         .join(e.select(F.col("id").alias("obj"),
+                        F.col("vec").alias("tv")), "obj"))
+    diffs = F.zip_with(
+        F.zip_with(F.col("hv"), F.col("rv"), lambda h, r_: h + r_),
+        F.col("tv"), lambda a, t_: F.abs(a - t_))
+    return j.select(
+        "subj", "pred", "obj",
+        F.aggregate(diffs, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("score_u"))

@@ -232,3 +232,29 @@ def stream_triples_to_graph(
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.read.parquet(output_dir)
+
+
+TRIPLE_SCHEMA = "subj string, pred string, obj string"
+
+
+def stream_transe_score(
+    spark: SparkSession, path: str, vecs: DataFrame,
+    schema: str = TRIPLE_SCHEMA,
+) -> DataFrame:
+    """Streaming serve twin of ops/kg_embed.transe_score: L1
+    plausibility of each incoming (subj, pred, obj) triple under a
+    trained embedding table in the PIVOTED vector layout
+    (embedding_vectors) — the link-prediction scorer as a stream.
+
+    ZERO streaming state: three stream-static equi-joins land the
+    h/r/t vectors and the score is a pure in-array integer fold
+    (transe_score_vec), so no watermark, no aggregation buffer, and
+    stream == batch row for row (integer adds associate — there is no
+    float anywhere; tested in tests/test_streaming.py). The static
+    side is the offline artifact exactly like build_link_index's
+    dictionary: train once with transe_train, pivot with
+    embedding_vectors, serve forever."""
+    from lamapi_spark.ops.kg_embed import transe_score_vec
+
+    triples = spark.readStream.schema(schema).parquet(path)
+    return transe_score_vec(triples, vecs)

@@ -89,3 +89,38 @@ def test_init_is_pure_function_of_ids(spark):
                                       init_u=10).collect()))
     assert a == b
     assert all(-10 <= r[3] <= 10 for r in a)
+
+
+def test_resume_from_checkpoint_bit_identical(spark, tmp_path):
+    """Kill-and-resume discipline: training interrupted after 2 of 3
+    iterations, restarted with the same checkpoint_dir, must produce
+    BIT-IDENTICAL weights to an uninterrupted 3-iteration run — and a
+    changed corpus under the same dir must NOT resume."""
+    tn = _planted(spark)
+    kw = dict(d=3, lr_u=2, margin_u=100, init_u=50, clamp_u=1000)
+    ckpt = str(tmp_path / "transe_ckpt")
+
+    transe_train(tn, iters=2, checkpoint_dir=ckpt, **kw)   # "killed" here
+    resumed = transe_train(tn, iters=3, checkpoint_dir=ckpt, **kw)
+    straight = transe_train(tn, iters=3, **kw)
+    assert sorted(map(tuple, resumed.collect())) == \
+        sorted(map(tuple, straight.collect()))
+
+    # a different corpus must invalidate the fingerprint (fresh train)
+    tn2 = _planted(spark, n=30)
+    fresh = transe_train(tn2, iters=1, checkpoint_dir=str(
+        tmp_path / "transe_ckpt2"), **kw)
+    reused = transe_train(tn2, iters=1, checkpoint_dir=ckpt, **kw)
+    assert sorted(map(tuple, fresh.collect())) == \
+        sorted(map(tuple, reused.collect()))
+
+
+def test_embedding_vectors_pivot(spark):
+    from lamapi_spark.ops.kg_embed import embedding_vectors, transe_init
+
+    tn = _planted(spark, n=6)
+    emb = transe_init(tn, d=3, init_u=10)
+    vecs = {(r.kind, r.id): r.vec for r in embedding_vectors(emb).collect()}
+    flat = {(r.kind, r.id, r.dim): r.w_u for r in emb.collect()}
+    for (kind, id_), v in vecs.items():
+        assert v == [flat[(kind, id_, d_)] for d_ in range(3)]

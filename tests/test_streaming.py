@@ -342,3 +342,35 @@ def test_stream_cms_cells_matches_batch(spark, tmp_path):
     batch_cells = {(r.event_type, i): c
                    for r in batch for i, c in enumerate(r.cms) if c > 0}
     assert stream_cells == batch_cells and len(batch_cells) > 100
+
+
+def test_stream_transe_score_matches_batch(spark, tmp_path):
+    """The stateless streaming TransE scorer (stream-static vector
+    joins + in-array integer fold) equals the batch per-dim row layout
+    scorer row for row — there is no float anywhere, so equality is
+    exact by construction and this pins the pivot + fold."""
+    import shutil
+
+    from lamapi_spark.ops.kg_embed import (
+        embedding_vectors, transe_score, transe_train,
+    )
+    from lamapi_spark.streaming.kg import stream_transe_score
+
+    tn = spark.createDataFrame(
+        [(str(i), "next", str(i + 1), str((i + 9) % 30))
+         for i in range(29)],
+        "subj string, pred string, obj string, neg_obj string")
+    emb = transe_train(tn, d=4, iters=2)
+    vecs = embedding_vectors(emb)
+    triples = tn.select("subj", "pred", "obj")
+    d = str(tmp_path / "transe_triples")
+    triples.write.parquet(d)
+
+    got = run_available_now(
+        stream_transe_score(spark, d, vecs), "t_transe", mode="append")
+    stream_rows = {(r.subj, r.pred, r.obj): r.score_u
+                   for r in got.collect()}
+    batch_rows = {(r.subj, r.pred, r.obj): r.score_u
+                  for r in transe_score(triples, emb).collect()}
+    assert stream_rows == batch_rows and len(batch_rows) == 29
+    shutil.rmtree(d, ignore_errors=True)
