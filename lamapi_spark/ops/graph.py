@@ -302,3 +302,87 @@ def triangle_counts(
                .unionAll(tris.select(F.col("x").alias("node")))
                .unionAll(tris.select(F.col("y").alias("node"))))
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+def induce_schema(triples: DataFrame, ent_types: DataFrame,
+                  ent_col: str = "ent", type_col: str = "ent_type",
+                  ) -> DataFrame:
+    """Predicate domain/range induction over a constructed KG — the
+    schema-learning QA step that follows triple materialization (the
+    reference stores curated P31 types; a from-scratch KG must INDUCE
+    which subject/object types each predicate connects before it can
+    flag extraction errors): for every predicate, the majority subject
+    type (domain) and object type (range) with their support shares.
+
+    Deterministic: the majority pick tie-breaks (count desc, type lex)
+    and shares are integer basis points (cnt*10000 div total) — exact
+    in any engine. Scale shape: two shuffled joins land the types on
+    the triples (entity-keyed, AQE handles hub skew); the per-(pred,
+    type) counts collapse with map-side combine to at most
+    |preds| x |types| rows, so the argmax windows run on a frame that
+    is dimension-sized, never data-sized.
+
+    -> (pred, n_triples, dom_subj_type, subj_share_bp,
+        dom_obj_type, obj_share_bp)."""
+    ty = ent_types.select(F.col(ent_col).alias("_e"),
+                          F.col(type_col).alias("_t"))
+    t = (triples
+         .join(ty.select(F.col("_e").alias("subj"),
+                         F.col("_t").alias("subj_type")), "subj")
+         .join(ty.select(F.col("_e").alias("obj"),
+                         F.col("_t").alias("obj_type")), "obj"))
+
+    def _dominant(role: str) -> DataFrame:
+        cnt = (t.groupBy("pred", F.col(f"{role}_type").alias("_ty"))
+               .agg(F.count("*").alias("_c")))
+        w = Window.partitionBy("pred").orderBy(
+            F.desc("_c"), F.asc("_ty"))
+        tot = Window.partitionBy("pred")
+        return (cnt
+                .withColumn("_r", F.row_number().over(w))
+                .withColumn("_tot", F.sum("_c").over(tot))
+                .filter(F.col("_r") == 1)
+                .select(
+                    "pred",
+                    F.col("_tot").alias(f"_n_{role}"),
+                    F.col("_ty").alias(f"dom_{role}_type"),
+                    F.expr("_c * 10000 div _tot")
+                    .alias(f"{role}_share_bp")))
+
+    return (_dominant("subj").join(_dominant("obj"), "pred")
+            .select("pred", F.col("_n_subj").alias("n_triples"),
+                    "dom_subj_type", "subj_share_bp",
+                    "dom_obj_type", "obj_share_bp"))
+
+
+def type_violations(triples: DataFrame, ent_types: DataFrame,
+                    schema: DataFrame | None = None,
+                    ent_col: str = "ent", type_col: str = "ent_type",
+                    ) -> DataFrame:
+    """Triples whose subject or object type deviates from the induced
+    (or supplied) predicate schema — the extraction-error surface a
+    KG-construction pipeline reviews before publishing. The schema
+    frame is |preds| rows and broadcasts; the type joins are the same
+    entity-keyed shuffles as induce_schema.
+
+    -> violating triples with (subj_type, obj_type, bad_subj,
+    bad_obj)."""
+    if schema is None:
+        schema = induce_schema(triples, ent_types, ent_col, type_col)
+    ty = ent_types.select(F.col(ent_col).alias("_e"),
+                          F.col(type_col).alias("_t"))
+    t = (triples
+         .join(ty.select(F.col("_e").alias("subj"),
+                         F.col("_t").alias("subj_type")), "subj")
+         .join(ty.select(F.col("_e").alias("obj"),
+                         F.col("_t").alias("obj_type")), "obj")
+         .join(F.broadcast(schema.select(
+             "pred", "dom_subj_type", "dom_obj_type")), "pred"))
+    return (t
+            .withColumn("bad_subj",
+                        F.col("subj_type") != F.col("dom_subj_type"))
+            .withColumn("bad_obj",
+                        F.col("obj_type") != F.col("dom_obj_type"))
+            .filter(F.col("bad_subj") | F.col("bad_obj"))
+            .select("subj", "pred", "obj", "subj_type", "obj_type",
+                    "bad_subj", "bad_obj"))

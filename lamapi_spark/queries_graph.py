@@ -575,3 +575,108 @@ def kg_transe_score(spark, sf):
     triples = (tn.filter(F.col("neg_obj").isNotNull())
                .select("subj", "pred", "obj").distinct())
     return transe_score(triples, emb).orderBy("subj", "pred", "obj")
+
+
+# ------------------------------------ schema induction + type checking
+
+# entity-type assignment with planted off-type minorities: most orders
+# are 'order' (6% 'rush_order'), most parts 'part' (~8% 'odd_part') —
+# so induction must find the majority and the checker must flag the
+# planted deviants, deterministically in both engines.
+_SCHEMA_TYPES_SQL = """
+ty AS (
+  SELECT 'o' || o_orderkey AS ent,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'rush_order'
+              ELSE 'order' END AS ent_type
+  FROM orders
+  UNION ALL
+  SELECT 'p' || p_partkey AS ent,
+         CASE WHEN p_partkey % 13 = 0 THEN 'odd_part'
+              ELSE 'part' END AS ent_type
+  FROM part),
+tr AS (
+  SELECT DISTINCT 'o' || l_orderkey AS subj, 'has_part' AS pred,
+         'p' || l_partkey AS obj
+  FROM lineitem WHERE l_orderkey % 3 = 0),
+typed AS (
+  SELECT t.subj, t.pred, t.obj, ts.ent_type AS subj_type,
+         tob.ent_type AS obj_type
+  FROM tr t
+  JOIN ty ts ON ts.ent = t.subj
+  JOIN ty tob ON tob.ent = t.obj),
+dom_s AS (
+  SELECT pred, ent_type AS dom_subj_type, c,
+         sum(c) OVER (PARTITION BY pred) AS tot,
+         row_number() OVER (PARTITION BY pred
+                            ORDER BY c DESC, ent_type) AS r
+  FROM (SELECT pred, subj_type AS ent_type, count(*)::BIGINT AS c
+        FROM typed GROUP BY pred, subj_type)),
+dom_o AS (
+  SELECT pred, ent_type AS dom_obj_type, c,
+         sum(c) OVER (PARTITION BY pred) AS tot,
+         row_number() OVER (PARTITION BY pred
+                            ORDER BY c DESC, ent_type) AS r
+  FROM (SELECT pred, obj_type AS ent_type, count(*)::BIGINT AS c
+        FROM typed GROUP BY pred, obj_type))"""
+
+
+@register("kg_schema_induction", f"""
+WITH {_SCHEMA_TYPES_SQL}
+SELECT s.pred, s.tot::BIGINT AS n_triples,
+       s.dom_subj_type, (s.c * 10000 // s.tot)::BIGINT AS subj_share_bp,
+       o.dom_obj_type, (o.c * 10000 // o.tot)::BIGINT AS obj_share_bp
+FROM dom_s s JOIN dom_o o ON o.pred = s.pred AND o.r = 1
+WHERE s.r = 1 ORDER BY s.pred
+""")
+def kg_schema_induction_q(spark, sf):
+    """Predicate domain/range induction (ops/graph.py:induce_schema)
+    over order->part triples with planted off-type minorities: the
+    majority subject/object type per predicate with integer
+    basis-point support shares — the schema-learning QA step after
+    triple materialization. The oracle recomputes both majority
+    windows and every share."""
+    from lamapi_spark.ops.graph import induce_schema
+
+    tr, ty = _schema_fixture(spark, sf)
+    return induce_schema(tr, ty).orderBy("pred")
+
+
+@register("kg_type_violations", f"""
+WITH {_SCHEMA_TYPES_SQL}
+SELECT t.subj, t.pred, t.obj, t.subj_type, t.obj_type,
+       (t.subj_type <> s.dom_subj_type) AS bad_subj,
+       (t.obj_type <> o.dom_obj_type) AS bad_obj
+FROM typed t
+JOIN dom_s s ON s.pred = t.pred AND s.r = 1
+JOIN dom_o o ON o.pred = t.pred AND o.r = 1
+WHERE t.subj_type <> s.dom_subj_type OR t.obj_type <> o.dom_obj_type
+ORDER BY t.subj, t.obj
+""")
+def kg_type_violations_q(spark, sf):
+    """Triples deviating from the induced schema
+    (ops/graph.py:type_violations): every planted rush_order/odd_part
+    participant is flagged with per-side verdicts. The oracle
+    re-derives the schema and every flag independently."""
+    from lamapi_spark.ops.graph import type_violations
+
+    tr, ty = _schema_fixture(spark, sf)
+    return type_violations(tr, ty).orderBy("subj", "obj")
+
+
+def _schema_fixture(spark, sf):
+    ty = (load(spark, sf, "orders")
+          .select(F.concat(F.lit("o"), F.col("o_orderkey")).alias("ent"),
+                  F.when(F.col("o_orderkey") % 17 == 0, "rush_order")
+                  .otherwise("order").alias("ent_type"))
+          .unionByName(
+              load(spark, sf, "part")
+              .select(F.concat(F.lit("p"), F.col("p_partkey")).alias("ent"),
+                      F.when(F.col("p_partkey") % 13 == 0, "odd_part")
+                      .otherwise("part").alias("ent_type"))))
+    tr = (load(spark, sf, "lineitem")
+          .filter(F.col("l_orderkey") % 3 == 0)
+          .select(F.concat(F.lit("o"), F.col("l_orderkey")).alias("subj"),
+                  F.lit("has_part").alias("pred"),
+                  F.concat(F.lit("p"), F.col("l_partkey")).alias("obj"))
+          .distinct())
+    return tr, ty

@@ -639,3 +639,41 @@ def test_embed_texts_plumbing(spark):
             for r in embed_texts(df.repartition(3), dims=16,
                                  batch_size=2).collect()}
     assert got2 == got
+
+
+def test_induce_schema_and_type_violations(spark):
+    from lamapi_spark.ops.graph import induce_schema, type_violations
+
+    tr = spark.createDataFrame(
+        [("a1", "works_at", "c1"), ("a2", "works_at", "c2"),
+         ("a3", "works_at", "c3"), ("x9", "works_at", "c1"),
+         ("a1", "born_in", "p1"), ("a2", "born_in", "p2")],
+        "subj string, pred string, obj string")
+    ty = spark.createDataFrame(
+        [("a1", "person"), ("a2", "person"), ("a3", "person"),
+         ("x9", "robot"), ("c1", "company"), ("c2", "company"),
+         ("c3", "company"), ("p1", "place"), ("p2", "place")],
+        "ent string, ent_type string")
+    schema = {r.pred: r for r in induce_schema(tr, ty).collect()}
+    assert schema["works_at"].dom_subj_type == "person"
+    assert schema["works_at"].dom_obj_type == "company"
+    assert schema["works_at"].subj_share_bp == 7500  # 3 of 4
+    assert schema["works_at"].obj_share_bp == 10000
+    assert schema["born_in"].dom_subj_type == "person"
+    v = type_violations(tr, ty).collect()
+    assert [(r.subj, r.pred, r.obj, r.bad_subj, r.bad_obj)
+            for r in v] == [("x9", "works_at", "c1", True, False)]
+
+
+def test_induce_schema_tie_breaks_lexically(spark):
+    from lamapi_spark.ops.graph import induce_schema
+
+    tr = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "y")],
+        "subj string, pred string, obj string")
+    ty = spark.createDataFrame(
+        [("a", "t_bbb"), ("b", "t_aaa"), ("x", "q"), ("y", "q")],
+        "ent string, ent_type string")
+    row = induce_schema(tr, ty).collect()[0]
+    # 1-1 tie on subject types -> lexicographically smallest wins
+    assert row.dom_subj_type == "t_aaa" and row.subj_share_bp == 5000
