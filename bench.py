@@ -42,6 +42,10 @@ HEADLINE = [
     # two exchanges) and BM25 ranked retrieval (scan-bound)
     "dedup_substring_spans",
     "bm25_topk",
+    # round 4 final: the distributed-trainer representative (2
+    # full-batch TransE-L1 GD iterations — 4 joins + 2 aggs + update
+    # join per round, all integer fixed point)
+    "kg_transe_train",
 ]
 
 

@@ -680,3 +680,74 @@ def _schema_fixture(spark, sf):
                   F.concat(F.lit("p"), F.col("l_partkey")).alias("obj"))
           .distinct())
     return tr, ty
+
+
+_TRANSE_EVAL_N = 16
+
+_TRANSE_RANKS_SQL = (
+    _TRANSE_TN_SQL
+    + "".join(_transe_iter_sql(k) for k in range(1, _TRANSE_ITERS + 1))
+    + f""",
+cand AS MATERIALIZED (
+  SELECT id AS cand_id FROM (SELECT DISTINCT id FROM emb{_TRANSE_ITERS}
+                             WHERE kind = 'e')
+  ORDER BY ('0x' || substr(md5(id || '|transe-eval'), 1, 12))::BIGINT, id
+  LIMIT {_TRANSE_EVAL_N}),
+tt AS (SELECT DISTINCT subj, pred, obj FROM tn),
+true_s AS MATERIALIZED (
+  SELECT t.subj, t.pred, t.obj,
+         sum(abs(eh.w_u + er.w_u - et.w_u))::BIGINT AS true_u
+  FROM tt t
+  JOIN emb{_TRANSE_ITERS} eh ON eh.kind = 'e' AND eh.id = t.subj
+  JOIN emb{_TRANSE_ITERS} er ON er.kind = 'r' AND er.id = t.pred
+                            AND er.dim = eh.dim
+  JOIN emb{_TRANSE_ITERS} et ON et.kind = 'e' AND et.id = t.obj
+                            AND et.dim = eh.dim
+  GROUP BY t.subj, t.pred, t.obj),
+cand_s AS MATERIALIZED (
+  SELECT t.subj, t.pred, t.obj, c.cand_id,
+         sum(abs(eh.w_u + er.w_u - ec.w_u))::BIGINT AS cand_u
+  FROM tt t CROSS JOIN cand c
+  JOIN emb{_TRANSE_ITERS} eh ON eh.kind = 'e' AND eh.id = t.subj
+  JOIN emb{_TRANSE_ITERS} er ON er.kind = 'r' AND er.id = t.pred
+                            AND er.dim = eh.dim
+  JOIN emb{_TRANSE_ITERS} ec ON ec.kind = 'e' AND ec.id = c.cand_id
+                            AND ec.dim = eh.dim
+  GROUP BY t.subj, t.pred, t.obj, c.cand_id),
+ranks AS (
+  SELECT s.subj, s.pred, s.obj, s.true_u AS true_score_u,
+         (1 + sum(CASE WHEN c.cand_id <> s.obj
+                        AND (c.cand_u < s.true_u
+                             OR (c.cand_u = s.true_u
+                                 AND c.cand_id < s.obj))
+                  THEN 1 ELSE 0 END))::BIGINT AS rank
+  FROM true_s s
+  JOIN cand_s c ON c.subj = s.subj AND c.pred = s.pred AND c.obj = s.obj
+  GROUP BY s.subj, s.pred, s.obj, s.true_u)
+SELECT subj, pred, obj, true_score_u, rank,
+       (rank <= 1) AS hit1, (rank <= 3) AS hit3
+FROM ranks ORDER BY subj, pred, obj""")
+
+
+@register("kg_transe_ranks", _TRANSE_RANKS_SQL)
+def kg_transe_ranks(spark, sf):
+    """Pooled link-prediction evaluation of the trained TransE model
+    (ops/kg_embed.py:transe_eval_ranks): every training triple's true
+    tail ranked against the md5-smallest 16-entity candidate pool
+    under the final embeddings — rank, hit@1, hit@3 per triple, all
+    exact integers, every rank individually oracle-checked. Completes
+    the train -> serve -> evaluate arc."""
+    from lamapi_spark.ops.kg_embed import (
+        embedding_vectors, transe_eval_ranks, transe_train,
+    )
+
+    tn = _transe_tn(spark, sf)
+    emb = transe_train(tn, d=_TRANSE_D, iters=_TRANSE_ITERS,
+                       lr_u=_TRANSE_LR, margin_u=_TRANSE_MARGIN,
+                       init_u=_TRANSE_INIT, clamp_u=_TRANSE_CLAMP,
+                       checkpoint_every=None)
+    triples = (tn.filter(F.col("neg_obj").isNotNull())
+               .select("subj", "pred", "obj").distinct())
+    return (transe_eval_ranks(triples, embedding_vectors(emb),
+                              n_candidates=_TRANSE_EVAL_N)
+            .orderBy("subj", "pred", "obj"))

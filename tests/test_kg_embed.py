@@ -124,3 +124,33 @@ def test_embedding_vectors_pivot(spark):
     flat = {(r.kind, r.id, r.dim): r.w_u for r in emb.collect()}
     for (kind, id_), v in vecs.items():
         assert v == [flat[(kind, id_, d_)] for d_ in range(3)]
+
+
+def test_eval_ranks_semantics(spark):
+    """The true tail of a well-trained triple should rank near 1; the
+    rank/hit fields must agree; pool draw is deterministic."""
+    from lamapi_spark.ops.kg_embed import (
+        embedding_vectors, transe_eval_ranks, transe_train,
+    )
+
+    tn = _planted(spark, n=30)
+    emb = transe_train(tn, d=8, iters=6, lr_u=4, margin_u=200,
+                       init_u=50, clamp_u=1000)
+    vecs = embedding_vectors(emb)
+    triples = tn.select("subj", "pred", "obj")
+    out = transe_eval_ranks(triples, vecs, n_candidates=8).collect()
+    assert len(out) == triples.count()
+    for r in out:
+        assert 1 <= r.rank <= 9           # pool of 8 + the true tail
+        assert r.hit1 == (r.rank <= 1) and r.hit3 == (r.rank <= 3)
+    # deterministic under repartitioning
+    out2 = transe_eval_ranks(triples.repartition(5), vecs,
+                             n_candidates=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # trained model beats the untrained init on mean rank
+    vecs0 = embedding_vectors(transe_train(tn, d=8, iters=0, lr_u=4,
+                                           margin_u=200, init_u=50,
+                                           clamp_u=1000))
+    mean = lambda rows: sum(r.rank for r in rows) / len(rows)  # noqa: E731
+    out0 = transe_eval_ranks(triples, vecs0, n_candidates=8).collect()
+    assert mean(out) <= mean(out0)
