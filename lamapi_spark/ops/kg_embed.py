@@ -355,16 +355,16 @@ def transe_eval_ranks(triples: DataFrame, vecs: DataFrame,
             .join(ents.select(F.col("id").alias("obj"),
                               F.col("vec").alias("tv")), "obj"))
 
-    def _l1(a, b):
+    def _l1(tail_vec):
         return F.aggregate(
             F.zip_with(F.zip_with(F.col("hv"), F.col("rv"),
                                   lambda h, r: h + r),
-                       b, lambda x, y: F.abs(x - y)),
+                       tail_vec, lambda x, y: F.abs(x - y)),
             F.lit(0).cast("long"), lambda acc, x: acc + x)
 
     scored = (base.join(F.broadcast(cand))
-              .withColumn("true_u", _l1("hv", F.col("tv")))
-              .withColumn("cand_u", _l1("hv", F.col("cv")))
+              .withColumn("true_u", _l1(F.col("tv")))
+              .withColumn("cand_u", _l1(F.col("cv")))
               .withColumn("_beats", F.when(
                   (F.col("cand_id") != F.col("obj"))
                   & ((F.col("cand_u") < F.col("true_u"))
