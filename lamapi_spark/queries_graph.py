@@ -751,3 +751,56 @@ def kg_transe_ranks(spark, sf):
     return (transe_eval_ranks(triples, embedding_vectors(emb),
                               n_candidates=_TRANSE_EVAL_N)
             .orderBy("subj", "pred", "obj"))
+
+
+# ----------------------------------------------------------------- HITS
+
+def _hits_iter_sql(k: int) -> str:
+    """One HITS round: auth from hubs, hub from the NEW auth, each
+    max-normalized to _SCALE by integer division (HUGEINT-exact)."""
+    prev = f"h{k - 1}"
+    return f""",
+a{k}r AS (
+  SELECT e.dst AS node, sum(h.hub) AS a
+  FROM edges e JOIN {prev} h ON h.node = e.src GROUP BY e.dst),
+a{k}m AS (SELECT max(a) AS m FROM a{k}r),
+a{k} AS (
+  SELECT n.node,
+         (coalesce(r.a, 0) * {_SCALE} // greatest(m.m, 1))::BIGINT AS auth
+  FROM nodes n LEFT JOIN a{k}r r ON r.node = n.node CROSS JOIN a{k}m m),
+h{k}r AS (
+  SELECT e.src AS node, sum(a.auth) AS h
+  FROM edges e JOIN a{k} a ON a.node = e.dst GROUP BY e.src),
+h{k}m AS (SELECT max(h) AS m FROM h{k}r),
+h{k} AS (
+  SELECT n.node,
+         (coalesce(r.h, 0) * {_SCALE} // greatest(m.m, 1))::BIGINT AS hub
+  FROM nodes n LEFT JOIN h{k}r r ON r.node = n.node CROSS JOIN h{k}m m)"""
+
+
+_HITS_SQL = (f"""
+WITH {_EDGES_SQL},
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+h0 AS (SELECT node, {_SCALE}::BIGINT AS hub FROM nodes)"""
+    + "".join(_hits_iter_sql(k) for k in range(1, _N_ITER + 1))
+    + f"""
+SELECT h.node, h.hub, a.auth
+FROM h{_N_ITER} h JOIN a{_N_ITER} a ON a.node = h.node
+ORDER BY h.node""")
+
+
+@register("graph_hits", _HITS_SQL)
+def graph_hits(spark, sf):
+    """Fixed-iteration HITS hubs/authorities
+    (ops/graph.py:hits_fixed_point) over the symmetric customer <->
+    supplier graph, in BIGINT fixed point with max-normalization by
+    integer division — exact sums and divisions only, so every hub and
+    authority score is bit-checked against the oracle's HUGEINT replay
+    of all three rounds."""
+    from lamapi_spark.ops.graph import hits_fixed_point
+
+    return (hits_fixed_point(_edges(spark, sf), n_iter=_N_ITER,
+                             scale=_SCALE, checkpoint_every=None)
+            .orderBy("node"))

@@ -258,3 +258,39 @@ def stream_transe_score(
 
     triples = spark.readStream.schema(schema).parquet(path)
     return transe_score_vec(triples, vecs)
+
+
+def stream_type_violations(
+    spark: SparkSession, path: str, ent_types: DataFrame,
+    schema_df: DataFrame, triple_schema: str = TRIPLE_SCHEMA,
+) -> DataFrame:
+    """Streaming twin of ops/graph.type_violations — the ingest-time
+    QA gate: incoming triples are flagged against an OFFLINE-induced
+    predicate schema (induce_schema over the corpus so far) before
+    they reach the graph tables.
+
+    ZERO streaming state: two stream-static equi-joins land the
+    subject/object types and the |preds|-row schema frame broadcasts —
+    stateless selects end to end, so stream == batch row for row
+    (tested). The schema is deliberately an artifact, not a streaming
+    aggregate: domain/range induction needs corpus-wide majorities,
+    the same offline/online split as build_link_index's dictionary."""
+    from pyspark.sql import functions as F
+
+    ty = ent_types.select(F.col("ent").alias("_e"),
+                          F.col("ent_type").alias("_t"))
+    t = spark.readStream.schema(triple_schema).parquet(path)
+    return (t
+            .join(ty.select(F.col("_e").alias("subj"),
+                            F.col("_t").alias("subj_type")), "subj")
+            .join(ty.select(F.col("_e").alias("obj"),
+                            F.col("_t").alias("obj_type")), "obj")
+            .join(F.broadcast(schema_df.select(
+                "pred", "dom_subj_type", "dom_obj_type")), "pred")
+            .withColumn("bad_subj",
+                        F.col("subj_type") != F.col("dom_subj_type"))
+            .withColumn("bad_obj",
+                        F.col("obj_type") != F.col("dom_obj_type"))
+            .filter(F.col("bad_subj") | F.col("bad_obj"))
+            .select("subj", "pred", "obj", "subj_type", "obj_type",
+                    "bad_subj", "bad_obj"))

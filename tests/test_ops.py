@@ -677,3 +677,43 @@ def test_induce_schema_tie_breaks_lexically(spark):
     row = induce_schema(tr, ty).collect()[0]
     # 1-1 tie on subject types -> lexicographically smallest wins
     assert row.dom_subj_type == "t_aaa" and row.subj_share_bp == 5000
+
+
+def test_hits_fixed_point_semantics(spark):
+    from lamapi_spark.ops.graph import hits_fixed_point
+
+    # star: h -> a1..a4, plus a stray b -> a1. h is the dominant hub,
+    # a1 the dominant authority.
+    edges = spark.createDataFrame(
+        [("h", "a1"), ("h", "a2"), ("h", "a3"), ("h", "a4"),
+         ("b", "a1")],
+        "src string, dst string")
+    out = {r.node: (r.hub, r.auth) for r in
+           hits_fixed_point(edges, n_iter=3).collect()}
+    scale = 10**9
+    assert out["h"][0] == scale          # max-normalized top hub
+    assert out["a1"][1] == scale         # top authority (two in-edges)
+    assert out["b"][0] < out["h"][0]     # stray hub scores lower
+    assert out["a2"][1] < out["a1"][1]
+    assert out["a1"][0] == 0             # pure sinks have no hub score
+    # bit-stable under repartitioning
+    out2 = {r.node: (r.hub, r.auth) for r in
+            hits_fixed_point(edges.repartition(7), n_iter=3).collect()}
+    assert out == out2
+
+
+def test_hits_no_int64_overflow_on_hot_hub(spark):
+    from pyspark.sql import functions as F
+
+    from lamapi_spark.ops.graph import hits_fixed_point
+
+    # 50 hubs all pointing at one authority: the raw auth sum is
+    # 50 * scale, whose naive * scale renormalization would overflow
+    # int64 — the decimal widening must keep it exact.
+    rows = [(f"h{i}", "star") for i in range(50)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    out = hits_fixed_point(edges, n_iter=2)
+    star = out.filter(F.col("node") == "star").collect()[0]
+    assert star.auth == 10**9
+    assert all(r.hub == 10**9 for r in
+               out.filter(F.col("node") != "star").collect())

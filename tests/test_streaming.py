@@ -374,3 +374,34 @@ def test_stream_transe_score_matches_batch(spark, tmp_path):
                   for r in transe_score(triples, emb).collect()}
     assert stream_rows == batch_rows and len(batch_rows) == 29
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_type_violations_matches_batch(spark, tmp_path):
+    """The stateless streaming QA gate (stream-static type joins +
+    broadcast offline-induced schema) flags exactly the triples the
+    batch type_violations flags."""
+    import shutil
+
+    from lamapi_spark.ops.graph import induce_schema, type_violations
+    from lamapi_spark.streaming.kg import stream_type_violations
+
+    tr = spark.createDataFrame(
+        [("a1", "works_at", "c1"), ("a2", "works_at", "c2"),
+         ("a3", "works_at", "c3"), ("x9", "works_at", "c1"),
+         ("a1", "born_in", "p1"), ("a2", "born_in", "p2")],
+        "subj string, pred string, obj string")
+    ty = spark.createDataFrame(
+        [("a1", "person"), ("a2", "person"), ("a3", "person"),
+         ("x9", "robot"), ("c1", "company"), ("c2", "company"),
+         ("c3", "company"), ("p1", "place"), ("p2", "place")],
+        "ent string, ent_type string")
+    schema_df = induce_schema(tr, ty)
+    d = str(tmp_path / "qa_triples")
+    tr.write.parquet(d)
+    got = run_available_now(
+        stream_type_violations(spark, d, ty, schema_df),
+        "t_qa", mode="append")
+    s_rows = sorted(map(tuple, got.collect()))
+    b_rows = sorted(map(tuple, type_violations(tr, ty, schema_df).collect()))
+    assert s_rows == b_rows and len(b_rows) == 1
+    shutil.rmtree(d, ignore_errors=True)
