@@ -447,3 +447,61 @@ def hits_fixed_point(edges: DataFrame, n_iter: int = 3,
             hub = hub.localCheckpoint(eager=True)
             auth = auth.localCheckpoint(eager=True)
     return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def random_walks(edges: DataFrame, length: int = 4, n_walks: int = 2,
+                 max_fanout: int = 1000,
+                 salt: str = "walk") -> DataFrame:
+    """DeepWalk-style random-walk corpus generation over (src, dst)
+    edges (Perozzi et al. 2014) — the sentence-corpus step that feeds
+    sequence embedding training over a constructed KG — with every
+    step a DETERMINISTIC md5 draw: the neighbor chosen at step k of
+    walk (start, walk_no) is a pure function of (start, walk_no, k,
+    salt), so the whole corpus is partition-independent, reproducible
+    across engines, and any single walk is re-derivable for audit
+    (the negative_samples/sample_hash discipline, against the
+    per-task RNG a naive implementation would reach for).
+
+    Scale shape: the adjacency collapses to per-node sorted neighbor
+    ARRAYS (a per-src rank window caps hot hubs at ``max_fanout``
+    BEFORE the collect — the max_df/max_bucket trade); each of the
+    ``length`` steps is then ONE equi-join on the current node (AQE
+    splits hot-node skew) plus pure array expressions — no window, no
+    aggregation, paths grow in-row bounded by ``length``. Dead-end
+    nodes stop extending (the walk keeps its prefix).
+
+    -> (start, walk_no, walk) with walk the space-joined node path."""
+    ed = edges.select("src", "dst").distinct()
+    rk = ed.withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy("src").orderBy("dst")))
+    nbrs = (rk.filter(F.col("_rn") <= max_fanout)
+            .groupBy("src")
+            .agg(F.array_sort(F.collect_list("dst")).alias("_nbrs")))
+    state = (nbrs.select(F.col("src").alias("start"))
+             .select("start",
+                     F.explode(F.sequence(
+                         F.lit(0), F.lit(n_walks - 1))).alias("walk_no"))
+             .withColumn("cur", F.col("start"))
+             .withColumn("path", F.array(F.col("start"))))
+    for step in range(length):
+        key = _h48(F.concat_ws(
+            "|", F.col("start"), F.col("walk_no").cast("string"),
+            F.lit(str(step)), F.lit(salt)))
+        state = (state
+                 .join(nbrs.withColumnRenamed("src", "cur"), "cur", "left")
+                 .withColumn(
+                     "_next",
+                     F.when(F.size("_nbrs") > 0,
+                            F.element_at(
+                                "_nbrs",
+                                (key % F.size("_nbrs") + 1).cast("int"))))
+                 .select(
+                     "start", "walk_no",
+                     F.coalesce(F.col("_next"), F.col("cur")).alias("cur"),
+                     F.when(F.col("_next").isNotNull(),
+                            F.concat(F.col("path"),
+                                     F.array(F.col("_next"))))
+                     .otherwise(F.col("path")).alias("path")))
+    return state.select("start", "walk_no",
+                        F.array_join("path", " ").alias("walk"))

@@ -804,3 +804,59 @@ def graph_hits(spark, sf):
     return (hits_fixed_point(_edges(spark, sf), n_iter=_N_ITER,
                              scale=_SCALE, checkpoint_every=None)
             .orderBy("node"))
+
+
+# --------------------------------------------------------- random walks
+
+_WALK_LEN, _WALK_N, _WALK_CAP = 4, 2, 1000
+
+
+def _walk_iter_sql(k: int) -> str:
+    prev = f"w{k - 1}"
+    return f""",
+w{k} AS MATERIALIZED (
+  SELECT j.start, j.walk_no,
+         coalesce(j._next, j.cur) AS cur,
+         CASE WHEN j._next IS NOT NULL
+              THEN list_append(j.path, j._next) ELSE j.path END AS path
+  FROM (
+    SELECT w.start, w.walk_no, w.cur, w.path,
+           n.nbrs[(('0x' || substr(md5(w.start || '|' || w.walk_no::VARCHAR
+                                   || '|{k - 1}|walk'), 1, 12))::BIGINT
+                   % len(n.nbrs) + 1)::INT] AS _next
+    FROM {prev} w LEFT JOIN nb n ON n.src = w.cur) j)"""
+
+
+_WALKS_SQL = (f"""
+WITH {_EDGES_SQL},
+rk AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+  FROM (SELECT DISTINCT src, dst FROM edges)),
+nb AS MATERIALIZED (
+  SELECT src, list(dst ORDER BY dst) AS nbrs
+  FROM rk WHERE rn <= {_WALK_CAP} GROUP BY src),
+w0 AS (
+  SELECT n.src AS start, wn.walk_no, n.src AS cur, [n.src] AS path
+  FROM nb n CROSS JOIN
+       (SELECT unnest(range({_WALK_N})) AS walk_no) wn)"""
+    + "".join(_walk_iter_sql(k) for k in range(1, _WALK_LEN + 1))
+    + f"""
+SELECT start, walk_no::BIGINT AS walk_no,
+       array_to_string(path, ' ') AS walk
+FROM w{_WALK_LEN} ORDER BY start, walk_no""")
+
+
+@register("graph_random_walks", _WALKS_SQL)
+def graph_random_walks(spark, sf):
+    """Deterministic DeepWalk corpus (ops/graph.py:random_walks) over
+    the symmetric customer <-> supplier graph: 2 walks of length 4
+    from every node, each step an md5 draw over the node's sorted
+    capped neighbor array. The oracle replays the adjacency arrays and
+    all four steps — every emitted path string must match exactly."""
+    from lamapi_spark.ops.graph import random_walks
+
+    return (random_walks(_edges(spark, sf), length=_WALK_LEN,
+                         n_walks=_WALK_N, max_fanout=_WALK_CAP)
+            .withColumn("walk_no", F.col("walk_no").cast("long"))
+            .orderBy("start", "walk_no"))

@@ -717,3 +717,34 @@ def test_hits_no_int64_overflow_on_hot_hub(spark):
     assert star.auth == 10**9
     assert all(r.hub == 10**9 for r in
                out.filter(F.col("node") != "star").collect())
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    from lamapi_spark.ops.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"),
+         ("c", "a"), ("d", "a")],  # d is a source; nothing points to d
+        "src string, dst string")
+    adj = {"a": {"b", "c"}, "b": {"a", "c"}, "c": {"a"}, "d": {"a"}}
+    out = random_walks(edges, length=5, n_walks=3).collect()
+    assert len(out) == 4 * 3  # every node with out-edges x n_walks
+    for r in out:
+        path = r.walk.split(" ")
+        assert path[0] == r.start
+        assert len(path) == 6  # no dead ends in this graph
+        for u, v in zip(path, path[1:]):
+            assert v in adj[u]  # every hop is a real edge
+    # partition-independent, bit-identical
+    out2 = random_walks(edges.repartition(5), length=5, n_walks=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_random_walks_dead_end_stops(spark):
+    from lamapi_spark.ops.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "z")], "src string, dst string")  # z is a sink
+    out = random_walks(edges, length=4, n_walks=1).collect()
+    assert len(out) == 1
+    assert out[0].walk == "a z"  # stopped at the sink, prefix kept
