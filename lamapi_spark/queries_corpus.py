@@ -890,3 +890,74 @@ def corpus_domain_cap_q(spark, sf):
     return (domain_cap(load(spark, sf, "documents"), cap=_DOMCAP)
             .select("doc_id", "source", "kept_rank")
             .orderBy("doc_id"))
+
+
+# ------------------------------------------------- SQ8 quantization
+
+_SQ8_CODES_SQL = """
+ex AS (
+  SELECT vec_id,
+         unnest(range(len(embedding)))::INT AS dim,
+         unnest(list_transform(range(len(embedding)),
+                               i -> embedding[i + 1])) AS x
+  FROM embeddings),
+params AS MATERIALIZED (
+  SELECT dim, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx,
+         max(x::DOUBLE) - min(x::DOUBLE) AS span
+  FROM ex GROUP BY dim),
+coded AS MATERIALIZED (
+  SELECT e.vec_id, e.dim,
+         CASE WHEN p.span > 0
+              THEN round_even((e.x::DOUBLE - p.mn) * 255.0 / p.span, 0)
+              ELSE 0.0 END::INT AS code
+  FROM ex e JOIN params p ON p.dim = e.dim),
+codes AS MATERIALIZED (
+  SELECT vec_id, list(code ORDER BY dim) AS codes
+  FROM coded GROUP BY vec_id)"""
+
+
+@register("embed_sq8_codes", f"""
+WITH {_SQ8_CODES_SQL}
+SELECT vec_id, array_to_string(codes, ' ') AS codes_str
+FROM codes ORDER BY vec_id
+""")
+def embed_sq8_codes_q(spark, sf):
+    """SQ8 scalar quantization (ops/similarity.py:sq8_quantize): every
+    coordinate mapped to its 8-bit grid code under per-dimension
+    corpus min/max — the FAISS ScalarQuantizer memory cut. The oracle
+    rebuilds the grid and every code (round_even on the identical
+    IEEE double chain)."""
+    from lamapi_spark.ops.similarity import sq8_quantize
+
+    codes = sq8_quantize(load(spark, sf, "embeddings"))
+    return (codes.select("vec_id",
+                         F.array_join(F.col("codes").cast("array<string>"),
+                                      " ").alias("codes_str"))
+            .orderBy("vec_id"))
+
+
+@register("embed_sq8_topk", f"""
+WITH {_SQ8_CODES_SQL},
+q AS (SELECT vec_id AS q_id, codes AS q_codes FROM codes WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, c.vec_id AS n_id,
+         list_reduce(list_prepend(0::BIGINT,
+             list_transform(list_zip(q.q_codes, c.codes),
+                 p -> ((p[1] - p[2])::BIGINT * (p[1] - p[2])::BIGINT))),
+             (x, y) -> x + y) AS dist_sq
+  FROM q JOIN codes c ON c.vec_id <> q.q_id)
+SELECT q_id, n_id, dist_sq,
+       row_number() OVER (PARTITION BY q_id
+                          ORDER BY dist_sq, n_id) AS rnk
+FROM scored QUALIFY rnk <= 3 ORDER BY q_id, rnk
+""")
+def embed_sq8_topk_q(spark, sf):
+    """Symmetric SQ8 top-3 (ops/similarity.py:sq8_topk): exact integer
+    squared L2 over the 8-bit codes — rankings are engine-exact by
+    construction, every distance and rank oracle-checked."""
+    from lamapi_spark.ops.similarity import sq8_quantize, sq8_topk
+
+    codes = sq8_quantize(load(spark, sf, "embeddings"))
+    q = (codes.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"), "codes"))
+    return sq8_topk(q, codes, k=3).orderBy("q_id", "rnk")

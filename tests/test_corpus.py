@@ -580,3 +580,42 @@ def test_domain_cap_deterministic_and_capped(spark):
     kept2 = domain_cap(docs.repartition(13), cap=10).collect()
     assert sorted((r.source, r.doc_id) for r in kept)  == \
         sorted((r.source, r.doc_id) for r in kept2)
+
+
+def test_sq8_quantize_and_topk_semantics(spark):
+    from lamapi_spark.ops.similarity import sq8_quantize, sq8_topk
+
+    # two tight clusters far apart: quantized top-1 must stay in-cluster
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0 + 0.01 * i, 10.0, -5.0, 0.5 * i]))
+    for i in range(6, 12):
+        rows.append((i, [-10.0 - 0.01 * i, -10.0, 5.0, -0.5 * i]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    codes = sq8_quantize(emb)
+    got = {r.vec_id: r.codes for r in codes.collect()}
+    assert all(len(v) == 4 and all(0 <= c <= 255 for c in v)
+               for v in got.values())
+    # extremes of each dimension hit the grid ends
+    dim0 = [got[i][0] for i in range(12)]
+    assert max(dim0) == 255 and min(dim0) == 0
+    q = codes.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("q_id"), "codes")
+    top = sq8_topk(q, codes, k=3).collect()
+    for r in top:
+        same_cluster = (r.q_id < 6) == (r.n_id < 6)
+        assert same_cluster, (r.q_id, r.n_id)
+    # deterministic under repartitioning
+    codes2 = sq8_quantize(emb.repartition(5))
+    got2 = {r.vec_id: r.codes for r in codes2.collect()}
+    assert got == got2
+
+
+def test_sq8_zero_span_dimension_degrades(spark):
+    from lamapi_spark.ops.similarity import sq8_quantize
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 7.5]), (2, [2.0, 7.5])],
+        "vec_id bigint, embedding array<float>")
+    got = {r.vec_id: r.codes for r in sq8_quantize(emb).collect()}
+    assert got[1] == [0, 0] and got[2] == [255, 0]
