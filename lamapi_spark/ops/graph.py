@@ -20,7 +20,7 @@ map-side-combine groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lamapi_spark.functions.hashing import h48 as _h48
@@ -505,3 +505,97 @@ def random_walks(edges: DataFrame, length: int = 4, n_walks: int = 2,
                      .otherwise(F.col("path")).alias("path")))
     return state.select("start", "walk_no",
                         F.array_join("path", " ").alias("walk"))
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 2,
+                      checkpoint_every: int | None = 1) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007) over (src, dst) edges — the community-detection sibling of
+    connected_components: where CC answers "which alias cluster", LPA's
+    plurality vote finds DENSE groups (a constructed KG's topical
+    communities) in a fixed number of rounds.
+
+    Textbook LPA is randomized (random update order, random tie-break)
+    and therefore useless under this repo's bit-reproducibility
+    discipline; this is the standard deterministic variant: SYNCHRONOUS
+    rounds (every node updates from the previous round's labels) and a
+    total-order tie-break (vote count desc, then label asc), so the
+    result is a pure function of the edge set — partition-independent
+    and engine-replayable round by round.
+
+    Scale shape per round: one equi-join on src (labels are
+    fixed-width, AQE splits hot-hub skew), one map-side-combined
+    count aggregation on (dst, label), and one argmax collapse via
+    min(struct(-cnt, label)) — no window over the full vote frame.
+    Lineage localCheckpoints every ``checkpoint_every`` rounds like
+    pagerank_fixed_point. Isolated nodes (no in-edges) keep their own
+    label via the left join + coalesce.
+
+    -> (node, label) after ``n_iter`` rounds; label is some node id of
+    the community the node landed in.
+    """
+    ed = edges.select("src", "dst").distinct()
+    if checkpoint_every is not None:
+        ed = ed.localCheckpoint(eager=True)
+    nodes = (ed.select(F.col("src").alias("node"))
+             .unionByName(ed.select(F.col("dst").alias("node")))
+             .distinct())
+    if checkpoint_every is not None:
+        nodes = nodes.localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(n_iter):
+        votes = (ed.join(labels.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"), "label")
+                 .agg(F.count("*").alias("_c")))
+        best = (votes.groupBy("node")
+                .agg(F.min(F.struct((-F.col("_c")).alias("nc"),
+                                    F.col("label").alias("l"))).alias("_m")))
+        labels = (nodes.join(best, "node", "left")
+                  .select("node", F.coalesce(F.col("_m.l"),
+                                             F.col("node")).alias("label")))
+        if checkpoint_every is not None and (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def nt_escape(col: Column | str) -> Column:
+    """N-Triples string-literal escaping (RDF 1.1 N-Triples §2.4 ECHAR):
+    backslash FIRST (it is the escape introducer), then quote, LF, CR,
+    TAB. Pure chained replaces — JVM codegen, engine-portable (the
+    DuckDB oracle runs the same replace chain)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\r"), F.lit("\\r"))
+    return F.replace(c, F.lit("\t"), F.lit("\\t"))
+
+
+def ntriples_lines(triples: DataFrame, base: str = "http://kg.local",
+                   literal_pred: str | None = None) -> DataFrame:
+    """Materialize (subj, pred, obj) triples as RDF N-Triples lines —
+    the interchange format a constructed KG exports to (the reference
+    serves JSON from its own store; a 100 TB KG hands its graph to
+    consumers as N-Triples/parquet dumps). Resource triples render as
+    three IRIs; when ``literal_pred`` names the predicate of
+    attribute triples, those rows render obj as an ESCAPED quoted
+    literal instead (xsd:string, the default literal type, stays
+    untyped per the N-Triples grammar).
+
+    Ids must be IRI-path-safe (the pipeline's Q/P/c/s ids are); the
+    escaping work is all in the literal arm. Pure column expressions —
+    format-string + replace chain, no shuffle, no Python; the export
+    rides the triples frame's partitioning so a real deployment writes
+    it straight out with partitioned text sinks.
+
+    -> (subj, pred, line), one N-Triples line per input row.
+    """
+    s_iri = F.concat(F.lit(f"<{base}/e/"), F.col("subj"), F.lit(">"))
+    p_iri = F.concat(F.lit(f"<{base}/p/"), F.col("pred"), F.lit(">"))
+    is_lit = (F.col("pred") == F.lit(literal_pred)) if literal_pred \
+        else F.lit(False)
+    obj_term = F.when(
+        is_lit, F.concat(F.lit('"'), nt_escape(F.col("obj")), F.lit('"'))
+    ).otherwise(F.concat(F.lit(f"<{base}/e/"), F.col("obj"), F.lit(">")))
+    line = F.concat_ws(" ", s_iri, p_iri, obj_term, F.lit("."))
+    return triples.select("subj", "pred", line.alias("line"))

@@ -1087,5 +1087,6 @@ def _load_extra_registrations() -> None:
     # deferred to avoid a circular import at module load
     import lamapi_spark.queries_corpus  # noqa: F401
     import lamapi_spark.queries_graph  # noqa: F401
+    import lamapi_spark.queries_kg  # noqa: F401
     import lamapi_spark.queries_ops  # noqa: F401
     import lamapi_spark.queries_temporal  # noqa: F401

@@ -1,0 +1,252 @@
+"""Round-4 KG-construction contract queries: conversation-window
+pronoun coreference (resolve + the cross-turn triples it unlocks),
+N-Triples graph export, and deterministic label-propagation
+communities — each with a DuckDB oracle that rebuilds the full
+dataflow independently (registered into the queries.py registry).
+
+The coref queries synthesize a deterministic transcript from the
+orders table (conv per customer, turns ordered by orderkey, four text
+templates planting entity tokens and pronouns) — both engines build
+the identical transcript from the same parquet, per the repo's
+planted-corpus discipline (queries_corpus.text_normalize et al.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lamapi_spark.ops.graph import label_propagation, ntriples_lines
+from lamapi_spark.pipeline.coref import (
+    coref_resolve, coref_triples, token_occurrences,
+)
+from lamapi_spark.queries import load, register
+from lamapi_spark.queries_graph import _EDGES_SQL, _edges
+
+_ENT_RE = "^[cs][0-9]+$"
+_PRONOUN_SQL = "('it','they','he','she','this','that','them','its')"
+_MAX_TURNS = 10
+
+# deterministic transcript synth: conv = customer, turn order = orderkey.
+# Template 0 plants two entities; 1 opens with a pronoun (cross-turn
+# resolution) then an entity; 2 is pronoun-only; 3 is entity-then-pronoun
+# (same-turn resolution).
+_TR_SQL = f"""
+tr AS (
+  SELECT 'c' || o_custkey AS conv_id,
+         (row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey))::INT
+           AS turn_idx,
+         CASE o_orderkey % 4
+           WHEN 0 THEN 'user asked about c' || o_custkey || ' and s'
+                       || (1 + o_orderkey % 10)
+           WHEN 1 THEN 'it was handled by s' || (1 + o_orderkey % 10)
+           WHEN 2 THEN 'they confirmed the schedule'
+           ELSE 'c' || o_custkey || ' said this looked fine'
+         END AS text
+  FROM orders)"""
+
+# tokenize with 1-based positions, keep entity/pronoun tokens only
+_OCC_SQL = f"""
+occ AS (
+  SELECT conv_id, turn_idx, (u.p)::INT AS pos, u.tok FROM (
+    SELECT conv_id, turn_idx,
+           unnest(list_transform(range(1, len(toks) + 1),
+                  i -> struct_pack(p := i, tok := toks[i]))) AS u
+    FROM (SELECT conv_id, turn_idx,
+                 string_split_regex(trim(text), '\\s+') AS toks FROM tr))),
+cls AS (
+  SELECT conv_id, turn_idx, pos,
+         CASE WHEN regexp_matches(tok, '{_ENT_RE}') THEN tok END AS entity,
+         CASE WHEN NOT regexp_matches(tok, '{_ENT_RE}')
+              AND lower(tok) IN {_PRONOUN_SQL} THEN lower(tok) END AS pronoun
+  FROM occ
+  WHERE regexp_matches(tok, '{_ENT_RE}')
+     OR lower(tok) IN {_PRONOUN_SQL})"""
+
+# the one-window antecedent carry (IGNORE NULLS running last)
+_RES_SQL = f"""
+res AS (
+  SELECT conv_id, turn_idx, pos, pronoun,
+         last_value(CASE WHEN entity IS NOT NULL THEN
+                      struct_pack(t := turn_idx, e := entity) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx, pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a
+  FROM cls),
+resolved AS (
+  SELECT conv_id, turn_idx, pos, pronoun,
+         CASE WHEN a IS NOT NULL AND turn_idx - a.t <= {_MAX_TURNS}
+              THEN a.e END AS antecedent,
+         CASE WHEN a IS NOT NULL AND turn_idx - a.t <= {_MAX_TURNS}
+              THEN a.t END AS antecedent_turn
+  FROM res WHERE pronoun IS NOT NULL)"""
+
+
+def _transcripts(spark, sf):
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    m4 = F.col("o_orderkey") % 4
+    sx = (F.lit(1) + F.col("o_orderkey") % 10).cast("string")
+    cust = F.col("o_custkey").cast("string")
+    text = (
+        F.when(m4 == 0, F.concat(F.lit("user asked about c"), cust,
+                                 F.lit(" and s"), sx))
+        .when(m4 == 1, F.concat(F.lit("it was handled by s"), sx))
+        .when(m4 == 2, F.lit("they confirmed the schedule"))
+        .otherwise(F.concat(F.lit("c"), cust, F.lit(" said this looked fine")))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        F.concat(F.lit("c"), cust).alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        text.alias("text"))
+
+
+@register("kg_coref_resolve", f"""
+WITH {_TR_SQL}, {_OCC_SQL}, {_RES_SQL}
+SELECT conv_id, turn_idx, pos, pronoun, antecedent, antecedent_turn
+FROM resolved ORDER BY conv_id, turn_idx, pos
+""")
+def kg_coref_resolve(spark, sf):
+    """Conversation-window pronoun coreference over the planted
+    transcript: every pronoun occurrence resolves to the nearest
+    preceding entity mention within max_turns=10 turns via ONE
+    partitioned window (pipeline/coref.coref_resolve) — no transcript
+    self-join. The oracle replays tokenization, classification, and
+    the IGNORE-NULLS running carry independently."""
+    occ = token_occurrences(_transcripts(spark, sf), _ENT_RE)
+    return (coref_resolve(occ, max_turns=_MAX_TURNS)
+            .orderBy("conv_id", "turn_idx", "pos"))
+
+
+@register("kg_coref_triples", f"""
+WITH {_EDGES_SQL}, {_TR_SQL}, {_OCC_SQL}, {_RES_SQL},
+pairs AS (
+  SELECT DISTINCT r.conv_id, r.turn_idx,
+         CASE WHEN r.pos < m.pos THEN r.antecedent ELSE m.entity END AS subj,
+         CASE WHEN r.pos < m.pos THEN m.entity ELSE r.antecedent END AS obj
+  FROM resolved r JOIN cls m
+    ON m.conv_id = r.conv_id AND m.turn_idx = r.turn_idx
+  WHERE r.antecedent IS NOT NULL AND m.entity IS NOT NULL
+    AND m.entity <> r.antecedent)
+SELECT p.subj, 'linked_to' AS pred, p.obj, p.conv_id, p.turn_idx
+FROM pairs p JOIN edges e ON e.src = p.subj AND e.dst = p.obj
+ORDER BY conv_id, turn_idx, subj, obj
+""")
+def kg_coref_triples(spark, sf):
+    """The cross-turn triples the coref pass unlocks: resolved
+    pronouns stand in for their antecedents, pair with entity mentions
+    in the pronoun's turn (earlier position = subject), and probe the
+    symmetric customer-supplier edge set exactly like
+    pipeline/triples.probe_edges. Every hop — transcript synth, coref
+    window, pair build, edge probe — is replayed by the oracle."""
+    tr = _transcripts(spark, sf)
+    occ = token_occurrences(tr, _ENT_RE)
+    resolved = coref_resolve(occ, max_turns=_MAX_TURNS)
+    edges = _edges(spark, sf).select(
+        F.col("src").alias("subj"), F.lit("linked_to").alias("pred"),
+        F.col("dst").alias("obj"))
+    return (coref_triples(resolved, occ, edges)
+            .orderBy("conv_id", "turn_idx", "subj", "obj"))
+
+
+# literal planting for the export: quote, backslash, newline, tab — the
+# four ECHAR classes nt_escape exists for (CR is covered by the same
+# replace chain; planting it would be invisible in sorted text anyway)
+_LIT_SQL = r"""
+lits AS (
+  SELECT 'c' || c_custkey AS subj, 'comment' AS pred,
+         CASE c_custkey % 4
+           WHEN 0 THEN c_name || ' says "hi"'
+           WHEN 1 THEN c_name || ' back\slash'
+           WHEN 2 THEN c_name || chr(10) || 'line2' || chr(9) || 'tabbed'
+           ELSE c_name
+         END AS obj
+  FROM customer)"""
+
+# DuckDB single-quoted literals treat backslash literally, so '\' is
+# one backslash and '\"' is backslash+quote — exactly the ECHAR forms
+_NT_ESC_SQL = (
+    r"""replace(replace(replace(replace(replace(obj,"""
+    r""" '\', '\\'),"""
+    r""" '"', '\"'),"""
+    r""" chr(10), '\n'),"""
+    r""" chr(13), '\r'),"""
+    r""" chr(9), '\t')"""
+)
+
+
+@register("kg_ntriples", f"""
+WITH {_EDGES_SQL}, {_LIT_SQL},
+triples AS (
+  SELECT src AS subj, 'linked_to' AS pred, dst AS obj FROM edges
+  UNION ALL SELECT subj, pred, obj FROM lits)
+SELECT subj, pred,
+       CASE WHEN pred = 'comment' THEN
+         '<http://kg.local/e/' || subj || '> <http://kg.local/p/' || pred
+         || '> "' || {_NT_ESC_SQL} || '" .'
+       ELSE
+         '<http://kg.local/e/' || subj || '> <http://kg.local/p/' || pred
+         || '> <http://kg.local/e/' || obj || '> .'
+       END AS line
+FROM triples ORDER BY line
+""")
+def kg_ntriples(spark, sf):
+    """RDF N-Triples export of the constructed graph: resource triples
+    (the symmetric edge set) plus literal attribute triples with
+    PLANTED escape work (quotes, a backslash, a newline, a tab in
+    customer comments). The oracle rebuilds every line including the
+    ECHAR replace chain, so the escaping is checked character-for-
+    character on both arms."""
+    edges = _edges(spark, sf).select(
+        F.col("src").alias("subj"), F.lit("linked_to").alias("pred"),
+        F.col("dst").alias("obj"))
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    m4 = F.col("c_custkey") % 4
+    lit_obj = (
+        F.when(m4 == 0, F.concat(F.col("c_name"), F.lit(' says "hi"')))
+        .when(m4 == 1, F.concat(F.col("c_name"), F.lit(" back\\slash")))
+        .when(m4 == 2, F.concat(F.col("c_name"),
+                                F.lit("\nline2\ttabbed")))
+        .otherwise(F.col("c_name"))
+    )
+    lits = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+        F.lit("comment").alias("pred"), lit_obj.alias("obj"))
+    return (ntriples_lines(edges.unionByName(lits), literal_pred="comment")
+            .orderBy("line"))
+
+
+_LP_ITER = 2
+
+
+def _lp_round(k: int) -> str:
+    prev = f"l{k - 1}"
+    return f"""
+v{k} AS (
+  SELECT e.dst AS node, l.label, count(*) AS c
+  FROM edges e JOIN {prev} l ON l.node = e.src GROUP BY 1, 2),
+w{k} AS (
+  SELECT node, label,
+         row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+  FROM v{k}),
+l{k} AS (
+  SELECT n.node, coalesce(w.label, n.node) AS label
+  FROM nodes n LEFT JOIN (SELECT node, label FROM w{k} WHERE rn = 1) w
+    USING (node))"""
+
+
+@register("graph_label_prop", f"""
+WITH {_EDGES_SQL},
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes),
+{",".join(_lp_round(k + 1) for k in range(_LP_ITER))}
+SELECT node, label FROM l{_LP_ITER} ORDER BY node
+""")
+def graph_label_prop(spark, sf):
+    """Deterministic synchronous label propagation (2 rounds,
+    plurality vote with count-desc/label-asc tie-break) over the
+    symmetric customer-supplier graph — ops/graph.label_propagation.
+    The oracle replays both rounds' votes and argmaxes CTE by CTE."""
+    return (label_propagation(_edges(spark, sf), n_iter=_LP_ITER,
+                              checkpoint_every=None)
+            .orderBy("node"))

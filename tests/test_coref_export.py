@@ -1,0 +1,181 @@
+"""Round-4 additions: conversation-window coreference, N-Triples
+export escaping (round-tripped through an independent unescaper), and
+deterministic label propagation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lamapi_spark.ops.graph import (
+    label_propagation, nt_escape, ntriples_lines,
+)
+from lamapi_spark.pipeline.coref import (
+    coref_resolve, coref_triples, token_occurrences,
+)
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    rows = [
+        # conv A: entity, then pronoun next turn; later a fresh entity
+        # retargets the carry; same-turn entity-then-pronoun at turn 4
+        ("A", 1, "we met Q1 at the office"),
+        ("A", 2, "it was very helpful"),
+        ("A", 3, "then Q2 arrived with Q3 documents"),
+        ("A", 4, "Q4 said this looked fine"),
+        # conv B: pronoun BEFORE any entity -> unresolved
+        ("B", 1, "they never wrote back"),
+        ("B", 2, "Q7 apologized later"),
+        # conv C: horizon test — entity at turn 1, pronoun at turn 5
+        ("C", 1, "Q9 opened the ticket"),
+        ("C", 5, "it is still open"),
+    ]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+
+def _resolved_map(df):
+    return {(r.conv_id, r.turn_idx, r.pos): (r.antecedent, r.antecedent_turn)
+            for r in df.collect()}
+
+
+class TestCoref:
+    def test_occurrence_classification(self, spark, transcripts):
+        occ = token_occurrences(transcripts, r"^Q[0-9]+$").collect()
+        ents = {(r.conv_id, r.turn_idx, r.pos): r.entity
+                for r in occ if r.entity is not None}
+        assert ents[("A", 1, 3)] == "Q1"
+        assert ents[("A", 3, 2)] == "Q2" and ents[("A", 3, 5)] == "Q3"
+        # pronouns lowercase, entity rows have null pronoun and vice versa
+        for r in occ:
+            assert (r.entity is None) != (r.pronoun is None)
+
+    def test_resolution_semantics(self, spark, transcripts):
+        occ = token_occurrences(transcripts, r"^Q[0-9]+$")
+        res = _resolved_map(coref_resolve(occ, max_turns=10))
+        # cross-turn: "it" at A/2 -> Q1 from turn 1
+        assert res[("A", 2, 1)] == ("Q1", 1)
+        # same-turn, earlier position wins: "this" at A/4 -> Q4 (pos 1)
+        assert res[("A", 4, 3)] == ("Q4", 4)
+        # pronoun before any entity -> NIL
+        assert res[("B", 1, 1)] == (None, None)
+
+    def test_horizon_null_degrade(self, spark, transcripts):
+        occ = token_occurrences(transcripts, r"^Q[0-9]+$")
+        near = _resolved_map(coref_resolve(occ, max_turns=10))
+        far = _resolved_map(coref_resolve(occ, max_turns=3))
+        assert near[("C", 5, 1)] == ("Q9", 1)      # gap 4 <= 10
+        assert far[("C", 5, 1)] == (None, None)    # gap 4 > 3
+
+    def test_partition_independence(self, spark, transcripts):
+        occ = token_occurrences(transcripts, r"^Q[0-9]+$")
+        a = sorted(map(tuple, coref_resolve(occ.repartition(1)).collect()))
+        b = sorted(map(tuple, coref_resolve(occ.repartition(7)).collect()))
+        assert a == b
+
+    def test_coref_triples_probe_and_ordering(self, spark, transcripts):
+        occ = token_occurrences(transcripts, r"^Q[0-9]+$")
+        res = coref_resolve(occ, max_turns=10)
+        # "this" at A/4 pos 3 resolves to Q4 (pos 1): the pronoun pairs
+        # with Q4 itself -> filtered (subj == obj); plant an edge frame
+        # where A/2's "it"(=Q1) could pair, but turn 2 has no entity
+        # mention, so only A/4 could emit — and it self-pairs away.
+        # Extend with a turn that has both a resolved pronoun AND a
+        # different entity: A/3 has no pronoun; so expect empty for
+        # this fixture except via a custom one below.
+        edges = spark.createDataFrame(
+            [("Q1", "linked_to", "Q9")], "subj string, pred string, obj string")
+        assert coref_triples(res, occ, edges).count() == 0
+
+        rows = [("D", 1, "Q1 helped"), ("D", 2, "it emailed Q2 twice")]
+        tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+        occ2 = token_occurrences(tr, r"^Q[0-9]+$")
+        res2 = coref_resolve(occ2)
+        edges2 = spark.createDataFrame(
+            [("Q1", "emailed", "Q2"), ("Q2", "emailed", "Q1")],
+            "subj string, pred string, obj string")
+        out = coref_triples(res2, occ2, edges2).collect()
+        # pronoun pos 1 < entity pos 3 -> subj = antecedent Q1
+        assert [(r.subj, r.pred, r.obj, r.conv_id, r.turn_idx) for r in out] \
+            == [("Q1", "emailed", "Q2", "D", 2)]
+
+
+def _unescape_nt(s: str) -> str:
+    # independent N-Triples ECHAR unescaper (single left-to-right scan,
+    # NOT the reverse replace chain)
+    out, i = [], 0
+    m = {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t"}
+    while i < len(s):
+        if s[i] == "\\":
+            out.append(m[s[i + 1]])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+class TestNTriples:
+    def test_resource_line_shape(self, spark):
+        t = spark.createDataFrame([("Q1", "P5", "Q2")],
+                                  "subj string, pred string, obj string")
+        [r] = ntriples_lines(t).collect()
+        assert r.line == ("<http://kg.local/e/Q1> <http://kg.local/p/P5> "
+                          "<http://kg.local/e/Q2> .")
+
+    def test_literal_escape_roundtrip(self, spark):
+        nasty = 'he said "hi\\there"\nnew\tline\rdone'
+        t = spark.createDataFrame([("Q1", "comment", nasty),
+                                   ("Q1", "linked_to", "Q2")],
+                                  "subj string, pred string, obj string")
+        rows = {r.pred: r.line
+                for r in ntriples_lines(t, literal_pred="comment").collect()}
+        lit = rows["comment"]
+        assert lit.startswith('<http://kg.local/e/Q1> <http://kg.local/p/comment> "')
+        body = lit[lit.index('> "') + 3:lit.rindex('" .')]
+        # escaped body contains no raw control chars or unescaped quotes
+        assert "\n" not in body and "\t" not in body and "\r" not in body
+        assert _unescape_nt(body) == nasty
+        # resource arm untouched by the literal flag
+        assert rows["linked_to"].endswith("<http://kg.local/e/Q2> .")
+
+    def test_nt_escape_is_columnar(self, spark):
+        df = spark.range(1).select(
+            nt_escape(F.lit('a"b\\c')).alias("e"))
+        assert df.collect()[0].e == 'a\\"b\\\\c'
+
+
+class TestLabelProp:
+    def _clique(self, nodes):
+        return [(a, b) for a in nodes for b in nodes if a != b]
+
+    def test_two_communities(self, spark):
+        # two 4-cliques joined by one bridge edge: LPA must give each
+        # clique one label and not merge them (CC would merge)
+        c1, c2 = ["a1", "a2", "a3", "a4"], ["b1", "b2", "b3", "b4"]
+        edges = self._clique(c1) + self._clique(c2) + [("a1", "b1"), ("b1", "a1")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        lab = {r.node: r.label
+               for r in label_propagation(df, n_iter=3, checkpoint_every=None).collect()}
+        assert len({lab[n] for n in c1}) == 1
+        assert len({lab[n] for n in c2}) == 1
+        assert lab["a2"] != lab["b2"]
+
+    def test_deterministic_across_partitionings(self, spark):
+        edges = (self._clique(["x1", "x2", "x3"])
+                 + [("x3", "y1"), ("y1", "x3"), ("y1", "y2"), ("y2", "y1")])
+        df = spark.createDataFrame(edges, "src string, dst string")
+        a = sorted(map(tuple,
+                       label_propagation(df.repartition(1), n_iter=2,
+                                         checkpoint_every=None).collect()))
+        b = sorted(map(tuple,
+                       label_propagation(df.repartition(5), n_iter=2,
+                                         checkpoint_every=None).collect()))
+        assert a == b
+
+    def test_isolated_node_keeps_label(self, spark):
+        # srcs with no in-edges coalesce to their own id
+        df = spark.createDataFrame([("lone", "hub")], "src string, dst string")
+        lab = {r.node: r.label
+               for r in label_propagation(df, n_iter=1, checkpoint_every=None).collect()}
+        assert lab["lone"] == "lone" and lab["hub"] == "lone"
