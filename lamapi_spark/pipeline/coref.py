@@ -88,16 +88,21 @@ def coref_resolve(occurrences: DataFrame, max_turns: int = 10) -> DataFrame:
 
 
 def token_occurrences(transcripts: DataFrame,
-                      entity_pattern: str = r"^E[0-9]+$") -> DataFrame:
+                      entity_pattern: str = r"^E[0-9]+$",
+                      carry: tuple = ()) -> DataFrame:
     """Tokenize turn text and classify each position as an entity
     mention (matches ``entity_pattern``) or a pronoun (PRONOUNS
     membership); other tokens drop. Pure column expressions — split +
     posexplode + two predicates — so the stage is embarrassingly
-    parallel and rides whatever partitioning the transcript scan has."""
+    parallel, rides whatever partitioning the transcript scan has, and
+    works unchanged on a streaming frame (``carry`` keeps extra
+    columns, e.g. the event-time ``ts`` the streaming twin watermarks
+    on — the _spans convention)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     exploded = (
         transcripts
-        .select("conv_id", "turn_idx", F.posexplode(toks).alias("pos", "tok"))
+        .select("conv_id", "turn_idx", *carry,
+                F.posexplode(toks).alias("pos", "tok"))
         # posexplode is 0-based; positions are 1-based in the contract
         # (and in the DuckDB oracle's range()) — shift once here
         .withColumn("pos", F.col("pos") + F.lit(1))
@@ -107,7 +112,7 @@ def token_occurrences(transcripts: DataFrame,
     return (
         exploded.filter(is_ent | is_pro)
         .select(
-            "conv_id", "turn_idx", "pos",
+            "conv_id", "turn_idx", *carry, "pos",
             F.when(is_ent, F.col("tok")).alias("entity"),
             F.when(~is_ent, F.lower(F.col("tok"))).alias("pronoun"),
         )

@@ -294,3 +294,88 @@ def stream_type_violations(
             .filter(F.col("bad_subj") | F.col("bad_obj"))
             .select("subj", "pred", "obj", "subj_type", "obj_type",
                     "bad_subj", "bad_obj"))
+
+
+def stream_coref_resolve(
+    spark: SparkSession,
+    path: str,
+    entity_pattern: str = r"^E[0-9]+$",
+    max_turns: int = 10,
+    gap: str = "2 hours",
+    watermark: str = "4 hours",
+    schema: str = TRANSCRIPT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of pipeline/coref.coref_resolve: pronoun
+    occurrences on a live transcript stream resolve to the nearest
+    preceding entity mention of the same conversation.
+
+    The batch operator's antecedent carry crosses TURNS, so the
+    streaming state unit is the CONVERSATION, not the turn: one
+    watermarked ``session_window`` aggregation per (conv_id, session)
+    collects that conversation's entity/pronoun occurrences (the same
+    stateful shape as stream_sessionize — state evicts once the
+    event-time high-mark passes session end + watermark, which is
+    exactly the bound a 10^12-turn stream needs), and the antecedent
+    scan runs IN-ARRAY over the session's sorted occurrences: an
+    indexed transform whose per-pronoun antecedent is
+    array_max(filter(j < i, entity rows)) — the (turn, pos)-sorted
+    prefix maximum, i.e. the batch window's IGNORE-NULLS running last.
+
+    Semantics vs batch: identical per session; a conversation that
+    stays quiet longer than ``gap`` starts a NEW session and the carry
+    resets (deliberate: a revived conversation should not link "it" to
+    an entity from hours ago — ``max_turns`` bounds staleness in-turns,
+    the gap bounds it in time). The parity test sizes gap and watermark
+    above its input's span so session == conversation and the output is
+    row-for-row equal to batch coref_resolve.
+
+    Occurrence extraction shares pipeline/coref.token_occurrences'
+    column expressions verbatim (carry=ts), so classification cannot
+    diverge between the paths. In-array cost is O(k^2) per session with
+    k = entity+pronoun occurrences of ONE conversation — bounded by
+    construction, the streaming/kg.py per-turn array trade at
+    conversation granularity.
+
+    -> (conv_id, turn_idx, pos, pronoun, antecedent, antecedent_turn)
+    for every pronoun occurrence of every CLOSED session.
+    """
+    from lamapi_spark.pipeline.coref import token_occurrences
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(path)
+    occ = token_occurrences(stream.withWatermark("ts", watermark),
+                            entity_pattern, carry=("ts",))
+    per_conv = (
+        occ.groupBy(F.session_window("ts", gap).alias("_w"), F.col("conv_id"))
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("turn_idx").alias("t"), F.col("pos").alias("p"),
+            F.col("entity").alias("e"), F.col("pronoun").alias("pr"),
+        ))).alias("_occ"))
+    )
+    # indexed in-array scan: for element i, the antecedent is the max
+    # (t, p)-ordered entity row strictly before it (array_max of an
+    # empty filter result is NULL -> unresolved, the batch null-degrade)
+    resolved = F.transform(
+        F.col("_occ"),
+        lambda x, i: F.struct(
+            x["t"].alias("t"), x["p"].alias("p"), x["pr"].alias("pr"),
+            F.array_max(F.filter(
+                F.col("_occ"),
+                lambda y, j: (j < i) & y["e"].isNotNull(),
+            )).alias("a"),
+        ),
+    )
+    rows = per_conv.select(
+        "conv_id", F.explode(resolved).alias("r"),
+    ).filter(F.col("r.pr").isNotNull())
+    ok = (F.col("r.a").isNotNull()
+          & (F.col("r.t") - F.col("r.a.t") <= F.lit(max_turns)))
+    return rows.select(
+        "conv_id", F.col("r.t").alias("turn_idx"), F.col("r.p").alias("pos"),
+        F.col("r.pr").alias("pronoun"),
+        F.when(ok, F.col("r.a.e")).alias("antecedent"),
+        F.when(ok, F.col("r.a.t")).alias("antecedent_turn"),
+    )

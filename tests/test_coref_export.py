@@ -179,3 +179,78 @@ class TestLabelProp:
         lab = {r.node: r.label
                for r in label_propagation(df, n_iter=1, checkpoint_every=None).collect()}
         assert lab["lone"] == "lone" and lab["hub"] == "lone"
+
+
+class TestStreamCoref:
+    def test_stream_coref_matches_batch(self, spark, tmp_path):
+        """The streaming session-window coref, drained over a finite
+        feed with gap/watermark above the input's time span (session ==
+        conversation), is row-for-row equal to batch coref_resolve —
+        including unresolved (NIL) pronouns and the max_turns horizon."""
+        import shutil
+
+        from lamapi_spark.streaming.kg import stream_coref_resolve
+        from lamapi_spark.streaming.sessions import run_available_now
+
+        rows = [
+            ("A", 1, "we met Q1 at the office"),
+            ("A", 2, "it was very helpful"),
+            ("A", 3, "then Q2 arrived with Q3 documents"),
+            ("A", 4, "Q4 said this looked fine"),
+            ("A", 17, "they remembered Q2"),   # gap 13 > max_turns -> NIL
+            ("B", 1, "they never wrote back"),
+            ("B", 2, "Q7 apologized later"),
+            ("B", 3, "he thanked Q7 again"),
+        ]
+        tr = (spark.createDataFrame(
+                  rows, "conv_id string, turn_idx int, text string")
+              .withColumn("role", F.lit("user"))
+              .withColumn("tool", F.lit(None).cast("string"))
+              .withColumn("ts", F.timestamp_seconds(
+                  F.lit(1700000000) + F.col("turn_idx") * 60)))
+        d = str(tmp_path / "coref_feed")
+        tr.write.parquet(d)
+
+        got = run_available_now(
+            stream_coref_resolve(spark, d, r"^Q[0-9]+$", max_turns=10,
+                                 gap="2 hours", watermark="4 hours"),
+            "t_coref", mode="complete")
+        stream_rows = sorted(map(tuple, got.collect()))
+
+        occ = token_occurrences(tr, r"^Q[0-9]+$")
+        batch_rows = sorted(map(tuple,
+                                coref_resolve(occ, max_turns=10).collect()))
+        assert stream_rows == batch_rows and len(batch_rows) >= 5
+        # the horizon case really exercised NIL: A/17 "they" unresolved
+        nil = [r for r in batch_rows if r[0] == "A" and r[1] == 17]
+        assert nil and nil[0][4] is None
+        shutil.rmtree(d, ignore_errors=True)
+
+    def test_stream_coref_session_gap_resets_carry(self, spark, tmp_path):
+        """A conversation quiet longer than ``gap`` starts a new
+        session: the carry resets and a pronoun in the revived session
+        does NOT link back across the gap (the deliberate
+        staleness-bound deviation from batch, documented)."""
+        import shutil
+
+        from lamapi_spark.streaming.kg import stream_coref_resolve
+        from lamapi_spark.streaming.sessions import run_available_now
+
+        rows = [("A", 1, "we met Q1 at the office"),
+                ("A", 2, "it was very helpful")]
+        tr = (spark.createDataFrame(
+                  rows, "conv_id string, turn_idx int, text string")
+              .withColumn("role", F.lit("user"))
+              .withColumn("tool", F.lit(None).cast("string"))
+              # turn 2 lands 3 hours after turn 1 -> beyond the 1h gap
+              .withColumn("ts", F.timestamp_seconds(
+                  F.lit(1700000000) + (F.col("turn_idx") - 1) * 10800)))
+        d = str(tmp_path / "coref_gap")
+        tr.write.parquet(d)
+        got = run_available_now(
+            stream_coref_resolve(spark, d, r"^Q[0-9]+$", max_turns=10,
+                                 gap="1 hour", watermark="10 hours"),
+            "t_coref_gap", mode="complete")
+        [r] = got.collect()
+        assert r.pronoun == "it" and r.antecedent is None
+        shutil.rmtree(d, ignore_errors=True)
