@@ -634,3 +634,145 @@ def sq8_topk(queries: DataFrame, codes: DataFrame, k: int = 3,
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("q_id", "n_id", "dist_sq", "rnk"))
+
+
+# ------------------------------------------------ product quantization
+
+def sq_l2_exact(a: Column, b: Column) -> Column:
+    """Deterministic squared L2: widen to double, square the
+    differences, sum strictly left-to-right (same fixed-order fold
+    discipline as dot_exact — DuckDB mirrors it with list_reduce)."""
+    diffs = F.zip_with(
+        a, b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_codebook(corpus: DataFrame, n_sub: int = 8, ksub: int = 8,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                ) -> DataFrame:
+    """Deterministic PQ codebooks (the FAISS IndexPQ training step,
+    medoid-seeded): the d-dim space splits into ``n_sub`` contiguous
+    subspaces of d/n_sub dims, and each subspace's ``ksub``-entry
+    codebook is the corresponding SLICE of the same md5-ranked medoid
+    rows `medoid_centroids` picks for IVF. Sharing one medoid pick
+    across subspaces keeps the structure a pure function of the id set
+    (bit-reproducible across engines/partitionings — Lloyd k-means
+    per subspace would hang every code on float summation order) while
+    still sampling the data distribution, the standard PQ seeding.
+
+    Scale shape: the codebook frame is n_sub*ksub rows (broadcast by
+    every consumer); the medoid pick is TakeOrderedAndProject.
+
+    -> (s:int subspace, code:int 0..ksub-1, cb_vec) with |cb_vec| = d/n_sub.
+    """
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = medoid_centroids(c, ksub)
+    return (
+        cents.select((F.col("cell") - 1).alias("code"), "c_vec")
+        .select("code", F.explode(F.sequence(
+            F.lit(0), F.lit(n_sub - 1))).alias("s"), "c_vec")
+        .withColumn("_dsub", (F.size("c_vec") / n_sub).cast("int"))
+        .select(F.col("s").cast("int").alias("s"),
+                F.col("code").cast("int").alias("code"),
+                F.slice(F.col("c_vec"), F.col("s") * F.col("_dsub") + 1,
+                        F.col("_dsub")).alias("cb_vec"))
+    )
+
+
+def _subspace_rows(df: DataFrame, n_sub: int, id_alias: str) -> DataFrame:
+    """(id, v) -> one row per (id, subspace) with the sub-vector slice."""
+    return (
+        df.select(F.col("id").alias(id_alias),
+                  F.explode(F.sequence(F.lit(0),
+                                       F.lit(n_sub - 1))).alias("s"), "v")
+        .withColumn("_dsub", (F.size("v") / n_sub).cast("int"))
+        .select(id_alias, F.col("s").cast("int").alias("s"),
+                F.slice(F.col("v"), F.col("s") * F.col("_dsub") + 1,
+                        F.col("_dsub")).alias("sub"))
+    )
+
+
+def pq_encode(vectors: DataFrame, codebook: DataFrame, n_sub: int = 8,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              ) -> DataFrame:
+    """PQ encoding: each vector becomes ``n_sub`` small integer codes —
+    per subspace, the codebook entry with the smallest exact squared L2
+    (tie -> lowest code). At ksub=256 a float32 corpus compresses
+    4d : n_sub bytes (d=768, m=96 -> 32x), the memory step that makes
+    billion-vector ANN fit executor RAM.
+
+    Scale shape: vectors explode to n_sub slice rows; the codebook is
+    n_sub*ksub rows and rides an explicit broadcast; the argmin is a
+    min(struct) aggregate (map-side combine, no window); codes regroup
+    per vector with an n_sub-bounded in-array sort. Nothing wider than
+    (id, s, code) ints ever shuffles.
+
+    -> (vec_id, codes array<int>, len n_sub, subspace order)."""
+    sub = _subspace_rows(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        n_sub, "vec_id")
+    return (
+        sub.join(F.broadcast(codebook), "s")
+        .withColumn("_d", sq_l2_exact(F.col("sub"), F.col("cb_vec")))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct(F.col("_d").alias("d"),
+                            F.col("code").alias("c"))).alias("_m"))
+        .groupBy("vec_id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("s", F.col("_m.c").alias("c")))),
+            lambda t: t["c"]).alias("codes"))
+    )
+
+
+def pq_topk(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+            k: int = 3, n_sub: int = 8, ksub: int = 8,
+            query_id: str = "vec_id", vec_col: str = "embedding",
+            corpus_id: str = "vec_id") -> DataFrame:
+    """Asymmetric PQ search (the FAISS ADC path): each query builds its
+    n_sub x ksub distance table against the (broadcast) codebook —
+    exact subspace squared L2 per entry — and every corpus vector's
+    approximate distance is the fixed-order sum of the n_sub table
+    entries its codes select. The query stays full-precision; only the
+    corpus is quantized, which is the standard accuracy/memory trade
+    (vs the symmetric integer path sq8_topk takes).
+
+    Engine-exact: table entries are fixed-order double folds, the
+    per-vector sum is a fixed-order n_sub-term fold over the codes
+    array (zip_with + aggregate), ranks tie-break on neighbor id — so
+    the DuckDB oracle reproduces every table cell, distance, and rank
+    bit-for-bit.
+
+    Scale shape: the distance-table build is Q*n_sub rows against a
+    broadcast codebook collapsing to ONE array row per query; the scan
+    is the PQ linear scan itself — a broadcast-able Q-row table against
+    the codes frame, each distance O(n_sub) element_at lookups, no
+    vector floats shuffled anywhere.
+
+    -> (q_id, n_id, dist, rnk) with rnk <= k."""
+    q = queries.select(F.col(query_id).alias("id"), F.col(vec_col).alias("v"))
+    qtab = (
+        _subspace_rows(q, n_sub, "q_id")
+        .join(F.broadcast(codebook), "s")
+        .withColumn("_d", sq_l2_exact(F.col("sub"), F.col("cb_vec")))
+        .groupBy("q_id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code", "_d"))),
+            lambda t: t["_d"]).alias("tab"))
+    )
+    c = codes.select(F.col(corpus_id).alias("n_id"), "codes")
+    terms = F.zip_with(
+        F.col("codes"), F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda cd, s: F.element_at(F.col("tab"),
+                                   (s * ksub + cd + 1).cast("int")))
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("n_id"))
+    return (
+        F.broadcast(qtab).join(c, F.col("q_id") != F.col("n_id"))
+        .withColumn("dist", F.aggregate(terms, F.lit(0.0),
+                                        lambda acc, v: acc + v))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "dist", "rnk")
+    )

@@ -961,3 +961,101 @@ def embed_sq8_topk_q(spark, sf):
     q = (codes.filter(F.col("vec_id") < 5)
          .select(F.col("vec_id").alias("q_id"), "codes"))
     return sq8_topk(q, codes, k=3).orderBy("q_id", "rnk")
+
+
+# ------------------------------------------------ product quantization
+
+_PQ_M, _PQ_DSUB, _PQ_KSUB, _PQ_K = 8, 8, 8, 3
+
+_SQL2_SQL = ("list_reduce(list_prepend(0.0::DOUBLE, "
+             "list_transform(list_zip({a}, {b}), "
+             "p -> (p[1]::DOUBLE - p[2]::DOUBLE) "
+             "* (p[1]::DOUBLE - p[2]::DOUBLE))), (x, y) -> x + y)")
+
+# shared CTE chain: md5-medoid codebook -> per-(vec, subspace) argmin codes
+_PQ_CODES_SQL = f"""picked AS (
+  SELECT vec_id, embedding,
+         ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS hk
+  FROM embeddings ORDER BY hk, vec_id LIMIT {_PQ_KSUB}),
+cent AS (
+  SELECT row_number() OVER (ORDER BY hk, vec_id) - 1 AS code,
+         embedding AS c_vec FROM picked),
+subs AS (SELECT s::INT AS s FROM range(0, {_PQ_M}) t(s)),
+cb AS (
+  SELECT sb.s, ct.code,
+         ct.c_vec[sb.s * {_PQ_DSUB} + 1 : (sb.s + 1) * {_PQ_DSUB}] AS cb_vec
+  FROM cent ct CROSS JOIN subs sb),
+esub AS (
+  SELECT e.vec_id, sb.s,
+         e.embedding[sb.s * {_PQ_DSUB} + 1 : (sb.s + 1) * {_PQ_DSUB}] AS sub
+  FROM embeddings e CROSS JOIN subs sb),
+eenc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT es.vec_id, es.s, cb.code,
+           row_number() OVER (PARTITION BY es.vec_id, es.s
+               ORDER BY {_SQL2_SQL.format(a='es.sub', b='cb.cb_vec')} ASC,
+                        cb.code) AS r
+    FROM esub es JOIN cb ON cb.s = es.s) WHERE r = 1),
+pq_codes AS (
+  SELECT vec_id, list(code ORDER BY s) AS codes FROM eenc GROUP BY vec_id)"""
+
+
+@register("embed_pq_codes", f"""
+WITH {_PQ_CODES_SQL}
+SELECT vec_id, array_to_string(codes, ' ') AS codes_str
+FROM pq_codes ORDER BY vec_id
+""")
+def embed_pq_codes_q(spark, sf):
+    """Product quantization encoding (ops/similarity.py:pq_encode):
+    d=64 splits into 8 subspaces of 8 dims, each coded against an
+    8-entry md5-medoid codebook slice by exact subspace squared L2
+    (the FAISS IndexPQ memory cut — n_sub bytes per vector at
+    ksub<=256). The oracle rebuilds the medoid pick, all 64 codebook
+    slices, and every per-subspace argmin."""
+    from lamapi_spark.ops.similarity import pq_codebook, pq_encode
+
+    emb = load(spark, sf, "embeddings")
+    cb = pq_codebook(emb, n_sub=_PQ_M, ksub=_PQ_KSUB)
+    codes = pq_encode(emb, cb, n_sub=_PQ_M)
+    return (codes.select("vec_id",
+                         F.array_join(F.col("codes").cast("array<string>"),
+                                      " ").alias("codes_str"))
+            .orderBy("vec_id"))
+
+
+_PQ_SEQ = "[" + ", ".join(str(s) for s in range(_PQ_M)) + "]"
+
+@register("embed_pq_topk", f"""
+WITH {_PQ_CODES_SQL},
+qtab AS (
+  SELECT vec_id AS q_id, list(d ORDER BY s, code) AS tab FROM (
+    SELECT es.vec_id, es.s, cb.code,
+           {_SQL2_SQL.format(a='es.sub', b='cb.cb_vec')} AS d
+    FROM esub es JOIN cb ON cb.s = es.s
+    WHERE es.vec_id < 5) GROUP BY vec_id),
+scored AS (
+  SELECT qt.q_id, pc.vec_id AS n_id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list_zip(pc.codes, {_PQ_SEQ}),
+                 p -> qt.tab[p[2] * {_PQ_KSUB} + p[1] + 1])),
+             (x, y) -> x + y) AS dist
+  FROM qtab qt JOIN pq_codes pc ON pc.vec_id <> qt.q_id)
+SELECT q_id, n_id, dist,
+       row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk
+FROM scored QUALIFY rnk <= {_PQ_K} ORDER BY q_id, rnk
+""")
+def embed_pq_topk_q(spark, sf):
+    """Asymmetric PQ top-3 (ops/similarity.py:pq_topk — the FAISS ADC
+    scan): full-precision queries build an n_sub x ksub distance table
+    against the codebook; corpus distances are fixed-order sums of the
+    table entries their codes select. The oracle reproduces every
+    table cell, every selected-entry fold, and every rank bit-for-bit
+    — codebook, codes, tables, distances all hash-gated."""
+    from lamapi_spark.ops.similarity import pq_codebook, pq_encode, pq_topk
+
+    emb = load(spark, sf, "embeddings")
+    cb = pq_codebook(emb, n_sub=_PQ_M, ksub=_PQ_KSUB)
+    codes = pq_encode(emb, cb, n_sub=_PQ_M)
+    q = emb.filter(F.col("vec_id") < 5)
+    return (pq_topk(q, codes, cb, k=_PQ_K, n_sub=_PQ_M, ksub=_PQ_KSUB)
+            .orderBy("q_id", "rnk"))

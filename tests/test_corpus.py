@@ -619,3 +619,40 @@ def test_sq8_zero_span_dimension_degrades(spark):
         "vec_id bigint, embedding array<float>")
     got = {r.vec_id: r.codes for r in sq8_quantize(emb).collect()}
     assert got[1] == [0, 0] and got[2] == [255, 0]
+
+
+def test_pq_encode_and_adc_topk_semantics(spark):
+    from lamapi_spark.ops.similarity import pq_codebook, pq_encode, pq_topk
+
+    # two tight 8-dim clusters far apart: ADC top-k must stay in-cluster
+    rows = []
+    for i in range(8):
+        rows.append((i, [5.0 + 0.01 * i] * 4 + [-3.0] * 4))
+    for i in range(8, 16):
+        rows.append((i, [-5.0 - 0.01 * i] * 4 + [3.0] * 4))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cb = pq_codebook(emb, n_sub=2, ksub=4)
+    assert cb.count() == 2 * 4
+    # each codebook slice carries d/n_sub = 4 dims
+    assert all(len(r.cb_vec) == 4 for r in cb.collect())
+    codes = pq_encode(emb, cb, n_sub=2)
+    got = {r.vec_id: r.codes for r in codes.collect()}
+    assert all(len(v) == 2 and all(0 <= c <= 3 for c in v)
+               for v in got.values())
+    q = emb.filter(F.col("vec_id").isin(0, 9))
+    top = pq_topk(q, codes, cb, k=3, n_sub=2, ksub=4).collect()
+    assert len(top) == 6
+    for r in top:
+        assert (r.q_id < 8) == (r.n_id < 8), (r.q_id, r.n_id)
+        assert r.dist >= 0.0
+
+
+def test_pq_codes_partition_independent(spark):
+    from lamapi_spark.ops.similarity import pq_codebook, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebook(emb, n_sub=8, ksub=8)
+    a = sorted(map(tuple, pq_encode(emb, cb, n_sub=8).collect()))
+    b = sorted(map(tuple,
+                   pq_encode(emb.repartition(7), cb, n_sub=8).collect()))
+    assert a == b and len(a) == 500
