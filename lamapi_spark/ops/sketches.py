@@ -2,8 +2,10 @@
 sketch" custom-operator axis (reference analogue: none). Every member
 is chosen for ENGINE-PORTABLE determinism: identical results at any
 parallelism, any partitioning, and exactly reproducible in the DuckDB
-SQL oracles (unlike HLL/t-digest, whose register/centroid layouts are
-engine- and merge-order-dependent).
+SQL oracles (unlike engines' BUILT-IN HLL/t-digest aggregates, whose
+register/centroid layouts are engine-private and merge-order-
+dependent — the md5-drawn HLL below is portable precisely because it
+owns its hash and register layout).
 
 - KMV (k-minimum-values) distinct counting: the sketch IS the sorted
   array of the k smallest 48-bit md5 hashes of the distinct values.
@@ -318,3 +320,99 @@ def bloom_contains(sketches: DataFrame, probes: DataFrame,
     return p.withColumn(
         "maybe_present",
         F.when(F.col("bloom").isNull(), F.lit(False)).otherwise(check))
+
+
+# ------------------------------------------------------ HyperLogLog
+
+HLL_B = 6  # m = 2^b = 64 registers
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_alpha(m: int) -> float:
+    """The HLL paper's bias constant (Flajolet et al. 2007)."""
+    return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def _hll_dense(ranked: DataFrame, keys: Sequence[str], m: int) -> DataFrame:
+    """(keys, reg, rank) -> (keys, regs array<int> of length m), dense,
+    zero-filling absent registers. The collect is bounded by m."""
+    return (
+        ranked.groupBy(*keys)
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("reg", "rank"))).alias("_m"))
+        .select(*keys, F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda r: F.coalesce(F.element_at("_m", r.cast("int")),
+                                 F.lit(0).cast("int"))).alias("regs"))
+    )
+
+
+def hll_sketch(df: DataFrame, keys: Sequence[str], col: str,
+               b: int = HLL_B) -> DataFrame:
+    """Per key group: a dense 2^b-register HyperLogLog over the
+    distinct values of ``col`` — the CARDINALITY member of the sketch
+    family at fixed size (where KMV's k-array gives better accuracy
+    per byte at small k but this is the classical fixed-2^b-register
+    shape). Engines' BUILT-IN HLLs (approx_count_distinct,
+    approx_distinct) have engine-private hash/register layouts and
+    can't be compared or merged across systems; this one is md5-drawn
+    and therefore a pure function of the value SET — identical at any
+    partitioning, in any engine (the DuckDB oracle rebuilds every
+    register), and merge-of-parts == sketch-of-union bit-for-bit
+    because the register aggregation is max (associative, commutative,
+    idempotent).
+
+    Register draw: h = 48-bit md5; reg = h mod m; the remaining
+    w = h div m carries 48-b suffix bits and the register rank is the
+    count of leading zeros in them + 1 = (48-b) + 1 - bitlen(w)
+    (w = 0 -> the max rank 48-b+1). bitlen is the length of the
+    base-2 string — exact integer ops end to end, no float in the
+    sketch itself.
+
+    Scale shape: distinct -> (key, reg) max-agg with map-side combine;
+    only <= m register rows per group reach the assembling collect.
+
+    -> (keys..., regs array<int> length 2^b)."""
+    m, suf = 1 << b, 48 - b
+    h = df.select(*keys, hash48(col).alias("h")).distinct()
+    w = F.floor(F.col("h") / m).cast("long")
+    rank = (F.when(w == 0, F.lit(suf + 1))
+            .otherwise(F.lit(suf + 1)
+                       - F.length(F.conv(w.cast("string"), 10, 2)))
+            .cast("int"))
+    ranked = (h.select(*keys, (F.col("h") % m).cast("int").alias("reg"),
+                       rank.alias("rank"))
+              .groupBy(*keys, "reg").agg(F.max("rank").alias("rank")))
+    return _hll_dense(ranked, keys, m)
+
+
+def hll_merge(sketches: DataFrame, keys: Sequence[str],
+              b: int = HLL_B) -> DataFrame:
+    """Merge sketches down to a coarser key set: element-wise register
+    max. Exactly the sketch of the union of the inputs."""
+    m = 1 << b
+    ex = (sketches.select(*keys, F.posexplode("regs").alias("reg", "rank"))
+          .filter(F.col("rank") > 0)
+          .groupBy(*keys, "reg").agg(F.max("rank").alias("rank")))
+    return _hll_dense(ex, keys, m)
+
+
+def hll_estimate(sketches: DataFrame, b: int = HLL_B) -> DataFrame:
+    """Attach ``n_zero`` and ``est_distinct``: the HLL raw estimate
+    alpha_m * m^2 / sum_j 2^-M_j with the paper's small-range
+    correction (linear counting m*ln(m/zeros) when raw <= 2.5m and
+    zero registers remain). 2^-M terms are exact powers of two folded
+    in fixed register order; the one libm op (ln) sits behind a
+    round-even at 6 decimals — the repo's float-parity discipline."""
+    m = 1 << b
+    alpha = hll_alpha(m)
+    s = F.aggregate(F.col("regs"), F.lit(0.0),
+                    lambda acc, v: acc + F.pow(F.lit(2.0), -v))
+    zeros = F.size(F.filter(F.col("regs"), lambda v: v == 0))
+    raw = F.lit(alpha * m * m) / s
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+                 ).otherwise(raw)
+    return sketches.select(
+        "*", zeros.cast("int").alias("n_zero"),
+        F.bround(est, 6).alias("est_distinct"))

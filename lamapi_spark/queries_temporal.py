@@ -506,3 +506,77 @@ def events_interval_join_q(spark, sf):
             .select("o_orderkey", "grp", "l_lo_us", "l_hi_us",
                     "l_orderkey", "l_linenumber", "r_lo_us", "r_hi_us")
             .orderBy("o_orderkey", "l_orderkey", "l_linenumber"))
+
+
+# -------------------------------------------------------- HyperLogLog
+
+_HLL_B, _HLL_M = 6, 64
+_HLL_ALPHA_M = 0.709  # Flajolet et al. alpha_64
+
+_HLL_EST_SQL = f"""round_even(
+  CASE WHEN {_HLL_ALPHA_M!r} * {_HLL_M * _HLL_M} / list_reduce(
+         list_prepend(0.0::DOUBLE,
+           list_transform(regs, v -> power(2.0, -v))), (x, y) -> x + y)
+       <= {2.5 * _HLL_M!r}
+       AND len(list_filter(regs, v -> v = 0)) > 0
+  THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+       / len(list_filter(regs, v -> v = 0)))
+  ELSE {_HLL_ALPHA_M!r} * {_HLL_M * _HLL_M} / list_reduce(
+         list_prepend(0.0::DOUBLE,
+           list_transform(regs, v -> power(2.0, -v))), (x, y) -> x + y)
+  END, 6)"""
+
+_HLL_REGS_SQL = f"""hx AS (
+  SELECT DISTINCT event_type,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 12))::UBIGINT)::BIGINT AS h
+  FROM events),
+hr AS (
+  SELECT event_type, (h % {_HLL_M})::INT AS reg,
+         h // {_HLL_M} AS w
+  FROM hx),
+rk AS (
+  SELECT event_type, reg,
+         max(CASE WHEN w = 0 THEN {48 - _HLL_B + 1}
+             ELSE {48 - _HLL_B + 1} - length(to_base(w, 2)) END)::INT AS rank
+  FROM hr GROUP BY event_type, reg),
+dense AS (
+  SELECT g.event_type, s.reg, coalesce(r.rank, 0) AS rank
+  FROM (SELECT DISTINCT event_type FROM events) g
+  CROSS JOIN (SELECT reg::INT AS reg FROM range(0, {_HLL_M}) t(reg)) s
+  LEFT JOIN rk r ON r.event_type = g.event_type AND r.reg = s.reg),
+hll AS (
+  SELECT event_type, list(rank ORDER BY reg) AS regs
+  FROM dense GROUP BY event_type)"""
+
+
+@register("sketch_hll_merge", f"""
+WITH {_HLL_REGS_SQL}
+SELECT event_type, array_to_string(regs, ' ') AS regs_str,
+       len(list_filter(regs, v -> v = 0))::INT AS n_zero,
+       {_HLL_EST_SQL} AS est_distinct
+FROM hll ORDER BY event_type
+""")
+def sketch_hll_merge(spark, sf):
+    """HLL MERGEABILITY under an independent oracle: sketch each of 8
+    event_id-modulo shards separately, merge by register max
+    (ops/sketches.py:hll_merge), estimate. The oracle computes the
+    GLOBAL register array directly from the raw table — green means
+    merge-of-parts is register-for-register identical to
+    sketch-of-union, and the estimate chain (exact power-of-two fold,
+    small-range linear counting, round-even 6) reproduces bit-for-bit
+    in DuckDB."""
+    from lamapi_spark.ops.sketches import hll_estimate, hll_merge, hll_sketch
+
+    e = load(spark, sf, "events").withColumn(
+        "shard", F.col("event_id") % F.lit(8))
+    shards = hll_sketch(e, ["event_type", "shard"], "user_id", b=_HLL_B)
+    merged = hll_estimate(hll_merge(shards, ["event_type"], b=_HLL_B),
+                          b=_HLL_B)
+    return (
+        merged.select(
+            "event_type",
+            F.array_join(F.col("regs").cast("array<string>"),
+                         " ").alias("regs_str"),
+            "n_zero", "est_distinct")
+        .orderBy("event_type")
+    )

@@ -415,3 +415,45 @@ def test_interval_overlap_join_matches_brute_force_randomized(spark):
         (l[0], r[0]) for l in lrows for r in rrows
         if l[1] == r[1] and l[2] <= r[3] and r[2] <= l[3])
     assert got == want
+
+
+def test_hll_merge_equals_global_sketch_and_accuracy(spark):
+    from lamapi_spark.ops.sketches import hll_estimate, hll_merge, hll_sketch
+    rows = [("t", i % 8, f"v{i % 900}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "g string, shard long, v string")
+    direct = hll_sketch(df, ["g"], "v").collect()[0]
+    merged = hll_merge(hll_sketch(df, ["g", "shard"], "v"),
+                       ["g"]).collect()[0]
+    assert merged.regs == direct.regs        # register-identical
+    assert len(direct.regs) == 64 and all(r >= 0 for r in direct.regs)
+    est = hll_estimate(hll_merge(hll_sketch(df, ["g", "shard"], "v"),
+                                 ["g"])).collect()[0]
+    # sigma ~ 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(est.est_distinct - 900) / 900 < 0.39
+    # partition independence
+    d2 = hll_sketch(df.repartition(13), ["g"], "v").collect()[0]
+    assert d2.regs == direct.regs
+
+
+def test_hll_small_range_linear_counting(spark):
+    from lamapi_spark.ops.sketches import hll_estimate, hll_sketch
+    # 5 distinct values over 64 registers -> many zero registers ->
+    # the linear-counting branch; it is near-exact at this density
+    df = spark.createDataFrame([("g", f"x{i % 5}") for i in range(50)],
+                               "g string, v string")
+    est = hll_estimate(hll_sketch(df, ["g"], "v")).collect()[0]
+    assert est.n_zero >= 59
+    assert abs(est.est_distinct - 5) <= 1.0
+
+
+def test_hll_rank_extremes_and_idempotent_merge(spark):
+    from lamapi_spark.ops.sketches import hll_merge, hll_sketch
+    df = spark.createDataFrame([("g", f"v{i}") for i in range(200)],
+                               "g string, v string")
+    sk = hll_sketch(df, ["g"], "v")
+    once = sk.collect()[0]
+    # merging a sketch with itself changes nothing (max idempotent)
+    twice = hll_merge(sk.unionByName(sk), ["g"]).collect()[0]
+    assert twice.regs == once.regs
+    # ranks bounded by the 42-bit suffix + 1
+    assert all(0 <= r <= 43 for r in once.regs)
