@@ -599,3 +599,60 @@ def ntriples_lines(triples: DataFrame, base: str = "http://kg.local",
     ).otherwise(F.concat(F.lit(f"<{base}/e/"), F.col("obj"), F.lit(">")))
     line = F.concat_ws(" ", s_iri, p_iri, obj_term, F.lit("."))
     return triples.select("subj", "pred", line.alias("line"))
+
+
+def bgp_match(triples: DataFrame,
+              patterns: list[tuple[str, str, str]]) -> DataFrame:
+    """SPARQL-style basic-graph-pattern matching over a
+    (subj, pred, obj) triple table — the read-side query primitive a
+    constructed KG exists to serve (the reference answers point
+    lookups over its entity store; a materialized 100 TB graph is
+    queried by conjunctive patterns; reference analogue: none —
+    builder's-brief consumption surface).
+
+    ``patterns`` is a conjunction of triple patterns; each term is a
+    variable iff it starts with ``?`` (e.g. ``("?a", "linked_to",
+    "?b")``), else a constant. Returns one row per binding of the
+    variables, columns named without the ``?``, bag semantics (exactly
+    the SQL self-join semantics, so a DuckDB oracle is the same joins).
+
+    Scale shape: each pattern is a SELECT over the one triple scan
+    with its constants pushed down as literal equality predicates —
+    they reach the parquet scan as PushedFilters, and on a
+    pred-partitioned store they prune partitions. The conjunction
+    folds left-to-right as equi-joins on the shared variables (callers
+    order selective patterns first, the classic BGP heuristic);
+    Catalyst/AQE choose broadcast for small filtered sides at runtime,
+    so a constant-anchored pattern (a point lookup) broadcasts against
+    the big hop frames instead of shuffling them. A repeated variable
+    inside one pattern becomes an equality filter on that scan. A
+    pattern sharing no variable with the accumulated bindings is a
+    genuine cross product — allowed (SPARQL permits it) but the
+    caller's responsibility, as in any engine.
+    """
+    acc: DataFrame | None = None
+    bound: list[str] = []
+    for s, p, o in patterns:
+        cols, filt = {}, None
+        for pos, term in (("subj", s), ("pred", p), ("obj", o)):
+            if term.startswith("?"):
+                v = term[1:]
+                if v in cols:  # repeated var within the pattern
+                    c = F.col(pos) == F.col(cols[v])
+                    filt = c if filt is None else (filt & c)
+                else:
+                    cols[v] = pos
+            else:
+                c = F.col(pos) == F.lit(term)
+                filt = c if filt is None else (filt & c)
+        pat = triples.filter(filt) if filt is not None else triples
+        pat = pat.select(*[F.col(pos).alias(v) for v, pos in cols.items()])
+        if acc is None:
+            acc, bound = pat, list(cols)
+            continue
+        shared = [v for v in cols if v in bound]
+        acc = acc.join(pat, on=shared) if shared else acc.crossJoin(pat)
+        bound += [v for v in cols if v not in bound]
+    if acc is None:
+        raise ValueError("bgp_match needs at least one pattern")
+    return acc.select(*bound)

@@ -250,3 +250,44 @@ def graph_label_prop(spark, sf):
     return (label_propagation(_edges(spark, sf), n_iter=_LP_ITER,
                               checkpoint_every=None)
             .orderBy("node"))
+
+
+@register("kg_bgp_query", f"""
+WITH {_EDGES_SQL},
+t AS (
+  SELECT src AS subj, 'linked_to' AS pred, dst AS obj FROM edges
+  UNION ALL
+  SELECT 'c' || c_custkey, 'name', c_name FROM customer),
+p1 AS (SELECT obj AS s FROM t WHERE pred = 'linked_to' AND subj = 'c1'),
+p2 AS (SELECT subj AS s, obj AS c FROM t WHERE pred = 'linked_to'),
+p3 AS (SELECT subj AS c, obj AS n FROM t WHERE pred = 'name')
+SELECT p1.s, p2.c, p3.n
+FROM p1 JOIN p2 USING (s) JOIN p3 USING (c)
+WHERE p2.c <> 'c1'
+ORDER BY s, c
+""")
+def kg_bgp_query(spark, sf):
+    """SPARQL-style basic-graph-pattern query over the materialized
+    graph (ops/graph.bgp_match): the constant-anchored 2-hop
+    conjunction ``c1 linked_to ?s . ?s linked_to ?c . ?c name ?n``
+    with a ``?c != c1`` post-filter — the "who shares a supplier with
+    customer c1, by name" question a KG consumer asks. The triple
+    store is the symmetric edge set plus customer-name attribute
+    triples; the oracle runs the same three pattern scans and
+    equi-joins in SQL (bag semantics on both arms)."""
+    from lamapi_spark.ops.graph import bgp_match
+
+    edges = _edges(spark, sf).select(
+        F.col("src").alias("subj"), F.lit("linked_to").alias("pred"),
+        F.col("dst").alias("obj"))
+    names = load(spark, sf, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+        F.lit("name").alias("pred"), F.col("c_name").alias("obj"))
+    triples = edges.unionByName(names)
+    return (
+        bgp_match(triples, [("c1", "linked_to", "?s"),
+                            ("?s", "linked_to", "?c"),
+                            ("?c", "name", "?n")])
+        .filter(F.col("c") != "c1")
+        .orderBy("s", "c")
+    )

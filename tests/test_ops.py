@@ -748,3 +748,50 @@ def test_random_walks_dead_end_stops(spark):
     out = random_walks(edges, length=4, n_walks=1).collect()
     assert len(out) == 1
     assert out[0].walk == "a z"  # stopped at the sink, prefix kept
+
+
+# ------------------------------------------------------------- BGP match
+
+def test_bgp_match_semantics(spark):
+    from lamapi_spark.ops.graph import bgp_match
+
+    t = spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "c"), ("b", "knows", "d"),
+         ("a", "name", "Alice"), ("c", "name", "Carol"),
+         ("x", "knows", "x")],
+        "subj string, pred string, obj string")
+
+    # constant-anchored 2-hop + attribute attach
+    out = bgp_match(t, [("a", "knows", "?m"), ("?m", "knows", "?f"),
+                        ("?f", "name", "?n")]).collect()
+    assert [(r.m, r.f, r.n) for r in out] == [("b", "c", "Carol")]
+
+    # repeated variable inside one pattern = self-loop filter
+    loops = bgp_match(t, [("?v", "knows", "?v")]).collect()
+    assert [r.v for r in loops] == ["x"]
+
+    # disjoint patterns are a cross product (SPARQL-legal)
+    cross = bgp_match(t, [("a", "knows", "?m"), ("x", "knows", "?y")])
+    assert cross.count() == 1 and cross.columns == ["m", "y"]
+
+    # column order follows first-binding order across patterns
+    assert bgp_match(t, [("?s", "knows", "?o")]).columns == ["s", "o"]
+
+    with pytest.raises(ValueError):
+        bgp_match(t, [])
+
+
+def test_bgp_match_pushdown(spark, tmp_path):
+    """Constants reach the parquet scan as pushed filters."""
+    from lamapi_spark.ops.graph import bgp_match
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [("a", "knows", "b"), ("b", "knows", "c")],
+        "subj string, pred string, obj string").write.parquet(p)
+    t = spark.read.parquet(p)
+    plan = bgp_match(
+        t, [("a", "knows", "?m"), ("?m", "knows", "?f")])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(subj,a)" in plan and "EqualTo(pred,knows)" in plan
