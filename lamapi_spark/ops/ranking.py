@@ -92,3 +92,93 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def cosine_rank(
+    query_vecs: DataFrame, corpus: DataFrame, k: int = 20,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Rank a corpus of (doc_id, embedding) against a small frame of
+    (query_id, embedding) query vectors by cosine — the semantic arm
+    of hybrid retrieval. -> (query_id, doc_id, cosine, rank <= k).
+
+    Scale shape: the query frame is the WORKLOAD (a handful of rows)
+    and broadcasts; the corpus scans once. The top-k itself is the
+    two-phase salted pattern: a naive per-query row_number window
+    would shuffle the whole scored corpus into n_queries partitions —
+    the classic low-cardinality window skew — so phase 1 takes the
+    per-(query, salt) top-k on a deterministic doc-hash salt (balanced
+    by construction, n_queries x n_salts partitions), and phase 2
+    ranks only the <= n_salts*k survivors per query. Any global top-k
+    row is necessarily in its salt group's top-k, so the result is
+    exactly the global top-k, independent of n_salts (tested).
+
+    Cosine uses the fixed-order double dot (similarity.dot_exact) so
+    values — and therefore ranks, with the doc_id tiebreak — are
+    bit-identical across engines and partitionings.
+    """
+    from lamapi_spark.ops.similarity import cosine_exact
+
+    q = query_vecs.select(F.col("query_id"), F.col("embedding").alias("_qv"))
+    c = corpus.select(F.col("doc_id"), F.col("embedding").alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .withColumn("cosine", cosine_exact(F.col("_qv"), F.col("_cv")))
+        .withColumn("_salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)))
+    )
+    order = [F.desc("cosine"), F.asc("doc_id")]
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "cosine", "rank")
+    )
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 10,
+             k0: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09) of ranked
+    lists from heterogeneous retrievers — the standard hybrid-search
+    combiner (lexical BM25 + embedding cosine in RAG/training-data
+    retrieval stacks):
+
+        score(q, d) = sum over rankers r listing d of 1 / (k0 + rank_r)
+
+    Each input frame carries (query_id, doc_id, rank); a document
+    absent from a ranker simply contributes nothing. Per-ranker
+    contributions round half-even to 6 decimals and sum in RANKER
+    order via the sorted-struct-array fold (the BM25 discipline), so
+    the fused score is bit-identical across engines and partitionings.
+
+    Scale shape: inputs are already per-query top-k lists, so the
+    fusion frame is bounded at n_rankers * k_in rows per query — one
+    shuffle on (query_id, doc_id), and the final per-query window runs
+    over that bounded set (no salting needed, unlike cosine_rank's
+    corpus-sized window input). -> (query_id, doc_id, score, rank).
+    """
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            "query_id", "doc_id", F.lit(i).alias("_ranker"),
+            F.bround(F.lit(1.0) / (F.lit(float(k0)) + F.col("rank")), 6)
+            .alias("_contrib"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    if tagged is None:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    fused = (
+        tagged.groupBy("query_id", "doc_id")
+        .agg(F.sort_array(F.collect_list(
+            F.struct("_ranker", "_contrib"))).alias("_c"))
+        .withColumn("score", F.bround(F.aggregate(
+            "_c", F.lit(0.0), lambda acc, x: acc + x["_contrib"]), 6))
+        .drop("_c")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -391,6 +391,25 @@ def jl_project(
                      F.array(*[comp(p) for p in range(out_dims)]).alias("proj"))
 
 
+def hash_encode(text: str, dims: int = 64) -> list[float]:
+    """The deterministic stand-in encoder behind embed_texts, exposed
+    for driver-side QUERY embedding (a retrieval workload embeds its
+    handful of query strings on the driver with the same model that
+    embedded the corpus): component d = scaled md5 draw of
+    (d, md5(text)), float32-rounded — bit-equal to the mapInPandas
+    corpus path and to the DuckDB oracle's SQL reconstruction."""
+    import hashlib
+
+    import numpy as np
+
+    key = hashlib.md5(text.encode("utf-8")).hexdigest()
+    vec = np.empty(dims, dtype=np.float32)
+    for d in range(dims):
+        h = int(hashlib.md5(f"{d}|{key}".encode()).hexdigest()[:12], 16)
+        vec[d] = ((h % 2001) - 1000) / 1000.0
+    return [float(x) for x in vec]
+
+
 def embed_texts(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     dims: int = 64, batch_size: int = 256,
@@ -410,24 +429,10 @@ def embed_texts(
 
     -> (doc_id, embedding array<float> of ``dims``); null text
     degrades to a null embedding (the multimodal null contract)."""
-    import hashlib
-
-    import numpy as np
     import pandas as pd
 
     def _encode_batch(texts):
-        out = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-                continue
-            key = hashlib.md5(t.encode("utf-8")).hexdigest()
-            vec = np.empty(dims, dtype=np.float32)
-            for d in range(dims):
-                h = int(hashlib.md5(f"{d}|{key}".encode()).hexdigest()[:12], 16)
-                vec[d] = ((h % 2001) - 1000) / 1000.0
-            out.append([float(x) for x in vec])
-        return out
+        return [None if t is None else hash_encode(t, dims) for t in texts]
 
     schema = f"doc_id long, embedding array<float>"
 

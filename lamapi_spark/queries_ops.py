@@ -176,19 +176,20 @@ _BM25_Q_VALUES = ", ".join(
     f"('{qid}', '{t}')" for qid, qs in _BM25_QUERIES for t in sorted(set(qs.split())))
 _BM25_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
-@register("bm25_topk", f"""
-WITH docs_t AS (
+# The BM25 CTE chain ends at rk (query_id, doc_id, score, rank) —
+# shared by the bm25_topk gate and the hybrid_rrf fusion's lexical arm.
+_BM25_CTES = """docs_t AS (
   SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
 ), dl AS (
   SELECT doc_id, len(t) AS dl FROM docs_t
 ), stats AS (
   SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
 ), q(query_id, tok) AS (
-  VALUES {{values}}
+  VALUES {values}
 ), tf AS (
   SELECT doc_id, tok, count(*)::DOUBLE AS tf
   FROM (SELECT doc_id, unnest(t) AS tok FROM docs_t)
-  WHERE tok IN ({{terms}}) GROUP BY doc_id, tok
+  WHERE tok IN ({terms}) GROUP BY doc_id, tok
 ), df AS (
   SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok
 ), term AS (
@@ -201,7 +202,7 @@ WITH docs_t AS (
 ), agg AS (
   SELECT query_id, doc_id,
          round_even(list_reduce(list_prepend(0.0::DOUBLE,
-           list_transform(list_sort(list({{'tok': tok, 'ts': ts}})),
+           list_transform(list_sort(list({'tok': tok, 'ts': ts})),
                           x -> x.ts)), (acc, v) -> acc + v), 6) AS score
   FROM term GROUP BY query_id, doc_id
 ), rk AS (
@@ -209,10 +210,13 @@ WITH docs_t AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, doc_id) AS rank
   FROM agg
-)
+)""".replace("{values}", _BM25_Q_VALUES).replace("{terms}", _BM25_TERM_LIST)
+
+@register("bm25_topk", f"""
+WITH {_BM25_CTES}
 SELECT query_id, doc_id, score, rank::INT AS rank
 FROM rk WHERE rank <= 5 ORDER BY query_id, rank
-""".replace("{values}", _BM25_Q_VALUES).replace("{terms}", _BM25_TERM_LIST))
+""")
 def bm25_topk_q(spark, sf):
     """Lucene-flavored BM25 top-5 per query over the documents corpus
     (the reference's ES scoring model as an explicit batch operator).
@@ -2461,3 +2465,68 @@ def contamination_fuzzy(spark, sf):
                             max_bucket=1_000_000)
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ hybrid retrieval (RRF)
+
+_RRF_QS_VALUES = ", ".join(f"('{qid}', '{qs}')" for qid, qs in _BM25_QUERIES)
+_EMB_COMP = ("(((('0x' || substr(md5(d::VARCHAR || '|' || md5({t})), 1, 12))"
+             "::UBIGINT % 2001)::BIGINT - 1000) / 1000.0)::FLOAT")
+
+@register("hybrid_rrf", f"""
+WITH {_BM25_CTES},
+emb AS (
+  SELECT doc_id, list({_EMB_COMP.format(t='text')} ORDER BY d) AS vec
+  FROM documents, range(64) dd(d) GROUP BY doc_id),
+qv AS (
+  SELECT query_id, list({_EMB_COMP.format(t='qs')} ORDER BY d) AS vec
+  FROM (VALUES {_RRF_QS_VALUES}) qq(query_id, qs), range(64) dd(d)
+  GROUP BY query_id),
+cos AS (
+  SELECT query_id, doc_id,
+         {_DOT_SQL.format(a='qv.vec', b='emb.vec')}
+         / (sqrt({_DOT_SQL.format(a='qv.vec', b='qv.vec')})
+            * sqrt({_DOT_SQL.format(a='emb.vec', b='emb.vec')})) AS cosine
+  FROM qv, emb),
+cosrk AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id) AS rank
+  FROM cos QUALIFY rank <= 20),
+tagged AS (
+  SELECT query_id, doc_id, 0 AS rkr,
+         round_even(1.0 / (60 + rank), 6) AS contrib
+  FROM rk WHERE rank <= 20
+  UNION ALL
+  SELECT query_id, doc_id, 1, round_even(1.0 / (60 + rank), 6) FROM cosrk),
+fused AS (
+  SELECT query_id, doc_id,
+         round_even(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_sort(list({{'r': rkr, 'c': contrib}})),
+                          x -> x.c)), (a, b) -> a + b), 6) AS score
+  FROM tagged GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id)::INT AS rank
+FROM fused QUALIFY rank <= 10 ORDER BY query_id, rank
+""")
+def hybrid_rrf_q(spark, sf):
+    """Hybrid retrieval: reciprocal-rank fusion (ops/ranking.rrf_fuse)
+    of the lexical BM25 top-20 and the semantic cosine top-20 (query
+    strings embedded DRIVER-side with similarity.hash_encode — the
+    same encoder that embeds the corpus via embed_texts, so the oracle
+    rebuilds both arms' embeddings component-for-component), fused to
+    a top-10 per query. The cosine arm runs through cosine_rank's
+    salted two-phase top-k; contributions and the fused sum follow the
+    6-decimal round-even + fixed-fold-order discipline, so every score
+    and rank is value-hash-checked."""
+    from lamapi_spark.ops.ranking import bm25_topk, cosine_rank, rrf_fuse
+    from lamapi_spark.ops.similarity import embed_texts, hash_encode
+
+    docs = load(spark, sf, "documents")
+    bm = bm25_topk(docs, "doc_id", "text", _BM25_QUERIES, k=20)
+    qv = spark.createDataFrame(
+        [(qid, hash_encode(qs, 64)) for qid, qs in _BM25_QUERIES],
+        "query_id string, embedding array<float>")
+    cos = cosine_rank(qv, embed_texts(docs, dims=64), k=20)
+    return rrf_fuse([bm, cos], k=10).orderBy("query_id", "rank")

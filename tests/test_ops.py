@@ -795,3 +795,47 @@ def test_bgp_match_pushdown(spark, tmp_path):
         .queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "EqualTo(subj,a)" in plan and "EqualTo(pred,knows)" in plan
+
+
+# ----------------------------------------------------- hybrid retrieval
+
+def test_rrf_fuse_semantics(spark):
+    from lamapi_spark.ops.ranking import rrf_fuse
+
+    r0 = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, doc_id long, rank int")
+    r1 = spark.createDataFrame(
+        [("q", 3, 1), ("q", 4, 2)],
+        "query_id string, doc_id long, rank int")
+    out = {r.doc_id: (r.score, r.rank)
+           for r in rrf_fuse([r0, r1], k=10).collect()}
+    c = lambda rk: round(1.0 / (60 + rk), 6)
+    # doc 3 appears in both lists and tops the fusion
+    assert out[3][0] == pytest.approx(c(3) + c(1)) and out[3][1] == 1
+    assert out[1][0] == pytest.approx(c(1))   # single-list docs: one term
+    assert out[4][0] == pytest.approx(c(2))
+    # tie c(2) vs ... doc 1 (c(1)=0.016393) > doc 2/4 (c(2)=0.016129)
+    assert out[1][1] == 2 and out[2][1] == 3 and out[4][1] == 4  # doc_id tiebreak
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_cosine_rank_salt_independent(spark):
+    """The salted two-phase top-k equals the global top-k at any salt
+    count, including n_salts=1 (the unsalted reference)."""
+    from lamapi_spark.ops.ranking import cosine_rank
+    from lamapi_spark.ops.similarity import hash_encode
+
+    corpus = spark.createDataFrame(
+        [(i, hash_encode(f"doc {i}", 16)) for i in range(50)],
+        "doc_id long, embedding array<float>")
+    qv = spark.createDataFrame(
+        [("qa", hash_encode("alpha", 16)), ("qb", hash_encode("beta", 16))],
+        "query_id string, embedding array<float>")
+    ref = sorted(cosine_rank(qv, corpus, k=7, n_salts=1).collect())
+    for n in (4, 32):
+        got = sorted(cosine_rank(qv, corpus, k=7, n_salts=n).collect())
+        assert got == ref
+    assert len(ref) == 14
