@@ -696,3 +696,46 @@ def domain_cap(docs: DataFrame, cap: int,
         F.col(id_col))
     return (docs.withColumn("kept_rank", F.row_number().over(w))
             .filter(F.col("kept_rank") <= cap))
+
+
+def chunk_documents(docs: DataFrame, size: int = 256, stride: int = 192,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """RAG-style sliding-window chunking: split each document into
+    token windows of ``size`` starting every ``stride`` tokens
+    (stride < size gives the standard overlap that keeps answers from
+    straddling a boundary). Distinct from pack_chunks — packing fills
+    fixed training sequences ACROSS documents; retrieval chunking
+    windows WITHIN one document and never mixes documents.
+
+    Tokens are the pack regex ``(\\w+|[^\\w\\s])``; chunk_text rejoins
+    with single spaces (a documented normalization — retrieval chunks
+    feed an embedder, not a detokenizer). Window starts are 0, stride,
+    2*stride, ... while start < n_tokens, so every token is covered
+    and a trailing window may be short; empty/null text yields no
+    rows. -> (doc_id, chunk_idx, tok_start, n_tokens, chunk_text).
+
+    Scale shape: pure column expressions (regexp_extract_all,
+    sequence, posexplode, slice, array_join) — a narrow map over the
+    one corpus scan, no shuffle, no Python; fan-out is bounded at
+    ceil(n/stride) rows per doc.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(F.col(text_col),
+                             F.lit(r"(\w+|[^\w\s])"), 0).alias("_toks"))
+    n = F.size("_toks")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    return (
+        toks.filter(n > 0)
+        .select("doc_id", "_toks",
+                F.posexplode(starts).alias("chunk_idx", "tok_start"))
+        .select(
+            "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("tok_start").cast("int").alias("tok_start"),
+            F.least(F.lit(size),
+                    F.size("_toks") - F.col("tok_start"))
+            .cast("int").alias("n_tokens"),
+            F.array_join(F.slice("_toks", F.col("tok_start") + 1,
+                                 F.lit(size)), " ").alias("chunk_text"))
+    )

@@ -1059,3 +1059,32 @@ def embed_pq_topk_q(spark, sf):
     q = emb.filter(F.col("vec_id") < 5)
     return (pq_topk(q, codes, cb, k=_PQ_K, n_sub=_PQ_M, ksub=_PQ_KSUB)
             .orderBy("q_id", "rnk"))
+
+
+# ------------------------------------------------- retrieval chunking
+
+@register("corpus_chunk", r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '(\w+|[^\w\s])') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS tok_start
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+       (tok_start // 24)::INT AS chunk_idx,
+       tok_start::INT AS tok_start,
+       least(32, len(toks) - tok_start)::INT AS n_tokens,
+       array_to_string(toks[tok_start + 1 : tok_start + 32], ' ')
+         AS chunk_text
+FROM s ORDER BY doc_id, chunk_idx
+""")
+def corpus_chunk(spark, sf):
+    """Sliding-window retrieval chunking (ops/corpus.chunk_documents):
+    32-token windows every 24 tokens (8-token overlap) over the
+    documents corpus — the oracle re-derives every window start, the
+    short trailing window's length, and the rejoined chunk text."""
+    from lamapi_spark.ops.corpus import chunk_documents
+
+    return (chunk_documents(load(spark, sf, "documents"),
+                            size=32, stride=24)
+            .orderBy("doc_id", "chunk_idx"))

@@ -656,3 +656,29 @@ def test_pq_codes_partition_independent(spark):
     b = sorted(map(tuple,
                    pq_encode(emb.repartition(7), cb, n_sub=8).collect()))
     assert a == b and len(a) == 500
+
+
+# ------------------------------------------------- retrieval chunking
+
+def test_chunk_documents(spark):
+    from lamapi_spark.ops.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))          # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, words), (2, "short one"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = chunk_documents(docs, size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0,3,6,9 — trailing window is short
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [(r.tok_start, r.n_tokens) for r in c1] == [
+        (0, 4), (3, 4), (6, 4), (9, 1)]
+    assert c1[0].chunk_text == "w0 w1 w2 w3"
+    assert c1[1].chunk_text == "w3 w4 w5 w6"              # 1-token overlap
+    assert c1[3].chunk_text == "w9"
+    # every token is covered and consecutive chunks overlap by size-stride
+    assert by_doc[2][0].chunk_text == "short one"
+    # empty / null text yield no rows
+    assert 3 not in by_doc and 4 not in by_doc
