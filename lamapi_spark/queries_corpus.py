@@ -1063,20 +1063,28 @@ def embed_pq_topk_q(spark, sf):
 
 # ------------------------------------------------- retrieval chunking
 
-@register("corpus_chunk", r"""
-WITH t AS (
+# 32-token windows every 24 tokens; ends at chunks
+# (doc_id, chunk_idx, tok_start, n_tokens, chunk_text) — shared by the
+# corpus_chunk gate and rag_retrieve's ingest stage.
+_CHUNK_CTES = r"""t AS (
   SELECT doc_id, regexp_extract_all(text, '(\w+|[^\w\s])') AS toks
   FROM documents),
 s AS (
   SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS tok_start
-  FROM t WHERE len(toks) > 0)
-SELECT doc_id,
-       (tok_start // 24)::INT AS chunk_idx,
-       tok_start::INT AS tok_start,
-       least(32, len(toks) - tok_start)::INT AS n_tokens,
-       array_to_string(toks[tok_start + 1 : tok_start + 32], ' ')
-         AS chunk_text
-FROM s ORDER BY doc_id, chunk_idx
+  FROM t WHERE len(toks) > 0),
+chunks AS (
+  SELECT doc_id,
+         (tok_start // 24)::INT AS chunk_idx,
+         tok_start::INT AS tok_start,
+         least(32, len(toks) - tok_start)::INT AS n_tokens,
+         array_to_string(toks[tok_start + 1 : tok_start + 32], ' ')
+           AS chunk_text
+  FROM s)"""
+
+@register("corpus_chunk", f"""
+WITH {_CHUNK_CTES}
+SELECT doc_id, chunk_idx, tok_start, n_tokens, chunk_text
+FROM chunks ORDER BY doc_id, chunk_idx
 """)
 def corpus_chunk(spark, sf):
     """Sliding-window retrieval chunking (ops/corpus.chunk_documents):
@@ -1088,3 +1096,68 @@ def corpus_chunk(spark, sf):
     return (chunk_documents(load(spark, sf, "documents"),
                             size=32, stride=24)
             .orderBy("doc_id", "chunk_idx"))
+
+
+# -------------------------------------------- RAG retrieval end-to-end
+
+from lamapi_spark.queries_ops import (  # noqa: E402
+    _BM25_QUERIES, _DOT_SQL, _EMB_COMP, _RRF_QS_VALUES,
+)
+
+@register("rag_retrieve", f"""
+WITH {_CHUNK_CTES},
+cemb AS (
+  SELECT doc_id * 1000 + chunk_idx AS cid,
+         list({_EMB_COMP.format(t='chunk_text')} ORDER BY d) AS vec
+  FROM chunks, range(64) dd(d) GROUP BY doc_id, chunk_idx),
+qv AS (
+  SELECT query_id, list({_EMB_COMP.format(t='qs')} ORDER BY d) AS vec
+  FROM (VALUES {_RRF_QS_VALUES}) qq(query_id, qs), range(64) dd(d)
+  GROUP BY query_id),
+cos AS (
+  SELECT query_id, cid,
+         {_DOT_SQL.format(a='qv.vec', b='cemb.vec')}
+         / (sqrt({_DOT_SQL.format(a='qv.vec', b='qv.vec')})
+            * sqrt({_DOT_SQL.format(a='cemb.vec', b='cemb.vec')})) AS cosine
+  FROM qv, cemb),
+rk AS (
+  SELECT query_id, cid, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cid) AS rank
+  FROM cos QUALIFY rank <= 10)
+SELECT query_id, (cid // 1000)::BIGINT AS doc_id,
+       (cid % 1000)::INT AS chunk_idx, cosine, rank::INT AS rank
+FROM rk ORDER BY query_id, rank
+""")
+def rag_retrieve(spark, sf):
+    """The RAG ingest + retrieval dataflow end to end, composed from
+    the oracled pieces: chunk_documents (32/24 sliding windows) ->
+    embed_texts over the CHUNK text (per-partition encoder lifecycle)
+    -> cosine_rank's salted top-10 per query, with provenance mapped
+    back to (doc_id, chunk_idx). Chunk ids pack as doc_id*1000 +
+    chunk_idx (chunk counts are bounded far below 1000 by the corpus
+    line lengths; the oracle would collide loudly if not). The oracle
+    rebuilds chunks, every chunk/query embedding component, every
+    cosine, and every rank."""
+    from lamapi_spark.ops.corpus import chunk_documents
+    from lamapi_spark.ops.ranking import cosine_rank
+    from lamapi_spark.ops.similarity import embed_texts, hash_encode
+
+    chunks = chunk_documents(load(spark, sf, "documents"),
+                             size=32, stride=24)
+    cemb = embed_texts(
+        chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+            "chunk_text"),
+        id_col="cid", text_col="chunk_text", dims=64)
+    qv = spark.createDataFrame(
+        [(qid, hash_encode(qs, 64)) for qid, qs in _BM25_QUERIES],
+        "query_id string, embedding array<float>")
+    return (
+        cosine_rank(qv, cemb, k=10)
+        .select("query_id",
+                (F.col("doc_id") / 1000).cast("long").alias("doc_id"),
+                F.pmod("doc_id", F.lit(1000)).cast("int").alias("chunk_idx"),
+                "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
