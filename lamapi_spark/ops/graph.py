@@ -656,3 +656,59 @@ def bgp_match(triples: DataFrame,
     if acc is None:
         raise ValueError("bgp_match needs at least one pattern")
     return acc.select(*bound)
+
+
+def ppr_fixed_point(
+    edges: DataFrame, seeds: DataFrame, n_iter: int = 3,
+    scale: int = 10**9, damping_pct: int = 85,
+    checkpoint_every: int | None = 1,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart from a seed
+    set) — the KG relatedness primitive ("which entities are close to
+    THESE?") behind recommendation/disambiguation reads over the
+    constructed graph. Same BIGINT fixed-point discipline as
+    pagerank_fixed_point (integer divisions, exact sums — bit-
+    reproducible across partitionings and engines), but restart mass
+    returns only to ``seeds`` (a 1-column ``node`` frame, the query
+    WORKLOAD — broadcast): sum-to-|S|*scale convention,
+
+        rank'[v] = [v in S] * (100-d)% * scale
+                   + d% * sum over u->v of rank[u] // deg[u],
+
+    rank0 = scale on seeds, 0 elsewhere. Mass stays localized around
+    the seeds, so ranks decay to exact 0 outside the n_iter-hop
+    neighborhood — callers filter rank > 0 for the sparse result.
+    Overflow bound: |S| * scale * damping_pct < 2^63.
+    """
+    teleport = (100 - damping_pct) * scale // 100
+    outdeg = (edges.groupBy(F.col("src").alias("node"))
+              .agg(F.count("*").alias("degree")))
+    if checkpoint_every is not None:
+        edges = edges.localCheckpoint(eager=True)
+        outdeg = outdeg.localCheckpoint(eager=True)
+    nodes = outdeg.select("node")
+    is_seed = F.col("_seed").isNotNull()
+    seeded = nodes.join(
+        F.broadcast(seeds.select(F.col("node"), F.lit(1).alias("_seed"))
+                    .distinct()),
+        "node", "left")
+    rank = seeded.select(
+        "node",
+        F.when(is_seed, F.lit(scale)).otherwise(F.lit(0))
+        .cast("bigint").alias("rank"))
+    for i in range(n_iter):
+        contrib = (
+            edges.join(rank.withColumnRenamed("node", "src"), "src")
+            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank div degree")).alias("_s"))
+        )
+        rank = seeded.join(contrib, "node", "left").select(
+            "node",
+            (F.when(is_seed, F.lit(teleport)).otherwise(F.lit(0))
+             + F.expr(f"{damping_pct} * coalesce(_s, 0L) div 100")
+             ).cast("bigint").alias("rank"),
+        )
+        if checkpoint_every is not None and (i + 1) % checkpoint_every == 0:
+            rank = rank.localCheckpoint(eager=True)
+    return rank

@@ -860,3 +860,58 @@ def graph_random_walks(spark, sf):
                          n_walks=_WALK_N, max_fanout=_WALK_CAP)
             .withColumn("walk_no", F.col("walk_no").cast("long"))
             .orderBy("start", "walk_no"))
+
+
+# ------------------------------------------------ personalized PageRank
+
+_PPR_SEEDS = ("c1", "c2")
+_PPR_SEED_SQL = ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+
+
+def _ppr_iter_sql(k: int) -> str:
+    prev = f"p{k - 1}"
+    return f"""
+p{k} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node IN ({_PPR_SEED_SQL}) THEN {_TELEPORT}
+                   ELSE 0 END
+              + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank // d.degree) AS s
+    FROM edges e
+    JOIN {prev} r ON r.node = e.src
+    JOIN outdeg d ON d.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+
+
+@register("graph_ppr", f"""
+WITH {_EDGES_SQL},
+outdeg AS (SELECT src AS node, count(*)::BIGINT AS degree
+           FROM edges GROUP BY src),
+nodes AS (SELECT node FROM outdeg),
+p0 AS (SELECT node,
+              CASE WHEN node IN ({_PPR_SEED_SQL})
+                   THEN {_SCALE} ELSE 0 END::BIGINT AS rank
+       FROM nodes),
+{",".join(_ppr_iter_sql(k) for k in range(1, _N_ITER + 1))}
+SELECT node, rank AS rank_units FROM p{_N_ITER}
+WHERE rank > 0 ORDER BY node
+""")
+def graph_ppr(spark, sf):
+    """Personalized PageRank from seeds c1 and c2 (random walk with
+    restart; ops/graph.ppr_fixed_point) — 3 iterations in BIGINT
+    fixed point, restart mass only on the seeds, sparse result (ranks
+    outside the 3-hop neighborhood are exact 0 and filtered). The
+    oracle replays every iteration's integer arithmetic CTE by CTE."""
+    from lamapi_spark.ops.graph import ppr_fixed_point
+
+    seeds = spark.createDataFrame([(s,) for s in _PPR_SEEDS],
+                                  "node string")
+    rank = ppr_fixed_point(_edges(spark, sf), seeds, n_iter=_N_ITER,
+                           scale=_SCALE, damping_pct=85)
+    return (rank.filter(F.col("rank") > 0)
+            .select("node", F.col("rank").alias("rank_units"))
+            .orderBy("node"))
+

@@ -839,3 +839,26 @@ def test_cosine_rank_salt_independent(spark):
         got = sorted(cosine_rank(qv, corpus, k=7, n_salts=n).collect())
         assert got == ref
     assert len(ref) == 14
+
+
+# -------------------------------------------------- personalized PageRank
+
+def test_ppr_locality_and_mass(spark):
+    """On a path graph a-b-c-d-e with seed a, restart mass stays on the
+    seed's side and nodes beyond n_iter hops hold exact 0."""
+    from lamapi_spark.ops.graph import ppr_fixed_point
+
+    base = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        base + [(y, x) for x, y in base], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    r = {x.node: x.rank for x in
+         ppr_fixed_point(edges, seeds, n_iter=2, scale=10**9,
+                         checkpoint_every=None).collect()}
+    # beyond 2 hops the rank is exact 0 (mass is a synchronous wave)
+    assert r["d"] == 0 and r["e"] == 0
+    # hand-computed fixed point: iter1 a=0.15, b=0.85; iter2
+    # a=0.15+0.85*(0.85/2), b=0.85*0.15, c=0.85*(0.85/2) — exact ints
+    assert r["a"] == 511_250_000
+    assert r["b"] == 127_500_000
+    assert r["c"] == 361_250_000
