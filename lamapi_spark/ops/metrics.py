@@ -1,0 +1,72 @@
+"""Evaluation metrics over linked/predicted frames — the measurement
+side of the north rule's own acceptance criterion (P/R >= 0.95 vs
+reference triples): precision/recall/F1 as a distributed operator, so
+a 10^12-turn evaluation run is itself one Spark job instead of a
+driver-side script (reference analogue: none — the reference has no
+eval harness; builder's-brief surface, and the twin of what
+tests/test_pipeline_e2e.py computes in Python on fixtures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prf_eval(pred: DataFrame, truth: DataFrame, keys: list[str],
+             value_col: str = "entity",
+             slice_col: str | None = None) -> DataFrame:
+    """Micro precision/recall/F1 of ``pred`` against ``truth``, both
+    keyed by ``keys`` with the predicted/gold value in ``value_col``:
+    a prediction is a true positive iff a truth row shares its keys
+    AND its value. Optional ``slice_col`` (taken from the TRUTH side,
+    falling back to pred for spurious rows) groups the report — the
+    per-type / per-language slicing an eval dashboard wants.
+
+    Counting follows the standard linking convention: tp = key+value
+    matches, fp = predictions with no such match (wrong value OR
+    spurious key), fn = truth rows not matched. P = tp/(tp+fp),
+    R = tp/(tp+fn), F1 = 2PR/(P+R); ratios round half-even to 6
+    decimals (engine-portable); empty denominators degrade to 0.0
+    (the scorched-earth convention: no predictions => P = 0 unless
+    there is also no truth).
+
+    Scale shape: ONE full outer join on the key columns (both sides
+    shuffle once on the same key — co-partitioned), then a count
+    aggregation over booleans; no window, no driver collect. Assumes
+    keys are unique per side (one prediction and one gold value per
+    mention), the linking pipeline's own contract.
+
+    -> one row per slice (or a single global row):
+    (slice?, n_pred, n_truth, tp, fp, fn, precision, recall, f1).
+    """
+    p = pred.select(*keys, F.col(value_col).alias("_pv"))
+    t = truth.select(
+        *keys, F.col(value_col).alias("_tv"),
+        *([F.col(slice_col).alias("_ts")] if slice_col else []))
+    if slice_col:
+        p = pred.select(*keys, F.col(value_col).alias("_pv"),
+                        F.col(slice_col).alias("_ps"))
+    j = p.join(t, on=keys, how="full_outer")
+    has_p, has_t = F.col("_pv").isNotNull(), F.col("_tv").isNotNull()
+    hit = has_p & has_t & (F.col("_pv") == F.col("_tv"))
+    counted = j.select(
+        *([F.coalesce("_ts", "_ps").alias("slice")] if slice_col else []),
+        has_p.cast("long").alias("_np"), has_t.cast("long").alias("_nt"),
+        hit.cast("long").alias("_tp"))
+    gb = counted.groupBy("slice") if slice_col else counted.groupBy()
+    agg = gb.agg(F.sum("_np").alias("n_pred"), F.sum("_nt").alias("n_truth"),
+                 F.sum("_tp").alias("tp"))
+    prec = F.when(F.col("n_pred") > 0,
+                  F.col("tp") / F.col("n_pred")).otherwise(F.lit(0.0))
+    rec = F.when(F.col("n_truth") > 0,
+                 F.col("tp") / F.col("n_truth")).otherwise(F.lit(0.0))
+    out = (agg
+           .withColumn("fp", (F.col("n_pred") - F.col("tp")).cast("long"))
+           .withColumn("fn", (F.col("n_truth") - F.col("tp")).cast("long"))
+           .withColumn("precision", F.bround(prec, 6))
+           .withColumn("recall", F.bround(rec, 6)))
+    f1 = F.when((F.col("precision") + F.col("recall")) > 0,
+                2.0 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall"))).otherwise(F.lit(0.0))
+    return out.withColumn("f1", F.bround(f1, 6))

@@ -291,3 +291,63 @@ def kg_bgp_query(spark, sf):
         .filter(F.col("c") != "c1")
         .orderBy("s", "c")
     )
+
+
+@register("link_eval", """
+WITH truth AS (
+  SELECT o_orderkey AS k, 'c' || o_custkey AS v,
+         'g' || (o_orderkey % 3) AS s
+  FROM orders),
+pred AS (
+  SELECT k, CASE WHEN k % 17 = 0 THEN 'x' ELSE v END AS v, s
+  FROM truth WHERE k % 23 <> 0
+  UNION ALL
+  SELECT k + 10000000, v, s FROM truth WHERE k % 29 = 0),
+j AS (
+  SELECT coalesce(t.s, p.s) AS slice, p.v AS pv, t.v AS tv
+  FROM pred p FULL OUTER JOIN truth t ON p.k = t.k),
+agg AS (
+  SELECT slice, count(pv)::BIGINT AS n_pred, count(tv)::BIGINT AS n_truth,
+         sum(CASE WHEN pv = tv THEN 1 ELSE 0 END)::BIGINT AS tp
+  FROM j GROUP BY slice),
+pr AS (
+  SELECT slice, n_pred, n_truth, tp,
+         (n_pred - tp)::BIGINT AS fp, (n_truth - tp)::BIGINT AS fn,
+         round_even(CASE WHEN n_pred > 0
+                         THEN tp::DOUBLE / n_pred ELSE 0.0 END, 6)
+           AS precision,
+         round_even(CASE WHEN n_truth > 0
+                         THEN tp::DOUBLE / n_truth ELSE 0.0 END, 6)
+           AS recall
+  FROM agg)
+SELECT slice, n_pred, n_truth, tp, fp, fn, precision, recall,
+       round_even(CASE WHEN precision + recall > 0
+                       THEN 2.0 * precision * recall
+                            / (precision + recall)
+                       ELSE 0.0 END, 6) AS f1
+FROM pr ORDER BY slice
+""")
+def link_eval(spark, sf):
+    """Distributed P/R/F1 evaluation (ops/metrics.prf_eval) of a
+    planted-error prediction frame against gold links derived from
+    orders: every 17th key predicts the wrong entity, every 23rd is
+    missing (recall loss), every 29th adds a spurious key (precision
+    loss), sliced by orderkey%3. F1 derives from the ROUNDED P/R (the
+    op's documented parity rule); the oracle replays the full outer
+    join, all counts, and every rounded ratio."""
+    from lamapi_spark.ops.metrics import prf_eval
+
+    truth = load(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("entity"),
+        F.concat(F.lit("g"), F.col("o_orderkey") % 3).alias("grp"))
+    pred = (
+        truth.filter(F.col("k") % 23 != 0)
+        .select("k", F.when(F.col("k") % 17 == 0, F.lit("x"))
+                .otherwise(F.col("entity")).alias("entity"), "grp")
+        .unionByName(truth.filter(F.col("k") % 29 == 0).select(
+            (F.col("k") + 10_000_000).alias("k"), "entity", "grp"))
+    )
+    return (prf_eval(pred, truth, keys=["k"], value_col="entity",
+                     slice_col="grp")
+            .orderBy("slice"))

@@ -862,3 +862,27 @@ def test_ppr_locality_and_mass(spark):
     assert r["a"] == 511_250_000
     assert r["b"] == 127_500_000
     assert r["c"] == 361_250_000
+
+
+# ------------------------------------------------------------ P/R/F1 eval
+
+def test_prf_eval_counts(spark):
+    from lamapi_spark.ops.metrics import prf_eval
+
+    truth = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, entity string")
+    pred = spark.createDataFrame(
+        [(1, "a"), (2, "WRONG"), (5, "e")], "k long, entity string")
+    r = prf_eval(pred, truth, keys=["k"]).collect()[0]
+    # tp=1 (k=1); fp=2 (wrong value k=2, spurious k=5); fn=3 (k=2,3,4)
+    assert (r.n_pred, r.n_truth, r.tp, r.fp, r.fn) == (3, 4, 1, 2, 3)
+    assert r.precision == pytest.approx(round(1 / 3, 6))
+    assert r.recall == 0.25
+    p6 = round(1 / 3, 6)
+    assert r.f1 == pytest.approx(round(2 * p6 * 0.25 / (p6 + 0.25), 6))
+
+    # perfect prediction and empty prediction degrade cleanly
+    perfect = prf_eval(truth, truth, keys=["k"]).collect()[0]
+    assert (perfect.precision, perfect.recall, perfect.f1) == (1.0, 1.0, 1.0)
+    empty = prf_eval(pred.filter("k < 0"), truth, keys=["k"]).collect()[0]
+    assert (empty.precision, empty.recall, empty.f1) == (0.0, 0.0, 0.0)
