@@ -55,3 +55,44 @@ def probe_edges(pairs: DataFrame, edges: DataFrame,
 def extract_triples(linked: DataFrame, edges: DataFrame,
                     broadcast_edges: bool = False) -> DataFrame:
     return probe_edges(mention_pairs(linked), edges, broadcast_edges)
+
+
+def tool_invocation_edges(transcripts: DataFrame,
+                          entity_re: str = "^[cs][0-9]+$",
+                          max_turns_back: int = 10) -> DataFrame:
+    """Agent-transcript tool provenance: every ``role='tool'`` turn
+    emits a (tool, invoked_after, entity) triple for the most recent
+    entity token mentioned in a PRIOR turn of the same conversation
+    (within ``max_turns_back`` turns) — the "which tool ran against
+    which entity" edge a KG over agent transcripts needs. This is the
+    consumer of the input contract's role/tool columns (BASELINE.json
+    input_hint: conv_id, turn_idx, role, text, tool, ts).
+
+    Same one-window antecedent-carry shape as pipeline/coref.py: first
+    entity token per turn via regexp on the split text (pure column
+    exprs), then ONE last_value(IGNORE NULLS) window per conv ordered
+    by turn_idx — a single exchange on conv_id, O(1) window state.
+
+    -> (conv_id, turn_idx, tool, entity) for resolvable tool turns.
+    """
+    first_ent = F.get(F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda t: t.rlike(entity_re)), 0)
+    base = transcripts.select(
+        "conv_id", "turn_idx", "role", "tool",
+        first_ent.alias("_ent"))
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    carry = F.last(
+        F.when(F.col("_ent").isNotNull(),
+               F.struct(F.col("turn_idx").alias("t"),
+                        F.col("_ent").alias("e"))),
+        ignorenulls=True).over(w)
+    return (
+        base.withColumn("_a", carry)
+        .filter((F.col("role") == "tool") & F.col("_a").isNotNull()
+                & (F.col("turn_idx") - F.col("_a.t") <= max_turns_back))
+        .select("conv_id", "turn_idx", "tool",
+                F.col("_a.e").alias("entity"))
+    )

@@ -351,3 +351,80 @@ def link_eval(spark, sf):
     return (prf_eval(pred, truth, keys=["k"], value_col="entity",
                      slice_col="grp")
             .orderBy("slice"))
+
+
+# --------------------------------------------- tool provenance edges
+
+# transcript synth WITH the input contract's role/tool columns: tool
+# turns (templates 1/2) carry a tool name and no entity token, so they
+# must resolve to a PRIOR turn's entity.
+_TRT_SQL = """
+trt AS (
+  SELECT 'c' || o_custkey AS conv_id,
+         (row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey))::INT
+           AS turn_idx,
+         CASE WHEN o_orderkey % 4 IN (1, 2) THEN 'tool'
+              WHEN o_orderkey % 4 = 0 THEN 'user'
+              ELSE 'assistant' END AS role,
+         CASE o_orderkey % 4 WHEN 1 THEN 'search' WHEN 2 THEN 'lookup'
+         END AS tool,
+         CASE o_orderkey % 4
+           WHEN 0 THEN 'user asked about c' || o_custkey || ' and s'
+                       || (1 + o_orderkey % 10)
+           WHEN 1 THEN 'ran against it'
+           WHEN 2 THEN 'they confirmed the schedule'
+           ELSE 'c' || o_custkey || ' said this looked fine'
+         END AS text
+  FROM orders)"""
+
+
+@register("kg_tool_edges", f"""
+WITH {_TRT_SQL},
+ent AS (
+  SELECT conv_id, turn_idx, role, tool,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> regexp_matches(t, '{_ENT_RE}'))[1] AS e
+  FROM trt),
+res AS (
+  SELECT conv_id, turn_idx, role, tool,
+         last_value(CASE WHEN e IS NOT NULL THEN
+                      struct_pack(t := turn_idx, e := e) END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a
+  FROM ent)
+SELECT conv_id, turn_idx, tool, a.e AS entity
+FROM res
+WHERE role = 'tool' AND a IS NOT NULL AND turn_idx - a.t <= 10
+ORDER BY conv_id, turn_idx
+""")
+def kg_tool_edges(spark, sf):
+    """Tool-invocation provenance over agent transcripts
+    (pipeline/triples.tool_invocation_edges): every role='tool' turn
+    resolves to the most recent prior-turn entity in its conversation
+    (one last_value IGNORE NULLS window — the coref carry shape) and
+    emits a (tool, invoked_after, entity) edge. Exercises the input
+    contract's role/tool columns end to end; the oracle replays the
+    synth, the first-entity extraction, and the window carry."""
+    from lamapi_spark.pipeline.triples import tool_invocation_edges
+
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    m4 = F.col("o_orderkey") % 4
+    trt = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.when(m4.isin(1, 2), F.lit("tool"))
+        .when(m4 == 0, F.lit("user")).otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when(m4 == 1, F.lit("search"))
+        .when(m4 == 2, F.lit("lookup")).alias("tool"),
+        F.when(m4 == 0, F.concat(
+            F.lit("user asked about c"), F.col("o_custkey"), F.lit(" and s"),
+            (F.lit(1) + F.col("o_orderkey") % 10)))
+        .when(m4 == 1, F.lit("ran against it"))
+        .when(m4 == 2, F.lit("they confirmed the schedule"))
+        .otherwise(F.concat(F.lit("c"), F.col("o_custkey"),
+                            F.lit(" said this looked fine")))
+        .alias("text"))
+    return (tool_invocation_edges(trt, entity_re=_ENT_RE, max_turns_back=10)
+            .orderBy("conv_id", "turn_idx"))

@@ -150,3 +150,40 @@ def test_incremental_equals_full(spark, fix, tmp_path):
         spark, tr.filter(F.col("conv_id").isin(first)), *args, out_dir, **kw)
     r4 = run_pipeline_incremental(spark, tr, *args, out_dir, **kw)
     assert {tuple(r) for r in r4["triples"].select(*keys).collect()} == want
+
+
+# ---------------------------------------------- tool provenance edges
+
+def test_tool_invocation_edges(spark):
+    from lamapi_spark.pipeline.triples import tool_invocation_edges
+
+    rows = [
+        # conv A: entity, tool (resolves back 1), tool (still resolves
+        # to turn 1), entity, tool (resolves to the NEWER turn 4)
+        ("A", 1, "user", None, "ask about c7 please"),
+        ("A", 2, "tool", "search", "ran against it"),
+        ("A", 3, "tool", "lookup", "no entity here"),
+        ("A", 4, "user", None, "now s3 instead"),
+        ("A", 5, "tool", "search", "go"),
+        # conv B: tool BEFORE any entity -> unresolvable, no row
+        ("B", 1, "tool", "search", "cold start"),
+        ("B", 2, "user", None, "c9 appears too late"),
+        # conv C: entity only in the tool turn ITSELF -> prior-turn
+        # carry finds nothing, no row
+        ("C", 1, "tool", "search", "c5 inline"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, "
+              "tool string, text string")
+    got = {(r.conv_id, r.turn_idx): (r.tool, r.entity)
+           for r in tool_invocation_edges(t).collect()}
+    assert got == {("A", 2): ("search", "c7"),
+                   ("A", 3): ("lookup", "c7"),
+                   ("A", 5): ("search", "s3")}
+
+    # horizon: an entity further back than max_turns_back is stale
+    far = spark.createDataFrame(
+        [("D", 1, "user", None, "c1 early"),
+         ("D", 20, "tool", "search", "late")],
+        "conv_id string, turn_idx int, role string, tool string, text string")
+    assert tool_invocation_edges(far, max_turns_back=10).count() == 0
