@@ -379,3 +379,73 @@ def stream_coref_resolve(
         F.when(ok, F.col("r.a.e")).alias("antecedent"),
         F.when(ok, F.col("r.a.t")).alias("antecedent_turn"),
     )
+
+
+def stream_tool_edges(
+    spark: SparkSession,
+    path: str,
+    entity_pattern: str = "^[cs][0-9]+$",
+    max_turns_back: int = 10,
+    gap: str = "2 hours",
+    watermark: str = "4 hours",
+    schema: str = TRANSCRIPT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of pipeline/triples.tool_invocation_edges: tool
+    turns arriving on a live transcript stream resolve to the most
+    recent PRIOR-turn entity of their conversation — the same
+    session-window carry shape as stream_coref_resolve (state unit =
+    conversation, evicted once event time passes session end +
+    watermark), with the antecedent scan run IN-ARRAY over the
+    session's turn rows: for tool turn i, the antecedent is
+    array_max(filter(j < i, entity rows)) — the turn-sorted prefix
+    maximum, i.e. the batch window's IGNORE-NULLS running last.
+
+    Semantics vs batch: identical per session (the parity test sizes
+    gap/watermark above its input's span); a conversation quiet longer
+    than ``gap`` resets the carry — the same deliberate staleness
+    bound as the coref twin, on top of the in-turns ``max_turns_back``
+    horizon. In-array cost is O(k^2) per session with k = TURNS of one
+    conversation — bounded by construction.
+
+    -> (conv_id, turn_idx, tool, entity) for every resolvable tool
+    turn of every closed session.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(path)
+    first_ent = F.get(F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda t: t.rlike(entity_pattern)), 0)
+    turns = stream.withWatermark("ts", watermark).select(
+        "conv_id", "turn_idx", "role", "tool", "ts",
+        first_ent.alias("_e"))
+    per_conv = (
+        turns.groupBy(F.session_window("ts", gap).alias("_w"),
+                      F.col("conv_id"))
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("turn_idx").alias("t"), F.col("_e").alias("e"),
+            F.col("role").alias("role"), F.col("tool").alias("tool"),
+        ))).alias("_occ"))
+    )
+    resolved = F.transform(
+        F.col("_occ"),
+        lambda x, i: F.struct(
+            x["t"].alias("t"), x["role"].alias("role"),
+            x["tool"].alias("tool"),
+            F.array_max(F.filter(
+                F.col("_occ"),
+                lambda y, j: (j < i) & y["e"].isNotNull(),
+            )).alias("a"),
+        ),
+    )
+    rows = per_conv.select("conv_id", F.explode(resolved).alias("r"))
+    return (
+        rows.filter((F.col("r.role") == "tool")
+                    & F.col("r.a").isNotNull()
+                    & (F.col("r.t") - F.col("r.a.t")
+                       <= F.lit(max_turns_back)))
+        .select("conv_id", F.col("r.t").alias("turn_idx"),
+                F.col("r.tool").alias("tool"), F.col("r.a.e").alias("entity"))
+    )

@@ -254,3 +254,47 @@ class TestStreamCoref:
         [r] = got.collect()
         assert r.pronoun == "it" and r.antecedent is None
         shutil.rmtree(d, ignore_errors=True)
+
+
+class TestStreamToolEdges:
+    def test_stream_tool_edges_match_batch(self, spark, tmp_path):
+        """The streaming session-window tool-edge carry, drained with
+        gap/watermark above the input's span, equals batch
+        tool_invocation_edges row for row — including re-resolution to
+        a newer entity and the cold-start/horizon degrades."""
+        import shutil
+
+        from lamapi_spark.pipeline.triples import tool_invocation_edges
+        from lamapi_spark.streaming.kg import stream_tool_edges
+        from lamapi_spark.streaming.sessions import run_available_now
+
+        rows = [
+            ("A", 1, "user", None, "ask about c7 please"),
+            ("A", 2, "tool", "search", "ran against it"),
+            ("A", 3, "tool", "lookup", "no entity here"),
+            ("A", 4, "user", None, "now s3 instead"),
+            ("A", 5, "tool", "search", "go"),
+            ("A", 17, "tool", "search", "stale"),   # 13 > horizon -> drop
+            ("B", 1, "tool", "search", "cold start"),
+            ("B", 2, "user", None, "c9 too late"),
+        ]
+        tr = (spark.createDataFrame(
+                  rows, "conv_id string, turn_idx int, role string, "
+                        "tool string, text string")
+              .withColumn("ts", F.timestamp_seconds(
+                  F.lit(1700000000) + F.col("turn_idx") * 60)))
+        d = str(tmp_path / "tool_feed")
+        tr.write.parquet(d)
+
+        got = run_available_now(
+            stream_tool_edges(spark, d, max_turns_back=10,
+                              gap="2 hours", watermark="4 hours"),
+            "t_tool_edges", mode="complete")
+        stream_rows = sorted(map(tuple, got.collect()))
+        batch_rows = sorted(map(tuple, tool_invocation_edges(
+            tr, max_turns_back=10).collect()))
+        assert stream_rows == batch_rows
+        assert stream_rows == [("A", 2, "search", "c7"),
+                               ("A", 3, "lookup", "c7"),
+                               ("A", 5, "search", "s3")]
+        shutil.rmtree(d, ignore_errors=True)
