@@ -378,6 +378,30 @@ trt AS (
   FROM orders)"""
 
 
+def _trt(spark, sf):
+    """The Spark twin of _TRT_SQL (one row per order: conv = customer,
+    turn order = orderkey, roles/tools/entity plants per template)."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    m4 = F.col("o_orderkey") % 4
+    return o.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.when(m4.isin(1, 2), F.lit("tool"))
+        .when(m4 == 0, F.lit("user")).otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when(m4 == 1, F.lit("search"))
+        .when(m4 == 2, F.lit("lookup")).alias("tool"),
+        F.when(m4 == 0, F.concat(
+            F.lit("user asked about c"), F.col("o_custkey"), F.lit(" and s"),
+            (F.lit(1) + F.col("o_orderkey") % 10)))
+        .when(m4 == 1, F.lit("ran against it"))
+        .when(m4 == 2, F.lit("they confirmed the schedule"))
+        .otherwise(F.concat(F.lit("c"), F.col("o_custkey"),
+                            F.lit(" said this looked fine")))
+        .alias("text"))
+
+
 @register("kg_tool_edges", f"""
 WITH {_TRT_SQL},
 ent AS (
@@ -407,24 +431,48 @@ def kg_tool_edges(spark, sf):
     synth, the first-entity extraction, and the window carry."""
     from lamapi_spark.pipeline.triples import tool_invocation_edges
 
-    o = load(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
-    m4 = F.col("o_orderkey") % 4
-    trt = o.select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("conv_id"),
-        F.row_number().over(w).cast("int").alias("turn_idx"),
-        F.when(m4.isin(1, 2), F.lit("tool"))
-        .when(m4 == 0, F.lit("user")).otherwise(F.lit("assistant"))
-        .alias("role"),
-        F.when(m4 == 1, F.lit("search"))
-        .when(m4 == 2, F.lit("lookup")).alias("tool"),
-        F.when(m4 == 0, F.concat(
-            F.lit("user asked about c"), F.col("o_custkey"), F.lit(" and s"),
-            (F.lit(1) + F.col("o_orderkey") % 10)))
-        .when(m4 == 1, F.lit("ran against it"))
-        .when(m4 == 2, F.lit("they confirmed the schedule"))
-        .otherwise(F.concat(F.lit("c"), F.col("o_custkey"),
-                            F.lit(" said this looked fine")))
-        .alias("text"))
-    return (tool_invocation_edges(trt, entity_re=_ENT_RE, max_turns_back=10)
+    return (tool_invocation_edges(_trt(spark, sf), entity_re=_ENT_RE,
+                                  max_turns_back=10)
             .orderBy("conv_id", "turn_idx"))
+
+
+@register("transcript_stats", f"""
+WITH {_TRT_SQL},
+t AS (
+  SELECT role, coalesce(tool, '-') AS tool, conv_id,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_toks,
+         CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        x -> regexp_matches(x, '{_ENT_RE}'))) > 0
+              THEN 1 ELSE 0 END AS has_ent
+  FROM trt)
+SELECT role, tool, count(*)::BIGINT AS n_turns,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       sum(has_ent)::BIGINT AS n_entity_turns,
+       round_even(avg(n_toks), 4) AS avg_tokens,
+       GROUPING(role, tool)::BIGINT AS gid
+FROM t GROUP BY ROLLUP (role, tool)
+ORDER BY gid, role, tool
+""")
+def transcript_stats(spark, sf):
+    """Conversation-shape analytics over the role/tool transcript in
+    ONE rollup pass: per (role, tool) / per role / global — turn
+    counts, conversations touched, entity-bearing-turn counts, mean
+    turn length. The operations dashboard a 10^12-turn transcript
+    store runs before pipelining; grouping ids are engine-portable
+    (events_rollup precedent) and the tool NULL is pre-coalesced so
+    the rollup NULL stays unambiguous."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = _trt(spark, sf).select(
+        "role", F.coalesce("tool", F.lit("-")).alias("tool"), "conv_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        (F.size(F.filter(toks, lambda x: x.rlike(_ENT_RE))) > 0)
+        .cast("long").alias("has_ent"))
+    return (
+        t.rollup("role", "tool")
+        .agg(F.count("*").alias("n_turns"),
+             F.countDistinct("conv_id").alias("n_convs"),
+             F.sum("has_ent").alias("n_entity_turns"),
+             F.bround(F.avg("n_toks"), 4).alias("avg_tokens"),
+             F.grouping_id().alias("gid"))
+        .orderBy("gid", "role", "tool")
+    )
