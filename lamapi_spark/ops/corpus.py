@@ -739,3 +739,49 @@ def chunk_documents(docs: DataFrame, size: int = 256, stride: int = 192,
             F.array_join(F.slice("_toks", F.col("tok_start") + 1,
                                  F.lit(size)), " ").alias("chunk_text"))
     )
+
+
+def weighted_sample(docs: DataFrame, weight_col: str, k: int,
+                    key_col: str = "doc_id", salt: str = "ws0",
+                    n_salts: int = 32) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    exponential keys): keep the k rows with smallest
+    draw = -ln(u)/w, u a deterministic md5 uniform in (0, 1] of
+    (key, salt) — each row's inclusion probability tracks its weight
+    (quality score, DSIR importance, ...), and the whole sample is a
+    pure function of (key set, weights, salt): partition- and
+    arrival-order-independent, reproducible across engines.
+
+    stratified_sample keeps an INDEPENDENT coin per row (expected
+    rates, no size guarantee); this draws an EXACT-size sample biased
+    by weight — the "take the best-ish 1M docs" selection step.
+
+    Engine parity: u is exact ((h48+1)/2^48), the division and ln ride
+    the usual round_even(. , 9) before ranking so libm ulp differences
+    cannot flip the cut (BM25's ln discipline); ties break by key
+    ascending. Non-positive/null weights are excluded (zero weight
+    must mean zero probability; -ln(u)/0 is undefined).
+
+    Scale shape: the global top-k runs the salted two-phase pattern
+    (per-salt-group top-k first — balanced md5 salt, n_salts
+    partitions — then one window over <= n_salts*k survivors), so no
+    single reducer ever sees the corpus. -> input row + (draw) for the
+    k sampled rows.
+    """
+    from lamapi_spark.functions.hashing import h48
+
+    u = (h48(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt)))
+         + F.lit(1).cast("double")) / F.lit(float(2 ** 48))
+    base = (docs.filter(F.col(weight_col).isNotNull()
+                        & (F.col(weight_col) > 0))
+            .withColumn("draw", F.bround(
+                -F.log(u) / F.col(weight_col).cast("double"), 9)))
+    order = [F.asc("draw"), F.asc(key_col)]
+    w1 = Window.partitionBy(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salts))).orderBy(*order)
+    w2 = Window.partitionBy().orderBy(*order)
+    return (base.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= k)
+            .withColumn("_r2", F.row_number().over(w2))
+            .filter(F.col("_r2") <= k)
+            .drop("_r1", "_r2"))

@@ -1161,3 +1161,32 @@ def rag_retrieve(spark, sf):
                 "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ------------------------------------------- weighted sampling (E-S keys)
+
+@register("corpus_weighted_sample", """
+WITH b AS (
+  SELECT doc_id, (doc_id % 7 + 1)::DOUBLE AS wgt,
+         (((('0x' || substr(md5(doc_id::VARCHAR || '|ws0'), 1, 12))
+            ::UBIGINT)::BIGINT + 1)::DOUBLE / 281474976710656.0) AS u
+  FROM documents),
+d AS (SELECT doc_id, wgt, round_even(-ln(u) / wgt, 9) AS draw FROM b),
+r AS (SELECT doc_id, wgt, draw,
+             row_number() OVER (ORDER BY draw, doc_id) AS rn
+      FROM d)
+SELECT doc_id, wgt, draw FROM r WHERE rn <= 50 ORDER BY draw, doc_id
+""")
+def corpus_weighted_sample(spark, sf):
+    """Exact-size weighted sampling without replacement
+    (ops/corpus.weighted_sample, Efraimidis-Spirakis keys): the 50
+    smallest round-even -ln(u)/w draws over md5 uniforms, weight =
+    doc_id%7+1 — the deterministic stand-in for a quality score. The
+    oracle recomputes every uniform, draw, and the global cut."""
+    from lamapi_spark.ops.corpus import weighted_sample
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") % 7 + 1).cast("double").alias("wgt"))
+    return (weighted_sample(docs, "wgt", k=50)
+            .select("doc_id", "wgt", "draw")
+            .orderBy("draw", "doc_id"))

@@ -682,3 +682,30 @@ def test_chunk_documents(spark):
     assert by_doc[2][0].chunk_text == "short one"
     # empty / null text yield no rows
     assert 3 not in by_doc and 4 not in by_doc
+
+
+# ------------------------------------------------- weighted sampling
+
+def test_weighted_sample_semantics(spark):
+    from lamapi_spark.ops.corpus import weighted_sample
+
+    rows = [(i, 1.0 if i < 100 else 50.0) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, wgt double")
+    got = weighted_sample(docs, "wgt", k=30).collect()
+    assert len(got) == 30
+    heavy = sum(1 for r in got if r.doc_id >= 100)
+    # 20 heavy rows at 50x weight should essentially all survive a k=30
+    # cut against 100 light rows (P[miss] is astronomically small)
+    assert heavy >= 18
+    # partition-independence: the sample is a pure function of the data
+    a = sorted(r.doc_id for r in got)
+    b = sorted(r.doc_id for r in
+               weighted_sample(docs.repartition(13), "wgt", k=30).collect())
+    assert a == b
+    # exact size even when k > n survivors after the weight guard
+    few = docs.filter("doc_id < 5")
+    assert weighted_sample(few, "wgt", k=30).count() == 5
+    # zero/null weights never sampled
+    z = spark.createDataFrame([(1, 0.0), (2, None), (3, 2.0)],
+                              "doc_id long, wgt double")
+    assert [r.doc_id for r in weighted_sample(z, "wgt", k=3).collect()] == [3]
