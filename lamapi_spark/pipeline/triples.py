@@ -96,3 +96,44 @@ def tool_invocation_edges(transcripts: DataFrame,
         .select("conv_id", "turn_idx", "tool",
                 F.col("_a.e").alias("entity"))
     )
+
+
+def window_cooccurrence(occurrences: DataFrame,
+                        max_turns: int = 2) -> DataFrame:
+    """Cross-turn co-occurrence pairs per conversation window — the
+    north star's "co-occurrence triple mining per conversation window"
+    as a direct miner (coref_triples covers the pronoun-mediated arm;
+    this pairs EXPLICIT entity mentions across nearby turns): entity
+    a in turn t1 pairs with entity b in turn t2 of the same
+    conversation when 0 < t2 - t1 <= ``max_turns`` (the earlier turn
+    is the subject, the pipeline's ordering convention; the
+    within-turn arm stays with mention_pairs).
+
+    Scale shape: NOT the naive conv-keyed self-join with an
+    inequality filter (per-conv fan-out is mentions^2 and hot
+    conversations skew it — the BNLJ trap range_join_binned exists to
+    avoid). Turns bin at width ``max_turns``; a qualifying pair's bins
+    differ by at most 1, so the EARLIER side replicates to bins
+    (b, b+1), the later side keys by its own bin, and the join is a
+    plain shuffled equi-join on (conv_id, bin) — each pair emits
+    exactly once (the later row's bin is unique), the exact filter
+    runs after. ``occurrences`` = (conv_id, turn_idx, entity).
+
+    -> (conv_id, turn_a, turn_b, subj, obj), distinct.
+    """
+    occ = (occurrences.filter(F.col("entity").isNotNull())
+           .select("conv_id", "turn_idx", "entity").distinct())
+    b = F.floor(F.col("turn_idx") / max_turns)
+    early = occ.select(
+        "conv_id", F.col("turn_idx").alias("turn_a"),
+        F.col("entity").alias("subj"),
+        F.explode(F.array(b.cast("long"), b.cast("long") + 1)).alias("_bin"))
+    late = occ.select(
+        "conv_id", F.col("turn_idx").alias("turn_b"),
+        F.col("entity").alias("obj"), b.cast("long").alias("_bin"))
+    d = F.col("turn_b") - F.col("turn_a")
+    return (
+        early.join(late, ["conv_id", "_bin"])
+        .filter((d > 0) & (d <= max_turns) & (F.col("subj") != F.col("obj")))
+        .select("conv_id", "turn_a", "turn_b", "subj", "obj")
+    )

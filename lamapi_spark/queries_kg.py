@@ -476,3 +476,37 @@ def transcript_stats(spark, sf):
              F.grouping_id().alias("gid"))
         .orderBy("gid", "role", "tool")
     )
+
+
+@register("kg_window_cooc", f"""
+WITH {_TR_SQL}, {_OCC_SQL},
+o AS (
+  SELECT DISTINCT conv_id, turn_idx, entity
+  FROM cls WHERE entity IS NOT NULL),
+p AS (
+  SELECT a.entity AS subj, b.entity AS obj
+  FROM o a JOIN o b
+    ON a.conv_id = b.conv_id
+   AND b.turn_idx - a.turn_idx BETWEEN 1 AND 2
+   AND a.entity <> b.entity)
+SELECT subj, obj, count(*)::BIGINT AS n_cooc
+FROM p GROUP BY subj, obj ORDER BY subj, obj
+""")
+def kg_window_cooc(spark, sf):
+    """Cross-turn entity co-occurrence counts per conversation window
+    (pipeline/triples.window_cooccurrence, window = 2 turns) over the
+    planted transcript — the north star's per-window co-occurrence
+    mining as a direct miner. The Spark side runs the skew-safe
+    bin-replicated equi-join; the oracle is the INDEPENDENT naive
+    inequality self-join, so the binning's exactly-once emission is
+    value-hash-checked pair for pair."""
+    from lamapi_spark.pipeline.coref import token_occurrences
+    from lamapi_spark.pipeline.triples import window_cooccurrence
+
+    occ = (token_occurrences(_transcripts(spark, sf), _ENT_RE)
+           .filter(F.col("entity").isNotNull())
+           .select("conv_id", "turn_idx", "entity"))
+    return (window_cooccurrence(occ, max_turns=2)
+            .groupBy("subj", "obj")
+            .agg(F.count("*").alias("n_cooc"))
+            .orderBy("subj", "obj"))

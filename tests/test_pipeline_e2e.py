@@ -187,3 +187,32 @@ def test_tool_invocation_edges(spark):
          ("D", 20, "tool", "search", "late")],
         "conv_id string, turn_idx int, role string, tool string, text string")
     assert tool_invocation_edges(far, max_turns_back=10).count() == 0
+
+
+def test_window_cooccurrence_binning_exact(spark):
+    """The bin-replicated join equals the naive inequality join for
+    every window width, including pairs that straddle a bin boundary,
+    and never emits a pair twice."""
+    from itertools import combinations
+
+    from lamapi_spark.pipeline.triples import window_cooccurrence
+
+    rows = [("A", t, f"e{t}") for t in range(1, 11)] + \
+           [("A", 3, "x3"), ("B", 1, "b1"), ("B", 9, "b9")]
+    occ = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, entity string")
+    pts = {}
+    for c, t, e in rows:
+        pts.setdefault(c, []).append((t, e))
+    for w in (1, 2, 3, 5):
+        want = set()
+        for c, lst in pts.items():
+            for (t1, e1), (t2, e2) in combinations(sorted(lst), 2):
+                lo, hi = sorted((t1, t2))
+                if 0 < hi - lo <= w and e1 != e2:
+                    a, b = ((t1, e1), (t2, e2)) if t1 < t2 else ((t2, e2), (t1, e1))
+                    want.add((c, a[0], b[0], a[1], b[1]))
+        got = [(r.conv_id, r.turn_a, r.turn_b, r.subj, r.obj)
+               for r in window_cooccurrence(occ, max_turns=w).collect()]
+        assert len(got) == len(set(got)), f"duplicate pairs at w={w}"
+        assert set(got) == want, f"mismatch at w={w}"
