@@ -1,0 +1,76 @@
+"""Temporal KG: validity intervals and point-in-time snapshots over
+timestamped triple assertions.
+
+Transcripts carry a ``ts`` column (the input contract), so every
+mined (subj, pred, obj) assertion has an assertion time — and a fact
+asserted later about the same (subj, pred) SUPERSEDES the earlier one
+('the user's plan is X' ... 'the plan is now Y'). Two standard
+temporal-KG reads fall out:
+
+- ``triple_validity``: rewrite the assertion log as non-overlapping
+  validity intervals [valid_from_us, valid_to_us) per (subj, pred) —
+  valid_to is the NEXT assertion's time (NULL = still current).
+- ``kg_snapshot``: the graph as of time T — the latest assertion at
+  or before T per (subj, pred).
+
+Scale shape:
+
+- ``triple_validity`` is ONE exchange: a (subj, pred)-partitioned
+  window whose only function is ``lead`` over (ts, tie) — an
+  order-only streaming frame, so Spark never buffers a whole hot
+  (subj, pred) group in memory; head-entity skew costs sort time, not
+  state. Timestamps flow as integer MICROS (the repo's temporal
+  engine-parity rule).
+- ``kg_snapshot`` has NO window at all: filter ts <= T, then one
+  partial-aggregating groupBy with a struct-max — map-side combine
+  collapses each partition's assertions to one candidate per
+  (subj, pred) before the exchange, the shape that survives a
+  10^12-turn assertion log.
+
+Determinism: the tie column (turn_idx or any unique id) makes the
+(ts, tie) order total, so equal-timestamp assertions resolve
+identically at every parallelism level.
+
+Reference analogue: none (lamAPI's graph is snapshot-only, README.md
+"snapshot 30-06-2023") — builder's-brief temporal surface over the
+transcript contract's ts column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def triple_validity(assertions: DataFrame,
+                    ts_col: str = "ts_us",
+                    tie_col: str = "turn_idx") -> DataFrame:
+    """(subj, pred, obj, ts_us, tie) assertion log -> (subj, pred, obj,
+    valid_from_us, valid_to_us) validity intervals; valid_to_us NULL
+    for the currently-valid assertion of each (subj, pred)."""
+    w = Window.partitionBy("subj", "pred").orderBy(ts_col, tie_col)
+    return (
+        assertions
+        .withColumn("valid_to_us", F.lead(ts_col).over(w))
+        .select("subj", "pred", "obj",
+                F.col(ts_col).alias("valid_from_us"), "valid_to_us")
+    )
+
+
+def kg_snapshot(assertions: DataFrame, at_ts_us: int,
+                ts_col: str = "ts_us",
+                tie_col: str = "turn_idx") -> DataFrame:
+    """The graph as of ``at_ts_us``: the latest (by ts, then tie)
+    assertion at or before T per (subj, pred) -> (subj, pred, obj,
+    asserted_us)."""
+    winner = F.max(F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(tie_col).alias("tie"),
+        F.col("obj").alias("obj"),
+    )).alias("_w")
+    return (
+        assertions.filter(F.col(ts_col) <= F.lit(at_ts_us))
+        .groupBy("subj", "pred").agg(winner)
+        .select("subj", "pred", F.col("_w.obj").alias("obj"),
+                F.col("_w.ts").alias("asserted_us"))
+    )

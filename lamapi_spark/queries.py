@@ -1088,5 +1088,6 @@ def _load_extra_registrations() -> None:
     import lamapi_spark.queries_corpus  # noqa: F401
     import lamapi_spark.queries_graph  # noqa: F401
     import lamapi_spark.queries_kg  # noqa: F401
+    import lamapi_spark.queries_kg2  # noqa: F401
     import lamapi_spark.queries_ops  # noqa: F401
     import lamapi_spark.queries_temporal  # noqa: F401

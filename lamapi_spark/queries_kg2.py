@@ -1,0 +1,168 @@
+"""Round-4 continuation KG contract queries: per-conversation entity
+salience, temporal-KG validity intervals + as-of snapshot over
+timestamped assertions, and conversation-granularity near-dedup —
+each with a DuckDB oracle that rebuilds the dataflow independently.
+
+The salience query reuses queries_kg's planted transcript synth (both
+engines derive the identical transcript from orders); the temporal
+queries derive a deterministic assertion log from orders with integer
+MICROS timestamps (the queries_temporal parity rule) and a unique tie
+column exercising the total-order contract; the conv-dedup query
+chunks the documents table into per-turn rows so the reassembly
+round-trip is provably exact (the oracle pairs the ORIGINAL document
+text brute-force — equality proves both the reassembly identity and
+the banding's losslessness at dialog granularity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lamapi_spark.queries import load, register
+from lamapi_spark.queries_kg import _ENT_RE, _OCC_SQL, _TR_SQL, _transcripts
+from lamapi_spark.queries_ops import _SIMHASH_SQL, _SIMHASH_SQL_HASHES
+
+# ------------------------------------------------- entity salience
+
+@register("kg_entity_salience", f"""
+WITH {_TR_SQL}, {_OCC_SQL},
+o AS (SELECT conv_id, entity FROM cls WHERE entity IS NOT NULL),
+tf AS (SELECT conv_id, entity, count(*)::BIGINT AS tf
+       FROM o GROUP BY conv_id, entity),
+df AS (SELECT entity, count(*)::BIGINT AS df FROM tf GROUP BY entity),
+n AS (SELECT count(DISTINCT conv_id)::BIGINT AS n_convs FROM tf),
+s AS (SELECT tf.conv_id, tf.entity, tf.tf, df.df,
+             round_even(tf.tf::DOUBLE
+                        * ln(n.n_convs::DOUBLE / df.df::DOUBLE), 6)
+               AS salience
+      FROM tf JOIN df ON tf.entity = df.entity CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY conv_id
+                                   ORDER BY salience DESC, entity) AS rk
+      FROM s)
+SELECT conv_id, rk::INT AS rank, entity, tf, df, salience
+FROM r WHERE rk <= 3 ORDER BY conv_id, rank
+""")
+def kg_entity_salience(spark, sf):
+    """Top-3 anchor entities per conversation by TF-IDF salience
+    (pipeline/salience.entity_salience) over the planted transcript:
+    the Spark side folds the per-conversation top-k INTO the conv
+    group-by as an in-array sort+slice (no window exchange); the
+    oracle is the INDEPENDENT naive row_number window, so the fold's
+    ordering and tie rule are value-hash-checked row for row."""
+    from lamapi_spark.pipeline.coref import token_occurrences
+    from lamapi_spark.pipeline.salience import entity_salience
+
+    occ = (token_occurrences(_transcripts(spark, sf), _ENT_RE)
+           .filter(F.col("entity").isNotNull()))
+    return entity_salience(occ, top_k=3).orderBy("conv_id", "rank")
+
+
+# ------------------------------------------ temporal KG (ts column)
+
+_ASSERT_SQL = """
+a AS (
+  SELECT 'c' || o_custkey AS subj,
+         'p' || (o_orderkey % 3) AS pred,
+         's' || (1 + o_orderkey % 10) AS obj,
+         (1700000000000000 + (o_orderkey % 1000) * 60000000)::BIGINT AS ts_us,
+         o_orderkey AS turn_idx
+  FROM orders)"""
+
+
+def _assertions(spark, sf):
+    """Deterministic timestamped assertion log from orders: subj =
+    customer entity, pred cycles %3, obj cycles %10, ts_us repeats
+    every 1000 orderkeys (so equal-ts collisions exercise the tie
+    rule), tie = the unique orderkey."""
+    o = load(spark, sf, "orders")
+    return o.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("subj"),
+        F.concat(F.lit("p"), F.col("o_orderkey") % 3).alias("pred"),
+        F.concat(F.lit("s"), F.lit(1) + F.col("o_orderkey") % 10).alias("obj"),
+        (F.lit(1_700_000_000_000_000)
+         + (F.col("o_orderkey") % 1000) * F.lit(60_000_000))
+        .cast("long").alias("ts_us"),
+        F.col("o_orderkey").alias("turn_idx"))
+
+
+@register("kg_triple_validity", f"""
+WITH {_ASSERT_SQL}
+SELECT subj, pred, obj, ts_us AS valid_from_us,
+       lead(ts_us) OVER (PARTITION BY subj, pred
+                         ORDER BY ts_us, turn_idx) AS valid_to_us
+FROM a ORDER BY subj, pred, valid_from_us, obj
+""")
+def kg_triple_validity(spark, sf):
+    """Temporal-KG validity intervals (pipeline/tkg.triple_validity):
+    each (subj, pred) assertion is valid until the next assertion of
+    the same key — ONE (subj, pred)-partitioned order-only lead window
+    (streaming frame: hot keys cost sort, not state). The oracle
+    replays the synth and the lead per key."""
+    from lamapi_spark.pipeline.tkg import triple_validity
+
+    return (triple_validity(_assertions(spark, sf))
+            .orderBy("subj", "pred", "valid_from_us", "obj"))
+
+
+@register("kg_snapshot_asof", f"""
+WITH {_ASSERT_SQL},
+r AS (
+  SELECT subj, pred, obj, ts_us,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY ts_us DESC, turn_idx DESC) AS rn
+  FROM a WHERE ts_us <= 1700030000000000)
+SELECT subj, pred, obj, ts_us AS asserted_us
+FROM r WHERE rn = 1 ORDER BY subj, pred
+""")
+def kg_snapshot_asof(spark, sf):
+    """Point-in-time KG snapshot (pipeline/tkg.kg_snapshot): the graph
+    as of T = synth midpoint — latest assertion per (subj, pred) at or
+    before T via ONE partial-aggregating struct-max group-by (no
+    window; map-side combine collapses each partition first). The
+    oracle is the INDEPENDENT row_number-window formulation."""
+    from lamapi_spark.pipeline.tkg import kg_snapshot
+
+    return (kg_snapshot(_assertions(spark, sf), at_ts_us=1_700_030_000_000_000)
+            .orderBy("subj", "pred"))
+
+
+# ------------------------------------- conversation-level near-dup
+
+@register("conv_neardup_pairs", f"""
+WITH h AS (SELECT doc_id, {_SIMHASH_SQL_HASHES} AS h FROM documents),
+sig AS (SELECT doc_id, ({_SIMHASH_SQL})::BIGINT AS sim FROM h)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sim, b.sim))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+ORDER BY id_a, id_b
+""")
+def conv_neardup_pairs_q(spark, sf):
+    """Conversation-granularity near-dedup
+    (pipeline/convdedup.conv_neardup_pairs): documents chunk into
+    5-token turns (conv_id = doc_id), the operator reassembles each
+    dialog's canonical text in-array and runs the banded SimHash
+    pairing. The oracle brute-force-pairs the ORIGINAL document text —
+    equality proves the turn-split/reassembly round-trip is byte-exact
+    AND the banding lossless at dialog granularity. max_bucket lifted
+    above any sf's template-group size (dedup_simhash_pairs guard)."""
+    from lamapi_spark.pipeline.convdedup import conv_neardup_pairs
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(toks) / F.lit(5)).cast("int")
+    turns = (
+        d.select(
+            F.col("doc_id").alias("conv_id"),
+            F.posexplode(F.transform(
+                F.sequence(F.lit(0), nch - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * F.lit(5) + 1, F.lit(5)), " "),
+            )).alias("pos", "text"))
+        .select("conv_id", (F.col("pos") + 1).cast("int").alias("turn_idx"),
+                "text")
+    )
+    return (conv_neardup_pairs(turns, max_hamming=3, n_bands=4,
+                               max_bucket=1_000_000)
+            .withColumn("hamming", F.col("hamming").cast("int"))
+            .orderBy("id_a", "id_b"))

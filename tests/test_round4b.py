@@ -1,0 +1,121 @@
+"""Round-4 continuation ops: entity salience, temporal-KG validity /
+snapshot, conversation canonical-text reassembly + near-dup."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from lamapi_spark.pipeline.convdedup import conv_canonical_text, conv_neardup_pairs
+from lamapi_spark.pipeline.salience import entity_salience
+from lamapi_spark.pipeline.tkg import kg_snapshot, triple_validity
+
+
+def _occ(spark, rows):
+    return spark.createDataFrame(rows, "conv_id string, entity string")
+
+
+class TestEntitySalience:
+    def test_hand_computed(self, spark):
+        # 2 convs; e1 only in conv a (tf 2, df 1), e2 in both (df 2 -> idf 0)
+        occ = _occ(spark, [("a", "e1"), ("a", "e1"), ("a", "e2"),
+                           ("b", "e2"), ("b", "e3")])
+        out = {(r.conv_id, r.entity): r for r in
+               entity_salience(occ, top_k=3).collect()}
+        a_e1 = out[("a", "e1")]
+        assert a_e1.rank == 1 and a_e1.tf == 2 and a_e1.df == 1
+        assert a_e1.salience == round(2 * math.log(2 / 1), 6)
+        # df == n_convs -> ln(1) = 0 salience, ranked below e1
+        assert out[("a", "e2")].salience == 0.0
+        assert out[("a", "e2")].rank == 2
+        # conv b: e3 (idf ln2) outranks e2 (0)
+        assert out[("b", "e3")].rank == 1
+        assert out[("b", "e2")].rank == 2
+
+    def test_tie_breaks_entity_asc_and_topk_cut(self, spark):
+        # three entities with identical (tf, df) -> equal salience;
+        # top_k=2 must keep the two lexicographically smallest
+        occ = _occ(spark, [("a", "z"), ("a", "m"), ("a", "b"),
+                           ("c", "q")])  # second conv so idf > 0
+        got = entity_salience(occ, top_k=2).filter("conv_id = 'a'").collect()
+        assert [(r.rank, r.entity) for r in
+                sorted(got, key=lambda r: r.rank)] == [(1, "b"), (2, "m")]
+
+    def test_partition_independent(self, spark):
+        rows = [(f"c{i % 7}", f"e{(i * 3) % 11}") for i in range(200)]
+        one = entity_salience(_occ(spark, rows).coalesce(1)).collect()
+        many = entity_salience(_occ(spark, rows).repartition(13)).collect()
+        assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def _asserts(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, ts_us long, turn_idx long")
+
+
+class TestTemporalKG:
+    ROWS = [
+        ("s", "p", "v1", 100, 1),
+        ("s", "p", "v2", 200, 2),
+        ("s", "p", "v2b", 200, 3),   # equal ts: tie column decides
+        ("s", "p", "v3", 300, 4),
+        ("s", "q", "w1", 150, 5),
+    ]
+
+    def test_validity_intervals(self, spark):
+        out = {(r.subj, r.pred, r.obj): (r.valid_from_us, r.valid_to_us)
+               for r in triple_validity(_asserts(spark, self.ROWS)).collect()}
+        assert out[("s", "p", "v1")] == (100, 200)
+        assert out[("s", "p", "v2")] == (200, 200)   # superseded same-ts
+        assert out[("s", "p", "v2b")] == (200, 300)
+        assert out[("s", "p", "v3")] == (300, None)  # still current
+        assert out[("s", "q", "w1")] == (150, None)
+
+    def test_snapshot_latest_wins_and_excludes_future(self, spark):
+        a = _asserts(spark, self.ROWS)
+        snap = {(r.subj, r.pred): (r.obj, r.asserted_us)
+                for r in kg_snapshot(a, at_ts_us=250).collect()}
+        # at T=250: v2b (ts 200, higher tie) beats v2; v3 (300) is future
+        assert snap[("s", "p")] == ("v2b", 200)
+        assert snap[("s", "q")] == ("w1", 150)
+        assert len(snap) == 2
+        # snapshot before any assertion of a key -> key absent
+        early = kg_snapshot(a, at_ts_us=120).collect()
+        assert {(r.subj, r.pred) for r in early} == {("s", "p")}
+
+    def test_partition_independent(self, spark):
+        a = _asserts(spark, self.ROWS)
+        one = triple_validity(a.coalesce(1)).collect()
+        many = triple_validity(a.repartition(8)).collect()
+        assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+class TestConvDedup:
+    def test_reassembly_exact_and_order_invariant(self, spark):
+        # multi-space text survives the split/join round-trip; rows
+        # arrive shuffled across partitions
+        turns = [("c1", 2, "world  twice"), ("c1", 1, "hello"),
+                 ("c2", 1, "solo")]
+        df = spark.createDataFrame(
+            turns, "conv_id string, turn_idx int, text string").repartition(5)
+        out = {r.conv_id: r.text for r in conv_canonical_text(df).collect()}
+        assert out == {"c1": "hello world  twice", "c2": "solo"}
+
+    def test_neardup_pairs_on_template_convs(self, spark):
+        # twin conversations (same turns, different conv ids) pair at
+        # hamming 0 even when their ROWS arrive in different orders; an
+        # unrelated conversation pairs with neither. (The fuzzy-distance
+        # arm is covered by the oracle-gated conv_neardup_pairs contract
+        # query against the brute-force all-pairs oracle.)
+        base = "alpha beta gamma delta epsilon zeta eta theta".split()
+        rows = [("a", i + 1, " ".join(base[i * 4:(i + 1) * 4]))
+                for i in range(2)]
+        rows += [("b", i + 1, " ".join(base[i * 4:(i + 1) * 4]))
+                 for i in (1, 0)]  # arrival order reversed
+        rows += [("far", i + 1, " ".join("x%d" % (4 * i + j)
+                                         for j in range(4)))
+                 for i in range(2)]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string").repartition(7)
+        pairs = conv_neardup_pairs(df, max_hamming=3, n_bands=4,
+                                   max_bucket=100).collect()
+        assert {(r.id_a, r.id_b, r.hamming) for r in pairs} == {("a", "b", 0)}
