@@ -89,6 +89,29 @@ class TestTemporalKG:
         assert sorted(map(tuple, one)) == sorted(map(tuple, many))
 
 
+class TestStreamKgState:
+    def test_stream_matches_batch_snapshot(self, spark, tmp_path):
+        """The live KG state (streaming/tkg.stream_kg_state) equals the
+        batch kg_snapshot at T=infinity over the drained feed —
+        max(struct) is commutative, so there is no arrival-order
+        delta."""
+        from lamapi_spark.queries_kg2 import _assertions
+        from lamapi_spark.streaming.sessions import run_available_now
+        from lamapi_spark.streaming.tkg import stream_kg_state
+
+        a = _assertions(spark, "/root/testdata/sf0.001")
+        d = str(tmp_path / "asserts")
+        a.repartition(6).write.parquet(d)  # multi-file => multi-batch-ish feed
+        got = run_available_now(stream_kg_state(spark, d), "t_kg_state",
+                                mode="complete")
+        stream_rows = {(r.subj, r.pred): (r.obj, r.asserted_us)
+                       for r in got.collect()}
+        batch_rows = {(r.subj, r.pred): (r.obj, r.asserted_us)
+                      for r in kg_snapshot(
+                          a, at_ts_us=2_000_000_000_000_000).collect()}
+        assert stream_rows == batch_rows and len(batch_rows) > 0
+
+
 class TestConvDedup:
     def test_reassembly_exact_and_order_invariant(self, spark):
         # multi-space text survives the split/join round-trip; rows
