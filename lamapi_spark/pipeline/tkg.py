@@ -57,6 +57,36 @@ def triple_validity(assertions: DataFrame,
     )
 
 
+def entity_profile(assertions: DataFrame,
+                   ts_col: str = "ts_us") -> DataFrame:
+    """Per-subject KB profile over the assertion log: (subj,
+    n_assertions, n_preds, first_us, last_us, top_pred) — the entity
+    summary card a KB browser renders and the head-entity census the
+    skew-salting stages consume (the top-N frequent subjects are
+    exactly the keys worth salting).
+
+    Scale shape: TWO partial-aggregating group-bys — (subj, pred)
+    counts first (collapsing the assertion stream map-side), then the
+    subject rollup over the dimension-sized counts frame. No window.
+    top_pred is the most-asserted predicate, ties to the
+    lexicographically SMALLEST via min(struct(-cnt, pred)) — integer
+    negation, total order, partition-independent."""
+    per_pred = (assertions.groupBy("subj", "pred")
+                .agg(F.count("*").alias("_cnt"),
+                     F.min(ts_col).alias("_lo"),
+                     F.max(ts_col).alias("_hi")))
+    top = F.min(F.struct((-F.col("_cnt")).alias("_neg"),
+                         F.col("pred").alias("pred")))
+    return (per_pred.groupBy("subj")
+            .agg(F.sum("_cnt").alias("n_assertions"),
+                 F.count("*").alias("n_preds"),
+                 F.min("_lo").alias("first_us"),
+                 F.max("_hi").alias("last_us"),
+                 top.alias("_top"))
+            .select("subj", "n_assertions", "n_preds", "first_us",
+                    "last_us", F.col("_top.pred").alias("top_pred")))
+
+
 def kg_snapshot(assertions: DataFrame, at_ts_us: int,
                 ts_col: str = "ts_us",
                 tie_col: str = "turn_idx") -> DataFrame:

@@ -126,6 +126,80 @@ def kg_snapshot_asof(spark, sf):
             .orderBy("subj", "pred"))
 
 
+@register("kg_entity_profile", f"""
+WITH {_ASSERT_SQL},
+pp AS (
+  SELECT subj, pred, count(*)::BIGINT AS cnt,
+         min(ts_us) AS lo, max(ts_us) AS hi
+  FROM a GROUP BY subj, pred),
+r AS (
+  SELECT subj, pred,
+         row_number() OVER (PARTITION BY subj
+                            ORDER BY cnt DESC, pred) AS rk
+  FROM pp)
+SELECT pp.subj, sum(pp.cnt)::BIGINT AS n_assertions,
+       count(*)::BIGINT AS n_preds,
+       min(pp.lo) AS first_us, max(pp.hi) AS last_us,
+       min(CASE WHEN r.rk = 1 THEN r.pred END) AS top_pred
+FROM pp JOIN r ON pp.subj = r.subj AND pp.pred = r.pred
+GROUP BY pp.subj ORDER BY pp.subj
+""")
+def kg_entity_profile(spark, sf):
+    """Per-subject KB profile (pipeline/tkg.entity_profile) over the
+    timestamped assertion log: assertion/predicate counts, first/last
+    seen, and the most-asserted predicate (ties lex-smallest). The
+    Spark side is two partial-aggregating group-bys with a
+    min(struct(-cnt, pred)) argmax — no window; the oracle is the
+    INDEPENDENT row_number-window formulation."""
+    from lamapi_spark.pipeline.tkg import entity_profile
+
+    return entity_profile(_assertions(spark, sf)).orderBy("subj")
+
+
+# ------------------------------------------- dialogue segmentation
+
+@register("kg_conv_segments", f"""
+WITH {_TR_SQL},
+t AS (
+  SELECT conv_id, turn_idx,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+  FROM tr),
+lagged AS (
+  SELECT conv_id, turn_idx, toks,
+         lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM t),
+sims AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN prev IS NULL THEN NULL
+              ELSE len(list_intersect(toks, prev))::DOUBLE
+                   / len(list_distinct(list_concat(toks, prev)))::DOUBLE
+         END AS sim_prev
+  FROM lagged),
+seg AS (
+  SELECT conv_id, turn_idx, sim_prev,
+         sum(CASE WHEN sim_prev IS NULL OR sim_prev < 0.2
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS UNBOUNDED PRECEDING)::INT AS seg_id
+  FROM sims)
+SELECT conv_id, seg_id, min(turn_idx)::INT AS start_turn,
+       max(turn_idx)::INT AS end_turn, count(*)::BIGINT AS n_turns
+FROM seg GROUP BY conv_id, seg_id ORDER BY conv_id, seg_id
+""")
+def kg_conv_segments(spark, sf):
+    """Dialogue segmentation (pipeline/segments.segment_turns +
+    segment_summary) over the planted transcript: a segment boundary
+    opens where adjacent-turn token-set Jaccard drops below 0.2 —
+    per-conversation segment spans and sizes. The oracle replays the
+    tokenization, the lag, the single-division similarity, and the
+    running boundary sum."""
+    from lamapi_spark.pipeline.segments import segment_summary, segment_turns
+
+    return (segment_summary(segment_turns(_transcripts(spark, sf),
+                                          threshold=0.2))
+            .orderBy("conv_id", "seg_id"))
+
+
 # ------------------------------------- conversation-level near-dup
 
 @register("conv_neardup_pairs", f"""

@@ -89,6 +89,53 @@ class TestTemporalKG:
         assert sorted(map(tuple, one)) == sorted(map(tuple, many))
 
 
+class TestEntityProfile:
+    def test_profile_fields_and_top_pred_tie(self, spark):
+        from lamapi_spark.pipeline.tkg import entity_profile
+
+        rows = [("s", "pz", "o", 100, 1), ("s", "pz", "o", 300, 2),
+                ("s", "pa", "o", 200, 3), ("s", "pa", "o", 250, 4),
+                ("s", "pq", "o", 50, 5),
+                ("t", "p1", "o", 10, 6)]
+        a = _asserts(spark, rows).repartition(5)
+        out = {r.subj: r for r in entity_profile(a).collect()}
+        s = out["s"]
+        # pz and pa tie at cnt=2 -> lex-smallest pa wins
+        assert (s.n_assertions, s.n_preds, s.first_us, s.last_us,
+                s.top_pred) == (5, 3, 50, 300, "pa")
+        t = out["t"]
+        assert (t.n_assertions, t.n_preds, t.top_pred) == (1, 1, "p1")
+
+
+class TestSegmentation:
+    def test_boundaries_and_summary(self, spark):
+        from lamapi_spark.pipeline.segments import (
+            segment_summary, segment_turns)
+
+        turns = [
+            ("c", 1, "alpha beta gamma"),
+            ("c", 2, "alpha beta delta"),      # J=2/4=0.5 -> same segment
+            ("c", 3, "totally different words"),  # J=0 -> boundary
+            ("c", 4, "different words again"),    # J=2/4=0.5 -> same
+            ("d", 1, "solo"),
+        ]
+        df = spark.createDataFrame(
+            turns, "conv_id string, turn_idx int, text string").repartition(4)
+        seg = {(r.conv_id, r.turn_idx): (r.seg_id, r.sim_prev)
+               for r in segment_turns(df, threshold=0.2).collect()}
+        assert seg[("c", 1)] == (1, None)
+        assert seg[("c", 2)][0] == 1 and seg[("c", 2)][1] == 0.5
+        assert seg[("c", 3)] == (2, 0.0)
+        assert seg[("c", 4)][0] == 2
+        assert seg[("d", 1)] == (1, None)
+        summ = {(r.conv_id, r.seg_id): (r.start_turn, r.end_turn, r.n_turns)
+                for r in segment_summary(
+                    segment_turns(df, threshold=0.2)).collect()}
+        assert summ[("c", 1)] == (1, 2, 2)
+        assert summ[("c", 2)] == (3, 4, 2)
+        assert summ[("d", 1)] == (1, 1, 1)
+
+
 class TestStreamKgState:
     def test_stream_matches_batch_snapshot(self, spark, tmp_path):
         """The live KG state (streaming/tkg.stream_kg_state) equals the
