@@ -42,14 +42,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def entity_salience(occurrences: DataFrame, top_k: int = 3) -> DataFrame:
+def entity_salience(occurrences: DataFrame, top_k: int = 3,
+                    cache_tf: bool = True) -> DataFrame:
     """(conv_id, entity) occurrence rows -> the top_k most salient
     entities per conversation: (conv_id, rank, entity, tf, df,
     salience). rank is 1-based, ordered by salience desc then entity
-    asc."""
+    asc.
+
+    ``cache_tf`` caches the NARROW tf aggregate (the lookup.py
+    cache_narrow discipline): tf feeds three consumers (df, n_convs,
+    the score join) and Catalyst does not dedupe common subtrees, so
+    without it the occurrence stream is scanned and re-aggregated
+    three times — the dominant cost at 10^12 turns. The cached frame
+    is the post-combine (conv, entity, tf) triple, orders of magnitude
+    smaller than the occurrences."""
     tf = (occurrences.select("conv_id", "entity")
           .groupBy("conv_id", "entity")
           .agg(F.count("*").alias("tf")))
+    if cache_tf:
+        tf = tf.cache()
     # tf is unique on (conv_id, entity): df is a plain count per entity
     df = tf.groupBy("entity").agg(F.count("*").alias("df"))
     n = tf.select(F.countDistinct("conv_id").alias("n_convs"))
