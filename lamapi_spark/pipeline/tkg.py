@@ -87,6 +87,32 @@ def entity_profile(assertions: DataFrame,
                     "last_us", F.col("_top.pred").alias("top_pred")))
 
 
+def kg_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """CDC between two KG snapshots: (subj, pred, old_obj, new_obj,
+    change) with change in ('added', 'removed', 'changed') — unchanged
+    facts emit nothing. This is the delta an incremental downstream
+    (an Iceberg MERGE, a cache invalidation, a re-embedding queue)
+    consumes instead of re-reading the whole graph; composes directly
+    with :func:`kg_snapshot` at two timestamps.
+
+    Scale shape: ONE co-partitioned full outer join on (subj, pred) —
+    both snapshot frames are unique on the key by construction, so the
+    join output is bounded by |old| + |new| and the inequality filter
+    is a pure post-join column expression. Null-safe: a fact whose obj
+    is the same on both sides drops via the NOT eqNullSafe filter."""
+    o = old.select("subj", "pred", F.col("obj").alias("old_obj"))
+    n = new.select("subj", "pred", F.col("obj").alias("new_obj"))
+    j = o.join(n, ["subj", "pred"], "full_outer")
+    change = (
+        F.when(F.col("old_obj").isNull(), F.lit("added"))
+        .when(F.col("new_obj").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (j.filter(~F.col("old_obj").eqNullSafe(F.col("new_obj")))
+            .select("subj", "pred", "old_obj", "new_obj",
+                    change.alias("change")))
+
+
 def kg_snapshot(assertions: DataFrame, at_ts_us: int,
                 ts_col: str = "ts_us",
                 tie_col: str = "turn_idx") -> DataFrame:

@@ -126,6 +126,43 @@ def kg_snapshot_asof(spark, sf):
             .orderBy("subj", "pred"))
 
 
+@register("kg_snapshot_diff", f"""
+WITH {_ASSERT_SQL},
+s1 AS (SELECT subj, pred, obj FROM (
+         SELECT subj, pred, obj,
+                row_number() OVER (PARTITION BY subj, pred
+                                   ORDER BY ts_us DESC, turn_idx DESC) AS rn
+         FROM a WHERE ts_us <= 1700015000000000) WHERE rn = 1),
+s2 AS (SELECT subj, pred, obj FROM (
+         SELECT subj, pred, obj,
+                row_number() OVER (PARTITION BY subj, pred
+                                   ORDER BY ts_us DESC, turn_idx DESC) AS rn
+         FROM a WHERE ts_us <= 1700045000000000) WHERE rn = 1)
+SELECT coalesce(s1.subj, s2.subj) AS subj,
+       coalesce(s1.pred, s2.pred) AS pred,
+       s1.obj AS old_obj, s2.obj AS new_obj,
+       CASE WHEN s1.obj IS NULL THEN 'added'
+            WHEN s2.obj IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM s1 FULL OUTER JOIN s2 ON s1.subj = s2.subj AND s1.pred = s2.pred
+WHERE s1.obj IS DISTINCT FROM s2.obj
+ORDER BY subj, pred
+""")
+def kg_snapshot_diff(spark, sf):
+    """CDC between the KG snapshots at two timestamps
+    (pipeline/tkg.kg_diff over two kg_snapshot frames): facts added or
+    changed between T1 and T2 — one co-partitioned full outer join +
+    a null-safe inequality filter. The oracle rebuilds both snapshots
+    with the independent window formulation and replays the diff with
+    IS DISTINCT FROM."""
+    from lamapi_spark.pipeline.tkg import kg_diff, kg_snapshot
+
+    a = _assertions(spark, sf)
+    old = kg_snapshot(a, at_ts_us=1_700_015_000_000_000)
+    new = kg_snapshot(a, at_ts_us=1_700_045_000_000_000)
+    return kg_diff(old, new).orderBy("subj", "pred")
+
+
 @register("kg_entity_profile", f"""
 WITH {_ASSERT_SQL},
 pp AS (

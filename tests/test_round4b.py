@@ -88,6 +88,21 @@ class TestTemporalKG:
         many = triple_validity(a.repartition(8)).collect()
         assert sorted(map(tuple, one)) == sorted(map(tuple, many))
 
+    def test_diff_all_three_change_kinds(self, spark):
+        from lamapi_spark.pipeline.tkg import kg_diff
+
+        mk = lambda rows: spark.createDataFrame(
+            rows, "subj string, pred string, obj string")
+        old = mk([("s", "p", "v1"), ("s", "q", "w"), ("t", "p", "x")])
+        new = mk([("s", "p", "v2"), ("t", "p", "x"), ("u", "p", "y")])
+        got = {(r.subj, r.pred): (r.old_obj, r.new_obj, r.change)
+               for r in kg_diff(old, new).collect()}
+        assert got == {
+            ("s", "p"): ("v1", "v2", "changed"),
+            ("s", "q"): ("w", None, "removed"),
+            ("u", "p"): (None, "y", "added"),
+        }  # (t, p) unchanged -> absent
+
 
 class TestEntityProfile:
     def test_profile_fields_and_top_pred_tie(self, spark):
