@@ -712,3 +712,46 @@ def ppr_fixed_point(
         if checkpoint_every is not None and (i + 1) % checkpoint_every == 0:
             rank = rank.localCheckpoint(eager=True)
     return rank
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame,
+                  max_depth: int = 3) -> DataFrame:
+    """Multi-source BFS over directed edges(src, dst): (node, dist)
+    with dist = the MINIMUM hop count from any seed, exact for
+    dist <= max_depth; nodes unreached within the horizon are absent.
+    Completes the traversal corner of the graph family (khop counts
+    reach, components ignore distance; this labels it).
+
+    Scale shape: level-synchronous frontier expansion — each iteration
+    is ONE join frontier⋈edges + a distinct + a left_anti against the
+    settled set, so per-level work is O(frontier out-edges), never
+    O(paths): a node discovered at level d is anti-joined out of every
+    later level, which is what keeps hub-heavy graphs from exploding
+    (the same DISTINCT-the-frontier argument as khop). The edge set
+    and every level are localCheckpoint-materialized (the
+    canonicalize.py loop discipline: truncate iterative lineage, pay
+    one cheap limit(1) job per level to stop early on an exhausted
+    frontier).
+
+    Determinism: the level a node first appears in is a pure function
+    of the edge SET (min over paths), independent of partitioning or
+    arrival order.
+    """
+    ed = edges.select("src", "dst").localCheckpoint(eager=True)
+    dist = (seeds.select(F.col("seed").alias("node")).distinct()
+            .withColumn("dist", F.lit(0).cast("int"))
+            .localCheckpoint(eager=True))
+    frontier = dist
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(ed, frontier.node == ed.src)
+            .select(F.col("dst").alias("node")).distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

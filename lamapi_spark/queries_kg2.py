@@ -193,6 +193,38 @@ def kg_entity_profile(spark, sf):
     return entity_profile(_assertions(spark, sf)).orderBy("subj")
 
 
+@register("kg_el_dataset", f"""
+WITH {_TR_SQL}, {_OCC_SQL},
+m AS (SELECT conv_id, turn_idx, pos, entity
+      FROM cls WHERE entity IS NOT NULL),
+t AS (SELECT conv_id, turn_idx,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM tr)
+SELECT m.conv_id, m.turn_idx, m.pos, m.entity,
+       coalesce(array_to_string(
+         t.toks[greatest(1, m.pos - 2) : m.pos - 1], ' '), '') AS left_ctx,
+       coalesce(array_to_string(
+         t.toks[m.pos + 1 : m.pos + 2], ' '), '') AS right_ctx
+FROM m JOIN t ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+ORDER BY m.conv_id, m.turn_idx, m.pos
+""")
+def kg_el_dataset(spark, sf):
+    """Entity-linking training-set export
+    (pipeline/exports.mention_context_windows, window=2) over the
+    planted transcript: every entity occurrence becomes a training
+    example (surface entity, left/right token context) via one
+    co-keyed join + in-row slices. The oracle replays the synth,
+    the occurrence extraction, and both context slices."""
+    from lamapi_spark.pipeline.coref import token_occurrences
+    from lamapi_spark.pipeline.exports import mention_context_windows
+
+    tr = _transcripts(spark, sf)
+    occ = (token_occurrences(tr, _ENT_RE)
+           .filter(F.col("entity").isNotNull()))
+    return (mention_context_windows(tr, occ, window=2)
+            .orderBy("conv_id", "turn_idx", "pos"))
+
+
 # ------------------------------------------- dialogue segmentation
 
 @register("kg_conv_segments", f"""
@@ -235,6 +267,46 @@ def kg_conv_segments(spark, sf):
     return (segment_summary(segment_turns(_transcripts(spark, sf),
                                           threshold=0.2))
             .orderBy("conv_id", "seg_id"))
+
+
+# --------------------------------------------------- BFS distances
+
+@register("graph_bfs_dist", """
+WITH RECURSIVE
+base AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT src, dst FROM base
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM base
+),
+seeds AS (SELECT DISTINCT 'c' || o_custkey AS node FROM orders
+          WHERE o_custkey <= 20),
+walk(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < 3
+)
+SELECT node, min(dist)::INT AS dist FROM walk GROUP BY node ORDER BY node
+""")
+def graph_bfs_dist(spark, sf):
+    """Multi-source BFS distances (ops/graph.bfs_distances, depth 3)
+    from the khop seed set over the symmetric customer-supplier graph:
+    (node, min-hops). The Spark side is the level-synchronous
+    frontier/settled-set loop; the oracle is the INDEPENDENT recursive
+    walk + min(dist) aggregation, so first-discovery-level ==
+    min-over-paths is value-hash-checked node for node."""
+    from lamapi_spark.ops.graph import bfs_distances
+    from lamapi_spark.queries_graph import _edges
+
+    seeds = (load(spark, sf, "orders").filter(F.col("o_custkey") <= 20)
+             .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("seed"))
+             .distinct())
+    return (bfs_distances(_edges(spark, sf), seeds, max_depth=3)
+            .orderBy("node"))
 
 
 # ------------------------------------- conversation-level near-dup

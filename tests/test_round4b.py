@@ -151,6 +151,48 @@ class TestSegmentation:
         assert summ[("d", 1)] == (1, 1, 1)
 
 
+class TestBfsDistances:
+    def test_path_graph_min_distance_and_horizon(self, spark):
+        from lamapi_spark.ops.graph import bfs_distances
+
+        # a -> b -> c -> d -> e, plus a shortcut a -> c
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c")],
+            "src string, dst string")
+        seeds = spark.createDataFrame([("a",)], "seed string")
+        got = {r.node: r.dist
+               for r in bfs_distances(edges, seeds, max_depth=2).collect()}
+        # c is 2 hops via b but 1 via the shortcut -> min wins
+        assert got == {"a": 0, "b": 1, "c": 1, "d": 2}  # e beyond horizon
+
+    def test_multi_source_and_early_stop(self, spark):
+        from lamapi_spark.ops.graph import bfs_distances
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("x", "y")], "src string, dst string")
+        seeds = spark.createDataFrame([("a",), ("x",)], "seed string")
+        got = {r.node: r.dist
+               for r in bfs_distances(edges, seeds, max_depth=5).collect()}
+        # frontier exhausts at depth 1; loop stops early, both islands labeled
+        assert got == {"a": 0, "x": 0, "b": 1, "y": 1}
+
+
+class TestMentionContexts:
+    def test_windows_and_edges(self, spark):
+        from lamapi_spark.pipeline.exports import mention_context_windows
+
+        tr = spark.createDataFrame(
+            [("c", 1, "e1 said hello to e2 yesterday")],
+            "conv_id string, turn_idx int, text string")
+        occ = spark.createDataFrame(
+            [("c", 1, 1, "e1"), ("c", 1, 5, "e2")],
+            "conv_id string, turn_idx int, pos int, entity string")
+        got = {r.entity: (r.left_ctx, r.right_ctx)
+               for r in mention_context_windows(tr, occ, window=3).collect()}
+        assert got["e1"] == ("", "said hello to")      # turn start: empty left
+        assert got["e2"] == ("said hello to", "yesterday")  # right truncates
+
+
 class TestStreamKgState:
     def test_stream_matches_batch_snapshot(self, spark, tmp_path):
         """The live KG state (streaming/tkg.stream_kg_state) equals the
