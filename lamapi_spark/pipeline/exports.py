@@ -14,8 +14,40 @@ training data) — builder's-brief training-data surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def sft_pairs(transcripts: DataFrame,
+              max_turns_back: int | None = None) -> DataFrame:
+    """(conv_id, turn_idx, role, text) -> supervised fine-tuning
+    (prompt, response) pairs: every assistant turn pairs with the most
+    recent PRECEDING user turn of its conversation (tool/system turns
+    in between are skipped, not paired) -> (conv_id, prompt_turn,
+    response_turn, prompt, response). ``max_turns_back`` drops stale
+    pairs (user turn more than n turns before the response) — the
+    tool_invocation_edges staleness contract.
+
+    Scale shape: ONE last-non-null carry window per conversation (the
+    coref/tool-edges shape — a single (conv, turn) exchange, streaming
+    frame); assistant rows project the carried struct, everything else
+    drops. Deterministic: the carry is a pure function of the ordered
+    turn sequence."""
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    u = F.when(F.col("role") == "user",
+               F.struct(F.col("turn_idx").alias("t"),
+                        F.col("text").alias("x")))
+    carried = transcripts.withColumn("_u", F.last(u, ignorenulls=True).over(w))
+    out = (carried.filter((F.col("role") == "assistant")
+                          & F.col("_u").isNotNull()))
+    if max_turns_back is not None:
+        out = out.filter(
+            F.col("turn_idx") - F.col("_u.t") <= F.lit(int(max_turns_back)))
+    return out.select(
+        "conv_id", F.col("_u.t").alias("prompt_turn"),
+        F.col("turn_idx").alias("response_turn"),
+        F.col("_u.x").alias("prompt"), F.col("text").alias("response"))
 
 
 def mention_context_windows(transcripts: DataFrame,

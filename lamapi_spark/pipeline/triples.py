@@ -137,3 +137,46 @@ def window_cooccurrence(occurrences: DataFrame,
         .filter((d > 0) & (d <= max_turns) & (F.col("subj") != F.col("obj")))
         .select("conv_id", "turn_a", "turn_b", "subj", "obj")
     )
+
+
+def verb_pattern_triples(tokens: DataFrame, verbs: tuple[str, ...],
+                         entity_col: str = "entity") -> DataFrame:
+    """Within-turn verb-pattern triple mining — the north star's
+    "dependency-light pattern ... triple mining" as a direct surface
+    miner (window_cooccurrence covers the cross-turn co-occurrence
+    arm; this extracts the PREDICATE too): for every ordered entity
+    pair (a at pos_a, b at pos_b > pos_a) in one turn with a lexicon
+    verb v strictly between them, emit (conv_id, turn_idx, subj=a,
+    pred=v, obj=b), distinct.
+
+    ``tokens`` = (conv_id, turn_idx, pos, tok) — EVERY token position
+    (the raw explode, not the entity-filtered occurrences), so verb
+    positions are available; ``entity_col`` marks entity tokens
+    (NULL = not an entity), the token_occurrences convention.
+
+    Scale shape: both self-joins key on (conv_id, turn_idx) — the
+    per-turn token count is bounded (the repo's bounded-group
+    argument), so per-key fan-out is entities-per-turn^2 x
+    verbs-per-turn, a small constant; the shuffle is one exchange on
+    the turn key that AQE skew-splits if a degenerate turn appears.
+    Verb membership is a broadcast-free isin over a literal lexicon.
+    """
+    ent = (tokens.filter(F.col(entity_col).isNotNull())
+           .select("conv_id", "turn_idx", "pos", F.col(entity_col).alias("e"))
+           .distinct())
+    vrb = (tokens.filter(F.lower(F.col("tok")).isin(*verbs))
+           .select("conv_id", "turn_idx", F.col("pos").alias("vpos"),
+                   F.lower(F.col("tok")).alias("pred"))
+           .distinct())
+    a = ent.select("conv_id", "turn_idx", F.col("pos").alias("pa"),
+                   F.col("e").alias("subj"))
+    b = ent.select("conv_id", "turn_idx", F.col("pos").alias("pb"),
+                   F.col("e").alias("obj"))
+    return (
+        a.join(b, ["conv_id", "turn_idx"])
+        .filter((F.col("pb") > F.col("pa")) & (F.col("subj") != F.col("obj")))
+        .join(vrb, ["conv_id", "turn_idx"])
+        .filter((F.col("vpos") > F.col("pa")) & (F.col("vpos") < F.col("pb")))
+        .select("conv_id", "turn_idx", "subj", "pred", "obj")
+        .distinct()
+    )

@@ -16,10 +16,13 @@ the banding's losslessness at dialog granularity).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lamapi_spark.queries import load, register
-from lamapi_spark.queries_kg import _ENT_RE, _OCC_SQL, _TR_SQL, _transcripts
+from lamapi_spark.queries_kg import (
+    _ENT_RE, _OCC_SQL, _TR_SQL, _TRT_SQL, _transcripts,
+)
 from lamapi_spark.queries_ops import _SIMHASH_SQL, _SIMHASH_SQL_HASHES
 
 # ------------------------------------------------- entity salience
@@ -267,6 +270,124 @@ def kg_conv_segments(spark, sf):
     return (segment_summary(segment_turns(_transcripts(spark, sf),
                                           threshold=0.2))
             .orderBy("conv_id", "seg_id"))
+
+
+# ------------------------------------------ verb-pattern triples
+
+# transcript variant with verbs BETWEEN entity tokens (the _TR_SQL
+# templates never place a lexicon verb between two entities):
+# m4=0/1 plant one pattern each, m4=3 plants a shared-verb double,
+# m4=2 is the negative (verb after both entities).
+_TRP_SQL = """
+trp AS (
+  SELECT 'c' || o_custkey AS conv_id,
+         (row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey))::INT
+           AS turn_idx,
+         CASE o_orderkey % 4
+           WHEN 0 THEN 'c' || o_custkey || ' likes s' || (1 + o_orderkey % 10)
+           WHEN 1 THEN 's' || (1 + o_orderkey % 10) || ' helped c'
+                       || o_custkey || ' today'
+           WHEN 2 THEN 'c' || o_custkey || ' and s' || (1 + o_orderkey % 10)
+                       || ' met yesterday'
+           ELSE 'c' || o_custkey || ' visited s' || (1 + o_orderkey % 10)
+                || ' then s' || (1 + o_orderkey % 7)
+         END AS text
+  FROM orders)"""
+
+_VERBS = ("likes", "helped", "met", "visited")
+
+
+def _trp(spark, sf):
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    m4 = F.col("o_orderkey") % 4
+    cust = F.col("o_custkey").cast("string")
+    s10 = (F.lit(1) + F.col("o_orderkey") % 10).cast("string")
+    s7 = (F.lit(1) + F.col("o_orderkey") % 7).cast("string")
+    text = (
+        F.when(m4 == 0, F.concat(F.lit("c"), cust, F.lit(" likes s"), s10))
+        .when(m4 == 1, F.concat(F.lit("s"), s10, F.lit(" helped c"),
+                                cust, F.lit(" today")))
+        .when(m4 == 2, F.concat(F.lit("c"), cust, F.lit(" and s"), s10,
+                                F.lit(" met yesterday")))
+        .otherwise(F.concat(F.lit("c"), cust, F.lit(" visited s"), s10,
+                            F.lit(" then s"), s7))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        F.concat(F.lit("c"), cust).alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        text.alias("text"))
+
+
+@register("kg_pattern_triples", f"""
+WITH {_TRP_SQL},
+tok AS (
+  SELECT conv_id, turn_idx, (u.p)::INT AS pos, u.tok FROM (
+    SELECT conv_id, turn_idx,
+           unnest(list_transform(range(1, len(toks) + 1),
+                  i -> struct_pack(p := i, tok := toks[i]))) AS u
+    FROM (SELECT conv_id, turn_idx,
+                 string_split_regex(trim(text), '\\s+') AS toks FROM trp))),
+ent AS (SELECT DISTINCT conv_id, turn_idx, pos, tok AS e
+        FROM tok WHERE regexp_matches(tok, '{_ENT_RE}')),
+vrb AS (SELECT DISTINCT conv_id, turn_idx, pos AS vpos, lower(tok) AS pred
+        FROM tok WHERE lower(tok) IN {str(_VERBS)})
+SELECT DISTINCT a.conv_id, a.turn_idx, a.e AS subj, v.pred, b.e AS obj
+FROM ent a
+JOIN ent b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+          AND b.pos > a.pos AND a.e <> b.e
+JOIN vrb v ON v.conv_id = a.conv_id AND v.turn_idx = a.turn_idx
+          AND v.vpos > a.pos AND v.vpos < b.pos
+ORDER BY a.conv_id, a.turn_idx, subj, pred, obj
+""")
+def kg_pattern_triples(spark, sf):
+    """Within-turn verb-pattern triple mining
+    (pipeline/triples.verb_pattern_triples): (subj, verb, obj) wherever
+    a lexicon verb sits strictly between two entity tokens of one turn
+    — the north star's dependency-light pattern miner, with the
+    verb-after-both template as the planted negative and the
+    shared-verb double template exercising multi-emission. The oracle
+    replays the synth, the token classes, and both positional joins."""
+    from lamapi_spark.pipeline.triples import verb_pattern_triples
+
+    tr = _trp(spark, sf)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = (tr.select("conv_id", "turn_idx",
+                   F.posexplode(toks).alias("pos", "tok"))
+         .withColumn("pos", (F.col("pos") + 1).cast("int"))
+         .withColumn("entity",
+                     F.when(F.col("tok").rlike(_ENT_RE), F.col("tok"))))
+    return (verb_pattern_triples(t, _VERBS)
+            .orderBy("conv_id", "turn_idx", "subj", "pred", "obj"))
+
+
+# --------------------------------------------------- SFT pair export
+
+@register("kg_sft_pairs", f"""
+WITH {_TRT_SQL},
+c AS (
+  SELECT conv_id, turn_idx, role, text,
+         last_value(CASE WHEN role = 'user' THEN
+                      struct_pack(t := turn_idx, x := text) END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS u
+  FROM trt)
+SELECT conv_id, (u.t)::INT AS prompt_turn, turn_idx AS response_turn,
+       u.x AS prompt, text AS response
+FROM c WHERE role = 'assistant' AND u IS NOT NULL
+ORDER BY conv_id, response_turn
+""")
+def kg_sft_pairs(spark, sf):
+    """SFT (prompt, response) pair export (pipeline/exports.sft_pairs)
+    over the role/tool transcript synth: every assistant turn pairs
+    with its most recent preceding user turn (tool turns skipped) via
+    ONE last-non-null carry window. The oracle replays the synth and
+    the carry."""
+    from lamapi_spark.pipeline.exports import sft_pairs
+    from lamapi_spark.queries_kg import _trt
+
+    return (sft_pairs(_trt(spark, sf))
+            .orderBy("conv_id", "response_turn"))
 
 
 # --------------------------------------------------- BFS distances

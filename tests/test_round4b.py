@@ -177,6 +177,63 @@ class TestBfsDistances:
         assert got == {"a": 0, "x": 0, "b": 1, "y": 1}
 
 
+class TestVerbPatternTriples:
+    def test_patterns_negatives_and_doubles(self, spark):
+        from lamapi_spark.pipeline.triples import verb_pattern_triples
+
+        texts = [
+            ("c", 1, "c1 likes s2"),              # one triple
+            ("c", 2, "c1 and s2 met today"),      # verb after both: none
+            ("c", 3, "c1 visited s2 then s3"),    # double emission to s2, s3
+            ("c", 4, "c1 c1 likes s2"),           # self-pair excluded
+        ]
+        rows = []
+        for conv, turn, text in texts:
+            for i, tok in enumerate(text.split()):
+                rows.append((conv, turn, i + 1, tok,
+                             tok if tok[0] in "cs" and tok[1:].isdigit()
+                             else None))
+        t = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, pos int, tok string, "
+                  "entity string").repartition(6)
+        got = {(r.turn_idx, r.subj, r.pred, r.obj)
+               for r in verb_pattern_triples(
+                   t, ("likes", "met", "visited")).collect()}
+        assert got == {
+            (1, "c1", "likes", "s2"),
+            (3, "c1", "visited", "s2"), (3, "c1", "visited", "s3"),
+            (4, "c1", "likes", "s2"),
+        }
+
+
+class TestSftPairs:
+    def test_carry_skips_tools_and_staleness(self, spark):
+        from lamapi_spark.pipeline.exports import sft_pairs
+
+        rows = [
+            ("c", 1, "user", "q1"),
+            ("c", 2, "tool", "t"),          # skipped, not paired
+            ("c", 3, "assistant", "a1"),    # pairs with q1 (2 back)
+            ("c", 4, "assistant", "a2"),    # pairs with q1 (3 back)
+            ("c", 5, "user", "q2"),
+            ("c", 6, "assistant", "a3"),    # pairs with q2
+            ("d", 1, "assistant", "cold"),  # no preceding user: dropped
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string")
+        got = {(r.conv_id, r.response_turn): (r.prompt_turn, r.prompt,
+                                              r.response)
+               for r in sft_pairs(df).collect()}
+        assert got == {
+            ("c", 3): (1, "q1", "a1"),
+            ("c", 4): (1, "q1", "a2"),
+            ("c", 6): (5, "q2", "a3"),
+        }
+        stale = {r.response_turn
+                 for r in sft_pairs(df, max_turns_back=2).collect()}
+        assert stale == {3, 6}  # a2 is 3 turns after q1 -> dropped
+
+
 class TestMentionContexts:
     def test_windows_and_edges(self, spark):
         from lamapi_spark.pipeline.exports import mention_context_windows
