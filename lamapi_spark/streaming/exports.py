@@ -1,0 +1,70 @@
+"""Streaming twin of the SFT pair export (pipeline/exports.sft_pairs):
+(prompt, response) pairs mined live from a transcript stream.
+
+Same session-window carry shape as stream_tool_edges / the coref twin
+(state unit = conversation session, evicted once event time passes
+session end + watermark): one watermarked session-window aggregation
+collects a conversation's turns sorted in-array, and the
+most-recent-prior-user-turn resolution runs IN-ARRAY as a turn-sorted
+prefix maximum over user rows — the batch window's IGNORE-NULLS
+running last. Semantics vs batch are identical per session (the parity
+test sizes gap/watermark above its input's span); a conversation quiet
+longer than ``gap`` resets the carry — the twins' deliberate staleness
+bound. In-array cost is O(k^2) per session with k = one conversation's
+turns, bounded by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lamapi_spark.streaming.kg import TRANSCRIPT_SCHEMA
+
+
+def stream_sft_pairs(
+    spark: SparkSession,
+    path: str,
+    gap: str = "2 hours",
+    watermark: str = "4 hours",
+    schema: str = TRANSCRIPT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """-> (conv_id, prompt_turn, response_turn, prompt, response) for
+    every assistant turn of every closed session whose conversation
+    has a preceding user turn in the same session."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(path)
+    turns = stream.withWatermark("ts", watermark).select(
+        "conv_id", "turn_idx", "role", "text", "ts")
+    per_conv = (
+        turns.groupBy(F.session_window("ts", gap).alias("_w"),
+                      F.col("conv_id"))
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("turn_idx").alias("t"), F.col("role").alias("role"),
+            F.col("text").alias("x"),
+        ))).alias("_occ"))
+    )
+    resolved = F.transform(
+        F.col("_occ"),
+        lambda x, i: F.struct(
+            x["t"].alias("t"), x["role"].alias("role"),
+            x["x"].alias("x"),
+            F.array_max(F.filter(
+                F.col("_occ"),
+                lambda y, j: (j < i) & (y["role"] == "user"),
+            )).alias("u"),
+        ),
+    )
+    rows = per_conv.select("conv_id", F.explode(resolved).alias("r"))
+    return (
+        rows.filter((F.col("r.role") == "assistant")
+                    & F.col("r.u").isNotNull())
+        .select("conv_id",
+                F.col("r.u.t").alias("prompt_turn"),
+                F.col("r.t").alias("response_turn"),
+                F.col("r.u.x").alias("prompt"),
+                F.col("r.x").alias("response"))
+    )

@@ -234,6 +234,44 @@ class TestSftPairs:
         assert stale == {3, 6}  # a2 is 3 turns after q1 -> dropped
 
 
+class TestStreamSftPairs:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """The streaming session-window SFT carry, drained with
+        gap/watermark above the input's span, equals batch sft_pairs
+        row for row — including the tool-skip and cold-start cases."""
+        import shutil
+
+        from lamapi_spark.pipeline.exports import sft_pairs
+        from lamapi_spark.streaming.exports import stream_sft_pairs
+        from lamapi_spark.streaming.sessions import run_available_now
+
+        rows = [
+            ("A", 1, "user", None, "q1"),
+            ("A", 2, "tool", "search", "t"),
+            ("A", 3, "assistant", None, "a1"),
+            ("A", 4, "user", None, "q2"),
+            ("A", 5, "assistant", None, "a2"),
+            ("B", 1, "assistant", None, "cold"),
+            ("B", 2, "user", None, "late"),
+        ]
+        tr = (spark.createDataFrame(
+                  rows, "conv_id string, turn_idx int, role string, "
+                        "tool string, text string")
+              .withColumn("ts", F.timestamp_seconds(
+                  F.lit(1700000000) + F.col("turn_idx") * 60)))
+        d = str(tmp_path / "sft_feed")
+        tr.write.parquet(d)
+        got = run_available_now(
+            stream_sft_pairs(spark, d, gap="2 hours", watermark="4 hours"),
+            "t_sft_pairs", mode="complete")
+        stream_rows = sorted(map(tuple, got.collect()))
+        batch_rows = sorted(map(tuple, sft_pairs(tr.drop("ts")).collect()))
+        assert stream_rows == batch_rows
+        assert stream_rows == [("A", 1, 3, "q1", "a1"),
+                               ("A", 4, 5, "q2", "a2")]
+        shutil.rmtree(d, ignore_errors=True)
+
+
 class TestMentionContexts:
     def test_windows_and_edges(self, spark):
         from lamapi_spark.pipeline.exports import mention_context_windows
