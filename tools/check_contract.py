@@ -43,8 +43,16 @@ def norm_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = get_spark(master="local[8]", shuffle_partitions=8,
-                      extra_conf={"spark.driver.memory": "8g"})
+    # 150+ queries share ONE local-mode JVM: bound the listener/UI state
+    # (an appStatus-thread OOM once killed the context mid-sweep) and
+    # clear per-query cache/checkpoint residue below.
+    spark = get_spark(master="local[8]", shuffle_partitions=8, extra_conf={
+        "spark.driver.memory": os.environ.get("CONTRACT_DRIVER_MEM", "12g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.ui.retainedExecutions": "5",
+        "spark.ui.retainedJobs": "50",
+        "spark.ui.retainedStages": "50",
+    })
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -62,6 +70,14 @@ def main():
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL {name}: spark error {str(e)[:2000]}")
             continue
+        finally:
+            # drop this query's cached frames and let the ContextCleaner
+            # reclaim localCheckpoint RDD blocks (their Python refs die
+            # with this iteration) — residue across 150+ queries is what
+            # eventually OOMs the shared JVM
+            spark.catalog.clearCache()
+            import gc
+            gc.collect()
         if name not in oracles:
             print(f"ok?  {name}: rows={len(s_rows)} (no oracle — rows-only check)")
             continue
