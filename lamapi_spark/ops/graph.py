@@ -755,3 +755,62 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist
+
+
+def path_pairs(triples: DataFrame,
+               steps: list[tuple[str, bool]],
+               max_depth: int = 3) -> DataFrame:
+    """SPARQL property-path evaluation over a (subj, pred, obj) triple
+    table: ``steps`` is a sequence of (predicate, closure) hops —
+    closure=False is one hop on that predicate, closure=True is the
+    transitive closure ``pred+`` bounded at ``max_depth`` hops (the
+    bounded-path pragmatics every production SPARQL engine applies to
+    ``+`` on large graphs). Returns the distinct (src, dst) pairs
+    connected by the whole path — the read-side companion to
+    :func:`bgp_match` for the path shapes conjunctive patterns cannot
+    express.
+
+    Scale shape: each plain step is one predicate-filtered scan
+    (constant pushed to the parquet scan) composed by an equi-join on
+    the shared node; a closure step runs the bfs_distances discipline
+    pairwise — level-synchronous expansion where each level joins only
+    the NEW pairs (left_anti vs the settled closure), so work per
+    level is O(frontier x out-degree), never O(paths), and every level
+    localCheckpoints (the canonicalize.py loop rule). Set semantics
+    (distinct) at every composition, matching SPARQL path semantics.
+    """
+    if not steps:
+        raise ValueError("path_pairs needs at least one step")
+
+    def one(pred: str, closure: bool) -> DataFrame:
+        e = (triples.filter(F.col("pred") == F.lit(pred))
+             .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+             .distinct())
+        if not closure:
+            return e
+        e = e.localCheckpoint(eager=True)
+        clo, frontier = e, e
+        for _ in range(max_depth - 1):
+            nxt = (
+                frontier.join(e.select(F.col("a").alias("b"),
+                                       F.col("b").alias("b2")), "b")
+                .select("a", F.col("b2").alias("b")).distinct()
+                .join(clo, ["a", "b"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            clo = clo.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return clo
+
+    acc: DataFrame | None = None
+    for pred, closure in steps:
+        sp = one(pred, closure)
+        if acc is None:
+            acc = sp
+            continue
+        acc = (acc.join(sp.select(F.col("a").alias("b"),
+                                  F.col("b").alias("b2")), "b")
+               .select("a", F.col("b2").alias("b")).distinct())
+    return acc.select(F.col("a").alias("src"), F.col("b").alias("dst"))

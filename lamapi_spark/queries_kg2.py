@@ -390,6 +390,55 @@ def kg_sft_pairs(spark, sf):
             .orderBy("conv_id", "response_turn"))
 
 
+# ------------------------------------------------- property paths
+
+@register("kg_path_query", """
+WITH RECURSIVE
+t AS (
+  SELECT 'c' || a.c_custkey AS subj, 'next' AS pred,
+         'c' || b.c_custkey AS obj
+  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 13
+  UNION ALL
+  SELECT 'c' || c_custkey, 'name', c_name FROM customer),
+e AS (SELECT subj AS a, obj AS b FROM t WHERE pred = 'next'),
+walk(a, b, d) AS (
+  SELECT a, b, 1 FROM e
+  UNION
+  SELECT w.a, e.b, w.d + 1 FROM walk w JOIN e ON e.a = w.b WHERE w.d < 3
+),
+clo AS (SELECT DISTINCT a, b FROM walk),
+nm AS (SELECT subj AS b, obj AS n FROM t WHERE pred = 'name')
+SELECT DISTINCT clo.a AS src, nm.n AS dst
+FROM clo JOIN nm USING (b)
+ORDER BY src, dst
+""")
+def kg_path_query(spark, sf):
+    """SPARQL property-path query (ops/graph.path_pairs): the path
+    ``next+ / name`` — customers reachable in 1..3 'next' hops, then
+    their name attribute — over a deterministic customer-chain triple
+    store (ck -next-> c(k+13)). The Spark side runs the
+    level-synchronous bounded closure (new-pairs-only frontier) + one
+    attribute hop; the oracle is the INDEPENDENT recursive walk with
+    a depth counter, so first-discovery == reachable-set is
+    value-hash-checked pair for pair."""
+    from lamapi_spark.ops.graph import path_pairs
+
+    c = load(spark, sf, "customer")
+    a = c.select(F.col("c_custkey").alias("k1"),
+                 F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"))
+    b = c.select(F.col("c_custkey").alias("k2"),
+                 F.concat(F.lit("c"), F.col("c_custkey")).alias("obj"))
+    nxt = (a.join(b, F.col("k2") == F.col("k1") + 13)
+           .select("subj", F.lit("next").alias("pred"), "obj"))
+    names = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+        F.lit("name").alias("pred"), F.col("c_name").alias("obj"))
+    triples = nxt.unionByName(names)
+    return (path_pairs(triples, [("next", True), ("name", False)],
+                       max_depth=3)
+            .orderBy("src", "dst"))
+
+
 # --------------------------------------------------- BFS distances
 
 @register("graph_bfs_dist", """

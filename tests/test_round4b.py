@@ -272,6 +272,39 @@ class TestStreamSftPairs:
         shutil.rmtree(d, ignore_errors=True)
 
 
+class TestPathPairs:
+    def test_closure_bound_chain_and_attribute_hop(self, spark):
+        from lamapi_spark.ops.graph import path_pairs
+
+        # chain n1 -> n2 -> n3 -> n4 -> n5, names on all nodes
+        edges = [(f"n{i}", "next", f"n{i+1}") for i in range(1, 5)]
+        names = [(f"n{i}", "name", f"N{i}") for i in range(1, 6)]
+        t = spark.createDataFrame(edges + names,
+                                  "subj string, pred string, obj string")
+        got = {(r.src, r.dst)
+               for r in path_pairs(t, [("next", True), ("name", False)],
+                                   max_depth=2).collect()}
+        # next+ bounded at 2 hops: n1 reaches n2, n3 (not n4)
+        assert got == {
+            ("n1", "N2"), ("n1", "N3"),
+            ("n2", "N3"), ("n2", "N4"),
+            ("n3", "N4"), ("n3", "N5"),
+            ("n4", "N5"),
+        }
+
+    def test_plain_steps_compose_and_dedup(self, spark):
+        from lamapi_spark.ops.graph import path_pairs
+
+        # diamond: a->b1->c, a->b2->c — set semantics collapse to one pair
+        t = spark.createDataFrame(
+            [("a", "p", "b1"), ("a", "p", "b2"),
+             ("b1", "q", "c"), ("b2", "q", "c")],
+            "subj string, pred string, obj string")
+        got = [tuple(r) for r in
+               path_pairs(t, [("p", False), ("q", False)]).collect()]
+        assert got == [("a", "c")]
+
+
 class TestMentionContexts:
     def test_windows_and_edges(self, spark):
         from lamapi_spark.pipeline.exports import mention_context_windows
