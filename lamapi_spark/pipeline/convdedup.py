@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 
 def conv_canonical_text(transcripts: DataFrame, sep: str = " ") -> DataFrame:
     """(conv_id, turn_idx, text) -> (conv_id, text): each
-    conversation's turns concatenated in turn order with ``sep``."""
+    conversation's turns concatenated in turn order with ``sep``.
+    A NULL turn text is skipped by array_join (the turn contributes
+    nothing — degrade, not error); the input contract's text column is
+    non-null, so this only matters for malformed feeds."""
     item = F.struct(F.col("turn_idx").alias("i"), F.col("text").alias("t"))
     return (
         transcripts.groupBy("conv_id")

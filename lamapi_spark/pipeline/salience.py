@@ -55,7 +55,10 @@ def entity_salience(occurrences: DataFrame, top_k: int = 3,
     without it the occurrence stream is scanned and re-aggregated
     three times — the dominant cost at 10^12 turns. The cached frame
     is the post-combine (conv, entity, tf) triple, orders of magnitude
-    smaller than the occurrences."""
+    smaller than the occurrences. Like lookup.py's cache_narrow, the
+    cache is NOT unpersisted here (the result is lazy; consumers
+    collect later) — a long-lived session calling this repeatedly
+    should clear cache between calls or pass cache_tf=False."""
     tf = (occurrences.select("conv_id", "entity")
           .groupBy("conv_id", "entity")
           .agg(F.count("*").alias("tf")))
