@@ -180,3 +180,46 @@ def verb_pattern_triples(tokens: DataFrame, verbs: tuple[str, ...],
         .select("conv_id", "turn_idx", "subj", "pred", "obj")
         .distinct()
     )
+
+
+def verb_pattern_triples_inrow(transcripts: DataFrame,
+                               verbs: tuple[str, ...],
+                               entity_re: str) -> DataFrame:
+    """The zero-shuffle formulation of :func:`verb_pattern_triples`:
+    the whole pattern — entity positions, verb positions, the
+    between-ness test — lives inside ONE turn's token array, so it
+    evaluates as in-row nested higher-order functions over the
+    transcript scan directly; the only exchange is the final set-
+    semantics distinct. The join formulation shuffles the exploded
+    token stream on (conv, turn) three times (and recomputes the
+    explode per consumer — Catalyst does not dedupe common subtrees);
+    at 10^12 turns that is three full-corpus shuffles vs none here.
+    Per-row cost is O(E^2 x V) with E/V = entities/verbs per turn —
+    bounded small by turn length; the interpreted-lambda tax
+    (plan lesson 7) buys out three exchanges, the profitable
+    direction of that trade.
+
+    Oracle-equivalent to the join formulation (the contract query's
+    DuckDB oracle IS the independent join formulation; both tested).
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pos = F.transform(toks, lambda t, i: F.struct(
+        (i + 1).alias("pos"), t.alias("tok")))
+    ents = F.filter(pos, lambda x: x["tok"].rlike(entity_re))
+    vlit = F.array(*[F.lit(v) for v in verbs])
+    vrbs = F.filter(pos, lambda x: F.array_contains(vlit, F.lower(x["tok"])))
+    emit = F.flatten(F.transform(
+        ents, lambda a: F.flatten(F.transform(
+            ents, lambda b: F.transform(
+                F.filter(vrbs, lambda v: (v["pos"] > a["pos"])
+                         & (v["pos"] < b["pos"])
+                         & (a["tok"] != b["tok"])),
+                lambda v: F.struct(a["tok"].alias("subj"),
+                                   F.lower(v["tok"]).alias("pred"),
+                                   b["tok"].alias("obj")))))))
+    return (
+        transcripts
+        .select("conv_id", "turn_idx", F.explode(emit).alias("t"))
+        .select("conv_id", "turn_idx", "t.subj", "t.pred", "t.obj")
+        .distinct()
+    )

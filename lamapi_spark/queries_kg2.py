@@ -346,18 +346,16 @@ def kg_pattern_triples(spark, sf):
     a lexicon verb sits strictly between two entity tokens of one turn
     — the north star's dependency-light pattern miner, with the
     verb-after-both template as the planted negative and the
-    shared-verb double template exercising multi-emission. The oracle
-    replays the synth, the token classes, and both positional joins."""
-    from lamapi_spark.pipeline.triples import verb_pattern_triples
+    shared-verb double template exercising multi-emission. The Spark
+    side runs the ZERO-SHUFFLE in-row formulation (the pattern lives
+    inside one turn's token array; only the set-semantics distinct
+    exchanges); the oracle IS the independent join formulation, so
+    the in-row nesting is value-hash-checked triple for triple. The
+    exploded-input join variant (verb_pattern_triples) is
+    equivalence-tested in pytest."""
+    from lamapi_spark.pipeline.triples import verb_pattern_triples_inrow
 
-    tr = _trp(spark, sf)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    t = (tr.select("conv_id", "turn_idx",
-                   F.posexplode(toks).alias("pos", "tok"))
-         .withColumn("pos", (F.col("pos") + 1).cast("int"))
-         .withColumn("entity",
-                     F.when(F.col("tok").rlike(_ENT_RE), F.col("tok"))))
-    return (verb_pattern_triples(t, _VERBS)
+    return (verb_pattern_triples_inrow(_trp(spark, sf), _VERBS, _ENT_RE)
             .orderBy("conv_id", "turn_idx", "subj", "pred", "obj"))
 
 

@@ -204,6 +204,18 @@ class TestVerbPatternTriples:
             (3, "c1", "visited", "s2"), (3, "c1", "visited", "s3"),
             (4, "c1", "likes", "s2"),
         }
+        # the zero-shuffle in-row formulation is set-equal to the
+        # join formulation on the same input
+        from lamapi_spark.pipeline.triples import verb_pattern_triples_inrow
+
+        tr = spark.createDataFrame(
+            [(c, t_, x) for c, t_, x in texts],
+            "conv_id string, turn_idx int, text string")
+        inrow = {(r.turn_idx, r.subj, r.pred, r.obj)
+                 for r in verb_pattern_triples_inrow(
+                     tr, ("likes", "met", "visited"),
+                     "^[cs][0-9]+$").collect()}
+        assert inrow == got
 
 
 class TestSftPairs:
