@@ -1,5 +1,6 @@
-"""Streaming twin of the SFT pair export (pipeline/exports.sft_pairs):
-(prompt, response) pairs mined live from a transcript stream.
+"""Streaming twins of the transcript exporters: SFT pairs
+(pipeline/exports.sft_pairs) and dialogue segmentation
+(pipeline/segments.segment_turns) mined live from a transcript stream.
 
 Same session-window carry shape as stream_tool_edges / the coref twin
 (state unit = conversation session, evicted once event time passes
@@ -67,4 +68,61 @@ def stream_sft_pairs(
                 F.col("r.t").alias("response_turn"),
                 F.col("r.u.x").alias("prompt"),
                 F.col("r.x").alias("response"))
+    )
+
+
+def stream_segment_turns(
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.2,
+    gap: str = "2 hours",
+    watermark: str = "4 hours",
+    schema: str = TRANSCRIPT_SCHEMA,
+) -> DataFrame:
+    """Streaming twin of pipeline/segments.segment_turns: topic
+    boundaries computed live per closed conversation session. Same
+    session-window carry shape as the other twins; the lag-Jaccard and
+    the running boundary count both run IN-ARRAY over the session's
+    sorted turns (the similarity expression is the batch operator's
+    exact function composition, so doubles agree bitwise). O(k^2)
+    per session via the nested boundary recount, k = one
+    conversation's turns — bounded by construction.
+
+    -> (conv_id, turn_idx, sim_prev, seg_id) for every turn of every
+    closed session."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    turns = stream.withWatermark("ts", watermark).select(
+        "conv_id", "turn_idx", "text", "ts")
+    per_conv = (
+        turns.groupBy(F.session_window("ts", gap).alias("_w"),
+                      F.col("conv_id"))
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("turn_idx").alias("t"), F.col("text").alias("x"),
+        ))).alias("_occ"))
+        .withColumn("_s", F.transform("_occ", lambda x: F.array_distinct(
+            F.split(F.lower(F.trim(x["x"])), r"\s+"))))
+    )
+
+    def sim_at(i):
+        prev, cur = F.get(F.col("_s"), i - 1), F.get(F.col("_s"), i)
+        return (F.size(F.array_intersect(cur, prev)).cast("double")
+                / F.size(F.array_union(cur, prev)).cast("double"))
+
+    def boundary(j):
+        return (j == F.lit(0)) | (sim_at(j) < F.lit(threshold))
+
+    rows = F.transform(
+        F.col("_occ"),
+        lambda x, i: F.struct(
+            x["t"].alias("t"),
+            F.when(i > 0, sim_at(i)).alias("sim"),
+            F.size(F.filter(F.sequence(F.lit(0), i), boundary))
+            .cast("int").alias("seg"),
+        ),
+    )
+    return (
+        per_conv.select("conv_id", F.explode(rows).alias("r"))
+        .select("conv_id", F.col("r.t").alias("turn_idx"),
+                F.col("r.sim").alias("sim_prev"),
+                F.col("r.seg").alias("seg_id"))
     )

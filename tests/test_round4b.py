@@ -333,6 +333,44 @@ class TestMentionContexts:
         assert got["e2"] == ("said hello to", "yesterday")  # right truncates
 
 
+class TestStreamSegmentTurns:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        """The streaming in-array segmentation equals batch
+        segment_turns row for row over the drained feed, including the
+        null sim on first turns and the double similarity values."""
+        import shutil
+
+        from lamapi_spark.pipeline.segments import segment_turns
+        from lamapi_spark.streaming.exports import stream_segment_turns
+        from lamapi_spark.streaming.sessions import run_available_now
+
+        rows = [
+            ("c", 1, None, None, "alpha beta gamma"),
+            ("c", 2, None, None, "alpha beta delta"),
+            ("c", 3, None, None, "totally different words"),
+            ("c", 4, None, None, "different words again"),
+            ("d", 1, None, None, "solo"),
+        ]
+        tr = (spark.createDataFrame(
+                  rows, "conv_id string, turn_idx int, role string, "
+                        "tool string, text string")
+              .withColumn("ts", F.timestamp_seconds(
+                  F.lit(1700000000) + F.col("turn_idx") * 60)))
+        d = str(tmp_path / "seg_feed")
+        tr.write.parquet(d)
+        got = run_available_now(
+            stream_segment_turns(spark, d, threshold=0.2,
+                                 gap="2 hours", watermark="4 hours"),
+            "t_seg", mode="complete")
+        stream_rows = sorted(map(tuple, got.collect()))
+        batch_rows = sorted(map(tuple, segment_turns(
+            tr.select("conv_id", "turn_idx", "text"),
+            threshold=0.2).collect()))
+        assert stream_rows == batch_rows
+        assert len(stream_rows) == 5
+        shutil.rmtree(d, ignore_errors=True)
+
+
 class TestStreamKgState:
     def test_stream_matches_batch_snapshot(self, spark, tmp_path):
         """The live KG state (streaming/tkg.stream_kg_state) equals the
