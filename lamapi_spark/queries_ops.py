@@ -2530,3 +2530,57 @@ def hybrid_rrf_q(spark, sf):
         "query_id string, embedding array<float>")
     cos = cosine_rank(qv, embed_texts(docs, dims=64), k=20)
     return rrf_fuse([bm, cos], k=10).orderBy("query_id", "rank")
+
+
+# ------------------------------------------------------- exact set join
+
+@register("dedup_setjoin_exact", """
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+  FROM sub
+),
+dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+arr AS (
+  SELECT t.doc_id, list(t.tok ORDER BY d.df, t.tok) AS toks,
+         count(*)::BIGINT AS n
+  FROM toks t JOIN dfreq d ON d.tok = t.tok GROUP BY t.doc_id
+),
+pref AS (
+  SELECT doc_id, unnest(toks[1 : (n - ((3*n + 4) // 5) + 1)::INT]) AS tok
+  FROM arr WHERE n > 0
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+verif AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(x.toks, y.toks))::BIGINT AS inter_n,
+         (x.n + y.n - len(list_intersect(x.toks, y.toks)))::BIGINT AS union_n
+  FROM cand c JOIN arr x ON x.doc_id = c.id_a JOIN arr y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, inter_n, union_n,
+       round_even(inter_n / union_n, 9) AS jacc
+FROM verif WHERE 5*inter_n >= 3*union_n
+ORDER BY id_a, id_b
+""")
+def dedup_setjoin_exact(spark, sf):
+    """EXACT set-similarity self-join (prefix filtering, AllPairs/PPJoin
+    family — ops/setjoin.py): every doc pair with token-set Jaccard
+    >= 3/5, zero false negatives, next to the APPROXIMATE MinHash/SimHash
+    rows. The oracle independently rebuilds the same published algorithm
+    in DuckDB (the candidate filter is lossless, so reconstruction ==
+    brute force; tests/test_ops.py additionally proves the operator
+    equals a literal brute-force all-pairs scan on planted + randomized
+    corpora). doc_id % 5 subsample keeps the verified-pair output
+    bounded for the sf0.1 sweep; the threshold and prefix length are
+    integer arithmetic end to end so no float comparison can disagree
+    between engines."""
+    from lamapi_spark.ops.setjoin import setjoin_jaccard_pairs
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    return (
+        setjoin_jaccard_pairs(docs, "doc_id", "text", taun=3, taud=5)
+        .orderBy("id_a", "id_b")
+    )
