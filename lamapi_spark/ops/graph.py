@@ -814,3 +814,99 @@ def path_pairs(triples: DataFrame,
                                   F.col("b").alias("b2")), "b")
                .select("a", F.col("b2").alias("b")).distinct())
     return acc.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_outer: int = 20, max_inner: int = 40,
+) -> DataFrame:
+    """Converged SCCs of a DIRECTED graph — (node, scc) with scc = the
+    minimum node id in each strongly connected component.
+
+    Distributed forward-backward coloring (Orzan's coloring algorithm —
+    the standard MapReduce/Pregel SCC scheme; Tarjan is inherently
+    sequential). Each outer round:
+
+    1. FORWARD min-label propagation to a fixed point over the
+       remaining graph: color(v) = min id that can reach v. Proof
+       obligations the oracle checks end to end: on any path from a
+       node v with color r to the root r, every intermediate node also
+       has color exactly r (a smaller color c on the path would reach
+       r through the path suffix, contradicting color(r) = r), so
+    2. the BACKWARD reachability from the roots {r : color(r) = r} may
+       be restricted to same-color edges without losing members;
+       SCC(r) = {v : color(v) = r and v reaches r}. Whole components
+       are peeled together (mutually reachable nodes share color and
+       backward-reachability), hence scc = min member id is exact.
+    3. Peel the reached set and repeat on the remainder.
+
+    Every propagation step is one shuffle on the vertex id; rounds are
+    O(log diameter) per fixed point for the min-propagation and
+    O(diameter) for the backward frontier. Peeled frames and the
+    iterated edge frame are localCheckpointed — the same lineage
+    discipline as pipeline/canonicalize.connected_components.
+    """
+    rem_edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    rem_nodes = (
+        rem_edges.select(F.col("src").alias("node"))
+        .unionByName(rem_edges.select(F.col("dst").alias("node")))
+        .distinct().localCheckpoint(eager=True)
+    )
+    assigned: DataFrame | None = None
+    for _o in range(max_outer):
+        if rem_nodes.limit(1).count() == 0:
+            break
+        # 1) color(v) = min id reaching v, hash-min fixed point
+        color = rem_nodes.withColumn("color", F.col("node")).localCheckpoint(eager=True)
+        for _i in range(max_inner):
+            prop = (
+                rem_edges.join(color, rem_edges.src == color.node)
+                .select(F.col("dst").alias("node"), "color")
+            )
+            new = (
+                color.select("node", "color").unionByName(prop)
+                .groupBy("node").agg(F.min("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.alias("n").join(color.alias("o"), "node")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .limit(1).count()
+            )
+            color = new
+            if changed == 0:
+                break
+        # 2) backward frontier from roots within the color class
+        csrc = color.select(F.col("node").alias("src"), F.col("color").alias("_cs"))
+        cdst = color.select(F.col("node").alias("dst"), F.col("color").alias("_cd"))
+        ec = (
+            rem_edges.join(csrc, "src").join(cdst, "dst")
+            .filter(F.col("_cs") == F.col("_cd"))
+            .select("src", "dst").localCheckpoint(eager=True)
+        )
+        reach = color.filter(F.col("node") == F.col("color")).select("node") \
+                     .localCheckpoint(eager=True)
+        frontier = reach
+        for _i in range(max_inner):
+            nxt = (
+                ec.join(frontier, ec.dst == frontier.node)
+                .select(F.col("src").alias("node")).distinct()
+                .join(reach, "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            reach = reach.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        peeled = reach.join(color, "node").select(
+            "node", F.col("color").alias("scc"))
+        assigned = peeled if assigned is None else assigned.unionByName(peeled)
+        assigned = assigned.localCheckpoint(eager=True)
+        rem_nodes = rem_nodes.join(reach, "node", "left_anti") \
+                             .localCheckpoint(eager=True)
+        rem_edges = (
+            rem_edges
+            .join(reach.select(F.col("node").alias("src")), "src", "left_anti")
+            .join(reach.select(F.col("node").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return assigned
