@@ -910,3 +910,69 @@ def strongly_connected_components(
             .localCheckpoint(eager=True)
         )
     return assigned
+
+
+def infer_types(
+    triples: DataFrame, ent_types: DataFrame, scale: int = 10000,
+) -> DataFrame:
+    """Type inference for UNTYPED entities by predicate voting — the KG
+    completion step after schema induction: each (pred, position)
+    learns a type distribution from the TYPED entities it touches, and
+    every occurrence of an untyped entity casts that distribution as a
+    vote; winner = argmax of summed votes (ties -> lexicographically
+    smallest type).
+
+    Votes are integer basis points (c * scale // tot), so the sum and
+    the argmax are engine-exact — no float accumulation order can flip
+    a winner between Spark and a SQL oracle. Entities whose every
+    occurrence rides a predicate/position with NO typed evidence are
+    absent from the output (nothing to vote with).
+
+    -> (ent, inferred_type, votes_bp, n_evidence); n_evidence counts
+    the (triple, position) occurrences that contributed to the winning
+    type's tally.
+
+    Scale shape: two hash aggs learn the distributions (map-side
+    combinable); the vote join keys on (pred, pos) — low cardinality,
+    broadcastable when the schema is small, which is the common case
+    (distributions are one row per (pred, pos, type), independent of
+    corpus size).
+    """
+    t = triples.select("subj", "pred", "obj")
+    ty = ent_types.select("ent", "ent_type")
+
+    def dist(col: str, pos: str) -> DataFrame:
+        typed = t.join(ty.withColumnRenamed("ent", col), col)
+        cnt = typed.groupBy("pred", "ent_type").agg(F.count("*").alias("c"))
+        tot = cnt.groupBy("pred").agg(F.sum("c").alias("tot"))
+        return (cnt.join(tot, "pred")
+                .select("pred", F.lit(pos).alias("pos"), "ent_type",
+                        F.floor(F.col("c") * scale / F.col("tot"))
+                        .cast("long").alias("share_bp")))
+
+    dists = dist("subj", "s").unionByName(dist("obj", "o"))
+    occ = (
+        t.select(F.col("subj").alias("ent"), "pred", F.lit("s").alias("pos"))
+        .unionByName(
+            t.select(F.col("obj").alias("ent"), "pred", F.lit("o").alias("pos")))
+        .join(ty.select("ent"), "ent", "left_anti")
+    )
+    votes = (
+        occ.join(F.broadcast(dists), ["pred", "pos"])
+        .groupBy("ent", "ent_type")
+        .agg(F.sum("share_bp").alias("votes_bp"),
+             F.count("*").alias("n_evidence"))
+    )
+    # window-free argmax: min over struct(-votes, type) = highest tally,
+    # then lexicographically smallest type
+    best = (
+        votes.groupBy("ent")
+        .agg(F.min(F.struct((-F.col("votes_bp")).alias("_nv"),
+                            F.col("ent_type").alias("_t"))).alias("_w"))
+        .select("ent", F.col("_w._t").alias("ent_type"))
+    )
+    return (
+        votes.join(best, ["ent", "ent_type"])
+        .select("ent", F.col("ent_type").alias("inferred_type"),
+                "votes_bp", "n_evidence")
+    )

@@ -986,3 +986,70 @@ def graph_scc(spark, sf):
         strongly_connected_components(edges)
         .orderBy("node")
     )
+
+
+# -------------------------------------------------------- type inference
+
+@register("kg_type_inference", """
+WITH ty_all AS (
+  SELECT 'o' || o_orderkey AS ent,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'rush_order' ELSE 'order' END AS ent_type
+  FROM orders
+  UNION ALL
+  SELECT 'p' || p_partkey,
+         CASE WHEN p_partkey % 13 = 0 THEN 'odd_part' ELSE 'part' END
+  FROM part
+),
+ty AS (  -- VISIBLE types: entities with key % 5 = 1 are hidden (untyped)
+  SELECT ent, ent_type FROM ty_all
+  WHERE substr(ent, 2)::BIGINT % 5 <> 1
+),
+tr AS (
+  SELECT DISTINCT 'o' || l_orderkey AS subj, 'has_part' AS pred,
+         'p' || l_partkey AS obj
+  FROM lineitem WHERE l_orderkey % 3 = 0
+),
+dist AS (
+  SELECT pred, pos, ent_type, (c * 10000 // tot)::BIGINT AS share_bp
+  FROM (
+    SELECT pred, pos, ent_type, c, sum(c) OVER (PARTITION BY pred, pos) AS tot
+    FROM (
+      SELECT t.pred, 's' AS pos, y.ent_type, count(*)::BIGINT AS c
+      FROM tr t JOIN ty y ON y.ent = t.subj GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT t.pred, 'o', y.ent_type, count(*)::BIGINT
+      FROM tr t JOIN ty y ON y.ent = t.obj GROUP BY 1, 2, 3
+    )
+  )
+),
+occ AS (
+  SELECT subj AS ent, pred, 's' AS pos FROM tr
+  UNION ALL
+  SELECT obj, pred, 'o' FROM tr
+),
+votes AS (
+  SELECT o.ent, d.ent_type, sum(d.share_bp)::BIGINT AS votes_bp,
+         count(*)::BIGINT AS n_evidence
+  FROM occ o JOIN dist d ON d.pred = o.pred AND d.pos = o.pos
+  WHERE o.ent NOT IN (SELECT ent FROM ty)
+  GROUP BY 1, 2
+)
+SELECT ent, ent_type AS inferred_type, votes_bp, n_evidence
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY ent
+                           ORDER BY votes_bp DESC, ent_type) = 1
+ORDER BY ent
+""")
+def kg_type_inference(spark, sf):
+    """Type inference for untyped entities by predicate voting
+    (ops/graph.infer_types) — the KG-completion step after schema
+    induction: a deterministic 20% of the schema fixture's entities
+    have their types HIDDEN, and every occurrence of a hidden entity
+    casts the (pred, position) type distribution learned from the
+    still-typed ones as an integer basis-point vote. The oracle
+    recomputes distributions, tallies, and the tie-broken argmax."""
+    from lamapi_spark.ops.graph import infer_types
+
+    tr, ty_all = _schema_fixture(spark, sf)
+    ty = ty_all.filter(F.substring("ent", 2, 100).cast("bigint") % 5 != 1)
+    return infer_types(tr, ty).orderBy("ent")

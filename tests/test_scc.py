@@ -93,3 +93,40 @@ def test_self_loop_and_singleton(spark):
     edges = [("a", "a"), ("a", "b")]
     got = run_op(spark, edges)
     assert got == {"a": "a", "b": "b"}
+
+
+# ---------------------------------------------------- type inference
+
+def test_infer_types_votes_and_ties(spark):
+    from lamapi_spark.ops.graph import infer_types
+
+    # p1's subjects are 2/3 type A, 1/3 type B; p2's subjects are all B.
+    triples = spark.createDataFrame(
+        [("a1", "p1", "x"), ("a2", "p1", "x"), ("b1", "p1", "y"),
+         ("b2", "p2", "y"), ("b3", "p2", "y"),
+         # the untyped entity u: one p1 occurrence, one p2 occurrence
+         ("u", "p1", "x"), ("u", "p2", "y")],
+        "subj string, pred string, obj string")
+    ty = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B"), ("b3", "B"),
+         ("x", "X"), ("y", "X")],
+        "ent string, ent_type string")
+    out = {r.ent: (r.inferred_type, r.votes_bp, r.n_evidence)
+           for r in infer_types(triples, ty).collect()}
+    # u itself is untyped, so the p1 subject distribution is learned
+    # from a1,a2,b1 only: A=6666, B=3333; p2/s from b2,b3: B=10000.
+    # Totals: A=6666, B=13333 -> B wins.
+    assert out["u"] == ("B", 13333, 2)
+
+
+def test_infer_types_tiebreak_lexicographic(spark):
+    from lamapi_spark.ops.graph import infer_types
+
+    triples = spark.createDataFrame(
+        [("a", "p", "x"), ("b", "p", "x"), ("u", "p", "x")],
+        "subj string, pred string, obj string")
+    ty = spark.createDataFrame(
+        [("a", "T2"), ("b", "T1"), ("x", "X")], "ent string, ent_type string")
+    out = {r.ent: r.inferred_type for r in infer_types(triples, ty).collect()}
+    # T1 and T2 each get 5000 bp -> lexicographically smaller T1 wins
+    assert out["u"] == "T1"
