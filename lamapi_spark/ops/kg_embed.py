@@ -378,3 +378,93 @@ def transe_eval_ranks(triples: DataFrame, vecs: DataFrame,
         "subj", "pred", "obj", "true_score_u", "rank",
         (F.col("rank") <= 1).alias("hit1"),
         (F.col("rank") <= 3).alias("hit3"))
+
+
+def distmult_score_vec(triples: DataFrame, vecs: DataFrame) -> DataFrame:
+    """DistMult plausibility (Yang et al. 2015, "Embedding Entities and
+    Relations for Learning and Inference in Knowledge Bases"):
+    score_u = sum_dim h_u * r_u * t_u over the pivoted vector layout —
+    HIGHER is more plausible (the bilinear-diagonal twin of
+    transe_score_vec's lower-is-better L1). Pure integer products and
+    an associative BIGINT sum, so the score replays anywhere; with
+    coordinates clamped to +-clamp_u the per-dim product is bounded by
+    clamp_u^3 (1e9 at the default 1000) — d * clamp_u^3 stays far under
+    2^63. Scoring and evaluation only: DistMult's gradients are
+    coordinate PRODUCTS, not signs, so the integer-exact full-batch GD
+    argument that makes transe_train bit-reproducible does not carry
+    over — training stays TransE, serving can rank under either
+    geometry."""
+    e = vecs.filter(F.col("kind") == "e").drop("kind")
+    r = vecs.filter(F.col("kind") == "r").drop("kind")
+    t = triples.select(
+        F.col("subj").cast("string").alias("subj"),
+        F.col("pred").cast("string").alias("pred"),
+        F.col("obj").cast("string").alias("obj"))
+    j = (t.join(e.select(F.col("id").alias("subj"),
+                         F.col("vec").alias("hv")), "subj")
+         .join(r.select(F.col("id").alias("pred"),
+                        F.col("vec").alias("rv")), "pred")
+         .join(e.select(F.col("id").alias("obj"),
+                        F.col("vec").alias("tv")), "obj"))
+    prods = F.zip_with(
+        F.zip_with(F.col("hv"), F.col("rv"), lambda h, r_: h * r_),
+        F.col("tv"), lambda a, t_: a * t_)
+    return j.select(
+        "subj", "pred", "obj",
+        F.aggregate(prods, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("score_u"))
+
+
+def distmult_eval_ranks(triples: DataFrame, vecs: DataFrame,
+                        n_candidates: int = 16,
+                        salt: str = "distmult-eval") -> DataFrame:
+    """Pooled link-prediction evaluation under DistMult scoring — the
+    transe_eval_ranks protocol with the comparison flipped for a
+    higher-is-better score: rank = 1 + #candidates strictly better
+    (cand_u > true_u, ties breaking against the true tail only on
+    smaller id). Same scale shape: a broadcast md5-smallest candidate
+    pool, in-array folds, one per-triple aggregation.
+
+    -> (subj, pred, obj, true_score_u, rank, hit1, hit3)."""
+    ents = vecs.filter(F.col("kind") == "e")
+    cand = (ents
+            .withColumn("_hk", _h48(F.concat(F.col("id"),
+                                             F.lit("|" + salt))))
+            .orderBy("_hk", "id").limit(n_candidates)
+            .select(F.col("id").alias("cand_id"),
+                    F.col("vec").alias("cv")))
+    rels = vecs.filter(F.col("kind") == "r").drop("kind")
+    t = triples.select(
+        F.col("subj").cast("string").alias("subj"),
+        F.col("pred").cast("string").alias("pred"),
+        F.col("obj").cast("string").alias("obj"))
+    base = (t.join(ents.select(F.col("id").alias("subj"),
+                               F.col("vec").alias("hv")), "subj")
+            .join(rels.select(F.col("id").alias("pred"),
+                              F.col("vec").alias("rv")), "pred")
+            .join(ents.select(F.col("id").alias("obj"),
+                              F.col("vec").alias("tv")), "obj"))
+
+    def _dm(tail_vec):
+        return F.aggregate(
+            F.zip_with(F.zip_with(F.col("hv"), F.col("rv"),
+                                  lambda h, r: h * r),
+                       tail_vec, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    scored = (base.join(F.broadcast(cand))
+              .withColumn("true_u", _dm(F.col("tv")))
+              .withColumn("cand_u", _dm(F.col("cv")))
+              .withColumn("_beats", F.when(
+                  (F.col("cand_id") != F.col("obj"))
+                  & ((F.col("cand_u") > F.col("true_u"))
+                     | ((F.col("cand_u") == F.col("true_u"))
+                        & (F.col("cand_id") < F.col("obj")))),
+                  1).otherwise(0)))
+    out = (scored.groupBy("subj", "pred", "obj")
+           .agg(F.min("true_u").alias("true_score_u"),
+                (F.lit(1) + F.sum("_beats")).cast("long").alias("rank")))
+    return out.select(
+        "subj", "pred", "obj", "true_score_u", "rank",
+        (F.col("rank") <= 1).alias("hit1"),
+        (F.col("rank") <= 3).alias("hit3"))

@@ -1053,3 +1053,68 @@ def kg_type_inference(spark, sf):
     tr, ty_all = _schema_fixture(spark, sf)
     ty = ty_all.filter(F.substring("ent", 2, 100).cast("bigint") % 5 != 1)
     return infer_types(tr, ty).orderBy("ent")
+
+
+# -------------------------------------------------------------- DistMult
+
+_DISTMULT_RANKS_SQL = _TRANSE_TN_SQL + f""",
+cand AS MATERIALIZED (
+  SELECT id AS cand_id FROM (SELECT DISTINCT id FROM emb0 WHERE kind = 'e')
+  ORDER BY ('0x' || substr(md5(id || '|distmult-eval'), 1, 12))::BIGINT, id
+  LIMIT {_TRANSE_EVAL_N}),
+tt AS (SELECT DISTINCT subj, pred, obj FROM tn),
+true_s AS MATERIALIZED (
+  SELECT t.subj, t.pred, t.obj,
+         sum(eh.w_u * er.w_u * et.w_u)::BIGINT AS true_u
+  FROM tt t
+  JOIN emb0 eh ON eh.kind = 'e' AND eh.id = t.subj
+  JOIN emb0 er ON er.kind = 'r' AND er.id = t.pred AND er.dim = eh.dim
+  JOIN emb0 et ON et.kind = 'e' AND et.id = t.obj AND et.dim = eh.dim
+  GROUP BY 1, 2, 3),
+cand_s AS MATERIALIZED (
+  SELECT t.subj, t.pred, t.obj, c.cand_id,
+         sum(eh.w_u * er.w_u * ec.w_u)::BIGINT AS cand_u
+  FROM tt t CROSS JOIN cand c
+  JOIN emb0 eh ON eh.kind = 'e' AND eh.id = t.subj
+  JOIN emb0 er ON er.kind = 'r' AND er.id = t.pred AND er.dim = eh.dim
+  JOIN emb0 ec ON ec.kind = 'e' AND ec.id = c.cand_id AND ec.dim = eh.dim
+  GROUP BY 1, 2, 3, 4)
+SELECT s.subj, s.pred, s.obj, s.true_u AS true_score_u,
+       (1 + sum(CASE WHEN c.cand_id <> s.obj
+                      AND (c.cand_u > s.true_u
+                           OR (c.cand_u = s.true_u AND c.cand_id < s.obj))
+                THEN 1 ELSE 0 END))::BIGINT AS rank,
+       (1 + sum(CASE WHEN c.cand_id <> s.obj
+                      AND (c.cand_u > s.true_u
+                           OR (c.cand_u = s.true_u AND c.cand_id < s.obj))
+                THEN 1 ELSE 0 END)) <= 1 AS hit1,
+       (1 + sum(CASE WHEN c.cand_id <> s.obj
+                      AND (c.cand_u > s.true_u
+                           OR (c.cand_u = s.true_u AND c.cand_id < s.obj))
+                THEN 1 ELSE 0 END)) <= 3 AS hit3
+FROM true_s s
+JOIN cand_s c ON c.subj = s.subj AND c.pred = s.pred AND c.obj = s.obj
+GROUP BY s.subj, s.pred, s.obj, s.true_u
+ORDER BY s.subj, s.pred, s.obj"""
+
+
+@register("kg_distmult_ranks", _DISTMULT_RANKS_SQL)
+def kg_distmult_ranks(spark, sf):
+    """Pooled link-prediction evaluation under DISTMULT scoring
+    (ops/kg_embed.py:distmult_eval_ranks) — the bilinear-diagonal
+    higher-is-better twin of kg_transe_ranks, over the md5-initialized
+    embedding grid (scoring/eval only: DistMult's product gradients
+    have no integer-exact full-batch GD, see the operator docstring).
+    Every triple's rank, hit@1, hit@3 against the 16-entity
+    md5-smallest pool is individually oracle-checked."""
+    from lamapi_spark.ops.kg_embed import (
+        distmult_eval_ranks, embedding_vectors, transe_init,
+    )
+
+    tn = _transe_tn(spark, sf)
+    emb = transe_init(tn, d=_TRANSE_D, init_u=_TRANSE_INIT)
+    triples = (tn.filter(F.col("neg_obj").isNotNull())
+               .select("subj", "pred", "obj").distinct())
+    return (distmult_eval_ranks(triples, embedding_vectors(emb),
+                                n_candidates=_TRANSE_EVAL_N)
+            .orderBy("subj", "pred", "obj"))

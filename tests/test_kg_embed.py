@@ -154,3 +154,39 @@ def test_eval_ranks_semantics(spark):
     mean = lambda rows: sum(r.rank for r in rows) / len(rows)  # noqa: E731
     out0 = transe_eval_ranks(triples, vecs0, n_candidates=8).collect()
     assert mean(out) <= mean(out0)
+
+
+# ----------------------------------------------------------- DistMult
+
+def test_distmult_score_hand_values(spark):
+    from lamapi_spark.ops.kg_embed import distmult_score_vec
+
+    vecs = spark.createDataFrame(
+        [("e", "h", [1, 2, 3]), ("e", "t", [4, -5, 6]),
+         ("r", "p", [2, 0, 1])],
+        "kind string, id string, vec array<bigint>")
+    tr = spark.createDataFrame([("h", "p", "t")],
+                               "subj string, pred string, obj string")
+    [row] = distmult_score_vec(tr, vecs).collect()
+    # 1*2*4 + 2*0*(-5) + 3*1*6 = 8 + 0 + 18 = 26
+    assert row.score_u == 26
+
+
+def test_distmult_ranks_protocol(spark):
+    from lamapi_spark.ops.kg_embed import distmult_eval_ranks
+
+    # candidate pool = ALL entities (n_candidates large); tail 'best'
+    # maximizes the product, so the triple ranks 1 and hits at 1
+    vecs = spark.createDataFrame(
+        [("e", "h", [1, 1]), ("e", "best", [9, 9]),
+         ("e", "mid", [2, 2]), ("e", "worst", [-9, -9]),
+         ("r", "p", [1, 1])],
+        "kind string, id string, vec array<bigint>")
+    tr = spark.createDataFrame(
+        [("h", "p", "best"), ("h", "p", "worst")],
+        "subj string, pred string, obj string")
+    out = {r.obj: (r.rank, r.hit1, r.hit3)
+           for r in distmult_eval_ranks(tr, vecs, n_candidates=10).collect()}
+    assert out["best"] == (1, True, True)
+    # worst is beaten by best, mid, h (products 2*18, 2*4, 2*2 > -36)
+    assert out["worst"][0] == 4 and not out["worst"][1]
