@@ -1118,3 +1118,91 @@ def kg_distmult_ranks(spark, sf):
     return (distmult_eval_ranks(triples, embedding_vectors(emb),
                                 n_candidates=_TRANSE_EVAL_N)
             .orderBy("subj", "pred", "obj"))
+
+
+# ----------------------------------------------------- coherence rerank
+
+@register("kg_coherence_rerank", """
+WITH m AS (  -- mentions: lineitems of every 13th order; 3 candidates each
+  -- (orderkey, linenumber) is not unique in the synthetic lineitem:
+  -- collapse to min(partkey) so the mention key is unique
+  SELECT l_orderkey AS group_id, l_linenumber AS mention_id,
+         min(l_partkey) AS true_part
+  FROM lineitem WHERE l_orderkey % 13 = 0
+  GROUP BY 1, 2
+),
+cands AS (
+  SELECT group_id, mention_id, 'p' || (true_part + d.off) AS cand_id,
+         ('0x' || substr(md5(group_id || '|' || mention_id || '|p'
+                             || (true_part + d.off)), 1, 12))::BIGINT % 100
+           AS base_score_u
+  FROM m CROSS JOIN (SELECT unnest([0, 1, 2]) AS off) d
+),
+edges AS (  -- KG: parts co-ordered in every 3rd order (p_a < p_b once)
+  SELECT DISTINCT 'p' || a.l_partkey AS a, 'p' || b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 3 = 0
+),
+sym AS (SELECT a AS x, b AS y FROM edges UNION SELECT b, a FROM edges),
+support AS (
+  SELECT DISTINCT c.group_id, c.mention_id, c.cand_id, c2.mention_id AS m2
+  FROM cands c
+  JOIN sym s ON s.x = c.cand_id
+  JOIN cands c2 ON c2.group_id = c.group_id AND c2.cand_id = s.y
+  WHERE c2.mention_id <> c.mention_id
+),
+votes AS (
+  SELECT group_id, mention_id, cand_id, count(*)::BIGINT AS votes
+  FROM support GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT c.group_id, c.mention_id, c.cand_id, c.base_score_u,
+         coalesce(v.votes, 0)::BIGINT AS votes,
+         (c.base_score_u + 1000 * coalesce(v.votes, 0))::BIGINT AS final_u
+  FROM cands c LEFT JOIN votes v
+    ON v.group_id = c.group_id AND v.mention_id = c.mention_id
+   AND v.cand_id = c.cand_id
+)
+SELECT group_id, mention_id, cand_id, base_score_u, votes, final_u
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY group_id, mention_id
+                           ORDER BY final_u DESC, cand_id) = 1
+ORDER BY group_id, mention_id
+""")
+def kg_coherence_rerank(spark, sf):
+    """Collective entity linking (pipeline/coherence.coherence_rerank):
+    per-mention candidate lists reranked by KG coherence — a candidate
+    connected to OTHER mentions' candidates in the same conversation
+    collects one vote per distinct supporting mention, votes dominate
+    the (deliberately noisy) md5 base score. Synth plants the signal:
+    each mention's true part plus two +1/+2 decoys, KG edges = parts
+    actually co-ordered — so the true candidates support each other and
+    the decoys are isolated. The oracle recomputes edges, supporter
+    sets, tallies, and the tie-broken winner per mention."""
+    from lamapi_spark.functions.hashing import h48
+    from lamapi_spark.pipeline.coherence import coherence_rerank
+
+    li = load(spark, sf, "lineitem")
+    m = (li.filter(F.col("l_orderkey") % 13 == 0)
+         .groupBy(F.col("l_orderkey").alias("group_id"),
+                  F.col("l_linenumber").alias("mention_id"))
+         .agg(F.min("l_partkey").alias("true_part")))
+    offs = spark.range(3).select(F.col("id").cast("int").alias("off"))
+    cands = (m.crossJoin(F.broadcast(offs))
+             .select("group_id", "mention_id",
+                     F.concat(F.lit("p"),
+                              F.col("true_part") + F.col("off")).alias("cand_id"))
+             .withColumn("base_score_u",
+                         h48(F.concat_ws("|", "group_id", "mention_id",
+                                         "cand_id")) % 100))
+    a = li.filter(F.col("l_orderkey") % 3 == 0).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pb"))
+    edges = (a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+             .select(F.concat(F.lit("p"), F.col("pa")).alias("a"),
+                     F.concat(F.lit("p"), F.col("pb")).alias("b"))
+             .distinct())
+    return (coherence_rerank(cands, edges, vote_scale=1000)
+            .orderBy("group_id", "mention_id"))

@@ -1,0 +1,57 @@
+"""Collective linking (pipeline/coherence.coherence_rerank): coherence
+votes flip a base-score-preferred wrong candidate; supporter mentions
+count once regardless of parallel edges / multiple candidate paths."""
+
+from __future__ import annotations
+
+from lamapi_spark.pipeline.coherence import coherence_rerank
+
+
+def run(spark, cands, edges, vote_scale=1000):
+    c = spark.createDataFrame(
+        cands, "group_id string, mention_id bigint, cand_id string, "
+               "base_score_u bigint")
+    e = spark.createDataFrame(edges, "a string, b string")
+    out = coherence_rerank(c, e, vote_scale=vote_scale).collect()
+    return {(r.group_id, r.mention_id): (r.cand_id, r.votes, r.final_u)
+            for r in out}
+
+
+def test_coherence_flips_popular_but_wrong_sense(spark):
+    # mention 1 "paris": city (right in context) vs person (higher base);
+    # mentions 2 and 3 resolve to france/seine which the KG ties to the city
+    cands = [
+        ("c1", 1, "paris_city", 10), ("c1", 1, "paris_person", 90),
+        ("c1", 2, "france", 50),
+        ("c1", 3, "seine", 50),
+    ]
+    edges = [("paris_city", "france"), ("paris_city", "seine")]
+    got = run(spark, cands, edges)
+    # city: 2 supporter mentions -> 10 + 2000; person: 0 -> 90
+    assert got[("c1", 1)] == ("paris_city", 2, 2010)
+    assert got[("c1", 2)] == ("france", 1, 1050)
+
+
+def test_supporters_count_once_per_mention(spark):
+    # m2 offers TWO candidates both adjacent to x, plus a parallel edge:
+    # still one vote (distinct supporting mentions, not edge paths)
+    cands = [
+        ("g", 1, "x", 0), ("g", 1, "y", 5),
+        ("g", 2, "n1", 0), ("g", 2, "n2", 0),
+    ]
+    edges = [("x", "n1"), ("x", "n2"), ("n1", "x")]
+    got = run(spark, cands, edges)
+    assert got[("g", 1)] == ("x", 1, 1000)
+
+
+def test_no_cross_group_support_and_tiebreak(spark):
+    # the only edge partner lives in ANOTHER group -> no vote; with all
+    # scores level the smallest cand_id wins
+    cands = [
+        ("g1", 1, "a", 7), ("g1", 1, "b", 7),
+        ("g2", 1, "n", 7),
+    ]
+    edges = [("a", "n")]
+    got = run(spark, cands, edges)
+    assert got[("g1", 1)] == ("a", 0, 7)
+    assert got[("g2", 1)] == ("n", 0, 7)
