@@ -976,3 +976,42 @@ def infer_types(
         .select("ent", F.col("ent_type").alias("inferred_type"),
                 "votes_bp", "n_evidence")
     )
+
+
+def sssp_bounded(
+    edges: DataFrame, seeds: DataFrame, k: int = 4,
+    checkpoint_every: int | None = 1,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths, bounded to <= k edges —
+    k rounds of Bellman-Ford relaxation over (src, dst, w) with BIGINT
+    weights. The weighted sibling of bfs_distances (hop counts) and the
+    same fixed-iteration determinism contract as pagerank_fixed_point:
+    dist_k(v) = min total weight over paths of at most k edges from any
+    seed, a pure function of (edges, seeds, k) — so a SQL oracle unrolls
+    the identical k rounds and every distance matches exactly, with no
+    convergence coupling between engines.
+
+    Each round is one shuffled join on the frontier's node ids plus a
+    map-side-combinable min aggregation; the dist frame is bounded by
+    the node count (never by path count — relaxation folds immediately).
+    ``checkpoint_every`` truncates lineage per round (the canonicalize
+    discipline); None for short-lived contract queries.
+
+    -> (node, dist); nodes unreachable within k edges are absent.
+    """
+    e = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    if checkpoint_every is not None:
+        e = e.localCheckpoint(eager=True)
+    d = seeds.select("node").distinct().withColumn(
+        "dist", F.lit(0).cast("long"))
+    for i in range(k):
+        relax = (
+            e.join(d, e.src == d.node)
+            .select(F.col("dst").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        d = (d.unionByName(relax)
+             .groupBy("node").agg(F.min("dist").alias("dist")))
+        if checkpoint_every is not None and (i + 1) % checkpoint_every == 0:
+            d = d.localCheckpoint(eager=True)
+    return d

@@ -1206,3 +1206,55 @@ def kg_coherence_rerank(spark, sf):
              .distinct())
     return (coherence_rerank(cands, edges, vote_scale=1000)
             .orderBy("group_id", "mention_id"))
+
+
+# ------------------------------------------------------- weighted SSSP
+
+_SSSP_K = 4
+
+def _sssp_round_sql(j: int) -> str:
+    p = f"d{j - 1}"
+    return f""",
+d{j} AS MATERIALIZED (
+  SELECT node, min(dist)::BIGINT AS dist FROM (
+    SELECT node, dist FROM {p}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM {p} d JOIN wedges e ON e.src = d.node)
+  GROUP BY node)"""
+
+
+@register("graph_sssp_bounded", f"""
+WITH {_EDGES_SQL},
+wedges AS (
+  SELECT src, dst,
+         (('0x' || substr(md5(src || '>' || dst), 1, 12))::BIGINT % 9 + 1)
+           AS w
+  FROM edges
+),
+d0 AS (
+  SELECT DISTINCT src AS node, 0::BIGINT AS dist FROM wedges
+  WHERE src LIKE 'c%' AND substr(src, 2)::BIGINT % 100 = 0
+)""" + "".join(_sssp_round_sql(j) for j in range(1, _SSSP_K + 1)) + f"""
+SELECT node, dist FROM d{_SSSP_K} ORDER BY node
+""")
+def graph_sssp_bounded(spark, sf):
+    """Multi-source weighted shortest paths bounded to {4} edges
+    (ops/graph.sssp_bounded — k rounds of Bellman-Ford relaxation,
+    BIGINT weights) over the shared symmetric trade graph with
+    md5-derived edge weights and every 100th customer as a seed. The
+    oracle unrolls the same 4 rounds CTE by CTE, so every distance is
+    value-checked with no convergence coupling."""
+    from lamapi_spark.functions.hashing import h48
+    from lamapi_spark.ops.graph import sssp_bounded
+
+    e = _edges(spark, sf).select(
+        "src", "dst",
+        (h48(F.concat(F.col("src"), F.lit(">"), F.col("dst"))) % 9 + 1)
+        .alias("w"))
+    seeds = (e.select("src").distinct()
+             .filter(F.col("src").startswith("c")
+                     & (F.substring("src", 2, 100).cast("bigint") % 100 == 0))
+             .select(F.col("src").alias("node")))
+    return (sssp_bounded(e, seeds, k=_SSSP_K, checkpoint_every=None)
+            .orderBy("node"))

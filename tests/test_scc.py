@@ -130,3 +130,54 @@ def test_infer_types_tiebreak_lexicographic(spark):
     out = {r.ent: r.inferred_type for r in infer_types(triples, ty).collect()}
     # T1 and T2 each get 5000 bp -> lexicographically smaller T1 wins
     assert out["u"] == "T1"
+
+
+# ------------------------------------------------------ bounded SSSP
+
+def test_sssp_bounded_vs_brute_force(spark):
+    import random
+
+    from lamapi_spark.ops.graph import sssp_bounded
+
+    rng = random.Random(11)
+    nodes = [f"v{i}" for i in range(12)]
+    edges = sorted({(rng.choice(nodes), rng.choice(nodes),
+                     rng.randint(1, 9)) for _ in range(30)})
+    edges = [e for e in edges if e[0] != e[1]]
+    seeds = ["v0", "v5"]
+    K = 3
+
+    # brute force: enumerate every path of <= K edges from each seed
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    best = {s: 0 for s in seeds}
+    frontier = {s: 0 for s in seeds}
+    for _ in range(K):
+        nxt = {}
+        for u, du in frontier.items():
+            for v, w in adj.get(u, []):
+                nd = du + w
+                if nd < nxt.get(v, 1 << 60):
+                    nxt[v] = nd
+        for v, dv in nxt.items():
+            if dv < best.get(v, 1 << 60):
+                best[v] = dv
+        frontier = nxt
+    e = spark.createDataFrame(edges, "src string, dst string, w bigint")
+    sd = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {r.node: r.dist for r in sssp_bounded(e, sd, k=K).collect()}
+    assert got == best
+
+
+def test_sssp_relaxation_prefers_cheap_long_path(spark):
+    from lamapi_spark.ops.graph import sssp_bounded
+
+    # direct edge costs 10; two-hop detour costs 2 -> detour wins at k>=2
+    e = spark.createDataFrame(
+        [("s", "t", 10), ("s", "m", 1), ("m", "t", 1)],
+        "src string, dst string, w bigint")
+    sd = spark.createDataFrame([("s",)], "node string")
+    one = {r.node: r.dist for r in sssp_bounded(e, sd, k=1).collect()}
+    two = {r.node: r.dist for r in sssp_bounded(e, sd, k=2).collect()}
+    assert one["t"] == 10 and two["t"] == 2
