@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lamapi_spark.operators.lookup import lookup
+from lamapi_spark.pipeline.canonicalize import connected_components
 
 def link_score_col():
     return F.col("ed_score") + F.col("jaccard_score") + F.col("jaccardNgram_score")
@@ -110,3 +111,36 @@ def link_mentions(
                 "entity", F.coalesce("link_score", F.lit(0.0)).alias("link_score"), "nil")
     )
     return linked
+
+
+def nil_clusters(surfaces: DataFrame, taun: int = 3, taud: int = 5) -> DataFrame:
+    """Cross-conversation NIL clustering — the canonicalization step for
+    the mentions linking COULDN'T resolve: NIL surfaces that likely
+    denote the same unseen entity collapse to one cluster id, so the
+    emitted triples still co-refer ("J. Smith" / "J Smith" / "Smith"
+    across conversations get ONE NIL node instead of three).
+
+    Composition of two existing primitives, no new algorithm: exact
+    token-set Jaccard pairs (ops/setjoin.setjoin_jaccard_pairs — the
+    lossless prefix-filter join; surfaces act as both id and content)
+    feed the converged CC loop (canonicalize.connected_components — the
+    same loop sameas edges ride). cluster_id = lexicographically
+    smallest member surface; surfaces with no >= tau neighbor cluster
+    to themselves.
+
+    -> (surface, cluster_id), one row per distinct input surface.
+    """
+    from lamapi_spark.ops.setjoin import setjoin_jaccard_pairs
+
+    surf = surfaces.select("surface").distinct()
+    pairs = setjoin_jaccard_pairs(surf, id_col="surface",
+                                  text_col="surface",
+                                  taun=taun, taud=taud)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")))
+    return (
+        surf.join(comp.withColumnRenamed("entity", "surface"),
+                  "surface", "left")
+        .select("surface",
+                F.coalesce("component", "surface").alias("cluster_id"))
+    )

@@ -1258,3 +1258,69 @@ def graph_sssp_bounded(spark, sf):
              .select(F.col("src").alias("node")))
     return (sssp_bounded(e, seeds, k=_SSSP_K, checkpoint_every=None)
             .orderBy("node"))
+
+
+# --------------------------------------------------------- NIL clusters
+
+@register("kg_nil_clusters", """
+WITH RECURSIVE surf AS (
+  SELECT DISTINCT surface FROM (
+    SELECT lower(p_name || ' ' || p_brand) AS surface FROM part
+    UNION ALL
+    SELECT lower(p_name) FROM part WHERE p_partkey % 3 = 0
+  )
+),
+toks AS (
+  SELECT surface, unnest(list_distinct(string_split(surface, ' '))) AS tok
+  FROM surf
+),
+dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+arr AS (
+  SELECT t.surface, list(t.tok ORDER BY d.df, t.tok) AS toks,
+         count(*)::BIGINT AS n
+  FROM toks t JOIN dfreq d ON d.tok = t.tok GROUP BY t.surface
+),
+pref AS (
+  SELECT surface, unnest(toks[1 : (n - ((3*n + 4) // 5) + 1)::INT]) AS tok
+  FROM arr WHERE n > 0
+),
+cand AS (
+  SELECT DISTINCT a.surface AS id_a, b.surface AS id_b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.surface < b.surface
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN arr x ON x.surface = c.id_a
+              JOIN arr y ON y.surface = c.id_b
+  WHERE 5 * len(list_intersect(x.toks, y.toks))
+        >= 3 * (x.n + y.n - len(list_intersect(x.toks, y.toks)))
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT s.surface, least(s.surface, coalesce(min(r.r), s.surface)) AS cluster_id
+FROM surf s LEFT JOIN reach r ON r.node = s.surface
+GROUP BY s.surface ORDER BY s.surface
+""")
+def kg_nil_clusters(spark, sf):
+    """Cross-conversation NIL clustering (pipeline/linking.nil_clusters):
+    unresolved surfaces pair by EXACT token-set Jaccard >= 3/5 (the
+    prefix-filter setjoin) and collapse under the converged CC loop to
+    one NIL node per real-world entity. Surface synth plants the shape:
+    '<name> <brand>' surfaces star around their bare '<name>' variant
+    (J = 2/3) while sibling brands stay apart (J = 1/2) — 64 name
+    clusters whose membership the oracle re-derives with the
+    reconstruction setjoin + full recursive reachability."""
+    from lamapi_spark.pipeline.linking import nil_clusters
+
+    p = load(spark, sf, "part")
+    surfaces = (p.select(F.lower(F.concat_ws(" ", "p_name", "p_brand"))
+                         .alias("surface"))
+                .unionByName(p.filter(F.col("p_partkey") % 3 == 0)
+                             .select(F.lower(F.col("p_name"))
+                                     .alias("surface"))))
+    return nil_clusters(surfaces, taun=3, taud=5).orderBy("surface")

@@ -55,3 +55,22 @@ def test_no_cross_group_support_and_tiebreak(spark):
     got = run(spark, cands, edges)
     assert got[("g1", 1)] == ("a", 0, 7)
     assert got[("g2", 1)] == ("n", 0, 7)
+
+
+# ------------------------------------------------------- NIL clusters
+
+def test_nil_clusters_transitive_and_singleton(spark):
+    from lamapi_spark.pipeline.linking import nil_clusters
+
+    surfaces = spark.createDataFrame(
+        [("j smith",), ("j smith jr",), ("j smith jr esq",),
+         ("totally other person",), ("j smith",)],  # dup collapses
+        "surface string")
+    got = {r.surface: r.cluster_id
+           for r in nil_clusters(surfaces, taun=1, taud=2).collect()}
+    # chain: "j smith" ~ "j smith jr" (2/3) ~ "j smith jr esq" (3/4);
+    # ends J("j smith","j smith jr esq") = 2/4 = tau -> also pairs at 1/2;
+    # transitive closure puts all three in min-member cluster
+    assert got["j smith"] == got["j smith jr"] == got["j smith jr esq"] == "j smith"
+    assert got["totally other person"] == "totally other person"
+    assert len(got) == 4
