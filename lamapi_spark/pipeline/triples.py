@@ -223,3 +223,47 @@ def verb_pattern_triples_inrow(transcripts: DataFrame,
         .select("conv_id", "turn_idx", "t.subj", "t.pred", "t.obj")
         .distinct()
     )
+
+
+def tool_sequence_ngrams(transcripts: DataFrame, k: int = 2) -> DataFrame:
+    """Frequent tool-invocation sequences over agent transcripts: the
+    ordered tool calls of each conversation (role='tool' turns, turn_idx
+    order) are mined for contiguous k-grams — the workflow-pattern
+    question an agent-transcript corpus answers ("which tool chains do
+    agents actually run?").
+
+    Zero-shuffle formulation past the one per-conversation aggregation:
+    the ordered tool array is assembled with the standard
+    (collect_list -> array_sort -> transform) fold — arrival-order
+    independent — and k-gram extraction is an in-row slice loop, so no
+    exploded token stream ever shuffles. The final pattern count is a
+    map-side-combinable agg over at most |tools|^k distinct patterns.
+
+    -> (pattern, k, n_convs, n_occ): distinct conversations containing
+    the chain and total occurrences (overlapping counted), pattern as
+    'a>b>...'.
+    """
+    seq = (
+        transcripts.filter(F.col("role") == "tool")
+        .filter(F.col("tool").isNotNull())
+        .groupBy("conv_id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "tool"))),
+            lambda s: s["tool"]).alias("_tools"))
+    )
+    n = F.size("_tools")
+    # guard: F.sequence(1, stop) DESCENDS when stop < 1 (it would emit
+    # [1, 0] — two bogus short grams), so conversations with fewer than
+    # k tool calls must yield an explicitly empty gram array
+    grams = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.concat_ws(">", F.slice("_tools", i, k)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        seq.select("conv_id", F.explode(grams).alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.lit(k).cast("int").alias("k"),
+             F.countDistinct("conv_id").alias("n_convs"),
+             F.count("*").alias("n_occ"))
+    )

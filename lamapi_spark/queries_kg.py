@@ -510,3 +510,65 @@ def kg_window_cooc(spark, sf):
             .groupBy("subj", "obj")
             .agg(F.count("*").alias("n_cooc"))
             .orderBy("subj", "obj"))
+
+
+# ------------------------------------------------- tool-sequence mining
+
+_TOOLSEQ_SQL = """
+trt AS (
+  SELECT 'c' || o_custkey AS conv_id,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey)::INT AS turn_idx,
+         CASE WHEN o_orderkey % 2 = 1 THEN 'tool' ELSE 'user' END AS role,
+         CASE WHEN o_orderkey % 2 = 1 THEN
+           ['search', 'lookup', 'calc', 'fetch'][(o_orderkey % 8 + 1) // 2]
+         END AS tool
+  FROM orders
+),
+seq AS (
+  SELECT conv_id, list(tool ORDER BY turn_idx) AS tools
+  FROM trt WHERE role = 'tool' AND tool IS NOT NULL GROUP BY conv_id
+)"""
+
+
+def _toolseq_gram_sql(k: int) -> str:
+    return f"""
+SELECT unnest(CASE WHEN len(tools) >= {k} THEN
+         list_transform(range(1, len(tools) - {k} + 2),
+                        i -> array_to_string(tools[i : i + {k} - 1], '>'))
+       ELSE [] END) AS pattern, {k} AS k, conv_id
+FROM seq"""
+
+
+@register("kg_tool_ngrams", f"""
+WITH {_TOOLSEQ_SQL},
+grams AS ({_toolseq_gram_sql(2)} UNION ALL {_toolseq_gram_sql(3)})
+SELECT pattern, k::INT AS k, count(DISTINCT conv_id)::BIGINT AS n_convs,
+       count(*)::BIGINT AS n_occ
+FROM grams GROUP BY pattern, k ORDER BY pattern, k
+""")
+def kg_tool_ngrams(spark, sf):
+    """Frequent tool-invocation chains over agent transcripts
+    (pipeline/triples.tool_sequence_ngrams): per-conversation ordered
+    tool calls mined for 2- and 3-grams with conversation support and
+    overlapping occurrence counts — the in-row slice-loop formulation
+    (no exploded token shuffle; one agg per k). Synth rotates four tool
+    names on odd turns; the oracle replays the sequence assembly and
+    every gram count."""
+    from lamapi_spark.pipeline.triples import tool_sequence_ngrams
+
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    names = F.array(F.lit("search"), F.lit("lookup"),
+                    F.lit("calc"), F.lit("fetch"))
+    trt = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.when(F.col("o_orderkey") % 2 == 1, F.lit("tool"))
+        .otherwise(F.lit("user")).alias("role"),
+        F.when(F.col("o_orderkey") % 2 == 1,
+               F.element_at(names, ((F.col("o_orderkey") % 8 + 1) / 2)
+                            .cast("int"))).alias("tool"))
+    out2 = tool_sequence_ngrams(trt, k=2)
+    out3 = tool_sequence_ngrams(trt, k=3)
+    return out2.unionByName(out3).orderBy("pattern", "k")

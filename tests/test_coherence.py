@@ -74,3 +74,27 @@ def test_nil_clusters_transitive_and_singleton(spark):
     assert got["j smith"] == got["j smith jr"] == got["j smith jr esq"] == "j smith"
     assert got["totally other person"] == "totally other person"
     assert len(got) == 4
+
+
+# --------------------------------------------------- tool-seq n-grams
+
+def test_tool_ngrams_counts_and_short_convs(spark):
+    from lamapi_spark.pipeline.triples import tool_sequence_ngrams
+
+    rows = [
+        # conv A: a>b>a>b  (2-grams: a>b x2, b>a x1)
+        ("A", 1, "tool", "a"), ("A", 2, "tool", "b"),
+        ("A", 3, "tool", "a"), ("A", 4, "tool", "b"),
+        # conv B: a>b (one 2-gram); non-tool rows ignored
+        ("B", 1, "tool", "a"), ("B", 2, "user", None), ("B", 3, "tool", "b"),
+        # conv C: single call -> no 2-grams at all
+        ("C", 1, "tool", "a"),
+    ]
+    trt = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string")
+    got = {r.pattern: (r.n_convs, r.n_occ)
+           for r in tool_sequence_ngrams(trt, k=2).collect()}
+    assert got == {"a>b": (2, 3), "b>a": (1, 1)}
+    got3 = {r.pattern: (r.n_convs, r.n_occ)
+            for r in tool_sequence_ngrams(trt, k=3).collect()}
+    assert got3 == {"a>b>a": (1, 1), "b>a>b": (1, 1)}
