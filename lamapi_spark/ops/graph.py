@@ -1015,3 +1015,43 @@ def sssp_bounded(
         if checkpoint_every is not None and (i + 1) % checkpoint_every == 0:
             d = d.localCheckpoint(eager=True)
     return d
+
+
+def k_core(edges: DataFrame, k: int = 2, rounds: int = 12) -> DataFrame:
+    """Fixed-round k-core peel over an UNDIRECTED edge set (a, b): each
+    round drops every node whose degree within the surviving subgraph
+    is < k, exactly ``rounds`` times — the fixed-iteration determinism
+    contract (pagerank_fixed_point / sssp_bounded): the result is a
+    pure function of (edges, k, rounds), so a SQL oracle unrolls the
+    identical rounds and every surviving node matches, with no
+    convergence coupling between engines. ``rounds`` is chosen >= the
+    peel depth of the data (the contract query's pytest twin runs the
+    loop to an asserted fixed point; peel depth is bounded by the
+    degeneracy ordering length, log-ish in practice).
+
+    Each round is one map-side-combinable degree agg + two semi-joins
+    that shrink the edge frame; localCheckpoint truncates the per-round
+    lineage. Early exit when a limit(1) probe shows nothing was peeled.
+
+    -> (node, degree) for the surviving k-core members, degree within
+    the core.
+    """
+    sym = (edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+           .unionByName(edges.select(F.col("b").alias("x"),
+                                     F.col("a").alias("y")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        deg = sym.groupBy("x").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("x")
+        nxt = (sym.join(keep, "x")
+               .join(keep.withColumnRenamed("x", "y"), "y")
+               .select("x", "y")
+               .localCheckpoint(eager=True))
+        # early exit: nothing peeled this round -> fixed point reached
+        if nxt.count() == sym.count():
+            sym = nxt
+            break
+        sym = nxt
+    return (sym.groupBy(F.col("x").alias("node"))
+            .agg(F.count("*").alias("degree")))

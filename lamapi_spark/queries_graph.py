@@ -1324,3 +1324,123 @@ def kg_nil_clusters(spark, sf):
                              .select(F.lower(F.col("p_name"))
                                      .alias("surface"))))
     return nil_clusters(surfaces, taun=3, taud=5).orderBy("surface")
+
+
+# ------------------------------------------------------------- k-core
+
+_KCORE_K, _KCORE_ROUNDS = 2, 12
+
+_KCORE_BASE_SQL = """
+base AS (
+  SELECT 'c' || o.o_custkey AS a, 's' || l.l_suppkey AS b
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+s0 AS (
+  SELECT a AS x, b AS y FROM base
+  UNION
+  SELECT b, a FROM base
+)"""
+
+
+def _kcore_round_sql(j: int) -> str:
+    p = f"s{j - 1}"
+    return f""",
+k{j} AS (SELECT x FROM (SELECT x, count(*) AS c FROM {p} GROUP BY x)
+         WHERE c >= {_KCORE_K}),
+s{j} AS MATERIALIZED (
+  SELECT s.x, s.y FROM {p} s
+  JOIN k{j} ka ON ka.x = s.x
+  JOIN k{j} kb ON kb.x = s.y)"""
+
+
+@register("graph_kcore", f"""
+WITH {_KCORE_BASE_SQL}"""
+          + "".join(_kcore_round_sql(j) for j in range(1, _KCORE_ROUNDS + 1))
+          + f"""
+SELECT x AS node, count(*)::BIGINT AS degree
+FROM s{_KCORE_ROUNDS} GROUP BY x ORDER BY node
+""")
+def graph_kcore(spark, sf):
+    """{2}-core of the fragmenting repeat-trade graph
+    (ops/graph.k_core): fixed-round peel — every round drops nodes with
+    in-subgraph degree < k — under the fixed-iteration determinism
+    contract, so the oracle unrolls the identical 12 rounds CTE by CTE.
+    The peel prunes the tree fringe and keeps the cyclic cores (the
+    dense-subgraph census step of KG quality analysis); pytest asserts
+    12 rounds reach the true fixed point on this synth, making the
+    fixed-round result THE k-core, not an approximation."""
+    from lamapi_spark.ops.graph import k_core
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+                 F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"))
+        .agg(F.count("*").alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .select("a", "b")
+    )
+    return (k_core(base, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+            .orderBy("node"))
+
+
+# -------------------------------------------------- record linkage (FS)
+
+@register("kg_record_linkage", """
+WITH l AS (
+  SELECT 'L' || p_partkey AS id_l, p_name || '|' || p_size AS blk,
+         p_brand, p_type FROM part
+),
+r AS (  -- perturbed second source: every 4th brand smudged, every 5th type
+  SELECT 'R' || p_partkey AS id_r, p_name || '|' || p_size AS blk,
+         CASE WHEN p_partkey % 4 = 0 THEN 'Brand#0' ELSE p_brand END AS p_brand,
+         CASE WHEN p_partkey % 5 = 0 THEN 'SMUDGED' ELSE p_type END AS p_type
+  FROM part
+),
+pairs AS (
+  SELECT l.id_l, r.id_r,
+         l.p_brand IS NOT DISTINCT FROM r.p_brand AS agree_p_brand,
+         l.p_type IS NOT DISTINCT FROM r.p_type AS agree_p_type
+  FROM l JOIN r ON r.blk = l.blk
+)
+SELECT id_l, id_r, agree_p_brand, agree_p_type,
+       ((CASE WHEN agree_p_brand THEN 2000 ELSE -1500 END)
+        + (CASE WHEN agree_p_type THEN 1200 ELSE -800 END))::BIGINT AS score_bp,
+       CASE WHEN (CASE WHEN agree_p_brand THEN 2000 ELSE -1500 END)
+                 + (CASE WHEN agree_p_type THEN 1200 ELSE -800 END) >= 2500
+            THEN 'match'
+            WHEN (CASE WHEN agree_p_brand THEN 2000 ELSE -1500 END)
+                 + (CASE WHEN agree_p_type THEN 1200 ELSE -800 END) <= -1000
+            THEN 'nonmatch'
+            ELSE 'review' END AS verdict
+FROM pairs ORDER BY id_l, id_r
+""")
+def kg_record_linkage(spark, sf):
+    """Fellegi-Sunter probabilistic record linkage
+    (ops/linkage.fs_link_pairs): part vs a perturbed second source
+    (every 4th brand smudged, every 5th type), blocked on (name, size),
+    integer log-odds basis-point weights, the paper's three-region
+    decision rule. Unperturbed twins land 'match' (3200 bp), single-
+    field smudges fall to 'review', double smudges to 'nonmatch' — and
+    blocking also surfaces genuine cross-part pairs that share
+    (name, size). The oracle replays blocking, null-safe agreements,
+    scores, verdicts row for row."""
+    from lamapi_spark.ops.linkage import fs_link_pairs
+
+    p = load(spark, sf, "part")
+    blk = F.concat_ws("|", F.col("p_name"), F.col("p_size")).alias("blk")
+    l = p.select(F.concat(F.lit("L"), F.col("p_partkey")).alias("lid"),
+                 blk, "p_brand", "p_type")
+    r = p.select(
+        F.concat(F.lit("R"), F.col("p_partkey")).alias("rid"), blk,
+        F.when(F.col("p_partkey") % 4 == 0, F.lit("Brand#0"))
+        .otherwise(F.col("p_brand")).alias("p_brand"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("SMUDGED"))
+        .otherwise(F.col("p_type")).alias("p_type"))
+    return (fs_link_pairs(l, r, ("lid", "rid"), "blk",
+                          {"p_brand": (2000, -1500),
+                           "p_type": (1200, -800)},
+                          upper_bp=2500, lower_bp=-1000)
+            .orderBy("id_l", "id_r"))

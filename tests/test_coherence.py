@@ -98,3 +98,30 @@ def test_tool_ngrams_counts_and_short_convs(spark):
     got3 = {r.pattern: (r.n_convs, r.n_occ)
             for r in tool_sequence_ngrams(trt, k=3).collect()}
     assert got3 == {"a>b>a": (1, 1), "b>a>b": (1, 1)}
+
+
+# ----------------------------------------------- Fellegi-Sunter linkage
+
+def test_fs_linkage_regions_and_nullsafe(spark):
+    from lamapi_spark.ops.linkage import fs_link_pairs
+
+    l = spark.createDataFrame(
+        [("l1", "b1", "acme", "ny"), ("l2", "b2", "zeta", None)],
+        "lid string, blk string, name string, city string")
+    r = spark.createDataFrame(
+        [("r1", "b1", "acme", "ny"),      # both agree -> match
+         ("r2", "b1", "acme", "la"),      # one disagrees -> review
+         ("r3", "b2", "other", "sf"),     # both disagree -> nonmatch
+         ("r4", "b2", "zeta", None),      # NULL == NULL agreement
+         ("r5", "b3", "acme", "ny")],     # different block -> no pair
+        "rid string, blk string, name string, city string")
+    out = fs_link_pairs(l, r, ("lid", "rid"), "blk",
+                        {"name": (1000, -1000), "city": (500, -500)},
+                        upper_bp=1200, lower_bp=-1200)
+    got = {(x.id_l, x.id_r): (x.score_bp, x.verdict) for x in out.collect()}
+    assert got == {
+        ("l1", "r1"): (1500, "match"),
+        ("l1", "r2"): (500, "review"),
+        ("l2", "r3"): (-1500, "nonmatch"),
+        ("l2", "r4"): (1500, "match"),
+    }

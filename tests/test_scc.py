@@ -181,3 +181,58 @@ def test_sssp_relaxation_prefers_cheap_long_path(spark):
     one = {r.node: r.dist for r in sssp_bounded(e, sd, k=1).collect()}
     two = {r.node: r.dist for r in sssp_bounded(e, sd, k=2).collect()}
     assert one["t"] == 10 and two["t"] == 2
+
+
+# ----------------------------------------------------------- k-core
+
+def test_kcore_peels_trees_keeps_cycles(spark):
+    from lamapi_spark.ops.graph import k_core
+
+    edges = [
+        # 4-cycle: every node degree 2 -> survives k=2
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+        # tree tail hanging off the cycle -> peeled layer by layer
+        ("a", "t1"), ("t1", "t2"), ("t2", "t3"),
+        # isolated edge -> both endpoints peeled immediately
+        ("x", "y"),
+    ]
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r.node: r.degree for r in k_core(df, k=2, rounds=10).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2, "d": 2}
+
+
+def test_kcore_fixed_rounds_contract_and_k3(spark):
+    from lamapi_spark.ops.graph import k_core
+
+    # K4 minus one edge: two nodes of degree 3, two of degree 2 ->
+    # the 3-core is empty (peeling the degree-2 nodes drops the rest);
+    # the 2-core is everything
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")]
+    df = spark.createDataFrame(edges, "a string, b string")
+    assert {r.node for r in k_core(df, k=2, rounds=10).collect()} == {
+        "a", "b", "c", "d"}
+    assert k_core(df, k=3, rounds=10).count() == 0
+
+
+def test_kcore_contract_rounds_reach_fixed_point(spark, sf_dir="/root/testdata/sf0.001"):
+    # the contract query's promise: 12 rounds == the true fixed point
+    from lamapi_spark.queries import queries
+
+    out = queries()["graph_kcore"](spark, sf_dir)
+    rows = {(r.node, r.degree) for r in out.collect()}
+    # one extra round changes nothing
+    import lamapi_spark.queries_graph as qg
+    from lamapi_spark.ops.graph import k_core
+    from lamapi_spark.queries import load
+    from pyspark.sql import functions as F
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy(F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+                     F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"))
+            .agg(F.count("*").alias("_w")).filter(F.col("_w") >= 2)
+            .select("a", "b"))
+    more = {(r.node, r.degree)
+            for r in k_core(base, k=qg._KCORE_K,
+                            rounds=qg._KCORE_ROUNDS + 3).collect()}
+    assert rows == more
