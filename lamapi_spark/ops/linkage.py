@@ -70,3 +70,127 @@ def fs_link_pairs(
                     .otherwise("review"))
         .select("id_l", "id_r", *out_cols, "score_bp", "verdict")
     )
+
+
+def _clamp_bp(col):
+    """Clamp a basis-point column into the open unit interval [1, 9999]
+    — EM's m/u/p parameters must never reach 0 or 1 exactly (a zero
+    likelihood factor would absorb the whole product and freeze the
+    iteration; the paper's probabilities are interior points)."""
+    return F.greatest(F.lit(1).cast("long"),
+                      F.least(F.lit(9999).cast("long"), col))
+
+
+def fs_em_weights(
+    pairs: DataFrame,
+    fields: list[str],
+    iters: int = 3,
+    init_m_bp: int = 9000,
+    init_u_bp: int = 1000,
+    init_p_bp: int = 500,
+) -> DataFrame:
+    """Fellegi-Sunter parameter estimation (Winkler's EM over binary
+    agreement vectors) — the offline TRAINING arc that produces the
+    log-odds weights :func:`fs_link_pairs` consumes, run for a FIXED
+    number of iterations in pure BIGINT basis-point arithmetic so the
+    result is a bit-exact pure function of (pairs, fields, iters,
+    inits) and a SQL oracle can unroll the identical rounds (the
+    fixed-iteration determinism contract of pagerank_fixed_point /
+    sssp_bounded / k_core).
+
+    Model: each blocked pair i carries a binary agreement vector a_i
+    (the ``agree_<field>`` booleans fs_link_pairs emits). Latent class
+    membership g_i = P(match | a_i) under the naive-Bayes likelihood
+    with per-field m = P(agree|match), u = P(agree|unmatch) and class
+    prior p. All parameters live in BASIS POINTS (1/10000):
+
+    - E-step, per pair:  M_i = prod_f (a_if ? m_f : 10000-m_f),
+      U_i likewise with u; g_i = round(10000 * p*M_i / (p*M_i +
+      (10000-p)*U_i)) via the integer round-half-up form
+      ``(20000*N + D) DIV (2*D)``. Pure per-row expression — no
+      cross-row float accumulation anywhere.
+    - M-step: m_f = round-bp(sum(g_i*a_if)/sum(g_i)), u_f with
+      (10000-g_i), p = round-bp(mean g_i) — BIGINT sums, so the
+      reduction commutes and the result is partitioning- and
+      arrival-order-independent.
+
+    Overflow bounds (BIGINT = 9.2e18): the E-step numerator is
+    20000 * p * M <= 2e8 * M, so the raw product M (<= 1e4 per field)
+    is RESCALED to <= 1e8 when len(fields) > 2 (round-half-up by
+    10^(4*(F-2)), clamped >= 1) — a documented deterministic
+    quantization, relative error <= 5e-9. M-step sums bound pair count
+    at 4.6e10 per EM batch; shard larger corpora by blocking key.
+
+    Parameters stay a 1-row DataFrame crossJoin-broadcast into the
+    E-step (the repo's 1-row stat-frame discipline — no driver
+    round-trip inside the loop); localCheckpoint truncates per-round
+    lineage exactly as the other fixed-round loops do.
+
+    -> 1-row (p_bp, m_<field>_bp, u_<field>_bp ...) after ``iters``
+    rounds.
+    """
+    spark = pairs.sparkSession
+    a = pairs.select(
+        *[F.col(f"agree_{f}").cast("long").alias(f"_a_{f}") for f in fields])
+
+    params = spark.createDataFrame(
+        [tuple([init_p_bp] + [v for _ in fields
+                              for v in (init_m_bp, init_u_bp)])],
+        "p_bp long, " + ", ".join(
+            f"m_{f}_bp long, u_{f}_bp long" for f in fields))
+
+    # every division below is SQL's integer DIV (exact BIGINT
+    # truncation) — Column `/` would route through DOUBLE, which stops
+    # being exact past 2^53 while the E-step numerator reaches 2e16
+    shift = 10 ** (4 * (len(fields) - 2)) if len(fields) > 2 else 1
+
+    for _ in range(iters):
+        j = a.crossJoin(F.broadcast(params))
+        m_prod = F.lit(1).cast("long")
+        u_prod = F.lit(1).cast("long")
+        for f in fields:
+            af = F.col(f"_a_{f}") == 1
+            m_prod = m_prod * F.when(af, F.col(f"m_{f}_bp")) \
+                               .otherwise(10000 - F.col(f"m_{f}_bp"))
+            u_prod = u_prod * F.when(af, F.col(f"u_{f}_bp")) \
+                               .otherwise(10000 - F.col(f"u_{f}_bp"))
+        j = j.withColumn("_mraw", m_prod).withColumn("_uraw", u_prod)
+        if shift > 1:
+            j = (j.withColumn("_m", F.greatest(
+                     F.lit(1).cast("long"),
+                     F.expr(f"(2 * _mraw + {shift}) DIV {2 * shift}")))
+                  .withColumn("_u", F.greatest(
+                     F.lit(1).cast("long"),
+                     F.expr(f"(2 * _uraw + {shift}) DIV {2 * shift}"))))
+        else:
+            j = (j.withColumn("_m", F.col("_mraw"))
+                  .withColumn("_u", F.col("_uraw")))
+        j = (j.withColumn("_num", F.col("p_bp") * F.col("_m"))
+              .withColumn("_den", F.col("_num")
+                          + (10000 - F.col("p_bp")) * F.col("_u"))
+              .withColumn("_g",
+                          F.expr("(20000 * _num + _den) DIV (2 * _den)")))
+        aggs = [F.count(F.lit(1)).alias("_n"),
+                F.sum("_g").alias("_sg")]
+        for f in fields:
+            aggs.append(F.sum(F.col("_g") * F.col(f"_a_{f}"))
+                        .alias(f"_sga_{f}"))
+            aggs.append(F.sum((10000 - F.col("_g")) * F.col(f"_a_{f}"))
+                        .alias(f"_dga_{f}"))
+        s = (j.agg(*aggs)
+             .withColumn("_sg_safe", F.greatest(F.lit(1).cast("long"),
+                                                F.col("_sg")))
+             .withColumn("_ds_safe",
+                         F.greatest(F.lit(1).cast("long"),
+                                    10000 * F.col("_n") - F.col("_sg"))))
+        cols = [_clamp_bp(F.expr("(2 * _sg + _n) DIV (2 * _n)"))
+                .alias("p_bp")]
+        for f in fields:
+            cols.append(_clamp_bp(
+                F.expr(f"(20000 * _sga_{f} + _sg_safe) DIV (2 * _sg_safe)"))
+                .alias(f"m_{f}_bp"))
+            cols.append(_clamp_bp(
+                F.expr(f"(20000 * _dga_{f} + _ds_safe) DIV (2 * _ds_safe)"))
+                .alias(f"u_{f}_bp"))
+        params = s.select(*cols).localCheckpoint(eager=True)
+    return params

@@ -1444,3 +1444,160 @@ def kg_record_linkage(spark, sf):
                            "p_type": (1200, -800)},
                           upper_bp=2500, lower_bp=-1000)
             .orderBy("id_l", "id_r"))
+
+
+# ------------------------------------------------ FS weight EM training
+
+_FS_PAIRS_SQL = """
+l AS (
+  SELECT 'L' || p_partkey AS id_l, p_name || '|' || p_size AS blk,
+         p_brand, p_type FROM part
+),
+r AS (
+  SELECT 'R' || p_partkey AS id_r, p_name || '|' || p_size AS blk,
+         CASE WHEN p_partkey % 4 = 0 THEN 'Brand#0' ELSE p_brand END AS p_brand,
+         CASE WHEN p_partkey % 5 = 0 THEN 'SMUDGED' ELSE p_type END AS p_type
+  FROM part
+),
+pairs AS (
+  SELECT l.id_l, r.id_r,
+         l.p_brand IS NOT DISTINCT FROM r.p_brand AS agree_p_brand,
+         l.p_type IS NOT DISTINCT FROM r.p_type AS agree_p_type
+  FROM l JOIN r ON r.blk = l.blk
+)"""
+
+_EM_FIELDS = ("p_brand", "p_type")
+_EM_ITERS = 3
+
+
+def _em_iter_sql(i: int) -> str:
+    prev = f"it{i - 1}"
+    mprod = " * ".join(
+        f"(CASE WHEN p.agree_{f} THEN t.m_{f}_bp"
+        f" ELSE 10000 - t.m_{f}_bp END)" for f in _EM_FIELDS)
+    uprod = " * ".join(
+        f"(CASE WHEN p.agree_{f} THEN t.u_{f}_bp"
+        f" ELSE 10000 - t.u_{f}_bp END)" for f in _EM_FIELDS)
+    agrees = ", ".join(f"agree_{f}" for f in _EM_FIELDS)
+    aggs = ", ".join(
+        f"sum(CASE WHEN agree_{f} THEN g ELSE 0 END)::BIGINT AS sga_{f}, "
+        f"sum(CASE WHEN agree_{f} THEN 10000 - g ELSE 0 END)::BIGINT"
+        f" AS dga_{f}" for f in _EM_FIELDS)
+    news = ", ".join(
+        f"greatest(1, least(9999, (20000 * sga_{f} + greatest(1, sg))"
+        f" // (2 * greatest(1, sg))))::BIGINT AS m_{f}_bp, "
+        f"greatest(1, least(9999, (20000 * dga_{f}"
+        f" + greatest(1, 10000 * n - sg))"
+        f" // (2 * greatest(1, 10000 * n - sg))))::BIGINT AS u_{f}_bp"
+        for f in _EM_FIELDS)
+    return f""",
+e{i} AS (
+  SELECT (20000 * num + den) // (2 * den) AS g, {agrees}
+  FROM (SELECT {agrees}, num, num + q_u AS den
+        FROM (SELECT p.agree_p_brand, p.agree_p_type,
+                     t.p_bp * ({mprod}) AS num,
+                     (10000 - t.p_bp) * ({uprod}) AS q_u
+              FROM pairs p CROSS JOIN {prev} t))
+),
+a{i} AS (SELECT count(*)::BIGINT AS n, sum(g)::BIGINT AS sg, {aggs}
+         FROM e{i}),
+it{i} AS (SELECT greatest(1, least(9999,
+                 (2 * sg + n) // (2 * n)))::BIGINT AS p_bp, {news}
+          FROM a{i})"""
+
+
+@register("kg_linkage_em", f"""
+WITH {_FS_PAIRS_SQL},
+it0 AS (SELECT 500::BIGINT AS p_bp,
+               9000::BIGINT AS m_p_brand_bp, 1000::BIGINT AS u_p_brand_bp,
+               9000::BIGINT AS m_p_type_bp, 1000::BIGINT AS u_p_type_bp)"""
+          + "".join(_em_iter_sql(i) for i in range(1, _EM_ITERS + 1))
+          + f"""
+SELECT p_bp, m_p_brand_bp, u_p_brand_bp, m_p_type_bp, u_p_type_bp
+FROM it{_EM_ITERS}
+""")
+def kg_linkage_em(spark, sf):
+    """Fellegi-Sunter weight TRAINING (ops/linkage.fs_em_weights): 3 EM
+    iterations in pure BIGINT basis-point arithmetic over the
+    kg_record_linkage candidate pairs — the offline arc that produces
+    the log-odds weights fs_link_pairs consumes. Fixed-iteration
+    determinism: the oracle unrolls the identical E/M rounds CTE by
+    CTE, every division the same integer DIV, so the learned
+    (p, m_f, u_f) match bit for bit."""
+    from lamapi_spark.ops.linkage import fs_em_weights, fs_link_pairs
+
+    p = load(spark, sf, "part")
+    blk = F.concat_ws("|", F.col("p_name"), F.col("p_size")).alias("blk")
+    l = p.select(F.concat(F.lit("L"), F.col("p_partkey")).alias("lid"),
+                 blk, "p_brand", "p_type")
+    r = p.select(
+        F.concat(F.lit("R"), F.col("p_partkey")).alias("rid"), blk,
+        F.when(F.col("p_partkey") % 4 == 0, F.lit("Brand#0"))
+        .otherwise(F.col("p_brand")).alias("p_brand"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("SMUDGED"))
+        .otherwise(F.col("p_type")).alias("p_type"))
+    pairs = fs_link_pairs(l, r, ("lid", "rid"), "blk",
+                          {"p_brand": (2000, -1500),
+                           "p_type": (1200, -800)},
+                          upper_bp=2500, lower_bp=-1000)
+    return fs_em_weights(pairs, list(_EM_FIELDS), iters=_EM_ITERS)
+
+
+# --------------------------------------- cross-source entity clusters
+
+@register("kg_xsource_clusters", f"""
+WITH RECURSIVE {_FS_PAIRS_SQL},
+matches AS (
+  SELECT id_l, id_r FROM pairs
+  WHERE (CASE WHEN agree_p_brand THEN 2000 ELSE -1500 END)
+        + (CASE WHEN agree_p_type THEN 1200 ELSE -800 END) >= 2500
+),
+nodes AS (SELECT id_l AS rec_id FROM l UNION SELECT id_r FROM r),
+edges AS (SELECT id_l AS a, id_r AS b FROM matches
+          UNION SELECT id_r, id_l FROM matches),
+reach AS (
+  SELECT a AS node, b AS x FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.x
+)
+SELECT n.rec_id,
+       least(n.rec_id, coalesce(min(r2.x), n.rec_id)) AS cluster_id
+FROM nodes n LEFT JOIN reach r2 ON r2.node = n.rec_id
+GROUP BY n.rec_id ORDER BY n.rec_id
+""")
+def kg_xsource_clusters(spark, sf):
+    """The full cross-source entity-resolution arc composed end to end:
+    block -> score (fs_link_pairs) -> keep verdict='match' edges ->
+    collapse under the converged CC loop
+    (pipeline/canonicalize.connected_components) -> every record from
+    BOTH sources gets a cluster id (singletons resolve to themselves).
+    Oracle = the same blocking/scoring replay + full recursive
+    reachability with per-cluster least — algorithm-independent, like
+    kg_nil_clusters."""
+    from lamapi_spark.ops.linkage import fs_link_pairs
+    from lamapi_spark.pipeline.canonicalize import connected_components
+
+    p = load(spark, sf, "part")
+    blk = F.concat_ws("|", F.col("p_name"), F.col("p_size")).alias("blk")
+    l = p.select(F.concat(F.lit("L"), F.col("p_partkey")).alias("lid"),
+                 blk, "p_brand", "p_type")
+    r = p.select(
+        F.concat(F.lit("R"), F.col("p_partkey")).alias("rid"), blk,
+        F.when(F.col("p_partkey") % 4 == 0, F.lit("Brand#0"))
+        .otherwise(F.col("p_brand")).alias("p_brand"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("SMUDGED"))
+        .otherwise(F.col("p_type")).alias("p_type"))
+    pairs = fs_link_pairs(l, r, ("lid", "rid"), "blk",
+                          {"p_brand": (2000, -1500),
+                           "p_type": (1200, -800)},
+                          upper_bp=2500, lower_bp=-1000)
+    edges = (pairs.filter(F.col("verdict") == "match")
+             .select(F.col("id_l").alias("a"), F.col("id_r").alias("b")))
+    nodes = (l.select(F.col("lid").alias("rec_id"))
+             .unionByName(r.select(F.col("rid").alias("rec_id")))
+             .distinct())
+    cc = connected_components(edges)
+    return (nodes.join(cc, nodes.rec_id == cc.entity, "left")
+            .select("rec_id",
+                    F.coalesce("component", "rec_id").alias("cluster_id"))
+            .orderBy("rec_id"))

@@ -125,3 +125,70 @@ def test_fs_linkage_regions_and_nullsafe(spark):
         ("l2", "r3"): (-1500, "nonmatch"),
         ("l2", "r4"): (1500, "match"),
     }
+
+
+# ------------------------------------------------ FS EM weight training
+
+def _em_py(avecs, nf, iters, m0=9000, u0=1000, p0=500):
+    """Independent integer reimplementation of fs_em_weights (<=2
+    fields, so no rescale arm) — the differential twin."""
+    clamp = lambda x: max(1, min(9999, x))  # noqa: E731
+    p, m, u = p0, [m0] * nf, [u0] * nf
+    for _ in range(iters):
+        n, sg = len(avecs), 0
+        sga, dga = [0] * nf, [0] * nf
+        for a in avecs:
+            M = U = 1
+            for f in range(nf):
+                M *= m[f] if a[f] else 10000 - m[f]
+                U *= u[f] if a[f] else 10000 - u[f]
+            num = p * M
+            den = num + (10000 - p) * U
+            g = (20000 * num + den) // (2 * den)
+            sg += g
+            for f in range(nf):
+                if a[f]:
+                    sga[f] += g
+                    dga[f] += 10000 - g
+        sgs, dss = max(1, sg), max(1, 10000 * n - sg)
+        p = clamp((2 * sg + n) // (2 * n))
+        m = [clamp((20000 * sga[f] + sgs) // (2 * sgs)) for f in range(nf)]
+        u = [clamp((20000 * dga[f] + dss) // (2 * dss)) for f in range(nf)]
+    return p, m, u
+
+
+def test_fs_em_matches_integer_twin_and_separates(spark):
+    from lamapi_spark.ops.linkage import fs_em_weights
+
+    avecs = [(True, True)] * 3 + [(False, False)] * 2 + [(True, False)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in avecs], "agree_f1 boolean, agree_f2 boolean")
+    got = fs_em_weights(pairs, ["f1", "f2"], iters=3).head()
+    p, m, u = _em_py(avecs, 2, 3)
+    assert (got.p_bp, got.m_f1_bp, got.u_f1_bp,
+            got.m_f2_bp, got.u_f2_bp) == (p, m[0], u[0], m[1], u[1])
+    # the informative fields separate: agreement is likelier under match
+    assert got.m_f1_bp > got.u_f1_bp and got.m_f2_bp > got.u_f2_bp
+
+    # partitioning invariance: BIGINT sums commute
+    again = fs_em_weights(pairs.repartition(7), ["f1", "f2"],
+                          iters=3).head()
+    assert again == got
+
+
+def test_fs_em_rescale_arm_three_fields(spark):
+    from lamapi_spark.ops.linkage import fs_em_weights
+
+    # 3 fields exercises the shift=10^4 product rescale; just pin
+    # determinism + interior-point clamps (twin would need the same
+    # rescale — directional checks suffice for the arm)
+    avecs = [(True, True, True)] * 4 + [(False, False, True)] * 3
+    pairs = spark.createDataFrame(
+        avecs, "agree_x boolean, agree_y boolean, agree_z boolean")
+    one = fs_em_weights(pairs, ["x", "y", "z"], iters=2).head()
+    two = fs_em_weights(pairs.repartition(5), ["x", "y", "z"],
+                        iters=2).head()
+    assert one == two
+    for v in one:
+        assert 1 <= v <= 9999
+    assert one.m_x_bp > one.u_x_bp
