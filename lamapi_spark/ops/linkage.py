@@ -48,13 +48,27 @@ def fs_link_pairs(
     in basis points; both record frames must carry ``block_col`` and
     every weighted field."""
     idl, idr = id_cols
-    l = left.select(F.col(idl).alias("id_l"),
-                    F.col(block_col).alias("_blk"),
-                    *[F.col(f).alias(f"_l_{f}") for f in weights_bp])
-    r = right.select(F.col(idr).alias("id_r"),
+    l = fs_project(left, idl, "id_l", block_col, weights_bp, "_l_")
+    r = fs_project(right, idr, "id_r", block_col, weights_bp, "_r_")
+    return fs_score(l.join(r, "_blk"), weights_bp, upper_bp, lower_bp)
+
+
+def fs_project(df: DataFrame, id_col: str, id_out: str, block_col: str,
+               weights_bp: dict, prefix: str) -> DataFrame:
+    """One source's join-ready projection: (id, _blk, <prefix><field>…).
+    Shared by the batch join and the stream-static twin
+    (streaming/linkage.py) so both sides feed fs_score identically."""
+    return df.select(F.col(id_col).alias(id_out),
                      F.col(block_col).alias("_blk"),
-                     *[F.col(f).alias(f"_r_{f}") for f in weights_bp])
-    pairs = l.join(r, "_blk")
+                     *[F.col(f).alias(f"{prefix}{f}") for f in weights_bp])
+
+
+def fs_score(pairs: DataFrame, weights_bp: dict,
+             upper_bp: int, lower_bp: int) -> DataFrame:
+    """Post-join agreement/score/verdict expressions over a
+    (id_l, _blk, _l_*…) x (id_r, _blk, _r_*…) pair frame — pure
+    stateless column algebra, so the streaming twin reuses it verbatim
+    (stream == batch row for row by construction)."""
     score = F.lit(0).cast("long")
     out_cols = []
     for f, (wa, wd) in weights_bp.items():

@@ -405,3 +405,35 @@ def test_stream_type_violations_matches_batch(spark, tmp_path):
     b_rows = sorted(map(tuple, type_violations(tr, ty, schema_df).collect()))
     assert s_rows == b_rows and len(b_rows) == 1
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_fs_link_matches_batch(spark, tmp_path):
+    """The stream-static linkage twin emits exactly the batch
+    fs_link_pairs rows: every operator is stateless or stream-static,
+    so arrival order and batch slicing cannot change the set."""
+    import shutil
+
+    from lamapi_spark.ops.linkage import fs_link_pairs
+    from lamapi_spark.streaming.linkage import stream_fs_link
+
+    l = spark.createDataFrame(
+        [("l1", "b1", "acme", "ny"), ("l2", "b2", "zeta", None),
+         ("l3", "b3", "solo", "sf")],
+        "lid string, blk string, name string, city string")
+    r_schema = "rid string, blk string, name string, city string"
+    r = spark.createDataFrame(
+        [("r1", "b1", "acme", "ny"), ("r2", "b1", "acme", "la"),
+         ("r3", "b2", "other", "sf"), ("r4", "b2", "zeta", None)],
+        r_schema)
+    d = str(tmp_path / "fs_right")
+    r.write.parquet(d)
+    weights = {"name": (1000, -1000), "city": (500, -500)}
+    got = run_available_now(
+        stream_fs_link(spark, d, r_schema, l, ("lid", "rid"), "blk",
+                       weights, 1200, -1200),
+        "t_fs_link", mode="append")
+    s_rows = sorted(map(tuple, got.collect()))
+    b_rows = sorted(map(tuple, fs_link_pairs(
+        l, r, ("lid", "rid"), "blk", weights, 1200, -1200).collect()))
+    assert s_rows == b_rows and len(b_rows) == 4
+    shutil.rmtree(d, ignore_errors=True)
