@@ -276,3 +276,40 @@ class LookupIndex:
         and hinting defeats a pointless auto-broadcast of the index;
         in-memory frames are left to the caller's broadcast policy."""
         return df.hint("shuffle_hash") if self.bucketed else df
+
+    # ----------------------------------------------------------- delta
+    # Incremental dictionary maintenance: the transcript side already
+    # appends per-conversation (pipeline/incremental.py); these give the
+    # DICTIONARY side the same append-only lifecycle. New label rows
+    # land in a small unbucketed side table (broadcast-sized by
+    # contract: a daily label delta is ~10^3-10^5 rows against a 10^8
+    # main artifact); consumers probe main + delta via
+    # lookup.token_match_with_delta, and compaction is simply
+    # LookupIndex.write over the full dictionary followed by drop_delta.
+
+    @staticmethod
+    def write_delta(delta_label_dict: DataFrame,
+                    prefix: str = "lamapi_idx") -> None:
+        """Append new dictionary rows to ``<prefix>_delta``. Rows must
+        be NEW (not already in the main artifact) — the append-only
+        disjointness contract incremental.py keeps for conversations;
+        token_match_with_delta(dedup_against_main=True) is the guard
+        for callers that cannot promise it. Schema: the caller's full
+        label_dict columns (the delta serves both match and payload
+        joins), stable across appends."""
+        (delta_label_dict.write.mode("append").format("parquet")
+         .saveAsTable(f"{prefix}_delta"))
+
+    @staticmethod
+    def load_delta(spark: SparkSession,
+                   prefix: str = "lamapi_idx") -> DataFrame | None:
+        """The accumulated delta rows, or None when no delta exists."""
+        if not spark.catalog.tableExists(f"{prefix}_delta"):
+            return None
+        return spark.table(f"{prefix}_delta")
+
+    @staticmethod
+    def drop_delta(spark: SparkSession, prefix: str = "lamapi_idx") -> None:
+        """Clear the delta after compacting it into the main artifact
+        (LookupIndex.write over the full dictionary)."""
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_delta")

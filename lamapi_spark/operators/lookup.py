@@ -661,3 +661,55 @@ def lookup(
         out = out.unionByName(ids_backfill(
             out, requested_ids, label_dict, items, prepared, feats, mention_col))
     return out
+
+
+def token_match_with_delta(
+    mentions_prepared: DataFrame,
+    index: LookupIndex,
+    delta_dict: DataFrame,
+    fuzzy: bool = False,
+    dedup_against_main: bool = False,
+    cache_narrow: bool = False,
+) -> DataFrame:
+    """J1 against a MAIN bucketed artifact plus an append-only
+    dictionary DELTA (LookupIndex.write_delta rows) — the probe shape
+    of incremental dictionary maintenance: new labels become visible
+    to lookups without rebuilding the 10^8-entity artifact.
+
+    Exactness: every slim-match row derives from exactly ONE dictionary
+    row plus mention-side columns, and each dictionary row lives in
+    exactly one part — so match(main UNION delta) == match(main) UNION
+    match(delta), including the per-(mention, dict-row) aggregations.
+    Build-time pruning applies PER PART (the delta's posting lists are
+    pruned with the main artifact's K): the union of per-part top-K
+    posting lists is a SUPERSET of the single-index top-K, so the probe
+    only ever retains MORE than a compacted rebuild would — recall is
+    monotone in compaction, never the reverse; the exact-name /
+    1-edit-name guards run per part and union to the full-dictionary
+    guard.
+
+    Plan shape: the main probe is the unchanged shuffle-free bucketed
+    plan; the delta probe joins a broadcast in-memory index built from
+    the (broadcast-sized by contract) delta rows — one extra pass over
+    the prepared mention frame, which callers should cache.
+    ``dedup_against_main`` guards a violated disjointness contract:
+    one broadcast-delta semi-probe of the main names scan (no shuffle
+    — every broadcast frame here is bounded by |delta|, the caller's
+    own contract, never by a join estimate) drops delta rows whose
+    (entity, name, is_alias) already exist in main.
+    """
+    key = ["entity", "name", "is_alias"]
+    if dedup_against_main:
+        keys = delta_dict.select(*key).distinct()
+        matched = (index.names.join(F.broadcast(keys), key, "inner")
+                   .select(*key).distinct())
+        delta_dict = delta_dict.join(F.broadcast(matched), key, "left_anti")
+    d_idx = LookupIndex.build(delta_dict, fuzzy=fuzzy,
+                              limit_per_token=index.limit_per_token,
+                              fuzzy_edits=index.fuzzy_edits)
+    m_main = token_match(mentions_prepared, None, broadcast_dict=False,
+                         fuzzy=fuzzy, index=index, slim=True,
+                         cache_narrow=cache_narrow)
+    m_delta = token_match(mentions_prepared, None, broadcast_dict=True,
+                          fuzzy=fuzzy, index=d_idx, slim=True)
+    return m_main.unionByName(m_delta)

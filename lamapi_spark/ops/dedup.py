@@ -458,3 +458,56 @@ def fuzzy_contamination(
         .select("doc_id", (-F.col("_m.ne")).alias("eval_id"),
                 F.col("_m.sig_agree").alias("sig_agree"))
     )
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    k_shingle: int = 3, threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment — doc-in-doc detection:
+
+        cont(A in B) = |S(A) & S(B)| / |S(A)|
+
+    A quote, excerpt, or boilerplate-wrapped copy of A inside a much
+    larger B scores near 1.0 on containment while its symmetric Jaccard
+    (inter/union) stays low — the case every training-data dedup pass
+    misses if it only runs the symmetric family. Emits each unordered
+    pair once (id_a < id_b) with BOTH directions' containment when
+    either direction reaches ``threshold``; the consumer keeps the
+    longer side and drops the contained one.
+
+    Candidate generation, hot-shingle guard (``max_df``) and the recall
+    caveat are shared verbatim with ngram_jaccard_pairs: only pairs
+    sharing >= 1 non-hot shingle are scored, scoring uses full sets.
+    The threshold compares the half-even-ROUNDED value (3 dp) so the
+    survivor set is engine-portable. -> (id_a, id_b, inter, cont_a,
+    cont_b)."""
+    sh = (
+        df.select(F.col(id_col).alias("id"),
+                  word_shingles(text_col, k_shingle).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    ex = (
+        ex.withColumn("_df", F.count("*").over(Window.partitionBy("s")))
+        .filter(F.col("_df") <= max_df).drop("_df")
+    )
+    cand = (
+        ex.alias("x").join(ex.alias("y"), "s")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand
+        .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+              "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+              "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("cont_a", F.bround(F.col("inter") / F.size("sh_a"), 3))
+        .withColumn("cont_b", F.bround(F.col("inter") / F.size("sh_b"), 3))
+        .filter(F.greatest("cont_a", "cont_b") >= threshold)
+        .select("id_a", "id_b", "inter", "cont_a", "cont_b")
+    )

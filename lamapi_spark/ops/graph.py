@@ -1055,3 +1055,122 @@ def k_core(edges: DataFrame, k: int = 2, rounds: int = 12) -> DataFrame:
         sym = nxt
     return (sym.groupBy(F.col("x").alias("node"))
             .agg(F.count("*").alias("degree")))
+
+
+def link_prediction_scores(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    min_common: int = 1, max_fanout: int | None = None,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Adamic-Adar and resource-allocation link-prediction scores over
+    the common-neighbor pairing: for every dst pair (a, b) sharing at
+    least ``min_common`` src mediators,
+
+        aa(a, b) = sum_{s in N(a) and N(b)} 1 / ln(fanout(s))
+        ra(a, b) = sum_{s in N(a) and N(b)} 1 / fanout(s)
+
+    — the classic weighted upgrades of the raw common-neighbor count
+    (a mediator shared with everyone carries little evidence; a rare
+    one carries a lot). This is the KG-completion candidate generator:
+    score non-edges, threshold, feed the top pairs to the linker.
+
+    Determinism across partitionings: each mediator's term is rounded
+    HALF-EVEN to integer units of 1/``scale`` and the per-pair combine
+    is a BIGINT sum — associative, order-independent, engine-portable
+    (the graph_pagerank fixed-point argument; the one float op per term
+    is a division by ln of a corpus integer, the LM-scorer cross-engine
+    argument). -> (node_a, node_b, common, aa_units, ra_units) with
+    node_a < node_b; true scores are units / scale.
+
+    A mediator with fanout 1 cannot form a pair, so rows are pre-pruned
+    to fanout >= 2 — this also keeps ln(fanout) > 0 (no 1/0 terms).
+    ``max_fanout`` is the usual super-hub guard (None = unlimited):
+    hubs are excluded from pair generation only, trading recall on
+    hub-mediated pairs (which AA/RA down-weight anyway) for a bounded
+    self-join, exactly like common_neighbor_pairs.
+    """
+    e = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+         .distinct())
+    fan = e.groupBy("_s").agg(F.count("*").alias("_f"))
+    if max_fanout is not None:
+        fan = fan.filter(F.col("_f") <= max_fanout)
+    terms = (
+        e.join(fan.filter(F.col("_f") >= 2), "_s")
+        .select(
+            "_s", "_d",
+            F.bround(F.lit(scale) / F.log(F.col("_f").cast("double")), 0)
+            .cast("long").alias("_aa_t"),
+            F.bround(F.lit(scale) / F.col("_f"), 0).cast("long").alias("_ra_t"),
+        )
+    )
+    x, y = terms.alias("x"), terms.alias("y")
+    return (
+        x.join(y, (F.col("x._s") == F.col("y._s"))
+               & (F.col("x._d") < F.col("y._d")))
+        .groupBy(F.col("x._d").alias("node_a"), F.col("y._d").alias("node_b"))
+        .agg(F.count("*").alias("common"),
+             F.sum("x._aa_t").alias("aa_units"),
+             F.sum("x._ra_t").alias("ra_units"))
+        .filter(F.col("common") >= min_common)
+    )
+
+
+def modularity_terms(edges: DataFrame, communities: DataFrame,
+                     scale: int = 10**9) -> DataFrame:
+    """Per-community Newman modularity terms of a partition over a
+    SYMMETRIC directed edge list (each undirected edge present in both
+    directions, the _edges/label_propagation convention):
+
+        Q = sum_c [ in_c / |E|  -  (D_c / |E|)^2 ]
+
+    with |E| = directed edge count (= 2m), in_c = directed edges with
+    both ends in c (= 2 e_c), D_c = total degree of c's nodes — the
+    standard e_c/m - (D_c/2m)^2 rewritten in directed counts. Q > 0
+    means the partition beats the degree-preserving random graph; it is
+    THE acceptance metric for the label_propagation communities (a
+    partition can always be produced — modularity says whether it
+    means anything).
+
+    ``communities`` is (node, label). Every per-community term is one
+    float expression over four corpus integers, rounded half-even to
+    BIGINT units of 1/``scale`` (q_units) — the consumer's global Q is
+    an order-independent integer sum, the graph_pagerank portability
+    argument. -> (community, n_nodes, in_edges, degree_sum, q_units),
+    one row per community including edge-free ones.
+
+    Scale shape: degree and inner-edge aggregations shuffle on node /
+    community keys (map-side combined); the community lookups are two
+    equi-joins against the (node, label) frame; |E| rides a 1-row
+    broadcast. No window, no collect.
+    """
+    ed = edges.select("src", "dst").distinct()
+    comm = communities.select("node", "label")
+    tot = ed.agg(F.count("*").alias("_e"))
+    deg = ed.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("_d"))
+    inn = (
+        ed.join(comm.select(F.col("node").alias("src"),
+                            F.col("label").alias("_la")), "src")
+        .join(comm.select(F.col("node").alias("dst"),
+                          F.col("label").alias("_lb")), "dst")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").alias("in_edges"))
+    )
+    ds = (
+        comm.join(deg, "node")
+        .groupBy("label")
+        .agg(F.count("*").alias("n_nodes"), F.sum("_d").alias("degree_sum"))
+    )
+    frac_in = F.col("in_edges").cast("double") / F.col("_e")
+    frac_d = F.col("degree_sum").cast("double") / F.col("_e")
+    return (
+        ds.join(inn, "label", "left")
+        .withColumn("in_edges", F.coalesce("in_edges", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("label").alias("community"), "n_nodes", "in_edges",
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            F.bround(F.lit(float(scale)) * (frac_in - frac_d * frac_d), 0)
+            .cast("long").alias("q_units"),
+        )
+    )

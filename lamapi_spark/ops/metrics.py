@@ -70,3 +70,60 @@ def prf_eval(pred: DataFrame, truth: DataFrame, keys: list[str],
                 2.0 * F.col("precision") * F.col("recall")
                 / (F.col("precision") + F.col("recall"))).otherwise(F.lit(0.0))
     return out.withColumn("f1", F.bround(f1, 6))
+
+
+def rouge_n_scores(pairs: DataFrame, id_col: str = "pair_id",
+                   cand_col: str = "cand", ref_col: str = "ref",
+                   n: int = 2) -> DataFrame:
+    """ROUGE-N per (candidate, reference) text pair — the n-gram
+    overlap metric every summarization / SFT-response eval runs, as a
+    distributed operator (reference analogue: none; builder's-brief
+    eval surface beside prf_eval).
+
+    Standard CLIPPED-multiset counting: for each n-gram g,
+    min(count_cand(g), count_ref(g)) contributes to the overlap;
+    P = overlap / max(#cand grams, 1), R = overlap / max(#ref grams, 1)
+    and, because both share one numerator, F1 = 2*overlap /
+    (#cand + #ref) — every ratio is ONE division of two corpus
+    integers, rounded half-even to 6 dp (engine-portable; no float
+    sums anywhere). Sides with < n tokens have zero grams and score 0.
+
+    Scale shape: grams are built IN-ROW (transform over sequence — no
+    per-token explode of the raw text), then one explode per side into
+    a (pair, gram) count aggregation and one join on (pair, gram):
+    everything shuffles on the pair/gram key, hot grams stay inside
+    their pair. -> (id, cand_n, ref_n, overlap, p, r, f1)."""
+    def grams(col: str):
+        toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+        k = F.size(toks) - (n - 1)
+        return F.when(k >= 1, F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )).otherwise(F.array().cast("array<string>"))
+
+    base = pairs.select(F.col(id_col).alias("id"),
+                        grams(cand_col).alias("_cg"),
+                        grams(ref_col).alias("_rg"))
+
+    def side_counts(col: str, out: str):
+        return (base.select("id", F.explode(col).alias("g"))
+                .groupBy("id", "g").agg(F.count("*").alias(out)))
+
+    ov = (
+        side_counts("_cg", "_cc")
+        .join(side_counts("_rg", "_rc"), ["id", "g"])
+        .groupBy("id")
+        .agg(F.sum(F.least("_cc", "_rc")).alias("overlap"))
+    )
+    sizes = base.select("id", F.size("_cg").cast("long").alias("cand_n"),
+                        F.size("_rg").cast("long").alias("ref_n"))
+    j = (sizes.join(ov, "id", "left")
+         .withColumn("overlap", F.coalesce("overlap", F.lit(0)).cast("long")))
+    return j.select(
+        "id", "cand_n", "ref_n", "overlap",
+        F.bround(F.col("overlap") / F.greatest("cand_n", F.lit(1)), 6).alias("p"),
+        F.bround(F.col("overlap") / F.greatest("ref_n", F.lit(1)), 6).alias("r"),
+        F.bround(2 * F.col("overlap")
+                 / F.greatest(F.col("cand_n") + F.col("ref_n"), F.lit(1)),
+                 6).alias("f1"),
+    )

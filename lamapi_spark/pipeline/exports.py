@@ -76,3 +76,49 @@ def mention_context_windows(transcripts: DataFrame,
                 F.array_join(left, " ").alias("left_ctx"),
                 F.array_join(right, " ").alias("right_ctx"))
     )
+
+
+# Refusal / assistant-boilerplate lexicon. `.` stands in for apostrophes
+# so straight vs typographic quotes both match; patterns are matched on
+# the lowercased turn text. Simple alternation only — portable between
+# Java regex (Spark rlike) and RE2 (DuckDB regexp_matches).
+REFUSAL_RE = ("(i cannot|i can.t|as an ai|i.m sorry|i am sorry|"
+              "i apologize|cannot assist|unable to help)")
+
+
+def refusal_gate(transcripts: DataFrame,
+                 refusal_re: str = REFUSAL_RE) -> DataFrame:
+    """Per-conversation SFT ingest gate over (conv_id, role, text)
+    turns: flag assistant turns matching the refusal/boilerplate
+    lexicon and keep only conversations whose assistant never refused.
+
+    Refusal-heavy conversations teach a model to decline — every SFT
+    data-prep pipeline drops or downweights them (the transcript twin
+    of the Gopher-rule document gate in ops/corpus.py). The verdict is
+    per-CONVERSATION because one refusal usually poisons the whole
+    exchange (the user re-asks, the assistant hedges again).
+
+    Scale shape: one lowercase+rlike column expression per turn (JVM
+    regex, no UDF), one map-side-combined aggregation on conv_id.
+    -> (conv_id, n_turns, n_assistant, n_refusals, refusal_rate, keep)
+    with refusal_rate = n_refusals / max(n_assistant, 1) rounded
+    half-even to 6 dp and keep = (n_refusals == 0).
+    """
+    is_asst = (F.col("role") == "assistant").cast("long")
+    is_ref = ((F.col("role") == "assistant")
+              & F.lower(F.col("text")).rlike(refusal_re)).cast("long")
+    agg = (
+        transcripts
+        .select("conv_id", is_asst.alias("_a"), is_ref.alias("_r"))
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"),
+             F.sum("_a").alias("n_assistant"),
+             F.sum("_r").alias("n_refusals"))
+    )
+    return agg.select(
+        "conv_id", "n_turns", "n_assistant", "n_refusals",
+        F.bround(F.col("n_refusals")
+                 / F.greatest("n_assistant", F.lit(1)), 6)
+        .alias("refusal_rate"),
+        (F.col("n_refusals") == 0).alias("keep"),
+    )

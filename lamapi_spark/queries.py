@@ -1091,3 +1091,125 @@ def _load_extra_registrations() -> None:
     import lamapi_spark.queries_kg2  # noqa: F401
     import lamapi_spark.queries_ops  # noqa: F401
     import lamapi_spark.queries_temporal  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# incremental dictionary maintenance: main artifact + append-only delta
+# ---------------------------------------------------------------------------
+
+_LOOKUP_DELTA_SQL = r"""
+WITH dict AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS entity, p_name AS name,
+         trim(regexp_replace(lower(p_name), '\s+', ' ', 'g')) AS name_norm,
+         p_retailprice AS popularity, FALSE AS is_alias,
+         CASE WHEN p_partkey % 10 = 0 THEN 'd' ELSE 'm' END AS part_tag
+  FROM part
+), d_tok AS (
+  SELECT entity, name, is_alias, popularity, part_tag,
+         unnest(list_distinct(string_split(name_norm, ' '))) AS token
+  FROM dict
+), pruned AS (
+  -- pruning applies PER PART (main artifact pruned at build; delta
+  -- posting lists pruned with the same K at probe) — top-3 per
+  -- (token, part), the exact semantics of token_match_with_delta
+  SELECT * FROM d_tok
+  QUALIFY row_number() OVER (PARTITION BY token, part_tag
+      ORDER BY popularity DESC, entity, name, is_alias) <= 3
+), m AS (
+  SELECT DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS mention_norm
+  FROM documents
+), m_tok AS (
+  SELECT mention_norm,
+         unnest(list_distinct(string_split(mention_norm, ' '))) AS m_token
+  FROM m
+), exact AS (
+  SELECT mt.mention_norm, mt.m_token, p.entity, p.name, p.is_alias, p.popularity
+  FROM m_tok mt JOIN pruned p ON mt.m_token = p.token
+), exact_name AS (
+  -- both parts' guards union to the full-dictionary guard
+  SELECT m.mention_norm,
+         unnest(list_distinct(string_split(d.name_norm, ' '))) AS m_token,
+         d.entity, d.name, d.is_alias, d.popularity
+  FROM m JOIN dict d ON m.mention_norm = d.name_norm
+), per_token AS (
+  SELECT mention_norm, m_token, entity, name, is_alias, min(popularity) AS _pop
+  FROM (SELECT * FROM exact UNION ALL SELECT * FROM exact_name)
+  GROUP BY mention_norm, m_token, entity, name, is_alias
+), agg AS (
+  SELECT mention_norm, entity, name, is_alias,
+         count(*)::BIGINT AS matched_tokens, min(_pop) AS popularity
+  FROM per_token GROUP BY mention_norm, entity, name, is_alias
+)
+SELECT mention_norm, entity, name, matched_tokens, popularity,
+       row_number() OVER (PARTITION BY mention_norm
+           ORDER BY popularity DESC, entity, name) AS rnk
+FROM agg QUALIFY rnk <= 5
+ORDER BY mention_norm, rnk
+"""
+
+
+def _lcd_index(spark, sf):
+    """Build-or-load the delta-maintenance fixtures for one sf dir: the
+    MAIN artifact covers 90% of the part dictionary (p_partkey % 10
+    != 0); the remaining 10% lands in the <prefix>_delta side table via
+    LookupIndex.write_delta (once per session — later invocations
+    load_delta), modelling a label snapshot that grew after the offline
+    build."""
+    import re
+
+    from lamapi_spark.operators.indexes import LookupIndex
+
+    prefix = "q_lcd_idx_" + re.sub(r"[^A-Za-z0-9]", "_", str(sf))
+    part = load(spark, sf, "part")
+
+    def to_dict(p):
+        return p.select(
+            F.col("p_partkey").cast("string").alias("entity"),
+            F.col("p_name").alias("name"),
+            clean_str("p_name").alias("name_norm"),
+            F.col("p_retailprice").alias("popularity"),
+            F.lit(False).alias("is_alias"),
+        )
+
+    main_dict = to_dict(part.filter(F.col("p_partkey") % 10 != 0))
+    if LookupIndex.exists(spark, prefix, fuzzy=False, limit_per_token=3):
+        index = LookupIndex.load(spark, prefix)
+    else:
+        index = LookupIndex.write(main_dict, prefix=prefix, n_buckets=8,
+                                  fuzzy=False, limit_per_token=3)
+    delta = LookupIndex.load_delta(spark, prefix)
+    if delta is None:
+        LookupIndex.write_delta(
+            to_dict(part.filter(F.col("p_partkey") % 10 == 0)), prefix)
+        delta = LookupIndex.load_delta(spark, prefix)
+    return index, delta
+
+
+@register("lookup_candidates_delta", _LOOKUP_DELTA_SQL)
+def lookup_candidates_delta(spark, sf):
+    """Incremental dictionary maintenance under the correctness gate:
+    the J1 probe of ``lookup_candidates_indexed`` against a main
+    bucketed artifact built on 90% of the dictionary PLUS an
+    append-only 10% delta (operators/lookup.token_match_with_delta +
+    LookupIndex.write_delta/load_delta) — new labels visible to
+    lookups without rebuilding the 10^8-entity artifact. The oracle
+    reproduces per-part build-time pruning (top-K per (token, part)),
+    the unioned exact-name guard, and the two-step aggregation over
+    the unioned match."""
+    from lamapi_spark.operators.lookup import (
+        _prepare_mentions, token_match_with_delta,
+    )
+
+    index, delta = _lcd_index(spark, sf)
+    mentions = load(spark, sf, "documents").select(F.col("text").alias("mention"))
+    prepared = _prepare_mentions(mentions)
+    slim = token_match_with_delta(prepared, index, delta, fuzzy=False)
+    w = Window.partitionBy("mention_norm").orderBy(
+        F.desc("popularity"), "entity", "name")
+    return (
+        slim.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("mention_norm", "entity", "name", "matched_tokens",
+                "popularity", "rnk")
+        .orderBy("mention_norm", "rnk")
+    )

@@ -1190,3 +1190,61 @@ def corpus_weighted_sample(spark, sf):
     return (weighted_sample(docs, "wgt", k=50)
             .select("doc_id", "wgt", "draw")
             .orderBy("draw", "doc_id"))
+
+
+# --------------------------------------------------------- ROUGE-N eval
+
+# Planted summarization pairs: candidate = the full document text,
+# reference = its first 3/5 tokens (so precision < 1 while recall = 1
+# for most rows) — and documents shorter than 2 tokens after the cut
+# exercise the zero-gram degenerate branch. Bigram multisets are NOT
+# deduplicated (clipped-count semantics is the point of ROUGE).
+_RG_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_RG_GRAMS = ("list_transform(range(1, greatest(len({t}) - 1, 0) + 1), "
+             "i -> {t}[i] || ' ' || {t}[i + 1])")
+
+
+@register("eval_rouge_n", f"""
+WITH t AS (
+  SELECT doc_id AS id, {_RG_TOKS} AS ct,
+         {_RG_TOKS}[1:(3 * len({_RG_TOKS})) // 5] AS rt
+  FROM documents),
+g AS (
+  SELECT id, {_RG_GRAMS.format(t='ct')} AS cg,
+         {_RG_GRAMS.format(t='rt')} AS rg
+  FROM t),
+cc AS (SELECT id, g AS gram, count(*)::BIGINT AS cnt
+       FROM (SELECT id, unnest(cg) AS g FROM g) GROUP BY id, g),
+rc AS (SELECT id, g AS gram, count(*)::BIGINT AS cnt
+       FROM (SELECT id, unnest(rg) AS g FROM g) GROUP BY id, g),
+ov AS (SELECT cc.id, sum(least(cc.cnt, rc.cnt))::BIGINT AS overlap
+       FROM cc JOIN rc ON cc.id = rc.id AND cc.gram = rc.gram
+       GROUP BY cc.id)
+SELECT g.id, len(g.cg)::BIGINT AS cand_n, len(g.rg)::BIGINT AS ref_n,
+       coalesce(ov.overlap, 0)::BIGINT AS overlap,
+       round_even(coalesce(ov.overlap, 0)::DOUBLE
+                  / greatest(len(g.cg), 1), 6) AS p,
+       round_even(coalesce(ov.overlap, 0)::DOUBLE
+                  / greatest(len(g.rg), 1), 6) AS r,
+       round_even(2 * coalesce(ov.overlap, 0)::DOUBLE
+                  / greatest(len(g.cg) + len(g.rg), 1), 6) AS f1
+FROM g LEFT JOIN ov ON ov.id = g.id
+ORDER BY g.id
+""")
+def eval_rouge_n(spark, sf):
+    """ROUGE-2 (ops/metrics.rouge_n_scores) over planted
+    candidate/reference pairs: clipped bigram-multiset overlap with
+    P/R/F1 as single integer-ratio divisions (half-even, 6 dp — no
+    float sums). The oracle rebuilds tokenization, in-row bigram
+    multisets, the clipped-count join, and every ratio independently."""
+    from lamapi_spark.ops.metrics import rouge_n_scores
+
+    docs = load(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    rlen = F.floor(F.size(toks) * 3 / 5).cast("int")
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text").alias("cand"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), rlen)).alias("ref"),
+    )
+    return rouge_n_scores(pairs, "pair_id", "cand", "ref", n=2).orderBy("id")

@@ -1601,3 +1601,50 @@ def kg_xsource_clusters(spark, sf):
             .select("rec_id",
                     F.coalesce("component", "rec_id").alias("cluster_id"))
             .orderBy("rec_id"))
+
+
+@register("graph_link_predict", """
+WITH cs AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+fan AS (
+  SELECT c, count(*)::BIGINT AS f FROM cs GROUP BY c HAVING count(*) >= 2
+),
+terms AS (
+  SELECT cs.c, cs.s AS d,
+         CAST(round_even(1000000 / ln(f), 0) AS BIGINT) AS aa_t,
+         CAST(round_even(1000000 / f, 0) AS BIGINT) AS ra_t
+  FROM cs JOIN fan USING (c)
+)
+SELECT x.d AS node_a, y.d AS node_b, count(*)::BIGINT AS common,
+       sum(x.aa_t)::BIGINT AS aa_units, sum(x.ra_t)::BIGINT AS ra_units
+FROM terms x JOIN terms y ON x.c = y.c AND x.d < y.d
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY node_a, node_b
+""")
+def graph_link_predict(spark, sf):
+    """Adamic-Adar + resource-allocation link prediction
+    (ops/graph.link_prediction_scores) over the customer->supplier
+    adjacency: supplier pairs scored by their shared customers,
+    inverse-weighted by each customer's fanout — the KG-completion
+    candidate generator one step past raw common-neighbor counts.
+    Scores are BIGINT units of 1e-6 (half-even per-term rounding,
+    integer sum: order-independent and engine-portable); the oracle
+    rebuilds fanouts, per-mediator terms, and the pair aggregation
+    from scratch. max_fanout lifted above any sf's per-customer
+    fanout (operator == brute force at test scale; a hub-heavy graph
+    lowers it for the documented recall trade)."""
+    from lamapi_spark.ops.graph import link_prediction_scores
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+    )
+    return (
+        link_prediction_scores(cs, min_common=2, max_fanout=1_000_000)
+        .orderBy("node_a", "node_b")
+    )

@@ -572,3 +572,43 @@ def kg_tool_ngrams(spark, sf):
     out2 = tool_sequence_ngrams(trt, k=2)
     out3 = tool_sequence_ngrams(trt, k=3)
     return out2.unionByName(out3).orderBy("pattern", "k")
+
+
+@register("graph_modularity", f"""
+WITH {_EDGES_SQL},
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes),
+{",".join(_lp_round(k + 1) for k in range(_LP_ITER))},
+comm AS (SELECT node, label FROM l{_LP_ITER}),
+tot AS (SELECT count(*)::BIGINT AS e FROM edges),
+deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM edges GROUP BY src),
+inn AS (
+  SELECT ca.label, count(*)::BIGINT AS in_edges
+  FROM edges e JOIN comm ca ON ca.node = e.src
+               JOIN comm cb ON cb.node = e.dst
+  WHERE ca.label = cb.label GROUP BY ca.label),
+ds AS (
+  SELECT c.label, count(*)::BIGINT AS n_nodes, sum(d.d)::BIGINT AS degree_sum
+  FROM comm c JOIN deg d USING (node) GROUP BY c.label)
+SELECT ds.label AS community, ds.n_nodes,
+       coalesce(inn.in_edges, 0)::BIGINT AS in_edges, ds.degree_sum,
+       CAST(round_even(1e9 * (coalesce(inn.in_edges, 0)::DOUBLE / t.e
+                              - (ds.degree_sum::DOUBLE / t.e)
+                                * (ds.degree_sum::DOUBLE / t.e)), 0)
+            AS BIGINT) AS q_units
+FROM ds LEFT JOIN inn USING (label) CROSS JOIN tot t
+ORDER BY community
+""")
+def graph_modularity(spark, sf):
+    """Newman modularity terms (ops/graph.modularity_terms) of the
+    label-propagation partition over the symmetric customer-supplier
+    graph — the acceptance metric for graph_label_prop's communities
+    (sum(q_units)/1e9 is the global Q; > 0 beats the degree-preserving
+    null model). Each term is one float expression over four corpus
+    integers rounded half-even to BIGINT units; the oracle replays the
+    LP rounds CTE by CTE and the whole modularity computation."""
+    from lamapi_spark.ops.graph import label_propagation, modularity_terms
+
+    edges = _edges(spark, sf)
+    comm = label_propagation(edges, n_iter=_LP_ITER, checkpoint_every=None)
+    return modularity_terms(edges, comm).orderBy("community")

@@ -517,3 +517,151 @@ def conv_neardup_pairs_q(spark, sf):
                                max_bucket=1_000_000)
             .withColumn("hamming", F.col("hamming").cast("int"))
             .orderBy("id_a", "id_b"))
+
+
+# ------------------------------------------- conversation prefix sharing
+
+# Planted prefix-sharing transcript: conv = order, turns = lineitems in
+# line order. Turns 1-2 depend only on the customer's template class
+# (o_custkey % 7) -> shared across every conversation of that class;
+# turn 3 is template-only for every 5th order (a deeper-sharing cohort);
+# all other turns embed the orderkey -> unique tails. Both engines
+# derive the identical transcript, so the oracle replays the synth AND
+# the whole prefix-census dataflow.
+_PFX_SQL = """
+ptr AS (
+  SELECT 'o' || o.o_orderkey AS conv_id, l.l_linenumber::INT AS turn_idx,
+         CASE WHEN l.l_linenumber <= 2
+                THEN 'greet t' || (o.o_custkey % 7) || ' step ' || l.l_linenumber
+              WHEN l.l_linenumber = 3 AND o.o_orderkey % 5 = 0
+                THEN 'policy t' || (o.o_custkey % 7)
+              ELSE 'detail o' || o.o_orderkey || ' l ' || l.l_linenumber
+         END AS text
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)"""
+
+
+def _pfx_transcripts(spark, sf):
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    d = F.col("l_linenumber")
+    tpl = (F.col("o_custkey") % 7).cast("string")
+    okey = F.col("o_orderkey").cast("string")
+    text = (
+        F.when(d <= 2, F.concat(F.lit("greet t"), tpl, F.lit(" step "),
+                                d.cast("string")))
+        .when((d == 3) & (F.col("o_orderkey") % 5 == 0),
+              F.concat(F.lit("policy t"), tpl))
+        .otherwise(F.concat(F.lit("detail o"), okey, F.lit(" l "),
+                            d.cast("string")))
+    )
+    return (o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(F.concat(F.lit("o"), okey).alias("conv_id"),
+                    d.cast("int").alias("turn_idx"), text.alias("text")))
+
+
+@register("conv_prefix_sharing", f"""
+WITH {_PFX_SQL},
+arr AS (
+  SELECT conv_id, list(text ORDER BY turn_idx) AS texts,
+         len(list(text ORDER BY turn_idx))::BIGINT AS n_turns
+  FROM ptr GROUP BY conv_id),
+ph AS (
+  SELECT conv_id, d,
+         md5(array_to_string(texts[1:d], chr(31))) AS phash
+  FROM (SELECT conv_id, texts,
+               unnest(range(1, least(n_turns, 16) + 1))::INT AS d
+        FROM arr)),
+counts AS (SELECT d, phash, count(*)::BIGINT AS grp
+           FROM ph GROUP BY d, phash),
+shared AS (
+  SELECT conv_id, max(d)::BIGINT AS shared_depth,
+         arg_max(grp, d)::BIGINT AS group_size
+  FROM ph JOIN counts USING (d, phash) WHERE grp >= 2 GROUP BY conv_id)
+SELECT a.conv_id, a.n_turns,
+       coalesce(s.shared_depth, 0)::BIGINT AS shared_depth,
+       coalesce(s.group_size, 1)::BIGINT AS group_size,
+       round_even(coalesce(s.shared_depth, 0)::DOUBLE / a.n_turns, 6)
+         AS reuse_frac
+FROM arr a LEFT JOIN shared s USING (conv_id)
+ORDER BY conv_id
+""")
+def conv_prefix_sharing(spark, sf):
+    """KV-cache-reuse census (pipeline/prefixes.prefix_sharing) over
+    the planted prefix-sharing transcript: per conversation, the
+    deepest turn prefix shared verbatim with another conversation,
+    the sharing-group size at that depth, and the reusable-turn
+    fraction. Linear in the corpus (prefix fingerprints count into
+    (depth, md5) cells — no pairwise join, hot templates cost the
+    same as cold ones); the oracle replays the synth, the rolling
+    fingerprints, the census, and the per-conversation argmax."""
+    from lamapi_spark.pipeline.prefixes import prefix_sharing
+
+    return (prefix_sharing(_pfx_transcripts(spark, sf), max_depth=16)
+            .orderBy("conv_id"))
+
+
+# ----------------------------------------------------- SFT refusal gate
+
+# Planted refusal transcript: conv = customer, one turn per order; even
+# orderkeys are user questions, odd ones assistant answers, and
+# assistant turns with orderkey % 6 in (1, 3) are planted refusals
+# (two different lexicon entries). Conversations pass the gate iff
+# every assistant turn stayed clean.
+_RTR_SQL = """
+rtr AS (
+  SELECT 'c' || o_custkey AS conv_id,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'question ' || o_orderkey
+              WHEN o_orderkey % 6 = 1 THEN 'i cannot help with that request'
+              WHEN o_orderkey % 6 = 3 THEN 'sorry but as an ai i must decline'
+              ELSE 'sure: answer ' || o_orderkey END AS text
+  FROM orders)"""
+
+
+def _rtr(spark, sf):
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    even = F.col("o_orderkey") % 2 == 0
+    m6 = F.col("o_orderkey") % 6
+    okey = F.col("o_orderkey").cast("string")
+    return o.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+        .alias("conv_id"),
+        F.when(even, F.lit("user")).otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when(even, F.concat(F.lit("question "), okey))
+        .when(m6 == 1, F.lit("i cannot help with that request"))
+        .when(m6 == 3, F.lit("sorry but as an ai i must decline"))
+        .otherwise(F.concat(F.lit("sure: answer "), okey)).alias("text"),
+    )
+
+
+@register("sft_refusal_gate", f"""
+WITH {_RTR_SQL},
+t AS (
+  SELECT conv_id,
+         CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS a,
+         CASE WHEN role = 'assistant'
+                   AND regexp_matches(lower(text), '(i cannot|i can.t|as an ai|i.m sorry|i am sorry|i apologize|cannot assist|unable to help)')
+              THEN 1 ELSE 0 END AS r
+  FROM rtr),
+agg AS (
+  SELECT conv_id, count(*)::BIGINT AS n_turns, sum(a)::BIGINT AS n_assistant,
+         sum(r)::BIGINT AS n_refusals
+  FROM t GROUP BY conv_id)
+SELECT conv_id, n_turns, n_assistant, n_refusals,
+       round_even(n_refusals::DOUBLE / greatest(n_assistant, 1), 6)
+         AS refusal_rate,
+       (n_refusals = 0) AS keep
+FROM agg ORDER BY conv_id
+""")
+def sft_refusal_gate(spark, sf):
+    """Per-conversation refusal/boilerplate SFT ingest gate
+    (pipeline/exports.refusal_gate) over the planted refusal
+    transcript: lexicon-flag assistant turns, aggregate per
+    conversation, keep refusal-free exchanges. One JVM regex column +
+    one aggregation (the transcript twin of the Gopher document gate);
+    the oracle replays the synth, the lexicon match, and every
+    keep/drop verdict."""
+    from lamapi_spark.pipeline.exports import refusal_gate
+
+    return refusal_gate(_rtr(spark, sf)).orderBy("conv_id")

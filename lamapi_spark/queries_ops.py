@@ -2584,3 +2584,41 @@ def dedup_setjoin_exact(spark, sf):
         setjoin_jaccard_pairs(docs, "doc_id", "text", taun=3, taud=5)
         .orderBy("id_a", "id_b")
     )
+
+
+@register("dedup_containment", f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM ex x JOIN ex y USING (s) WHERE x.doc_id < y.doc_id
+), sc AS (
+  SELECT id_a, id_b,
+         len(list_intersect(a.sh, b.sh))::INT AS inter,
+         round_even(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 3)
+           AS cont_a,
+         round_even(len(list_intersect(a.sh, b.sh))::DOUBLE / len(b.sh), 3)
+           AS cont_b
+  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+)
+SELECT id_a, id_b, inter, cont_a, cont_b
+FROM sc WHERE greatest(cont_a, cont_b) >= 0.5
+ORDER BY id_a, id_b
+""")
+def dedup_containment(spark, sf):
+    """ASYMMETRIC shingle containment (ops/dedup.containment_pairs):
+    doc-in-doc pairs where either direction's |A&B|/|A| reaches 0.5 —
+    the quote/excerpt/boilerplate-wrap case the symmetric Jaccard
+    family under-scores (containment >= jaccard always, so this
+    strictly widens the ngram_jaccard survivor set). max_df lifted
+    above any sf's document count so operator and brute-force oracle
+    stay equivalent (the dedup_ngram_jaccard no-op rule)."""
+    from lamapi_spark.ops.dedup import containment_pairs
+
+    return (
+        containment_pairs(load(spark, sf, "documents"), "doc_id", "text",
+                          k_shingle=3, threshold=0.5, max_df=1_000_000)
+        .orderBy("id_a", "id_b")
+    )
