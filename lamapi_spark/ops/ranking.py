@@ -182,3 +182,75 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 10,
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def mmr_rerank(ranked: DataFrame, corpus: DataFrame, k: int = 3,
+               w_rel: float = 0.7, w_div: float = 0.3) -> DataFrame:
+    """Maximal-marginal-relevance diversification of a retrieval list
+    (Carbonell & Goldstein 1998): greedily pick the candidate
+    maximizing  w_rel * relevance - w_div * max_sim_to_already_picked,
+    so near-duplicate passages stop crowding out coverage — the
+    standard RAG post-rank step between retrieval and the context
+    window.
+
+    ``ranked``: (query_id, doc_id, cosine) — a BOUNDED per-query
+    candidate list (cosine_rank / rrf_fuse output, tens of rows per
+    query); the per-query pairwise similarity product is bounded by
+    that list's square, never by the corpus. ``corpus``: (doc_id,
+    embedding) supplying vectors for the candidate-candidate cosines.
+
+    The greedy loop is ``k`` UNROLLED fixed-iteration DataFrame steps
+    (the label-propagation / EM discipline — no UDF, no driver loop
+    over data): each step is one anti-join (drop picked), one
+    max-similarity aggregation against the picked set, one struct-min
+    argmax with the (score desc, doc_id asc) total-order tiebreak.
+    Pick 1 scores w_rel * cosine (max over an empty picked set = 0).
+
+    Determinism/portability: cosine_exact doubles are bit-identical
+    across engines and partitionings; scores are single IEEE
+    multiply/subtract ops on them. ``w_rel``/``w_div`` are SEPARATE
+    explicit literals — deriving w_div as 1 - w_rel in Python would
+    bind 0.30000000000000004 while an engine's 0.3 literal is a
+    different double (a real cross-engine hash trap).
+
+    -> (query_id, doc_id, mmr, pick_rank <= k); queries with fewer
+    than k candidates emit what they have."""
+    from lamapi_spark.ops.similarity import cosine_exact
+
+    cand = (ranked.select("query_id", "doc_id", "cosine")
+            .join(corpus.select("doc_id", F.col("embedding").alias("_v")),
+                  "doc_id"))
+    a = cand.select("query_id", F.col("doc_id").alias("id_a"),
+                    F.col("_v").alias("_va"))
+    b = cand.select("query_id", F.col("doc_id").alias("id_b"),
+                    F.col("_v").alias("_vb"))
+    sims = (a.join(b, "query_id")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("query_id", "id_a", "id_b",
+                    cosine_exact(F.col("_va"), F.col("_vb")).alias("_sim")))
+    cand = cand.drop("_v")
+
+    def argmax(df, rank_i: int) -> DataFrame:
+        m = df.groupBy("query_id").agg(F.min(F.struct(
+            (-F.col("_score")).alias("ns"),
+            F.col("doc_id").alias("d"))).alias("_m"))
+        return m.select("query_id", F.col("_m.d").alias("doc_id"),
+                        (-F.col("_m.ns")).alias("mmr"),
+                        F.lit(rank_i).alias("pick_rank"))
+
+    picks = argmax(
+        cand.withColumn("_score", F.lit(w_rel) * F.col("cosine")), 1)
+    for i in range(2, k + 1):
+        sel = picks.select("query_id", "doc_id")
+        rem = cand.join(sel, ["query_id", "doc_id"], "left_anti")
+        ms = (sims.join(sel.select("query_id",
+                                   F.col("doc_id").alias("id_b")),
+                        ["query_id", "id_b"])
+              .groupBy("query_id", F.col("id_a").alias("doc_id"))
+              .agg(F.max("_sim").alias("_ms")))
+        scored = (rem.join(ms, ["query_id", "doc_id"])
+                  .withColumn("_score",
+                              F.lit(w_rel) * F.col("cosine")
+                              - F.lit(w_div) * F.col("_ms")))
+        picks = picks.unionByName(argmax(scored, i))
+    return picks

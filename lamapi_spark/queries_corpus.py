@@ -1248,3 +1248,103 @@ def eval_rouge_n(spark, sf):
         F.concat_ws(" ", F.slice(toks, F.lit(1), rlen)).alias("ref"),
     )
     return rouge_n_scores(pairs, "pair_id", "cand", "ref", n=2).orderBy("id")
+
+
+# ----------------------------------------------------- MMR rerank
+
+def _mmr_step_sql(i: int) -> str:
+    prev = " UNION ALL ".join(
+        f"SELECT query_id, cid FROM s{j}" for j in range(1, i))
+    return f"""
+sel{i - 1} AS ({prev}),
+rem{i} AS (
+  SELECT c.* FROM cand c LEFT JOIN sel{i - 1} s
+    ON s.query_id = c.query_id AND s.cid = c.cid
+  WHERE s.cid IS NULL),
+ms{i} AS (
+  SELECT sm.query_id, sm.id_a AS cid, max(sm.sim) AS ms
+  FROM sims sm JOIN sel{i - 1} s
+    ON s.query_id = sm.query_id AND s.cid = sm.id_b
+  GROUP BY sm.query_id, sm.id_a),
+s{i} AS (
+  SELECT query_id, cid, mmr, {i} AS pick_rank FROM (
+    SELECT r.query_id, r.cid, 0.7 * r.cosine - 0.3 * m.ms AS mmr
+    FROM rem{i} r JOIN ms{i} m
+      ON m.query_id = r.query_id AND m.cid = r.cid)
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY mmr DESC, cid) = 1)"""
+
+
+@register("rag_mmr_rerank", f"""
+WITH {_CHUNK_CTES},
+cemb AS (
+  SELECT doc_id * 1000 + chunk_idx AS cid,
+         list({_EMB_COMP.format(t='chunk_text')} ORDER BY d) AS vec
+  FROM chunks, range(64) dd(d) GROUP BY doc_id, chunk_idx),
+qv AS (
+  SELECT query_id, list({_EMB_COMP.format(t='qs')} ORDER BY d) AS vec
+  FROM (VALUES {_RRF_QS_VALUES}) qq(query_id, qs), range(64) dd(d)
+  GROUP BY query_id),
+cos AS (
+  SELECT query_id, cid,
+         {_DOT_SQL.format(a='qv.vec', b='cemb.vec')}
+         / (sqrt({_DOT_SQL.format(a='qv.vec', b='qv.vec')})
+            * sqrt({_DOT_SQL.format(a='cemb.vec', b='cemb.vec')})) AS cosine
+  FROM qv, cemb),
+cand AS (
+  SELECT query_id, cid, cosine FROM cos
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, cid) <= 10),
+sims AS (
+  SELECT a.query_id, a.cid AS id_a, b.cid AS id_b,
+         {_DOT_SQL.format(a='va.vec', b='vb.vec')}
+         / (sqrt({_DOT_SQL.format(a='va.vec', b='va.vec')})
+            * sqrt({_DOT_SQL.format(a='vb.vec', b='vb.vec')})) AS sim
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.cid != b.cid
+  JOIN cemb va ON va.cid = a.cid
+  JOIN cemb vb ON vb.cid = b.cid),
+s1 AS (
+  SELECT query_id, cid, 0.7 * cosine AS mmr, 1 AS pick_rank FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY 0.7 * cosine DESC, cid) = 1),
+{_mmr_step_sql(2)},
+{_mmr_step_sql(3)}
+SELECT query_id, (cid // 1000)::BIGINT AS doc_id,
+       (cid % 1000)::INT AS chunk_idx, mmr, pick_rank::INT AS pick_rank
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      UNION ALL SELECT * FROM s3)
+ORDER BY query_id, pick_rank
+""")
+def rag_mmr_rerank(spark, sf):
+    """MMR diversification (ops/ranking.mmr_rerank) of the rag_retrieve
+    top-10: three unrolled greedy picks per query at w_rel/w_div =
+    0.7/0.3 over candidate-candidate cosines — near-duplicate chunks
+    (the 32/24 sliding windows overlap by construction) stop stacking
+    in the context window. The oracle rebuilds chunks, embeddings,
+    relevance and pairwise cosines, and replays every greedy step CTE
+    by CTE; scores are single IEEE ops on bit-identical cosines, so
+    the gate checks them exactly (no rounding)."""
+    from lamapi_spark.ops.corpus import chunk_documents
+    from lamapi_spark.ops.ranking import cosine_rank, mmr_rerank
+    from lamapi_spark.ops.similarity import embed_texts, hash_encode
+
+    chunks = chunk_documents(load(spark, sf, "documents"),
+                             size=32, stride=24)
+    cemb = embed_texts(
+        chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("cid"),
+            "chunk_text"),
+        id_col="cid", text_col="chunk_text", dims=64)
+    qv = spark.createDataFrame(
+        [(qid, hash_encode(qs, 64)) for qid, qs in _BM25_QUERIES],
+        "query_id string, embedding array<float>")
+    ranked = cosine_rank(qv, cemb, k=10)
+    return (
+        mmr_rerank(ranked, cemb, k=3, w_rel=0.7, w_div=0.3)
+        .select("query_id",
+                (F.col("doc_id") / 1000).cast("long").alias("doc_id"),
+                F.pmod("doc_id", F.lit(1000)).cast("int").alias("chunk_idx"),
+                "mmr", "pick_rank")
+        .orderBy("query_id", "pick_rank")
+    )

@@ -126,3 +126,51 @@ def stream_segment_turns(
                 F.col("r.sim").alias("sim_prev"),
                 F.col("r.seg").alias("seg_id"))
     )
+
+
+def stream_refusal_gate(
+    spark: SparkSession,
+    path: str,
+    gap: str = "2 hours",
+    watermark: str = "4 hours",
+    schema: str = TRANSCRIPT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of pipeline/exports.refusal_gate: the SFT ingest
+    verdict computed live per conversation session — flag assistant
+    turns against the refusal lexicon (stateless column exprs), then
+    ONE watermarked session-window aggregation per conv_id. State is a
+    handful of counters per open session (no turn buffering — unlike
+    the SFT/segment twins this needs no in-array carry); a conversation
+    quiet longer than ``gap`` closes and emits its verdict, the twins'
+    usual staleness bound. Semantics vs batch are identical per session
+    (parity-tested with gap/watermark above the input span).
+
+    -> (conv_id, n_turns, n_assistant, n_refusals, refusal_rate, keep)
+    per closed session."""
+    from lamapi_spark.pipeline.exports import REFUSAL_RE
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(path)
+    is_asst = (F.col("role") == "assistant").cast("long")
+    is_ref = ((F.col("role") == "assistant")
+              & F.lower(F.col("text")).rlike(REFUSAL_RE)).cast("long")
+    flags = (stream.withWatermark("ts", watermark)
+             .select("conv_id", "ts", is_asst.alias("_a"),
+                     is_ref.alias("_r")))
+    agg = (
+        flags.groupBy(F.session_window("ts", gap).alias("_w"),
+                      F.col("conv_id"))
+        .agg(F.count("*").alias("n_turns"),
+             F.sum("_a").alias("n_assistant"),
+             F.sum("_r").alias("n_refusals"))
+    )
+    return agg.select(
+        "conv_id", "n_turns", "n_assistant", "n_refusals",
+        F.bround(F.col("n_refusals")
+                 / F.greatest("n_assistant", F.lit(1)), 6)
+        .alias("refusal_rate"),
+        (F.col("n_refusals") == 0).alias("keep"),
+    )

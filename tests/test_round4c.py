@@ -381,3 +381,153 @@ def test_delta_dedup_against_main(spark):
                                  dedup_against_main=True).collect()
     assert len([r for r in ded if r.entity == "e1"]) == 1
     assert len([r for r in ded if r.entity == "e2"]) == 1
+
+
+# ------------------------------------------- streaming refusal twin
+
+def test_stream_refusal_gate_matches_batch(spark, tmp_path):
+    import shutil
+
+    import pyspark.sql.functions as F
+    from lamapi_spark.pipeline.exports import refusal_gate
+    from lamapi_spark.streaming.exports import stream_refusal_gate
+    from lamapi_spark.streaming.sessions import run_available_now
+
+    rows = [
+        ("A", 1, "user", None, "please help"),
+        ("A", 2, "assistant", None, "i cannot help with that"),
+        ("A", 3, "assistant", None, "fine, here"),
+        ("B", 1, "user", None, "hi"),
+        ("B", 2, "assistant", None, "sure thing"),
+        ("C", 1, "tool", "search", "i cannot parse"),  # non-assistant
+    ]
+    tr = (spark.createDataFrame(
+              rows, "conv_id string, turn_idx int, role string, "
+                    "tool string, text string")
+          .withColumn("ts", F.timestamp_seconds(
+              F.lit(1700000000) + F.col("turn_idx") * 60)))
+    d = str(tmp_path / "refusal_feed")
+    tr.write.parquet(d)
+    got = run_available_now(
+        stream_refusal_gate(spark, d, gap="2 hours", watermark="4 hours"),
+        "t_refusal_gate", mode="complete")
+    stream_rows = sorted(map(tuple, got.collect()))
+    batch_rows = sorted(map(tuple, refusal_gate(tr.drop("ts")).collect()))
+    assert stream_rows == batch_rows
+    assert ("A", 3, 2, 1, 0.5, False) in stream_rows
+    assert ("B", 2, 1, 0, 0.0, True) in stream_rows
+    assert ("C", 1, 0, 0, 0.0, True) in stream_rows
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------------------ MMR
+
+def test_mmr_rerank_demotes_duplicate(spark):
+    import math
+
+    from lamapi_spark.ops.ranking import mmr_rerank
+
+    # q overlaps d1/d2/d3 equally by cosine (three-way relevance tie,
+    # id-asc tiebreak); d2 is an exact duplicate DIRECTION of d1, d3 is
+    # orthogonal to d1 — MMR must pick d1, then d3, then d2, while pure
+    # relevance order is d1, d2, d3. All components dyadic so float32
+    # storage and the double fold are exact and the Python twin below
+    # reproduces every score bit for bit.
+    q = [1.0, 1.0, 0.0, 0.0]
+    vecs = {1: [1.0, 0.0, 0.0, 0.0],
+            2: [2.0, 0.0, 0.0, 0.0],
+            3: [0.0, 1.0, 0.0, 0.0]}
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        na = 0.0
+        nb = 0.0
+        for x in a:
+            na = na + x * x
+        for y in b:
+            nb = nb + y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    ranked = spark.createDataFrame(
+        [("q", i, cos(q, v)) for i, v in vecs.items()],
+        "query_id string, doc_id long, cosine double")
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "doc_id long, embedding array<float>")
+    got = sorted(((r.query_id, r.doc_id, r.mmr, r.pick_rank)
+                  for r in mmr_rerank(ranked, corpus, k=3).collect()),
+                 key=lambda t: t[3])
+
+    mmr1 = 0.7 * cos(q, vecs[1])
+    mmr2 = 0.7 * cos(q, vecs[3]) - 0.3 * cos(vecs[3], vecs[1])
+    mmr3 = 0.7 * cos(q, vecs[2]) - 0.3 * max(cos(vecs[2], vecs[1]),
+                                             cos(vecs[2], vecs[3]))
+    assert got == [("q", 1, mmr1, 1), ("q", 3, mmr2, 2), ("q", 2, mmr3, 3)]
+    # and the flip really happened: relevance rank 2 is d2, MMR pick 2 is d3
+    assert got[1][1] == 3
+
+
+def test_mmr_rerank_short_list_and_isolation(spark):
+    from lamapi_spark.ops.ranking import mmr_rerank
+
+    # query A has ONE candidate (fewer than k); query B has two; groups
+    # must not leak picks or similarities across query_ids
+    ranked = spark.createDataFrame(
+        [("A", 10, 0.9), ("B", 10, 0.8), ("B", 20, 0.7)],
+        "query_id string, doc_id long, cosine double")
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])],
+        "doc_id long, embedding array<float>")
+    got = {(r.query_id, r.pick_rank): r.doc_id
+           for r in mmr_rerank(ranked, corpus, k=3).collect()}
+    assert got == {("A", 1): 10, ("B", 1): 10, ("B", 2): 20}
+
+
+# ---------------------------------------------------- plan assertions
+
+def test_plan_shapes_of_new_operators(spark):
+    """Plan audit for this batch (the test_ops discipline): no
+    cartesian products; the modularity |E| stat frame is the ONLY
+    nested-loop build side (1 row); prefix sharing plans with hash
+    aggregations + one join-back, no window over the census."""
+    import pyspark.sql.functions as F
+    from lamapi_spark.ops.graph import link_prediction_scores, modularity_terms
+    from lamapi_spark.ops.metrics import rouge_n_scores
+    from lamapi_spark.pipeline.prefixes import prefix_sharing
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    edges = li.select(F.col("l_orderkey").cast("string").alias("src"),
+                      F.col("l_suppkey").cast("string").alias("dst"))
+
+    p1 = (link_prediction_scores(edges, min_common=2)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in p1
+    assert "BroadcastNestedLoopJoin" not in p1
+
+    comm = edges.select(F.col("src").alias("node"),
+                        F.col("dst").alias("label"))
+    p2 = (modularity_terms(edges, comm)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in p2
+    # exactly the 1-row |E| frame rides the nested-loop cross join
+    assert p2.count("BroadcastNestedLoopJoin") == 1
+
+    tr = li.select(F.col("l_orderkey").cast("string").alias("conv_id"),
+                   F.col("l_linenumber").alias("turn_idx"),
+                   F.col("l_returnflag").alias("text"))
+    p3 = (prefix_sharing(tr)._jdf.queryExecution()
+          .executedPlan().toString())
+    assert "CartesianProduct" not in p3
+    assert "BroadcastNestedLoopJoin" not in p3
+    assert "Window" not in p3   # census + join-back, never a window
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = docs.select(F.col("doc_id").alias("pair_id"),
+                        F.col("text").alias("cand"),
+                        F.col("text").alias("ref"))
+    p4 = (rouge_n_scores(pairs)._jdf.queryExecution()
+          .executedPlan().toString())
+    assert "CartesianProduct" not in p4
+    assert "Window" not in p4   # per-(pair, gram) aggs, no window
