@@ -785,3 +785,72 @@ def weighted_sample(docs: DataFrame, weight_col: str, k: int,
             .withColumn("_r2", F.row_number().over(w2))
             .filter(F.col("_r2") <= k)
             .drop("_r1", "_r2"))
+
+
+def kn_lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score (Chen & Goodman 1999) — the
+    production smoothing next to the add-one bigram scorer:
+
+        P(w2 | w1) = (max(c(w1 w2) - d, 0)
+                      + d * N1+(w1 .) * Pcont(w2)) / c_ctx(w1)
+        Pcont(w2)  = N1+(. w2) / n_bigram_types
+
+    The continuation probability is the KN insight add-one smoothing
+    cannot express: a word seen after MANY distinct contexts ("york"
+    after only "new" vs "the" after everything) gets continuation mass
+    by context DIVERSITY, not raw frequency — the difference between
+    template boilerplate and fluent prose at corpus scale. d = 0.75
+    (the standard discount) is dyadic, so every term is an exact
+    binary float of corpus integers.
+
+    Engine parity: identical discipline to bigram_lm_score — each
+    position's probability is a fixed-order arithmetic expression over
+    six corpus integers, one ln rounded half-even to 6 dp, DECIMAL
+    order-free per-document sum, bround'ed average. Scoring the
+    training corpus itself means every bigram has c >= 1, so the
+    discounted term stays positive and p in (0, 1].
+
+    Scale shape: FIVE aggregations (bigram counts, context counts, two
+    distinct-neighbor counts off the already-distinct bigram frame,
+    the per-doc score) and three count joins keyed on w1/w2/bigram —
+    map-side combined, skew bounded by the unigram hot keys the LM
+    family already tolerates; n_bigram_types rides a 1-row broadcast.
+
+    -> (doc_id, n_bigrams, avg_neg_logp); sub-2-token docs omitted."""
+    d = discount
+    bigrams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_ngrams(F.col(text_col), 2)).alias("bg")).cache()
+    bc = bigrams.groupBy("bg").agg(F.count("*").alias("cbg"))
+    ctx = (bigrams
+           .select(F.substring_index(F.col("bg"), " ", 1).alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("cctx")))
+    # distinct-successor / distinct-predecessor counts come off the
+    # DISTINCT bigram frame bc (one row per type), not the occurrences
+    n1f = (bc.select(F.substring_index(F.col("bg"), " ", 1).alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("n1f")))
+    n1b = (bc.select(F.substring_index(F.col("bg"), " ", -1).alias("w2"))
+           .groupBy("w2").agg(F.count("*").alias("n1b")))
+    nbt = bc.agg(F.count("*").alias("nbt"))
+    p = (
+        (F.greatest(F.col("cbg") - F.lit(d), F.lit(0.0))
+         + F.lit(d) * F.col("n1f") * (F.col("n1b") / F.col("nbt")))
+        / F.col("cctx")
+    )
+    scored = (
+        bigrams.join(bc, "bg")
+        .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .withColumn("w2", F.substring_index(F.col("bg"), " ", -1))
+        .join(ctx, "w1").join(n1f, "w1").join(n1b, "w2")
+        .crossJoin(F.broadcast(nbt))
+        .withColumn("_nlp", F.bround(-F.log(p), 6))
+    )
+    return (
+        scored.groupBy("doc_id").agg(
+            F.count("*").alias("n_bigrams"),
+            F.bround(F.sum(F.col("_nlp").cast("decimal(28,6)")).cast("double")
+                     / F.count("*"), 4).alias("avg_neg_logp"))
+    )

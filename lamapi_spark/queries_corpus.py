@@ -1348,3 +1348,47 @@ def rag_mmr_rerank(spark, sf):
                 "mmr", "pick_rank")
         .orderBy("query_id", "pick_rank")
     )
+
+
+@register("kn_lm_score", r"""
+WITH ts AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bg
+  FROM ts),
+bc AS (SELECT bg, count(*)::BIGINT AS cbg FROM bg GROUP BY bg),
+ctx AS (SELECT split_part(bg, ' ', 1) AS w1, count(*)::BIGINT AS cctx
+        FROM bg GROUP BY split_part(bg, ' ', 1)),
+n1f AS (SELECT split_part(bg, ' ', 1) AS w1, count(*)::BIGINT AS n1f
+        FROM bc GROUP BY split_part(bg, ' ', 1)),
+n1b AS (SELECT split_part(bg, ' ', 2) AS w2, count(*)::BIGINT AS n1b
+        FROM bc GROUP BY split_part(bg, ' ', 2)),
+nbt AS (SELECT count(*)::BIGINT AS nbt FROM bc),
+scored AS (
+  SELECT b.doc_id,
+         round_even(-ln((greatest(bc.cbg - 0.75, 0.0)
+                         + 0.75 * n1f.n1f * (n1b.n1b / t.nbt))
+                        / ctx.cctx), 6)::DECIMAL(28,6) AS nlp
+  FROM bg b
+  JOIN bc ON bc.bg = b.bg
+  JOIN ctx ON ctx.w1 = split_part(b.bg, ' ', 1)
+  JOIN n1f ON n1f.w1 = split_part(b.bg, ' ', 1)
+  JOIN n1b ON n1b.w2 = split_part(b.bg, ' ', 2)
+  CROSS JOIN nbt t)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round_even(sum(nlp)::DOUBLE / count(*), 4) AS avg_neg_logp
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""")
+def kn_lm_q(spark, sf):
+    """Interpolated Kneser-Ney bigram fluency score
+    (ops/corpus.py:kn_lm_score): absolute discount d = 0.75 plus
+    continuation-probability interpolation from context-DIVERSITY
+    counts — the production LM smoothing beside the add-one scorer,
+    same per-position round + DECIMAL-sum parity discipline. The
+    oracle rebuilds all five count frames and every position's
+    fixed-order probability expression."""
+    from lamapi_spark.ops.corpus import kn_lm_score
+
+    return kn_lm_score(load(spark, sf, "documents")).orderBy("doc_id")

@@ -531,3 +531,29 @@ def test_plan_shapes_of_new_operators(spark):
           .executedPlan().toString())
     assert "CartesianProduct" not in p4
     assert "Window" not in p4   # per-(pair, gram) aggs, no window
+
+
+# -------------------------------------------------------- Kneser-Ney
+
+def test_kn_lm_score_hand_computed(spark):
+    from lamapi_spark.ops.corpus import kn_lm_score
+
+    # bigram types: 'a b' (c=2), 'b a' (1), 'b c' (1); nbt=3
+    # cctx: a=2, b=2; N1+(a .)=1, N1+(b .)=2; N1+(. b)=1, N1+(. a)=1,
+    # N1+(. c)=1
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c"), (3, "solo")],
+        ["doc_id", "text"])
+    got = {r.doc_id: (r.n_bigrams, r.avg_neg_logp)
+           for r in kn_lm_score(docs).collect()}
+    # P(b|a) = (2-.75 + .75*1*(1/3)) / 2 = 0.75
+    # P(a|b) = P(c|b) = (1-.75 + .75*2*(1/3)) / 2 = 0.375
+    import math
+    nlp_ba = round(-math.log(0.75), 6)     # 0.287682
+    nlp_ab = round(-math.log(0.375), 6)    # 0.980829
+    assert got[1] == (3, round((2 * nlp_ba + nlp_ab) / 3, 4))
+    assert got[2] == (1, round(nlp_ab, 4))
+    assert 3 not in got   # < 2 tokens: unscorable, omitted
+    # KN sanity: the twice-seen collocation is MORE probable than the
+    # once-seen ones
+    assert got[1][1] < got[2][1]
