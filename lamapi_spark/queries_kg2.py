@@ -665,3 +665,96 @@ def sft_refusal_gate(spark, sf):
     from lamapi_spark.pipeline.exports import refusal_gate
 
     return refusal_gate(_rtr(spark, sf)).orderBy("conv_id")
+
+
+# ------------------------------------------------- alias mining
+
+# the planted link log: one linked span per order, branch by
+# o_orderkey % 12 — slot 0 re-uses the EXACT dictionary surface (the
+# dictionary-known exclusion must drop it), slots 1-8 are the recurring
+# misspelling linked to the right entity, slot 9 links the same
+# misspelling to the NEIGHBOR entity (impurity), slot 10 fails to link
+# (NIL impurity), slot 11 is a rarer second variant that only clears
+# min_support for high-order-count customers — so support/purity gates
+# both fire on real boundaries at every sf.
+_ALK_SQL = """
+lk AS (
+  SELECT CASE WHEN o_orderkey % 12 = 0 THEN 'customer ' || o_custkey
+              WHEN o_orderkey % 12 = 11 THEN 'kustomer ' || o_custkey
+              ELSE 'custmer ' || o_custkey END AS surface,
+         CASE WHEN o_orderkey % 12 = 10 THEN 'NIL-' || o_custkey
+              WHEN o_orderkey % 12 = 9 THEN 'C' || (o_custkey + 1)
+              ELSE 'C' || o_custkey END AS entity,
+         (o_orderkey % 12 = 10) AS nil
+  FROM orders),
+dict AS (
+  SELECT 'C' || c_custkey AS entity,
+         'customer ' || c_custkey AS name_norm,
+         ((c_custkey % 100) / 100.0) AS popularity
+  FROM customer)"""
+
+
+@register("kg_alias_mining", f"""
+WITH {_ALK_SQL},
+occ AS (SELECT surface, entity, nil, count(*)::BIGINT AS support
+        FROM lk GROUP BY 1, 2, 3),
+tot AS (SELECT surface, sum(support)::BIGINT AS total FROM occ GROUP BY 1),
+best AS (
+  SELECT surface, entity, support FROM (
+    SELECT surface, entity, support,
+           row_number() OVER (PARTITION BY surface
+                              ORDER BY support DESC, entity ASC) AS rn
+    FROM occ WHERE NOT nil) WHERE rn = 1),
+mined AS (
+  SELECT b.surface, b.entity, b.support,
+         (b.support * 10000 // t.total)::BIGINT AS purity_bp
+  FROM best b JOIN tot t USING (surface)
+  WHERE b.support >= 2 AND b.support * 10000 >= 7000 * t.total),
+filt AS (
+  SELECT m.* FROM mined m
+  LEFT JOIN dict d ON m.surface = d.name_norm
+  WHERE d.name_norm IS NULL)
+SELECT f.entity, f.surface AS name, f.surface AS name_norm,
+       TRUE AS is_alias, 'entity' AS kind, 'PERS' AS NERtype,
+       f.support, f.purity_bp, d.popularity
+FROM filt f JOIN dict d ON f.entity = d.entity
+ORDER BY name
+""")
+def kg_alias_mining(spark, sf):
+    """Dictionary-growth mining (pipeline/aliases.mine_aliases) over a
+    planted link log: recurring unknown surfaces earn alias rows for
+    their dominant entity; support, exact-product purity, and the
+    dictionary-known exclusion all gate on planted boundaries. The
+    oracle replays the synth, both aggregations, the deterministic
+    argmax, every gate, and the payload join."""
+    from lamapi_spark.pipeline.aliases import mine_aliases
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    m12 = F.col("o_orderkey") % 12
+    cust = F.col("o_custkey").cast("string")
+    linked = o.select(
+        F.when(m12 == 0, F.concat(F.lit("customer "), cust))
+        .when(m12 == 11, F.concat(F.lit("kustomer "), cust))
+        .otherwise(F.concat(F.lit("custmer "), cust)).alias("surface"),
+        F.when(m12 == 10, F.concat(F.lit("NIL-"), cust))
+        .when(m12 == 9, F.concat(F.lit("C"),
+                                 (F.col("o_custkey") + 1).cast("string")))
+        .otherwise(F.concat(F.lit("C"), cust)).alias("entity"),
+        (m12 == 10).alias("nil"))
+    c = load(spark, sf, "customer").select("c_custkey")
+    ck = F.col("c_custkey").cast("string")
+    label_dict = c.select(
+        F.concat(F.lit("C"), ck).alias("entity"),
+        F.concat(F.lit("customer "), ck).alias("name"),
+        F.concat(F.lit("customer "), ck).alias("name_norm"),
+        F.lit(False).alias("is_alias"),
+        F.lit("d").alias("description"),
+        F.lit("entity").alias("kind"),
+        F.lit("PERS").alias("NERtype"),
+        F.array(F.lit("T1")).alias("types"),
+        ((F.col("c_custkey") % 100) / F.lit(100.0)).alias("popularity"))
+    return (
+        mine_aliases(linked, label_dict, min_support=2, min_purity_bp=7000)
+        .select("entity", "name", "name_norm", "is_alias", "kind",
+                "NERtype", "support", "purity_bp", "popularity")
+        .orderBy("name"))
