@@ -449,3 +449,96 @@ def stream_tool_edges(
         .select("conv_id", F.col("r.t").alias("turn_idx"),
                 F.col("r.tool").alias("tool"), F.col("r.a.e").alias("entity"))
     )
+
+
+LINKED_SCHEMA = ("conv_id string, turn_idx int, surface string, "
+                 "entity string, nil boolean, ts timestamp")
+
+
+def stream_mine_aliases(
+    spark: SparkSession, path: str, label_dict: DataFrame,
+    window: str = "1 day", watermark: str = "1 hour",
+    min_support: int = 3, min_purity_bp: int = 8000,
+    schema: str = LINKED_SCHEMA,
+) -> DataFrame:
+    """Streaming twin of pipeline/aliases.mine_aliases: a linked-mention
+    feed (the linker's own output log) -> per-WINDOW alias rows, so
+    dictionary growth runs continuously instead of as a batch job.
+
+    Plan shape: TWO chained watermarked time-window aggregations (the
+    Spark 3.5+ multiple-stateful-operator form — the second groups on
+    ``window(window_time(w), ...)`` so its windows align 1:1 with the
+    first's): (window, surface, entity, nil) support counts, then the
+    per-(window, surface) total / non-NIL struct-min argmax — the same
+    window-free argmax as batch, NIL occurrences counted against purity.
+    Gates are the batch ones verbatim (support floor + EXACT product
+    purity). Both dictionary joins are stream-static: a LEFT ANTI
+    against the names frame (dictionary-known exclusion) and an INNER
+    payload join — state is ONLY the two window aggregations, bounded by
+    the watermark; the dictionary side holds no stream state at all.
+
+    Append-mode semantics: a window's aliases emit once, when the
+    watermark closes it — exactly the cadence a daily-delta
+    LookupIndex.write_delta append wants. Late links beyond the
+    watermark are dropped (the standard trade; they surface in the next
+    batch compaction). Parity with the batch miner is per-construction
+    (same expressions, same gates) and pinned in tests with a
+    one-window drain equal to mine_aliases row for row.
+    """
+    from lamapi_spark.functions import clean_str
+
+    linked = spark.readStream.schema(schema).parquet(path)
+    occ = (
+        linked.withColumn("_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("_ts", watermark)
+        .groupBy(F.window("_ts", window).alias("w"),
+                 "surface", "entity", "nil")
+        .agg(F.count("*").alias("support"))
+    )
+    per_surface = (
+        occ.groupBy(F.window(F.window_time("w"), window).alias("w"),
+                    "surface")
+        .agg(F.sum("support").alias("total"),
+             F.min(F.when(~F.col("nil"), F.struct(
+                 (-F.col("support")).alias("ns"),
+                 F.col("entity").alias("e")))).alias("_b"),
+             F.max(F.when(~F.col("nil"), F.col("support"))).alias("_smax"))
+    )
+    mined = (
+        per_surface
+        .filter(F.col("_b").isNotNull())
+        .select(F.col("w"), "surface",
+                F.col("_b.e").alias("entity"),
+                F.col("_smax").alias("support"), "total")
+        .filter(F.col("support") >= F.lit(int(min_support)))
+        .filter(F.col("support") * F.lit(10000)
+                >= F.lit(int(min_purity_bp)) * F.col("total"))
+        .withColumn("purity_bp", F.expr("support * 10000L div total"))
+    )
+    names = label_dict.select("name_norm")
+    mined = mined.join(names, mined.surface == names.name_norm, "left_anti")
+    from pyspark.sql import Window as W
+    payload = (
+        label_dict.filter(~F.col("is_alias"))
+        .withColumn("_rn", F.row_number().over(
+            W.partitionBy("entity").orderBy(F.col("name").asc())))
+        .filter(F.col("_rn") == 1)
+        .select("entity", "description", "kind", "NERtype", "types",
+                "popularity")
+    )
+    return (
+        mined.join(payload, "entity")
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "entity",
+            F.col("surface").alias("name"),
+            clean_str(F.col("surface")).alias("name_norm"),
+            F.array(F.lit("und")).alias("language"),
+            F.lit(True).alias("is_alias"),
+            "description", "kind", "NERtype", "types",
+            F.length("surface").alias("length"),
+            F.size(F.split("surface", " ")).alias("ntoken"),
+            "popularity", "support", "purity_bp",
+        )
+    )

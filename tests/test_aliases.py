@@ -113,3 +113,61 @@ def test_mine_and_append_probe_visible(spark):
     # both tokens exact-match (matched_tokens counts edits==0 tokens)
     assert [(r.entity, r.matched_tokens) for r in hit] == [("e1", 2)]
     LookupIndex.drop_delta(spark, prefix)
+
+
+def test_stream_mine_aliases_parity(spark, tmp_path):
+    """Per-window streaming mining == batch mine_aliases per window:
+    day-1 aliases emit once the sentinel closes the window; a surface
+    whose support is split across windows does NOT pool across them."""
+    import datetime as dt
+
+    from lamapi_spark.pipeline.aliases import mine_aliases
+    from lamapi_spark.streaming.kg import LINKED_SCHEMA, stream_mine_aliases
+    from lamapi_spark.streaming.sessions import run_available_now
+
+    d1 = dt.datetime(2026, 1, 1, 9, 0)
+    d2 = dt.datetime(2026, 1, 2, 9, 0)
+    rows = (
+        # pure recurring misspelling on day 1 -> mined (support 4)
+        [("c1", 0, "akme corp", "e1", False, d1)] * 4
+        # 2 more on day 2: below min_support WITHIN that window
+        + [("c2", 0, "akme corp", "e1", False, d2)] * 2
+        # 3:1 with a NIL on day 1 -> purity 7500 < 8000, dropped
+        + [("c3", 0, "globx", "e2", False, d1)] * 3
+        + [("c3", 1, "globx", "NIL-x", True, d1)]
+        # dictionary-known surface: excluded
+        + [("c4", 0, "acme corp", "e1", False, d1)] * 5)
+    sch = LINKED_SCHEMA
+    path = str(tmp_path / "linked")
+    spark.createDataFrame(rows, sch).repartition(3).write.parquet(path)
+    # future sentinel (unique surface, support 1): closes both real
+    # windows under the watermark; its own window never closes
+    flush = spark.createDataFrame(
+        [("conv-flush", 0, "zzz-flush", "e1", False,
+          dt.datetime(2027, 1, 1))], sch)
+    flush.coalesce(1).write.mode("append").parquet(path)
+
+    d = _label_dict(spark, [("e1", "acme corp", 0.9), ("e2", "globex", 0.5)])
+    got = run_available_now(
+        stream_mine_aliases(spark, path, d, window="1 day",
+                            watermark="10 minutes", min_support=3,
+                            min_purity_bp=8000),
+        "t_stream_aliases", mode="append")
+    got_set = {(r.window_start, r.name, r.entity, r.support, r.purity_bp,
+                r.popularity, r.description)
+               for r in got.collect()}
+
+    # batch twin per window
+    def batch_day(day):
+        lk = spark.createDataFrame(
+            [r for r in rows if r[5].date() == day.date()], sch)
+        return {(day.replace(hour=0), r.name, r.entity, r.support,
+                 r.purity_bp, r.popularity, r.description)
+                for r in mine_aliases(lk.select("surface", "entity", "nil"),
+                                      d, min_support=3,
+                                      min_purity_bp=8000).collect()}
+
+    want = batch_day(d1) | batch_day(d2)
+    assert want == {(d1.replace(hour=0), "akme corp", "e1", 4, 10000,
+                     0.9, "desc e1")}
+    assert got_set == want
