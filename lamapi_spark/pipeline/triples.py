@@ -267,3 +267,40 @@ def tool_sequence_ngrams(transcripts: DataFrame, k: int = 2) -> DataFrame:
              F.countDistinct("conv_id").alias("n_convs"),
              F.count("*").alias("n_occ"))
     )
+
+
+def fact_support(triples: DataFrame) -> DataFrame:
+    """Evidence aggregation: per-(subj, pred, obj) fact with its support
+    across the corpus — the distant-supervision denoising stage between
+    raw extraction and the published KG (a fact asserted once in one
+    conversation is noise; one asserted across many conversations is
+    signal worth keeping or human review).
+
+    Input: extraction output with provenance (subj, pred, obj, conv_id,
+    turn_idx — one row per turn-level assertion). Output: one row per
+    fact with ``support`` (assertion count), ``n_convs`` (distinct
+    conversations — the independence signal: 50 assertions in ONE
+    conversation are one source repeating itself), and the first/last
+    evidence pointer (min/max over the (conv_id, turn_idx) struct —
+    deterministic, audit-trail shape).
+
+    Scale: ONE hash aggregation keyed by the fact triple — even keys
+    (hot facts are exactly what support measures, and a count/min/max
+    aggregate partial-combines map-side, so a 10^6-assertion fact costs
+    one cell per input partition, not a shuffle of 10^6 rows to one
+    reducer). count_distinct(conv_id) is the only expansion: Spark
+    plans it as a two-level partial distinct on the SAME key — still no
+    skewed reducer for repeated (fact, conv) assertions.
+    """
+    ev = F.struct(F.col("conv_id").alias("c"), F.col("turn_idx").alias("t"))
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("support"),
+             F.countDistinct("conv_id").alias("n_convs"),
+             F.min(ev).alias("_f"), F.max(ev).alias("_l"))
+        .select("subj", "pred", "obj", "support", "n_convs",
+                F.col("_f.c").alias("first_conv"),
+                F.col("_f.t").alias("first_turn"),
+                F.col("_l.c").alias("last_conv"),
+                F.col("_l.t").alias("last_turn"))
+    )

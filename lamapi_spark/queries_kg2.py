@@ -758,3 +758,46 @@ def kg_alias_mining(spark, sf):
         .select("entity", "name", "name_norm", "is_alias", "kind",
                 "NERtype", "support", "purity_bp", "popularity")
         .orderBy("name"))
+
+
+# ------------------------------------------------- fact support
+
+@register("kg_fact_support", """
+WITH a AS (
+  SELECT 'v' || (o_orderkey % 8) AS conv_id,
+         o_orderkey AS turn_idx,
+         'e' || (o_custkey % 40) AS subj,
+         'p' || (o_orderkey % 3) AS pred,
+         's' || (1 + o_orderkey % 7) AS obj
+  FROM orders),
+g AS (
+  SELECT subj, pred, obj, count(*)::BIGINT AS support,
+         count(DISTINCT conv_id)::BIGINT AS n_convs,
+         min(struct_pack(c := conv_id, t := turn_idx)) AS _f,
+         max(struct_pack(c := conv_id, t := turn_idx)) AS _l
+  FROM a GROUP BY 1, 2, 3)
+SELECT subj, pred, obj, support, n_convs,
+       _f.c AS first_conv, _f.t AS first_turn,
+       _l.c AS last_conv, _l.t AS last_turn
+FROM g ORDER BY subj, pred, obj
+""")
+def kg_fact_support(spark, sf):
+    """Evidence aggregation (pipeline/triples.fact_support): one row
+    per extracted fact with assertion count, distinct-conversation
+    support (the independence signal distant-supervision denoising
+    keys on), and min/max (conv_id, turn_idx) evidence pointers — ONE
+    partial-aggregating hash agg keyed by the fact triple. The synth
+    plants 840 facts whose assertions recur WITHIN conversations (8
+    convs, coprime with the fact moduli) so every row exercises
+    n_convs < support; the oracle replays the synth and reproduces
+    the struct min/max lexicographic evidence-pointer rule."""
+    from lamapi_spark.pipeline.triples import fact_support
+
+    o = load(spark, sf, "orders")
+    ev = o.select(
+        F.concat(F.lit("v"), F.col("o_orderkey") % 8).alias("conv_id"),
+        F.col("o_orderkey").alias("turn_idx"),
+        F.concat(F.lit("e"), F.col("o_custkey") % 40).alias("subj"),
+        F.concat(F.lit("p"), F.col("o_orderkey") % 3).alias("pred"),
+        F.concat(F.lit("s"), F.lit(1) + F.col("o_orderkey") % 7).alias("obj"))
+    return fact_support(ev).orderBy("subj", "pred", "obj")
