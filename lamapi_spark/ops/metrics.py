@@ -127,3 +127,53 @@ def rouge_n_scores(pairs: DataFrame, id_col: str = "pair_id",
                  / F.greatest(F.col("cand_n") + F.col("ref_n"), F.lit(1)),
                  6).alias("f1"),
     )
+
+
+def calibration_bins(scored: DataFrame, score_col: str = "score",
+                     label_col: str = "label",
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability table for link-confidence calibration — the check a
+    production linker runs before its scores gate auto-accept
+    thresholds (reference analogue: none — the reference emits raw
+    popularity/similarity scores with no calibration audit;
+    builder's-brief eval surface beside prf_eval).
+
+    Equal-width binning of ``score_col`` (assumed in [0, 1]) into
+    ``n_bins`` bins, ``least(floor(score*n_bins), n_bins-1)`` so the
+    score=1.0 edge folds into the top bin. Per bin: mean confidence,
+    empirical accuracy (mean of the 0/1 ``label_col``), their absolute
+    gap, the bin's weight n/N, and the expected-calibration-error
+    contribution weight*gap — ``sum(ece_contrib)`` IS the standard ECE
+    (Naeini et al., AAAI 2015). Ratios round half-even to 6 dp
+    (engine-portable float discipline).
+
+    Scale shape: ONE hash aggregation keyed by the bin id (at most
+    ``n_bins`` groups — partial map-side combine collapses each input
+    partition to <= n_bins cells, so a 10^12-row score log shuffles
+    O(partitions * n_bins) cells), then a 1-row broadcast total for
+    the weights. No window, no driver collect.
+
+    -> (bin, n, conf, acc, gap, weight, ece_contrib), one row per
+    non-empty bin.
+    """
+    b = F.least(F.floor(F.col(score_col) * n_bins),
+                F.lit(n_bins - 1)).cast("int")
+    agg = (
+        scored.select(b.alias("bin"), F.col(score_col).alias("_s"),
+                      F.col(label_col).cast("double").alias("_y"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"),
+             F.avg("_s").alias("_conf"), F.avg("_y").alias("_acc"))
+    )
+    total = agg.agg(F.sum("n").alias("_N"))
+    gap = F.abs(F.col("_acc") - F.col("_conf"))
+    w = F.col("n") / F.col("_N")
+    return (
+        agg.join(F.broadcast(total))
+        .select("bin", "n",
+                F.bround("_conf", 6).alias("conf"),
+                F.bround("_acc", 6).alias("acc"),
+                F.bround(gap, 6).alias("gap"),
+                F.bround(w, 6).alias("weight"),
+                F.bround(w * gap, 6).alias("ece_contrib"))
+    )

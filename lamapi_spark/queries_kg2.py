@@ -801,3 +801,46 @@ def kg_fact_support(spark, sf):
         F.concat(F.lit("p"), F.col("o_orderkey") % 3).alias("pred"),
         F.concat(F.lit("s"), F.lit(1) + F.col("o_orderkey") % 7).alias("obj"))
     return fact_support(ev).orderBy("subj", "pred", "obj")
+
+
+# ------------------------------------------------- link calibration
+
+@register("link_calibration", """
+WITH s AS (
+  SELECT (o_orderkey % 1000) / CAST(1000 AS DOUBLE) AS score,
+         CASE WHEN ((o_orderkey * 7919 + o_custkey) % 1000)
+                   < (o_orderkey % 1000) THEN 1 ELSE 0 END AS label
+  FROM orders),
+b AS (
+  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, score, label
+  FROM s),
+g AS (
+  SELECT bin, count(*)::BIGINT AS n, avg(score) AS _conf,
+         avg(CAST(label AS DOUBLE)) AS _acc
+  FROM b GROUP BY bin),
+t AS (SELECT sum(n)::BIGINT AS _N FROM g)
+SELECT bin, n,
+       round_even(_conf, 6) AS conf,
+       round_even(_acc, 6) AS acc,
+       round_even(abs(_acc - _conf), 6) AS gap,
+       round_even(n / CAST(_N AS DOUBLE), 6) AS weight,
+       round_even((n / CAST(_N AS DOUBLE)) * abs(_acc - _conf), 6)
+         AS ece_contrib
+FROM g CROSS JOIN t ORDER BY bin
+""")
+def link_calibration(spark, sf):
+    """Link-score calibration audit (ops/metrics.calibration_bins):
+    the reliability table whose ece_contrib column sums to ECE. The
+    synth plants a near-calibrated scorer — score = k/1000, label =
+    (deterministic LCG residue < k) — so P(label) tracks score with
+    planted integer noise both engines reproduce bit-identically; the
+    oracle replays the binning fold (top-edge clamp included), both
+    per-bin means, and the broadcast-total weighting."""
+    from lamapi_spark.ops.metrics import calibration_bins
+
+    o = load(spark, sf, "orders")
+    scored = o.select(
+        ((F.col("o_orderkey") % 1000) / F.lit(1000.0)).alias("score"),
+        ((F.col("o_orderkey") * 7919 + F.col("o_custkey")) % 1000
+         < F.col("o_orderkey") % 1000).cast("int").alias("label"))
+    return calibration_bins(scored, n_bins=10).orderBy("bin")

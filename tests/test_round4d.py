@@ -29,3 +29,23 @@ def test_fact_support_hand_computed(spark):
     assert (b.support, b.n_convs) == (1, 1)
     assert (b.first_conv, b.first_turn) == ("c9", 7)
     assert (b.last_conv, b.last_turn) == ("c9", 7)
+
+
+def test_calibration_bins_hand_computed(spark):
+    from lamapi_spark.ops.metrics import calibration_bins
+
+    scored = spark.createDataFrame(
+        [(0.05, 0), (0.15, 0), (0.15, 1), (1.0, 1)],
+        "score double, label int",
+    )
+    rows = {r.bin: r for r in calibration_bins(scored, n_bins=10).collect()}
+    assert set(rows) == {0, 1, 9}  # 1.0 clamps into the top bin
+    b0, b1, b9 = rows[0], rows[1], rows[9]
+    assert (b0.n, b0.conf, b0.acc, b0.gap, b0.weight, b0.ece_contrib) == \
+        (1, 0.05, 0.0, 0.05, 0.25, 0.0125)
+    assert (b1.n, b1.conf, b1.acc, b1.gap, b1.weight, b1.ece_contrib) == \
+        (2, 0.15, 0.5, 0.35, 0.5, 0.175)
+    assert (b9.n, b9.conf, b9.acc, b9.gap, b9.ece_contrib) == \
+        (1, 1.0, 1.0, 0.0, 0.0)
+    # sum(ece_contrib) IS the ECE
+    assert abs(sum(r.ece_contrib for r in rows.values()) - 0.1875) < 1e-12
