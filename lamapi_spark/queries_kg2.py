@@ -844,3 +844,66 @@ def link_calibration(spark, sf):
         ((F.col("o_orderkey") * 7919 + F.col("o_custkey")) % 1000
          < F.col("o_orderkey") % 1000).cast("int").alias("label"))
     return calibration_bins(scored, n_bins=10).orderBy("bin")
+
+
+# ------------------------------------------------- blocking quality
+
+@register("linkage_blocking_quality", """
+WITH l AS (SELECT 'L' || c_custkey AS id_l, 'b' || (c_custkey % 97) AS blk
+           FROM customer),
+r AS (SELECT 'R' || c_custkey AS id_r,
+             CASE WHEN c_custkey % 53 = 0 THEN NULL
+                  ELSE 'b' || ((c_custkey
+                       + CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END)
+                       % 97) END AS blk
+      FROM customer),
+lb AS (SELECT blk, count(*)::BIGINT AS nl FROM l
+       WHERE blk IS NOT NULL GROUP BY blk),
+rb AS (SELECT blk, count(*)::BIGINT AS nr FROM r
+       WHERE blk IS NOT NULL GROUP BY blk),
+c AS (SELECT coalesce(sum(nl * nr), 0)::BIGINT AS cand_pairs,
+             count(*)::BIGINT AS n_blocks FROM lb JOIN rb USING (blk)),
+n AS (SELECT (SELECT count(*) FROM l)::BIGINT AS n_left,
+             (SELECT count(*) FROM r)::BIGINT AS n_right),
+g AS (SELECT 'L' || c_custkey AS id_l, 'R' || c_custkey AS id_r
+      FROM customer),
+gc AS (SELECT count(*)::BIGINT AS n_gold,
+              coalesce(sum(CASE WHEN lk.blk IS NOT NULL
+                                 AND rk.blk IS NOT NULL
+                                 AND lk.blk = rk.blk
+                            THEN 1 ELSE 0 END), 0)::BIGINT AS gold_covered
+       FROM g LEFT JOIN l lk USING (id_l) LEFT JOIN r rk USING (id_r))
+SELECT n.n_left, n.n_right, c.n_blocks, c.cand_pairs,
+       (n.n_left * n.n_right)::BIGINT AS total_pairs,
+       gc.n_gold, gc.gold_covered,
+       round_even(1.0 - cand_pairs / CAST(n_left * n_right AS DOUBLE), 6)
+         AS reduction_ratio,
+       round_even(gold_covered / CAST(n_gold AS DOUBLE), 6)
+         AS pairs_completeness,
+       round_even(gold_covered / CAST(cand_pairs AS DOUBLE), 6)
+         AS pair_quality
+FROM n CROSS JOIN c CROSS JOIN gc
+""")
+def linkage_blocking_quality(spark, sf):
+    """Blocking-scheme audit (ops/linkage.blocking_quality) over a
+    planted two-source synth: right-side blocks shift for custkey%10=0
+    (gold pairs MISSED by blocking) and null out for custkey%53=0 (the
+    null-block guard), so pairs_completeness lands strictly below 1
+    at a value both engines derive; cand_pairs comes from per-block
+    count products — the audit never materializes a candidate pair.
+    The oracle replays the synth, both count aggs, the inner block
+    join, and every guarded ratio."""
+    from lamapi_spark.ops.linkage import blocking_quality
+
+    ck = F.col("c_custkey")
+    c = load(spark, sf, "customer").select("c_custkey")
+    left = c.select(F.concat(F.lit("L"), ck).alias("rid"),
+                    F.concat(F.lit("b"), ck % 97).alias("blk"))
+    shift = F.when(ck % 10 == 0, F.lit(1)).otherwise(F.lit(0))
+    right = c.select(
+        F.concat(F.lit("R"), ck).alias("rid"),
+        F.when(ck % 53 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("b"), (ck + shift) % 97)).alias("blk"))
+    gold = c.select(F.concat(F.lit("L"), ck).alias("id_l"),
+                    F.concat(F.lit("R"), ck).alias("id_r"))
+    return blocking_quality(left, right, ("rid", "rid"), "blk", gold)

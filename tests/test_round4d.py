@@ -49,3 +49,29 @@ def test_calibration_bins_hand_computed(spark):
         (1, 1.0, 1.0, 0.0, 0.0)
     # sum(ece_contrib) IS the ECE
     assert abs(sum(r.ece_contrib for r in rows.values()) - 0.1875) < 1e-12
+
+
+def test_blocking_quality_hand_computed(spark):
+    from lamapi_spark.ops.linkage import blocking_quality
+
+    left = spark.createDataFrame(
+        [("l1", "a"), ("l2", "a"), ("l3", "b"), ("l4", None)],
+        "rid string, blk string")
+    right = spark.createDataFrame(
+        [("r1", "a"), ("r2", "b"), ("r3", "c"), ("r4", None)],
+        "rid string, blk string")
+    gold = spark.createDataFrame(
+        [("l1", "r1"),   # covered (block a)
+         ("l3", "r2"),   # covered (block b)
+         ("l2", "r3"),   # both exist, different blocks -> missed
+         ("l4", "r4"),   # null blocks never cover
+         ("lx", "r1")],  # left id absent -> missed
+        "id_l string, id_r string")
+    row = blocking_quality(left, right, ("rid", "rid"), "blk", gold).head()
+    # blocks: a -> 2*1, b -> 1*1; c has no left rows; nulls excluded
+    assert (row.n_left, row.n_right, row.n_blocks) == (4, 4, 2)
+    assert (row.cand_pairs, row.total_pairs) == (3, 16)
+    assert (row.n_gold, row.gold_covered) == (5, 2)
+    assert row.reduction_ratio == 0.8125
+    assert row.pairs_completeness == 0.4
+    assert row.pair_quality == round(2 / 3, 6)
