@@ -1174,3 +1174,49 @@ def modularity_terms(edges: DataFrame, communities: DataFrame,
             .cast("long").alias("q_units"),
         )
     )
+
+
+def hyperball(edges: DataFrame, radius: int = 3,
+              b: int = 6) -> DataFrame:
+    """Per-node neighborhood function via HyperBall (Boldi & Vigna,
+    2013): estimate |ball(v, r)| = #nodes within <= ``radius`` hops
+    along OUT-edges, one mergeable HLL counter per node — the
+    distance-distribution / centrality primitive exact BFS can't
+    afford at 10^9 nodes, because exact per-node balls are O(n^2)
+    state while counters are a fixed 2^b registers per node
+    (reference analogue: none; builder's-brief graph surface, the
+    approximate twin of bfs_distances' exact horizon).
+
+    Update rule: ball_{t+1}(v) = ball_t(v) UNION over out-edges (v,w)
+    of ball_t(w). Because the HLL merge is register max — associative,
+    commutative, IDEMPOTENT — re-adding already-counted nodes is free,
+    and the t-round fixpoint is REGISTER-IDENTICAL to the sketch of
+    the exact ball set (the contract oracle rebuilds the exact ball in
+    SQL and sketches it directly; green means the propagation loses
+    nothing — the paper's systolic invariant).
+
+    Scale shape, per round: ONE join of the counter frame onto the dst
+    side of edges (counters are fixed 2^b-int arrays, so a hub's cost
+    is one bounded array per in-edge, never its member set), then
+    hll_merge's posexplode + (node, reg) max-agg — partial map-side
+    combine collapses each partition to <= 2^b cells per node before
+    the shuffle. Lineage localCheckpoints every round (the
+    canonicalize.py iterative-loop rule). No window, no collect; state
+    is O(nodes * 2^b) ints.
+
+    -> (node, regs, n_zero, est_distinct) at the final radius; regs is
+    the dense 2^b register array of sketches.hll_sketch.
+    """
+    from lamapi_spark.ops.sketches import hll_estimate, hll_merge, hll_sketch
+
+    ed = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (ed.select(F.col("src").alias("node"))
+             .unionByName(ed.select(F.col("dst").alias("node")))
+             .distinct())
+    cur = hll_sketch(nodes, ["node"], "node", b=b).localCheckpoint(eager=True)
+    for _ in range(radius):
+        contrib = (ed.join(cur.withColumnRenamed("node", "dst"), "dst")
+                   .select(F.col("src").alias("node"), "regs"))
+        cur = hll_merge(cur.unionByName(contrib), ["node"],
+                        b=b).localCheckpoint(eager=True)
+    return hll_estimate(cur, b=b)

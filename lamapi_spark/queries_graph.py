@@ -1648,3 +1648,74 @@ def graph_link_predict(spark, sf):
         link_prediction_scores(cs, min_common=2, max_fanout=1_000_000)
         .orderBy("node_a", "node_b")
     )
+
+
+# ------------------------------------------------- HyperBall
+
+# the estimate chain must match sketches.hll_estimate exactly — reuse
+# the one the HLL contract query already pinned (module import is
+# idempotent under Python's module cache; registration happens once)
+from lamapi_spark.queries_temporal import _HLL_EST_SQL  # noqa: E402
+
+
+@register("graph_hyperball", f"""
+WITH ks AS (SELECT DISTINCT (c_custkey % 100) AS k FROM customer),
+e AS (
+  SELECT 'n' || k AS src, 'n' || ((k + 1) % 100) AS dst FROM ks
+  UNION
+  SELECT 'n' || k AS src, 'n' || ((k * 7) % 100) AS dst FROM ks),
+b0 AS (SELECT src AS node, src AS member FROM e
+       UNION SELECT dst, dst FROM e),
+b1 AS (SELECT src AS node, dst AS member FROM e),
+b2 AS (SELECT e1.src AS node, e2.dst AS member
+       FROM e e1 JOIN e e2 ON e1.dst = e2.src),
+ball AS (SELECT DISTINCT node, member FROM (
+  SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2)),
+hx AS (SELECT DISTINCT node,
+              (('0x' || substr(md5(member), 1, 12))::UBIGINT)::BIGINT AS h
+       FROM ball),
+hr AS (SELECT node, (h % 64)::INT AS reg, h // 64 AS w FROM hx),
+rk AS (SELECT node, reg,
+              max(CASE WHEN w = 0 THEN 43
+                  ELSE 43 - length(to_base(w, 2)) END)::INT AS rank
+       FROM hr GROUP BY node, reg),
+dense AS (SELECT g.node, s.reg, coalesce(r.rank, 0) AS rank
+          FROM (SELECT DISTINCT node FROM ball) g
+          CROSS JOIN (SELECT reg::INT AS reg FROM range(0, 64) t(reg)) s
+          LEFT JOIN rk r ON r.node = g.node AND r.reg = s.reg),
+hll AS (SELECT node, list(rank ORDER BY reg) AS regs
+        FROM dense GROUP BY node)
+SELECT node, array_to_string(regs, ' ') AS regs_str,
+       len(list_filter(regs, v -> v = 0))::INT AS n_zero,
+       {_HLL_EST_SQL} AS est_distinct
+FROM hll ORDER BY node
+""")
+def graph_hyperball(spark, sf):
+    """HyperBall neighborhood function (ops/graph.hyperball) at
+    radius 2 over a planted 100-node functional graph (k -> k+1 and
+    k -> 7k mod 100, self-loops included at k=0,50). The oracle does
+    NOT replay the propagation: it materializes the EXACT 2-hop ball
+    per node in SQL and sketches that set directly with the md5
+    register draw — green means the iterative register-max fixpoint
+    is register-for-register identical to the sketch of the true
+    ball (HyperBall's defining invariant), and the estimate chain
+    reproduces bit-for-bit."""
+    from lamapi_spark.ops.graph import hyperball
+
+    ks = (load(spark, sf, "customer")
+          .select((F.col("c_custkey") % 100).alias("k")).distinct())
+    edges = (
+        ks.select(F.concat(F.lit("n"), F.col("k")).alias("src"),
+                  F.concat(F.lit("n"), (F.col("k") + 1) % 100).alias("dst"))
+        .unionByName(
+            ks.select(F.concat(F.lit("n"), F.col("k")).alias("src"),
+                      F.concat(F.lit("n"),
+                               (F.col("k") * 7) % 100).alias("dst")))
+        .distinct())
+    return (
+        hyperball(edges, radius=2, b=6)
+        .select("node",
+                F.array_join(F.col("regs").cast("array<string>"),
+                             " ").alias("regs_str"),
+                "n_zero", "est_distinct")
+        .orderBy("node"))

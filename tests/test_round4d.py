@@ -75,3 +75,27 @@ def test_blocking_quality_hand_computed(spark):
     assert row.reduction_ratio == 0.8125
     assert row.pairs_completeness == 0.4
     assert row.pair_quality == round(2 / 3, 6)
+
+
+def test_hyperball_equals_exact_ball_sketch(spark):
+    """The radius-r fixpoint must be register-identical to sketching
+    the EXACT r-ball member set (register max is idempotent)."""
+    from lamapi_spark.ops.graph import hyperball
+    from lamapi_spark.ops.sketches import hll_sketch
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    got = {r.node: r for r in hyperball(edges, radius=2, b=6).collect()}
+    balls = {"a": ["a", "b", "c"], "b": ["b", "c", "d"],
+             "c": ["c", "d"], "d": ["d"]}
+    members = spark.createDataFrame(
+        [(n, m) for n, ms in balls.items() for m in ms],
+        "node string, member string")
+    want = {r.node: r.regs
+            for r in hll_sketch(members, ["node"], "member", b=6).collect()}
+    assert set(got) == set(balls)
+    for n in balls:
+        assert got[n].regs == want[n], n
+    # with <= 3 members and 64 registers, linear counting is near-exact
+    for n, ms in balls.items():
+        assert abs(got[n].est_distinct - len(ms)) < 0.2, n
