@@ -9,7 +9,7 @@ tests/test_pipeline_e2e.py computes in Python on fixtures).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -177,3 +177,77 @@ def calibration_bins(scored: DataFrame, score_col: str = "score",
                 F.bround(w, 6).alias("weight"),
                 F.bround(w * gap, 6).alias("ece_contrib"))
     )
+
+
+def _global_ranks(vals: DataFrame, n_buckets: int, out: str) -> DataFrame:
+    """(k, v) -> (k, out = exact dense 1-based global rank by (v, k)).
+
+    Two-level scan, not a global window (a no-partition row_number is
+    ONE task at 10^9 rows): quantize v into ``n_buckets`` value bins
+    (monotone float map — bin order == value order), exclusive prefix
+    sum over the tiny bucket-counts frame (the only serial step,
+    <= n_buckets rows), then a WITHIN-bucket row_number parallel
+    across buckets. The bucketing is invisible to the result — ranks
+    are a pure function of the (v, k) order. A value so hot it owns a
+    bucket degrades that bucket to one sort task (the documented
+    two-level-scan trade, same as pack_sequences)."""
+    stats = vals.agg(F.min("v").alias("_lo"), F.max("v").alias("_hi"))
+    span = (F.col("_hi") - F.col("_lo")).cast("double")
+    b = F.when(span == 0, F.lit(0)).otherwise(F.least(
+        F.floor((F.col("v") - F.col("_lo")).cast("double")
+                / span * n_buckets),
+        F.lit(n_buckets - 1))).cast("long")
+    binned = vals.join(F.broadcast(stats)).select("k", "v", b.alias("_b"))
+    w_pref = (Window.orderBy("_b")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    pref = (binned.groupBy("_b").agg(F.count("*").alias("_bn"))
+            .select("_b", F.coalesce(F.sum("_bn").over(w_pref),
+                                     F.lit(0)).alias("_off")))
+    w_loc = Window.partitionBy("_b").orderBy("v", "k")
+    return (binned.join(F.broadcast(pref), "_b")
+            .select("k", (F.col("_off")
+                          + F.row_number().over(w_loc)).alias(out)))
+
+
+def spearman_rho(df: DataFrame, key_col: str, x_col: str, y_col: str,
+                 n_buckets: int = 1024) -> DataFrame:
+    """Spearman rank correlation between two scores over the same
+    items — the scorer-agreement audit (does the cheap popularity
+    prior order candidates like the expensive similarity score?) that
+    decides whether a ranking stage can be replaced by a cheaper one
+    (reference analogue: none; builder's-brief eval surface beside
+    calibration_bins).
+
+    Ranks break ties deterministically by ``key_col`` (documented
+    deviation from tie-averaged Spearman — exact when scores are
+    distinct; reproducible ALWAYS), so
+    rho = 1 - 6*sum(d^2) / (n*(n^2-1)) with d = rank_x - rank_y is a
+    pure function of the data. sum(d^2) accumulates in DECIMAL(38,0)
+    (exact integers, order-independent — a double sum would not
+    associate); safe while n^3 < 10^38, i.e. n < ~4.6e12 rows. The
+    emitted sum_d2 is cast to DOUBLE (exact below 2^53 — contract
+    scales; the statistic itself is rho).
+
+    Scale shape: two two-level-scan rank passes (see _global_ranks) +
+    one join on the item key + one global count/sum fold. No global
+    window anywhere. -> ONE row (n, sum_d2, rho); rho = 0.0 when
+    n < 2 (undefined), rounded half-even to 6 dp.
+    """
+    base = df.select(F.col(key_col).alias("k"),
+                     F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    rx = _global_ranks(base.select("k", F.col("_x").alias("v")),
+                       n_buckets, "rx")
+    ry = _global_ranks(base.select("k", F.col("_y").alias("v")),
+                       n_buckets, "ry")
+    d = (rx.join(ry, "k")
+         .select(((F.col("rx") - F.col("ry"))
+                  .cast("decimal(19,0)")).alias("d")))
+    agg = d.agg(F.count("*").alias("n"),
+                F.coalesce(F.sum(F.col("d") * F.col("d")),
+                           F.lit(0).cast("decimal(38,0)")).alias("_s"))
+    n = F.col("n").cast("double")
+    rho = F.when(F.col("n") >= 2,
+                 F.lit(1.0) - F.lit(6.0) * F.col("_s").cast("double")
+                 / (n * (n * n - F.lit(1.0)))).otherwise(F.lit(0.0))
+    return agg.select("n", F.col("_s").cast("double").alias("sum_d2"),
+                      F.bround(rho, 6).alias("rho"))

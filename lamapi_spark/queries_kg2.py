@@ -907,3 +907,45 @@ def linkage_blocking_quality(spark, sf):
     gold = c.select(F.concat(F.lit("L"), ck).alias("id_l"),
                     F.concat(F.lit("R"), ck).alias("id_r"))
     return blocking_quality(left, right, ("rid", "rid"), "blk", gold)
+
+
+# ------------------------------------------------- Spearman rho
+
+@register("eval_spearman", """
+WITH s AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey % 1000) AS x,
+         (o_orderkey % 1000) + ((o_orderkey * 31 + o_custkey) % 200) - 100
+           AS y
+  FROM orders),
+rx AS (SELECT k, row_number() OVER (ORDER BY x, k) AS r FROM s),
+ry AS (SELECT k, row_number() OVER (ORDER BY y, k) AS r FROM s),
+d AS (SELECT (rx.r - ry.r)::DECIMAL(19,0) AS d FROM rx JOIN ry USING (k)),
+a AS (SELECT count(*)::BIGINT AS n,
+             coalesce(sum(d * d), 0::DECIMAL(38,0)) AS s FROM d)
+SELECT n, CAST(s AS DOUBLE) AS sum_d2,
+       round_even(CASE WHEN n >= 2 THEN 1.0 - 6.0 * CAST(s AS DOUBLE)
+                       / (CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0))
+                  ELSE 0.0 END, 6) AS rho
+FROM a
+""")
+def eval_spearman(spark, sf):
+    """Scorer-agreement audit (ops/metrics.spearman_rho) on a planted
+    pair of correlated scores: x repeats every 1000 orderkeys (heavy
+    ties exercising the deterministic key tie-break), y = x plus a
+    +/-100 LCG perturbation. The Spark side ranks via the two-level
+    scan (bucket counts + prefix sum + within-bucket window — NO
+    global window); the oracle is the INDEPENDENT naive formulation,
+    one global row_number per side — green proves the scan's ranks
+    are exactly the global sort ranks."""
+    from lamapi_spark.ops.metrics import spearman_rho
+
+    o = load(spark, sf, "orders")
+    s = o.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 1000).alias("x"),
+        ((F.col("o_orderkey") % 1000)
+         + (F.col("o_orderkey") * 31 + F.col("o_custkey")) % 200
+         - 100).alias("y"))
+    return spearman_rho(s, "k", "x", "y", n_buckets=64)

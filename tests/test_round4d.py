@@ -99,3 +99,26 @@ def test_hyperball_equals_exact_ball_sketch(spark):
     # with <= 3 members and 64 registers, linear counting is near-exact
     for n, ms in balls.items():
         assert abs(got[n].est_distinct - len(ms)) < 0.2, n
+
+
+def test_spearman_rho(spark):
+    from lamapi_spark.ops.metrics import spearman_rho
+
+    def rho_of(rows, n_buckets=4):
+        df = spark.createDataFrame(rows, "k long, x double, y double")
+        return spearman_rho(df, "k", "x", "y", n_buckets=n_buckets).head()
+
+    # perfect agreement / perfect reversal
+    up = [(i, float(i), float(i * 10)) for i in range(1, 9)]
+    assert rho_of(up).rho == 1.0
+    down = [(i, float(i), float(-i)) for i in range(1, 9)]
+    assert rho_of(down).rho == -1.0
+    # hand-computed: ranks x = 1,2,3,4 ; y-ranks = 2,1,3,4 -> d2 = 2
+    # rho = 1 - 6*2 / (4*15) = 0.8
+    r = rho_of([(1, 1.0, 5.0), (2, 2.0, 3.0), (3, 3.0, 7.0),
+                (4, 4.0, 9.0)])
+    assert (r.n, r.sum_d2, r.rho) == (4, 2.0, 0.8)
+    # ties in x break by key: k=1 gets rank 1, k=2 rank 2 — matches y
+    assert rho_of([(1, 5.0, 1.0), (2, 5.0, 2.0), (3, 6.0, 3.0)]).rho == 1.0
+    # degenerate n=1 -> 0.0; bucket count larger than n still exact
+    assert rho_of([(1, 2.0, 3.0)], n_buckets=1024).rho == 0.0
