@@ -191,3 +191,63 @@ def score_linear(docs: DataFrame, weights: DataFrame,
          .agg(F.sum(F.col("x") * F.col("w_micro")).alias("z_micro")))
     return z.select("doc_id", "z_micro",
                     _p_from_zu(F.col("z_micro")).alias("p"))
+
+
+def label_model_vote(votes: DataFrame, gold: DataFrame | None = None,
+                     default_bp: int = 5000) -> DataFrame:
+    """Weak-supervision label aggregation (the Snorkel data-programming
+    shape, Ratner et al. 2017, reduced to its deterministic core):
+    many cheap labeling functions vote on each item; items get the
+    accuracy-weighted winning label. The standard way a training-data
+    pipeline turns heuristic rules (regex gates, lexicons, distant
+    supervision) into one denoised label column without hand labels
+    (reference analogue: none; builder's-brief surface beside
+    train_linear, which can then consume the emitted labels).
+
+    ``votes`` = (item_id, lf_id, vote); an LF abstains by having no
+    row (null votes are dropped). Optional ``gold`` = (item_id, label)
+    dev set: each LF's weight is its empirical accuracy on the gold
+    items it voted on, in EXACT integer basis points
+    (``correct * 10000L div total``); LFs with no gold overlap — and
+    every LF when gold is None — weigh ``default_bp`` (majority vote).
+    Winner per item = max weight sum, ties to the lexicographically
+    smallest label (window-free struct-min argmax). confidence_bp =
+    winner weight * 10000 div total weight — integer, engine-exact.
+
+    Scale shape: one broadcast-sized per-LF weight frame (|LFs| rows)
+    joined onto the vote stream, ONE (item, vote) weight-sum agg, ONE
+    per-item struct-min argmax agg + total sum — both map-side
+    combinable, keyed by the item; no window, no driver loop.
+
+    -> (item_id, label, weight_bp, n_votes, n_lfs, total_bp,
+    confidence_bp).
+    """
+    v = votes.filter(F.col("vote").isNotNull()) \
+             .select("item_id", "lf_id", "vote")
+    if gold is not None:
+        acc = (v.join(gold.select("item_id", "label"), "item_id")
+               .groupBy("lf_id")
+               .agg(F.sum((F.col("vote") == F.col("label"))
+                          .cast("long")).alias("_c"),
+                    F.count("*").alias("_t"))
+               .select("lf_id",
+                       F.expr("_c * 10000L div _t").alias("_w")))
+        weighted = (v.join(F.broadcast(acc), "lf_id", "left")
+                    .withColumn("_w", F.coalesce("_w",
+                                                 F.lit(int(default_bp)))))
+    else:
+        weighted = v.withColumn("_w", F.lit(int(default_bp)))
+    per_label = (weighted.groupBy("item_id", "vote")
+                 .agg(F.sum("_w").alias("_lw"),
+                      F.count("*").alias("_ln")))
+    out = (per_label.groupBy("item_id")
+           .agg(F.min(F.struct((-F.col("_lw")).alias("nw"),
+                               F.col("vote").alias("label"),
+                               F.col("_ln").alias("n"))).alias("_win"),
+                F.sum("_lw").alias("total_bp"),
+                F.sum("_ln").alias("n_lfs")))
+    return out.select(
+        "item_id", F.col("_win.label").alias("label"),
+        (-F.col("_win.nw")).alias("weight_bp"),
+        F.col("_win.n").alias("n_votes"), "n_lfs", "total_bp",
+        F.expr("(-_win.nw) * 10000L div total_bp").alias("confidence_bp"))

@@ -949,3 +949,71 @@ def eval_spearman(spark, sf):
          + (F.col("o_orderkey") * 31 + F.col("o_custkey")) % 200
          - 100).alias("y"))
     return spearman_rho(s, "k", "x", "y", n_buckets=64)
+
+
+# ------------------------------------------------- weak-label model
+
+@register("weak_label_model", """
+WITH v AS (
+  SELECT o_orderkey AS item_id, 'lf' || j AS lf_id,
+         CASE WHEN ((o_orderkey * (j + 7) + j) % 10) < 9 - j
+              THEN 'L' || (o_orderkey % 3)
+              ELSE 'L' || ((o_orderkey + 1) % 3) END AS vote
+  FROM orders CROSS JOIN range(0, 5) t(j)
+  WHERE (o_orderkey + j) % 2 = 0),
+g AS (
+  SELECT o_orderkey AS item_id, 'L' || (o_orderkey % 3) AS label
+  FROM orders WHERE o_orderkey % 10 = 0),
+acc AS (
+  SELECT lf_id,
+         (sum(CASE WHEN vote = label THEN 1 ELSE 0 END) * 10000
+          // count(*))::BIGINT AS w
+  FROM v JOIN g USING (item_id) GROUP BY lf_id),
+wv AS (
+  SELECT v.item_id, v.vote, coalesce(acc.w, 5000) AS w
+  FROM v LEFT JOIN acc USING (lf_id)),
+pl AS (
+  SELECT item_id, vote, sum(w)::BIGINT AS lw, count(*)::BIGINT AS ln
+  FROM wv GROUP BY item_id, vote),
+win AS (
+  SELECT item_id, vote AS label, lw AS weight_bp, ln AS n_votes
+  FROM (SELECT *, row_number() OVER (PARTITION BY item_id
+                                     ORDER BY lw DESC, vote ASC) AS rn
+        FROM pl) WHERE rn = 1),
+tot AS (
+  SELECT item_id, sum(lw)::BIGINT AS total_bp, sum(ln)::BIGINT AS n_lfs
+  FROM pl GROUP BY item_id)
+SELECT w.item_id, w.label, w.weight_bp, w.n_votes, t.n_lfs, t.total_bp,
+       (w.weight_bp * 10000 // t.total_bp)::BIGINT AS confidence_bp
+FROM win w JOIN tot t USING (item_id)
+ORDER BY w.item_id
+""")
+def weak_label_model(spark, sf):
+    """Weak-supervision label aggregation (ops/classifier.
+    label_model_vote) over five planted labeling functions of graded
+    accuracy (90% down to 50%, alternating 50% coverage) with a 10%
+    gold slice: per-LF weights are exact integer basis points learned
+    from the gold overlap, the winner is the weighted struct-min
+    argmax. The oracle replays the synth, the accuracy join, both
+    aggregations, and the independent window formulation of the
+    argmax — green pins the tie rule and every integer division."""
+    from lamapi_spark.ops.classifier import label_model_vote
+
+    o = load(spark, sf, "orders").select("o_orderkey")
+    ok = F.col("o_orderkey")
+    j = F.col("j")
+    votes = (o.select(ok, F.explode(F.sequence(F.lit(0),
+                                               F.lit(4))).alias("j"))
+             .filter((ok + j) % 2 == 0)
+             .select(
+                 ok.alias("item_id"),
+                 F.concat(F.lit("lf"), j).alias("lf_id"),
+                 F.when((ok * (j + 7) + j) % 10 < 9 - j,
+                        F.concat(F.lit("L"), ok % 3))
+                 .otherwise(F.concat(F.lit("L"),
+                                     (ok + 1) % 3)).alias("vote")))
+    gold = (o.filter(ok % 10 == 0)
+            .select(ok.alias("item_id"),
+                    F.concat(F.lit("L"), ok % 3).alias("label")))
+    return (label_model_vote(votes, gold, default_bp=5000)
+            .orderBy("item_id"))

@@ -122,3 +122,37 @@ def test_spearman_rho(spark):
     assert rho_of([(1, 5.0, 1.0), (2, 5.0, 2.0), (3, 6.0, 3.0)]).rho == 1.0
     # degenerate n=1 -> 0.0; bucket count larger than n still exact
     assert rho_of([(1, 2.0, 3.0)], n_buckets=1024).rho == 0.0
+
+
+def test_label_model_vote(spark):
+    from lamapi_spark.ops.classifier import label_model_vote
+
+    votes = spark.createDataFrame(
+        [(1, "a", "X"), (1, "b", "X"), (1, "c", "Y"),
+         (2, "a", "Y"), (2, "c", "Z"),
+         (3, "b", "X")],
+        "item_id long, lf_id string, vote string")
+    # gold: lf a is 2/2 correct (10000), b 1/2 (5000), c 0/2 (0)
+    gold = spark.createDataFrame(
+        [(1, "X"), (2, "Y"), (3, "Z")], "item_id long, label string")
+    rows = {r.item_id: r for r in label_model_vote(votes, gold).collect()}
+    r1 = rows[1]  # X: a+b = 15000, Y: c = 0
+    assert (r1.label, r1.weight_bp, r1.n_votes, r1.n_lfs) == ("X", 15000, 2, 3)
+    assert (r1.total_bp, r1.confidence_bp) == (15000, 10000)
+    r2 = rows[2]  # Y: 10000 (a), Z: 0 (c)
+    assert (r2.label, r2.weight_bp, r2.confidence_bp) == ("Y", 10000, 10000)
+    r3 = rows[3]  # only b voted X with weight 5000
+    assert (r3.label, r3.weight_bp, r3.n_lfs) == ("X", 5000, 1)
+
+    # no gold -> pure majority at default weight; tie breaks to
+    # lexicographically smallest label
+    tie = spark.createDataFrame(
+        [(9, "a", "B"), (9, "b", "A")], "item_id long, lf_id string, vote string")
+    t = label_model_vote(tie).head()
+    assert (t.label, t.weight_bp, t.total_bp) == ("A", 5000, 10000)
+
+    # an LF with no gold overlap falls back to default_bp
+    ng = spark.createDataFrame(
+        [(7, "zz", "Q")], "item_id long, lf_id string, vote string")
+    n = label_model_vote(ng, gold, default_bp=1234).head()
+    assert (n.label, n.weight_bp) == ("Q", 1234)
