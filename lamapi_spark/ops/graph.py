@@ -1207,16 +1207,74 @@ def hyperball(edges: DataFrame, radius: int = 3,
     -> (node, regs, n_zero, est_distinct) at the final radius; regs is
     the dense 2^b register array of sketches.hll_sketch.
     """
-    from lamapi_spark.ops.sketches import hll_estimate, hll_merge, hll_sketch
+    from lamapi_spark.ops.sketches import hll_estimate
+
+    return hll_estimate(_hyperball_rounds(edges, radius, b)[-1], b=b)
+
+
+def _hyperball_rounds(edges: DataFrame, radius: int,
+                      b: int) -> list[DataFrame]:
+    """The HyperBall round loop: counter frames [(node, regs)] at
+    radii 0..radius (shared by hyperball / hyperball_harmonic)."""
+    from lamapi_spark.ops.sketches import hll_merge, hll_sketch
 
     ed = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     nodes = (ed.select(F.col("src").alias("node"))
              .unionByName(ed.select(F.col("dst").alias("node")))
              .distinct())
     cur = hll_sketch(nodes, ["node"], "node", b=b).localCheckpoint(eager=True)
+    frames = [cur]
     for _ in range(radius):
         contrib = (ed.join(cur.withColumnRenamed("node", "dst"), "dst")
                    .select(F.col("src").alias("node"), "regs"))
         cur = hll_merge(cur.unionByName(contrib), ["node"],
                         b=b).localCheckpoint(eager=True)
-    return hll_estimate(cur, b=b)
+        frames.append(cur)
+    return frames
+
+
+def hyperball_harmonic(edges: DataFrame, radius: int = 3,
+                       b: int = 6) -> DataFrame:
+    """Truncated harmonic centrality estimate via HyperBall — the
+    paper's headline application (Boldi & Vigna 2013 compute exactly
+    this from per-radius counter snapshots): H(v) = sum over r=1..R of
+    (|ball(v,r)| - |ball(v,r-1)|) / r, the sum of 1/d(v,u) over nodes
+    within the horizon (exact harmonic centrality when R >= diameter;
+    OUT-distance convention — pass reversed edges for the in-distance
+    centrality the paper ranks by).
+
+    Float discipline: per-radius estimates are the 6-dp-rounded
+    hll_estimate values; per-radius deltas clamp at 0 (registers only
+    grow, but the linear-counting/raw estimate switch is not perfectly
+    monotone at the regime boundary); the per-node sum folds IN RADIUS
+    ORDER over a sorted in-row array — a fixed association order of
+    deterministic IEEE ops over already-6dp-rounded inputs, so the RAW
+    double is bit-identical in any engine and the harmonic is emitted
+    UNROUNDED (a final 6-dp round would land on exact grid midpoints
+    — deltas of 6-dp values halved — where BigDecimal-based and
+    multiply-rint-based round-half-even implementations disagree).
+
+    Scale shape: the hyperball loop (see hyperball) plus one
+    (node, r, est) union — radius+1 rows per node — and one
+    groupBy(node) whose collected array is bounded by radius+1.
+
+    -> (node, arr of (r, est) ascending, harmonic).
+    """
+    from lamapi_spark.ops.sketches import hll_estimate
+
+    frames = _hyperball_rounds(edges, radius, b)
+    hist = None
+    for r, f in enumerate(frames):
+        h = hll_estimate(f, b=b).select(
+            "node", F.lit(r).cast("int").alias("r"),
+            F.col("est_distinct").alias("est"))
+        hist = h if hist is None else hist.unionByName(h)
+    per = (hist.groupBy("node")
+           .agg(F.sort_array(F.collect_list(
+               F.struct("r", "est"))).alias("arr")))
+    term = lambda acc, p: acc + F.greatest(
+        F.element_at("arr", p).est - F.element_at("arr", p - 1).est,
+        F.lit(0.0)) / F.element_at("arr", p).r.cast("double")
+    harmonic = F.aggregate(
+        F.sequence(F.lit(2), F.size("arr")), F.lit(0.0), term)
+    return per.select("node", "arr", harmonic.alias("harmonic"))

@@ -1719,3 +1719,80 @@ def graph_hyperball(spark, sf):
                              " ").alias("regs_str"),
                 "n_zero", "est_distinct")
         .orderBy("node"))
+
+
+# ------------------------------------------------- harmonic centrality
+
+def _hb_ball_est(t: str, ball: str) -> str:
+    """Per-radius oracle block: md5 HLL registers + estimate over the
+    exact ball table ``ball``, emitting es{t}(node, est)."""
+    return f"""
+hx{t} AS (SELECT DISTINCT node,
+                 (('0x' || substr(md5(member), 1, 12))::UBIGINT)::BIGINT AS h
+          FROM {ball}),
+hr{t} AS (SELECT node, (h % 64)::INT AS reg, h // 64 AS w FROM hx{t}),
+rk{t} AS (SELECT node, reg,
+                 max(CASE WHEN w = 0 THEN 43
+                     ELSE 43 - length(to_base(w, 2)) END)::INT AS rank
+          FROM hr{t} GROUP BY node, reg),
+dn{t} AS (SELECT g.node, s.reg, coalesce(r.rank, 0) AS rank
+          FROM hbn g CROSS JOIN hbregs s
+          LEFT JOIN rk{t} r ON r.node = g.node AND r.reg = s.reg),
+es{t} AS (SELECT node, {_HLL_EST_SQL} AS est
+          FROM (SELECT node, list(rank ORDER BY reg) AS regs
+                FROM dn{t} GROUP BY node))"""
+
+
+@register("graph_harmonic_centrality", f"""
+WITH ks AS (SELECT DISTINCT (c_custkey % 100) AS k FROM customer),
+e AS (
+  SELECT 'n' || k AS src, 'n' || ((k + 1) % 100) AS dst FROM ks
+  UNION
+  SELECT 'n' || k AS src, 'n' || ((k * 7) % 100) AS dst FROM ks),
+hbn AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+hbregs AS (SELECT reg::INT AS reg FROM range(0, 64) t(reg)),
+b0 AS (SELECT node, node AS member FROM hbn),
+b1 AS (SELECT node, member FROM b0
+       UNION SELECT src, dst FROM e),
+b2 AS (SELECT node, member FROM b1
+       UNION SELECT e1.src, e2.dst FROM e e1 JOIN e e2 ON e1.dst = e2.src),
+{_hb_ball_est('0', 'b0')},
+{_hb_ball_est('1', 'b1')},
+{_hb_ball_est('2', 'b2')}
+SELECT n.node, es0.est AS est_r0, es1.est AS est_r1, es2.est AS est_r2,
+       greatest(es1.est - es0.est, 0.0) / 1.0
+         + greatest(es2.est - es1.est, 0.0) / 2.0 AS harmonic
+FROM hbn n
+JOIN es0 ON es0.node = n.node
+JOIN es1 ON es1.node = n.node
+JOIN es2 ON es2.node = n.node
+ORDER BY n.node
+""")
+def graph_harmonic_centrality(spark, sf):
+    """Truncated harmonic centrality (ops/graph.hyperball_harmonic,
+    radius 2) over the same planted functional graph as
+    graph_hyperball. The oracle sketches the EXACT ball at every
+    radius independently and replays the clamped radius-ordered fold
+    — green pins the per-radius snapshots AND the fold's association
+    order, not just the final number."""
+    from lamapi_spark.ops.graph import hyperball_harmonic
+
+    ks = (load(spark, sf, "customer")
+          .select((F.col("c_custkey") % 100).alias("k")).distinct())
+    edges = (
+        ks.select(F.concat(F.lit("n"), F.col("k")).alias("src"),
+                  F.concat(F.lit("n"), (F.col("k") + 1) % 100).alias("dst"))
+        .unionByName(
+            ks.select(F.concat(F.lit("n"), F.col("k")).alias("src"),
+                      F.concat(F.lit("n"),
+                               (F.col("k") * 7) % 100).alias("dst")))
+        .distinct())
+    hb = hyperball_harmonic(edges, radius=2, b=6)
+    return (
+        hb.select(
+            "node",
+            F.element_at("arr", 1).est.alias("est_r0"),
+            F.element_at("arr", 2).est.alias("est_r1"),
+            F.element_at("arr", 3).est.alias("est_r2"),
+            "harmonic")
+        .orderBy("node"))

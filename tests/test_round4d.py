@@ -156,3 +156,27 @@ def test_label_model_vote(spark):
         [(7, "zz", "Q")], "item_id long, lf_id string, vote string")
     n = label_model_vote(ng, gold, default_bp=1234).head()
     assert (n.label, n.weight_bp) == ("Q", 1234)
+
+
+def test_hyperball_harmonic_path_graph(spark):
+    """On a -> b -> c -> d at radius 2: the per-radius snapshots are
+    the exact-ball estimates, and the harmonic fold is the clamped
+    radius-ordered sum of their deltas."""
+    from lamapi_spark.ops.graph import hyperball_harmonic
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    rows = {r.node: r for r in hyperball_harmonic(edges, radius=2).collect()}
+    for node, sizes in {"a": (1, 2, 3), "b": (1, 2, 3),
+                        "c": (1, 2, 2), "d": (1, 1, 1)}.items():
+        r = rows[node]
+        assert [x.r for x in r.arr] == [0, 1, 2]
+        ests = [x.est for x in r.arr]
+        # linear counting at tiny cardinalities: near-exact ball sizes
+        for est, true in zip(ests, sizes):
+            assert abs(est - true) < 0.2, (node, est, true)
+        want = max(ests[1] - ests[0], 0.0) / 1.0 \
+            + max(ests[2] - ests[1], 0.0) / 2.0
+        assert r.harmonic == want, node
+    # d has an empty out-ball beyond itself
+    assert rows["d"].harmonic == 0.0
