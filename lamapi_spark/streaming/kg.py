@@ -542,3 +542,62 @@ def stream_mine_aliases(
             "popularity", "support", "purity_bp",
         )
     )
+
+
+ASSERTION_SCHEMA = ("conv_id string, turn_idx long, subj string, "
+                    "pred string, obj string, ts timestamp")
+
+
+def stream_fact_support(
+    spark: SparkSession, path: str,
+    window: str = "1 day", watermark: str = "1 hour",
+    schema: str = ASSERTION_SCHEMA,
+) -> DataFrame:
+    """Streaming twin of pipeline/triples.fact_support: the extraction
+    feed -> per-WINDOW fact-support rows, so distant-supervision
+    denoising evidence accumulates continuously instead of as a batch
+    sweep over the whole corpus.
+
+    Plan shape: TWO chained watermarked time-window aggregations (the
+    stream_mine_aliases form): (window, fact, conv_id) count + per-conv
+    min/max turn, then the per-(window, fact) rollup — support = sum,
+    n_convs = count of conv rows, and the evidence pointers as
+    struct-lexicographic min/max over (conv_id, per-conv turn extreme),
+    which equals the min/max over raw (conv_id, turn_idx) pairs because
+    the conv component dominates the comparison and the turn extreme is
+    already resolved within the conv. State is the two bounded window
+    aggregations; no stream-stream join, no arbitrary state op.
+
+    Append-mode semantics: a window's facts emit once when the
+    watermark closes it (the delta a downstream kg-merge upserts);
+    late assertions beyond the watermark drop and surface in the next
+    batch compaction — the standard trade, same as the alias miner.
+
+    -> (window_start, subj, pred, obj, support, n_convs, first_conv,
+    first_turn, last_conv, last_turn).
+    """
+    a = spark.readStream.schema(schema).parquet(path)
+    per_conv = (
+        a.withColumn("_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("_ts", watermark)
+        .groupBy(F.window("_ts", window).alias("w"),
+                 "subj", "pred", "obj", "conv_id")
+        .agg(F.count("*").alias("_n"),
+             F.min("turn_idx").alias("_tmin"),
+             F.max("turn_idx").alias("_tmax"))
+    )
+    per_fact = (
+        per_conv.groupBy(F.window(F.window_time("w"), window).alias("w"),
+                         "subj", "pred", "obj")
+        .agg(F.sum("_n").alias("support"),
+             F.count("*").alias("n_convs"),
+             F.min(F.struct(F.col("conv_id").alias("c"),
+                            F.col("_tmin").alias("t"))).alias("_f"),
+             F.max(F.struct(F.col("conv_id").alias("c"),
+                            F.col("_tmax").alias("t"))).alias("_l"))
+    )
+    return per_fact.select(
+        F.col("w.start").alias("window_start"),
+        "subj", "pred", "obj", "support", "n_convs",
+        F.col("_f.c").alias("first_conv"), F.col("_f.t").alias("first_turn"),
+        F.col("_l.c").alias("last_conv"), F.col("_l.t").alias("last_turn"))

@@ -180,3 +180,54 @@ def test_hyperball_harmonic_path_graph(spark):
         assert r.harmonic == want, node
     # d has an empty out-ball beyond itself
     assert rows["d"].harmonic == 0.0
+
+
+def test_stream_fact_support_matches_batch(spark, tmp_path):
+    """Per-window streaming fact support == batch fact_support per
+    window; facts split across windows do NOT pool."""
+    import datetime as dt
+    import shutil
+
+    from lamapi_spark.pipeline.triples import fact_support
+    from lamapi_spark.streaming.kg import (
+        ASSERTION_SCHEMA, stream_fact_support,
+    )
+    from lamapi_spark.streaming.sessions import run_available_now
+
+    d1 = dt.datetime(2026, 1, 1, 9, 0)
+    d2 = dt.datetime(2026, 1, 2, 9, 0)
+    rows = [
+        ("c1", 5, "e1", "p1", "o1", d1),
+        ("c1", 9, "e1", "p1", "o1", d1),
+        ("c2", 1, "e1", "p1", "o1", d1),
+        ("c9", 7, "e2", "p1", "o1", d1),
+        # same fact again on day 2 -> its OWN window row
+        ("c3", 2, "e1", "p1", "o1", d2),
+    ]
+    path = str(tmp_path / "assert_feed")
+    spark.createDataFrame(rows, ASSERTION_SCHEMA) \
+        .repartition(2).write.parquet(path)
+    flush = spark.createDataFrame(
+        [("conv-flush", 0, "zz", "pz", "oz", dt.datetime(2027, 1, 1))],
+        ASSERTION_SCHEMA)
+    flush.coalesce(1).write.mode("append").parquet(path)
+
+    got = run_available_now(
+        stream_fact_support(spark, path, window="1 day",
+                            watermark="10 minutes"),
+        "t_stream_fact_support", mode="append")
+    got_set = {tuple(r) for r in got.collect()}
+
+    def batch_day(day):
+        b = spark.createDataFrame(
+            [r for r in rows if r[5].date() == day.date()],
+            ASSERTION_SCHEMA)
+        return {(day.replace(hour=0),) + tuple(r)
+                for r in fact_support(b.drop("ts")).collect()}
+
+    want = batch_day(d1) | batch_day(d2)
+    assert got_set == want
+    # the day-1 multi-conversation fact kept its audit pointers
+    assert (d1.replace(hour=0), "e1", "p1", "o1", 3, 2,
+            "c1", 5, "c2", 1) in got_set
+    shutil.rmtree(path, ignore_errors=True)
