@@ -1278,3 +1278,45 @@ def hyperball_harmonic(edges: DataFrame, radius: int = 3,
     harmonic = F.aggregate(
         F.sequence(F.lit(2), F.size("arr")), F.lit(0.0), term)
     return per.select("node", "arr", harmonic.alias("harmonic"))
+
+
+def hyperball_nf(edges: DataFrame, radius: int = 3,
+                 b: int = 6) -> DataFrame:
+    """Global neighborhood function / distance CDF from the HyperBall
+    counters: NF(r) = sum over nodes of |ball(v, r)| — the number of
+    reachable (source, target) pairs within r hops. frac = NF(r) /
+    NF(radius) is the cumulative distance distribution the effective
+    diameter reads off (the classic ANF/HyperANF statistic: the 90%
+    effective diameter is the smallest r with frac >= 0.9, exact when
+    ``radius`` reaches the true diameter).
+
+    Determinism: per-node estimates are 6-dp-rounded doubles; the
+    GLOBAL sum casts them to DECIMAL(18,6) first — exact, associative,
+    order-independent (a double sum over 10^9 nodes would depend on
+    the combine order). frac is ONE double division of the two exact
+    sums (off the representable 6-dp grid, so no round-boundary
+    coupling), rounded half-even to 6 dp.
+
+    Scale shape: the hyperball loop plus one 1-row decimal-sum fold
+    per radius (radius+1 tiny frames), unioned and crossed with the
+    1-row NF(radius) frame. -> (r, nf, frac, ge90) ascending by r.
+    """
+    from lamapi_spark.ops.sketches import hll_estimate
+
+    frames = _hyperball_rounds(edges, radius, b)
+    nf = None
+    for r, f in enumerate(frames):
+        one = hll_estimate(f, b=b).agg(
+            F.lit(r).cast("int").alias("r"),
+            F.sum(F.col("est_distinct").cast("decimal(18,6)"))
+            .cast("decimal(28,6)").alias("_nf"))
+        nf = one if nf is None else nf.unionByName(one)
+    top = nf.agg(F.max(F.struct("r", "_nf")).alias("_t")) \
+            .select(F.col("_t._nf").alias("_nfmax"))
+    frac = F.bround(F.col("_nf").cast("double")
+                    / F.col("_nfmax").cast("double"), 6)
+    return (nf.join(F.broadcast(top))
+            .select("r", F.col("_nf").cast("double").alias("nf"),
+                    frac.alias("frac"),
+                    (frac >= 0.9).alias("ge90"))
+            .orderBy("r"))

@@ -1796,3 +1796,54 @@ def graph_harmonic_centrality(spark, sf):
             F.element_at("arr", 3).est.alias("est_r2"),
             "harmonic")
         .orderBy("node"))
+
+
+@register("graph_distance_cdf", f"""
+WITH ks AS (SELECT DISTINCT (c_custkey % 100) AS k FROM customer),
+e AS (
+  SELECT 'n' || k AS src, 'n' || ((k + 1) % 100) AS dst FROM ks
+  UNION
+  SELECT 'n' || k AS src, 'n' || ((k * 7) % 100) AS dst FROM ks),
+hbn AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+hbregs AS (SELECT reg::INT AS reg FROM range(0, 64) t(reg)),
+b0 AS (SELECT node, node AS member FROM hbn),
+b1 AS (SELECT node, member FROM b0
+       UNION SELECT src, dst FROM e),
+b2 AS (SELECT node, member FROM b1
+       UNION SELECT e1.src, e2.dst FROM e e1 JOIN e e2 ON e1.dst = e2.src),
+{_hb_ball_est('0', 'b0')},
+{_hb_ball_est('1', 'b1')},
+{_hb_ball_est('2', 'b2')},
+nf AS (
+  SELECT 0 AS r, sum(CAST(est AS DECIMAL(18,6))) AS v FROM es0
+  UNION ALL
+  SELECT 1, sum(CAST(est AS DECIMAL(18,6))) FROM es1
+  UNION ALL
+  SELECT 2, sum(CAST(est AS DECIMAL(18,6))) FROM es2),
+mx AS (SELECT v AS vmax FROM nf WHERE r = 2)
+SELECT r::INT AS r, CAST(v AS DOUBLE) AS nf,
+       round_even(CAST(v AS DOUBLE) / CAST(vmax AS DOUBLE), 6) AS frac,
+       round_even(CAST(v AS DOUBLE) / CAST(vmax AS DOUBLE), 6) >= 0.9
+         AS ge90
+FROM nf CROSS JOIN mx ORDER BY r
+""")
+def graph_distance_cdf(spark, sf):
+    """Global neighborhood function / distance CDF
+    (ops/graph.hyperball_nf, radius 2) over the planted functional
+    graph — the ANF/HyperANF statistic behind the 90% effective
+    diameter. The oracle sums the exact-ball sketch estimates per
+    radius in DECIMAL (the operator's own order-independence
+    discipline) and replays the single-division fraction."""
+    from lamapi_spark.ops.graph import hyperball_nf
+
+    ks = (load(spark, sf, "customer")
+          .select((F.col("c_custkey") % 100).alias("k")).distinct())
+    edges = (
+        ks.select(F.concat(F.lit("n"), F.col("k")).alias("src"),
+                  F.concat(F.lit("n"), (F.col("k") + 1) % 100).alias("dst"))
+        .unionByName(
+            ks.select(F.concat(F.lit("n"), F.col("k")).alias("src"),
+                      F.concat(F.lit("n"),
+                               (F.col("k") * 7) % 100).alias("dst")))
+        .distinct())
+    return hyperball_nf(edges, radius=2, b=6)

@@ -182,6 +182,26 @@ def test_hyperball_harmonic_path_graph(spark):
     assert rows["d"].harmonic == 0.0
 
 
+def test_hyperball_nf_path_graph(spark):
+    """NF on a -> b -> c -> d: per-radius sums of the per-node ball
+    estimates; last radius has frac 1.0."""
+    from lamapi_spark.ops.graph import hyperball, hyperball_nf
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    rows = hyperball_nf(edges, radius=2).collect()
+    assert [r.r for r in rows] == [0, 1, 2]
+    # exact pair counts: r=0 -> 4 self, r=1 -> +3 edges, r=2 -> +2
+    for r, true in zip(rows, (4, 7, 9)):
+        assert abs(r.nf - true) < 0.5, (r.r, r.nf, true)
+    assert rows[-1].frac == 1.0 and rows[-1].ge90
+    assert rows[0].frac < 0.9 and not rows[0].ge90
+    # NF(final) equals the sum of the final per-node estimates
+    per_node = sum(x.est_distinct
+                   for x in hyperball(edges, radius=2).collect())
+    assert abs(rows[-1].nf - per_node) < 1e-9
+
+
 def test_stream_fact_support_matches_batch(spark, tmp_path):
     """Per-window streaming fact support == batch fact_support per
     window; facts split across windows do NOT pool."""
