@@ -1320,3 +1320,35 @@ def hyperball_nf(edges: DataFrame, radius: int = 3,
                     frac.alias("frac"),
                     (frac >= 0.9).alias("ge90"))
             .orderBy("r"))
+
+
+def predicate_functionality(triples: DataFrame) -> DataFrame:
+    """Per-predicate functionality statistics (the PARIS ontology-
+    alignment primitives, Suchanek et al. 2011): over the DISTINCT
+    fact set, fun(p) = #subjects / #facts (1.0 = every subject has
+    exactly one object — birthDate-like), inv_fun(p) = #objects /
+    #facts (1.0 = objects identify their subject — an inverse key,
+    the signal entity-resolution trusts most). The first schema audit
+    a KG consumer runs before joining predicates across sources
+    (reference analogue: the reference's summary endpoint counts
+    predicate frequency — operators/summary.py; this adds the
+    key-ness dimensions alignment needs).
+
+    Scale shape: one distinct on (subj, pred, obj) — assertion
+    multiplicity must not bias key-ness — then ONE hash agg per pred
+    with two partial-distinct counts planned on the same key; ratios
+    are single divisions rounded half-even to 6 dp.
+
+    -> (pred, n_facts, n_subj, n_obj, functionality, inv_functionality).
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    agg = (t.groupBy("pred")
+           .agg(F.count("*").alias("n_facts"),
+                F.countDistinct("subj").alias("n_subj"),
+                F.countDistinct("obj").alias("n_obj")))
+    return agg.select(
+        "pred", "n_facts", "n_subj", "n_obj",
+        F.bround(F.col("n_subj") / F.col("n_facts"),
+                 6).alias("functionality"),
+        F.bround(F.col("n_obj") / F.col("n_facts"),
+                 6).alias("inv_functionality"))

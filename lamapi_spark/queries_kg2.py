@@ -1017,3 +1017,29 @@ def weak_label_model(spark, sf):
                     F.concat(F.lit("L"), ok % 3).alias("label")))
     return (label_model_vote(votes, gold, default_bp=5000)
             .orderBy("item_id"))
+
+
+# ------------------------------------------------- predicate functionality
+
+@register("kg_pred_functionality", f"""
+WITH {_ASSERT_SQL},
+t AS (SELECT DISTINCT subj, pred, obj FROM a),
+g AS (SELECT pred, count(*)::BIGINT AS n_facts,
+             count(DISTINCT subj)::BIGINT AS n_subj,
+             count(DISTINCT obj)::BIGINT AS n_obj
+      FROM t GROUP BY pred)
+SELECT pred, n_facts, n_subj, n_obj,
+       round_even(n_subj / CAST(n_facts AS DOUBLE), 6) AS functionality,
+       round_even(n_obj / CAST(n_facts AS DOUBLE), 6) AS inv_functionality
+FROM g ORDER BY pred
+""")
+def kg_pred_functionality(spark, sf):
+    """PARIS functionality / inverse functionality
+    (ops/graph.predicate_functionality) over the timestamped assertion
+    synth — predicates repeat facts across orderkeys, so the leading
+    DISTINCT is load-bearing; the oracle replays the distinct, both
+    partial-distinct counts, and the ratios."""
+    from lamapi_spark.ops.graph import predicate_functionality
+
+    return (predicate_functionality(_assertions(spark, sf))
+            .orderBy("pred"))

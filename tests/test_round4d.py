@@ -182,6 +182,28 @@ def test_hyperball_harmonic_path_graph(spark):
     assert rows["d"].harmonic == 0.0
 
 
+def test_predicate_functionality(spark):
+    from lamapi_spark.ops.graph import predicate_functionality
+
+    t = spark.createDataFrame(
+        [
+            # p1: functional (each subj one obj) but obj shared
+            ("s1", "p1", "x"), ("s2", "p1", "x"), ("s3", "p1", "y"),
+            # duplicate assertion must not bias the counts
+            ("s1", "p1", "x"),
+            # p2: one subj, many objects -> inverse-functional
+            ("s1", "p2", "a"), ("s1", "p2", "b"),
+        ],
+        "subj string, pred string, obj string")
+    rows = {r.pred: r for r in predicate_functionality(t).collect()}
+    p1 = rows["p1"]
+    assert (p1.n_facts, p1.n_subj, p1.n_obj) == (3, 3, 2)
+    assert (p1.functionality, p1.inv_functionality) == (1.0, round(2 / 3, 6))
+    p2 = rows["p2"]
+    assert (p2.n_facts, p2.n_subj, p2.n_obj) == (2, 1, 2)
+    assert (p2.functionality, p2.inv_functionality) == (0.5, 1.0)
+
+
 def test_hyperball_nf_path_graph(spark):
     """NF on a -> b -> c -> d: per-radius sums of the per-node ball
     estimates; last radius has frac 1.0."""
