@@ -97,3 +97,77 @@ def entity_salience(occurrences: DataFrame, top_k: int = 3,
         F.col("it.df").alias("df"),
         F.col("it.salience").alias("salience"),
     )
+
+
+def conv_textrank(transcripts: DataFrame, top_k: int = 2,
+                  min_jaccard_bp: int = 2000, n_iter: int = 3,
+                  scale: int = 10**9) -> DataFrame:
+    """Extractive conversation summarization via TextRank (Mihalcea &
+    Tarau 2004) with TURNS as the sentence unit: within each
+    conversation, turn pairs whose token-Jaccard reaches
+    ``min_jaccard_bp`` basis points form a symmetric graph; integer
+    fixed-point PageRank (ops/graph.pagerank_fixed_point — BIGINT
+    units, engine-exact) ranks the turns; the ``top_k`` most central
+    turns per conversation are the summary — the standard way an SFT
+    pipeline distills a long transcript to its anchor turns without a
+    model (reference analogue: none; builder's-brief export surface
+    beside exports.sft_pairs).
+
+    Jaccard is computed in EXACT integers over distinct lowercase
+    word tokens: common * 10000 >= bp * (na + nb - common) — the
+    mine_aliases product-gate discipline, no float threshold. The
+    similarity join explodes turns to (conv, token) and pairs WITHIN
+    the conversation key, so fanout is bounded by each conversation's
+    own turn count (the transcript-length bound; a corpus-hot token
+    never pairs across conversations). Node ids are (conv, turn)
+    composites and the PageRank edge set is the union over
+    conversations — teleport and dangling handling are per-component
+    constants that cannot reorder ranks WITHIN a conversation, and
+    only within-conversation order is consumed. Isolated turns (no
+    edge) never enter the graph and rank below every ranked turn by
+    convention — a conversation of pairwise-dissimilar turns emits
+    its ranked turns only.
+
+    -> (conv_id, turn_idx, rank_units, rk) — rk 1-based by
+    (rank_units desc, turn_idx asc), rk <= top_k.
+    """
+    from pyspark.sql import Window
+
+    from lamapi_spark.ops.graph import pagerank_fixed_point
+
+    toks = transcripts.select(
+        "conv_id", "turn_idx",
+        F.explode(F.array_distinct(F.split(
+            F.trim(F.lower(F.col("text"))), r"[^a-z0-9]+"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    sizes = toks.groupBy("conv_id", "turn_idx").agg(
+        F.count("*").alias("_n"))
+    a = toks.select("conv_id", F.col("turn_idx").alias("ta"), "tok")
+    b = toks.select("conv_id", F.col("turn_idx").alias("tb"), "tok")
+    common = (a.join(b, ["conv_id", "tok"])
+              .filter(F.col("ta") < F.col("tb"))
+              .groupBy("conv_id", "ta", "tb")
+              .agg(F.count("*").alias("_c")))
+    sa = sizes.select("conv_id", F.col("turn_idx").alias("ta"),
+                      F.col("_n").alias("_na"))
+    sb = sizes.select("conv_id", F.col("turn_idx").alias("tb"),
+                      F.col("_n").alias("_nb"))
+    pairs = (common.join(sa, ["conv_id", "ta"]).join(sb, ["conv_id", "tb"])
+             .filter(F.col("_c") * 10000
+                     >= F.lit(int(min_jaccard_bp))
+                     * (F.col("_na") + F.col("_nb") - F.col("_c"))))
+    node = lambda t: F.concat("conv_id", F.lit("#"), F.col(t))
+    half = pairs.select(node("ta").alias("src"), node("tb").alias("dst"))
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    rank = pagerank_fixed_point(edges, n_iter=n_iter, scale=scale,
+                                checkpoint_every=1)
+    parts = F.split("node", "#")
+    ranked = rank.select(
+        F.element_at(parts, 1).alias("conv_id"),
+        F.element_at(parts, 2).cast("long").alias("turn_idx"),
+        F.col("rank").alias("rank_units"))
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("rank_units"), F.asc("turn_idx"))
+    return (ranked.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= int(top_k)))

@@ -224,6 +224,36 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_conv_textrank_central_turn_wins(spark):
+    """A turn similar to TWO others outranks turns similar to one;
+    isolated turns and isolated conversations emit nothing."""
+    from lamapi_spark.pipeline.salience import conv_textrank
+
+    tr = spark.createDataFrame(
+        [
+            # conv A: hub turn 2 shares tokens with 1 and 3; 1 and 3
+            # share nothing; turn 4 is isolated
+            ("A", 1, "alpha beta gamma"),
+            ("A", 2, "alpha beta delta epsilon"),
+            ("A", 3, "delta epsilon zeta"),
+            ("A", 4, "totally unrelated words"),
+            # conv B: all turns pairwise dissimilar -> no edges at all
+            ("B", 1, "one thing"),
+            ("B", 2, "another matter"),
+        ],
+        "conv_id string, turn_idx int, text string")
+    got = conv_textrank(tr, top_k=2, min_jaccard_bp=2000).collect()
+    by_conv = {}
+    for r in got:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    assert "B" not in by_conv
+    a = sorted(by_conv["A"], key=lambda r: r.rk)
+    assert [r.turn_idx for r in a] == [2, 1]  # hub first; tie 1<3 by idx
+    assert a[0].rank_units > a[1].rank_units
+    # turn 4 never entered the graph
+    assert all(r.turn_idx != 4 for r in a)
+
+
 def test_stream_fact_support_matches_batch(spark, tmp_path):
     """Per-window streaming fact support == batch fact_support per
     window; facts split across windows do NOT pool."""
