@@ -122,3 +122,56 @@ def refusal_gate(transcripts: DataFrame,
         .alias("refusal_rate"),
         (F.col("n_refusals") == 0).alias("keep"),
     )
+
+
+def conv_role_audit(transcripts: DataFrame) -> DataFrame:
+    """Ingest QC for dialogue structure — the gate an SFT pipeline
+    runs before sft_pairs, because malformed conversations (double
+    assistant turns, assistant-first openings, user-only monologues)
+    silently become bad training pairs (reference analogue: none;
+    builder's-brief QC surface beside refusal_gate).
+
+    Per conversation: turn count, per-role counts, the number of
+    adjacent same-role pairs IN turn order (alternation violations —
+    tool turns count like any role), whether the first turn is a user
+    turn and the last an assistant turn, and the composed ``ok``
+    verdict (user-first AND ends on assistant AND zero same-role
+    adjacencies AND at least one assistant turn).
+
+    Scale shape: ONE aggregation per conv_id; the adjacency recount is
+    an in-array fold over the sorted (turn_idx, role) array (the
+    dialogue-segmentation idiom) — no lag window, no second exchange,
+    state bounded by the conversation's own length.
+
+    -> (conv_id, n_turns, n_user, n_assistant, n_other,
+    n_same_role_adj, starts_user, ends_assistant, ok).
+    """
+    arr = F.array_sort(F.collect_list(
+        F.struct(F.col("turn_idx").alias("t"), F.col("role").alias("r"))))
+    agg = transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long"))
+        .alias("n_assistant"),
+        arr.alias("_a"))
+    same_adj = F.aggregate(
+        F.sequence(F.lit(2), F.greatest(F.size("_a"), F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + (F.element_at("_a", i).r
+                              == F.element_at("_a", i - 1).r).cast("long"))
+    # sequence(2, 1) is DESCENDING (the segments.py footgun): a 1-turn
+    # conv must fold over an empty range, hence greatest + the i >= 2
+    # guard baked into starting at 2 only when size >= 2
+    same_adj = F.when(F.size("_a") >= 2, same_adj).otherwise(F.lit(0))
+    starts_user = F.element_at("_a", 1).r == "user"
+    ends_assistant = F.element_at("_a", F.size("_a")).r == "assistant"
+    out = agg.select(
+        "conv_id", "n_turns", "n_user", "n_assistant",
+        (F.col("n_turns") - F.col("n_user")
+         - F.col("n_assistant")).alias("n_other"),
+        same_adj.alias("n_same_role_adj"),
+        starts_user.alias("starts_user"),
+        ends_assistant.alias("ends_assistant"))
+    ok = (F.col("starts_user") & F.col("ends_assistant")
+          & (F.col("n_same_role_adj") == 0) & (F.col("n_assistant") > 0))
+    return out.withColumn("ok", ok)

@@ -1043,3 +1043,65 @@ def kg_pred_functionality(spark, sf):
 
     return (predicate_functionality(_assertions(spark, sf))
             .orderBy("pred"))
+
+
+# ------------------------------------------------- role audit
+
+@register("conv_role_audit", """
+WITH tr AS (
+  SELECT 'c' || o_custkey AS conv_id,
+         (row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderkey))::INT AS turn_idx,
+         o_orderkey AS ok FROM orders),
+r AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN ok % 7 = 3 THEN 'assistant'
+              WHEN ok % 7 = 5 THEN 'tool'
+              WHEN turn_idx % 2 = 1 THEN 'user'
+              ELSE 'assistant' END AS role
+  FROM tr),
+adj AS (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM r),
+g AS (
+  SELECT conv_id, count(*)::BIGINT AS n_turns,
+         sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+         sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+           AS n_assistant,
+         sum(CASE WHEN role = prev THEN 1 ELSE 0 END)::BIGINT
+           AS n_same_role_adj,
+         arg_min(role, turn_idx) = 'user' AS starts_user,
+         arg_max(role, turn_idx) = 'assistant' AS ends_assistant
+  FROM adj GROUP BY conv_id)
+SELECT conv_id, n_turns, n_user, n_assistant,
+       (n_turns - n_user - n_assistant)::BIGINT AS n_other,
+       n_same_role_adj, starts_user, ends_assistant,
+       (starts_user AND ends_assistant AND n_same_role_adj = 0
+        AND n_assistant > 0) AS ok
+FROM g ORDER BY conv_id
+""")
+def conv_role_audit_q(spark, sf):
+    """Dialogue-structure QC (pipeline/exports.conv_role_audit) over a
+    planted role sequence: base user/assistant alternation with
+    orderkey%7 slots forcing double-assistant adjacencies and tool
+    turns. The Spark side recounts adjacencies with the in-array fold;
+    the oracle is the INDEPENDENT lag-window formulation plus
+    arg_min/arg_max boundary reads — green pins the fold against the
+    classic window shape."""
+    from lamapi_spark.pipeline.exports import conv_role_audit
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    ok = F.col("o_orderkey")
+    tr = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        ok.alias("ok"))
+    tr = tr.withColumn(
+        "role",
+        F.when(F.col("ok") % 7 == 3, F.lit("assistant"))
+        .when(F.col("ok") % 7 == 5, F.lit("tool"))
+        .when(F.col("turn_idx") % 2 == 1, F.lit("user"))
+        .otherwise(F.lit("assistant"))).drop("ok")
+    return conv_role_audit(tr).orderBy("conv_id")

@@ -224,6 +224,36 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_conv_role_audit(spark):
+    from lamapi_spark.pipeline.exports import conv_role_audit
+
+    tr = spark.createDataFrame(
+        [
+            # A: clean user/assistant alternation
+            ("A", 1, "user"), ("A", 2, "assistant"),
+            ("A", 3, "user"), ("A", 4, "assistant"),
+            # B: double assistant + assistant-first
+            ("B", 1, "assistant"), ("B", 2, "assistant"), ("B", 3, "user"),
+            # C: single user turn, no assistant
+            ("C", 1, "user"),
+            # D: tool turn breaks nothing if roles still alternate
+            ("D", 1, "user"), ("D", 2, "tool"), ("D", 3, "assistant"),
+        ],
+        "conv_id string, turn_idx int, role string")
+    rows = {r.conv_id: r for r in conv_role_audit(tr).collect()}
+    a = rows["A"]
+    assert (a.n_turns, a.n_user, a.n_assistant, a.n_other) == (4, 2, 2, 0)
+    assert (a.n_same_role_adj, a.starts_user, a.ends_assistant, a.ok) == \
+        (0, True, True, True)
+    b = rows["B"]
+    assert (b.n_same_role_adj, b.starts_user, b.ok) == (1, False, False)
+    c = rows["C"]
+    assert (c.n_turns, c.n_assistant, c.n_same_role_adj, c.ok) == \
+        (1, 0, 0, False)
+    d = rows["D"]
+    assert (d.n_other, d.n_same_role_adj, d.ok) == (1, 0, True)
+
+
 def test_conv_textrank_central_turn_wins(spark):
     """A turn similar to TWO others outranks turns similar to one;
     isolated turns and isolated conversations emit nothing."""
