@@ -1352,3 +1352,88 @@ def predicate_functionality(triples: DataFrame) -> DataFrame:
                  6).alias("functionality"),
         F.bround(F.col("n_obj") / F.col("n_facts"),
                  6).alias("inv_functionality"))
+
+
+def mine_horn_rules(triples: DataFrame, min_support: int = 2,
+                    min_conf_bp: int = 5000,
+                    max_fanout: int = 10_000) -> DataFrame:
+    """AMIE-style horn-rule mining over the materialized KG (Galárraga
+    et al. 2013, reduced to the two closed-rule shapes that cover most
+    of its mined output): length-1 rules  p(x,y) => r(x,y)  and chain
+    rules  p(x,y) ∧ q(y,z) => r(x,z). The KB-completion step a
+    KG-construction pipeline runs on its own output — high-confidence
+    rules propose missing facts and flag contradicting ones
+    (reference analogue: none; builder's-brief surface beside
+    induce_schema, which learns type signatures where this learns
+    implications).
+
+    Standard CWA metrics on DISTINCT head-variable pairs: support =
+    #distinct (x,z) satisfying body AND head; body_n = #distinct
+    (x,z) satisfying the body; confidence gated by the EXACT integer
+    product  support * 10000 >= min_conf_bp * body_n  (the
+    mine_aliases discipline) and reported as the floor division.
+    Reflexive bodies (p == q with x == z) stay in — AMIE's convention;
+    trivial self-implications (head == a body atom's predicate in the
+    length-1 case) are excluded by p != r.
+
+    Scale shape: one distinct over the fact set; the chain join keys
+    on the SHARED entity y and is the one quadratic risk — per-y cost
+    is in-degree(y) * out-degree(y), so ``max_fanout`` drops
+    super-hub join entities first (the common_neighbor_pairs /
+    max_df trade, documented recall loss on hubs); projections are
+    deduped BEFORE counting so hot paths collapse early. Everything
+    downstream is (pred…)-keyed counting — at most |P|^3 rule rows.
+
+    -> (rule, p, q, r, support, body_n, conf_bp); q is null for
+    length-1 rules; ordered nowhere (caller sorts).
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+
+    # ---- length-1: p(x,y) => r(x,y)
+    pairs1 = t  # body instantiations per p are the facts themselves
+    body1 = pairs1.groupBy("pred").agg(F.count("*").alias("body_n"))
+    sup1 = (pairs1.alias("b")
+            .join(pairs1.alias("h"),
+                  (F.col("b.subj") == F.col("h.subj"))
+                  & (F.col("b.obj") == F.col("h.obj"))
+                  & (F.col("b.pred") != F.col("h.pred")))
+            .groupBy(F.col("b.pred").alias("p"),
+                     F.col("h.pred").alias("r"))
+            .agg(F.count("*").alias("support")))
+    r1 = (sup1.join(body1.withColumnRenamed("pred", "p"), "p")
+          .select(F.lit("p(x,y) => r(x,y)").alias("rule"),
+                  "p", F.lit(None).cast("string").alias("q"), "r",
+                  "support", "body_n"))
+
+    # ---- chain: p(x,y) & q(y,z) => r(x,z)
+    deg_in = t.groupBy(F.col("obj").alias("y")).agg(
+        F.count("*").alias("_di"))
+    deg_out = t.groupBy(F.col("subj").alias("y")).agg(
+        F.count("*").alias("_do"))
+    hot = (deg_in.join(deg_out, "y")
+           .filter(F.col("_di") * F.col("_do") > int(max_fanout))
+           .select("y"))
+    lhs = (t.select(F.col("pred").alias("p"), F.col("subj").alias("x"),
+                    F.col("obj").alias("y"))
+           .join(hot, "y", "left_anti"))
+    rhs = (t.select(F.col("pred").alias("q"), F.col("subj").alias("y"),
+                    F.col("obj").alias("z"))
+           .join(hot, "y", "left_anti"))
+    paths = (lhs.join(rhs, "y")
+             .select("p", "q", "x", "z").distinct())
+    body2 = paths.groupBy("p", "q").agg(F.count("*").alias("body_n"))
+    sup2 = (paths.join(t.select(F.col("pred").alias("r"),
+                                F.col("subj").alias("x"),
+                                F.col("obj").alias("z")),
+                       ["x", "z"])
+            .groupBy("p", "q", "r").agg(F.count("*").alias("support")))
+    r2 = (sup2.join(body2, ["p", "q"])
+          .select(F.lit("p(x,y) & q(y,z) => r(x,z)").alias("rule"),
+                  "p", "q", "r", "support", "body_n"))
+
+    out = r1.unionByName(r2)
+    return (out.filter((F.col("support") >= F.lit(int(min_support)))
+                       & (F.col("support") * 10000
+                          >= F.lit(int(min_conf_bp)) * F.col("body_n")))
+            .withColumn("conf_bp",
+                        F.expr("support * 10000L div body_n")))

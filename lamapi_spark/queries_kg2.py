@@ -1105,3 +1105,82 @@ def conv_role_audit_q(spark, sf):
         .when(F.col("turn_idx") % 2 == 1, F.lit("user"))
         .otherwise(F.lit("assistant"))).drop("ok")
     return conv_role_audit(tr).orderBy("conv_id")
+
+
+# ------------------------------------------------- horn-rule mining
+
+_RULE_FACTS_SQL = """
+rf AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT 'e' || (o_custkey % 30) AS subj, 'p0' AS pred,
+           'f' || (o_orderkey % 40) AS obj FROM orders
+    UNION ALL
+    SELECT 'f' || (o_orderkey % 40), 'p1',
+           'g' || ((o_custkey + o_orderkey) % 20) FROM orders
+    UNION ALL
+    SELECT 'e' || (o_custkey % 30), 'p3',
+           'g' || ((o_custkey + o_orderkey) % 20) FROM orders
+    WHERE o_orderkey % 10 < 7
+    UNION ALL
+    SELECT 'e' || (o_custkey % 30), 'p2',
+           'g' || ((o_custkey + o_orderkey) % 20) FROM orders
+    WHERE o_orderkey % 3 = 0))"""
+
+
+@register("kg_rule_mining", f"""
+WITH {_RULE_FACTS_SQL},
+b1 AS (SELECT pred AS p, count(*)::BIGINT AS body_n FROM rf GROUP BY pred),
+s1 AS (SELECT b.pred AS p, h.pred AS r, count(*)::BIGINT AS support
+       FROM rf b JOIN rf h
+         ON b.subj = h.subj AND b.obj = h.obj AND b.pred <> h.pred
+       GROUP BY 1, 2),
+r1 AS (SELECT 'p(x,y) => r(x,y)' AS rule, s1.p, NULL::VARCHAR AS q,
+              s1.r, s1.support, b1.body_n
+       FROM s1 JOIN b1 USING (p)),
+paths AS (SELECT DISTINCT l.pred AS p, r.pred AS q, l.subj AS x,
+                 r.obj AS z
+          FROM rf l JOIN rf r ON l.obj = r.subj),
+b2 AS (SELECT p, q, count(*)::BIGINT AS body_n FROM paths GROUP BY p, q),
+s2 AS (SELECT pa.p, pa.q, h.pred AS r, count(*)::BIGINT AS support
+       FROM paths pa JOIN rf h ON h.subj = pa.x AND h.obj = pa.z
+       GROUP BY 1, 2, 3),
+r2 AS (SELECT 'p(x,y) & q(y,z) => r(x,z)' AS rule, p, q, r, support,
+              body_n
+       FROM s2 JOIN b2 USING (p, q)),
+u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT rule, p, q, r, support, body_n,
+       (support * 10000 // body_n)::BIGINT AS conf_bp
+FROM u
+WHERE support >= 2 AND support * 10000 >= 3000 * body_n
+ORDER BY rule, p, q, r
+""")
+def kg_rule_mining(spark, sf):
+    """AMIE-style rule mining (ops/graph.mine_horn_rules) over a
+    planted composable KG: p0/p1 chains whose heads exist for 7 of 10
+    orderkeys under p3 and 1 of 3 under p2, so both the chain rule
+    p0&p1 => p3 and its weaker p2 twin clear different confidence
+    bands, plus the length-1 implications between the overlapping
+    p2/p3 fact sets. The max_fanout hub guard is a no-op at every
+    contract scale (join-entity fanout product <= ~600 < 10^4 by the
+    synth's moduli — the embed_ann_lsh documentation convention), so
+    the oracle replays the UNGUARDED dataflow: the distinct fact set,
+    both body counts, both support joins, and the exact product
+    confidence gate."""
+    from lamapi_spark.ops.graph import mine_horn_rules
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    a = F.concat(F.lit("e"), F.col("o_custkey") % 30)
+    b = F.concat(F.lit("f"), F.col("o_orderkey") % 40)
+    c = F.concat(F.lit("g"), (F.col("o_custkey") + F.col("o_orderkey")) % 20)
+    facts = (
+        o.select(a.alias("subj"), F.lit("p0").alias("pred"), b.alias("obj"))
+        .unionByName(o.select(b.alias("subj"), F.lit("p1").alias("pred"),
+                              c.alias("obj")))
+        .unionByName(o.filter(F.col("o_orderkey") % 10 < 7)
+                     .select(a.alias("subj"), F.lit("p3").alias("pred"),
+                             c.alias("obj")))
+        .unionByName(o.filter(F.col("o_orderkey") % 3 == 0)
+                     .select(a.alias("subj"), F.lit("p2").alias("pred"),
+                             c.alias("obj"))))
+    return (mine_horn_rules(facts, min_support=2, min_conf_bp=3000)
+            .orderBy("rule", "p", "q", "r"))

@@ -224,6 +224,39 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_mine_horn_rules_hand_kg(spark):
+    from lamapi_spark.ops.graph import mine_horn_rules
+
+    t = spark.createDataFrame(
+        [
+            # marriedTo(x,y) & livesIn(y,z) => livesIn(x,z): 2/2 hold
+            ("a", "marriedTo", "b"), ("b", "livesIn", "rome"),
+            ("a", "livesIn", "rome"),
+            ("c", "marriedTo", "d"), ("d", "livesIn", "oslo"),
+            ("c", "livesIn", "oslo"),
+            # a third marriage with NO shared city: body-only pair
+            ("e", "marriedTo", "g"), ("g", "livesIn", "kyiv"),
+            # duplicate assertion must not inflate counts
+            ("a", "marriedTo", "b"),
+        ],
+        "subj string, pred string, obj string")
+    got = {(r.rule, r.p, r.q, r.r): r
+           for r in mine_horn_rules(t, min_support=2,
+                                    min_conf_bp=5000).collect()}
+    key = ("p(x,y) & q(y,z) => r(x,z)", "marriedTo", "livesIn", "livesIn")
+    assert key in got
+    r = got[key]
+    # bodies: (a,rome), (c,oslo), (e,kyiv); heads exist for 2 of 3
+    assert (r.support, r.body_n, r.conf_bp) == (2, 3, 6666)
+    # no length-1 rule reaches support 2 here
+    assert all(k[0].startswith("p(x,y) &") for k in got)
+
+    # hub guard: with max_fanout 0 every join entity drops -> no chains
+    none = mine_horn_rules(t, min_support=1, min_conf_bp=0,
+                           max_fanout=0).collect()
+    assert all(r.rule == "p(x,y) => r(x,y)" for r in none)
+
+
 def test_conv_role_audit(spark):
     from lamapi_spark.pipeline.exports import conv_role_audit
 
