@@ -1437,3 +1437,64 @@ def mine_horn_rules(triples: DataFrame, min_support: int = 2,
                           >= F.lit(int(min_conf_bp)) * F.col("body_n")))
             .withColumn("conf_bp",
                         F.expr("support * 10000L div body_n")))
+
+
+def apply_horn_rules(triples: DataFrame, rules: DataFrame,
+                     max_fanout: int = 10_000) -> DataFrame:
+    """KB completion: instantiate mined horn rules (the
+    mine_horn_rules output shape) against the fact set and emit the
+    PREDICTED facts — body matches whose head is absent. The step
+    that turns rule mining into new KG rows for review or
+    high-confidence auto-merge (AMIE's own application mode).
+
+    A prediction's ``conf_bp`` is the MAX confidence over the rules
+    deriving it and ``n_rules`` counts those distinct rules —
+    independent derivations are the reviewer's corroboration signal.
+    The existing-fact exclusion is one left-anti join on the full
+    (subj, pred, obj) key.
+
+    Scale shape: the rules frame is at most |P|^3 rows — broadcast
+    onto the path/fact stream (never shuffled); chain instantiation
+    reuses the mining join's y-key shape with the same ``max_fanout``
+    hub guard; the dedup/argmax is one (subj, pred, obj)-keyed agg.
+
+    -> (subj, pred, obj, conf_bp, n_rules).
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    r1 = (rules.filter(F.col("q").isNull())
+          .select(F.col("p"), F.col("r"), F.col("conf_bp")))
+    c1 = (t.join(F.broadcast(r1), t.pred == r1.p)
+          .select("subj", F.col("r").alias("_hp"), "obj",
+                  "conf_bp", F.concat("p", F.lit("=>"), "r").alias("_rid")))
+    r2 = (rules.filter(F.col("q").isNotNull())
+          .select("p", "q", "r", "conf_bp"))
+    deg_in = t.groupBy(F.col("obj").alias("y")).agg(
+        F.count("*").alias("_di"))
+    deg_out = t.groupBy(F.col("subj").alias("y")).agg(
+        F.count("*").alias("_do"))
+    hot = (deg_in.join(deg_out, "y")
+           .filter(F.col("_di") * F.col("_do") > int(max_fanout))
+           .select("y"))
+    lhs = (t.select(F.col("pred").alias("_bp"), F.col("subj").alias("x"),
+                    F.col("obj").alias("y"))
+           .join(hot, "y", "left_anti"))
+    rhs = (t.select(F.col("pred").alias("_bq"), F.col("subj").alias("y"),
+                    F.col("obj").alias("z"))
+           .join(hot, "y", "left_anti"))
+    paths = (lhs.join(rhs, "y")
+             .select("_bp", "_bq", "x", "z").distinct())
+    c2 = (paths.join(F.broadcast(r2), (paths._bp == r2.p)
+                     & (paths._bq == r2.q))
+          .select(F.col("x").alias("subj"), F.col("r").alias("_hp"),
+                  F.col("z").alias("obj"), "conf_bp",
+                  F.concat("p", F.lit("&"), "q",
+                           F.lit("=>"), "r").alias("_rid")))
+    cand = (c1.select(F.col("subj"), F.col("_hp").alias("pred"),
+                      F.col("obj"), "conf_bp", "_rid")
+            .unionByName(c2.select(F.col("subj"),
+                                   F.col("_hp").alias("pred"),
+                                   F.col("obj"), "conf_bp", "_rid")))
+    merged = (cand.groupBy("subj", "pred", "obj")
+              .agg(F.max("conf_bp").alias("conf_bp"),
+                   F.countDistinct("_rid").alias("n_rules")))
+    return merged.join(t, ["subj", "pred", "obj"], "left_anti")

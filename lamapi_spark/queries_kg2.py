@@ -1184,3 +1184,77 @@ def kg_rule_mining(spark, sf):
                              c.alias("obj"))))
     return (mine_horn_rules(facts, min_support=2, min_conf_bp=3000)
             .orderBy("rule", "p", "q", "r"))
+
+
+_RULE_MINE_CTES = """
+b1 AS (SELECT pred AS p, count(*)::BIGINT AS body_n FROM rf GROUP BY pred),
+s1 AS (SELECT b.pred AS p, h.pred AS r, count(*)::BIGINT AS support
+       FROM rf b JOIN rf h
+         ON b.subj = h.subj AND b.obj = h.obj AND b.pred <> h.pred
+       GROUP BY 1, 2),
+r1 AS (SELECT 'p(x,y) => r(x,y)' AS rule, s1.p, NULL::VARCHAR AS q,
+              s1.r, s1.support, b1.body_n
+       FROM s1 JOIN b1 USING (p)),
+paths AS (SELECT DISTINCT l.pred AS p, r.pred AS q, l.subj AS x,
+                 r.obj AS z
+          FROM rf l JOIN rf r ON l.obj = r.subj),
+b2 AS (SELECT p, q, count(*)::BIGINT AS body_n FROM paths GROUP BY p, q),
+s2 AS (SELECT pa.p, pa.q, h.pred AS r, count(*)::BIGINT AS support
+       FROM paths pa JOIN rf h ON h.subj = pa.x AND h.obj = pa.z
+       GROUP BY 1, 2, 3),
+r2 AS (SELECT 'p(x,y) & q(y,z) => r(x,z)' AS rule, p, q, r, support,
+              body_n
+       FROM s2 JOIN b2 USING (p, q)),
+rules AS (
+  SELECT p, q, r, (support * 10000 // body_n)::BIGINT AS conf_bp
+  FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+  WHERE support >= 2 AND support * 10000 >= 3000 * body_n)"""
+
+
+@register("kg_rule_predictions", f"""
+WITH {_RULE_FACTS_SQL},
+{_RULE_MINE_CTES},
+c1 AS (SELECT f.subj, ru.r AS pred, f.obj, ru.conf_bp,
+              ru.p || '=>' || ru.r AS rid
+       FROM rf f JOIN rules ru ON ru.q IS NULL AND f.pred = ru.p),
+c2 AS (SELECT pa.x AS subj, ru.r AS pred, pa.z AS obj, ru.conf_bp,
+              ru.p || '&' || ru.q || '=>' || ru.r AS rid
+       FROM paths pa JOIN rules ru
+         ON ru.q IS NOT NULL AND pa.p = ru.p AND pa.q = ru.q),
+cand AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+merged AS (SELECT subj, pred, obj, max(conf_bp)::BIGINT AS conf_bp,
+                  count(DISTINCT rid)::BIGINT AS n_rules
+           FROM cand GROUP BY 1, 2, 3)
+SELECT m.subj, m.pred, m.obj, m.conf_bp, m.n_rules
+FROM merged m LEFT JOIN rf t
+  ON t.subj = m.subj AND t.pred = m.pred AND t.obj = m.obj
+WHERE t.subj IS NULL
+ORDER BY m.subj, m.pred, m.obj
+""")
+def kg_rule_predictions(spark, sf):
+    """KB completion (ops/graph.apply_horn_rules over the
+    mine_horn_rules output) on the planted rule synth: the 30% of
+    (x, z) chain pairs missing their p3 head come back as predictions,
+    each derived by TWO independent rules (the chain rule and the
+    p2-subsumption) — n_rules = 2 corroboration, conf = their max.
+    The oracle replays mining AND application end to end, including
+    the rule-id distinct count and the existing-fact anti-join."""
+    from lamapi_spark.ops.graph import apply_horn_rules, mine_horn_rules
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    a = F.concat(F.lit("e"), F.col("o_custkey") % 30)
+    b = F.concat(F.lit("f"), F.col("o_orderkey") % 40)
+    c = F.concat(F.lit("g"), (F.col("o_custkey") + F.col("o_orderkey")) % 20)
+    facts = (
+        o.select(a.alias("subj"), F.lit("p0").alias("pred"), b.alias("obj"))
+        .unionByName(o.select(b.alias("subj"), F.lit("p1").alias("pred"),
+                              c.alias("obj")))
+        .unionByName(o.filter(F.col("o_orderkey") % 10 < 7)
+                     .select(a.alias("subj"), F.lit("p3").alias("pred"),
+                             c.alias("obj")))
+        .unionByName(o.filter(F.col("o_orderkey") % 3 == 0)
+                     .select(a.alias("subj"), F.lit("p2").alias("pred"),
+                             c.alias("obj"))))
+    rules = mine_horn_rules(facts, min_support=2, min_conf_bp=3000)
+    return (apply_horn_rules(facts, rules)
+            .orderBy("subj", "pred", "obj"))

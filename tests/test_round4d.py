@@ -257,6 +257,29 @@ def test_mine_horn_rules_hand_kg(spark):
     assert all(r.rule == "p(x,y) => r(x,y)" for r in none)
 
 
+def test_apply_horn_rules_predicts_missing_heads(spark):
+    from lamapi_spark.ops.graph import apply_horn_rules, mine_horn_rules
+
+    t = spark.createDataFrame(
+        [
+            ("a", "marriedTo", "b"), ("b", "livesIn", "rome"),
+            ("a", "livesIn", "rome"),
+            ("c", "marriedTo", "d"), ("d", "livesIn", "oslo"),
+            ("c", "livesIn", "oslo"),
+            # body holds, head missing -> THE prediction
+            ("e", "marriedTo", "g"), ("g", "livesIn", "kyiv"),
+        ],
+        "subj string, pred string, obj string")
+    rules = mine_horn_rules(t, min_support=2, min_conf_bp=5000)
+    got = apply_horn_rules(t, rules).collect()
+    assert len(got) == 1
+    p = got[0]
+    assert (p.subj, p.pred, p.obj) == ("e", "livesIn", "kyiv")
+    assert (p.conf_bp, p.n_rules) == (6666, 1)
+    # already-known facts are never re-predicted
+    assert not any(r.subj == "a" for r in got)
+
+
 def test_conv_role_audit(spark):
     from lamapi_spark.pipeline.exports import conv_role_audit
 
