@@ -251,3 +251,81 @@ def spearman_rho(df: DataFrame, key_col: str, x_col: str, y_col: str,
                  / (n * (n * n - F.lit(1.0)))).otherwise(F.lit(0.0))
     return agg.select("n", F.col("_s").cast("double").alias("sum_d2"),
                       F.bround(rho, 6).alias("rho"))
+
+
+def retrieval_eval(ranked: DataFrame, qrels: DataFrame,
+                   k: int = 10) -> DataFrame:
+    """Per-query ranked-retrieval metrics — MRR, precision/recall@k,
+    DCG/nDCG@k (Järvelin & Kekäläinen's graded-gain form,
+    (2^g - 1)/log2(pos + 1)) — the eval every retrieval stage
+    (bm25_topk, embed_cosine_topk, rag hybrid) reports against a
+    judgment set (reference analogue: none; builder's-brief eval
+    surface completing the metrics family).
+
+    ``ranked`` = (query_id, doc_id, rk) with rk 1-based; ``qrels`` =
+    (query_id, doc_id, grade > 0), assumed unique per (query, doc).
+    Queries appear iff they have ranked rows; a duplicated doc_id in
+    one ranked list counts each occurrence (garbage-in — run the
+    dedup family first). idcg truncates the query's grades to the
+    best k.
+
+    Float discipline: both DCG folds run IN RANK/GRADE ORDER over
+    sorted bounded in-row arrays (<= k and <= judged-per-query
+    entries) — fixed association order, identical doubles in any
+    engine/partitioning; outputs round half-even to 6 dp (every value
+    is off the representable 6-dp grid: logs and reciprocals, not
+    grid arithmetic).
+
+    Scale shape: one (query, doc) equi-join, two query-keyed aggs
+    with bounded collected arrays, one broadcast-sized idcg join.
+    -> (query_id, n_ret, n_judged, hits, rr, p_at_k, r_at_k, dcg,
+    idcg, ndcg).
+    """
+    r = ranked.filter(F.col("rk") <= int(k)).select(
+        "query_id", "doc_id", "rk")
+    j = (r.join(qrels.select("query_id", "doc_id", "grade"),
+                ["query_id", "doc_id"], "left")
+         .select("query_id", "rk",
+                 F.coalesce("grade", F.lit(0)).cast("int").alias("g")))
+    gain = lambda g: F.pow(F.lit(2.0), g.cast("double")) - F.lit(1.0)
+    per = (j.groupBy("query_id")
+           .agg(F.sort_array(F.collect_list(
+               F.struct("rk", "g"))).alias("_a"),
+               F.count("*").alias("n_ret"),
+               F.sum((F.col("g") > 0).cast("long")).alias("hits"),
+               F.min(F.when(F.col("g") > 0, F.col("rk"))).alias("_fr")))
+    dcg = F.aggregate(
+        "_a", F.lit(0.0),
+        lambda acc, s: acc + gain(s.g) / F.log2(s.rk.cast("double") + 1.0))
+    ideal = (qrels.groupBy("query_id")
+             .agg(F.slice(F.sort_array(F.collect_list(
+                 F.col("grade").cast("int")), asc=False),
+                 1, int(k)).alias("_ig"),
+                 F.count("*").alias("n_judged")))
+    idcg = F.aggregate(
+        F.zip_with("_ig",
+                   F.sequence(F.lit(1), F.greatest(F.size("_ig"), F.lit(1))),
+                   lambda g, p: F.struct(g.alias("g"), p.alias("p"))),
+        F.lit(0.0),
+        lambda acc, s: acc + gain(s.g) / F.log2(s.p.cast("double") + 1.0))
+    out = (per.join(ideal.select("query_id", "_ig", "n_judged"),
+                    "query_id", "left")
+           .withColumn("n_judged",
+                       F.coalesce("n_judged", F.lit(0)).cast("long"))
+           .withColumn("_dcg", dcg)
+           .withColumn("_idcg", F.when(F.col("_ig").isNotNull(),
+                                       idcg).otherwise(F.lit(0.0))))
+    rr = F.when(F.col("_fr").isNotNull(),
+                F.lit(1.0) / F.col("_fr")).otherwise(F.lit(0.0))
+    return out.select(
+        "query_id", "n_ret", "n_judged", "hits",
+        F.bround(rr, 6).alias("rr"),
+        F.bround(F.col("hits") / F.lit(float(k)), 6).alias("p_at_k"),
+        F.bround(F.when(F.col("n_judged") > 0,
+                        F.col("hits") / F.col("n_judged"))
+                 .otherwise(F.lit(0.0)), 6).alias("r_at_k"),
+        F.bround("_dcg", 6).alias("dcg"),
+        F.bround("_idcg", 6).alias("idcg"),
+        F.bround(F.when(F.col("_idcg") > 0,
+                        F.col("_dcg") / F.col("_idcg"))
+                 .otherwise(F.lit(0.0)), 6).alias("ndcg"))

@@ -1258,3 +1258,87 @@ def kg_rule_predictions(spark, sf):
     rules = mine_horn_rules(facts, min_support=2, min_conf_bp=3000)
     return (apply_horn_rules(facts, rules)
             .orderBy("subj", "pred", "obj"))
+
+
+# ------------------------------------------------- retrieval eval
+
+@register("eval_retrieval", """
+WITH rkd AS (
+  SELECT * FROM (
+    SELECT 'q' || (o_custkey % 50) AS query_id,
+           'd' || (o_orderkey % 97) AS doc_id,
+           (row_number() OVER (PARTITION BY o_custkey % 50
+                               ORDER BY o_orderkey))::BIGINT AS rk
+    FROM orders) WHERE rk <= 10),
+qr AS (
+  SELECT 'q' || (o_custkey % 50) AS query_id,
+         'd' || (o_orderkey % 97) AS doc_id,
+         max(1 + o_orderkey % 2)::INT AS grade
+  FROM orders
+  WHERE o_orderkey % 5 = 0 AND (o_custkey % 50) < 45
+  GROUP BY 1, 2),
+j AS (SELECT r.query_id, r.rk, coalesce(q.grade, 0)::INT AS g
+      FROM rkd r LEFT JOIN qr q USING (query_id, doc_id)),
+per AS (
+  SELECT query_id,
+         list(struct_pack(rk := rk, g := g) ORDER BY rk, g) AS a,
+         count(*)::BIGINT AS n_ret,
+         sum(CASE WHEN g > 0 THEN 1 ELSE 0 END)::BIGINT AS hits,
+         min(CASE WHEN g > 0 THEN rk END) AS fr
+  FROM j GROUP BY query_id),
+ide AS (
+  SELECT query_id, (list(grade ORDER BY grade DESC))[:10] AS ig,
+         count(*)::BIGINT AS n_judged
+  FROM qr GROUP BY query_id),
+m AS (
+  SELECT p.query_id, p.n_ret,
+         coalesce(i.n_judged, 0)::BIGINT AS n_judged, p.hits,
+         CASE WHEN p.fr IS NOT NULL THEN 1.0 / p.fr ELSE 0.0 END AS rr,
+         list_reduce(list_prepend(0.0::DOUBLE, list_transform(p.a,
+             s -> (power(2.0, s.g) - 1.0) / log2(s.rk + 1.0))),
+             (x, y) -> x + y) AS dcg,
+         CASE WHEN i.ig IS NOT NULL THEN
+           list_reduce(list_prepend(0.0::DOUBLE, list_transform(i.ig,
+               (g, p2) -> (power(2.0, g) - 1.0) / log2(p2 + 1.0))),
+               (x, y) -> x + y)
+         ELSE 0.0 END AS idcg
+  FROM per p LEFT JOIN ide i USING (query_id))
+SELECT query_id, n_ret, n_judged, hits,
+       round_even(rr, 6) AS rr,
+       round_even(hits / 10.0, 6) AS p_at_k,
+       round_even(CASE WHEN n_judged > 0
+                       THEN hits / CAST(n_judged AS DOUBLE)
+                  ELSE 0.0 END, 6) AS r_at_k,
+       round_even(dcg, 6) AS dcg,
+       round_even(idcg, 6) AS idcg,
+       round_even(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6)
+         AS ndcg
+FROM m ORDER BY query_id
+""")
+def eval_retrieval(spark, sf):
+    """Ranked-retrieval eval (ops/metrics.retrieval_eval, k=10) over a
+    replayable synth: per-query top-10 lists from the orderkey window,
+    graded qrels on every 5th orderkey with queries q45-q49 left
+    UNJUDGED (the idcg-absent degrade path). The oracle replays the
+    window, the grade dedup, and BOTH DCG folds with the identical
+    left-fold association order (list_prepend 0.0 + list_reduce — the
+    HLL-oracle discipline)."""
+    from lamapi_spark.ops.metrics import retrieval_eval
+
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy(F.col("o_custkey") % 50).orderBy("o_orderkey")
+    ranked = (o.select(
+        F.concat(F.lit("q"), F.col("o_custkey") % 50).alias("query_id"),
+        F.concat(F.lit("d"), F.col("o_orderkey") % 97).alias("doc_id"),
+        F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 10))
+    qrels = (o.filter((F.col("o_orderkey") % 5 == 0)
+                      & (F.col("o_custkey") % 50 < 45))
+             .groupBy(
+                 F.concat(F.lit("q"),
+                          F.col("o_custkey") % 50).alias("query_id"),
+                 F.concat(F.lit("d"),
+                          F.col("o_orderkey") % 97).alias("doc_id"))
+             .agg(F.max(F.lit(1) + F.col("o_orderkey") % 2)
+                  .cast("int").alias("grade")))
+    return retrieval_eval(ranked, qrels, k=10).orderBy("query_id")

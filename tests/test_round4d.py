@@ -224,6 +224,35 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_retrieval_eval_hand_computed(spark):
+    import math
+
+    from lamapi_spark.ops.metrics import retrieval_eval
+
+    ranked = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "x", 1), ("q2", "y", 2)],
+        "query_id string, doc_id string, rk long")
+    qrels = spark.createDataFrame(
+        [("q1", "b", 2), ("q1", "c", 1), ("q1", "zz", 3)],
+        "query_id string, doc_id string, grade int")
+    rows = {r.query_id: r for r in
+            retrieval_eval(ranked, qrels, k=10).collect()}
+    q1 = rows["q1"]
+    assert (q1.n_ret, q1.n_judged, q1.hits) == (3, 3, 2)
+    assert q1.rr == 0.5  # first relevant at rank 2
+    assert q1.p_at_k == 0.2 and q1.r_at_k == round(2 / 3, 6)
+    dcg = 3 / math.log2(3) + 1 / math.log2(4)
+    idcg = 7 / math.log2(2) + 3 / math.log2(3) + 1 / math.log2(4)
+    assert q1.dcg == round(dcg, 6)
+    assert q1.idcg == round(idcg, 6)
+    assert abs(q1.ndcg - dcg / idcg) < 1e-6
+    # unjudged query degrades to zeros
+    q2 = rows["q2"]
+    assert (q2.n_judged, q2.hits, q2.rr, q2.idcg, q2.ndcg) == \
+        (0, 0, 0.0, 0.0, 0.0)
+
+
 def test_mine_horn_rules_hand_kg(spark):
     from lamapi_spark.ops.graph import mine_horn_rules
 
