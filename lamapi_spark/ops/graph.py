@@ -1498,3 +1498,48 @@ def apply_horn_rules(triples: DataFrame, rules: DataFrame,
               .agg(F.max("conf_bp").alias("conf_bp"),
                    F.countDistinct("_rid").alias("n_rules")))
     return merged.join(t, ["subj", "pred", "obj"], "left_anti")
+
+
+def cardinality_violations(triples: DataFrame,
+                           min_functionality_bp: int = 9000,
+                           min_facts: int = 10) -> DataFrame:
+    """Functionality-based anomaly detection: for predicates the KG
+    itself shows to be quasi-functional (predicate_functionality >=
+    ``min_functionality_bp`` basis points over >= ``min_facts``
+    distinct facts), flag the subjects asserting MORE than one object
+    — a person with two birth dates is an extraction error or an
+    unresolved duplicate, and quasi-functional predicates are where
+    that error is detectable from the data alone (the PARIS/AMIE
+    observation; reference analogue: none — builder's-brief QC beside
+    type_violations, which needs a typed schema where this needs
+    nothing).
+
+    The functionality gate is the EXACT integer product
+    ``n_subj * 10000 >= bp * n_facts`` — no float threshold. Output
+    one row per violating (pred, subj) with its object count and the
+    lexicographically smallest and largest objects as the bounded
+    review sample (two conditional aggregates, no per-group sort).
+
+    Scale shape: the predicate_functionality agg (predicate-keyed,
+    tiny) broadcast back onto ONE (pred, subj)-keyed count agg; the
+    sample objects come from the same agg via conditional min — no
+    window, no collect_list of unbounded object sets.
+
+    -> (pred, subj, n_objects, obj_a, obj_b).
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    fun = (t.groupBy("pred")
+           .agg(F.count("*").alias("_nf"),
+                F.countDistinct("subj").alias("_ns"))
+           .filter((F.col("_nf") >= F.lit(int(min_facts)))
+                   & (F.col("_ns") * 10000
+                      >= F.lit(int(min_functionality_bp)) * F.col("_nf")))
+           .select("pred"))
+    per_subj = (t.join(F.broadcast(fun), "pred")
+                .groupBy("pred", "subj")
+                .agg(F.count("*").alias("n_objects"),
+                     F.min("obj").alias("obj_a"),
+                     F.max("obj").alias("_mx")))
+    return (per_subj.filter(F.col("n_objects") >= 2)
+            .select("pred", "subj", "n_objects", "obj_a",
+                    F.col("_mx").alias("obj_b")))

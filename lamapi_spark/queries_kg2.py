@@ -1342,3 +1342,58 @@ def eval_retrieval(spark, sf):
              .agg(F.max(F.lit(1) + F.col("o_orderkey") % 2)
                   .cast("int").alias("grade")))
     return retrieval_eval(ranked, qrels, k=10).orderBy("query_id")
+
+
+# ------------------------------------------------- cardinality QC
+
+@register("kg_cardinality_violations", """
+WITH f AS (
+  SELECT DISTINCT * FROM (
+    SELECT 's' || c_custkey AS subj, 'born' AS pred,
+           'y' || (1900 + c_custkey % 100) AS obj FROM customer
+    UNION ALL
+    SELECT 's' || c_custkey, 'born', 'y' || (1800 + c_custkey % 50)
+    FROM customer WHERE c_custkey % 20 = 0
+    UNION ALL
+    SELECT 's' || (c_custkey % 100), 'likes', 'o' || (c_custkey % 400)
+    FROM customer)),
+fun AS (
+  SELECT pred FROM (
+    SELECT pred, count(*)::BIGINT AS nf,
+           count(DISTINCT subj)::BIGINT AS ns
+    FROM f GROUP BY pred)
+  WHERE nf >= 10 AND ns * 10000 >= 9000 * nf),
+per AS (
+  SELECT f.pred, f.subj, count(*)::BIGINT AS n_objects,
+         min(f.obj) AS obj_a, max(f.obj) AS obj_b
+  FROM f JOIN fun USING (pred) GROUP BY f.pred, f.subj)
+SELECT pred, subj, n_objects, obj_a, obj_b
+FROM per WHERE n_objects >= 2 ORDER BY pred, subj
+""")
+def kg_cardinality_violations(spark, sf):
+    """Functionality-based anomaly flags (ops/graph.
+    cardinality_violations): 'born' is planted quasi-functional (5% of
+    subjects carry a second birth year — exactly the violations),
+    'likes' is many-valued and must stay ungated. The oracle replays
+    the distinct fact set, the exact product functionality gate, and
+    the per-subject rollup with both sample objects."""
+    from lamapi_spark.ops.graph import cardinality_violations
+
+    c = load(spark, sf, "customer").select("c_custkey")
+    ck = F.col("c_custkey")
+    facts = (
+        c.select(F.concat(F.lit("s"), ck).alias("subj"),
+                 F.lit("born").alias("pred"),
+                 F.concat(F.lit("y"), 1900 + ck % 100).alias("obj"))
+        .unionByName(
+            c.filter(ck % 20 == 0)
+            .select(F.concat(F.lit("s"), ck).alias("subj"),
+                    F.lit("born").alias("pred"),
+                    F.concat(F.lit("y"), 1800 + ck % 50).alias("obj")))
+        .unionByName(
+            c.select(F.concat(F.lit("s"), ck % 100).alias("subj"),
+                     F.lit("likes").alias("pred"),
+                     F.concat(F.lit("o"), ck % 400).alias("obj"))))
+    return (cardinality_violations(facts, min_functionality_bp=9000,
+                                   min_facts=10)
+            .orderBy("pred", "subj"))

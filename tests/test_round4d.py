@@ -224,6 +224,26 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_cardinality_violations(spark):
+    from lamapi_spark.ops.graph import cardinality_violations
+
+    t = spark.createDataFrame(
+        # born: 10 clean subjects + one double -> quasi-functional
+        [(f"s{i}", "born", f"y{i}") for i in range(10)]
+        + [("s3", "born", "x1800")]
+        # likes: 2 subjects, 10 objects -> NOT functional, never gated
+        + [(f"h{i % 2}", "likes", f"o{i}") for i in range(10)],
+        "subj string, pred string, obj string")
+    got = cardinality_violations(t, min_functionality_bp=9000,
+                                 min_facts=10).collect()
+    assert len(got) == 1
+    v = got[0]
+    assert (v.pred, v.subj, v.n_objects) == ("born", "s3", 2)
+    assert (v.obj_a, v.obj_b) == ("x1800", "y3")
+    # raising min_facts above the born fact count disables the gate
+    assert cardinality_violations(t, min_facts=12).count() == 0
+
+
 def test_retrieval_eval_hand_computed(spark):
     import math
 
