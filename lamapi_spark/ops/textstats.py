@@ -4,7 +4,7 @@ counting, document fingerprinting. All JVM-side column expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lamapi_spark.functions.strings import STOPWORDS
@@ -140,3 +140,48 @@ def fingerprint(text: Column) -> Column:
     token set (the classic 'fingerprint clustering' normalization)."""
     toks = F.array_sort(F.array_distinct(_tokens(text)))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def pii_pseudonyms(df: DataFrame, key_col: str = "conv_id",
+                   order_col: str = "turn_idx",
+                   text_col: str = "text") -> DataFrame:
+    """Consistent pseudonymization mapping: every distinct PII value
+    in a conversation gets a stable numbered placeholder (EMAIL_1,
+    EMAIL_2, ...) assigned in FIRST-OCCURRENCE order — the
+    anonymization shape that preserves referential structure
+    (redact_pii's flat <EMAIL> placeholder erases whether two turns
+    mention the SAME address; training on coreference-bearing dialogue
+    needs the distinction). Emits the mapping table; applying it is a
+    per-conversation string rewrite the caller drives with the map
+    (reference analogue: none; builder's-brief scrubbing surface
+    beside redact_pii).
+
+    Ordering contract: first occurrence = struct-lexicographic min of
+    (order_col, in-text match position); the numbering window
+    partitions on (key, kind) and is bounded by the conversation's
+    own distinct PII values — never a global window. Value ties
+    cannot arise (the min is per distinct value; equal first
+    positions for two values would mean overlapping matches, which a
+    single regex scan never emits).
+
+    -> (key, kind, value, first_order, pseudo) with pseudo =
+    KIND_<n>, n 1-based per (key, kind).
+    """
+    occ = None
+    for kind, pat in PII_PATTERNS.items():
+        k = (df.select(
+            F.col(key_col).alias("key"), F.col(order_col).alias("o"),
+            F.posexplode(F.regexp_extract_all(
+                F.col(text_col), F.lit(pat), 0)).alias("p", "value"))
+            .withColumn("kind", F.lit(kind)))
+        occ = k if occ is None else occ.unionByName(k)
+    first = (occ.groupBy("key", "kind", "value")
+             .agg(F.min(F.struct(F.col("o").alias("o"),
+                                 F.col("p").alias("p"))).alias("_f")))
+    w = Window.partitionBy("key", "kind").orderBy(
+        F.col("_f.o"), F.col("_f.p"), "value")
+    return (first.withColumn("_n", F.row_number().over(w))
+            .select("key", "kind", "value",
+                    F.col("_f.o").alias("first_order"),
+                    F.concat(F.upper("kind"), F.lit("_"),
+                             F.col("_n")).alias("pseudo")))

@@ -1397,3 +1397,58 @@ def kg_cardinality_violations(spark, sf):
     return (cardinality_violations(facts, min_functionality_bp=9000,
                                    min_facts=10)
             .orderBy("pred", "subj"))
+
+
+# ------------------------------------------------- PII pseudonyms
+
+@register("pii_pseudonyms", r"""
+WITH tr AS (
+  SELECT 'c' || (o_custkey % 200) AS key, o_orderkey AS o,
+         'reach u' || (o_orderkey % 7) || '@ex' || (o_custkey % 5)
+         || '.com'
+         || CASE WHEN o_orderkey % 4 = 0
+                 THEN ' or 10.0.' || (o_orderkey % 3) || '.1'
+                 ELSE '' END || ' now' AS text
+  FROM orders),
+pats AS (SELECT * FROM (VALUES
+  ('email', '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+  ('ipv4', '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'),
+  ('phone', '\+[0-9][0-9 -]{6,}[0-9]')) AS v(kind, pat)),
+m AS (SELECT key, o, kind, regexp_extract_all(text, pat) AS l
+      FROM tr CROSS JOIN pats),
+occ AS (SELECT key, o, kind, u.p::INT AS p, u.v AS value FROM (
+  SELECT key, o, kind, unnest(list_transform(range(1, len(l) + 1),
+    i -> struct_pack(p := i, v := l[i]))) AS u FROM m)),
+fst AS (SELECT key, kind, value,
+               min(struct_pack(o := o, p := p)) AS f
+        FROM occ GROUP BY 1, 2, 3),
+n AS (SELECT key, kind, value, f.o AS first_order,
+             row_number() OVER (PARTITION BY key, kind
+                                ORDER BY f.o, f.p, value) AS rn
+      FROM fst)
+SELECT key, kind, value, first_order,
+       upper(kind) || '_' || rn AS pseudo
+FROM n ORDER BY key, kind, pseudo
+""")
+def pii_pseudonyms_q(spark, sf):
+    """Consistent PII pseudonymization (ops/textstats.pii_pseudonyms)
+    over planted contact lines: 7x5 email variants recur across a
+    conversation's turns (the SAME address must keep ONE number) and
+    every 4th turn carries an IPv4; the phone kind matches nothing —
+    the absent-kind path. The oracle replays both regex scans with
+    in-list positions, the (order, position) struct-min first
+    occurrence, and the per-(conv, kind) numbering window."""
+    from lamapi_spark.ops.textstats import pii_pseudonyms
+
+    o = load(spark, sf, "orders")
+    text = F.concat(
+        F.lit("reach u"), F.col("o_orderkey") % 7,
+        F.lit("@ex"), F.col("o_custkey") % 5, F.lit(".com"),
+        F.when(F.col("o_orderkey") % 4 == 0,
+               F.concat(F.lit(" or 10.0."), F.col("o_orderkey") % 3,
+                        F.lit(".1"))).otherwise(F.lit("")),
+        F.lit(" now"))
+    tr = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey") % 200).alias("conv_id"),
+        F.col("o_orderkey").alias("turn_idx"), text.alias("text"))
+    return (pii_pseudonyms(tr).orderBy("key", "kind", "pseudo"))

@@ -224,6 +224,27 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_pii_pseudonyms(spark):
+    from lamapi_spark.ops.textstats import pii_pseudonyms
+
+    tr = spark.createDataFrame(
+        [
+            ("A", 1, "mail a@x.com then b@y.org ok"),
+            ("A", 2, "again a@x.com and 10.0.0.1"),
+            ("B", 1, "only c@z.io here"),
+        ],
+        "conv_id string, turn_idx int, text string")
+    rows = {(r.key, r.kind, r.value): r for r in pii_pseudonyms(tr).collect()}
+    # first-occurrence order within (conv, kind); repeats keep ONE id
+    assert rows[("A", "email", "a@x.com")].pseudo == "EMAIL_1"
+    assert rows[("A", "email", "b@y.org")].pseudo == "EMAIL_2"
+    assert rows[("A", "email", "a@x.com")].first_order == 1
+    assert rows[("A", "ipv4", "10.0.0.1")].pseudo == "IPV4_1"
+    # numbering restarts per conversation
+    assert rows[("B", "email", "c@z.io")].pseudo == "EMAIL_1"
+    assert len(rows) == 4
+
+
 def test_cardinality_violations(spark):
     from lamapi_spark.ops.graph import cardinality_violations
 
