@@ -1543,3 +1543,83 @@ def cardinality_violations(triples: DataFrame,
     return (per_subj.filter(F.col("n_objects") >= 2)
             .select("pred", "subj", "n_objects", "obj_a",
                     F.col("_mx").alias("obj_b")))
+
+
+def _edge_triangle_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical undirected edge set
+    (a < b, distinct): degree-oriented wedge enumeration (each
+    triangle counted once — the triangle_counts bound), then each
+    triangle (u, x, y) credits its three canonical edges.
+    -> (a, b, support) for edges in >= 1 triangle."""
+    deg = (und.select(F.col("a").alias("n")).unionAll(
+               und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    withdeg = (und.join(deg.withColumnRenamed("n", "a")
+                        .withColumnRenamed("d", "da"), "a")
+               .join(deg.withColumnRenamed("n", "b")
+                     .withColumnRenamed("d", "db"), "b"))
+    oriented = withdeg.select(
+        F.when((F.col("da") < F.col("db"))
+               | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+               F.struct(F.col("a").alias("u"), F.col("b").alias("v")))
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+        .alias("e")).select("e.u", "e.v")
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])
+    side = lambda p, q: tris.select(F.least(p, q).alias("a"),
+                                    F.greatest(p, q).alias("b"))
+    cred = (side("u", "x").unionAll(side("u", "y"))
+            .unionAll(side("x", "y")))
+    return cred.groupBy("a", "b").agg(F.count("*").alias("support"))
+
+
+def k_truss(edges: DataFrame, k: int = 4,
+            n_rounds: int = 16) -> DataFrame:
+    """k-truss decomposition (Cohen 2008): the maximal subgraph whose
+    EVERY edge closes >= k-2 triangles within the subgraph — the
+    edge-level cohesion filter where k_core is the node-level one
+    (a k-core can be a sparse hairball; a k-truss is triangle-dense by
+    construction), the community-core extraction step ER pipelines run
+    before trusting dense match neighborhoods.
+
+    Peel loop: recompute per-edge triangle support over the SURVIVING
+    edges, drop edges below k-2, repeat to the fixed point (early
+    exit on an unchanged edge count; ``n_rounds`` bounds the cascade
+    — the k_core fixed-iteration contract). Each round is the
+    degree-oriented triangle enumeration (|E|^1.5 wedge bound, hub-
+    safe) plus one (edge)-keyed count agg; the edge frame
+    localCheckpoints every round (the canonicalize.py loop rule).
+
+    Determinism: the surviving edge SET is a pure function of the
+    input edge set (support counting has no ties to break), so any
+    engine converges to the identical subgraph.
+
+    -> (a, b, support) for the surviving canonical edges, with their
+    final-round support. Requires k >= 3 (the 2-truss is trivially
+    every edge; the support frame only carries triangle-closing edges,
+    so k=2 would silently drop triangle-free edges).
+    """
+    if k < 3:
+        raise ValueError("k_truss requires k >= 3 (2-truss = all edges)")
+    und = (edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+           .filter(F.col("a") != F.col("b")))
+    und = (und.select(F.least("a", "b").alias("a"),
+                      F.greatest("a", "b").alias("b"))
+           .distinct().localCheckpoint(eager=True))
+    n_prev = und.count()
+    kept = und.withColumn("support", F.lit(0).cast("long"))
+    for _ in range(n_rounds):
+        kept = (_edge_triangle_support(und)
+                .filter(F.col("support") >= F.lit(int(k) - 2))
+                .localCheckpoint(eager=True))
+        n = kept.count()
+        und = kept.select("a", "b")
+        if n == n_prev:
+            # fixed point: supports were computed over this same edge
+            # set, so the reported support IS the in-truss support
+            break
+        n_prev = n
+    return kept

@@ -1452,3 +1452,73 @@ def pii_pseudonyms_q(spark, sf):
         F.concat(F.lit("c"), F.col("o_custkey") % 200).alias("conv_id"),
         F.col("o_orderkey").alias("turn_idx"), text.alias("text"))
     return (pii_pseudonyms(tr).orderBy("key", "kind", "pseudo"))
+
+
+# ------------------------------------------------- k-truss
+
+@register("graph_ktruss", """
+WITH raw AS (
+  SELECT 'r' || (c_custkey % 60) AS u,
+         'r' || ((c_custkey % 60 + 1) % 60) AS v FROM customer
+  UNION ALL
+  SELECT 'r' || (c_custkey % 60), 'r' || ((c_custkey % 60 + 2) % 60)
+  FROM customer
+  UNION ALL
+  SELECT 'm' || i.k, 'm' || j.k
+  FROM (SELECT DISTINCT c_custkey % 6 AS k FROM customer) i
+  JOIN (SELECT DISTINCT c_custkey % 6 AS k FROM customer) j
+    ON i.k < j.k),
+e1 AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+       FROM raw WHERE u <> v),
+t1 AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc
+         FROM e1 x JOIN e1 y ON y.a = x.b
+         JOIN e1 z ON z.a = x.a AND z.b = y.b),
+s1 AS (SELECT a, b, count(*)::BIGINT AS support FROM (
+           SELECT ta AS a, tb AS b FROM t1
+           UNION ALL SELECT tb, tc FROM t1
+           UNION ALL SELECT ta, tc FROM t1) GROUP BY a, b),
+e2 AS (SELECT a, b FROM s1 WHERE support >= 2),
+t2 AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc
+         FROM e2 x JOIN e2 y ON y.a = x.b
+         JOIN e2 z ON z.a = x.a AND z.b = y.b),
+s2 AS (SELECT a, b, count(*)::BIGINT AS support FROM (
+           SELECT ta AS a, tb AS b FROM t2
+           UNION ALL SELECT tb, tc FROM t2
+           UNION ALL SELECT ta, tc FROM t2) GROUP BY a, b),
+e3 AS (SELECT a, b FROM s2 WHERE support >= 2),
+t3 AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc
+         FROM e3 x JOIN e3 y ON y.a = x.b
+         JOIN e3 z ON z.a = x.a AND z.b = y.b),
+s3 AS (SELECT a, b, count(*)::BIGINT AS support FROM (
+           SELECT ta AS a, tb AS b FROM t3
+           UNION ALL SELECT tb, tc FROM t3
+           UNION ALL SELECT ta, tc FROM t3) GROUP BY a, b),
+e4 AS (SELECT a, b FROM s3 WHERE support >= 2)
+SELECT a, b, support FROM s3 WHERE support >= 2 ORDER BY a, b
+""")
+def graph_ktruss(spark, sf):
+    """4-truss peel (ops/graph.k_truss) over a planted cascade: a
+    60-ring with distance-2 chords (ring edges close 2 triangles,
+    chords 1) plus a 6-clique (every edge support 4). Round 1 drops
+    the chords, round 2 the now-triangle-free ring, round 3 is the
+    fixed point — only the clique survives. The oracle unrolls the
+    three peel rounds CTE by CTE with the canonical-triangle
+    formulation (each triangle listed once as a < b < c), an
+    INDEPENDENT enumeration of the operator's degree-oriented wedge
+    join."""
+    from lamapi_spark.ops.graph import k_truss
+
+    c = load(spark, sf, "customer").select(
+        (F.col("c_custkey") % 60).alias("k"),
+        (F.col("c_custkey") % 6).alias("m"))
+    ring = c.select(F.concat(F.lit("r"), F.col("k")).alias("src"),
+                    F.concat(F.lit("r"), (F.col("k") + 1) % 60).alias("dst"))
+    chord = c.select(F.concat(F.lit("r"), F.col("k")).alias("src"),
+                     F.concat(F.lit("r"), (F.col("k") + 2) % 60).alias("dst"))
+    d6 = c.select("m").distinct()
+    clique = (d6.alias("i").join(d6.alias("j"),
+                                 F.col("i.m") < F.col("j.m"))
+              .select(F.concat(F.lit("m"), F.col("i.m")).alias("src"),
+                      F.concat(F.lit("m"), F.col("j.m")).alias("dst")))
+    edges = ring.unionByName(chord).unionByName(clique)
+    return k_truss(edges, k=4, n_rounds=8).orderBy("a", "b")

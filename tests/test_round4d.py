@@ -224,6 +224,37 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_k_truss(spark):
+    import itertools
+
+    import pytest
+
+    from lamapi_spark.ops.graph import k_truss
+
+    # bowtie: triangles abc + acd sharing edge ac, plus pendant d-e
+    bow = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("a", "d"),
+         ("d", "e")],
+        "src string, dst string")
+    t3 = {(r.a, r.b): r.support for r in k_truss(bow, k=3).collect()}
+    # 3-truss: both triangles survive, pendant drops; ac closes 2
+    assert set(t3) == {("a", "b"), ("b", "c"), ("a", "c"),
+                       ("c", "d"), ("a", "d")}
+    assert t3[("a", "c")] == 2 and t3[("a", "b")] == 1
+    # 4-truss: the shared edge alone cannot sustain itself -> empty
+    assert k_truss(bow, k=4).count() == 0
+
+    # K5 is its own 5-truss: every edge closes 3 triangles
+    k5 = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations("vwxyz", 2)],
+        "src string, dst string")
+    t5 = k_truss(k5, k=5).collect()
+    assert len(t5) == 10 and all(r.support == 3 for r in t5)
+
+    with pytest.raises(ValueError):
+        k_truss(bow, k=2)
+
+
 def test_pii_pseudonyms(spark):
     from lamapi_spark.ops.textstats import pii_pseudonyms
 
