@@ -1623,3 +1623,45 @@ def k_truss(edges: DataFrame, k: int = 4,
             break
         n_prev = n
     return kept
+
+
+def predicate_overlap(triples: DataFrame, min_common: int = 2,
+                      min_jaccard_bp: int = 0) -> DataFrame:
+    """Predicate synonym candidates by EXTENSION overlap: for every
+    predicate pair, the Jaccard of their (subj, obj) fact-pair sets —
+    two predicates asserting largely the same pairs are merge
+    candidates (schema drift, source vocabulary mismatch), the
+    extension half of PARIS alignment where predicate_functionality
+    is the key-ness half (reference analogue: none; builder's-brief
+    schema-repair surface beside induce_schema / mine_horn_rules).
+
+    Jaccard gates on the EXACT integer product
+    ``common * 10000 >= bp * (na + nb - common)`` and reports the
+    floor division. Ordered pairs are emitted once (p < r
+    lexicographically).
+
+    Scale shape: one distinct, one self-join on the (subj, obj) pair
+    key — co-partitioned, each fact pair fans out only by the
+    predicates asserting it (bounded by |P|) — one pair-count agg and
+    a broadcast per-predicate size join. -> (p, r, common, n_p, n_r,
+    jaccard_bp).
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    sizes = t.groupBy("pred").agg(F.count("*").alias("n"))
+    a = t.select("subj", "obj", F.col("pred").alias("p"))
+    b = t.select("subj", "obj", F.col("pred").alias("r"))
+    common = (a.join(b, ["subj", "obj"])
+              .filter(F.col("p") < F.col("r"))
+              .groupBy("p", "r").agg(F.count("*").alias("common")))
+    out = (common
+           .join(F.broadcast(sizes.select(F.col("pred").alias("p"),
+                                          F.col("n").alias("n_p"))), "p")
+           .join(F.broadcast(sizes.select(F.col("pred").alias("r"),
+                                          F.col("n").alias("n_r"))), "r"))
+    union = F.col("n_p") + F.col("n_r") - F.col("common")
+    return (out.filter((F.col("common") >= F.lit(int(min_common)))
+                       & (F.col("common") * 10000
+                          >= F.lit(int(min_jaccard_bp)) * union))
+            .select("p", "r", "common", "n_p", "n_r",
+                    F.expr("common * 10000L div (n_p + n_r - common)")
+                    .alias("jaccard_bp")))

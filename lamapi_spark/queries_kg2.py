@@ -1522,3 +1522,47 @@ def graph_ktruss(spark, sf):
                       F.concat(F.lit("m"), F.col("j.m")).alias("dst")))
     edges = ring.unionByName(chord).unionByName(clique)
     return k_truss(edges, k=4, n_rounds=8).orderBy("a", "b")
+
+
+# ------------------------------------------------- predicate overlap
+
+@register("kg_pred_overlap", f"""
+WITH {_RULE_FACTS_SQL},
+sz AS (SELECT pred, count(*)::BIGINT AS n FROM rf GROUP BY pred),
+cm AS (SELECT a.pred AS p, b.pred AS r, count(*)::BIGINT AS common
+       FROM rf a JOIN rf b
+         ON a.subj = b.subj AND a.obj = b.obj AND a.pred < b.pred
+       GROUP BY 1, 2)
+SELECT cm.p, cm.r, cm.common, sp.n AS n_p, sr.n AS n_r,
+       (cm.common * 10000 // (sp.n + sr.n - cm.common))::BIGINT
+         AS jaccard_bp
+FROM cm JOIN sz sp ON sp.pred = cm.p JOIN sz sr ON sr.pred = cm.r
+WHERE cm.common >= 2
+  AND cm.common * 10000 >= 4000 * (sp.n + sr.n - cm.common)
+ORDER BY p, r
+""")
+def kg_pred_overlap(spark, sf):
+    """Predicate extension overlap (ops/graph.predicate_overlap) over
+    the rule-mining synth: p2's pairs are a strict subset of p3's
+    universe with 70%/100% coverage, so exactly the p2/p3 pair clears
+    the 4000bp gate while the disjoint-namespace p0/p1 pairs share
+    nothing. The oracle replays the distinct, the pair self-join, and
+    the exact product gate."""
+    from lamapi_spark.ops.graph import predicate_overlap
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    a = F.concat(F.lit("e"), F.col("o_custkey") % 30)
+    b = F.concat(F.lit("f"), F.col("o_orderkey") % 40)
+    c = F.concat(F.lit("g"), (F.col("o_custkey") + F.col("o_orderkey")) % 20)
+    facts = (
+        o.select(a.alias("subj"), F.lit("p0").alias("pred"), b.alias("obj"))
+        .unionByName(o.select(b.alias("subj"), F.lit("p1").alias("pred"),
+                              c.alias("obj")))
+        .unionByName(o.filter(F.col("o_orderkey") % 10 < 7)
+                     .select(a.alias("subj"), F.lit("p3").alias("pred"),
+                             c.alias("obj")))
+        .unionByName(o.filter(F.col("o_orderkey") % 3 == 0)
+                     .select(a.alias("subj"), F.lit("p2").alias("pred"),
+                             c.alias("obj"))))
+    return (predicate_overlap(facts, min_common=2, min_jaccard_bp=4000)
+            .orderBy("p", "r"))

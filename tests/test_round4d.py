@@ -224,6 +224,30 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_predicate_overlap(spark):
+    from lamapi_spark.ops.graph import predicate_overlap
+
+    t = spark.createDataFrame(
+        [("a", "worksAt", "x"), ("b", "worksAt", "y"),
+         ("c", "worksAt", "z"),
+         ("a", "employedBy", "x"), ("b", "employedBy", "y"),
+         ("q", "employedBy", "w"),
+         # unrelated predicate, one shared pair only
+         ("a", "visited", "x"),
+         # duplicate assertion must not inflate common
+         ("a", "worksAt", "x")],
+        "subj string, pred string, obj string")
+    got = {(r.p, r.r): r
+           for r in predicate_overlap(t, min_common=2).collect()}
+    assert set(got) == {("employedBy", "worksAt")}
+    r = got[("employedBy", "worksAt")]
+    # common 2, sizes 3/3 -> jaccard 2/4 = 5000bp
+    assert (r.common, r.n_p, r.n_r, r.jaccard_bp) == (2, 3, 3, 5000)
+    # the bp gate excludes the pair when raised above its value
+    assert predicate_overlap(t, min_common=2,
+                             min_jaccard_bp=5001).count() == 0
+
+
 def test_k_truss(spark):
     import itertools
 
