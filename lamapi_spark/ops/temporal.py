@@ -179,3 +179,52 @@ def interval_overlap_join(
                 == F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / bw))
         .drop("_bin")
     )
+
+
+def burst_detection(events: DataFrame, key_col: str = "event_type",
+                    ts_col: str = "ts", bin_s: int = 86400,
+                    trail_bins: int = 7, factor_bp: int = 20000,
+                    min_prev_bins: int = 3) -> DataFrame:
+    """Per-key rate-spike detection over fixed time bins — the ingest
+    anomaly monitor a transcript/event feed runs continuously (a
+    tool's call rate tripling overnight is either an incident or a
+    data bug; both need flagging before the corpus absorbs them).
+    Reference analogue: none; builder's-brief temporal QC beside
+    gap_fill.
+
+    A bin bursts when its count exceeds ``factor_bp``/10000 times the
+    trailing-``trail_bins`` mean, decided by the EXACT integer product
+    ``cnt * 10000 * n_prev >= factor_bp * prev_sum`` (no float mean),
+    requiring >= ``min_prev_bins`` of history and a non-empty bin; a
+    first-activity bin after a fully quiet trailing window bursts by
+    convention (0-baseline = infinite ratio).
+
+    Scale shape: one (key, bin) count agg; the dense per-key grid
+    comes from ONE sequence explode bounded by each key's own active
+    span / bin_s (the gap_fill bound — a key active for a year at
+    daily bins adds 365 rows); trailing stats are a ROWS window
+    per key over that bounded grid. -> (key, bin, cnt, prev_sum,
+    n_prev, burst) for every dense bin.
+    """
+    b = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                / F.lit(int(bin_s) * 1_000_000)).cast("long")
+    cnt = (events.select(F.col(key_col).alias("key"), b.alias("bin"))
+           .groupBy("key", "bin").agg(F.count("*").alias("cnt")))
+    span = cnt.groupBy("key").agg(F.min("bin").alias("_lo"),
+                                  F.max("bin").alias("_hi"))
+    grid = span.select(
+        "key", F.explode(F.sequence("_lo", "_hi")).alias("bin"))
+    dense = (grid.join(cnt, ["key", "bin"], "left")
+             .withColumn("cnt", F.coalesce("cnt", F.lit(0)).cast("long")))
+    w = (Window.partitionBy("key").orderBy("bin")
+         .rowsBetween(-int(trail_bins), -1))
+    out = dense.select(
+        "key", "bin", "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+        .alias("prev_sum"),
+        F.count("cnt").over(w).cast("long").alias("n_prev"))
+    burst = ((F.col("cnt") > 0)
+             & (F.col("n_prev") >= F.lit(int(min_prev_bins)))
+             & (F.col("cnt") * 10000 * F.col("n_prev")
+                >= F.lit(int(factor_bp)) * F.col("prev_sum")))
+    return out.withColumn("burst", burst)

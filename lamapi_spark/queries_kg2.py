@@ -1566,3 +1566,66 @@ def kg_pred_overlap(spark, sf):
                              c.alias("obj"))))
     return (predicate_overlap(facts, min_common=2, min_jaccard_bp=4000)
             .orderBy("p", "r"))
+
+
+# ------------------------------------------------- burst detection
+
+@register("events_burst_detection", """
+WITH feed AS (
+  SELECT event_type, ts FROM events
+  UNION ALL
+  SELECT 'spike', make_timestamp(1705752000000000)
+  FROM events WHERE event_id % 50 = 0
+  UNION ALL
+  SELECT 'spike', make_timestamp(
+    (1704844800 + (event_id % 7) * 86400 + 3600) * 1000000)
+  FROM events WHERE event_id % 200 = 3),
+cnt AS (SELECT event_type AS key,
+               epoch_us(ts) // 86400000000 AS bin,
+               count(*)::BIGINT AS cnt
+        FROM feed GROUP BY 1, 2),
+span AS (SELECT key, min(bin) AS lo, max(bin) AS hi FROM cnt
+         GROUP BY key),
+grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bin FROM span),
+dense AS (SELECT g.key, g.bin, coalesce(c.cnt, 0)::BIGINT AS cnt
+          FROM grid g LEFT JOIN cnt c
+            ON c.key = g.key AND c.bin = g.bin),
+wnd AS (SELECT key, bin, cnt,
+        coalesce(sum(cnt) OVER (PARTITION BY key ORDER BY bin
+          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          AS prev_sum,
+        (count(cnt) OVER (PARTITION BY key ORDER BY bin
+          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))::BIGINT AS n_prev
+        FROM dense)
+SELECT key, bin, cnt, prev_sum, n_prev,
+       (cnt > 0 AND n_prev >= 3
+        AND cnt * 10000 * n_prev >= 20000 * prev_sum) AS burst
+FROM wnd ORDER BY key, bin
+""")
+def events_burst_detection(spark, sf):
+    """Rate-spike flags (ops/temporal.burst_detection, daily bins, 2x
+    trailing-7 factor) over the real event feed PLUS a planted
+    'spike' key: a 10-day trickle (~7/day) then 200 events on day 20
+    — the burst the integer product gate must flag, while the
+    organic per-type rates stay below 2x their own trailing means.
+    The oracle replays the planted feed, the dense per-key grid, and
+    the trailing ROWS window."""
+    from lamapi_spark.ops.temporal import burst_detection
+
+    e = load(spark, sf, "events").select("event_id", "event_type", "ts")
+    spike = (e.filter(F.col("event_id") % 50 == 0)
+             .select(F.lit("spike").alias("event_type"),
+                     F.timestamp_seconds(
+                         F.lit(1705752000)).alias("ts")))
+    trickle = (e.filter(F.col("event_id") % 200 == 3)
+               .select(F.lit("spike").alias("event_type"),
+                       F.timestamp_seconds(
+                           F.lit(1704844800)
+                           + (F.col("event_id") % 7) * 86400
+                           + 3600).alias("ts")))
+    feed = (e.select("event_type", "ts")
+            .unionByName(spike).unionByName(trickle))
+    return (burst_detection(feed, key_col="event_type", ts_col="ts",
+                            bin_s=86400, trail_bins=7,
+                            factor_bp=20000, min_prev_bins=3)
+            .orderBy("key", "bin"))

@@ -224,6 +224,34 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_burst_detection(spark):
+    import datetime as dt
+
+    from lamapi_spark.ops.temporal import burst_detection
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # steady 2/day for days 0..4, then 6 on day 5 (3x), gap day 6,
+    # 1 on day 7 (post-gap, below factor vs trailing)
+    for d in range(5):
+        rows += [("k", base + dt.timedelta(days=d, hours=h))
+                 for h in (1, 2)]
+    rows += [("k", base + dt.timedelta(days=5, hours=h))
+             for h in range(6)]
+    rows += [("k", base + dt.timedelta(days=7, hours=1))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r.bin - 19783: r for r in burst_detection(
+        df, trail_bins=7, factor_bp=20000, min_prev_bins=3).collect()}
+    assert len(got) == 8  # dense grid incl. the empty day 6
+    d5 = got[5]
+    assert (d5.cnt, d5.prev_sum, d5.n_prev, d5.burst) == (6, 10, 5, True)
+    assert got[6].cnt == 0 and not got[6].burst  # empty bin never bursts
+    d7 = got[7]  # 1 * 10000 * 7 < 20000 * 16
+    assert (d7.cnt, d7.prev_sum, d7.burst) == (1, 16, False)
+    # first bins lack history: n_prev < 3 -> never burst
+    assert not got[0].burst and not got[1].burst and not got[2].burst
+
+
 def test_predicate_overlap(spark):
     from lamapi_spark.ops.graph import predicate_overlap
 
