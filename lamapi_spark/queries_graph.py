@@ -1847,67 +1847,3 @@ def graph_distance_cdf(spark, sf):
                                (F.col("k") * 7) % 100).alias("dst")))
         .distinct())
     return hyperball_nf(edges, radius=2, b=6)
-
-
-# ------------------------------------------------- conversation TextRank
-
-from lamapi_spark.queries_kg import _TR_SQL, _transcripts  # noqa: E402
-
-
-@register("conv_textrank", f"""
-WITH {_TR_SQL},
-tok AS (
-  SELECT DISTINCT conv_id, turn_idx, u AS tok FROM (
-    SELECT conv_id, turn_idx,
-           unnest(string_split_regex(trim(lower(text)), '[^a-z0-9]+')) AS u
-    FROM tr)
-  WHERE u <> ''),
-sizes AS (SELECT conv_id, turn_idx, count(*)::BIGINT AS n
-          FROM tok GROUP BY 1, 2),
-cmn AS (
-  SELECT a.conv_id, a.turn_idx AS ta, b.turn_idx AS tb,
-         count(*)::BIGINT AS c
-  FROM tok a JOIN tok b ON a.conv_id = b.conv_id AND a.tok = b.tok
-  WHERE a.turn_idx < b.turn_idx
-  GROUP BY 1, 2, 3),
-prs AS (
-  SELECT cm.conv_id, cm.ta, cm.tb
-  FROM cmn cm
-  JOIN sizes s1 ON s1.conv_id = cm.conv_id AND s1.turn_idx = cm.ta
-  JOIN sizes s2 ON s2.conv_id = cm.conv_id AND s2.turn_idx = cm.tb
-  WHERE cm.c * 10000 >= 2000 * (s1.n + s2.n - cm.c)),
-edges AS (
-  SELECT conv_id || '#' || ta AS src, conv_id || '#' || tb AS dst FROM prs
-  UNION ALL
-  SELECT conv_id || '#' || tb, conv_id || '#' || ta FROM prs),
-outdeg AS (SELECT src AS node, count(*)::BIGINT AS degree
-           FROM edges GROUP BY src),
-nodes AS (SELECT node FROM outdeg),
-r0 AS (SELECT node, {_SCALE}::BIGINT AS rank FROM nodes),
-{",".join(_pagerank_iter_sql(k) for k in range(1, _N_ITER + 1))},
-ranked AS (
-  SELECT string_split(node, '#')[1] AS conv_id,
-         string_split(node, '#')[2]::BIGINT AS turn_idx, rank
-  FROM r{_N_ITER}),
-topk AS (
-  SELECT *, row_number() OVER (PARTITION BY conv_id
-                               ORDER BY rank DESC, turn_idx ASC) AS rk
-  FROM ranked)
-SELECT conv_id, turn_idx, rank AS rank_units, rk::INT AS rk
-FROM topk WHERE rk <= 2 ORDER BY conv_id, rk
-""")
-def conv_textrank_q(spark, sf):
-    """TextRank extractive summarization (pipeline/salience.
-    conv_textrank) over the planted transcript: the 4 rotating turn
-    templates give high within-conversation Jaccard between
-    same-template turns, so centrality concentrates on the repeated
-    anchor turns; the oracle replays tokenization, the exact integer
-    Jaccard gate, the symmetric edge build, all {_N_ITER} fixed-point
-    PageRank rounds CTE by CTE, and the per-conversation top-k
-    window."""
-    from lamapi_spark.pipeline.salience import conv_textrank
-
-    return (conv_textrank(_transcripts(spark, sf), top_k=2,
-                          min_jaccard_bp=2000, n_iter=_N_ITER,
-                          scale=_SCALE)
-            .orderBy("conv_id", "rk"))
