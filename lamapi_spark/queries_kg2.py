@@ -1699,3 +1699,40 @@ def conv_textrank_q(spark, sf):
                           min_jaccard_bp=2000, n_iter=_N_ITER,
                           scale=_SCALE)
             .orderBy("conv_id", "rk"))
+
+
+# ------------------------------------------------- Gini concentration
+
+@register("eval_gini", """
+WITH s AS (SELECT o_orderkey AS k,
+                  round_even(o_totalprice, 6)::DECIMAL(18,6) AS v
+           FROM orders),
+r AS (SELECT k, v,
+             row_number() OVER (ORDER BY CAST(v AS DOUBLE), k) AS r
+      FROM s),
+a AS (SELECT count(*)::BIGINT AS n,
+             sum(v)::DECIMAL(38,6) AS s0,
+             sum(r::DECIMAL(19,0) * v)::DECIMAL(38,6) AS s1
+      FROM r)
+SELECT n, CAST(s0 AS DOUBLE) AS total,
+       round_even(CASE WHEN n >= 2 AND s0 > 0 THEN
+         2.0 * CAST(s1 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(s0 AS DOUBLE))
+         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+       ELSE 0.0 END, 6) AS gini
+FROM a
+""")
+def eval_gini(spark, sf):
+    """Concentration audit (ops/metrics.gini_concentration) over the
+    order-price distribution. The Spark side ranks via the two-level
+    scan and sums rank*value in DECIMAL; the oracle is the
+    INDEPENDENT naive global-window formulation — green proves the
+    scan ranks and both exact sums once more, on a continuous-valued
+    column this time (eval_spearman pinned the heavy-tie integer
+    case)."""
+    from lamapi_spark.ops.metrics import gini_concentration
+
+    o = load(spark, sf, "orders")
+    return gini_concentration(
+        o.select("o_orderkey", "o_totalprice"),
+        "o_orderkey", "o_totalprice", n_buckets=64)

@@ -224,7 +224,23 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
-def test_burst_detection(spark):
+def test_gini_concentration(spark):
+    from lamapi_spark.ops.metrics import gini_concentration
+
+    def gini(vals):
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "k long, v double")
+        return gini_concentration(df, "k", "v", n_buckets=8).head()
+
+    # perfect equality -> 0; ties must not perturb it
+    assert gini([5, 5, 5, 5]).gini == 0.0
+    # total concentration in one of n: G = (n-1)/n
+    r = gini([0, 0, 0, 10])
+    assert (r.n, r.total, r.gini) == (4, 10.0, 0.75)
+    # hand case [1, 3]: G = 2*(1*1+2*3)/(2*4) - 3/2 = 0.25
+    assert gini([1, 3]).gini == 0.25
+    # degenerate single row
+    assert gini([7]).gini == 0.0
     import datetime as dt
 
     from lamapi_spark.ops.temporal import burst_detection
