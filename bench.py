@@ -47,6 +47,11 @@ HEADLINE = [
     # full-batch TransE-L1 GD iterations — 4 joins + 2 aggs + update
     # join per round, all integer fixed point)
     "kg_transe_train",
+    # round 4 closing sweep: rule mining (distinct + two self-joins on
+    # entity/pair keys) and TextRank (conv-bounded similarity join +
+    # 3 PageRank rounds + per-conv top-k window)
+    "kg_rule_mining",
+    "conv_textrank",
 ]
 
 
