@@ -228,3 +228,44 @@ def burst_detection(events: DataFrame, key_col: str = "event_type",
              & (F.col("cnt") * 10000 * F.col("n_prev")
                 >= F.lit(int(factor_bp)) * F.col("prev_sum")))
     return out.withColumn("burst", burst)
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     bin_s: int = 86400 * 7) -> DataFrame:
+    """Cohort retention matrix over an activity stream: users cohort
+    by their FIRST-activity period; each later period counts how many
+    of that cohort came back — the standard retention triangle every
+    usage dashboard draws, as one distributed job (reference
+    analogue: none; builder's-brief temporal analytics beside
+    burst_detection).
+
+    Periods are fixed ``bin_s`` buckets of the epoch (default weekly)
+    — calendar-free integer arithmetic both engines share (month
+    arithmetic differs between engines; epoch division does not).
+    retained_bp = retained * 10000 div cohort_size, exact integer.
+    offset 0 rows are the cohort sizes themselves (retained_bp =
+    10000 by construction — a cheap self-check the oracle hashes too).
+
+    Scale shape: one distinct on (user, period) — the activity grain
+    — one min-agg per user for the cohort (map-side combinable), one
+    broadcast-sized cohort-size frame, one (cohort, offset) count
+    agg. No window. -> (cohort, week_offset, retained, cohort_size,
+    retained_bp) for observed (cohort, offset) pairs; the offset
+    column is named week_offset at the default weekly bin (OFFSET is
+    a reserved word in several engines).
+    """
+    per = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                  / F.lit(int(bin_s) * 1_000_000)).cast("long")
+    act = (events.select(F.col(user_col).alias("u"), per.alias("p"))
+           .distinct())
+    first = act.groupBy("u").agg(F.min("p").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    ret = (act.join(first, "u")
+           .groupBy("cohort",
+                    (F.col("p") - F.col("cohort")).alias("week_offset"))
+           .agg(F.count("*").alias("retained")))
+    return (ret.join(F.broadcast(sizes), "cohort")
+            .select("cohort", "week_offset", "retained", "cohort_size",
+                    F.expr("retained * 10000L div cohort_size")
+                    .alias("retained_bp")))

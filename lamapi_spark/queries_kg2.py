@@ -1736,3 +1736,34 @@ def eval_gini(spark, sf):
     return gini_concentration(
         o.select("o_orderkey", "o_totalprice"),
         "o_orderkey", "o_totalprice", n_buckets=64)
+
+
+# ------------------------------------------------- cohort retention
+
+@register("events_cohort_retention", """
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) // 604800000000 AS p
+  FROM events),
+fst AS (SELECT u, min(p) AS cohort FROM act GROUP BY u),
+sz AS (SELECT cohort, count(*)::BIGINT AS cohort_size FROM fst
+       GROUP BY cohort),
+ret AS (SELECT f.cohort, (a.p - f.cohort)::BIGINT AS week_offset,
+               count(*)::BIGINT AS retained
+        FROM act a JOIN fst f USING (u) GROUP BY 1, 2)
+SELECT r.cohort, r.week_offset, r.retained, s.cohort_size,
+       (r.retained * 10000 // s.cohort_size)::BIGINT AS retained_bp
+FROM ret r JOIN sz s USING (cohort)
+ORDER BY cohort, week_offset
+""")
+def events_cohort_retention(spark, sf):
+    """Weekly cohort retention (ops/temporal.cohort_retention) over
+    the real event feed: users cohort by first-activity week, the
+    offset-0 diagonal equals the cohort sizes, and every ratio is an
+    exact integer division. The oracle replays the activity distinct,
+    the min-cohort, and both aggregations."""
+    from lamapi_spark.ops.temporal import cohort_retention
+
+    e = load(spark, sf, "events").select("user_id", "ts")
+    return (cohort_retention(e, bin_s=86400 * 7)
+            .orderBy("cohort", "week_offset"))

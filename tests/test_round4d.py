@@ -224,7 +224,33 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
-def test_gini_concentration(spark):
+def test_cohort_retention(spark):
+    import datetime as dt
+
+    from lamapi_spark.ops.temporal import cohort_retention
+
+    w = 86400 * 7
+    t0 = dt.datetime(2024, 1, 4)  # mid-week anchor
+    rows = [
+        # u1: weeks 0, 1, 2 (twice in week 1 -> distinct grain)
+        (1, t0), (1, t0 + dt.timedelta(days=7)),
+        (1, t0 + dt.timedelta(days=8)), (1, t0 + dt.timedelta(days=14)),
+        # u2: cohort week 0, returns week 2 only
+        (2, t0), (2, t0 + dt.timedelta(days=14)),
+        # u3: cohort week 1, never returns
+        (3, t0 + dt.timedelta(days=7)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort, r.week_offset): r
+           for r in cohort_retention(df, bin_s=w).collect()}
+    cohorts = {c for c, _ in got}
+    assert len(cohorts) == 2
+    c0 = min(cohorts)
+    assert got[(c0, 0)].retained == 2 and got[(c0, 0)].retained_bp == 10000
+    assert got[(c0, 1)].retained == 1 and got[(c0, 1)].retained_bp == 5000
+    assert got[(c0, 2)].retained == 2  # both week-0 users return wk2
+    c1 = max(cohorts)
+    assert got[(c1, 0)].cohort_size == 1 and (c1, 1) not in got
     from lamapi_spark.ops.metrics import gini_concentration
 
     def gini(vals):
