@@ -269,3 +269,67 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
             .select("cohort", "week_offset", "retained", "cohort_size",
                     F.expr("retained * 10000L div cohort_size")
                     .alias("retained_bp")))
+
+
+def funnel_analysis(events: DataFrame, steps: list[str],
+                    user_col: str = "user_id", type_col: str = "event_type",
+                    ts_col: str = "ts") -> DataFrame:
+    """Ordered-funnel conversion: how many users performed step 1,
+    then step 2 STRICTLY AFTER it, then step 3 after that — the
+    sequential-pattern query sessionization feeds (reference
+    analogue: none; builder's-brief temporal analytics beside
+    cohort_retention).
+
+    Sequential-min semantics: t_1 = the user's earliest step-1 event;
+    t_k = the earliest step-k event with ts STRICTLY greater than
+    t_{k-1} (a simultaneous-timestamp pair does not chain — the
+    deterministic reading of 'then'; ties inside one step resolve by
+    the (ts, type) struct sort). A user reaches step k iff t_k
+    exists.
+
+    Scale shape: events filtered to the step types FIRST (column
+    prune + pushed filter), then ONE per-user aggregation collecting
+    the sorted (ts, type) array — bounded by the user's own
+    step-event count — and the chain evaluated as in-row filter/
+    element_at expressions (the in-array fold idiom; no k-way
+    non-equi self-join, which is the classic funnel-query trap at
+    10^12 events). Final rollup is one tiny per-step aggregate.
+
+    -> (step_idx, step, n_users, conv_bp) with conv_bp the exact
+    integer share of step-1 reachers (step 1 row reads 10000).
+    """
+    tps = [str(s) for s in steps]
+    ev = (events.filter(F.col(type_col).isin(tps))
+          .select(F.col(user_col).alias("u"),
+                  F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+                  F.col(type_col).alias("tp")))
+    per = ev.groupBy("u").agg(
+        F.sort_array(F.collect_list(F.struct("t", "tp"))).alias("_a"))
+    cur = per
+    prev_t = None
+    flags = []
+    def _first(step):
+        return lambda x: x.tp == step
+
+    def _next(step, prev):
+        return lambda x: (x.tp == step) & (x.t > F.col(prev))
+
+    for i, s in enumerate(tps):
+        col = f"_t{i}"
+        pred = _first(s) if prev_t is None else _next(s, prev_t)
+        expr = F.element_at(F.filter("_a", pred), 1).t
+        cur = cur.withColumn(col, expr)
+        flags.append(F.sum(F.col(col).isNotNull().cast("long"))
+                     .alias(f"_n{i}"))
+        prev_t = col
+    agg = cur.agg(*flags)
+    rows = None
+    for i, s in enumerate(tps):
+        one = agg.select(
+            F.lit(i + 1).cast("int").alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col(f"_n{i}").cast("long").alias("n_users"),
+            F.expr(f"_n{i} * 10000L div greatest(_n0, 1L)")
+            .alias("conv_bp"))
+        rows = one if rows is None else rows.unionByName(one)
+    return rows

@@ -1767,3 +1767,54 @@ def events_cohort_retention(spark, sf):
     e = load(spark, sf, "events").select("user_id", "ts")
     return (cohort_retention(e, bin_s=86400 * 7)
             .orderBy("cohort", "week_offset"))
+
+
+# ------------------------------------------------- funnel analysis
+
+@register("events_funnel", """
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_type AS tp
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+per AS (
+  SELECT u, list(struct_pack(t := t, tp := tp) ORDER BY t, tp) AS a
+  FROM ev GROUP BY u),
+chain AS (
+  SELECT u,
+         (list_filter(a, x -> x.tp = 'view'))[1].t AS t0
+  FROM per),
+chain1 AS (
+  SELECT c.u, c.t0,
+         (list_filter(p.a, x -> x.tp = 'click' AND x.t > c.t0))[1].t AS t1
+  FROM chain c JOIN per p USING (u)),
+chain2 AS (
+  SELECT c.u, c.t0, c.t1,
+         (list_filter(p.a,
+             x -> x.tp = 'purchase' AND x.t > c.t1))[1].t AS t2
+  FROM chain1 c JOIN per p USING (u)),
+agg AS (
+  SELECT sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n1,
+         sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n2
+  FROM chain2)
+SELECT * FROM (
+  SELECT 1::INT AS step_idx, 'view' AS step, n0 AS n_users,
+         (n0 * 10000 // greatest(n0, 1))::BIGINT AS conv_bp FROM agg
+  UNION ALL
+  SELECT 2, 'click', n1, (n1 * 10000 // greatest(n0, 1))::BIGINT FROM agg
+  UNION ALL
+  SELECT 3, 'purchase', n2,
+         (n2 * 10000 // greatest(n0, 1))::BIGINT FROM agg)
+ORDER BY step_idx
+""")
+def events_funnel(spark, sf):
+    """view -> click -> purchase funnel (ops/temporal.funnel_analysis)
+    over the real event feed: sequential-min chaining with strict
+    inequality, evaluated as in-row filter expressions over one
+    per-user sorted array — never a k-way non-equi self-join. The
+    oracle replays the filter pushdown, the (ts, type) sort, and each
+    chain hop as list expressions."""
+    from lamapi_spark.ops.temporal import funnel_analysis
+
+    e = load(spark, sf, "events")
+    return (funnel_analysis(e, ["view", "click", "purchase"])
+            .orderBy("step_idx"))

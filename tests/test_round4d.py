@@ -224,6 +224,32 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_funnel_analysis(spark):
+    import datetime as dt
+
+    from lamapi_spark.ops.temporal import funnel_analysis
+
+    t = lambda m: dt.datetime(2024, 5, 1, 10, m)
+    rows = [
+        # u1 completes in order
+        (1, "A", t(0)), (1, "B", t(5)), (1, "C", t(9)),
+        # u2: B BEFORE A -> never chains past A
+        (2, "B", t(0)), (2, "A", t(5)),
+        # u3: A then B simultaneous with A -> strict > breaks the chain
+        (3, "A", t(2)), (3, "B", t(2)),
+        # u4: A then B, no C
+        (4, "A", t(1)), (4, "B", t(3)),
+        # u5: only C
+        (5, "C", t(0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r.step_idx: r for r in
+           funnel_analysis(df, ["A", "B", "C"]).collect()}
+    assert (got[1].step, got[1].n_users, got[1].conv_bp) == ("A", 4, 10000)
+    assert (got[2].n_users, got[2].conv_bp) == (2, 5000)  # u1, u4
+    assert (got[3].n_users, got[3].conv_bp) == (1, 2500)  # u1 only
+
+
 def test_cohort_retention(spark):
     import datetime as dt
 
