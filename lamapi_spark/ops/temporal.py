@@ -317,7 +317,9 @@ def funnel_analysis(events: DataFrame, steps: list[str],
     for i, s in enumerate(tps):
         col = f"_t{i}"
         pred = _first(s) if prev_t is None else _next(s, prev_t)
-        expr = F.element_at(F.filter("_a", pred), 1).t
+        # F.get is 0-based and NULL on out-of-bounds (element_at
+        # throws under ANSI mode when the filtered array is empty)
+        expr = F.get(F.filter("_a", pred), 0).t
         cur = cur.withColumn(col, expr)
         flags.append(F.sum(F.col(col).isNotNull().cast("long"))
                      .alias(f"_n{i}"))
