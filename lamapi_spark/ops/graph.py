@@ -1665,3 +1665,49 @@ def predicate_overlap(triples: DataFrame, min_common: int = 2,
             .select("p", "r", "common", "n_p", "n_r",
                     F.expr("common * 10000L div (n_p + n_r - common)")
                     .alias("jaccard_bp")))
+
+
+def type_subsumption(ent_types: DataFrame, min_sub_bp: int = 9500,
+                     min_count: int = 3) -> DataFrame:
+    """Type-hierarchy induction from extension containment: type A is
+    subsumed by type B when nearly every A-typed entity is also
+    B-typed (containment |A∩B|/|A| >= ``min_sub_bp``) and B is
+    strictly broader (|B| > |A|, which also breaks mutual-containment
+    cycles of equal-extension aliases — those are synonym pairs, not
+    hierarchy, and surface through predicate_overlap-style symmetric
+    Jaccard instead). The ontology-structure step a from-scratch KG
+    needs because nothing hands it a class tree (reference analogue:
+    the reference SERVES wikidata's existing type system; this
+    induces one — builder's-brief schema surface beside
+    induce_schema).
+
+    ``ent_types`` = (entity, type) rows, multiplicity-safe (distinct
+    applied). Exact integer product gate; sub_bp reported as floor
+    division.
+
+    Scale shape: one distinct, one entity-keyed self-join (fanout =
+    types per entity, naturally small), one (a, b) pair-count agg,
+    broadcast size joins. -> (sub_type, super_type, n_sub, n_super,
+    common, sub_bp).
+    """
+    t = ent_types.select("entity", "type").distinct()
+    sizes = t.groupBy("type").agg(F.count("*").alias("n"))
+    a = t.select("entity", F.col("type").alias("ta"))
+    b = t.select("entity", F.col("type").alias("tb"))
+    common = (a.join(b, "entity")
+              .filter(F.col("ta") != F.col("tb"))
+              .groupBy("ta", "tb").agg(F.count("*").alias("common")))
+    out = (common
+           .join(F.broadcast(sizes.select(F.col("type").alias("ta"),
+                                          F.col("n").alias("n_sub"))), "ta")
+           .join(F.broadcast(sizes.select(F.col("type").alias("tb"),
+                                          F.col("n").alias("n_super"))),
+                 "tb"))
+    return (out.filter((F.col("n_super") > F.col("n_sub"))
+                       & (F.col("common") >= F.lit(int(min_count)))
+                       & (F.col("common") * 10000
+                          >= F.lit(int(min_sub_bp)) * F.col("n_sub")))
+            .select(F.col("ta").alias("sub_type"),
+                    F.col("tb").alias("super_type"),
+                    "n_sub", "n_super", "common",
+                    F.expr("common * 10000L div n_sub").alias("sub_bp")))

@@ -1818,3 +1818,62 @@ def events_funnel(spark, sf):
     e = load(spark, sf, "events")
     return (funnel_analysis(e, ["view", "click", "purchase"])
             .orderBy("step_idx"))
+
+
+# ------------------------------------------------- type subsumption
+
+@register("kg_type_subsumption", """
+WITH et AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'e' || c_custkey AS entity, 'person' AS type FROM customer
+    UNION ALL
+    SELECT 'e' || c_custkey, 'athlete' FROM customer
+    WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT 'e' || c_custkey, 'runner' FROM customer
+    WHERE c_custkey % 10 = 0
+    UNION ALL
+    -- noisy athlete missing the person type: breaks 100% containment
+    SELECT 'x' || c_custkey, 'athlete' FROM customer
+    WHERE c_custkey % 500 = 0
+    UNION ALL
+    SELECT 'e' || c_custkey, 'org' FROM customer WHERE c_custkey % 7 = 0)),
+sz AS (SELECT type, count(*)::BIGINT AS n FROM et GROUP BY type),
+cm AS (SELECT a.type AS ta, b.type AS tb, count(*)::BIGINT AS common
+       FROM et a JOIN et b ON a.entity = b.entity AND a.type <> b.type
+       GROUP BY 1, 2)
+SELECT cm.ta AS sub_type, cm.tb AS super_type,
+       sa.n AS n_sub, sb.n AS n_super, cm.common,
+       (cm.common * 10000 // sa.n)::BIGINT AS sub_bp
+FROM cm JOIN sz sa ON sa.type = cm.ta JOIN sz sb ON sb.type = cm.tb
+WHERE sb.n > sa.n AND cm.common >= 3
+  AND cm.common * 10000 >= 9500 * sa.n
+ORDER BY sub_type, super_type
+""")
+def kg_type_subsumption(spark, sf):
+    """Type-hierarchy induction (ops/graph.type_subsumption) over a
+    planted ontology: runner < athlete < person (with the transitive
+    runner < person edge) and a 0.2% noisy athlete slice missing the
+    person type (containment lands at 9900bp — the gate must still
+    pass it at 9500). The org type also lands under person — every
+    org entity IS person-typed in the synth — which is the honest
+    behavior of extension-only induction: it finds containment, not
+    intension (label semantics are a different signal). The oracle
+    replays the distinct, the entity self-join, and every gate."""
+    from lamapi_spark.ops.graph import type_subsumption
+
+    c = load(spark, sf, "customer").select("c_custkey")
+    ck = F.col("c_custkey")
+    ent = lambda pfx: F.concat(F.lit(pfx), ck).alias("entity")
+    et = (
+        c.select(ent("e"), F.lit("person").alias("type"))
+        .unionByName(c.filter(ck % 5 == 0)
+                     .select(ent("e"), F.lit("athlete").alias("type")))
+        .unionByName(c.filter(ck % 10 == 0)
+                     .select(ent("e"), F.lit("runner").alias("type")))
+        .unionByName(c.filter(ck % 500 == 0)
+                     .select(ent("x"), F.lit("athlete").alias("type")))
+        .unionByName(c.filter(ck % 7 == 0)
+                     .select(ent("e"), F.lit("org").alias("type"))))
+    return (type_subsumption(et, min_sub_bp=9500, min_count=3)
+            .orderBy("sub_type", "super_type"))

@@ -224,7 +224,26 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
-def test_funnel_analysis(spark):
+def test_type_subsumption(spark):
+    from lamapi_spark.ops.graph import type_subsumption
+
+    et = spark.createDataFrame(
+        [(f"e{i}", "person") for i in range(10)]
+        + [(f"e{i}", "athlete") for i in range(4)]
+        # synonym pair with identical extension: equal sizes -> no edge
+        + [(f"e{i}", "sportsman") for i in range(4)]
+        # duplicate assignment must not inflate counts
+        + [("e0", "athlete")],
+        "entity string, type string")
+    got = {(r.sub_type, r.super_type): r
+           for r in type_subsumption(et, min_sub_bp=9500,
+                                     min_count=3).collect()}
+    assert set(got) == {("athlete", "person"), ("sportsman", "person")}
+    r = got[("athlete", "person")]
+    assert (r.n_sub, r.n_super, r.common, r.sub_bp) == (4, 10, 4, 10000)
+    # equal-extension aliases produce NO subsumption edge either way
+    assert ("athlete", "sportsman") not in got
+    assert ("sportsman", "athlete") not in got
     import datetime as dt
 
     from lamapi_spark.ops.temporal import funnel_analysis
