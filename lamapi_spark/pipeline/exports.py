@@ -175,3 +175,41 @@ def conv_role_audit(transcripts: DataFrame) -> DataFrame:
     ok = (F.col("starts_user") & F.col("ends_assistant")
           & (F.col("n_same_role_adj") == 0) & (F.col("n_assistant") > 0))
     return out.withColumn("ok", ok)
+
+
+def verbalize_entities(triples: DataFrame, k: int = 5,
+                       sep: str = "; ") -> DataFrame:
+    """Templated KG verbalization: one text line per subject from its
+    top-k facts — the KG-to-text export that turns a constructed
+    graph back into pretraining/SFT corpus lines (KELM-style
+    verbalization reduced to its deterministic template core; a model
+    rewriter is a downstream concern). Reference analogue: none;
+    builder's-brief export surface beside sft_pairs.
+
+    Facts order (pred, obj) lexicographically; the k winners per
+    subject are selected with a row_number window BEFORE the array
+    collect, so the aggregation buffer holds at most k facts per
+    subject (collect-then-slice would buffer a hub entity's whole
+    fact set — the kmv_sketch bound argument). Line =
+    'subj pred obj[; pred obj]...'.
+
+    -> (subj, n_facts, text); n_facts counts ALL distinct facts, the
+    line carries min(k, n_facts) of them.
+    """
+    from pyspark.sql import Window
+
+    t = triples.select("subj", "pred", "obj").distinct()
+    w = Window.partitionBy("subj").orderBy("pred", "obj")
+    top = (t.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= int(k)))
+    counts = t.groupBy("subj").agg(F.count("*").alias("n_facts"))
+    lines = (top.groupBy("subj")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct("pred", "obj"))).alias("_a")))
+    text = F.concat(
+        F.col("subj"), F.lit(" "),
+        F.array_join(F.transform(
+            "_a", lambda x: F.concat(x.pred, F.lit(" "), x.obj)),
+            sep))
+    return (lines.join(counts, "subj")
+            .select("subj", "n_facts", text.alias("text")))

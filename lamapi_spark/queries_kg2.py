@@ -1877,3 +1877,44 @@ def kg_type_subsumption(spark, sf):
                      .select(ent("e"), F.lit("org").alias("type"))))
     return (type_subsumption(et, min_sub_bp=9500, min_count=3)
             .orderBy("sub_type", "super_type"))
+
+
+# ------------------------------------------------- KG verbalization
+
+@register("kg_verbalize", f"""
+WITH {_RULE_FACTS_SQL},
+rk AS (SELECT subj, pred, obj,
+              row_number() OVER (PARTITION BY subj
+                                 ORDER BY pred, obj) AS rn
+       FROM rf),
+cnt AS (SELECT subj, count(*)::BIGINT AS n_facts FROM rf GROUP BY subj)
+SELECT c.subj, c.n_facts,
+       l.subj || ' ' || string_agg(l.pred || ' ' || l.obj, '; '
+                                   ORDER BY l.pred, l.obj) AS text
+FROM (SELECT * FROM rk WHERE rn <= 3) l JOIN cnt c USING (subj)
+GROUP BY c.subj, c.n_facts, l.subj
+ORDER BY subj
+""")
+def kg_verbalize(spark, sf):
+    """KG-to-text export (pipeline/exports.verbalize_entities, k=3)
+    over the rule-mining fact synth — hub subjects carry far more
+    than k facts, exercising the window-before-collect bound. The
+    oracle replays the distinct, the top-k window, and the ordered
+    string aggregation."""
+    from lamapi_spark.pipeline.exports import verbalize_entities
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    a = F.concat(F.lit("e"), F.col("o_custkey") % 30)
+    b = F.concat(F.lit("f"), F.col("o_orderkey") % 40)
+    c = F.concat(F.lit("g"), (F.col("o_custkey") + F.col("o_orderkey")) % 20)
+    facts = (
+        o.select(a.alias("subj"), F.lit("p0").alias("pred"), b.alias("obj"))
+        .unionByName(o.select(b.alias("subj"), F.lit("p1").alias("pred"),
+                              c.alias("obj")))
+        .unionByName(o.filter(F.col("o_orderkey") % 10 < 7)
+                     .select(a.alias("subj"), F.lit("p3").alias("pred"),
+                             c.alias("obj")))
+        .unionByName(o.filter(F.col("o_orderkey") % 3 == 0)
+                     .select(a.alias("subj"), F.lit("p2").alias("pred"),
+                             c.alias("obj"))))
+    return verbalize_entities(facts, k=3).orderBy("subj")

@@ -224,6 +224,25 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_verbalize_entities(spark):
+    from lamapi_spark.pipeline.exports import verbalize_entities
+
+    t = spark.createDataFrame(
+        [("e1", "born", "1990"), ("e1", "cityOf", "rome"),
+         ("e1", "worksAt", "acme"), ("e1", "likes", "tea"),
+         ("e2", "born", "1980"),
+         # duplicate fact collapses
+         ("e2", "born", "1980")],
+        "subj string, pred string, obj string")
+    rows = {r.subj: r for r in verbalize_entities(t, k=3).collect()}
+    e1 = rows["e1"]
+    # k=3 of 4 facts, (pred, obj) lexicographic
+    assert e1.n_facts == 4
+    assert e1.text == "e1 born 1990; cityOf rome; likes tea"
+    e2 = rows["e2"]
+    assert (e2.n_facts, e2.text) == (1, "e2 born 1980")
+
+
 def test_type_subsumption(spark):
     from lamapi_spark.ops.graph import type_subsumption
 
