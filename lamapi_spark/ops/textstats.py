@@ -185,3 +185,48 @@ def pii_pseudonyms(df: DataFrame, key_col: str = "conv_id",
                     F.col("_f.o").alias("first_order"),
                     F.concat(F.upper("kind"), F.lit("_"),
                              F.col("_n")).alias("pseudo")))
+
+
+def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-scan corpus data card: the governance rollup every released
+    training corpus ships (docs, token mass, duplication, PII
+    incidence, empty-document rate) as a single job over the raw text
+    (reference analogue: none; builder's-brief reporting surface —
+    the aggregate face of the per-doc quality/PII/dedup operators).
+
+    ALL metrics compute in ONE aggregation pass over one scan (a
+    metric-per-query report would rescan a 100 TB corpus once per
+    number); the long (metric, value) shape comes from an in-row
+    explode of the single result row. Ratios are exact integer basis
+    points; values emit as DOUBLE (exact below 2^53).
+
+    Metrics: n_docs; regex_tokens (the BPE-ish count summed);
+    avg_tokens_bp (mean tokens per doc, in 1e-4 units — integer
+    division); exact_dup_bp (1 - distinct md5 / docs); pii_email_docs
+    (docs with >= 1 email match); empty_docs (null or blank).
+    """
+    text = F.col(text_col)
+    n_tok = F.size(F.regexp_extract_all(
+        text, F.lit(r"(\w+|[^\w\s])"), 0)).cast("long")
+    empty = (text.isNull() | (F.trim(text) == "")).cast("long")
+    has_email = (F.size(F.regexp_extract_all(
+        text, F.lit(PII_PATTERNS["email"]), 0)) > 0).cast("long")
+    one = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(n_tok), F.lit(0)).alias("toks"),
+        F.countDistinct(F.md5(F.coalesce(text, F.lit("")))).alias("ndist"),
+        F.coalesce(F.sum(has_email), F.lit(0)).alias("pii"),
+        F.coalesce(F.sum(empty), F.lit(0)).alias("empty"))
+    metric = lambda name, col: F.struct(
+        F.lit(name).alias("metric"), col.cast("double").alias("value"))
+    n = F.col("n_docs")
+    return one.select(F.explode(F.array(
+        metric("n_docs", n),
+        metric("regex_tokens", F.col("toks")),
+        metric("avg_tokens_bp",
+               F.expr("toks * 10000L div greatest(n_docs, 1L)")),
+        metric("exact_dup_bp",
+               F.expr("(n_docs - ndist) * 10000L div greatest(n_docs, 1L)")),
+        metric("pii_email_docs", F.col("pii")),
+        metric("empty_docs", F.col("empty")),
+    )).alias("m")).select("m.metric", "m.value")

@@ -1918,3 +1918,57 @@ def kg_verbalize(spark, sf):
                      .select(a.alias("subj"), F.lit("p2").alias("pred"),
                              c.alias("obj"))))
     return verbalize_entities(facts, k=3).orderBy("subj")
+
+
+# ------------------------------------------------- corpus report
+
+@register("corpus_report", r"""
+WITH d AS (
+  SELECT text FROM documents
+  UNION ALL
+  -- planted: exact duplicates of every 20th doc, one empty, one PII
+  SELECT text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT '' FROM documents WHERE doc_id = 1
+  UNION ALL
+  SELECT 'write to ops@example.com today' FROM documents
+  WHERE doc_id = 2),
+a AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         coalesce(sum(len(regexp_extract_all(text,
+             '(\w+|[^\w\s])'))), 0)::BIGINT AS toks,
+         count(DISTINCT md5(coalesce(text, '')))::BIGINT AS ndist,
+         coalesce(sum(CASE WHEN len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+           THEN 1 ELSE 0 END), 0)::BIGINT AS pii,
+         coalesce(sum(CASE WHEN text IS NULL OR trim(text) = ''
+           THEN 1 ELSE 0 END), 0)::BIGINT AS empty
+  FROM d)
+SELECT m.metric, m.value FROM a, LATERAL (VALUES
+  ('n_docs', CAST(n_docs AS DOUBLE)),
+  ('regex_tokens', CAST(toks AS DOUBLE)),
+  ('avg_tokens_bp',
+   CAST(toks * 10000 // greatest(n_docs, 1) AS DOUBLE)),
+  ('exact_dup_bp',
+   CAST((n_docs - ndist) * 10000 // greatest(n_docs, 1) AS DOUBLE)),
+  ('pii_email_docs', CAST(pii AS DOUBLE)),
+  ('empty_docs', CAST(empty AS DOUBLE))) AS m(metric, value)
+""")
+def corpus_report_q(spark, sf):
+    """Corpus data card (ops/textstats.corpus_report) over documents
+    plus planted anomalies (5% exact duplicates, one empty line, one
+    PII line) so every metric is nonzero. One aggregation pass, long
+    shape via in-row explode; the oracle replays the planted union
+    and each metric expression."""
+    from lamapi_spark.ops.textstats import corpus_report
+
+    d = load(spark, sf, "documents")
+    feed = (d.select("text")
+            .unionByName(d.filter(F.col("doc_id") % 20 == 0)
+                         .select("text"))
+            .unionByName(d.filter(F.col("doc_id") == 1)
+                         .select(F.lit("").alias("text")))
+            .unionByName(d.filter(F.col("doc_id") == 2)
+                         .select(F.lit("write to ops@example.com today")
+                                 .alias("text"))))
+    return corpus_report(feed).orderBy("metric")

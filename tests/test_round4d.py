@@ -224,6 +224,29 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_corpus_report(spark):
+    from lamapi_spark.ops.textstats import corpus_report
+
+    docs = spark.createDataFrame(
+        [("hello world",),      # 2 tokens
+         ("hello world",),      # exact dup
+         ("a@b.io ok!",),       # email + 4 regex tokens (a@b.io splits)
+         ("",),                 # empty
+         (None,)],              # null counts as empty
+        "text string")
+    got = {r.metric: r.value for r in corpus_report(docs).collect()}
+    assert got["n_docs"] == 5.0
+    assert got["empty_docs"] == 2.0
+    assert got["pii_email_docs"] == 1.0
+    # 5 docs, 4 distinct texts (null -> '' collides with the empty doc
+    # in the md5 bucket: 'hello world', 'a@b.io ok!', '' -> 3 distinct)
+    assert got["exact_dup_bp"] == ((5 - 3) * 10000 // 5) * 1.0
+    # token mass: 2 + 2 + 6 + 0 + 0  ('a@b.io ok!' -> a @ b . io ok !
+    # minus the joined pieces: regex (\w+|[^\w\s]) yields 7 tokens)
+    assert got["regex_tokens"] == 2 + 2 + 7.0
+    assert got["avg_tokens_bp"] == (11 * 10000 // 5) * 1.0
+
+
 def test_verbalize_entities(spark):
     from lamapi_spark.pipeline.exports import verbalize_entities
 
