@@ -1711,3 +1711,56 @@ def type_subsumption(ent_types: DataFrame, min_sub_bp: int = 9500,
                     F.col("tb").alias("super_type"),
                     "n_sub", "n_super", "common",
                     F.expr("common * 10000L div n_sub").alias("sub_bp")))
+
+
+def ego_net_sample(edges: DataFrame, seeds: DataFrame, hops: int = 2,
+                   fanout: int = 3) -> DataFrame:
+    """Deterministic GraphSAGE-style neighborhood sampling: per seed,
+    expand ``hops`` BFS levels taking at most ``fanout`` out-neighbors
+    per frontier node, chosen by the md5 hash of the edge — the
+    subgraph-extraction step GNN training data needs, with the repo's
+    determinism contract instead of an RNG (the sample is a pure
+    function of the edge set: reproducible across engines,
+    partitionings, and reruns; re-seeding = re-salting the hash
+    input). Reference analogue: none; builder's-brief training-data
+    surface beside random_walks.
+
+    Per-seed frontier discipline is bfs_distances': a node expands
+    once per seed (anti-join against the seed's visited set), so a
+    cycle never re-samples. The fanout cut is a row_number window per
+    (seed, frontier node) ordered by (hash48(src|dst), dst) — the
+    window partition holds one node's adjacency for one seed; a hot
+    hub sorts its adjacency once per visiting seed, which IS the
+    sampling cost (fanout caps the OUTPUT, the candidate list is the
+    degree — the same trade every GraphSAGE implementation makes).
+
+    -> (seed, hop, src, dst): the sampled edges, hop = 1-based level.
+    """
+    from lamapi_spark.ops.sketches import hash48
+
+    ed = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    frontier = (seeds.select(F.col("seed").alias("seed"))
+                .distinct()
+                .withColumn("node", F.col("seed")))
+    visited = frontier.select("seed", "node").localCheckpoint(eager=True)
+    out = None
+    w = Window.partitionBy("seed", "src").orderBy("_h", "dst")
+    for h in range(1, int(hops) + 1):
+        cand = (frontier.join(ed, frontier.node == ed.src)
+                .select("seed", "src", "dst",
+                        F.concat("src", F.lit("|"), "dst").alias("_ck"))
+                .select("seed", "src", "dst", hash48("_ck").alias("_h")))
+        sampled = (cand.withColumn("_rk", F.row_number().over(w))
+                   .filter(F.col("_rk") <= int(fanout))
+                   .select("seed", F.lit(h).cast("int").alias("hop"),
+                           "src", "dst")
+                   .localCheckpoint(eager=True))
+        out = sampled if out is None else out.unionByName(sampled)
+        nxt = (sampled.select("seed", F.col("dst").alias("node")).distinct()
+               .join(visited, ["seed", "node"], "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return out

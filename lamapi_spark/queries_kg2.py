@@ -1972,3 +1972,63 @@ def corpus_report_q(spark, sf):
                          .select(F.lit("write to ops@example.com today")
                                  .alias("text"))))
     return corpus_report(feed).orderBy("metric")
+
+
+# ------------------------------------------------- ego-net sampling
+
+@register("graph_ego_sample", """
+WITH ks AS (SELECT DISTINCT (c_custkey % 100) AS k FROM customer),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'n' || k AS src, 'n' || ((k + 1) % 100) AS dst FROM ks
+    UNION ALL
+    SELECT 'n' || k, 'n' || ((k * 7) % 100) FROM ks
+    UNION ALL
+    SELECT 'n' || k, 'n' || ((k + 11) % 100) FROM ks)
+  WHERE src <> dst OR src = dst),
+seeds AS (SELECT DISTINCT 'n' || k AS seed FROM ks WHERE k % 10 = 0),
+c1 AS (SELECT s.seed, e.src, e.dst,
+              (('0x' || substr(md5(e.src || '|' || e.dst), 1, 12))
+               ::UBIGINT)::BIGINT AS h
+       FROM seeds s JOIN e ON e.src = s.seed),
+s1 AS (SELECT seed, 1::INT AS hop, src, dst FROM (
+         SELECT *, row_number() OVER (PARTITION BY seed, src
+                                      ORDER BY h, dst) AS rk FROM c1)
+       WHERE rk <= 2),
+f2 AS (SELECT DISTINCT seed, dst AS node FROM s1
+       EXCEPT SELECT seed, seed FROM seeds),
+c2 AS (SELECT f.seed, e.src, e.dst,
+              (('0x' || substr(md5(e.src || '|' || e.dst), 1, 12))
+               ::UBIGINT)::BIGINT AS h
+       FROM f2 f JOIN e ON e.src = f.node),
+s2 AS (SELECT seed, 2::INT AS hop, src, dst FROM (
+         SELECT *, row_number() OVER (PARTITION BY seed, src
+                                      ORDER BY h, dst) AS rk FROM c2)
+       WHERE rk <= 2)
+SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+ORDER BY seed, hop, src, dst
+""")
+def graph_ego_sample(spark, sf):
+    """Deterministic 2-hop fanout-2 ego-net sampling
+    (ops/graph.ego_net_sample) over an out-degree-3 functional graph
+    — the fanout cut is live at every frontier node, and cycles back
+    into the seed are pruned by the per-seed visited set. The oracle
+    unrolls both hops with the identical md5 edge-hash ordering and
+    the visited EXCEPT — green pins the sample, not just its size."""
+    from lamapi_spark.ops.graph import ego_net_sample
+
+    ks = (load(spark, sf, "customer")
+          .select((F.col("c_custkey") % 100).alias("k")).distinct())
+    n = lambda expr: F.concat(F.lit("n"), expr)
+    edges = (
+        ks.select(n(F.col("k")).alias("src"),
+                  n((F.col("k") + 1) % 100).alias("dst"))
+        .unionByName(ks.select(n(F.col("k")).alias("src"),
+                               n((F.col("k") * 7) % 100).alias("dst")))
+        .unionByName(ks.select(n(F.col("k")).alias("src"),
+                               n((F.col("k") + 11) % 100).alias("dst")))
+        .distinct())
+    seeds = (ks.filter(F.col("k") % 10 == 0)
+             .select(n(F.col("k")).alias("seed")))
+    return (ego_net_sample(edges, seeds, hops=2, fanout=2)
+            .orderBy("seed", "hop", "src", "dst"))

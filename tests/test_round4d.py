@@ -224,6 +224,38 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_ego_net_sample(spark):
+    from lamapi_spark.ops.graph import ego_net_sample
+    from lamapi_spark.ops.sketches import hash48
+
+    import pyspark.sql.functions as F
+
+    # star: s -> a, b, c, d (fanout 2 must pick the 2 smallest hashes);
+    # a -> s (cycle back: pruned by visited); b -> e (hop 2)
+    edges = spark.createDataFrame(
+        [("s", x) for x in "abcd"] + [("a", "s"), ("b", "e")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "seed string")
+    got = ego_net_sample(edges, seeds, hops=2, fanout=2).collect()
+    hop1 = sorted((r.src, r.dst) for r in got if r.hop == 1)
+    hop2 = sorted((r.src, r.dst) for r in got if r.hop == 2)
+    # which two of a/b/c/d win is fixed by the md5 edge hash
+    hs = {d: spark.range(1).select(F.lit(f"s|{d}").alias("c"))
+          .select(hash48("c")).head()[0]
+          for d in "abcd"}
+    want = sorted(("s", d) for d in sorted("abcd", key=lambda d: hs[d])[:2])
+    assert hop1 == want
+    # hop 2 only expands sampled hop-1 nodes, never back into s
+    sampled = {d for _, d in hop1}
+    assert all(src in sampled for src, _ in hop2)
+    assert ("a", "s") not in hop2
+    if "b" in sampled:
+        assert ("b", "e") in hop2
+    # determinism: identical rerun
+    again = ego_net_sample(edges, seeds, hops=2, fanout=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
 def test_corpus_report(spark):
     from lamapi_spark.ops.textstats import corpus_report
 
