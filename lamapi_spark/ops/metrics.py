@@ -374,3 +374,54 @@ def gini_concentration(df: DataFrame, key_col: str, val_col: str,
     return agg.select(
         "n", F.col("_s0").cast("double").alias("total"),
         F.bround(F.when(ok, g).otherwise(F.lit(0.0)), 6).alias("gini"))
+
+
+def pr_curve(scored: DataFrame, score_col: str = "score",
+             label_col: str = "label", n_bins: int = 100) -> DataFrame:
+    """Binned precision-recall sweep: P/R/F1 at every score-quantile
+    threshold — the table a linker reads to SET its auto-accept
+    threshold (the north rule's own P/R >= 0.95 criterion is one row
+    of this sweep). Reference analogue: none; builder's-brief eval
+    surface beside calibration_bins, which audits probability
+    CALIBRATION where this sweeps the DECISION threshold.
+
+    Scores bin exactly as calibration_bins (equal-width, top-edge
+    clamp); thresholds are the bin lower edges in basis points. The
+    cumulative fold runs over AT MOST ``n_bins`` rows — the
+    descending-threshold window is bounded by construction, never by
+    the data (a per-distinct-score sweep would sort 10^12 scores; the
+    binned sweep aggregates them into <= n_bins exact integer cells
+    first). Counts stay integers; the three ratios are single
+    divisions rounded half-even to 6 dp.
+
+    -> one row per non-empty bin, descending threshold:
+    (threshold_bp, n_at_or_above, pos_at_or_above, precision, recall,
+    f1); recall denominates over ALL positives, so the last row reads
+    recall 1.0.
+    """
+    b = F.least(F.floor(F.col(score_col) * n_bins),
+                F.lit(n_bins - 1)).cast("int")
+    per = (scored.select(b.alias("bin"),
+                         F.col(label_col).cast("long").alias("_y"))
+           .groupBy("bin")
+           .agg(F.count("*").alias("_n"), F.sum("_y").alias("_p")))
+    w = (Window.orderBy(F.desc("bin"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = per.agg(F.coalesce(F.sum("_p"), F.lit(0)).alias("_tp"))
+    cum = (per.join(F.broadcast(tot))
+           .select("bin", "_tp",
+                   F.sum("_n").over(w).alias("n_at_or_above"),
+                   F.sum("_p").over(w).alias("pos_at_or_above")))
+    prec = F.col("pos_at_or_above") / F.col("n_at_or_above")
+    rec = F.when(F.col("_tp") > 0,
+                 F.col("pos_at_or_above") / F.col("_tp")).otherwise(0.0)
+    f1 = F.when(F.col("pos_at_or_above") > 0,
+                2.0 * F.col("pos_at_or_above")
+                / (F.col("n_at_or_above") + F.col("_tp"))).otherwise(0.0)
+    return (cum.select(
+        F.expr(f"bin * 10000L div {int(n_bins)}").alias("threshold_bp"),
+        "n_at_or_above", "pos_at_or_above",
+        F.bround(prec, 6).alias("precision"),
+        F.bround(rec, 6).alias("recall"),
+        F.bround(f1, 6).alias("f1"))
+        .orderBy(F.desc("threshold_bp")))

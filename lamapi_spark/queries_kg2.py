@@ -2032,3 +2032,49 @@ def graph_ego_sample(spark, sf):
              .select(n(F.col("k")).alias("seed")))
     return (ego_net_sample(edges, seeds, hops=2, fanout=2)
             .orderBy("seed", "hop", "src", "dst"))
+
+
+# ------------------------------------------------- PR threshold sweep
+
+@register("link_pr_curve", """
+WITH s AS (
+  SELECT (o_orderkey % 1000) / CAST(1000 AS DOUBLE) AS score,
+         CASE WHEN ((o_orderkey * 7919 + o_custkey) % 1000)
+                   < (o_orderkey % 1000) THEN 1 ELSE 0 END AS label
+  FROM orders),
+b AS (SELECT least(CAST(floor(score * 20) AS INT), 19) AS bin, label
+      FROM s),
+per AS (SELECT bin, count(*)::BIGINT AS n, sum(label)::BIGINT AS p
+        FROM b GROUP BY bin),
+t AS (SELECT coalesce(sum(p), 0)::BIGINT AS tp FROM per),
+c AS (SELECT bin, tp,
+             (sum(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW))::BIGINT AS n_at,
+             (sum(p) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW))::BIGINT AS p_at
+      FROM per CROSS JOIN t)
+SELECT (bin * 10000 // 20)::BIGINT AS threshold_bp,
+       n_at AS n_at_or_above, p_at AS pos_at_or_above,
+       round_even(p_at / CAST(n_at AS DOUBLE), 6) AS precision,
+       round_even(CASE WHEN tp > 0 THEN p_at / CAST(tp AS DOUBLE)
+                  ELSE 0.0 END, 6) AS recall,
+       round_even(CASE WHEN p_at > 0
+                  THEN 2.0 * p_at / CAST(n_at + tp AS DOUBLE)
+                  ELSE 0.0 END, 6) AS f1
+FROM c ORDER BY threshold_bp DESC
+""")
+def link_pr_curve(spark, sf):
+    """Decision-threshold sweep (ops/metrics.pr_curve, 20 bins) over
+    the same planted near-calibrated scorer as link_calibration —
+    precision rises and recall falls monotonically down the planted
+    score, and the bottom row reads recall 1.0. The oracle replays
+    the binning, the bounded descending cumulative window, and every
+    ratio."""
+    from lamapi_spark.ops.metrics import pr_curve
+
+    o = load(spark, sf, "orders")
+    scored = o.select(
+        ((F.col("o_orderkey") % 1000) / F.lit(1000.0)).alias("score"),
+        ((F.col("o_orderkey") * 7919 + F.col("o_custkey")) % 1000
+         < F.col("o_orderkey") % 1000).cast("int").alias("label"))
+    return pr_curve(scored, n_bins=20)

@@ -224,6 +224,27 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_pr_curve_hand_computed(spark):
+    from lamapi_spark.ops.metrics import pr_curve
+
+    scored = spark.createDataFrame(
+        [(0.95, 1), (0.85, 1), (0.75, 0), (0.65, 1), (0.55, 0),
+         (0.05, 0)],
+        "score double, label int")
+    rows = pr_curve(scored, n_bins=10).collect()
+    assert [r.threshold_bp for r in rows] == [9000, 8000, 7000, 6000,
+                                              5000, 0]
+    top = rows[0]  # only the 0.95 positive
+    assert (top.n_at_or_above, top.pos_at_or_above) == (1, 1)
+    assert (top.precision, top.recall) == (1.0, round(1 / 3, 6))
+    mid = rows[3]  # >= 0.6: 4 rows, 3 positive
+    assert (mid.n_at_or_above, mid.pos_at_or_above) == (4, 3)
+    assert (mid.precision, mid.recall) == (0.75, 1.0)
+    assert mid.f1 == round(2 * 3 / (4 + 3), 6)
+    last = rows[-1]
+    assert (last.n_at_or_above, last.recall) == (6, 1.0)
+
+
 def test_ego_net_sample(spark):
     from lamapi_spark.ops.graph import ego_net_sample
     from lamapi_spark.ops.sketches import hash48
