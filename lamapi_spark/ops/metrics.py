@@ -425,3 +425,70 @@ def pr_curve(scored: DataFrame, score_col: str = "score",
         F.bround(rec, 6).alias("recall"),
         F.bround(f1, 6).alias("f1"))
         .orderBy(F.desc("threshold_bp")))
+
+
+def classification_report(pred: DataFrame, truth: DataFrame,
+                          keys: list[str],
+                          class_col: str = "label") -> DataFrame:
+    """Per-class precision/recall/F1 plus a macro-average row — the
+    multi-class companion to prf_eval's micro counting (the eval a
+    NERtype / column-kind classifier reports per class, because micro
+    numbers hide minority-class collapse). Reference analogue: none;
+    builder's-brief eval surface.
+
+    Counting: one full-outer join on ``keys``; a matched row with
+    equal classes is that class's tp; a mismatch (or half-missing
+    row) is an fp of the predicted class and an fn of the true class.
+    The per-class rollup is ONE union of two key-free projections
+    into a class-keyed count agg. The '__macro__' row averages the
+    ROUNDED per-class ratios over the classes present in truth-or-
+    pred, summed in DECIMAL (order-independent) — the standard macro
+    convention, absent classes contribute their zeros.
+
+    -> (class, tp, fp, fn, precision, recall, f1) + the macro row
+    (its tp/fp/fn are the integer totals, its ratios the macro
+    averages).
+    """
+    p = pred.select(*keys, F.col(class_col).alias("_pc"))
+    t = truth.select(*keys, F.col(class_col).alias("_tc"))
+    j = p.join(t, keys, "full_outer").select("_pc", "_tc")
+    hit = F.col("_pc") == F.col("_tc")
+    from_pred = j.filter(F.col("_pc").isNotNull()).select(
+        F.col("_pc").alias("class"),
+        F.coalesce(hit, F.lit(False)).cast("long").alias("_tp"),
+        (~F.coalesce(hit, F.lit(False))).cast("long").alias("_fp"),
+        F.lit(0).cast("long").alias("_fn"))
+    from_truth = (j.filter(F.col("_tc").isNotNull()
+                           & ~F.coalesce(hit, F.lit(False)))
+                  .select(F.col("_tc").alias("class"),
+                          F.lit(0).cast("long").alias("_tp"),
+                          F.lit(0).cast("long").alias("_fp"),
+                          F.lit(1).cast("long").alias("_fn")))
+    per = (from_pred.unionByName(from_truth)
+           .groupBy("class")
+           .agg(F.sum("_tp").alias("tp"), F.sum("_fp").alias("fp"),
+                F.sum("_fn").alias("fn")))
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    rows = (per.withColumn("precision", F.bround(prec, 6))
+            .withColumn("recall", F.bround(rec, 6)))
+    f1 = F.when(F.col("precision") + F.col("recall") > 0,
+                2.0 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall"))).otherwise(0.0)
+    rows = rows.withColumn("f1", F.bround(f1, 6))
+    dec = lambda c: F.sum(F.col(c).cast("decimal(18,6)"))
+    n = F.count("*")
+    macro = rows.agg(
+        F.lit("__macro__").alias("class"),
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+        # cast the exact DECIMAL sums to double BEFORE the division:
+        # decimal/bigint division scale+rounding rules differ between
+        # engines, one double division does not
+        F.bround(dec("precision").cast("double") / n, 6)
+        .alias("precision"),
+        F.bround(dec("recall").cast("double") / n, 6).alias("recall"),
+        F.bround(dec("f1").cast("double") / n, 6).alias("f1"))
+    return rows.unionByName(macro)

@@ -2078,3 +2078,79 @@ def link_pr_curve(spark, sf):
         ((F.col("o_orderkey") * 7919 + F.col("o_custkey")) % 1000
          < F.col("o_orderkey") % 1000).cast("int").alias("label"))
     return pr_curve(scored, n_bins=20)
+
+
+# ------------------------------------------------- classification report
+
+@register("eval_classification_report", """
+WITH p AS (
+  SELECT o_orderkey AS k,
+         'c' || (CASE WHEN (o_orderkey * 31 + o_custkey) % 10 < 8
+                      THEN o_orderkey % 4
+                      ELSE (o_orderkey + 1) % 4 END) AS label
+  FROM orders WHERE o_orderkey % 11 <> 0),
+t AS (
+  SELECT o_orderkey AS k, 'c' || (o_orderkey % 4) AS label
+  FROM orders WHERE o_orderkey % 13 <> 0),
+j AS (SELECT p.label AS pc, t.label AS tc
+      FROM p FULL OUTER JOIN t ON p.k = t.k),
+fp_side AS (
+  SELECT pc AS class,
+         CASE WHEN pc = tc THEN 1 ELSE 0 END::BIGINT AS tp,
+         CASE WHEN tc IS NULL OR pc <> tc THEN 1 ELSE 0 END::BIGINT
+           AS fp,
+         0::BIGINT AS fn
+  FROM j WHERE pc IS NOT NULL),
+fn_side AS (
+  SELECT tc AS class, 0::BIGINT, 0::BIGINT, 1::BIGINT
+  FROM j WHERE tc IS NOT NULL AND (pc IS NULL OR pc <> tc)),
+per AS (
+  SELECT class, sum(tp)::BIGINT AS tp, sum(fp)::BIGINT AS fp,
+         sum(fn)::BIGINT AS fn
+  FROM (SELECT * FROM fp_side UNION ALL SELECT * FROM fn_side)
+  GROUP BY class),
+r AS (
+  SELECT class, tp, fp, fn,
+         round_even(CASE WHEN tp + fp > 0
+                         THEN tp / CAST(tp + fp AS DOUBLE)
+                    ELSE 0.0 END, 6) AS p6,
+         round_even(CASE WHEN tp + fn > 0
+                         THEN tp / CAST(tp + fn AS DOUBLE)
+                    ELSE 0.0 END, 6) AS r6
+  FROM per),
+r2 AS (
+  SELECT *, round_even(CASE WHEN p6 + r6 > 0
+                            THEN 2.0 * p6 * r6 / (p6 + r6)
+                       ELSE 0.0 END, 6) AS f6
+  FROM r)
+SELECT class, tp, fp, fn, p6 AS precision, r6 AS recall, f6 AS f1
+FROM r2
+UNION ALL
+SELECT '__macro__', sum(tp)::BIGINT, sum(fp)::BIGINT, sum(fn)::BIGINT,
+       round_even(CAST(sum(p6::DECIMAL(18,6)) AS DOUBLE) / count(*), 6),
+       round_even(CAST(sum(r6::DECIMAL(18,6)) AS DOUBLE) / count(*), 6),
+       round_even(CAST(sum(f6::DECIMAL(18,6)) AS DOUBLE) / count(*), 6)
+FROM r2
+ORDER BY class
+""")
+def eval_classification_report(spark, sf):
+    """Per-class + macro eval (ops/metrics.classification_report)
+    over a planted 4-class task: an 80%-accurate predictor whose
+    errors rotate into the NEXT class, with disjoint missing slices
+    on each side (every-11th unpredicted, every-13th unjudged) so the
+    half-missing fp/fn arms are exercised. The oracle replays the
+    full-outer join, both projections, every per-class ratio, and the
+    DECIMAL-summed macro averages."""
+    from lamapi_spark.ops.metrics import classification_report
+
+    o = load(spark, sf, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    noisy = F.when((ok * 31 + ck) % 10 < 8, ok % 4).otherwise((ok + 1) % 4)
+    pred = (o.filter(ok % 11 != 0)
+            .select(ok.alias("k"),
+                    F.concat(F.lit("c"), noisy).alias("label")))
+    truth = (o.filter(ok % 13 != 0)
+             .select(ok.alias("k"),
+                     F.concat(F.lit("c"), ok % 4).alias("label")))
+    return (classification_report(pred, truth, ["k"])
+            .orderBy("class"))

@@ -224,6 +224,29 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_classification_report(spark):
+    from lamapi_spark.ops.metrics import classification_report
+
+    pred = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (5, "B")],
+        "k long, label string")
+    truth = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "B"), (4, "A")],
+        "k long, label string")
+    rows = {r["class"]: r
+            for r in classification_report(pred, truth, ["k"]).collect()}
+    a = rows["A"]
+    # A: tp k1; fp k2 (truth B); fn k4 (unpredicted)
+    assert (a.tp, a.fp, a.fn) == (1, 1, 1)
+    assert (a.precision, a.recall, a.f1) == (0.5, 0.5, 0.5)
+    b = rows["B"]
+    # B: tp k3; fp k5 (no truth); fn k2
+    assert (b.tp, b.fp, b.fn) == (1, 1, 1)
+    m = rows["__macro__"]
+    assert (m.tp, m.fp, m.fn) == (2, 2, 2)
+    assert (m.precision, m.recall, m.f1) == (0.5, 0.5, 0.5)
+
+
 def test_pr_curve_hand_computed(spark):
     from lamapi_spark.ops.metrics import pr_curve
 
