@@ -492,3 +492,44 @@ def classification_report(pred: DataFrame, truth: DataFrame,
         F.bround(dec("recall").cast("double") / n, 6).alias("recall"),
         F.bround(dec("f1").cast("double") / n, 6).alias("f1"))
     return rows.unionByName(macro)
+
+
+def cohen_kappa(a: DataFrame, b: DataFrame, keys: list[str],
+                label_col: str = "label") -> DataFrame:
+    """Cohen's kappa between two annotators over the same items — the
+    agreement audit run before trusting a labeled eval set (raw
+    agreement flatters skewed label sets; kappa discounts chance).
+    Reference analogue: none; builder's-brief eval surface.
+
+    Exact-integer formulation: with n joint items, ``agree`` equal
+    pairs, and per-class marginals na_c / nb_c,
+    kappa = (po - pe) / (1 - pe) = (agree*n - sum_c na_c*nb_c)
+    / (n^2 - sum_c na_c*nb_c) — every term an exact BIGINT product
+    (n^2 < 2^63 while n < ~3e9 items; larger sets widen to DECIMAL),
+    ONE double division at the end, rounded half-even to 6 dp.
+    Degenerate pe = 1 (both annotators constant and equal) reads
+    kappa 0.0 by convention.
+
+    Scale shape: one inner key join, one 1-row count agg, one
+    class-keyed marginal agg per side joined on the class (bounded by
+    the label vocabulary), all met in 1-row broadcast frames.
+    -> ONE row (n, agree, pe_num, kappa).
+    """
+    pa = a.select(*keys, F.col(label_col).alias("_la"))
+    pb = b.select(*keys, F.col(label_col).alias("_lb"))
+    j = pa.join(pb, keys)
+    base = j.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum((F.col("_la") == F.col("_lb")).cast("long")),
+                   F.lit(0)).alias("agree"))
+    ma = j.groupBy(F.col("_la").alias("c")).agg(F.count("*").alias("_na"))
+    mb = j.groupBy(F.col("_lb").alias("c")).agg(F.count("*").alias("_nb"))
+    pe = (ma.join(mb, "c")
+          .agg(F.coalesce(F.sum(F.col("_na") * F.col("_nb")),
+                          F.lit(0)).alias("pe_num")))
+    row = base.join(F.broadcast(pe))
+    num = F.col("agree") * F.col("n") - F.col("pe_num")
+    den = F.col("n") * F.col("n") - F.col("pe_num")
+    kappa = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    return row.select("n", "agree", "pe_num",
+                      F.bround(kappa, 6).alias("kappa"))

@@ -2154,3 +2154,49 @@ def eval_classification_report(spark, sf):
                      F.concat(F.lit("c"), ok % 4).alias("label")))
     return (classification_report(pred, truth, ["k"])
             .orderBy("class"))
+
+
+# ------------------------------------------------- Cohen's kappa
+
+@register("eval_cohen_kappa", """
+WITH a AS (
+  SELECT o_orderkey AS k, 'c' || (o_orderkey % 3) AS label FROM orders),
+b AS (
+  SELECT o_orderkey AS k,
+         'c' || (CASE WHEN (o_orderkey * 17 + o_custkey) % 5 < 4
+                      THEN o_orderkey % 3
+                      ELSE (o_orderkey + 1) % 3 END) AS label
+  FROM orders WHERE o_orderkey % 9 <> 0),
+j AS (SELECT a.label AS la, b.label AS lb FROM a JOIN b USING (k)),
+base AS (SELECT count(*)::BIGINT AS n,
+                sum(CASE WHEN la = lb THEN 1 ELSE 0 END)::BIGINT
+                  AS agree
+         FROM j),
+ma AS (SELECT la AS c, count(*)::BIGINT AS na FROM j GROUP BY la),
+mb AS (SELECT lb AS c, count(*)::BIGINT AS nb FROM j GROUP BY lb),
+pe AS (SELECT coalesce(sum(na * nb), 0)::BIGINT AS pe_num
+       FROM ma JOIN mb USING (c))
+SELECT n, agree, pe_num,
+       round_even(CASE WHEN n * n - pe_num > 0
+                  THEN (agree * n - pe_num)
+                       / CAST(n * n - pe_num AS DOUBLE)
+                  ELSE 0.0 END, 6) AS kappa
+FROM base CROSS JOIN pe
+""")
+def eval_cohen_kappa(spark, sf):
+    """Annotator agreement (ops/metrics.cohen_kappa) between the
+    planted gold labeler and an 80%-agreeing second annotator whose
+    disagreements rotate class, with every 9th item unlabeled by the
+    second (inner-join semantics). The oracle replays the join, both
+    marginal aggs, and the exact-integer kappa."""
+    from lamapi_spark.ops.metrics import cohen_kappa
+
+    o = load(spark, sf, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    a = o.select(ok.alias("k"),
+                 F.concat(F.lit("c"), ok % 3).alias("label"))
+    noisy = F.when((ok * 17 + ck) % 5 < 4, ok % 3).otherwise((ok + 1) % 3)
+    b = (o.filter(ok % 9 != 0)
+         .select(ok.alias("k"),
+                 F.concat(F.lit("c"), noisy).alias("label")))
+    return cohen_kappa(a, b, ["k"])

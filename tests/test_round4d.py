@@ -224,6 +224,26 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_cohen_kappa(spark):
+    from lamapi_spark.ops.metrics import cohen_kappa
+
+    mk = lambda rows: spark.createDataFrame(rows, "k long, label string")
+    # classic 2x2: a=(A,A,B,B), b=(A,B,B,B)
+    a = mk([(1, "A"), (2, "A"), (3, "B"), (4, "B")])
+    b = mk([(1, "A"), (2, "B"), (3, "B"), (4, "B")])
+    r = cohen_kappa(a, b, ["k"]).head()
+    # po = 3/4; pe = (2*1 + 2*3)/16 = 0.5 -> kappa = 0.5
+    assert (r.n, r.agree, r.pe_num) == (4, 3, 8)
+    assert r.kappa == 0.5
+    # perfect agreement
+    assert cohen_kappa(a, a, ["k"]).head().kappa == 1.0
+    # constant identical annotators: pe = 1 -> degenerate 0.0
+    c = mk([(1, "X"), (2, "X")])
+    assert cohen_kappa(c, c, ["k"]).head().kappa == 0.0
+    # inner-join: extra unmatched items do not count
+    assert cohen_kappa(a, mk([(1, "A"), (9, "A")]), ["k"]).head().n == 1
+
+
 def test_classification_report(spark):
     from lamapi_spark.ops.metrics import classification_report
 
