@@ -213,3 +213,46 @@ def verbalize_entities(triples: DataFrame, k: int = 5,
             sep))
     return (lines.join(counts, "subj")
             .select("subj", "n_facts", text.alias("text")))
+
+
+def bio_export(transcripts: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Sequence-labeling export: one row per token with its B/I/O tag
+    from the detected mention spans — the training file a supervised
+    NER model consumes, closing the loop from dictionary mention
+    detection to learned detection (reference analogue: none;
+    builder's-brief export beside el_dataset, which exports the
+    LINKING task where this exports the DETECTION task).
+
+    Tokenization is detect_mentions' own contract verbatim
+    (``split(clean_str(text), " ")``, 1-based positions —
+    pipeline/mentions._spans), so span offsets line up by
+    construction. ``mentions`` needs (conv_id, turn_idx, start,
+    ntoken_span). A span tags B at its start and I inside; if spans
+    ever overlap (max-match forbids containment but a caller may feed
+    arbitrary spans) the min tag wins per token ('B' < 'I' — the
+    deterministic resolution). Untagged tokens read O.
+
+    Scale shape: one posexplode of the token arrays, one in-row
+    sequence explode of the spans (bounded by ntoken_span), one
+    (conv, turn, pos)-keyed min-agg + left join. -> (conv_id,
+    turn_idx, pos, token, tag) — pos 1-based.
+    """
+    from lamapi_spark.functions.strings import clean_str
+
+    toks = transcripts.select(
+        "conv_id", "turn_idx",
+        F.posexplode(F.split(clean_str("text"), " ")).alias("_p0", "token")
+    ).select("conv_id", "turn_idx",
+             (F.col("_p0") + 1).cast("int").alias("pos"), "token")
+    tags = (mentions.select(
+        "conv_id", "turn_idx", "start",
+        F.explode(F.sequence(
+            F.col("start"),
+            F.col("start") + F.col("ntoken_span") - 1)).alias("pos"))
+        .select("conv_id", "turn_idx", F.col("pos").cast("int").alias("pos"),
+                F.when(F.col("pos") == F.col("start"),
+                       F.lit("B")).otherwise(F.lit("I")).alias("tag"))
+        .groupBy("conv_id", "turn_idx", "pos")
+        .agg(F.min("tag").alias("tag")))
+    return (toks.join(tags, ["conv_id", "turn_idx", "pos"], "left")
+            .withColumn("tag", F.coalesce("tag", F.lit("O"))))

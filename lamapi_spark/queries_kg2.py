@@ -2200,3 +2200,64 @@ def eval_cohen_kappa(spark, sf):
          .select(ok.alias("k"),
                  F.concat(F.lit("c"), noisy).alias("label")))
     return cohen_kappa(a, b, ["k"])
+
+
+# ------------------------------------------------- BIO export
+
+@register("kg_bio_export", f"""
+WITH {_TR_SQL},
+toks AS (
+  SELECT conv_id, turn_idx, (u.p)::INT AS pos, u.tok AS token FROM (
+    SELECT conv_id, turn_idx,
+           unnest(list_transform(range(1, len(ts) + 1),
+                  i -> struct_pack(p := i, tok := ts[i]))) AS u
+    FROM (SELECT conv_id, turn_idx,
+                 string_split(trim(regexp_replace(lower(text),
+                     '\\s+', ' ', 'g')), ' ') AS ts FROM tr))),
+m AS (
+  SELECT conv_id, turn_idx,
+         CASE o4 WHEN 0 THEN 4 WHEN 1 THEN 5 ELSE 1 END AS start,
+         CASE o4 WHEN 0 THEN 3 ELSE 1 END AS ntoken_span
+  FROM (SELECT 'c' || o_custkey AS conv_id,
+               (row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderkey))::INT AS turn_idx,
+               (o_orderkey % 4)::INT AS o4
+        FROM orders)
+  WHERE o4 <> 2),
+tags AS (
+  SELECT conv_id, turn_idx, (start + o)::INT AS pos,
+         min(CASE WHEN o = 0 THEN 'B' ELSE 'I' END) AS tag
+  FROM m CROSS JOIN unnest(range(0, 4)) t(o)
+  WHERE o < ntoken_span
+  GROUP BY 1, 2, 3)
+SELECT t.conv_id, t.turn_idx, t.pos, t.token,
+       coalesce(g.tag, 'O') AS tag
+FROM toks t LEFT JOIN tags g
+  ON g.conv_id = t.conv_id AND g.turn_idx = t.turn_idx
+ AND g.pos = t.pos
+ORDER BY t.conv_id, t.turn_idx, t.pos
+""")
+def kg_bio_export(spark, sf):
+    """BIO sequence-labeling export (pipeline/exports.bio_export) over
+    the planted transcript with template-derived spans: the 3-token
+    'cX and sY' span (B I I), single-token spans at two other
+    template slots, and the no-entity template left all-O. The oracle
+    replays clean_str tokenization with 1-based positions, the span
+    unroll with the B/I rule, and the O-fill left join."""
+    from lamapi_spark.pipeline.exports import bio_export
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    base = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        (F.col("o_orderkey") % 4).cast("int").alias("o4"))
+    m = (base.filter(F.col("o4") != 2)
+         .select("conv_id", "turn_idx",
+                 F.when(F.col("o4") == 0, F.lit(4))
+                 .when(F.col("o4") == 1, F.lit(5))
+                 .otherwise(F.lit(1)).alias("start"),
+                 F.when(F.col("o4") == 0, F.lit(3))
+                 .otherwise(F.lit(1)).alias("ntoken_span")))
+    return (bio_export(_transcripts(spark, sf), m)
+            .orderBy("conv_id", "turn_idx", "pos"))

@@ -224,6 +224,34 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_bio_export(spark):
+    from lamapi_spark.pipeline.exports import bio_export
+
+    tr = spark.createDataFrame(
+        [("A", 1, "Acme Corp hired Jane"), ("A", 2, "nothing here")],
+        "conv_id string, turn_idx int, text string")
+    m = spark.createDataFrame(
+        [("A", 1, 1, 2),   # 'acme corp' -> B I
+         ("A", 1, 4, 1)],  # 'jane' -> B
+        "conv_id string, turn_idx int, start int, ntoken_span int")
+    got = {(r.turn_idx, r.pos): (r.token, r.tag)
+           for r in bio_export(tr, m).collect()}
+    assert got[(1, 1)] == ("acme", "B")
+    assert got[(1, 2)] == ("corp", "I")
+    assert got[(1, 3)] == ("hired", "O")
+    assert got[(1, 4)] == ("jane", "B")
+    assert got[(2, 1)] == ("nothing", "O")
+    assert len(got) == 6
+
+    # overlapping spans: B wins over I on the shared token
+    over = spark.createDataFrame(
+        [("A", 1, 1, 2), ("A", 1, 2, 2)],
+        "conv_id string, turn_idx int, start int, ntoken_span int")
+    got2 = {r.pos: r.tag for r in bio_export(tr, over).collect()
+            if r.turn_idx == 1}
+    assert (got2[1], got2[2], got2[3]) == ("B", "B", "I")
+
+
 def test_cohen_kappa(spark):
     from lamapi_spark.ops.metrics import cohen_kappa
 
