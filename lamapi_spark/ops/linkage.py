@@ -278,3 +278,39 @@ def blocking_quality(
         F.bround(rr, 6).alias("reduction_ratio"),
         F.bround(pc, 6).alias("pairs_completeness"),
         F.bround(pq, 6).alias("pair_quality"))
+
+
+def reciprocal_best_match(pairs: DataFrame,
+                          id_cols: tuple[str, str] = ("id_l", "id_r"),
+                          score_col: str = "score_bp") -> DataFrame:
+    """One-to-one alignment from scored candidate pairs: keep (l, r)
+    iff r is l's highest-scoring partner AND l is r's — the
+    reciprocal-best-match rule (BLAST's ortholog convention, the
+    standard 1:1 decision on top of fs_link_pairs' scores, where the
+    three-region rule classifies pairs INDEPENDENTLY and can marry
+    one record twice). Reference analogue: none; builder's-brief ER
+    surface completing the linkage family.
+
+    Ties break deterministically to the lexicographically smallest
+    partner id (window-free struct-min argmax on (-score, id), the
+    repo's standard shape), so the matching is a pure function of the
+    pair set. Output is provably 1:1: each side appears at most once
+    because it appears only via its own argmax row.
+
+    Scale shape: two (id)-keyed argmax aggs + one equi-join of the
+    two 1-row-per-id frames on BOTH ids. -> (id_l, id_r, score) for
+    the mutual-best pairs.
+    """
+    idl, idr = id_cols
+    s = F.col(score_col)
+    best_l = (pairs.groupBy(idl)
+              .agg(F.min(F.struct((-s).alias("ns"),
+                                  F.col(idr).alias("r"))).alias("_b"))
+              .select(idl, F.col("_b.r").alias(idr),
+                      (-F.col("_b.ns")).alias("_sl")))
+    best_r = (pairs.groupBy(idr)
+              .agg(F.min(F.struct((-s).alias("ns"),
+                                  F.col(idl).alias("l"))).alias("_b"))
+              .select(idr, F.col("_b.l").alias(idl)))
+    return (best_l.join(best_r, [idl, idr])
+            .select(idl, idr, F.col("_sl").alias(score_col)))

@@ -2261,3 +2261,47 @@ def kg_bio_export(spark, sf):
                  .otherwise(F.lit(1)).alias("ntoken_span")))
     return (bio_export(_transcripts(spark, sf), m)
             .orderBy("conv_id", "turn_idx", "pos"))
+
+
+# ------------------------------------------------- reciprocal best match
+
+@register("linkage_rbm", """
+WITH p AS (
+  SELECT 'L' || (o_custkey % 40) AS id_l,
+         'R' || (o_orderkey % 50) AS id_r,
+         ((o_orderkey * 13 + o_custkey) % 1000)::BIGINT AS score_bp
+  FROM orders WHERE o_orderkey % 3 = 0),
+d AS (SELECT id_l, id_r, max(score_bp)::BIGINT AS score_bp
+      FROM p GROUP BY id_l, id_r),
+bl AS (SELECT id_l, id_r, score_bp FROM (
+         SELECT *, row_number() OVER (PARTITION BY id_l
+             ORDER BY score_bp DESC, id_r ASC) AS rn FROM d)
+       WHERE rn = 1),
+br AS (SELECT id_l, id_r FROM (
+         SELECT *, row_number() OVER (PARTITION BY id_r
+             ORDER BY score_bp DESC, id_l ASC) AS rn FROM d)
+       WHERE rn = 1)
+SELECT bl.id_l, bl.id_r, bl.score_bp
+FROM bl JOIN br ON bl.id_l = br.id_l AND bl.id_r = br.id_r
+ORDER BY bl.id_l
+""")
+def linkage_rbm(spark, sf):
+    """Reciprocal best match (ops/linkage.reciprocal_best_match) over
+    a dense planted candidate grid (40 x 50 ids, LCG scores deduped
+    to per-pair max): only mutual argmaxes survive, ties pinned to
+    the smallest partner id. The oracle is the INDEPENDENT window
+    formulation of both argmaxes — green pins the struct-min twins
+    and the 1:1 property."""
+    from lamapi_spark.ops.linkage import reciprocal_best_match
+
+    o = load(spark, sf, "orders")
+    p = (o.filter(F.col("o_orderkey") % 3 == 0)
+         .select(F.concat(F.lit("L"),
+                          F.col("o_custkey") % 40).alias("id_l"),
+                 F.concat(F.lit("R"),
+                          F.col("o_orderkey") % 50).alias("id_r"),
+                 ((F.col("o_orderkey") * 13 + F.col("o_custkey"))
+                  % 1000).cast("long").alias("score_bp"))
+         .groupBy("id_l", "id_r")
+         .agg(F.max("score_bp").alias("score_bp")))
+    return reciprocal_best_match(p).orderBy("id_l")

@@ -224,6 +224,32 @@ def test_hyperball_nf_path_graph(spark):
     assert abs(rows[-1].nf - per_node) < 1e-9
 
 
+def test_reciprocal_best_match(spark):
+    from lamapi_spark.ops.linkage import reciprocal_best_match
+
+    pairs = spark.createDataFrame(
+        [
+            # l1's best is r1 (9) and r1's best is l1 -> match
+            ("l1", "r1", 9), ("l1", "r2", 5),
+            # l2's best is r1 (8) but r1 prefers l1 -> NO match
+            ("l2", "r1", 8),
+            # l2-r2 mutual (l2: 8 vs 7 -> r1 wins... so l2 unmatched)
+            ("l2", "r2", 7),
+            # ties break to the smallest partner id on BOTH sides:
+            # l3 -> r3 (r3 < r4); r4 -> l3 (l3 < l4), so l4-r4 is
+            # NOT mutual even though r4 is l4's best
+            ("l3", "r3", 4), ("l3", "r4", 4), ("l4", "r4", 4),
+        ],
+        "id_l string, id_r string, score_bp long")
+    got = {(r.id_l, r.id_r): r.score_bp
+           for r in reciprocal_best_match(pairs).collect()}
+    assert got == {("l1", "r1"): 9, ("l3", "r3"): 4}
+    # 1:1 property on each side
+    ls = [k[0] for k in got]
+    rs = [k[1] for k in got]
+    assert len(ls) == len(set(ls)) and len(rs) == len(set(rs))
+
+
 def test_bio_export(spark):
     from lamapi_spark.pipeline.exports import bio_export
 
