@@ -533,3 +533,69 @@ def cohen_kappa(a: DataFrame, b: DataFrame, keys: list[str],
     kappa = F.when(den > 0, num / den).otherwise(F.lit(0.0))
     return row.select("n", "agree", "pe_num",
                       F.bround(kappa, 6).alias("kappa"))
+
+
+def auc_roc(scored: DataFrame, score_col: str = "score",
+            label_col: str = "label", n_buckets: int = 1024) -> DataFrame:
+    """ROC AUC of a binary scorer — the threshold-free twin of
+    pr_curve/calibration_bins, the first number any link-scorer or
+    quality-classifier comparison reports (reference analogue: none;
+    builder's-brief eval surface).
+
+    Exact tie-corrected Mann-Whitney formulation: ties contribute 1/2,
+    so AUC = U / (n_pos * n_neg) with
+    2U = sum over DISTINCT scores s of pos_s * (2 * neg_lt(s) + neg_s)
+    — every term an exact BIGINT product (safe to ~3e9 rows per class;
+    wider sets widen the sums to DECIMAL(38,0), the spearman_rho rule).
+    The emitted u2 = 2U is integral by construction and equals the
+    rank-sum identity sum_pos(2*midrank) - n_pos*(n_pos+1), which is
+    what the contract oracle computes — green proves the pairwise-count
+    and rank-sum formulations agree to the last integer. ONE double
+    division at the end, half-even 6 dp; degenerate single-class
+    inputs read auc 0.0.
+
+    Scale shape: one group-by on the distinct score (ties collapse
+    BEFORE any ordering work), then the two-level-scan prefix pattern
+    (_global_ranks' shape): bucket the distinct-score frame by value
+    range, an exclusive prefix sum over the tiny per-bucket totals
+    (<= n_buckets rows, the only serial step), and a WITHIN-bucket
+    running sum parallel across buckets — never a global window over
+    the distinct scores. -> ONE row (n_pos, n_neg, u2, auc).
+    """
+    base = scored.select(
+        F.col(score_col).cast("double").alias("v"),
+        F.col(label_col).cast("long").alias("_y"))
+    per = base.groupBy("v").agg(
+        F.sum("_y").alias("_p"),
+        F.sum(F.lit(1) - F.col("_y")).alias("_n"))
+    stats = per.agg(F.min("v").alias("_lo"), F.max("v").alias("_hi"))
+    span = (F.col("_hi") - F.col("_lo")).cast("double")
+    b = F.when(span == 0, F.lit(0)).otherwise(F.least(
+        F.floor((F.col("v") - F.col("_lo")).cast("double")
+                / span * n_buckets),
+        F.lit(n_buckets - 1))).cast("long")
+    binned = per.join(F.broadcast(stats)).select(
+        "v", "_p", "_n", b.alias("_b"))
+    w_pref = (Window.orderBy("_b")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    pref = (binned.groupBy("_b").agg(F.sum("_n").alias("_bn"))
+            .select("_b", F.coalesce(F.sum("_bn").over(w_pref),
+                                     F.lit(0)).alias("_off")))
+    w_loc = (Window.partitionBy("_b").orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    terms = (binned.join(F.broadcast(pref), "_b")
+             .select("_p", "_n",
+                     (F.col("_off") + F.coalesce(
+                         F.sum("_n").over(w_loc), F.lit(0)))
+                     .alias("_neg_lt")))
+    agg = terms.agg(
+        F.coalesce(F.sum("_p"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_neg"),
+        F.coalesce(F.sum(F.col("_p") * (F.lit(2) * F.col("_neg_lt")
+                                        + F.col("_n"))),
+                   F.lit(0)).alias("u2"))
+    auc = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                 F.col("u2") / (F.lit(2.0) * F.col("n_pos")
+                                * F.col("n_neg"))).otherwise(F.lit(0.0))
+    return agg.select("n_pos", "n_neg", "u2",
+                      F.bround(auc, 6).alias("auc"))

@@ -2305,3 +2305,50 @@ def linkage_rbm(spark, sf):
          .groupBy("id_l", "id_r")
          .agg(F.max("score_bp").alias("score_bp")))
     return reciprocal_best_match(p).orderBy("id_l")
+
+
+# ------------------------------------------------- ROC AUC
+
+@register("eval_auc", """
+WITH s AS (
+  SELECT (o_orderkey % 1000)::DOUBLE AS v,
+         CASE WHEN (o_orderkey * 7 + o_custkey) % 1000
+                   < (o_orderkey % 1000)
+              THEN 1 ELSE 0 END AS y
+  FROM orders),
+per AS (SELECT v, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
+        FROM s GROUP BY v),
+w AS (SELECT *, coalesce(sum(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0)::BIGINT AS lt
+      FROM per),
+a AS (SELECT coalesce(sum(p), 0)::BIGINT AS np,
+             coalesce(sum(c - p), 0)::BIGINT AS nn,
+             coalesce(sum(p * (2 * lt + c + 1)), 0)::BIGINT AS s2
+      FROM w)
+SELECT np AS n_pos, nn AS n_neg, (s2 - np * (np + 1))::BIGINT AS u2,
+       round_even(CASE WHEN np > 0 AND nn > 0
+                       THEN (s2 - np * (np + 1)) / (2.0 * np * nn)
+                  ELSE 0.0 END, 6) AS auc
+FROM a
+""")
+def eval_auc(spark, sf):
+    """ROC AUC (ops/metrics.auc_roc) of a planted near-calibrated
+    scorer: score = orderkey % 1000 (15 rows per distinct score at
+    sf0.01 — the tie correction is load-bearing), label drawn from an
+    LCG residue with P(pos) rising linearly in the score. The Spark
+    side computes the tie-exact pairwise-count 2U via the two-level
+    scan (distinct-score group-by, bucket prefix + within-bucket
+    running negatives — no global window); the oracle is the
+    INDEPENDENT rank-sum identity sum_pos(2*midrank) - np*(np+1) over
+    a naive global cumulative — green proves both classical AUC
+    formulations agree to the last integer."""
+    from lamapi_spark.ops.metrics import auc_roc
+
+    o = load(spark, sf, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    s = o.select(
+        (ok % 1000).cast("double").alias("score"),
+        F.when((ok * 7 + ck) % 1000 < ok % 1000, 1)
+        .otherwise(0).alias("label"))
+    return auc_roc(s, "score", "label", n_buckets=64)
