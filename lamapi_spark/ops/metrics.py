@@ -599,3 +599,97 @@ def auc_roc(scored: DataFrame, score_col: str = "score",
                                 * F.col("n_neg"))).otherwise(F.lit(0.0))
     return agg.select("n_pos", "n_neg", "u2",
                       F.bround(auc, 6).alias("auc"))
+
+
+def bleu_corpus(pairs: DataFrame, id_col: str = "pair_id",
+                cand_col: str = "cand", ref_col: str = "ref",
+                max_n: int = 4) -> DataFrame:
+    """Corpus-level BLEU-``max_n`` over (candidate, reference) text
+    pairs — the MT/generation eval beside rouge_n_scores (Papineni et
+    al. 2002, the corpus form: clipped n-gram matches and gram totals
+    are summed over the WHOLE corpus before the precision ratios, and
+    one brevity penalty applies to the corpus length ratio; no
+    per-sentence smoothing). Reference analogue: none; builder's-brief
+    eval surface.
+
+    Float discipline (the LM-family parity rule): every count is an
+    exact integer; bleu = BP * exp((ln p_1 + ... + ln p_n) / n) is one
+    fixed-association-order expression over single-division ratios,
+    rounded half-even to 6 dp. Any zero match/total level (or an empty
+    candidate corpus) reads bleu 0.0 — the standard unsmoothed
+    convention. BP = 1 when cand_len > ref_len else
+    exp(1 - ref_len/cand_len).
+
+    Scale shape: grams for ALL n levels are built IN-ROW into one
+    flattened "n|gram" array per side (one tokenize, no per-level
+    rescan of the raw text), then one explode per side into a
+    (pair, gram) count agg and one join on (pair, gram) — hot grams
+    stay inside their pair; the per-level rollup is <= max_n rows.
+    Gram totals come straight off token counts (greatest(len-n+1, 0))
+    in the same single base agg. -> ONE row
+    (cand_len, ref_len, total_1.., match_1.., bleu).
+    """
+    def toks(col: str):
+        t = F.trim(F.lower(F.col(col)))
+        return (F.when(F.length(t) > 0, F.split(t, r"\s+"))
+                .otherwise(F.array().cast("array<string>")))
+
+    base = pairs.select(F.col(id_col).alias("id"),
+                        toks(cand_col).alias("_ct"),
+                        toks(ref_col).alias("_rt"))
+
+    def grams(tcol):
+        # closure factory, NOT a default-arg lambda: F.transform treats
+        # a two-parameter lambda as (element, index) and would rebind n
+        # to the index column
+        def mk(n):
+            return lambda i: F.concat_ws(
+                "|", F.lit(str(n)), F.concat_ws(" ", F.slice(tcol, i, n)))
+
+        parts = []
+        for n in range(1, max_n + 1):
+            k = F.size(tcol) - (n - 1)
+            parts.append(F.when(k >= 1, F.transform(
+                F.sequence(F.lit(1), k), mk(n),
+            )).otherwise(F.array().cast("array<string>")))
+        return F.flatten(F.array(*parts))
+
+    g = base.select("id", grams(F.col("_ct")).alias("_cg"),
+                    grams(F.col("_rt")).alias("_rg"))
+
+    def counts(col: str, out: str):
+        return (g.select("id", F.explode(col).alias("g"))
+                .groupBy("id", "g").agg(F.count("*").alias(out)))
+
+    per_n = (counts("_cg", "_cc").join(counts("_rg", "_rc"), ["id", "g"])
+             .groupBy(F.substring("g", 1, 1).cast("int").alias("n"))
+             .agg(F.sum(F.least("_cc", "_rc")).alias("m")))
+    mw = per_n.agg(*[
+        F.coalesce(F.sum(F.when(F.col("n") == n, F.col("m"))),
+                   F.lit(0)).alias(f"match_{n}")
+        for n in range(1, max_n + 1)])
+
+    aggs = [F.coalesce(F.sum(F.size("_ct")), F.lit(0)).cast("long")
+            .alias("cand_len"),
+            F.coalesce(F.sum(F.size("_rt")), F.lit(0)).cast("long")
+            .alias("ref_len")]
+    for n in range(1, max_n + 1):
+        aggs.append(
+            F.coalesce(F.sum(F.greatest(F.size("_ct") - (n - 1),
+                                        F.lit(0))), F.lit(0))
+            .cast("long").alias(f"total_{n}"))
+    row = base.agg(*aggs).join(F.broadcast(mw))
+
+    ok = F.col("cand_len") > 0
+    logsum = None
+    for n in range(1, max_n + 1):
+        ok = ok & (F.col(f"total_{n}") > 0) & (F.col(f"match_{n}") > 0)
+        term = F.log(F.col(f"match_{n}") / F.col(f"total_{n}"))
+        logsum = term if logsum is None else logsum + term
+    bp = F.when(F.col("cand_len") > F.col("ref_len"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - F.col("ref_len") / F.col("cand_len")))
+    bleu = F.when(ok, bp * F.exp(logsum / max_n)).otherwise(F.lit(0.0))
+    cols = (["cand_len", "ref_len"]
+            + [f"total_{n}" for n in range(1, max_n + 1)]
+            + [f"match_{n}" for n in range(1, max_n + 1)])
+    return row.select(*cols, F.bround(bleu, 6).alias("bleu"))

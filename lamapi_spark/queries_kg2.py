@@ -2352,3 +2352,80 @@ def eval_auc(spark, sf):
         F.when((ok * 7 + ck) % 1000 < ok % 1000, 1)
         .otherwise(0).alias("label"))
     return auc_roc(s, "score", "label", n_buckets=64)
+
+
+# ------------------------------------------------- corpus BLEU
+
+def _bleu_gram_sql(t: str, n: int) -> str:
+    joined = " || ' ' || ".join(f"{t}[i + {j}]" for j in range(n))
+    return (f"list_transform(range(1, greatest(len({t}) - {n - 1}, 0)"
+            f" + 1), i -> '{n}|' || {joined})")
+
+
+_BLEU_OK = " AND ".join(
+    f"total_{n} > 0 AND match_{n} > 0" for n in range(1, 5))
+_BLEU_LOG = " + ".join(
+    f"ln(match_{n} / CAST(total_{n} AS DOUBLE))" for n in range(1, 5))
+
+
+@register("eval_bleu", f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         string_split_regex(trim(lower(text)), '\\s+') AS ft
+  FROM documents),
+t2 AS (SELECT id, ft[1:(3 * len(ft)) // 5] AS ct, ft AS rt FROM t),
+g AS (SELECT id,
+        flatten([{_bleu_gram_sql('ct', 1)}, {_bleu_gram_sql('ct', 2)},
+                 {_bleu_gram_sql('ct', 3)}, {_bleu_gram_sql('ct', 4)}])
+          AS cg,
+        flatten([{_bleu_gram_sql('rt', 1)}, {_bleu_gram_sql('rt', 2)},
+                 {_bleu_gram_sql('rt', 3)}, {_bleu_gram_sql('rt', 4)}])
+          AS rg
+      FROM t2),
+cc AS (SELECT id, g AS gram, count(*)::BIGINT AS cnt
+       FROM (SELECT id, unnest(cg) AS g FROM g) GROUP BY id, g),
+rc AS (SELECT id, g AS gram, count(*)::BIGINT AS cnt
+       FROM (SELECT id, unnest(rg) AS g FROM g) GROUP BY id, g),
+m AS (SELECT left(cc.gram, 1)::INT AS n,
+             sum(least(cc.cnt, rc.cnt))::BIGINT AS m
+      FROM cc JOIN rc ON cc.id = rc.id AND cc.gram = rc.gram
+      GROUP BY 1),
+tot AS (SELECT sum(len(ct))::BIGINT AS cand_len,
+               sum(len(rt))::BIGINT AS ref_len,
+               {', '.join(
+                   f'sum(greatest(len(ct) - {n - 1}, 0))::BIGINT'
+                   f' AS total_{n}' for n in range(1, 5))}
+        FROM t2),
+mw AS (SELECT {', '.join(
+           f'coalesce(sum(CASE WHEN n = {n} THEN m END), 0)::BIGINT'
+           f' AS match_{n}' for n in range(1, 5))}
+       FROM m)
+SELECT cand_len, ref_len, total_1, total_2, total_3, total_4,
+       match_1, match_2, match_3, match_4,
+       round_even(CASE WHEN cand_len > 0 AND {_BLEU_OK}
+                  THEN (CASE WHEN cand_len > ref_len THEN 1.0
+                        ELSE exp(1.0 - ref_len
+                                 / CAST(cand_len AS DOUBLE)) END)
+                       * exp(({_BLEU_LOG}) / 4)
+                  ELSE 0.0 END, 6) AS bleu
+FROM tot CROSS JOIN mw
+""")
+def eval_bleu(spark, sf):
+    """Corpus BLEU-4 (ops/metrics.bleu_corpus) over planted
+    generation pairs: candidate = the first 3/5 tokens of each
+    document, reference = the full text — candidates shorter than
+    references, so the brevity penalty arm (exp(1 - r/c) < 1) is
+    load-bearing, while prefix grams keep every match level nonzero.
+    The oracle replays tokenization, the flattened 4-level "n|gram"
+    encoding, the clipped per-pair join, both corpus rollups, and the
+    fixed-order BP * exp(mean ln p_n) expression."""
+    from lamapi_spark.ops.metrics import bleu_corpus
+
+    docs = load(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    clen = F.floor(F.size(toks) * 3 / 5).cast("int")
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), clen)).alias("cand"),
+        F.col("text").alias("ref"))
+    return bleu_corpus(pairs, "pair_id", "cand", "ref", max_n=4)

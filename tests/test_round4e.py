@@ -47,3 +47,51 @@ def test_auc_matches_brute_force(spark):
     got = auc_roc(df, n_buckets=4).collect()[0]
     assert (got.n_pos, got.n_neg, got.u2) == (len(pos), len(neg), u2)
     assert abs(got.auc - u2 / (2.0 * len(pos) * len(neg))) < 1e-9
+
+
+# --------------------------------------------------------- corpus BLEU
+
+def test_bleu_perfect_prefix_bp(spark):
+    from lamapi_spark.ops.metrics import bleu_corpus
+    import math
+    # cand is a 4-token prefix of the 6-token ref: every level's
+    # precision is 1, so BLEU = BP = exp(1 - 6/4).
+    df = spark.createDataFrame(
+        [("p", "a b c d", "a b c d e f")], ["pair_id", "cand", "ref"])
+    row = bleu_corpus(df).collect()[0]
+    assert (row.cand_len, row.ref_len) == (4, 6)
+    assert (row.total_1, row.total_2, row.total_3, row.total_4) == (4, 3, 2, 1)
+    assert (row.match_1, row.match_2, row.match_3, row.match_4) == (4, 3, 2, 1)
+    assert abs(row.bleu - math.exp(1 - 6 / 4)) < 5e-7
+
+
+def test_bleu_clipping_and_zero_level(spark):
+    from lamapi_spark.ops.metrics import bleu_corpus
+    # "the the the" vs "the cat": unigram overlap clips to ref's single
+    # "the"; no bigram matches -> unsmoothed BLEU reads 0.
+    df = spark.createDataFrame(
+        [("p", "the the the", "the cat")], ["pair_id", "cand", "ref"])
+    row = bleu_corpus(df, max_n=2).collect()[0]
+    assert (row.match_1, row.match_2) == (1, 0)
+    assert row.bleu == 0.0
+
+
+def test_bleu_corpus_sums_before_ratios(spark):
+    from lamapi_spark.ops.metrics import bleu_corpus
+    import math
+    # two pairs: (perfect 2-token) + (half-matching 2-token). Corpus
+    # BLEU-1 = (2 + 1) / (2 + 2) with BP = 1 (cand_len == ref_len ->
+    # the else arm exp(0) = 1) — NOT the mean of sentence scores.
+    df = spark.createDataFrame(
+        [("a", "x y", "x y"), ("b", "x q", "x z")],
+        ["pair_id", "cand", "ref"])
+    row = bleu_corpus(df, max_n=1).collect()[0]
+    assert (row.total_1, row.match_1) == (4, 3)
+    assert abs(row.bleu - math.exp(math.log(3 / 4))) < 5e-7
+
+
+def test_bleu_empty_cand_degenerate(spark):
+    from lamapi_spark.ops.metrics import bleu_corpus
+    df = spark.createDataFrame([("a", "", "x y")], ["pair_id", "cand", "ref"])
+    row = bleu_corpus(df).collect()[0]
+    assert (row.cand_len, row.bleu) == (0, 0.0)
