@@ -2429,3 +2429,55 @@ def eval_bleu(spark, sf):
         F.concat_ws(" ", F.slice(toks, F.lit(1), clen)).alias("cand"),
         F.col("text").alias("ref"))
     return bleu_corpus(pairs, "pair_id", "cand", "ref", max_n=4)
+
+
+# ------------------------------------------------- Fleiss' kappa
+
+@register("eval_fleiss_kappa", """
+WITH r AS (
+  SELECT o_orderkey AS i,
+         'c' || (CASE WHEN (o_orderkey * (j + 3) + o_custkey) % 10 < 7
+                      THEN o_orderkey % 3
+                      ELSE (o_orderkey + 1) % 3 END) AS l
+  FROM orders CROSS JOIN unnest(range(0, 5)) t(j)
+  WHERE (o_orderkey + j * 7) % 17 <> 0),
+kept AS (SELECT i FROM r GROUP BY i HAVING count(*) = 5),
+k AS (SELECT r.i, r.l FROM r JOIN kept USING (i)),
+nij AS (SELECT i, l, count(*)::BIGINT AS n FROM k GROUP BY i, l),
+s AS (SELECT coalesce(sum(n * n), 0)::BIGINT AS s2,
+             count(DISTINCT i)::BIGINT AS n_items FROM nij),
+tt AS (SELECT coalesce(sum(t * t), 0)::BIGINT AS t2
+       FROM (SELECT sum(n)::BIGINT AS t FROM nij GROUP BY l)),
+f AS (SELECT n_items, s2, t2, (n_items * 5)::HUGEINT AS nn
+      FROM s CROSS JOIN tt)
+SELECT n_items, 5 AS n_raters, s2, t2,
+       round_even(CASE WHEN nn * 4 * (nn * nn - t2::HUGEINT) <> 0
+                  THEN CAST(nn * nn * (s2::HUGEINT - nn)
+                            - nn * 4 * t2::HUGEINT AS DOUBLE)
+                       / CAST(nn * 4 * (nn * nn - t2::HUGEINT)
+                              AS DOUBLE)
+                  ELSE 0.0 END, 6) AS kappa
+FROM f
+""")
+def eval_fleiss_kappa(spark, sf):
+    """Multi-rater agreement (ops/metrics.fleiss_kappa) over a
+    planted 5-rater panel: each rater agrees with the gold class 70%
+    of the time (disagreements rotate), and every 17th (item, rater)
+    slot is unrated so ~27% of items fall short of 5 ratings and are
+    dropped by the constant-n filter — the filter is load-bearing.
+    The oracle replays the panel synth, the HAVING count = 5 filter,
+    both count rollups, and the exact-integer kappa identity in
+    HUGEINT (the twin of the Spark side's DECIMAL(38,0))."""
+    from lamapi_spark.ops.metrics import fleiss_kappa
+
+    o = load(spark, sf, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    r = (o.select(ok.alias("i"), ck.alias("_ck"),
+                  F.explode(F.array(*[F.lit(j) for j in range(5)]))
+                  .alias("j"))
+         .filter((F.col("i") + F.col("j") * 7) % 17 != 0))
+    lbl = F.concat(F.lit("c"), F.when(
+        (F.col("i") * (F.col("j") + 3) + F.col("_ck")) % 10 < 7,
+        F.col("i") % 3).otherwise((F.col("i") + 1) % 3))
+    ratings = r.select("i", lbl.alias("label"))
+    return fleiss_kappa(ratings, "i", "label", n_raters=5)

@@ -95,3 +95,38 @@ def test_bleu_empty_cand_degenerate(spark):
     df = spark.createDataFrame([("a", "", "x y")], ["pair_id", "cand", "ref"])
     row = bleu_corpus(df).collect()[0]
     assert (row.cand_len, row.bleu) == (0, 0.0)
+
+
+# --------------------------------------------------------- Fleiss' kappa
+
+def test_fleiss_hand_case(spark):
+    from lamapi_spark.ops.metrics import fleiss_kappa
+    # 3 items x 2 raters: AA, BB, AB. P_o = 2/3, P_e = 1/2 ->
+    # kappa = 1/3 (S2 = 10, T_A = T_B = 3 -> t2 = 18).
+    rows = [(1, "A"), (1, "A"), (2, "B"), (2, "B"), (3, "A"), (3, "B")]
+    df = spark.createDataFrame(rows, ["item_id", "label"])
+    r = fleiss_kappa(df, n_raters=2).collect()[0]
+    assert (r.n_items, r.s2, r.t2) == (3, 10, 18)
+    assert r.kappa == 0.333333
+
+
+def test_fleiss_perfect_and_degenerate(spark):
+    from lamapi_spark.ops.metrics import fleiss_kappa
+    perfect = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (2, "B"), (2, "B")], ["item_id", "label"])
+    assert fleiss_kappa(perfect, n_raters=2).collect()[0].kappa == 1.0
+    # every rating identical -> P_e = 1 -> 0.0 by convention
+    const = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (2, "A"), (2, "A")], ["item_id", "label"])
+    assert fleiss_kappa(const, n_raters=2).collect()[0].kappa == 0.0
+
+
+def test_fleiss_drops_wrong_count_items(spark):
+    from lamapi_spark.ops.metrics import fleiss_kappa
+    # item 9 has three ratings -> dropped by the constant-n filter;
+    # survivors reproduce the hand case exactly.
+    rows = [(1, "A"), (1, "A"), (2, "B"), (2, "B"), (3, "A"), (3, "B"),
+            (9, "A"), (9, "A"), (9, "B")]
+    df = spark.createDataFrame(rows, ["item_id", "label"])
+    r = fleiss_kappa(df, n_raters=2).collect()[0]
+    assert (r.n_items, r.kappa) == (3, 0.333333)
