@@ -750,3 +750,69 @@ def fleiss_kappa(ratings: DataFrame, item_col: str = "item_id",
              .otherwise(F.lit(0.0))
     return row.select("n_items", F.lit(n_raters).alias("n_raters"),
                       "s2", "t2", F.bround(kappa, 6).alias("kappa"))
+
+
+def wer_scores(pairs: DataFrame, id_col: str = "pair_id",
+               hyp_col: str = "hyp", ref_col: str = "ref",
+               max_tokens: int = 256) -> DataFrame:
+    """Word error rate per (hypothesis, reference) pair — token-level
+    Levenshtein distance / reference length, the ASR/transcription
+    eval beside rouge/bleu (reference analogue: none; builder's-brief
+    eval surface; the token-level twin of functions/strings.py's
+    char-level editdistance).
+
+    The DP runs IN-ROW as a nested fold — outer F.aggregate over
+    hypothesis tokens carrying (i, previous DP row), inner F.aggregate
+    over reference positions building the next row element by element
+    (min of delete/insert/substitute) — no UDF, no explode. This is
+    the documented interpreted-expression trade (BENCH.md plan lesson
+    7): the inner concat rebuilds an array per cell, so cost is
+    O(len_h * len_r) interpreted cells per pair. Both sides truncate
+    to ``max_tokens`` first (the guard that keeps one pathological
+    transcript from owning a task); distances are EXACT for pairs
+    within the cap, and the emitted token counts are post-cap.
+
+    Conventions: tokens = whitespace split of the trimmed lowercase
+    text (empty text = zero tokens); wer = dist / ref_n half-even 6 dp;
+    an empty reference reads 1.0 against a non-empty hypothesis and
+    0.0 against an empty one. -> (id, hyp_n, ref_n, dist, wer), dist
+    the exact token edit distance — embarrassingly parallel, one
+    projection, no shuffle at all.
+    """
+    def toks(col: str):
+        t = F.trim(F.lower(F.col(col)))
+        arr = (F.when(F.length(t) > 0, F.split(t, r"\s+"))
+               .otherwise(F.array().cast("array<string>")))
+        return F.slice(arr, 1, max_tokens)
+
+    base = pairs.select(F.col(id_col).alias("id"),
+                        toks(hyp_col).alias("_h"), toks(ref_col).alias("_r"))
+    hyp, ref = F.col("_h"), F.col("_r")
+    rn = F.size(ref)
+    init = F.struct(F.lit(0).alias("i"),
+                    F.sequence(F.lit(0), rn).alias("row"))
+
+    def outer(acc, h):
+        i = acc["i"] + 1
+        prev = acc["row"]
+        newrow = F.when(rn >= 1, F.aggregate(
+            F.sequence(F.lit(1), rn), F.array(i),
+            lambda row, j: F.concat(row, F.array(F.least(
+                F.element_at(prev, j + 1) + 1,
+                F.element_at(row, -1) + 1,
+                F.element_at(prev, j)
+                + F.when(F.element_at(ref, j) == h,
+                         F.lit(0)).otherwise(F.lit(1)),
+            ))))).otherwise(F.array(i))
+        return F.struct(i.alias("i"), newrow.alias("row"))
+
+    dist = F.aggregate(hyp, init, outer,
+                       lambda acc: F.element_at(acc["row"], -1))
+    scored = base.select(
+        "id", F.size(hyp).cast("long").alias("hyp_n"),
+        rn.cast("long").alias("ref_n"), dist.cast("long").alias("dist"))
+    wer = F.when(F.col("ref_n") > 0,
+                 F.bround(F.col("dist") / F.col("ref_n"), 6)) \
+           .otherwise(F.when(F.col("hyp_n") > 0, F.lit(1.0))
+                      .otherwise(F.lit(0.0)))
+    return scored.select("id", "hyp_n", "ref_n", "dist", wer.alias("wer"))

@@ -2481,3 +2481,51 @@ def eval_fleiss_kappa(spark, sf):
         F.col("i") % 3).otherwise((F.col("i") + 1) % 3))
     ratings = r.select("i", lbl.alias("label"))
     return fleiss_kappa(ratings, "i", "label", n_raters=5)
+
+
+# ------------------------------------------------- token-level WER
+
+@register("eval_wer", """
+WITH s AS (
+  SELECT o_orderkey AS id,
+         array_to_string(list_transform(
+             range(1, (o_orderkey % 7 + 2) + 1),
+             p -> chr((48 + (o_orderkey * (p + 2) + o_custkey) % 8)
+                      ::INT)),
+           '') AS hs,
+         array_to_string(list_transform(
+             range(1, (o_orderkey % 5 + 3) + 1),
+             p -> chr((48 + (o_orderkey * p + o_custkey) % 8)::INT)),
+           '') AS rs
+  FROM orders)
+SELECT id, len(hs)::BIGINT AS hyp_n, len(rs)::BIGINT AS ref_n,
+       levenshtein(hs, rs)::BIGINT AS dist,
+       round_even(levenshtein(hs, rs) / CAST(len(rs) AS DOUBLE), 6)
+         AS wer
+FROM s ORDER BY id
+""")
+def eval_wer(spark, sf):
+    """Token-level word error rate (ops/metrics.wer_scores) over
+    planted transcript pairs drawn from an 8-token vocabulary
+    (w0..w7, 2-8 hypothesis tokens vs 3-7 reference tokens per
+    order). The oracle maps each token to ONE character through the
+    bijection wK <-> chr(48+K) — edit distance depends only on the
+    equality pattern, so DuckDB's built-in char-level levenshtein()
+    is an INDEPENDENT dynamic program computing the identical
+    token-level distance; green proves the nested in-row fold matches
+    a native DP cell for cell across 15k pairs."""
+    from lamapi_spark.ops.metrics import wer_scores
+
+    o = load(spark, sf, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+
+    def words(n_expr, mult_off):
+        return F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), n_expr),
+            lambda p: F.concat(F.lit("w"),
+                               (ok * (p + mult_off) + ck) % 8)))
+
+    pairs = o.select(ok.alias("pair_id"),
+                     words(ok % 7 + 2, 2).alias("hyp"),
+                     words(ok % 5 + 3, 0).alias("ref"))
+    return wer_scores(pairs).orderBy("id")

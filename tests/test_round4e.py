@@ -130,3 +130,61 @@ def test_fleiss_drops_wrong_count_items(spark):
     df = spark.createDataFrame(rows, ["item_id", "label"])
     r = fleiss_kappa(df, n_raters=2).collect()[0]
     assert (r.n_items, r.kappa) == (3, 0.333333)
+
+
+# --------------------------------------------------------- token WER
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i]
+        for j, y in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (x != y)))
+        prev = cur
+    return prev[-1]
+
+
+def test_wer_hand_cases(spark):
+    from lamapi_spark.ops.metrics import wer_scores
+    df = spark.createDataFrame([
+        ("a", "the cat sat", "the cat sat"),
+        ("b", "the cat", "the cat sat"),
+        ("c", "a cat sat on mat", "the cat sat"),
+        ("d", "", "x y"),
+        ("e", "x y", ""),
+        ("f", "", ""),
+    ], ["pair_id", "hyp", "ref"])
+    got = {r.id: r for r in wer_scores(df).collect()}
+    assert (got["a"].dist, got["a"].wer) == (0, 0.0)
+    assert (got["b"].dist, got["b"].wer) == (1, 0.333333)
+    assert (got["c"].dist, got["c"].wer) == (3, 1.0)
+    assert (got["d"].dist, got["d"].wer) == (2, 1.0)
+    assert (got["e"].ref_n, got["e"].wer) == (0, 1.0)
+    assert (got["f"].dist, got["f"].wer) == (0, 0.0)
+
+
+def test_wer_matches_python_dp(spark):
+    from lamapi_spark.ops.metrics import wer_scores
+    import random
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = []
+    for i in range(40):
+        h = [rng.choice(vocab) for _ in range(rng.randrange(0, 9))]
+        r = [rng.choice(vocab) for _ in range(rng.randrange(0, 9))]
+        rows.append((str(i), " ".join(h), " ".join(r), _lev(h, r)))
+    df = spark.createDataFrame(
+        [(a, b, c) for a, b, c, _ in rows], ["pair_id", "hyp", "ref"])
+    got = {r.id: r.dist for r in wer_scores(df).collect()}
+    for rid, _h, _r, want in rows:
+        assert got[rid] == want, rid
+
+
+def test_wer_max_tokens_cap(spark):
+    from lamapi_spark.ops.metrics import wer_scores
+    df = spark.createDataFrame(
+        [("a", "x " * 50, "x " * 50 + "y z")], ["pair_id", "hyp", "ref"])
+    r = wer_scores(df, max_tokens=10).collect()[0]
+    # both sides truncate to 10 identical tokens -> exact dist 0
+    assert (r.hyp_n, r.ref_n, r.dist, r.wer) == (10, 10, 0, 0.0)
