@@ -816,3 +816,84 @@ def wer_scores(pairs: DataFrame, id_col: str = "pair_id",
            .otherwise(F.when(F.col("hyp_n") > 0, F.lit(1.0))
                       .otherwise(F.lit(0.0)))
     return scored.select("id", "hyp_n", "ref_n", "dist", wer.alias("wer"))
+
+
+def isotonic_calibration(scored: DataFrame, score_col: str = "score",
+                         label_col: str = "label",
+                         n_bins: int = 10) -> DataFrame:
+    """Isotonic (PAV) calibration map over binned scores — the FIX to
+    what calibration_bins only measures: the monotone step function
+    mapping raw confidence to empirical accuracy that a production
+    linker applies before thresholding (Zadrozny & Elkan 2002).
+    Reference analogue: none; builder's-brief eval surface.
+
+    Exactness: the pool-adjacent-violators solution is computed
+    through the minimax identity — fitted rate of bin i is
+    max_{j<=i} min_{k>=i} pooled_rate(j..k) — with every pooled rate
+    kept as an exact (pos, n) INTEGER rational and every comparison a
+    BIGINT cross-multiplication; floats appear only in the final
+    per-bin division (half-even 6 dp). Result is the exact PAV fit,
+    independent of partitioning and engine.
+
+    Scale shape: one hash aggregation keyed by the bin id (<= n_bins
+    cells leave each partition — the calibration_bins shuffle shape),
+    then the whole minimax runs IN-ROW over the collected <= n_bins
+    cell array (O(n_bins^3) interpreted cells on ONE task — bounded
+    by construction, keep n_bins modest) and explodes back to one row
+    per non-empty bin. A 10^12-row score log still shuffles only
+    O(partitions * n_bins) cells. -> (bin, n, pos, rate_raw,
+    rate_iso) with rate_iso non-decreasing in bin.
+    """
+    b = F.least(F.floor(F.col(score_col) * n_bins),
+                F.lit(n_bins - 1)).cast("int")
+    cells = (scored.select(b.alias("bin"),
+                           F.col(label_col).cast("long").alias("_y"))
+             .groupBy("bin")
+             .agg(F.count("*").alias("n"), F.sum("_y").alias("pos")))
+    packed = cells.agg(F.sort_array(F.collect_list(
+        F.struct("bin", "pos", "n"))).alias("_c"))
+    c = F.col("_c")
+    m = F.size(c)
+    # prefix sums over the bounded cell array: P[k] = pos(1..k),
+    # N[k] = n(1..k); index 0 = empty prefix
+    pre = lambda fld: F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(F.sequence(F.lit(1), m),
+                    lambda k: F.aggregate(
+                        F.slice(c, F.lit(1), k), F.lit(0).cast("long"),
+                        lambda a, x: a + x[fld])))
+    with_pre = packed.select(
+        "_c", pre("pos").alias("_P"), pre("n").alias("_N"))
+    P, N = F.col("_P"), F.col("_N")
+    # rate(j..k) as an exact rational struct(num, den)
+    rate = lambda j, k: F.struct(
+        (F.element_at(P, k + 1) - F.element_at(P, j)).alias("num"),
+        (F.element_at(N, k + 1) - F.element_at(N, j)).alias("den"))
+    less = lambda a, x: x["num"] * a["den"] < a["num"] * x["den"]
+    greater = lambda a, x: x["num"] * a["den"] > a["num"] * x["den"]
+
+    def iso_at(i):
+        # min over k in i..m of rate(j..k), then max over j in 1..i
+        inner = lambda j: F.aggregate(
+            F.sequence(i, F.size(c)), rate(j, i),
+            lambda a, k: F.when(less(a, rate(j, k)), rate(j, k))
+                          .otherwise(a))
+        return F.aggregate(
+            F.sequence(F.lit(1), i), inner(i),
+            lambda a, j: F.when(greater(a, inner(j)), inner(j))
+                          .otherwise(a))
+
+    rows = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.struct(
+            F.element_at(c, i)["bin"].alias("bin"),
+            F.element_at(c, i)["n"].alias("n"),
+            F.element_at(c, i)["pos"].alias("pos"),
+            iso_at(i).alias("_iso")))
+    out = with_pre.select(F.explode(rows).alias("r")).select(
+        F.col("r.bin").alias("bin"), F.col("r.n").alias("n"),
+        F.col("r.pos").alias("pos"),
+        F.bround(F.col("r.pos") / F.col("r.n"), 6).alias("rate_raw"),
+        F.bround(F.col("r._iso.num") / F.col("r._iso.den"), 6)
+        .alias("rate_iso"))
+    return out

@@ -2529,3 +2529,71 @@ def eval_wer(spark, sf):
                      words(ok % 7 + 2, 2).alias("hyp"),
                      words(ok % 5 + 3, 0).alias("ref"))
     return wer_scores(pairs).orderBy("id")
+
+
+# ------------------------------------------------- isotonic calibration
+
+@register("link_isotonic", """
+WITH s AS (
+  SELECT (o_orderkey % 1000) / 1000.0 AS score,
+         CASE WHEN (o_orderkey * 7 + o_custkey) % 1000 <
+                   (o_orderkey % 1000)
+                   - (CASE WHEN o_orderkey % 1000 >= 500
+                            AND o_orderkey % 1000 < 600
+                           THEN 350 ELSE 0 END)
+              THEN 1 ELSE 0 END AS y
+  FROM orders),
+cells AS (
+  SELECT least(floor(score * 10), 9)::INT AS bin,
+         count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+  FROM s GROUP BY 1),
+packed AS (
+  SELECT list(struct_pack(bin := bin, pos := pos, n := n)
+              ORDER BY bin) AS c
+  FROM cells),
+pre AS (
+  SELECT c, len(c) AS m,
+         [0::BIGINT] || list_transform(range(1, len(c) + 1),
+             k -> list_sum(list_transform(c[1:k], e -> e.pos))) AS p,
+         [0::BIGINT] || list_transform(range(1, len(c) + 1),
+             k -> list_sum(list_transform(c[1:k], e -> e.n))) AS nn
+  FROM packed),
+iso AS (
+  SELECT unnest(list_transform(range(1, m + 1), i -> struct_pack(
+    bin := c[i].bin, n := c[i].n, pos := c[i].pos,
+    fit := list_reduce(
+      list_transform(range(1, i + 1), j -> list_reduce(
+        list_transform(range(i, m + 1), k -> struct_pack(
+            num := p[k + 1] - p[j], den := nn[k + 1] - nn[j])),
+        (a, x) -> CASE WHEN x.num * a.den < a.num * x.den
+                       THEN x ELSE a END)),
+      (a2, x2) -> CASE WHEN x2.num * a2.den > a2.num * x2.den
+                       THEN x2 ELSE a2 END)))) AS r
+  FROM pre)
+SELECT r.bin AS bin, r.n AS n, r.pos AS pos,
+       round_even(r.pos / CAST(r.n AS DOUBLE), 6) AS rate_raw,
+       round_even(r.fit.num / CAST(r.fit.den AS DOUBLE), 6) AS rate_iso
+FROM iso ORDER BY bin
+""")
+def link_isotonic(spark, sf):
+    """Isotonic (PAV) calibration map (ops/metrics.isotonic_calibration)
+    over the planted near-calibrated scorer WITH a planted dip: bin 5's
+    positive rate is suppressed by 350/1000, violating monotonicity so
+    the pool-adjacent-violators merge is load-bearing. Both engines bin
+    through the IDENTICAL double expression floor(score*10) (the
+    0.3*10 = 2.9999... IEEE edge makes an integer-division shortcut
+    diverge — pinned here by construction). The oracle replays the
+    exact-rational minimax (max over j <= i of min over k >= i of the
+    pooled (pos, n) rate, BIGINT cross-multiplication comparisons) in
+    DuckDB list lambdas — green proves the in-row fold computes the
+    exact PAV fit."""
+    from lamapi_spark.ops.metrics import isotonic_calibration
+
+    o = load(spark, sf, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    r = ok % 1000
+    dip = F.when((r >= 500) & (r < 600), 350).otherwise(0)
+    s = o.select((r / 1000.0).alias("score"),
+                 F.when((ok * 7 + ck) % 1000 < r - dip, 1)
+                 .otherwise(0).alias("label"))
+    return isotonic_calibration(s, n_bins=10).orderBy("bin")

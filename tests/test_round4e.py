@@ -188,3 +188,69 @@ def test_wer_max_tokens_cap(spark):
     r = wer_scores(df, max_tokens=10).collect()[0]
     # both sides truncate to 10 identical tokens -> exact dist 0
     assert (r.hyp_n, r.ref_n, r.dist, r.wer) == (10, 10, 0, 0.0)
+
+
+# --------------------------------------------------------- isotonic PAV
+
+def _pav(cells):
+    """Reference pool-adjacent-violators over [(pos, n)] -> fitted
+    per-cell rates as exact Fractions."""
+    from fractions import Fraction
+    stack = []
+    for pos, n in cells:
+        stack.append([pos, n])
+        while len(stack) >= 2 and (
+                Fraction(stack[-1][0], stack[-1][1])
+                < Fraction(stack[-2][0], stack[-2][1])):
+            p2, n2 = stack.pop()
+            stack[-1][0] += p2
+            stack[-1][1] += n2
+    res, pool_iter, remaining, cur = [], iter(stack), 0, None
+    for _pos, n in cells:
+        if remaining == 0:
+            cur = next(pool_iter)
+            remaining = cur[1]
+        res.append(Fraction(cur[0], cur[1]))
+        remaining -= n
+    return res
+
+
+def test_isotonic_hand_violation(spark):
+    from lamapi_spark.ops.metrics import isotonic_calibration
+    rows = [((b + 0.5) / 3.0, 1 if i < pos else 0)
+            for b, pos in [(0, 2), (1, 6), (2, 4)] for i in range(10)]
+    df = spark.createDataFrame(rows, ["score", "label"])
+    got = {r.bin: r.rate_iso
+           for r in isotonic_calibration(df, n_bins=3).collect()}
+    assert got == {0: 0.2, 1: 0.5, 2: 0.5}
+
+
+def test_isotonic_monotone_identity(spark):
+    from lamapi_spark.ops.metrics import isotonic_calibration
+    rows = [((b + 0.5) / 3.0, 1 if i < pos else 0)
+            for b, pos in [(0, 1), (1, 5), (2, 9)] for i in range(10)]
+    df = spark.createDataFrame(rows, ["score", "label"])
+    for r in isotonic_calibration(df, n_bins=3).collect():
+        assert r.rate_iso == r.rate_raw
+
+
+def test_isotonic_matches_reference_pav(spark):
+    from lamapi_spark.ops.metrics import isotonic_calibration
+    import random
+    rng = random.Random(3)
+    n_bins = 8
+    cells = [(rng.randrange(0, 12), 12) for _ in range(n_bins)]
+    rows = []
+    for b, (pos, n) in enumerate(cells):
+        for i in range(n):
+            rows.append(((b + 0.5) / n_bins, 1 if i < pos else 0))
+    df = spark.createDataFrame(rows, ["score", "label"])
+    want = _pav(cells)
+    got = sorted(isotonic_calibration(df, n_bins=n_bins).collect(),
+                 key=lambda r: r.bin)
+    assert len(got) == n_bins
+    prev = -1.0
+    for r, w in zip(got, want):
+        assert abs(r.rate_iso - float(w)) < 5e-7, (r.bin, r.rate_iso, w)
+        assert r.rate_iso >= prev  # monotone by construction
+        prev = r.rate_iso
