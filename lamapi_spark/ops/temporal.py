@@ -335,3 +335,90 @@ def funnel_analysis(events: DataFrame, steps: list[str],
             .alias("conv_bp"))
         rows = one if rows is None else rows.unionByName(one)
     return rows
+
+
+def cusum_changepoints(events: DataFrame, key_col: str = "event_type",
+                       ts_col: str = "ts", bin_s: int = 86400,
+                       baseline_bins: int = 7, k_bp: int = 5000,
+                       h_bp: int = 30000) -> DataFrame:
+    """Per-key CUSUM level-shift detection over fixed time bins — the
+    changepoint twin of burst_detection (a spike is one hot bin; a
+    changepoint is a SUSTAINED rate shift that per-bin factor gates
+    never flag because no single bin is extreme). Page's two-sided
+    CUSUM (Page 1954) against a baseline learned from each key's
+    first ``baseline_bins`` bins. Reference analogue: none;
+    builder's-brief temporal QC.
+
+    Exact-integer formulation: with baseline sum bs over bn =
+    min(baseline_bins, span) bins and D = 10000 * bn, the scaled
+    recurrences over monitored bins (t > baseline_bins)
+
+        su_t = max(0, su_{t-1} + cnt_t*D - bs*(10000 + k_bp))
+        sd_t = max(0, sd_{t-1} + bs*(10000 - k_bp) - cnt_t*D)
+
+    are the textbook mu0*(1 +- k) slack forms multiplied through by
+    D — every term BIGINT (exact to ~1e9 events/bin over ~1e4-bin
+    spans), alarm when s > h_bp * bs (= h_bp/10000 * mu0 * D). Bins
+    inside the baseline window emit s = 0 / no alarm (burn-in); an
+    all-quiet baseline (bs = 0) alarms on the first activity by
+    convention (burst_detection's 0-baseline rule). The contract
+    oracle computes the SAME su/sd through the independent closed
+    form S_t = C_t - min(0, running-min C) over prefix sums — green
+    proves recurrence and closed form agree integer for integer.
+
+    Scale shape: one (key, bin) count agg, the gap_fill-bounded dense
+    grid, then ONE key-keyed collect into a span-bounded sorted array
+    where the sequential recurrence runs in-row (a recurrence is one
+    exchange as a fold; as a window chain it is the same exchange
+    plus two window passes). -> (key, bin, cnt, su, sd, alarm_up,
+    alarm_dn) for every dense bin.
+    """
+    b = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                / F.lit(int(bin_s) * 1_000_000)).cast("long")
+    cnt = (events.select(F.col(key_col).alias("key"), b.alias("bin"))
+           .groupBy("key", "bin").agg(F.count("*").alias("cnt")))
+    span = cnt.groupBy("key").agg(F.min("bin").alias("_lo"),
+                                  F.max("bin").alias("_hi"))
+    grid = span.select(
+        "key", F.explode(F.sequence("_lo", "_hi")).alias("bin"))
+    dense = (grid.join(cnt, ["key", "bin"], "left")
+             .withColumn("cnt", F.coalesce("cnt", F.lit(0)).cast("long")))
+    g = dense.groupBy("key").agg(
+        F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("_a"))
+    arr = F.col("_a")
+    bn = F.least(F.lit(int(baseline_bins)), F.size(arr)).cast("long")
+    bs = F.aggregate(F.slice(arr, F.lit(1), bn), F.lit(0).cast("long"),
+                     lambda a, x: a + x["cnt"])
+    d = F.lit(10000).cast("long") * bn
+    up_off = bs * F.lit(10000 + int(k_bp))
+    dn_off = bs * F.lit(10000 - int(k_bp))
+    thr = F.lit(int(h_bp)) * bs
+    zero = F.lit(0).cast("long")
+    init = F.struct(zero.alias("su"), zero.alias("sd"),
+                    F.array().cast(
+                        "array<struct<bin:bigint,cnt:bigint,su:bigint,"
+                        "sd:bigint,alarm_up:boolean,alarm_dn:boolean>>")
+                    .alias("out"))
+
+    def fold(acc, e):
+        t = F.size(acc["out"]) + 1
+        mon = t > F.lit(int(baseline_bins))
+        su = F.when(mon, F.greatest(
+            zero, acc["su"] + e["cnt"] * d - up_off)).otherwise(zero)
+        sd = F.when(mon, F.greatest(
+            zero, acc["sd"] + dn_off - e["cnt"] * d)).otherwise(zero)
+        row = F.struct(e["bin"].alias("bin"), e["cnt"].alias("cnt"),
+                       su.alias("su"), sd.alias("sd"),
+                       (mon & (su > thr)).alias("alarm_up"),
+                       (mon & (sd > thr)).alias("alarm_dn"))
+        return F.struct(su.alias("su"), sd.alias("sd"),
+                        F.concat(acc["out"], F.array(row)).alias("out"))
+
+    folded = g.select("key", F.aggregate(
+        arr, init, fold, lambda acc: acc["out"]).alias("_o"))
+    return (folded.select("key", F.explode("_o").alias("r"))
+            .select("key", F.col("r.bin").alias("bin"),
+                    F.col("r.cnt").alias("cnt"),
+                    F.col("r.su").alias("su"), F.col("r.sd").alias("sd"),
+                    F.col("r.alarm_up").alias("alarm_up"),
+                    F.col("r.alarm_dn").alias("alarm_dn")))

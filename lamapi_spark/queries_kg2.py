@@ -2597,3 +2597,97 @@ def link_isotonic(spark, sf):
                  F.when((ok * 7 + ck) % 1000 < r - dip, 1)
                  .otherwise(0).alias("label"))
     return isotonic_calibration(s, n_bins=10).orderBy("bin")
+
+
+# ------------------------------------------------- CUSUM changepoints
+
+@register("events_cusum", """
+WITH feed AS (
+  SELECT event_type, ts FROM events
+  UNION ALL
+  SELECT 'shift', make_timestamp((1704067200
+      + ((event_id // 10) % 15) * 86400 + 3600) * 1000000)
+  FROM events WHERE event_id % 10 = 1
+  UNION ALL
+  SELECT 'shift', make_timestamp((1704067200
+      + (15 + (event_id // 10) % 15) * 86400 + 3600) * 1000000)
+  FROM events WHERE event_id % 10 < 2
+  UNION ALL
+  SELECT 'drop', make_timestamp((1704067200
+      + ((event_id // 10) % 15) * 86400 + 3600) * 1000000)
+  FROM events WHERE event_id % 10 < 2
+  UNION ALL
+  SELECT 'drop', make_timestamp((1704067200
+      + (15 + (event_id // 10) % 15) * 86400 + 3600) * 1000000)
+  FROM events WHERE event_id % 20 = 1),
+cnt AS (SELECT event_type AS key,
+               epoch_us(ts) // 86400000000 AS bin,
+               count(*)::BIGINT AS cnt
+        FROM feed GROUP BY 1, 2),
+span AS (SELECT key, min(bin) AS lo, max(bin) AS hi FROM cnt
+         GROUP BY key),
+grid AS (SELECT key, unnest(range(lo, hi + 1)) AS bin FROM span),
+dense AS (SELECT g.key, g.bin, coalesce(c.cnt, 0)::BIGINT AS cnt
+          FROM grid g LEFT JOIN cnt c
+            ON c.key = g.key AND c.bin = g.bin),
+rn AS (SELECT key, bin, cnt,
+              row_number() OVER (PARTITION BY key ORDER BY bin) AS t
+       FROM dense),
+base AS (SELECT key, sum(cnt)::BIGINT AS bs, count(*)::BIGINT AS bn
+         FROM rn WHERE t <= 7 GROUP BY key),
+a AS (SELECT rn.*, base.bs, 10000 * base.bn AS d
+      FROM rn JOIN base USING (key)),
+c AS (SELECT *,
+   sum(CASE WHEN t > 7 THEN cnt * d - bs * 13000 END)
+     OVER (PARTITION BY key ORDER BY t) AS cu,
+   sum(CASE WHEN t > 7 THEN bs * 7000 - cnt * d END)
+     OVER (PARTITION BY key ORDER BY t) AS cd
+   FROM a),
+m AS (SELECT *, min(cu) OVER (PARTITION BY key ORDER BY t) AS mcu,
+             min(cd) OVER (PARTITION BY key ORDER BY t) AS mcd
+      FROM c),
+f AS (SELECT key, bin, cnt, t, bs,
+      (CASE WHEN t > 7 THEN cu - least(0, mcu) ELSE 0 END)::BIGINT
+        AS su,
+      (CASE WHEN t > 7 THEN cd - least(0, mcd) ELSE 0 END)::BIGINT
+        AS sd
+      FROM m)
+SELECT key, bin, cnt, su, sd,
+       (t > 7 AND su > 20000 * bs) AS alarm_up,
+       (t > 7 AND sd > 20000 * bs) AS alarm_dn
+FROM f ORDER BY key, bin
+""")
+def events_cusum(spark, sf):
+    """Two-sided CUSUM changepoints (ops/temporal.cusum_changepoints,
+    daily bins, 7-bin baseline, 30% slack, h = 2*mu0) over the real
+    event feed plus two planted keys: 'shift' doubles its ~67/day
+    rate to ~133/day on day 15 (no single bin is a 2x spike vs its
+    trailing window once the shift settles — the case burst gates
+    miss), and 'drop' halves ~133/day to ~33/day — exercising the
+    downward arm. The Spark side runs the max(0, s + incr) recurrence
+    as an in-row fold over the span-bounded array; the oracle is the
+    INDEPENDENT closed form S_t = C_t - min(0, running-min C) over
+    window prefix sums — green proves recurrence and closed form
+    agree integer for integer on every dense bin."""
+    from lamapi_spark.ops.temporal import cusum_changepoints
+
+    e = load(spark, sf, "events").select("event_id", "event_type", "ts")
+    eid = F.col("event_id")
+    day15 = F.floor(eid / 10).cast("long") % 15
+
+    def planted(name, day_expr, cond):
+        return (e.filter(cond)
+                .select(F.lit(name).alias("event_type"),
+                        F.timestamp_seconds(
+                            F.lit(1704067200) + day_expr * 86400
+                            + 3600).alias("ts")))
+
+    feed = (e.select("event_type", "ts")
+            .unionByName(planted("shift", day15, eid % 10 == 1))
+            .unionByName(planted("shift", day15 + 15, eid % 10 < 2))
+            .unionByName(planted("drop", day15, eid % 10 < 2))
+            .unionByName(planted("drop", day15 + 15, eid % 20 == 1)))
+    return (cusum_changepoints(feed, key_col="event_type", ts_col="ts",
+                               bin_s=86400, baseline_bins=7,
+                               k_bp=3000, h_bp=20000)
+            .orderBy("key", "bin"))

@@ -254,3 +254,90 @@ def test_isotonic_matches_reference_pav(spark):
         assert abs(r.rate_iso - float(w)) < 5e-7, (r.bin, r.rate_iso, w)
         assert r.rate_iso >= prev  # monotone by construction
         prev = r.rate_iso
+
+
+# --------------------------------------------------------- CUSUM
+
+def _cusum_twin(counts, B, k_bp, h_bp):
+    """Python recurrence twin over a dense count list."""
+    bn = min(B, len(counts))
+    bs = sum(counts[:bn])
+    d = 10000 * bn
+    su = sd = 0
+    out = []
+    for t, c in enumerate(counts, 1):
+        if t > B:
+            su = max(0, su + c * d - bs * (10000 + k_bp))
+            sd = max(0, sd + bs * (10000 - k_bp) - c * d)
+        else:
+            su = sd = 0
+        out.append((c, su, sd, t > B and su > h_bp * bs,
+                    t > B and sd > h_bp * bs))
+    return out
+
+
+def _cusum_df(spark, counts, key="k"):
+    import datetime
+    rows = []
+    for day, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((key, datetime.datetime(2024, 1, 1, 12)
+                         + datetime.timedelta(days=day)))
+    return spark.createDataFrame(rows, ["event_type", "ts"])
+
+
+def test_cusum_hand_shift(spark):
+    from lamapi_spark.ops.temporal import cusum_changepoints
+    counts = [10, 10, 10, 10, 10, 25, 25, 25, 25, 25]
+    df = _cusum_df(spark, counts)
+    got = sorted(cusum_changepoints(df, baseline_bins=3, k_bp=5000,
+                                    h_bp=20000).collect(),
+                 key=lambda r: r.bin)
+    want = _cusum_twin(counts, 3, 5000, 20000)
+    assert [(r.cnt, r.su, r.sd, r.alarm_up, r.alarm_dn)
+            for r in got] == want
+    # the sustained shift alarms (day 8 on: su = 900000 > 600000)
+    assert [r.alarm_up for r in got] == [False] * 7 + [True] * 3
+    assert not any(r.alarm_dn for r in got)
+
+
+def test_cusum_downward_and_gap_bins(spark):
+    from lamapi_spark.ops.temporal import cusum_changepoints
+    # rate collapses after the baseline (low-but-nonzero tail: the
+    # span is data-driven, so fully-silent TRAILING days have no bins
+    # — burst_detection's span rule)
+    counts = [12, 12, 12, 12, 2, 2, 2, 2]
+    df = _cusum_df(spark, counts)
+    got = sorted(cusum_changepoints(df, baseline_bins=4, k_bp=2000,
+                                    h_bp=15000).collect(),
+                 key=lambda r: r.bin)
+    want = _cusum_twin(counts, 4, 2000, 15000)
+    assert [(r.cnt, r.su, r.sd, r.alarm_up, r.alarm_dn)
+            for r in got] == want
+    assert got[-1].alarm_dn
+
+
+def test_cusum_quiet_baseline_convention(spark):
+    from lamapi_spark.ops.temporal import cusum_changepoints
+    # all-quiet baseline (bs = 0): first activity alarms up immediately
+    counts = [0, 0, 5]
+    # need at least one event to define the key/span: put events only
+    # on day 2 but stretch the span with a single day-0 event... a
+    # zero-count day cannot carry events, so use a 1-event day 0.
+    counts = [1, 0, 0, 5]
+    df = _cusum_df(spark, counts)
+    got = sorted(cusum_changepoints(df, baseline_bins=3, k_bp=5000,
+                                    h_bp=30000).collect(),
+                 key=lambda r: r.bin)
+    want = _cusum_twin(counts, 3, 5000, 30000)
+    assert [(r.cnt, r.su, r.sd, r.alarm_up, r.alarm_dn)
+            for r in got] == want
+
+
+def test_cusum_short_span_never_alarms(spark):
+    from lamapi_spark.ops.temporal import cusum_changepoints
+    df = _cusum_df(spark, [3, 9, 27])
+    got = cusum_changepoints(df, baseline_bins=7).collect()
+    assert len(got) == 3
+    assert all(r.su == 0 and r.sd == 0 and not r.alarm_up
+               and not r.alarm_dn for r in got)
