@@ -854,3 +854,59 @@ def kn_lm_score(
             F.bround(F.sum(F.col("_nlp").cast("decimal(28,6)")).cast("double")
                      / F.count("*"), 4).alias("avg_neg_logp"))
     )
+
+
+def collocations_g2(docs: DataFrame, text_col: str = "text",
+                    min_count: int = 5) -> DataFrame:
+    """Bigram collocation mining by Dunning's log-likelihood ratio
+    (Dunning 1993) — the significance-aware twin of graph_edge_pmi's
+    pointwise score: PMI over-ranks rare pairs (two hapaxes that
+    co-occur once get maximal PMI); G2 weighs the evidence MASS, which
+    is what a phrase-vocabulary/tokenizer-merge pipeline actually
+    wants. Reference analogue: none; builder's-brief corpus surface
+    beside the LM-score family.
+
+    For each adjacent bigram (w1, w2) with count c12, first-position
+    count c1 = sum over w of c(w1, w), second-position count c2, and
+    N total bigram tokens, the 2x2 contingency G2 in the xlogx form:
+
+        g2 = 2*( xlx(k11)+xlx(k12)+xlx(k21)+xlx(k22)
+                 - xlx(c1) - xlx(N-c1) - xlx(c2) - xlx(N-c2)
+                 + xlx(N) ),   xlx(x) = x*ln(x), xlx(0) = 0
+
+    with k11 = c12, k12 = c1-c12, k21 = c2-c12, k22 = N-c1-c2+c12.
+    Every count is an exact BIGINT; g2 is ONE fixed-association-order
+    float expression (the LM-family parity discipline), half-even
+    6 dp.
+
+    Scale shape: bigrams built IN-ROW (token_ngrams — no token
+    explode), one (w1, w2) count agg; both marginals are second aggs
+    OVER THE BIGRAM COUNTS (hot words cost one cell per partition,
+    never a re-scan of the text), joined back on their word key; N is
+    a 1-row broadcast. ``min_count`` prunes the tail BEFORE the
+    marginal joins. -> (w1, w2, c12, c1, c2, n, g2).
+    """
+    grams = docs.select(F.explode(
+        token_ngrams(F.col(text_col), 2)).alias("g"))
+    split = F.split(F.col("g"), " ", 2)
+    pairs = (grams.select(split.getItem(0).alias("w1"),
+                          split.getItem(1).alias("w2"))
+             .groupBy("w1", "w2").agg(F.count("*").alias("c12")))
+    left = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = pairs.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = pairs.agg(F.sum("c12").alias("n"))
+    base = (pairs.filter(F.col("c12") >= int(min_count))
+            .join(left, "w1").join(right, "w2")
+            .join(F.broadcast(total)))
+    xlx = lambda x: F.when(x > 0, x.cast("double")
+                           * F.log(x.cast("double"))).otherwise(F.lit(0.0))
+    k11 = F.col("c12")
+    k12 = F.col("c1") - F.col("c12")
+    k21 = F.col("c2") - F.col("c12")
+    k22 = F.col("n") - F.col("c1") - F.col("c2") + F.col("c12")
+    g2 = 2.0 * (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+                - xlx(F.col("c1")) - xlx(F.col("n") - F.col("c1"))
+                - xlx(F.col("c2")) - xlx(F.col("n") - F.col("c2"))
+                + xlx(F.col("n")))
+    return base.select("w1", "w2", "c12", "c1", "c2", "n",
+                       F.bround(g2, 6).alias("g2"))

@@ -2691,3 +2691,56 @@ def events_cusum(spark, sf):
                                bin_s=86400, baseline_bins=7,
                                k_bp=3000, h_bp=20000)
             .orderBy("key", "bin"))
+
+
+# ------------------------------------------------- G2 collocations
+
+def _xlx_sql(x: str) -> str:
+    return (f"(CASE WHEN {x} > 0 THEN CAST({x} AS DOUBLE)"
+            f" * ln(CAST({x} AS DOUBLE)) ELSE 0.0 END)")
+
+
+_G2_TERMS = " + ".join([
+    _xlx_sql("c12"), _xlx_sql("c1 - c12"), _xlx_sql("c2 - c12"),
+    _xlx_sql("n - c1 - c2 + c12"),
+]) + " - " + " - ".join([
+    _xlx_sql("c1"), _xlx_sql("n - c1"),
+    _xlx_sql("c2"), _xlx_sql("n - c2"),
+]) + " + " + _xlx_sql("n")
+
+
+@register("corpus_collocations", f"""
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS ts
+  FROM documents),
+g AS (
+  SELECT unnest(list_transform(range(1, greatest(len(ts) - 1, 0) + 1),
+                i -> ts[i] || ' ' || ts[i + 1])) AS g
+  FROM toks),
+p AS (SELECT string_split(g, ' ')[1] AS w1,
+             string_split(g, ' ')[2] AS w2,
+             count(*)::BIGINT AS c12
+      FROM g GROUP BY 1, 2),
+l AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM p GROUP BY w1),
+r AS (SELECT w2, sum(c12)::BIGINT AS c2 FROM p GROUP BY w2),
+t AS (SELECT sum(c12)::BIGINT AS n FROM p),
+b AS (SELECT p.w1, p.w2, p.c12, l.c1, r.c2, t.n
+      FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+      WHERE p.c12 >= 5)
+SELECT w1, w2, c12, c1, c2, n,
+       round_even(2.0 * ({_G2_TERMS}), 6) AS g2
+FROM b ORDER BY w1, w2
+""")
+def corpus_collocations(spark, sf):
+    """Dunning G2 bigram collocations (ops/corpus.collocations_g2,
+    min_count=5) over the documents corpus — marginals aggregated
+    from the bigram counts themselves (position-1 / position-2
+    sums), the 2x2 contingency in xlogx form as one fixed-order
+    float expression. The oracle replays tokenization, the bigram
+    census, both marginals, the min_count prune, and every xlx term
+    in the same association order."""
+    from lamapi_spark.ops.corpus import collocations_g2
+
+    docs = load(spark, sf, "documents")
+    return (collocations_g2(docs, "text", min_count=5)
+            .orderBy("w1", "w2"))

@@ -341,3 +341,46 @@ def test_cusum_short_span_never_alarms(spark):
     assert len(got) == 3
     assert all(r.su == 0 and r.sd == 0 and not r.alarm_up
                and not r.alarm_dn for r in got)
+
+
+# --------------------------------------------------------- G2 collocations
+
+def test_g2_hand_contingency(spark):
+    from lamapi_spark.ops.corpus import collocations_g2
+    import math
+    # corpus of adjacent bigrams: "a b" x3, "a c" x1, "d b" x1,
+    # "d d" x1 -> for (a, b): c12=3, c1=4, c2=4, N=6.
+    docs = spark.createDataFrame(
+        [("a b",), ("a b",), ("a b",), ("a c",), ("d b",), ("d d",)],
+        ["text"])
+    got = {(r.w1, r.w2): r
+           for r in collocations_g2(docs, min_count=1).collect()}
+    r = got[("a", "b")]
+    assert (r.c12, r.c1, r.c2, r.n) == (3, 4, 4, 6)
+    xlx = lambda x: x * math.log(x) if x > 0 else 0.0
+    want = 2.0 * (xlx(3) + xlx(1) + xlx(1) + xlx(1)
+                  - xlx(4) - xlx(2) - xlx(4) - xlx(2) + xlx(6))
+    assert abs(r.g2 - want) < 5e-7
+
+
+def test_g2_ranks_evidence_mass_over_pmi(spark):
+    from lamapi_spark.ops.corpus import collocations_g2
+    # "x y" co-occurs 50x out of 100; the hapax pair "p q" co-occurs
+    # once out of 100. PMI would tie them (both always-together);
+    # G2 must rank the 50x pair far higher.
+    rows = [("x y",)] * 50 + [("p q",)] + [("m n",)] * 49
+    docs = spark.createDataFrame(rows, ["text"])
+    got = {(r.w1, r.w2): r.g2
+           for r in collocations_g2(docs, min_count=1).collect()}
+    assert got[("x", "y")] > 10 * got[("p", "q")]
+
+
+def test_g2_min_count_prunes_before_output_not_marginals(spark):
+    from lamapi_spark.ops.corpus import collocations_g2
+    docs = spark.createDataFrame(
+        [("a b",), ("a b",), ("a c",)], ["text"])
+    got = collocations_g2(docs, min_count=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    # c1 counts the pruned "a c" bigram too
+    assert (r.w1, r.w2, r.c12, r.c1) == ("a", "b", 2, 3)
