@@ -1764,3 +1764,55 @@ def ego_net_sample(edges: DataFrame, seeds: DataFrame, hops: int = 2,
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return out
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Newman's degree assortativity coefficient over an UNDIRECTED
+    edge set (a, b) — does the KG's co-occurrence graph wire hubs to
+    hubs (assortative, r > 0) or hubs to leaves (disassortative,
+    r < 0, the shape entity-mention graphs usually have)? The one
+    scalar every graph census reports next to degree/triangles
+    (Newman 2002). Reference analogue: none; builder's-brief graph
+    surface.
+
+    Exact-integer identity: over the SYMMETRIZED distinct edge-end
+    list (both orientations, m = 2|E| rows) with x = deg(u),
+    y = deg(v) per row, symmetry gives sum x = sum y and
+    sum x^2 = sum y^2, so Pearson's r collapses to
+
+        r = (m * sxy - sx^2) / (m * sxx - sx^2)
+
+    — no sqrt, every term an exact integer product (DECIMAL(38,0)
+    Spark-side, HUGEINT in the oracle twin; exact while m*sxx <
+    10^38). ONE double division, half-even 6 dp; a degree-regular
+    graph (den = 0) reads 0.0 by convention.
+
+    Scale shape: one distinct symmetrize, one degree agg, two
+    broadcast-or-shuffle joins keyed by the edge ends (hot hubs cost
+    their degree in join fanout — the same bound every edge-keyed
+    pass here pays), one 1-row rollup. -> ONE row
+    (m, sx, sxx, sxy, r).
+    """
+    sym = (edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+           .unionByName(edges.select(F.col("b").alias("x"),
+                                     F.col("a").alias("y")))
+           .distinct())
+    deg = sym.groupBy("x").agg(F.count("*").alias("_d"))
+    ends = (sym.join(deg, "x")
+            .withColumnRenamed("_d", "_dx")
+            .join(deg.select(F.col("x").alias("y"),
+                             F.col("_d").alias("_dy")), "y"))
+    agg = ends.agg(
+        F.count("*").alias("m"),
+        F.coalesce(F.sum("_dx"), F.lit(0)).alias("sx"),
+        F.coalesce(F.sum(F.col("_dx") * F.col("_dx")), F.lit(0))
+        .alias("sxx"),
+        F.coalesce(F.sum(F.col("_dx") * F.col("_dy")), F.lit(0))
+        .alias("sxy"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    num = dec("m") * dec("sxy") - dec("sx") * dec("sx")
+    den = dec("m") * dec("sxx") - dec("sx") * dec("sx")
+    r = F.when(den != 0, num.cast("double") / den.cast("double")) \
+         .otherwise(F.lit(0.0))
+    return agg.select("m", "sx", "sxx", "sxy",
+                      F.bround(r, 6).alias("r"))

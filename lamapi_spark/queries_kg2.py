@@ -2744,3 +2744,48 @@ def corpus_collocations(spark, sf):
     docs = load(spark, sf, "documents")
     return (collocations_g2(docs, "text", min_count=5)
             .orderBy("w1", "w2"))
+
+
+# ------------------------------------------------- degree assortativity
+
+@register("graph_assortativity", """
+WITH base AS (
+  SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+sym AS (SELECT a AS x, b AS y FROM base
+        UNION SELECT b AS x, a AS y FROM base),
+deg AS (SELECT x, count(*)::BIGINT AS d FROM sym GROUP BY x),
+e AS (SELECT dx.d AS dx, dy.d AS dy
+      FROM sym JOIN deg dx ON dx.x = sym.x
+               JOIN deg dy ON dy.x = sym.y),
+a AS (SELECT count(*)::BIGINT AS m, sum(dx)::BIGINT AS sx,
+             sum(dx * dx)::BIGINT AS sxx, sum(dx * dy)::BIGINT AS sxy
+      FROM e)
+SELECT m, sx, sxx, sxy,
+       round_even(CASE WHEN m::HUGEINT * sxx - sx::HUGEINT * sx <> 0
+                  THEN CAST(m::HUGEINT * sxy - sx::HUGEINT * sx
+                            AS DOUBLE)
+                       / CAST(m::HUGEINT * sxx - sx::HUGEINT * sx
+                              AS DOUBLE)
+                  ELSE 0.0 END, 6) AS r
+FROM a
+""")
+def graph_assortativity(spark, sf):
+    """Degree assortativity (ops/graph.degree_assortativity) of the
+    repeat-trade graph (the k-core/modularity synth): bipartite
+    customer-supplier wiring is structurally disassortative, so the
+    sign of r is itself a check. The oracle replays symmetrization,
+    degrees, both end joins, and the sqrt-free exact-integer Pearson
+    identity in HUGEINT."""
+    from lamapi_spark.ops.graph import degree_assortativity
+
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy(F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+                     F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"))
+            .agg(F.count("*").alias("_w"))
+            .filter(F.col("_w") >= 2)
+            .select("a", "b"))
+    return degree_assortativity(base)

@@ -384,3 +384,49 @@ def test_g2_min_count_prunes_before_output_not_marginals(spark):
     r = got[0]
     # c1 counts the pruned "a c" bigram too
     assert (r.w1, r.w2, r.c12, r.c1) == ("a", "b", 2, 3)
+
+
+# --------------------------------------------------------- assortativity
+
+def test_assortativity_star_is_maximally_disassortative(spark):
+    from lamapi_spark.ops.graph import degree_assortativity
+    # star K_{1,4}: every edge joins the deg-4 hub to a deg-1 leaf ->
+    # r = -1 exactly.
+    edges = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(4)], ["a", "b"])
+    row = degree_assortativity(edges).collect()[0]
+    assert row.m == 8
+    assert row.r == -1.0
+
+
+def test_assortativity_regular_graph_degenerate(spark):
+    from lamapi_spark.ops.graph import degree_assortativity
+    # 4-cycle: every node degree 2 -> den = 0 -> 0.0 convention
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "4"), ("4", "1")], ["a", "b"])
+    assert degree_assortativity(edges).collect()[0].r == 0.0
+
+
+def test_assortativity_matches_numpy_pearson(spark):
+    from lamapi_spark.ops.graph import degree_assortativity
+    # two triangles joined by a bridge — compute Pearson over the
+    # symmetrized end-degree pairs independently
+    e = [("a", "b"), ("b", "c"), ("a", "c"),
+         ("c", "d"), ("d", "e"), ("e", "f"), ("d", "f")]
+    edges = spark.createDataFrame(e, ["a", "b"])
+    deg = {}
+    sym = set()
+    for u, v in e:
+        sym.add((u, v))
+        sym.add((v, u))
+    for u, v in sym:
+        deg[u] = deg.get(u, 0) + 1
+    xs = [deg[u] for u, v in sym]
+    ys = [deg[v] for u, v in sym]
+    m = len(sym)
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    want = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    row = degree_assortativity(edges).collect()[0]
+    assert (row.m, row.sx, row.sxx, row.sxy) == (m, sx, sxx, sxy)
+    assert abs(row.r - want) < 5e-7
