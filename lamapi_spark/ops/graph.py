@@ -1816,3 +1816,44 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
          .otherwise(F.lit(0.0))
     return agg.select("m", "sx", "sxx", "sxy",
                       F.bround(r, 6).alias("r"))
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst") -> DataFrame:
+    """Per-node local clustering coefficient over an UNDIRECTED edge
+    set — cc(v) = 2*tri(v) / (d(v)*(d(v)-1)), the neighborhood-density
+    scalar behind "is this entity's co-occurrence context a clique or
+    a star" (Watts & Strogatz 1998); the per-node refinement of
+    triangle_counts that community/QC passes threshold on. Reference
+    analogue: none; builder's-brief graph surface.
+
+    Composition: triangle_counts supplies tri(v) through the
+    degree-oriented |E|^1.5 wedge join; degrees come from the SAME
+    canonicalized distinct edge set (self-loops dropped, both-direction
+    duplicates collapsed — the triangle_counts contract), LEFT-joined
+    so triangle-free nodes report cc = 0. Only nodes with d >= 2 emit
+    (cc undefined below two neighbors). tri and d are exact integers;
+    cc is ONE float expression 2.0*t / (d*(d-1.0)), half-even 6 dp.
+
+    Scale shape: triangle_counts' three exchanges + one degree agg +
+    one node-keyed left join. Global transitivity, if wanted, is the
+    caller's one-liner 3*sum(triangles)/sum(d*(d-1)/2) — kept out so
+    the per-node frame stays the single output. -> (node, degree,
+    triangles, cc) for every node of degree >= 2.
+    """
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .filter(F.col("a") != F.col("b")))
+    und = (und.select(F.least("a", "b").alias("a"),
+                      F.greatest("a", "b").alias("b")).distinct())
+    deg = (und.select(F.col("a").alias("node")).unionAll(
+               und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("degree")))
+    tri = triangle_counts(edges, src, dst)
+    j = (deg.filter(F.col("degree") >= 2)
+         .join(tri, "node", "left")
+         .withColumn("triangles",
+                     F.coalesce("triangles", F.lit(0)).cast("long")))
+    cc = (F.lit(2.0) * F.col("triangles")
+          / (F.col("degree") * (F.col("degree") - F.lit(1.0))))
+    return j.select("node", F.col("degree").cast("long").alias("degree"),
+                    "triangles", F.bround(cc, 6).alias("cc"))

@@ -2789,3 +2789,59 @@ def graph_assortativity(spark, sf):
             .filter(F.col("_w") >= 2)
             .select("a", "b"))
     return degree_assortativity(base)
+
+
+# ------------------------------------------------- clustering coefficient
+
+@register("graph_clustering", """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+pairs AS (
+  SELECT a.p AS a, b.p AS b
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= 2),
+deg AS (SELECT n, count(*)::BIGINT AS d FROM (
+          SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs)
+        GROUP BY n),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS n FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri),
+tc AS (SELECT n, count(*)::BIGINT AS t FROM corners GROUP BY n)
+SELECT deg.n AS node, deg.d AS degree,
+       coalesce(tc.t, 0)::BIGINT AS triangles,
+       round_even(2.0 * coalesce(tc.t, 0) / (deg.d * (deg.d - 1.0)), 6)
+         AS cc
+FROM deg LEFT JOIN tc ON tc.n = deg.n
+WHERE deg.d >= 2 ORDER BY node
+""")
+def graph_clustering(spark, sf):
+    """Local clustering coefficients
+    (ops/graph.clustering_coefficient) over the parts-sharing graph
+    (the triangle_counts synth — canonical pairs already collapse
+    direction, so the op's canonicalization is a no-op here and
+    degrees are unambiguous). Triangle-free degree->=2 nodes emit
+    cc = 0 through the left join. The oracle counts triangles by the
+    INDEPENDENT canonical a<b<c enumeration — two triangle algorithms
+    must agree on every node's density."""
+    from lamapi_spark.ops.graph import clustering_coefficient
+
+    op = (load(spark, sf, "lineitem")
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o"))
+               & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count("*").alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .select("src", "dst")
+    )
+    return clustering_coefficient(pairs).orderBy("node")

@@ -430,3 +430,37 @@ def test_assortativity_matches_numpy_pearson(spark):
     row = degree_assortativity(edges).collect()[0]
     assert (row.m, row.sx, row.sxx, row.sxy) == (m, sx, sxx, sxy)
     assert abs(row.r - want) < 5e-7
+
+
+# --------------------------------------------------------- clustering coeff
+
+def test_clustering_hand_graph(spark):
+    from lamapi_spark.ops.graph import clustering_coefficient
+    # triangle a-b-c plus pendant d on c: cc(a)=cc(b)=1,
+    # cc(c)=2*1/(3*2)=1/3; d has degree 1 -> excluded.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["src", "dst"])
+    got = {r.node: r for r in clustering_coefficient(edges).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"].cc == 1.0 and got["b"].cc == 1.0
+    assert (got["c"].degree, got["c"].triangles) == (3, 1)
+    assert got["c"].cc == 0.333333
+
+
+def test_clustering_triangle_free_zero(spark):
+    from lamapi_spark.ops.graph import clustering_coefficient
+    # path graph: middle node has degree 2, no triangles -> cc 0
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    got = clustering_coefficient(edges).collect()
+    assert len(got) == 1
+    assert (got[0].node, got[0].triangles, got[0].cc) == ("b", 0, 0.0)
+
+
+def test_clustering_complete_graph_all_one(spark):
+    from lamapi_spark.ops.graph import clustering_coefficient
+    import itertools
+    edges = spark.createDataFrame(
+        [(u, v) for u, v in itertools.combinations("abcde", 2)],
+        ["src", "dst"])
+    for r in clustering_coefficient(edges).collect():
+        assert (r.degree, r.triangles, r.cc) == (4, 6, 1.0)
