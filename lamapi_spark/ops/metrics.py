@@ -897,3 +897,53 @@ def isotonic_calibration(scored: DataFrame, score_col: str = "score",
         F.bround(F.col("r._iso.num") / F.col("r._iso.den"), 6)
         .alias("rate_iso"))
     return out
+
+
+def exact_quantiles(df: DataFrame, val_col: str = "v",
+                    qs=(0.25, 0.5, 0.75, 0.9),
+                    n_buckets: int = 1024) -> DataFrame:
+    """EXACT global quantiles (percentile_disc semantics: the value at
+    rank ceil(q*n) of the sorted column) — the audit-grade twin of the
+    mergeable histogram sketch (sketch_hist_quantiles): a data card
+    quotes "p99 document length" from the sketch, but the sketch's
+    error bound itself gets validated against THIS. Reference
+    analogue: none; builder's-brief corpus-stats surface.
+
+    Scale shape: the two-level-scan rank pattern (_global_ranks'
+    shape, value kept alongside): bucket by value range, exclusive
+    prefix sum over the tiny per-bucket counts, within-bucket
+    row_number parallel across buckets — never a global sort; the
+    target ranks (one per q, from a 1-row count frame — no driver
+    round-trip) broadcast-join against the ranked rows, so only
+    len(qs) rows survive. Ties: rank order among equal values is
+    arbitrary, but the value AT any rank is unique — the output is
+    deterministic. rank = max(1, ceil(q*n)) evaluated in doubles
+    (both engines share the same IEEE product, pinning the 0.1*n
+    = n/10 + ulp edge). -> (q, rk, value), one row per quantile.
+    """
+    vals = df.select(F.col(val_col).cast("double").alias("v"))
+    stats = vals.agg(F.min("v").alias("_lo"), F.max("v").alias("_hi"))
+    span = (F.col("_hi") - F.col("_lo")).cast("double")
+    b = F.when(span == 0, F.lit(0)).otherwise(F.least(
+        F.floor((F.col("v") - F.col("_lo")).cast("double")
+                / span * n_buckets),
+        F.lit(n_buckets - 1))).cast("long")
+    binned = vals.join(F.broadcast(stats)).select("v", b.alias("_b"))
+    w_pref = (Window.orderBy("_b")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    pref = (binned.groupBy("_b").agg(F.count("*").alias("_bn"))
+            .select("_b", F.coalesce(F.sum("_bn").over(w_pref),
+                                     F.lit(0)).alias("_off")))
+    w_loc = Window.partitionBy("_b").orderBy("v")
+    ranked = (binned.join(F.broadcast(pref), "_b")
+              .select("v", (F.col("_off")
+                            + F.row_number().over(w_loc)).alias("rk")))
+    targets = (vals.agg(F.count("*").alias("_n"))
+               .select(F.explode(F.array(
+                   *[F.lit(float(q)) for q in qs])).alias("q"), "_n")
+               .select("q", F.greatest(
+                   F.lit(1).cast("long"),
+                   F.ceil(F.col("q") * F.col("_n")).cast("long"))
+                   .alias("rk")))
+    return (ranked.join(F.broadcast(targets), "rk")
+            .select("q", "rk", F.col("v").alias("value")))

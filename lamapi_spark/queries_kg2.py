@@ -2845,3 +2845,32 @@ def graph_clustering(spark, sf):
         .select("src", "dst")
     )
     return clustering_coefficient(pairs).orderBy("node")
+
+
+# ------------------------------------------------- exact quantiles
+
+@register("eval_exact_quantiles", """
+WITH s AS (SELECT o_totalprice AS v FROM orders),
+n AS (SELECT count(*)::BIGINT AS n FROM s),
+t AS (SELECT q, greatest(1, ceil(q * n)::BIGINT) AS rk
+      FROM (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE,
+                           0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+      CROSS JOIN n),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM s)
+SELECT t.q, t.rk, r.v AS value
+FROM t JOIN r USING (rk) ORDER BY q
+""")
+def eval_exact_quantiles(spark, sf):
+    """Exact order-price percentiles (ops/metrics.exact_quantiles)
+    at q = .25/.5/.75/.9/.99. The Spark side selects ranks through
+    the two-level scan (bucket prefix + within-bucket row_number —
+    no global sort); the oracle is the INDEPENDENT naive global
+    row_number — green proves the scan's rank-to-value map equals the
+    global sort's at every requested rank."""
+    from lamapi_spark.ops.metrics import exact_quantiles
+
+    o = load(spark, sf, "orders").select(
+        F.col("o_totalprice").alias("v"))
+    return (exact_quantiles(o, "v", qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+                            n_buckets=64)
+            .orderBy("q"))

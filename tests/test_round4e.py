@@ -464,3 +464,35 @@ def test_clustering_complete_graph_all_one(spark):
         ["src", "dst"])
     for r in clustering_coefficient(edges).collect():
         assert (r.degree, r.triangles, r.cc) == (4, 6, 1.0)
+
+
+# --------------------------------------------------------- exact quantiles
+
+def test_exact_quantiles_hand(spark):
+    from lamapi_spark.ops.metrics import exact_quantiles
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], ["v"])
+    got = {r.q: (r.rk, r.value)
+           for r in exact_quantiles(df, "v", qs=(0.1, 0.5, 1.0),
+                                    n_buckets=4).collect()}
+    # ceil(.1*10)=1 -> 1.0; ceil(.5*10)=5 -> 5.0; ceil(1*10)=10 -> 10.0
+    assert got == {0.1: (1, 1.0), 0.5: (5, 5.0), 1.0: (10, 10.0)}
+
+
+def test_exact_quantiles_matches_sorted(spark):
+    from lamapi_spark.ops.metrics import exact_quantiles
+    import math
+    vals = [((i * 37) % 101) / 7.0 for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    got = {r.q: r.value
+           for r in exact_quantiles(df, "v", qs=qs, n_buckets=8).collect()}
+    s = sorted(vals)
+    for q in qs:
+        assert got[q] == s[max(1, math.ceil(q * len(s))) - 1], q
+
+
+def test_exact_quantiles_constant_column(spark):
+    from lamapi_spark.ops.metrics import exact_quantiles
+    df = spark.createDataFrame([(3.5,)] * 7, ["v"])
+    for r in exact_quantiles(df, "v", qs=(0.5, 1.0)).collect():
+        assert r.value == 3.5
