@@ -422,3 +422,49 @@ def cusum_changepoints(events: DataFrame, key_col: str = "event_type",
                     F.col("r.su").alias("su"), F.col("r.sd").alias("sd"),
                     F.col("r.alarm_up").alias("alarm_up"),
                     F.col("r.alarm_dn").alias("alarm_dn")))
+
+
+def decayed_counts(events: DataFrame, key_col: str = "event_type",
+                   ts_col: str = "ts", bin_s: int = 86400,
+                   half_life_bins: int = 7) -> DataFrame:
+    """Exponentially-decayed activity score per key — the
+    recency-weighted popularity a linker's prior actually wants
+    (lamAPI ranks candidates by STATIC popularity, reference
+    lookup.py's popularity sort; a transcript-fed KG can weight the
+    same signal by freshness so last quarter's hot entity outranks a
+    long-dead one at equal lifetime counts):
+
+        score(key) = sum over active bins b of
+                     cnt_b * 2^(-(as_of - b) / half_life_bins)
+
+    with as_of = the corpus's max bin (a 1-row broadcast — no driver
+    round-trip). Float discipline: each term is one pow(2, -age/hl)
+    double, summed IN BIN ORDER by an in-row left fold from 0.0
+    (x + 0.0 is exact, so the oracle's first-element-seeded
+    list_reduce associates identically), half-even 6 dp.
+
+    Scale shape: one (key, bin) count agg (map-side combinable — a
+    hot key costs one cell per partition per active bin), one
+    key-keyed collect of the SPARSE active-bin cells (zero bins
+    contribute zero — no dense-grid explode needed, unlike
+    burst/cusum which must see silence), one crossJoin broadcast of
+    the 1-row as_of frame. -> (key, n_events, last_bin, score).
+    """
+    b = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                / F.lit(int(bin_s) * 1_000_000)).cast("long")
+    cnt = (events.select(F.col(key_col).alias("key"), b.alias("bin"))
+           .groupBy("key", "bin").agg(F.count("*").alias("cnt")))
+    as_of = cnt.agg(F.max("bin").alias("_ao"))
+    g = (cnt.groupBy("key")
+         .agg(F.sort_array(F.collect_list(
+             F.struct("bin", "cnt"))).alias("_a"),
+             F.sum("cnt").alias("n_events"),
+             F.max("bin").alias("last_bin"))
+         .join(F.broadcast(as_of)))
+    term = lambda e: (e["cnt"].cast("double") * F.pow(
+        F.lit(2.0), -(F.col("_ao") - e["bin"]).cast("double")
+        / F.lit(float(half_life_bins))))
+    score = F.aggregate(F.col("_a"), F.lit(0.0),
+                        lambda acc, e: acc + term(e))
+    return g.select("key", "n_events", "last_bin",
+                    F.bround(score, 6).alias("score"))

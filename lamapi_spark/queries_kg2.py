@@ -2874,3 +2874,40 @@ def eval_exact_quantiles(spark, sf):
     return (exact_quantiles(o, "v", qs=(0.25, 0.5, 0.75, 0.9, 0.99),
                             n_buckets=64)
             .orderBy("q"))
+
+
+# ------------------------------------------------- decayed popularity
+
+@register("events_decayed_counts", """
+WITH cnt AS (
+  SELECT 'u' || (user_id % 97) AS key,
+         epoch_us(ts) // 86400000000 AS bin,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+ao AS (SELECT max(bin) AS ao FROM cnt),
+g AS (SELECT key, sum(cnt)::BIGINT AS n_events,
+             max(bin)::BIGINT AS last_bin,
+             list(struct_pack(b := bin, c := cnt) ORDER BY bin, cnt)
+               AS a
+      FROM cnt GROUP BY key)
+SELECT key, n_events, last_bin,
+       round_even(list_reduce(
+         list_transform(g.a, e -> CAST(e.c AS DOUBLE)
+             * pow(2.0, -CAST(ao.ao - e.b AS DOUBLE) / 7.0)),
+         (x, y) -> x + y), 6) AS score
+FROM g CROSS JOIN ao ORDER BY key
+""")
+def events_decayed_counts(spark, sf):
+    """Recency-weighted per-user activity scores
+    (ops/temporal.decayed_counts, daily bins, 7-day half-life) over
+    the event feed keyed by user bucket. The Spark fold seeds 0.0 and
+    adds terms in bin order; the oracle's list_reduce seeds the FIRST
+    term — x + 0.0 is IEEE-exact, so both associations produce
+    bit-identical doubles, hash-checked per key."""
+    from lamapi_spark.ops.temporal import decayed_counts
+
+    e = load(spark, sf, "events").select(
+        F.concat(F.lit("u"), F.col("user_id") % 97).alias("key"), "ts")
+    return (decayed_counts(e, key_col="key", ts_col="ts",
+                           bin_s=86400, half_life_bins=7)
+            .orderBy("key"))

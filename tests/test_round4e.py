@@ -496,3 +496,36 @@ def test_exact_quantiles_constant_column(spark):
     df = spark.createDataFrame([(3.5,)] * 7, ["v"])
     for r in exact_quantiles(df, "v", qs=(0.5, 1.0)).collect():
         assert r.value == 3.5
+
+
+# --------------------------------------------------------- decayed counts
+
+def test_decayed_counts_hand(spark):
+    from lamapi_spark.ops.temporal import decayed_counts
+    import datetime
+    base = datetime.datetime(2024, 1, 1, 12)
+    rows = []
+    # key a: 4 events today (age 0), 2 events 7 days ago (age 7)
+    for _ in range(4):
+        rows.append(("a", base + datetime.timedelta(days=7)))
+    for _ in range(2):
+        rows.append(("a", base))
+    # key b: 8 events 14 days before as_of -> 8 * 2^-2 = 2
+    for _ in range(8):
+        rows.append(("b", base - datetime.timedelta(days=7)))
+    df = spark.createDataFrame(rows, ["key", "ts"])
+    got = {r.key: r for r in decayed_counts(
+        df, key_col="key", half_life_bins=7).collect()}
+    # as_of = key a's latest day
+    assert got["a"].n_events == 6
+    assert abs(got["a"].score - (4 * 1.0 + 2 * 0.5)) < 5e-7
+    assert abs(got["b"].score - 8 * 0.25) < 5e-7
+
+
+def test_decayed_counts_single_bin_identity(spark):
+    from lamapi_spark.ops.temporal import decayed_counts
+    import datetime
+    ts = datetime.datetime(2024, 3, 1)
+    df = spark.createDataFrame([("k", ts)] * 5, ["key", "ts"])
+    r = decayed_counts(df, key_col="key").collect()[0]
+    assert (r.n_events, r.score) == (5, 5.0)
