@@ -947,3 +947,55 @@ def exact_quantiles(df: DataFrame, val_col: str = "v",
                    .alias("rk")))
     return (ranked.join(F.broadcast(targets), "rk")
             .select("q", "rk", F.col("v").alias("value")))
+
+
+def psi_drift(base: DataFrame, new: DataFrame,
+              cat_col: str = "category") -> DataFrame:
+    """Population stability index between two snapshots of a
+    categorical column — the drift monitor every recurring
+    corpus/crawl ingestion runs (did this month's language mix /
+    predicate mix / source mix shift against the reference epoch?);
+    PSI > 0.2 is the conventional "investigate" line. Reference
+    analogue: none; builder's-brief monitoring surface beside
+    corpus_report.
+
+    Laplace-smoothed proportions (add-1 over the UNION vocabulary V,
+    so categories absent on one side stay finite and the choice is
+    deterministic, not an epsilon knob):
+
+        p = (c_base + 1) / (n_base + V),  q = (c_new + 1) / (n_new + V)
+        term = (p - q) * ln(p / q)   >= 0, per category
+
+    Float discipline: each term is one fixed-order expression, rounded
+    half-even to 6 dp and summed in DECIMAL(28,6) — the macro-average
+    rule: the TOTAL is an order-independent exact sum of the rounded
+    per-category terms, so partitioning cannot move it. -> one row per
+    category (category, c_base, c_new, term) plus a '__total__' row
+    whose term IS the PSI.
+
+    Scale shape: one count agg per side (vocabulary-bounded), one
+    full-outer join on the category, two 1-row broadcast total/vocab
+    frames; the rollup row is a second vocabulary-bounded agg. A
+    10^12-row snapshot pair shuffles O(partitions * V) cells.
+    """
+    cb = (base.select(F.col(cat_col).alias("category"))
+          .groupBy("category").agg(F.count("*").alias("c_base")))
+    cn = (new.select(F.col(cat_col).alias("category"))
+          .groupBy("category").agg(F.count("*").alias("c_new")))
+    j = (cb.join(cn, "category", "full_outer")
+         .select("category",
+                 F.coalesce("c_base", F.lit(0)).alias("c_base"),
+                 F.coalesce("c_new", F.lit(0)).alias("c_new")))
+    tot = j.agg(F.sum("c_base").alias("_nb"), F.sum("c_new").alias("_nn"),
+                F.count("*").alias("_v"))
+    w = j.join(F.broadcast(tot))
+    p = (F.col("c_base") + 1) / (F.col("_nb") + F.col("_v"))
+    q = (F.col("c_new") + 1) / (F.col("_nn") + F.col("_v"))
+    term = F.bround((p - q) * F.log(p / q), 6)
+    per = w.select("category", "c_base", "c_new", term.alias("term"))
+    total = per.agg(
+        F.sum("c_base").alias("c_base"), F.sum("c_new").alias("c_new"),
+        F.sum(F.col("term").cast("decimal(28,6)")).cast("double")
+        .alias("term")).select(F.lit("__total__").alias("category"),
+                               "c_base", "c_new", "term")
+    return per.unionByName(total)

@@ -2911,3 +2911,55 @@ def events_decayed_counts(spark, sf):
     return (decayed_counts(e, key_col="key", ts_col="ts",
                            bin_s=86400, half_life_bins=7)
             .orderBy("key"))
+
+
+# ------------------------------------------------- PSI drift
+
+@register("corpus_psi_drift", """
+WITH b AS (
+  SELECT o_orderpriority AS category, count(*)::BIGINT AS c_base
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+n AS (
+  SELECT o_orderpriority AS category, count(*)::BIGINT AS c_new
+  FROM orders WHERE o_orderkey % 2 = 1
+    AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 5 < 2)
+  GROUP BY 1),
+j AS (SELECT coalesce(b.category, n.category) AS category,
+             coalesce(c_base, 0)::BIGINT AS c_base,
+             coalesce(c_new, 0)::BIGINT AS c_new
+      FROM b FULL OUTER JOIN n ON b.category = n.category),
+t AS (SELECT sum(c_base)::BIGINT AS nb, sum(c_new)::BIGINT AS nn,
+             count(*)::BIGINT AS v FROM j),
+per AS (
+  SELECT category, c_base, c_new,
+         round_even(((c_base + 1) / CAST(nb + v AS DOUBLE)
+                     - (c_new + 1) / CAST(nn + v AS DOUBLE))
+                    * ln(((c_base + 1) / CAST(nb + v AS DOUBLE))
+                         / ((c_new + 1) / CAST(nn + v AS DOUBLE))), 6)
+           AS term
+  FROM j CROSS JOIN t)
+SELECT category, c_base, c_new, term FROM per
+UNION ALL
+SELECT '__total__', sum(c_base)::BIGINT, sum(c_new)::BIGINT,
+       CAST(sum(term::DECIMAL(28,6)) AS DOUBLE)
+FROM per ORDER BY category
+""")
+def corpus_psi_drift(spark, sf):
+    """Categorical PSI (ops/metrics.psi_drift) between the even- and
+    odd-orderkey halves of orders, with 40% of the odd half's
+    1-URGENT rows dropped — the planted mix shift that drives the
+    urgent category's term (and the total) well off zero while the
+    untouched priorities sit near it. The oracle replays both counts,
+    the union vocabulary, the add-1 smoothing, every per-category
+    term, and the DECIMAL rollup."""
+    from lamapi_spark.ops.metrics import psi_drift
+
+    o = load(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    base = (o.filter(ok % 2 == 0)
+            .select(F.col("o_orderpriority").alias("category")))
+    new = (o.filter((ok % 2 == 1)
+                    & ~((F.col("o_orderpriority") == "1-URGENT")
+                        & (ok % 5 < 2)))
+           .select(F.col("o_orderpriority").alias("category")))
+    return psi_drift(base, new).orderBy("category")

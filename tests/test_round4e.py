@@ -529,3 +529,38 @@ def test_decayed_counts_single_bin_identity(spark):
     df = spark.createDataFrame([("k", ts)] * 5, ["key", "ts"])
     r = decayed_counts(df, key_col="key").collect()[0]
     assert (r.n_events, r.score) == (5, 5.0)
+
+
+# --------------------------------------------------------- PSI drift
+
+def test_psi_identical_distributions_near_zero(spark):
+    from lamapi_spark.ops.metrics import psi_drift
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20
+    base = spark.createDataFrame(rows, ["category"])
+    got = {r.category: r.term for r in psi_drift(base, base).collect()}
+    assert got["__total__"] == 0.0
+
+
+def test_psi_hand_shift(spark):
+    from lamapi_spark.ops.metrics import psi_drift
+    import math
+    base = spark.createDataFrame([("a",)] * 8 + [("b",)] * 2, ["category"])
+    new = spark.createDataFrame([("a",)] * 2 + [("b",)] * 8, ["category"])
+    got = {r.category: r for r in psi_drift(base, new).collect()}
+    # V = 2, denominators 12 each: p_a = 9/12, q_a = 3/12
+    pa, qa = 9 / 12, 3 / 12
+    want_a = round((pa - qa) * math.log(pa / qa), 6)
+    assert abs(got["a"].term - want_a) < 1e-9
+    # symmetric shift -> b's term equals a's
+    assert got["b"].term == got["a"].term
+    assert abs(got["__total__"].term - 2 * want_a) < 1e-9
+
+
+def test_psi_absent_category_stays_finite(spark):
+    from lamapi_spark.ops.metrics import psi_drift
+    base = spark.createDataFrame([("a",)] * 5 + [("x",)], ["category"])
+    new = spark.createDataFrame([("a",)] * 6, ["category"])
+    got = {r.category: r for r in psi_drift(base, new).collect()}
+    assert got["x"].c_new == 0
+    import math
+    assert math.isfinite(got["x"].term) and got["x"].term > 0
