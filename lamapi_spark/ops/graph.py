@@ -1857,3 +1857,51 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
           / (F.col("degree") * (F.col("degree") - F.lit(1.0))))
     return j.select("node", F.col("degree").cast("long").alias("degree"),
                     "triangles", F.bround(cc, 6).alias("cc"))
+
+
+def dyad_census(edges: DataFrame, src: str = "src",
+                dst: str = "dst") -> DataFrame:
+    """Holland-Leinhardt dyad census of a DIRECTED graph — mutual /
+    asymmetric / null dyad counts plus edge reciprocity, the
+    directed-structure QC scalar (a KG predicate like "spouse" should
+    reciprocate; "capital_of" should not — a reciprocity shift after
+    an extraction change is a regression signal). Reference analogue:
+    none; builder's-brief graph census beside degree_assortativity.
+
+    Conventions: self-loops dropped, duplicate directed edges
+    collapsed first. With E distinct directed edges of which R have
+    their reverse present (R = 2*mutual), mutual = R/2 (exact — R is
+    even by construction), asym = E - R, null = C(n,2) - mutual -
+    asym over the n participating nodes, and reciprocity = R / E
+    (Garlaschelli-Loffredo r), ONE double division half-even 6 dp;
+    E = 0 reads 0.0. C(n,2) runs in DECIMAL(38,0) (exact past the
+    2^63 bound at n > 4e9).
+
+    Scale shape: one distinct, one self-join keyed on the flipped
+    pair (both sides shuffle once on the pair key — co-partitioned;
+    a LEFT SEMI so only reciprocated edges survive), two 1-row
+    rollups. -> ONE row (n_nodes, n_edges, mutual, asym, nulls,
+    reciprocity).
+    """
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    recip = e.join(rev, ["a", "b"], "left_semi")
+    nodes = (e.select(F.col("a").alias("n"))
+             .unionAll(e.select(F.col("b").alias("n")))
+             .agg(F.count_distinct("n").alias("n_nodes")))
+    counts = (e.agg(F.count("*").alias("n_edges"))
+              .join(F.broadcast(recip.agg(F.count("*").alias("_r"))))
+              .join(F.broadcast(nodes)))
+    dec = lambda c: c.cast("decimal(38,0)")
+    mutual = (F.col("_r") / 2).cast("long")
+    asym = F.col("n_edges") - F.col("_r")
+    pairs = (dec(F.col("n_nodes")) * (dec(F.col("n_nodes")) - 1)
+             / 2).cast("decimal(38,0)")
+    rec = F.when(F.col("n_edges") > 0,
+                 F.col("_r") / F.col("n_edges")).otherwise(F.lit(0.0))
+    return counts.select(
+        "n_nodes", "n_edges", mutual.alias("mutual"),
+        asym.cast("long").alias("asym"),
+        (pairs - dec(mutual) - dec(asym)).cast("long").alias("nulls"),
+        F.bround(rec, 6).alias("reciprocity"))

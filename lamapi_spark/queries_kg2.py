@@ -2963,3 +2963,44 @@ def corpus_psi_drift(spark, sf):
                         & (ok % 5 < 2)))
            .select(F.col("o_orderpriority").alias("category")))
     return psi_drift(base, new).orderBy("category")
+
+
+# ------------------------------------------------- dyad census
+
+@register("graph_dyads", """
+WITH e AS (
+  SELECT DISTINCT 'n' || (o_orderkey % 200) AS a,
+                  'n' || ((o_orderkey * 7 + o_custkey) % 200) AS b
+  FROM orders
+  WHERE 'n' || (o_orderkey % 200)
+        <> 'n' || ((o_orderkey * 7 + o_custkey) % 200)),
+r AS (SELECT count(*)::BIGINT AS rr FROM e
+      WHERE EXISTS (SELECT 1 FROM e e2
+                    WHERE e2.a = e.b AND e2.b = e.a)),
+n AS (SELECT count(DISTINCT x)::BIGINT AS n_nodes FROM (
+        SELECT a AS x FROM e UNION ALL SELECT b FROM e)),
+c AS (SELECT (SELECT count(*)::BIGINT FROM e) AS n_edges, rr, n_nodes
+      FROM r CROSS JOIN n)
+SELECT n_nodes, n_edges, (rr // 2)::BIGINT AS mutual,
+       (n_edges - rr)::BIGINT AS asym,
+       (n_nodes * (n_nodes - 1) // 2 - rr // 2
+        - (n_edges - rr))::BIGINT AS nulls,
+       round_even(CASE WHEN n_edges > 0
+                  THEN rr / CAST(n_edges AS DOUBLE)
+                  ELSE 0.0 END, 6) AS reciprocity
+FROM c
+""")
+def graph_dyads(spark, sf):
+    """Dyad census + reciprocity (ops/graph.dyad_census) of a planted
+    200-node directed LCG graph (x -> 7x+cust mod 200 — dense enough
+    that a fixed share of edges reciprocate). The oracle replays the
+    distinct edge set, counts reciprocated edges by the INDEPENDENT
+    EXISTS-subquery formulation (vs the op's flipped-pair semi-join),
+    and recomputes every dyad bucket."""
+    from lamapi_spark.ops.graph import dyad_census
+
+    o = load(spark, sf, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    e = o.select(F.concat(F.lit("n"), ok % 200).alias("src"),
+                 F.concat(F.lit("n"), (ok * 7 + ck) % 200).alias("dst"))
+    return dyad_census(e)

@@ -564,3 +564,35 @@ def test_psi_absent_category_stays_finite(spark):
     assert got["x"].c_new == 0
     import math
     assert math.isfinite(got["x"].term) and got["x"].term > 0
+
+
+# --------------------------------------------------------- dyad census
+
+def test_dyads_hand_graph(spark):
+    from lamapi_spark.ops.graph import dyad_census
+    # a<->b mutual, a->c asym, d isolated-by-self-loop (dropped),
+    # duplicate a->b collapses
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "b"), ("d", "d")],
+        ["src", "dst"])
+    r = dyad_census(edges).collect()[0]
+    # nodes {a,b,c}: C(3,2)=3 dyads = 1 mutual + 1 asym + 1 null
+    assert (r.n_nodes, r.n_edges, r.mutual, r.asym, r.nulls) \
+        == (3, 3, 1, 1, 1)
+    assert r.reciprocity == 0.666667
+
+
+def test_dyads_pure_cycle_no_mutual(spark):
+    from lamapi_spark.ops.graph import dyad_census
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "1")], ["src", "dst"])
+    r = dyad_census(edges).collect()[0]
+    assert (r.mutual, r.asym, r.nulls, r.reciprocity) == (0, 3, 0, 0.0)
+
+
+def test_dyads_fully_reciprocal(spark):
+    from lamapi_spark.ops.graph import dyad_census
+    edges = spark.createDataFrame(
+        [("x", "y"), ("y", "x")], ["src", "dst"])
+    r = dyad_census(edges).collect()[0]
+    assert (r.mutual, r.asym, r.reciprocity) == (1, 0, 1.0)
