@@ -489,13 +489,114 @@ def _ahash64(gray) -> int:
     return out
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF Compression 32773): control byte n —
+    0..127 copies n+1 literals, -127..-1 repeats the next byte 1-n
+    times, -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i:i + n + 1]
+            if len(data) - i < n + 1:
+                raise ValueError("packbits literal overrun")
+            i += n + 1
+        elif n != -128:
+            if i >= len(data):
+                raise ValueError("packbits run overrun")
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def _parse_tiff(b: bytes):
+    """Baseline TIFF 6.0 -> ('TIFF', w, h, HxWxC float64): both byte
+    orders (II/MM), 8-bit samples, grayscale (PhotometricInterpretation
+    0/1 — WhiteIsZero inverts so luminance semantics match) and RGB
+    (photometric 2), strip-organized, Compression 1 (none) or 32773
+    (PackBits). Tiles, LZW/JPEG-in-TIFF, and non-8-bit depths raise
+    ValueError into decode_image's null-degrade path."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        raise ValueError("not tiff")
+    bo = "<" if b[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack(bo + "HI", b[2:8])
+    if magic != 42:
+        raise ValueError("not tiff")
+    if ifd_off + 2 > len(b):
+        raise ValueError("truncated ifd")
+    n = struct.unpack(bo + "H", b[ifd_off:ifd_off + 2])[0]
+    tags = {}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(b):
+            raise ValueError("truncated ifd entry")
+        tag, typ, cnt = struct.unpack(bo + "HHI", b[off:off + 8])
+        tags[tag] = (typ, cnt, off + 8)
+    fmts = {1: "B", 3: "H", 4: "I"}
+
+    def vals(tag):
+        typ, cnt, voff = tags[tag]
+        if typ not in fmts:
+            raise ValueError("unsupported tag type")
+        sz = struct.calcsize(fmts[typ])
+        total = sz * cnt
+        if total <= 4:
+            data = b[voff:voff + total]
+        else:
+            ptr = struct.unpack(bo + "I", b[voff:voff + 4])[0]
+            data = b[ptr:ptr + total]
+        if len(data) != total:
+            raise ValueError("truncated tag data")
+        return list(struct.unpack(bo + str(cnt) + fmts[typ], data))
+
+    def val1(tag, default=None):
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"missing tag {tag}")
+            return default
+        return vals(tag)[0]
+
+    w, h = val1(256), val1(257)
+    comp, photo, spp = val1(259, 1), val1(262), val1(277, 1)
+    bps = vals(258) if 258 in tags else [8]
+    if (any(x != 8 for x in bps) or spp not in (1, 3)
+            or photo not in (0, 1, 2) or comp not in (1, 32773)
+            or w <= 0 or h <= 0):
+        raise ValueError("unsupported tiff variant")
+    offs, cnts = vals(273), vals(279)
+    if len(offs) != len(cnts):
+        raise ValueError("strip offset/count mismatch")
+    raw = bytearray()
+    for o, c in zip(offs, cnts):
+        chunk = b[o:o + c]
+        if len(chunk) != c:
+            raise ValueError("truncated strip")
+        raw += _packbits_decode(chunk) if comp == 32773 else chunk
+    need = w * h * spp
+    if len(raw) < need:
+        raise ValueError("short pixel data")
+    px = (np.frombuffer(bytes(raw[:need]), dtype=np.uint8)
+          .reshape(h, w, spp).astype(np.float64))
+    if photo == 0:  # WhiteIsZero
+        px = 255.0 - px
+    return "TIFF", w, h, px
+
+
 def decode_image(df: DataFrame) -> DataFrame:
     """REAL image decode over binary payloads (Arrow-batched, stdlib +
     numpy only): NetPBM (P2/P3/P5/P6), uncompressed 24-bit BMP, 8-bit
     non-interlaced PNG, GIF (direct LZW + palette + interlacing),
     baseline + progressive JPEG (gray + YCbCr 4:4:4/4:2:2/4:2:0,
     ops/jpeg.py), and lossless WebP/VP8L (prefix codes + LZ77 + color
-    cache + all four transforms, ops/webp.py). Emits true dimensions,
+    cache + all four transforms, ops/webp.py), and baseline TIFF (both
+    byte orders, strips, none/PackBits compression, gray incl.
+    WhiteIsZero + RGB). Emits true dimensions,
     channel count,
     mean luminance (ITU-R 601 for RGB/RGBA; alpha never contributes) and a
     64-bit average-hash. Unrecognized/corrupt payloads emit format
@@ -515,7 +616,8 @@ def decode_image(df: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 try:
                     for parser in (_parse_netpbm, _parse_bmp, _parse_png,
-                                   _parse_gif, _parse_webp, _parse_jpeg):
+                                   _parse_gif, _parse_webp, _parse_tiff,
+                                   _parse_jpeg):
                         try:
                             fmt, w, h, px = parser(b)
                             break

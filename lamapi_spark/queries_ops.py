@@ -2622,3 +2622,133 @@ def dedup_containment(spark, sf):
                           k_shingle=3, threshold=0.5, max_df=1_000_000)
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------------------------------ tiff
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder for the TIFF synth corpus: runs >= 3 become
+    replicate records, everything else literal records."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while (i + run < len(data) and data[i + run] == data[i]
+               and run < 128):
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i
+            lit = bytearray()
+            while j < len(data) and len(lit) < 128:
+                r = 1
+                while (j + r < len(data) and data[j + r] == data[j]
+                       and r < 3):
+                    r += 1
+                if r >= 3:
+                    break
+                lit += data[j:j + 1]
+                j += 1
+            out += bytes([len(lit) - 1]) + lit
+            i = j
+    return bytes(out)
+
+
+def _tiff_encode(px_rows, bo="<", photo=1, comp=1, rows_per_strip=3):
+    """Minimal baseline-TIFF encoder for the synth corpus: 8-bit
+    grayscale (photometric 0 stores inverted bytes) laid out in
+    ``rows_per_strip`` strips so multi-strip reassembly is exercised;
+    ``bo`` picks II/MM, ``comp`` 1 (none) or 32773 (PackBits)."""
+    import struct
+
+    h, w = len(px_rows), len(px_rows[0])
+    flat = bytes((255 - v if photo == 0 else v) & 0xFF
+                 for row in px_rows for v in row)
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        s = flat[y0 * w:(y0 + rows_per_strip) * w]
+        strips.append(_packbits_encode(s) if comp == 32773 else s)
+    off = 8
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(off)
+        off += len(s)
+    ifd_off = off
+    short = lambda v: struct.pack(bo + "H", v)
+    long_ = lambda v: struct.pack(bo + "I", v)
+    fields = [
+        (256, 3, 1, short(w)), (257, 3, 1, short(h)),
+        (258, 3, 1, short(8)), (259, 3, 1, short(comp)),
+        (262, 3, 1, short(photo)),
+        (273, 4, len(strips), b"".join(long_(o) for o in strip_offs)),
+        (277, 3, 1, short(1)), (278, 3, 1, short(rows_per_strip)),
+        (279, 4, len(strips), b"".join(long_(len(s)) for s in strips)),
+    ]
+    extra_base = ifd_off + 2 + 12 * len(fields) + 4
+    entries, extra = [], b""
+    for tag, typ, cnt, vb in fields:
+        if len(vb) <= 4:
+            entries.append(struct.pack(bo + "HHI", tag, typ, cnt)
+                           + vb.ljust(4, b"\0"))
+        else:
+            entries.append(struct.pack(bo + "HHI", tag, typ, cnt)
+                           + long_(extra_base + len(extra)))
+            extra += vb
+    ifd = (struct.pack(bo + "H", len(fields)) + b"".join(entries)
+           + long_(0))
+    hdr = (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42,
+                                                        ifd_off)
+    return hdr + b"".join(strips) + ifd + extra
+
+
+@register("multimodal_tiff", """
+WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 29 = 2),
+s AS (
+  SELECT id,
+         list_sum(list_transform(range(64),
+                                 i -> (id * 7 + i * 13) % 256)) AS ps
+  FROM ids
+)
+SELECT id, 'TIFF' AS format, 8 AS width, 8 AS height, 1 AS channels,
+       round_even(ps / 64.0, 3) AS mean_luma
+FROM s ORDER BY id
+""")
+def multimodal_tiff(spark, sf):
+    """REAL baseline-TIFF decoding through the Arrow stage:
+    deterministic 8x8 grayscale TIFFs synthesized from part keys
+    (decoded luminance of pixel i = (id*7 + i*13) % 256 — mean is an
+    exact int sum / 64, bit-identical across engines), with id % 8
+    rotating through BOTH byte orders (II/MM), BOTH photometrics
+    (WhiteIsZero ids store inverted bytes the decoder must re-invert)
+    and BOTH compressions (none / PackBits), in 3-row strips so
+    multi-strip reassembly is load-bearing. The oracle checks
+    format/dims/channels/mean from the pixel formula; RGB and
+    corrupt-payload arms live in tests/test_round4e.py."""
+    from lamapi_spark.ops.multimodal import decode_image
+
+    ids = (load(spark, sf, "part").filter(F.col("p_partkey") % 29 == 2)
+           .select(F.col("p_partkey").alias("id")))
+
+    def synth(it):
+        import pandas as pd
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                v = int(pid)
+                px = [(v * 7 + i * 13) % 256 for i in range(64)]
+                rows = [px[r * 8:(r + 1) * 8] for r in range(8)]
+                payloads.append(_tiff_encode(
+                    rows, bo="<" if v % 2 == 0 else ">",
+                    photo=(v >> 1) % 2,
+                    comp=1 if (v >> 2) % 2 == 0 else 32773))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["image"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    return (decode_image(payload)
+            .select("id", "format", "width", "height", "channels",
+                    "mean_luma")
+            .orderBy("id"))
