@@ -2752,3 +2752,54 @@ def multimodal_tiff(spark, sf):
             .select("id", "format", "width", "height", "channels",
                     "mean_luma")
             .orderBy("id"))
+
+
+# TIFF twin of the PNG near-dup corpus: identical engine-portable
+# 30/220 pixel pattern on an independent id slice, TIFF-ENCODED with
+# id-rotating byte order / photometric / compression so the pairing
+# proves strip reassembly + PackBits + WhiteIsZero inversion feed the
+# same aHash the other codecs produce.
+_TIFF_PAIRS_SQL = _PNG_PAIRS_SQL.replace("p_partkey % 13 = 1",
+                                         "p_partkey % 17 = 4")
+
+
+@register("tiff_neardup_pairs", _TIFF_PAIRS_SQL)
+def tiff_neardup_pairs_q(spark, sf):
+    """TIFF near-dup END TO END: the PNG corpus' two-level 30/220
+    pattern re-encoded as baseline TIFFs (id bits rotate II/MM,
+    BlackIsZero/WhiteIsZero, none/PackBits), decoded by the real
+    strip parser, aHashed, and paired via the banded Hamming join —
+    against the same brute-force oracle shape."""
+    from lamapi_spark.ops.multimodal import decode_image, image_neardup_pairs
+
+    ids = (load(spark, sf, "part").filter(F.col("p_partkey") % 17 == 4)
+           .select(F.col("p_partkey").alias("id")))
+
+    def synth(it):
+        import pandas as pd
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                pid = int(pid)
+                g, fp = pid % 3, (pid * 13) % 64
+                px = []
+                for i in range(64):
+                    base = 220 if ((g * 7 + i * 3) % 5) < 2 else 30
+                    px.append((250 - base) if i == fp else base)
+                rows = [px[r * 8:(r + 1) * 8] for r in range(8)]
+                payloads.append(_tiff_encode(
+                    rows, bo="<" if pid % 2 == 0 else ">",
+                    photo=(pid >> 1) % 2,
+                    comp=1 if (pid >> 2) % 2 == 0 else 32773))
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["image"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    decoded = decode_image(payload)
+    return (
+        image_neardup_pairs(decoded, max_hamming=3, n_bands=4,
+                            max_bucket=1_000_000)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
