@@ -1325,6 +1325,60 @@ def encode_flac(samples, rate: int = 8000, bps: int = 16, block: int = 256,
     return w.data()
 
 
+def _parse_aiff(b: bytes):
+    """AIFF (big-endian PCM) -> ('AIFF', channels, rate, frames x ch
+    int64): FORM/AIFF container, COMM (channels, frame count, 8/16-bit
+    sample size, sample rate as an 80-bit IEEE 754 extended float —
+    parsed exactly: mantissa * 2^(exp-16383-63)) + SSND with its
+    offset field honored. AIFF 8-bit audio is SIGNED, unlike WAVE's
+    unsigned 8-bit — the one cross-container trap, pinned by test.
+    Compressed AIFF-C raises into the null-degrade path."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] != b"AIFF":
+        raise ValueError("not aiff")
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = struct.unpack(">I", b[pos + 4:pos + 8])[0]
+        data = b[pos + 8:pos + 8 + sz]
+        if len(data) != sz:
+            raise ValueError("truncated chunk")
+        if cid == b"COMM":
+            comm = data
+        elif cid == b"SSND":
+            ssnd = data
+        pos += 8 + sz + (sz & 1)
+    if comm is None or len(comm) < 18 or ssnd is None or len(ssnd) < 8:
+        raise ValueError("missing COMM/SSND")
+    ch, nframes, ssize = struct.unpack(">HIH", comm[:8])
+    se = struct.unpack(">H", comm[8:10])[0]
+    mant = struct.unpack(">Q", comm[10:18])[0]
+    if mant == 0:
+        raise ValueError("zero sample rate")
+    rate = mant * 2.0 ** ((se & 0x7FFF) - 16383 - 63)
+    if se & 0x8000:
+        rate = -rate
+    rate = int(round(rate))
+    if rate <= 0 or ch < 1 or ssize not in (8, 16):
+        raise ValueError("unsupported aiff")
+    off = struct.unpack(">I", ssnd[:4])[0]
+    pcm = ssnd[8 + off:]
+    if ssize == 16:
+        n = len(pcm) // 2 // ch
+        samples = (np.frombuffer(pcm[:n * 2 * ch], dtype=">i2")
+                   .astype(np.int64).reshape(n, ch))
+    else:
+        n = len(pcm) // ch
+        samples = (np.frombuffer(pcm[:n * ch], dtype=np.int8)
+                   .astype(np.int64).reshape(n, ch))
+    if n < nframes:
+        raise ValueError("SSND shorter than COMM frame count")
+    return "AIFF", ch, rate, samples[:nframes]
+
+
 def decode_audio(df: DataFrame) -> DataFrame:
     """REAL audio decode over binary payloads (Arrow-batched, numpy
     only): RIFF/WAVE with PCM 8/16-bit, G.711 mu-law/A-law companding,
@@ -1334,7 +1388,7 @@ def decode_audio(df: DataFrame) -> DataFrame:
     mean absolute sample value — sums of int64s, so engine-portable
     with no float accumulation order issues). Unrecognized/corrupt
     payloads emit format 'unknown' with null fields (same null-degrade
-    contract as decode_image). Native FLAC (lossless: constant /
+    contract as decode_image). AIFF (big-endian PCM, 80-bit\n    extended sample rate, signed 8-bit) too. Native FLAC (lossless: constant /
     verbatim / fixed / LPC subframes, Rice partitions, all stereo
     modes, CRC-checked) decodes for real too — see _parse_flac; only
     perceptual codecs (MP3/OGG) stay behind the codec-library
@@ -1352,6 +1406,8 @@ def decode_audio(df: DataFrame) -> DataFrame:
                     pb = bytes(payload)
                     if pb[:4] == b"fLaC":
                         name, ch, rate, samples = _parse_flac(pb)
+                    elif pb[:4] == b"FORM":
+                        name, ch, rate, samples = _parse_aiff(pb)
                     else:
                         name, ch, rate, samples = _parse_wav(pb)
                     frames = samples.shape[0]
@@ -1431,6 +1487,8 @@ def audio_fingerprint(df: DataFrame, n_windows: int = 65) -> DataFrame:
                     pb = bytes(payload)
                     if pb[:4] == b"fLaC":
                         name, _ch, _rate, samples = _parse_flac(pb)
+                    elif pb[:4] == b"FORM":
+                        name, _ch, _rate, samples = _parse_aiff(pb)
                     else:
                         name, _ch, _rate, samples = _parse_wav(pb)
                     n = samples.shape[0]

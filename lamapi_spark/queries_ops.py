@@ -2803,3 +2803,66 @@ def tiff_neardup_pairs_q(spark, sf):
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------------------------------ aiff
+
+@register("multimodal_aiff", """
+WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 37 = 3),
+s AS (
+  SELECT id,
+         list_transform(range(120),
+                        i -> abs((id * 11 + i * 29) % 4001 - 2000)) AS a
+  FROM ids
+)
+SELECT id, 'AIFF' AS format, 1 AS channels, 11025 AS sample_rate,
+       120 AS n_samples, 120 / 11025.0 AS duration_s,
+       list_max(a)::INT AS peak_abs,
+       list_sum(a) / 120.0 AS mean_abs
+FROM s ORDER BY id
+""")
+def multimodal_aiff(spark, sf):
+    """REAL AIFF decoding through the Arrow stage: deterministic
+    big-endian PCM16 clips synthesized from part keys at 11025 Hz —
+    the sample rate is round-tripped through a TRUE 80-bit IEEE
+    extended encode (16383+e exponent, explicit-integer-bit mantissa),
+    and the SSND offset field is nonzero so the decoder must honor
+    it. The oracle checks format/channels/rate/frames/duration plus
+    the integer-exact amplitude stats from the same sample formula."""
+    from lamapi_spark.ops.multimodal import decode_audio
+
+    ids = (load(spark, sf, "part").filter(F.col("p_partkey") % 37 == 3)
+           .select(F.col("p_partkey").alias("id")))
+
+    def synth(it):
+        import struct
+
+        import pandas as pd
+
+        def ext80(val):
+            e = val.bit_length() - 1
+            return struct.pack(">HQ", 16383 + e, val << (63 - e))
+
+        def chunk(cid, d):
+            return (cid + struct.pack(">I", len(d)) + d
+                    + (b"\x00" if len(d) & 1 else b""))
+
+        for pdf in it:
+            payloads = []
+            for pid in pdf["id"]:
+                samples = [((int(pid) * 11 + i * 29) % 4001) - 2000
+                           for i in range(120)]
+                pcm = b"".join(struct.pack(">h", s) for s in samples)
+                comm = struct.pack(">HIH", 1, 120, 16) + ext80(11025)
+                # nonzero SSND offset: 4 junk bytes the decoder skips
+                ssnd = struct.pack(">II", 4, 0) + b"\xde\xad\xbe\xef" + pcm
+                body = (b"AIFF" + chunk(b"COMM", comm)
+                        + chunk(b"SSND", ssnd))
+                payloads.append(b"FORM" + struct.pack(">I", len(body))
+                                + body)
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads,
+                                "modality": ["audio"] * len(payloads)})
+
+    payload = ids.mapInPandas(
+        synth, schema="id bigint, payload binary, modality string")
+    return decode_audio(payload).orderBy("id")

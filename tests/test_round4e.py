@@ -681,3 +681,63 @@ def test_tiff_packbits_decode_hand(spark):
     enc = bytes([1, 0xA, 0xB, 0xFD, 0xC, 0x80, 0, 0xD])
     assert _packbits_decode(enc) == bytes([0xA, 0xB, 0xC, 0xC, 0xC, 0xC,
                                            0xD])
+
+
+# --------------------------------------------------------- AIFF decode
+
+def _aiff(samples, rate, ssize=16, ch=1):
+    import struct
+    import numpy as np
+
+    def ext80(val):
+        e = val.bit_length() - 1
+        return struct.pack(">HQ", 16383 + e, val << (63 - e))
+
+    def chunk(cid, d):
+        return cid + struct.pack(">I", len(d)) + d + (
+            b"\x00" if len(d) & 1 else b"")
+
+    arr = np.asarray(samples).reshape(-1, ch)
+    pcm = (arr.astype(">i2") if ssize == 16
+           else arr.astype(np.int8)).tobytes()
+    comm = struct.pack(">HIH", ch, arr.shape[0], ssize) + ext80(rate)
+    body = (b"AIFF" + chunk(b"COMM", comm)
+            + chunk(b"SSND", struct.pack(">II", 0, 0) + pcm))
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def test_aiff_signed_8bit_vs_wav_unsigned(spark):
+    # THE cross-container trap: AIFF 8-bit is signed; the same byte
+    # 0x80 is -128 in AIFF but (128-128)=0 after WAV's unsigned bias.
+    from lamapi_spark.ops.multimodal import decode_audio
+    df = spark.createDataFrame(
+        [(1, bytearray(_aiff([-128, 127, 0, -1], 8000, ssize=8)),
+          "audio")],
+        ["id", "payload", "modality"])
+    r = decode_audio(df).collect()[0]
+    assert (r.format, r.channels, r.sample_rate, r.n_samples) \
+        == ("AIFF", 1, 8000, 4)
+    assert r.peak_abs == 128
+    assert r.mean_abs == (128 + 127 + 0 + 1) / 4
+
+
+def test_aiff_stereo_44100_extended_rate(spark):
+    from lamapi_spark.ops.multimodal import decode_audio
+    import numpy as np
+    rng = np.random.RandomState(9)
+    s = rng.randint(-30000, 30000, size=(50, 2))
+    df = spark.createDataFrame(
+        [(1, bytearray(_aiff(s, 44100, ch=2)), "audio")],
+        ["id", "payload", "modality"])
+    r = decode_audio(df).collect()[0]
+    assert (r.format, r.channels, r.sample_rate, r.n_samples) \
+        == ("AIFF", 2, 44100, 50)
+    assert r.peak_abs == int(np.abs(s).max())
+
+
+def test_aiff_truncated_degrades(spark):
+    from lamapi_spark.ops.multimodal import decode_audio
+    df = spark.createDataFrame(
+        [(1, bytearray(_aiff([1, 2, 3], 8000)[:20]), "audio")],
+        ["id", "payload", "modality"])
+    assert decode_audio(df).collect()[0].format == "unknown"
