@@ -781,3 +781,44 @@ def pq_topk(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "dist", "rnk")
     )
+
+
+def hard_negative_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    lo: float = 0.15, hi: float = 0.95,
+    query_id: str = "vec_id", corpus_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    anchor, the top-k most-similar corpus items whose cosine sits in
+    [lo, hi) — similar enough to be informative negatives, but below
+    the near-duplicate line where a "negative" is secretly a positive
+    (the InfoNCE false-negative trap). The band decides on the
+    6-dp-rounded cosine so the gate is engine-portable; ranking uses
+    the unrounded exact cosine (dot_exact's fixed left-to-right
+    order), ties by neighbor id. Reference analogue: none;
+    builder's-brief training-data surface beside brute_force_topk.
+
+    Scale shape: brute_force_topk's join (broadcast corpus here; the
+    lsh_ann_topk bucket join is the drop-in scale path — band-filter
+    its candidates the same way), band filter BEFORE the per-anchor
+    window so out-of-band rows never rank. -> (q_id, n_id, cosine6,
+    rnk).
+    """
+    q = queries.select(F.col(query_id).alias("q_id"),
+                       F.col(vec).alias("q_vec"))
+    c = corpus.select(F.col(corpus_id).alias("n_id"),
+                      F.col(vec).alias("n_vec"))
+    cos = cosine_exact(F.col("q_vec"), F.col("n_vec"))
+    cos6 = F.bround(cos, 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
+                                           F.asc("n_id"))
+    return (q.join(F.broadcast(c), F.col("q_id") != F.col("n_id"))
+            .withColumn("cosine", cos)
+            .withColumn("cosine6", cos6)
+            .filter((F.col("cosine6") >= float(lo))
+                    & (F.col("cosine6") < float(hi)))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= int(k))
+            .select("q_id", "n_id", F.col("cosine6").alias("cosine"),
+                    "rnk"))

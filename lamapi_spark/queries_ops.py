@@ -2866,3 +2866,41 @@ def multimodal_aiff(spark, sf):
     payload = ids.mapInPandas(
         synth, schema="id bigint, payload binary, modality string")
     return decode_audio(payload).orderBy("id")
+
+
+# ----------------------------------------------------- hard negatives
+
+@register("embed_hard_negatives", f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id < 8),
+c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+scored AS (
+  SELECT q_id, n_id,
+         {_DOT_SQL.format(a='q_vec', b='n_vec')}
+         / (sqrt({_DOT_SQL.format(a='q_vec', b='q_vec')})
+            * sqrt({_DOT_SQL.format(a='n_vec', b='n_vec')})) AS cos
+  FROM q JOIN c ON q_id <> n_id
+),
+banded AS (
+  SELECT q_id, n_id, cos, round_even(cos, 6) AS cos6 FROM scored
+  WHERE round_even(cos, 6) >= 0.15 AND round_even(cos, 6) < 0.30
+)
+SELECT q_id, n_id, cos6 AS cosine,
+       row_number() OVER (PARTITION BY q_id
+                          ORDER BY cos DESC, n_id) AS rnk
+FROM banded QUALIFY rnk <= 5 ORDER BY q_id, rnk
+""")
+def embed_hard_negatives(spark, sf):
+    """Contrastive hard negatives (ops/similarity.hard_negative_topk,
+    band [0.15, 0.30), k=5) over the embeddings table: this corpus's
+    per-anchor max cosines sit at 0.32-0.40, so the UPPER edge
+    actually excludes the most-similar items (the false-negative
+    trap arm is load-bearing) while the lower edge drops the easy
+    bulk. The oracle replays the fixed-order dot products, the
+    rounded-cosine band, and the unrounded-cosine ranking."""
+    from lamapi_spark.ops.similarity import hard_negative_topk
+
+    emb = load(spark, sf, "embeddings")
+    return (hard_negative_topk(emb.filter(F.col("vec_id") < 8), emb,
+                               k=5, lo=0.15, hi=0.30)
+            .orderBy("q_id", "rnk"))

@@ -741,3 +741,32 @@ def test_aiff_truncated_degrades(spark):
         [(1, bytearray(_aiff([1, 2, 3], 8000)[:20]), "audio")],
         ["id", "payload", "modality"])
     assert decode_audio(df).collect()[0].format == "unknown"
+
+
+# --------------------------------------------------------- hard negatives
+
+def test_hard_negatives_band_and_rank(spark):
+    from lamapi_spark.ops.similarity import hard_negative_topk
+    # anchor q = [1, 0]; candidates at known cosines: dup 1.0,
+    # hard 0.8, medium 0.5, easy 0.1
+    import math
+    rows = [(0, [1.0, 0.0])]
+    for i, cos in [(1, 1.0), (2, 0.8), (3, 0.5), (4, 0.1)]:
+        rows.append((i, [cos, math.sqrt(1 - cos * cos)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = hard_negative_topk(
+        df.filter(F.col("vec_id") == 0), df, k=2, lo=0.3, hi=0.95
+    ).collect()
+    # dup (1.0) excluded above hi, easy (0.1) below lo; hard ranks first
+    assert [(r.n_id, r.rnk) for r in sorted(got, key=lambda r: r.rnk)] \
+        == [(2, 1), (3, 2)]
+    assert abs(sorted(got, key=lambda r: r.rnk)[0].cosine - 0.8) < 1e-6
+
+
+def test_hard_negatives_k_truncation(spark):
+    from lamapi_spark.ops.similarity import hard_negative_topk
+    rows = [(i, [1.0, float(i) / 10]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = hard_negative_topk(df.filter(F.col("vec_id") == 0), df,
+                             k=3, lo=0.0, hi=1.0).collect()
+    assert len(got) == 3 and {r.rnk for r in got} == {1, 2, 3}
