@@ -468,3 +468,52 @@ def decayed_counts(events: DataFrame, key_col: str = "event_type",
                         lambda acc, e: acc + term(e))
     return g.select("key", "n_events", "last_bin",
                     F.bround(score, 6).alias("score"))
+
+
+def turn_latency_stats(transcripts: DataFrame, conv_col: str = "conv_id",
+                       idx_col: str = "turn_idx", role_col: str = "role",
+                       ts_col: str = "ts") -> DataFrame:
+    """Per-role response-latency rollup over conversation transcripts
+    — how long each speaker class (assistant, tool, user) takes to
+    produce its turn, measured as ts(turn) - ts(previous turn) within
+    the conversation under the north rule's stable turn ordering. The
+    first turn of a conversation has no predecessor and is excluded.
+    The operational dashboard number for an agent-transcript corpus
+    (reference analogue: none; builder's-brief transcript analytics
+    beside sessionize/transcript_stats).
+
+    Exactness: latencies are integer MICROSECONDS (unix_micros — the
+    queries_temporal parity rule); mean_us is the exact integer
+    division sum DIV n (floor), min/max/sum exact BIGINTs — no floats
+    anywhere.
+
+    Scale shape: ONE conversation-keyed collect into a turn-bounded
+    sorted array, consecutive pairing as an in-row transform (a lag
+    window is the same exchange plus a window pass), explode of the
+    n-1 latency rows, one role-keyed hash agg (bounded by the role
+    vocabulary). -> (role, n, sum_us, mean_us, min_us, max_us).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    g = (transcripts.select(F.col(conv_col).alias("_c"),
+                            F.col(idx_col).alias("_i"),
+                            F.col(role_col).alias("_r"), us.alias("_t"))
+         .groupBy("_c")
+         .agg(F.sort_array(F.collect_list(
+             F.struct("_i", "_r", "_t"))).alias("_a")))
+    arr = F.col("_a")
+    lats = F.transform(
+        F.sequence(F.lit(2), F.greatest(F.size(arr), F.lit(1))),
+        lambda i: F.struct(
+            F.element_at(arr, i)["_r"].alias("role"),
+            (F.element_at(arr, i)["_t"]
+             - F.element_at(arr, i - 1)["_t"]).alias("lat")))
+    rows = (g.filter(F.size(arr) >= 2)
+            .select(F.explode(lats).alias("e"))
+            .select(F.col("e.role").alias("role"),
+                    F.col("e.lat").alias("lat")))
+    agg = rows.groupBy("role").agg(
+        F.count("*").alias("n"), F.sum("lat").alias("sum_us"),
+        F.min("lat").alias("min_us"), F.max("lat").alias("max_us"))
+    return agg.select(
+        "role", "n", "sum_us",
+        F.expr("sum_us DIV n").alias("mean_us"), "min_us", "max_us")

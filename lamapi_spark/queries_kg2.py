@@ -3004,3 +3004,56 @@ def graph_dyads(spark, sf):
     e = o.select(F.concat(F.lit("n"), ok % 200).alias("src"),
                  F.concat(F.lit("n"), (ok * 7 + ck) % 200).alias("dst"))
     return dyad_census(e)
+
+
+# ------------------------------------------------- turn latency
+
+@register("conv_turn_latency", """
+WITH t AS (
+  SELECT 'c' || o_custkey AS conv_id,
+         (row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderkey))::INT AS turn_idx,
+         CASE o_orderkey % 3 WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         make_timestamp(1704067200000000
+           + (row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderkey))
+             * (row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderkey))
+             * ((o_custkey % 7 + 1) * 1000)) AS ts
+  FROM orders),
+lat AS (
+  SELECT role,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS lat
+  FROM t QUALIFY lat IS NOT NULL)
+SELECT role, count(*)::BIGINT AS n, sum(lat)::BIGINT AS sum_us,
+       (sum(lat) // count(*))::BIGINT AS mean_us,
+       min(lat)::BIGINT AS min_us, max(lat)::BIGINT AS max_us
+FROM lat GROUP BY role ORDER BY role
+""")
+def conv_turn_latency(spark, sf):
+    """Per-role turn latencies (ops/temporal.turn_latency_stats) over
+    a timestamped role transcript planted on orders: turn t of a
+    conversation lands at t^2 * pace micros (pace = custkey-derived),
+    so the latency of turn t is exactly (2t-1)*pace with no cumulative
+    sum in the synth — and roles rotate user/assistant/tool on the
+    orderkey, NOT the turn index, so each role sees a spread of
+    latencies. The oracle is the INDEPENDENT lag-window formulation
+    (vs the op's in-array consecutive pairing); stats are all exact
+    integers."""
+    from lamapi_spark.ops.temporal import turn_latency_stats
+
+    o = load(spark, sf, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    tn = F.row_number().over(w).cast("long")
+    role = (F.when(ok % 3 == 0, "user")
+            .when(ok % 3 == 1, "assistant").otherwise("tool"))
+    t = o.select(
+        F.concat(F.lit("c"), ck).alias("conv_id"),
+        tn.cast("int").alias("turn_idx"), role.alias("role"),
+        F.timestamp_micros(
+            F.lit(1704067200000000)
+            + tn * tn * ((ck % 7 + 1) * 1000)).alias("ts"))
+    return (turn_latency_stats(t).orderBy("role"))

@@ -770,3 +770,40 @@ def test_hard_negatives_k_truncation(spark):
     got = hard_negative_topk(df.filter(F.col("vec_id") == 0), df,
                              k=3, lo=0.0, hi=1.0).collect()
     assert len(got) == 3 and {r.rnk for r in got} == {1, 2, 3}
+
+
+# --------------------------------------------------------- turn latency
+
+def test_turn_latency_hand(spark):
+    from lamapi_spark.ops.temporal import turn_latency_stats
+    import datetime
+    b = datetime.datetime(2024, 1, 1)
+    us = lambda s: b + datetime.timedelta(microseconds=s)
+    rows = [
+        ("c1", 1, "user", us(0)),
+        ("c1", 2, "assistant", us(3_000_000)),   # 3s
+        ("c1", 3, "user", us(10_000_000)),       # 7s
+        ("c1", 4, "assistant", us(11_000_000)),  # 1s
+        ("c2", 1, "user", us(0)),                # lone turn -> excluded
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "ts"])
+    got = {r.role: r for r in turn_latency_stats(df).collect()}
+    assert set(got) == {"user", "assistant"}
+    a = got["assistant"]
+    assert (a.n, a.sum_us, a.mean_us, a.min_us, a.max_us) \
+        == (2, 4_000_000, 2_000_000, 1_000_000, 3_000_000)
+    u = got["user"]
+    assert (u.n, u.sum_us) == (1, 7_000_000)
+
+
+def test_turn_latency_arrival_order_invariant(spark):
+    from lamapi_spark.ops.temporal import turn_latency_stats
+    import datetime
+    b = datetime.datetime(2024, 1, 1)
+    rows = [("c", i, "r", b + datetime.timedelta(seconds=i * i))
+            for i in (4, 1, 3, 2)]  # shuffled arrival
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "ts"])
+    r = turn_latency_stats(df).collect()[0]
+    # latencies 3, 5, 7 seconds regardless of row order
+    assert (r.n, r.sum_us, r.min_us, r.max_us) \
+        == (3, 15_000_000, 3_000_000, 7_000_000)
