@@ -999,3 +999,56 @@ def psi_drift(base: DataFrame, new: DataFrame,
         .alias("term")).select(F.lit("__total__").alias("category"),
                                "c_base", "c_new", "term")
     return per.unionByName(total)
+
+
+def exact_quantiles_by(df: DataFrame, key_col: str, val_col: str,
+                       qs=(0.5, 0.9, 0.99),
+                       n_buckets: int = 64) -> DataFrame:
+    """EXACT per-group quantiles (percentile_disc per key: value at
+    rank ceil(q*n_k) within each key's sorted values) — the grouped
+    twin of exact_quantiles: "p95 document length PER LANGUAGE", "p99
+    turn latency PER ROLE". Reference analogue: none; builder's-brief
+    corpus-stats surface.
+
+    Scale shape — the two-level scan NESTED under the group key, so
+    no key ever needs a single-task global sort of its values: per-key
+    min/max (one agg) define per-key value bins; the exclusive prefix
+    over (key, bin) counts is a window ORDERED BY BIN WITHIN THE KEY
+    (<= n_buckets rows per key — bounded, unlike a per-value window);
+    within-(key, bin) row_numbers run parallel across keys AND bins.
+    Target ranks come from per-key counts (one agg) exploded per q —
+    a key-keyed join, broadcast when the key vocabulary is small.
+    A hot key degrades to n_buckets sorted slices, never one task.
+    -> (key, q, rk, value).
+    """
+    vals = df.select(F.col(key_col).alias("key"),
+                     F.col(val_col).cast("double").alias("v"))
+    stats = vals.groupBy("key").agg(F.min("v").alias("_lo"),
+                                    F.max("v").alias("_hi"),
+                                    F.count("*").alias("_n"))
+    span = (F.col("_hi") - F.col("_lo")).cast("double")
+    b = F.when(span == 0, F.lit(0)).otherwise(F.least(
+        F.floor((F.col("v") - F.col("_lo")).cast("double")
+                / span * n_buckets),
+        F.lit(n_buckets - 1))).cast("long")
+    binned = (vals.join(stats.select("key", "_lo", "_hi"), "key")
+              .select("key", "v", b.alias("_b")))
+    w_pref = (Window.partitionBy("key").orderBy("_b")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    pref = (binned.groupBy("key", "_b").agg(F.count("*").alias("_bn"))
+            .select("key", "_b",
+                    F.coalesce(F.sum("_bn").over(w_pref),
+                               F.lit(0)).alias("_off")))
+    w_loc = Window.partitionBy("key", "_b").orderBy("v")
+    ranked = (binned.join(pref, ["key", "_b"])
+              .select("key", "v", (F.col("_off")
+                                   + F.row_number().over(w_loc))
+                      .alias("rk")))
+    targets = (stats.select(
+        "key", "_n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"))
+        .select("key", "q", F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("q") * F.col("_n")).cast("long")).alias("rk")))
+    return (ranked.join(targets, ["key", "rk"])
+            .select("key", "q", "rk", F.col("v").alias("value")))

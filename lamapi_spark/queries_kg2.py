@@ -3057,3 +3057,36 @@ def conv_turn_latency(spark, sf):
             F.lit(1704067200000000)
             + tn * tn * ((ck % 7 + 1) * 1000)).alias("ts"))
     return (turn_latency_stats(t).orderBy("role"))
+
+
+# ------------------------------------------------- grouped quantiles
+
+@register("eval_grouped_quantiles", """
+WITH s AS (SELECT o_orderpriority AS key, o_totalprice AS v
+           FROM orders),
+n AS (SELECT key, count(*)::BIGINT AS n FROM s GROUP BY key),
+t AS (SELECT key, q, greatest(1, ceil(q * n)::BIGINT) AS rk
+      FROM n CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE,
+                                        0.99::DOUBLE]) AS q)),
+r AS (SELECT key, v, row_number() OVER (PARTITION BY key
+                                        ORDER BY v) AS rk FROM s)
+SELECT t.key, t.q, t.rk, r.v AS value
+FROM t JOIN r ON r.key = t.key AND r.rk = t.rk
+ORDER BY t.key, q
+""")
+def eval_grouped_quantiles(spark, sf):
+    """Per-priority order-price percentiles
+    (ops/metrics.exact_quantiles_by, p50/p90/p99): the two-level scan
+    nested under the group key — per-key bins, a per-key bin-prefix
+    window bounded by n_buckets rows, within-(key, bin) row_numbers.
+    The oracle is the INDEPENDENT per-key global row_number — green
+    proves the nested scan's rank-to-value map equals a per-key full
+    sort at every requested rank."""
+    from lamapi_spark.ops.metrics import exact_quantiles_by
+
+    o = load(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("key"),
+        F.col("o_totalprice").alias("v"))
+    return (exact_quantiles_by(o, "key", "v", qs=(0.5, 0.9, 0.99),
+                               n_buckets=16)
+            .orderBy("key", "q"))

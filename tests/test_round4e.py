@@ -807,3 +807,34 @@ def test_turn_latency_arrival_order_invariant(spark):
     # latencies 3, 5, 7 seconds regardless of row order
     assert (r.n, r.sum_us, r.min_us, r.max_us) \
         == (3, 15_000_000, 3_000_000, 7_000_000)
+
+
+# --------------------------------------------------------- grouped quantiles
+
+def test_grouped_quantiles_match_per_key_sort(spark):
+    from lamapi_spark.ops.metrics import exact_quantiles_by
+    import math
+    data = {}
+    rows = []
+    for k in ("a", "b", "c"):
+        vals = [((i * (7 + ord(k))) % 53) / 3.0 for i in range(40 + ord(k) % 5)]
+        data[k] = sorted(vals)
+        rows += [(k, v) for v in vals]
+    df = spark.createDataFrame(rows, ["key", "v"])
+    qs = (0.5, 0.9, 0.99)
+    got = {(r.key, r.q): r.value
+           for r in exact_quantiles_by(df, "key", "v", qs=qs,
+                                       n_buckets=4).collect()}
+    for k, s in data.items():
+        for q in qs:
+            assert got[(k, q)] == s[max(1, math.ceil(q * len(s))) - 1], (k, q)
+
+
+def test_grouped_quantiles_singleton_and_constant_keys(spark):
+    from lamapi_spark.ops.metrics import exact_quantiles_by
+    rows = [("lone", 7.0)] + [("const", 2.5)] * 9
+    df = spark.createDataFrame(rows, ["key", "v"])
+    got = exact_quantiles_by(df, "key", "v", qs=(0.5, 1.0)).collect()
+    assert {(r.key, r.q, r.value) for r in got} \
+        == {("lone", 0.5, 7.0), ("lone", 1.0, 7.0),
+            ("const", 0.5, 2.5), ("const", 1.0, 2.5)}
