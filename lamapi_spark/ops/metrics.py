@@ -9,6 +9,8 @@ tests/test_pipeline_e2e.py computes in Python on fixtures).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1052,3 +1054,69 @@ def exact_quantiles_by(df: DataFrame, key_col: str, val_col: str,
             F.ceil(F.col("q") * F.col("_n")).cast("long")).alias("rk")))
     return (ranked.join(targets, ["key", "rk"])
             .select("key", "q", "rk", F.col("v").alias("value")))
+
+
+# Poisson(1) CDF thresholds scaled to 2^48 (floor(cdf_k * 2^48) for
+# k = 0..6; u >= t6 -> weight 7). Shared integer literals with the
+# DuckDB oracle so both engines draw identical bootstrap weights.
+POISSON1_T48 = (103548857136060, 207097714272121, 258872142840152,
+                276130285696162, 280444821410164, 281307728552965,
+                281451546410098)
+
+
+def bootstrap_ci(scored: DataFrame, id_col: str = "item_id",
+                 correct_col: str = "correct", n_boot: int = 200,
+                 alpha: float = 0.05) -> DataFrame:
+    """Poisson-bootstrap confidence interval on an accuracy-style
+    metric — the error bar every eval table needs before "model A
+    beats model B by 0.4%" means anything. The POISSON bootstrap
+    (Chamandy et al. 2012, Google's streaming bootstrap): replica b
+    draws each item independently with weight ~ Poisson(1) — at
+    corpus scale indistinguishable from the multinomial bootstrap and,
+    unlike it, embarrassingly parallel with no coordination. Weights
+    are DETERMINISTIC: u = 48-bit md5(item|b) uniform, inverse-CDF
+    through the shared integer thresholds POISSON1_T48 (tail clamped
+    at 7, P < 1e-5) — identical draws in any engine or partitioning.
+    Reference analogue: none; builder's-brief eval surface.
+
+    Per replica: acc_b = sum(w * correct) / sum(w) — exact integer
+    sums, ONE division, 6 dp. The interval is the percentile
+    bootstrap: acc at ranks ceil(alpha/2 * B) and ceil((1-alpha/2)*B)
+    of the B sorted replica accuracies (sorted IN-ROW — B is
+    bounded). -> ONE row (n_items, point, n_boot, lo, hi).
+
+    Scale shape: one explode x B (compute, not shuffle: the replica
+    group-by map-side-combines each partition to <= B cells before
+    the exchange), one B-group agg, one bounded in-row sort. Keep
+    n_boot modest (hundreds) — the explode multiplies scan work.
+    """
+    base = scored.select(F.col(id_col).cast("string").alias("i"),
+                         F.col(correct_col).cast("long").alias("y"))
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias("b")
+    rep = base.select("i", "y", b)
+    u = F.conv(F.substring(F.md5(F.concat_ws("|", "i", "b")), 1, 12),
+               16, 10).cast("long")
+    w = F.lit(7).cast("long")
+    for k in range(len(POISSON1_T48) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_T48[k]), F.lit(k).cast("long")) \
+             .otherwise(w)
+    per = (rep.select("b", w.alias("w"), F.col("y"))
+           .groupBy("b")
+           .agg(F.sum(F.col("w") * F.col("y")).alias("_num"),
+                F.sum("w").alias("_den")))
+    acc = F.when(F.col("_den") > 0,
+                 F.bround(F.col("_num") / F.col("_den"), 6)) \
+           .otherwise(F.lit(0.0))
+    accs = per.select(acc.alias("a")).agg(
+        F.sort_array(F.collect_list("a")).alias("_as"))
+    point = base.agg(
+        F.count("*").alias("n_items"),
+        F.bround(F.coalesce(F.sum("y"), F.lit(0))
+                 / F.greatest(F.count("*"), F.lit(1)), 6).alias("point"))
+    lo_rk = max(1, math.ceil(alpha / 2 * n_boot))
+    hi_rk = max(1, math.ceil((1 - alpha / 2) * n_boot))
+    return (point.join(F.broadcast(accs))
+            .select("n_items", "point",
+                    F.lit(int(n_boot)).alias("n_boot"),
+                    F.element_at("_as", lo_rk).alias("lo"),
+                    F.element_at("_as", hi_rk).alias("hi")))

@@ -3090,3 +3090,53 @@ def eval_grouped_quantiles(spark, sf):
     return (exact_quantiles_by(o, "key", "v", qs=(0.5, 0.9, 0.99),
                                n_buckets=16)
             .orderBy("key", "q"))
+
+
+# ------------------------------------------------- bootstrap CI
+
+from lamapi_spark.ops.metrics import POISSON1_T48  # noqa: E402
+
+_POIS_CASE = ("CASE " + " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in enumerate(POISSON1_T48))
+    + " ELSE 7 END")
+
+
+@register("eval_bootstrap_ci", f"""
+WITH s AS (
+  SELECT o_orderkey::VARCHAR AS i,
+         CASE WHEN (o_orderkey * 17 + o_custkey) % 100 < 85
+              THEN 1 ELSE 0 END AS y
+  FROM orders),
+rep AS (SELECT i, y, b FROM s CROSS JOIN range(200) t(b)),
+wts AS (
+  SELECT b, y, {_POIS_CASE} AS w
+  FROM (SELECT b, y,
+               (('0x' || substr(md5(i || '|' || b), 1, 12))
+                ::UBIGINT)::BIGINT AS u
+        FROM rep)),
+per AS (SELECT b, round_even(sum(w * y) / CAST(sum(w) AS DOUBLE), 6)
+               AS a
+        FROM wts GROUP BY b),
+accs AS (SELECT list(a ORDER BY a) AS l FROM per),
+pt AS (SELECT count(*)::BIGINT AS n_items,
+              round_even(sum(y) / CAST(count(*) AS DOUBLE), 6) AS point
+       FROM s)
+SELECT n_items, point, 200 AS n_boot, l[5] AS lo, l[195] AS hi
+FROM pt CROSS JOIN accs
+""")
+def eval_bootstrap_ci(spark, sf):
+    """Poisson-bootstrap 95% CI (ops/metrics.bootstrap_ci, B = 200)
+    on a planted 85%-accurate evaluator over orders. Every bootstrap
+    weight is a shared deterministic draw — 48-bit md5(item|replica)
+    uniform through the SAME integer Poisson(1) thresholds
+    (POISSON1_T48) in both engines — so all 200 replica accuracies,
+    the sorted percentile picks at ranks 5/195, and the point
+    estimate hash-match exactly."""
+    from lamapi_spark.ops.metrics import bootstrap_ci
+
+    o = load(spark, sf, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    s = o.select(ok.alias("item_id"),
+                 F.when((ok * 17 + ck) % 100 < 85, 1)
+                 .otherwise(0).alias("correct"))
+    return bootstrap_ci(s, n_boot=200, alpha=0.05)

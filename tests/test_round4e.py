@@ -838,3 +838,44 @@ def test_grouped_quantiles_singleton_and_constant_keys(spark):
     assert {(r.key, r.q, r.value) for r in got} \
         == {("lone", 0.5, 7.0), ("lone", 1.0, 7.0),
             ("const", 0.5, 2.5), ("const", 1.0, 2.5)}
+
+
+# --------------------------------------------------------- bootstrap CI
+
+def test_bootstrap_ci_brackets_point(spark):
+    from lamapi_spark.ops.metrics import bootstrap_ci
+    rows = [(i, 1 if (i * 13) % 10 < 7 else 0) for i in range(400)]
+    df = spark.createDataFrame(rows, ["item_id", "correct"])
+    r = bootstrap_ci(df, n_boot=100).collect()[0]
+    assert r.n_items == 400
+    assert abs(r.point - 0.7) < 0.001
+    assert r.lo <= r.point <= r.hi
+    # 95% CI on n=400 at p=0.7: half-width ~ 1.96*sqrt(.21/400) ~ .045
+    assert 0.01 < (r.hi - r.lo) < 0.12
+
+
+def test_bootstrap_ci_deterministic(spark):
+    from lamapi_spark.ops.metrics import bootstrap_ci
+    rows = [(i, i % 2) for i in range(50)]
+    df = spark.createDataFrame(rows, ["item_id", "correct"])
+    a = bootstrap_ci(df, n_boot=50).collect()[0]
+    b = bootstrap_ci(df.repartition(7), n_boot=50).collect()[0]
+    assert (a.lo, a.hi, a.point) == (b.lo, b.hi, b.point)
+
+
+def test_bootstrap_weights_marginal_distribution(spark):
+    # the md5-uniform inverse-CDF should produce ~Poisson(1) weights:
+    # mean weight ~ 1 within a loose band over many draws
+    from lamapi_spark.ops.metrics import POISSON1_T48
+    import hashlib
+    tot = 0
+    n = 5000
+    for i in range(n):
+        u = int(hashlib.md5(f"{i}|0".encode()).hexdigest()[:12], 16)
+        w = 7
+        for k, t in enumerate(POISSON1_T48):
+            if u < t:
+                w = k
+                break
+        tot += w
+    assert 0.93 < tot / n < 1.07
