@@ -1120,3 +1120,43 @@ def bootstrap_ci(scored: DataFrame, id_col: str = "item_id",
                     F.lit(int(n_boot)).alias("n_boot"),
                     F.element_at("_as", lo_rk).alias("lo"),
                     F.element_at("_as", hi_rk).alias("hi")))
+
+
+def mcnemar_test(pred_a: DataFrame, pred_b: DataFrame, truth: DataFrame,
+                 keys: list[str], value_col: str = "label") -> DataFrame:
+    """McNemar's paired-model comparison — the right significance
+    check when two models are evaluated on the SAME items (a plain
+    two-proportion test ignores the pairing and wastes power): only
+    the discordant counts matter, b = A right & B wrong, c = A wrong
+    & B right. Emits the continuity-corrected statistic
+    chi2 = (|b - c| - 1)^2 / (b + c) (one float expression over exact
+    integers; ~3.84 is the 5% line at 1 df) — the STATISTIC, not a
+    p-value: no incomplete-gamma dependency, engine-portable.
+    b + c = 0 (no discordant items) reads 0.0. Reference analogue:
+    none; builder's-brief eval surface beside bootstrap_ci.
+
+    Scale shape: two key-joins onto truth (co-partitioned on the same
+    key), one 1-row count agg. -> ONE row (n, both_right, both_wrong,
+    a_only, b_only, chi2).
+    """
+    t = truth.select(*keys, F.col(value_col).alias("_t"))
+    a = pred_a.select(*keys, F.col(value_col).alias("_a"))
+    bdf = pred_b.select(*keys, F.col(value_col).alias("_b"))
+    j = t.join(a, keys).join(bdf, keys)
+    ra = (F.col("_a") == F.col("_t")).cast("long")
+    rb = (F.col("_b") == F.col("_t")).cast("long")
+    agg = j.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(ra * rb), F.lit(0)).alias("both_right"),
+        F.coalesce(F.sum((1 - ra) * (1 - rb)), F.lit(0))
+        .alias("both_wrong"),
+        F.coalesce(F.sum(ra * (1 - rb)), F.lit(0)).alias("a_only"),
+        F.coalesce(F.sum((1 - ra) * rb), F.lit(0)).alias("b_only"))
+    bc = F.col("a_only") + F.col("b_only")
+    # clamp the continuity correction at 0: b == c must read chi2 = 0,
+    # not (-1)^2 / (b + c)
+    d = F.greatest(F.abs(F.col("a_only") - F.col("b_only")) - 1,
+                   F.lit(0).cast("long"))
+    chi2 = F.when(bc > 0, (d * d) / bc).otherwise(F.lit(0.0))
+    return agg.select("n", "both_right", "both_wrong", "a_only",
+                      "b_only", F.bround(chi2, 6).alias("chi2"))

@@ -3140,3 +3140,56 @@ def eval_bootstrap_ci(spark, sf):
                  F.when((ok * 17 + ck) % 100 < 85, 1)
                  .otherwise(0).alias("correct"))
     return bootstrap_ci(s, n_boot=200, alpha=0.05)
+
+
+# ------------------------------------------------- McNemar
+
+@register("eval_mcnemar", """
+WITH t AS (SELECT o_orderkey AS k, o_orderkey % 4 AS label
+           FROM orders),
+a AS (SELECT o_orderkey AS k,
+             CASE WHEN (o_orderkey * 7 + o_custkey) % 10 < 8
+                  THEN o_orderkey % 4 ELSE (o_orderkey + 1) % 4 END
+               AS label
+      FROM orders),
+b AS (SELECT o_orderkey AS k,
+             CASE WHEN (o_orderkey * 11 + o_custkey) % 10 < 7
+                  THEN o_orderkey % 4 ELSE (o_orderkey + 2) % 4 END
+               AS label
+      FROM orders),
+j AS (SELECT (a.label = t.label)::INT AS ra,
+             (b.label = t.label)::INT AS rb
+      FROM t JOIN a USING (k) JOIN b USING (k)),
+c AS (SELECT count(*)::BIGINT AS n,
+             sum(ra * rb)::BIGINT AS both_right,
+             sum((1 - ra) * (1 - rb))::BIGINT AS both_wrong,
+             sum(ra * (1 - rb))::BIGINT AS a_only,
+             sum((1 - ra) * rb)::BIGINT AS b_only
+      FROM j)
+SELECT n, both_right, both_wrong, a_only, b_only,
+       round_even(CASE WHEN a_only + b_only > 0
+                  THEN greatest(abs(a_only - b_only) - 1, 0)
+                       * greatest(abs(a_only - b_only) - 1, 0)
+                       / CAST(a_only + b_only AS DOUBLE)
+                  ELSE 0.0 END, 6) AS chi2
+FROM c
+""")
+def eval_mcnemar(spark, sf):
+    """McNemar's paired comparison (ops/metrics.mcnemar_test) between
+    a planted 80%-accurate model A and 70%-accurate model B on the
+    same items — the discordant cells dominate in A's favor, so chi2
+    lands far above the 3.84 significance line. The oracle replays
+    both predictors, the pairing joins, all four cells, and the
+    clamped continuity correction."""
+    from lamapi_spark.ops.metrics import mcnemar_test
+
+    o = load(spark, sf, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    t = o.select(ok.alias("k"), (ok % 4).alias("label"))
+    a = o.select(ok.alias("k"), F.when(
+        (ok * 7 + ck) % 10 < 8, ok % 4).otherwise((ok + 1) % 4)
+        .alias("label"))
+    b = o.select(ok.alias("k"), F.when(
+        (ok * 11 + ck) % 10 < 7, ok % 4).otherwise((ok + 2) % 4)
+        .alias("label"))
+    return mcnemar_test(a, b, t, ["k"])

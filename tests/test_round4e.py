@@ -879,3 +879,33 @@ def test_bootstrap_weights_marginal_distribution(spark):
                 break
         tot += w
     assert 0.93 < tot / n < 1.07
+
+
+# --------------------------------------------------------- McNemar
+
+def test_mcnemar_hand_cells(spark):
+    from lamapi_spark.ops.metrics import mcnemar_test
+    t = spark.createDataFrame([(i, "g") for i in range(10)],
+                              ["k", "label"])
+    # A right on 0..7, B right on 0..5 -> both_right 6, a_only 2,
+    # b_only 0, both_wrong 2; chi2 = (|2-0|-1)^2 / 2 = 0.5
+    a = spark.createDataFrame(
+        [(i, "g" if i < 8 else "x") for i in range(10)], ["k", "label"])
+    b = spark.createDataFrame(
+        [(i, "g" if i < 6 else "x") for i in range(10)], ["k", "label"])
+    r = mcnemar_test(a, b, t, ["k"]).collect()[0]
+    assert (r.n, r.both_right, r.both_wrong, r.a_only, r.b_only) \
+        == (10, 6, 2, 2, 0)
+    assert r.chi2 == 0.5
+
+
+def test_mcnemar_tied_discordants_zero(spark):
+    from lamapi_spark.ops.metrics import mcnemar_test
+    t = spark.createDataFrame([(i, "g") for i in range(4)], ["k", "label"])
+    a = spark.createDataFrame(
+        [(0, "g"), (1, "x"), (2, "g"), (3, "x")], ["k", "label"])
+    b = spark.createDataFrame(
+        [(0, "x"), (1, "g"), (2, "g"), (3, "x")], ["k", "label"])
+    r = mcnemar_test(a, b, t, ["k"]).collect()[0]
+    # b == c == 1: clamped correction -> exactly 0, not 1/2
+    assert (r.a_only, r.b_only, r.chi2) == (1, 1, 0.0)
