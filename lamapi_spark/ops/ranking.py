@@ -254,3 +254,80 @@ def mmr_rerank(ranked: DataFrame, corpus: DataFrame, k: int = 3,
                               - F.lit(w_div) * F.col("_ms")))
         picks = picks.unionByName(argmax(scored, i))
     return picks
+
+
+def bradley_terry(games: DataFrame, winner_col: str = "winner",
+                  loser_col: str = "loser", iters: int = 6,
+                  scale: int = 1_000_000) -> DataFrame:
+    """Bradley-Terry strength estimation from pairwise outcomes — the
+    model behind every arena/preference leaderboard (which assistant
+    variant wins head-to-head judgments), fit with Hunter's (2004) MM
+    algorithm for a FIXED number of rounds in pure BIGINT arithmetic
+    (the fs_em_weights discipline), so the result is a bit-exact pure
+    function of (games, iters, scale) and the SQL oracle unrolls the
+    identical rounds.
+
+    With W_i = wins of i, n_ij = games between i and j, and strengths
+    w in units of 1/scale (K = scale * 10^6 the precision constant):
+
+        D_i   = sum over opponents j of  n_ij * K DIV (w_i + w_j)
+        w_i'  = W_i * K DIV D_i
+        then normalize: w_i <- w_i' * (n_players * scale) DIV sum(w')
+
+    Every division is integer DIV (order-independent BIGINT sums —
+    each term a deterministic quantization, relative error <= 1e-6
+    per round); zero-strength collisions guard the denominator with
+    greatest(.., 1). A player with zero wins converges to strength 0
+    — the true degenerate MLE; callers wanting regularization add
+    virtual games first. Overflow bounds: n_ij * K needs n_ij < 9e6
+    games per pair; w' * n_players * scale needs n_players < ~9e5.
+
+    Scale shape per round: two player-keyed joins land strengths on
+    the symmetrized pair-count frame (bounded by the rivalry graph),
+    one opponent-sum agg, one wins join, one 1-row broadcast
+    normalizer; localCheckpoint truncates round lineage. -> (player,
+    wins, games, strength) with strength in scale units.
+    """
+    k = int(scale) * 1_000_000
+    g = games.select(F.col(winner_col).alias("_w"),
+                     F.col(loser_col).alias("_l"))
+    wins = g.groupBy(F.col("_w").alias("player")).agg(
+        F.count("*").alias("wins"))
+    und = (g.select(F.least("_w", "_l").alias("a"),
+                    F.greatest("_w", "_l").alias("b"))
+           .groupBy("a", "b").agg(F.count("*").alias("n")))
+    sym = (und.select(F.col("a").alias("i"), F.col("b").alias("j"), "n")
+           .unionByName(und.select(F.col("b").alias("i"),
+                                   F.col("a").alias("j"), "n"))
+           .localCheckpoint(eager=True))
+    players = (sym.select(F.col("i").alias("player")).distinct()
+               .join(wins, "player", "left")
+               .withColumn("wins", F.coalesce("wins", F.lit(0)))
+               .localCheckpoint(eager=True))
+    n_players = players.agg(F.count("*").alias("_np"))
+    w = players.select("player", F.lit(int(scale)).cast("long")
+                       .alias("w"))
+    for _ in range(int(iters)):
+        d = (sym
+             .join(w.select(F.col("player").alias("i"),
+                            F.col("w").alias("_wi")), "i")
+             .join(w.select(F.col("player").alias("j"),
+                            F.col("w").alias("_wj")), "j")
+             .groupBy(F.col("i").alias("player"))
+             .agg(F.sum(F.expr(
+                 f"n * {k}L DIV greatest(_wi + _wj, 1L)")).alias("_d")))
+        upd = (d.join(players, "player")
+               .select("player", F.expr(
+                   f"(wins * {k}L) DIV greatest(_d, 1L)").alias("w")))
+        tot = upd.agg(F.coalesce(F.sum("w"), F.lit(1)).alias("_tot"))
+        w = (upd.join(F.broadcast(tot)).join(F.broadcast(n_players))
+             .select("player", F.expr(
+                 f"(w * (_np * {int(scale)}L)) DIV greatest(_tot, 1L)")
+                 .alias("w"))
+             .localCheckpoint(eager=True))
+    gcnt = sym.groupBy(F.col("i").alias("player")).agg(
+        F.sum("n").alias("games"))
+    return (players.join(gcnt, "player")
+            .join(w, "player")
+            .select("player", "wins", "games",
+                    F.col("w").alias("strength")))

@@ -3193,3 +3193,84 @@ def eval_mcnemar(spark, sf):
         (ok * 11 + ck) % 10 < 7, ok % 4).otherwise((ok + 2) % 4)
         .alias("label"))
     return mcnemar_test(a, b, t, ["k"])
+
+
+# ------------------------------------------------- Bradley-Terry
+
+_BT_K = 1_000_000 * 1_000_000
+_BT_ITERS = 6
+
+
+def _bt_round_sql(r: int) -> str:
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous round TWICE (wi, wj), so an
+    # un-materialized 6-round unroll re-expands the whole chain 2^6
+    # times and exhausts file handles re-scanning the base parquet.
+    prev = f"w{r - 1}"
+    return f"""
+d{r} AS MATERIALIZED (SELECT s.i AS player,
+                sum(s.n * {_BT_K} // greatest(wi.w + wj.w, 1))::BIGINT
+                  AS d
+         FROM sym s JOIN {prev} wi ON wi.player = s.i
+                    JOIN {prev} wj ON wj.player = s.j
+         GROUP BY s.i),
+u{r} AS MATERIALIZED (SELECT d{r}.player,
+                ((p.wins * {_BT_K}) // greatest(d{r}.d, 1))::BIGINT AS w
+         FROM d{r} JOIN players p ON p.player = d{r}.player),
+t{r} AS MATERIALIZED (SELECT sum(w)::BIGINT AS tot FROM u{r}),
+w{r} AS MATERIALIZED (SELECT player,
+                ((w * (np.np * 1000000)) // greatest(tot, 1))::BIGINT
+                  AS w
+         FROM u{r} CROSS JOIN t{r} CROSS JOIN np),"""
+
+
+@register("eval_bradley_terry", f"""
+WITH raw AS (
+  SELECT o_orderkey % 8 AS p, (o_orderkey * 3 + 1) % 8 AS q,
+         (o_orderkey * 7 + o_custkey) AS r
+  FROM orders WHERE o_orderkey % 8 <> (o_orderkey * 3 + 1) % 8),
+g AS (
+  SELECT 'p' || (CASE WHEN r % (16 - p - q) < 8 - p THEN p ELSE q END)
+           AS winner,
+         'p' || (CASE WHEN r % (16 - p - q) < 8 - p THEN q ELSE p END)
+           AS loser
+  FROM raw),
+wins AS (SELECT winner AS player, count(*)::BIGINT AS wins
+         FROM g GROUP BY winner),
+und AS (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+               count(*)::BIGINT AS n
+        FROM g GROUP BY 1, 2),
+sym AS (SELECT a AS i, b AS j, n FROM und
+        UNION ALL SELECT b AS i, a AS j, n FROM und),
+players AS (SELECT t.player, coalesce(wins.wins, 0)::BIGINT AS wins
+            FROM (SELECT DISTINCT i AS player FROM sym) t
+            LEFT JOIN wins ON wins.player = t.player),
+np AS (SELECT count(*)::BIGINT AS np FROM players),
+w0 AS (SELECT player, 1000000::BIGINT AS w FROM players),
+{"".join(_bt_round_sql(r) for r in range(1, _BT_ITERS + 1))}
+gc AS (SELECT i AS player, sum(n)::BIGINT AS games FROM sym GROUP BY i)
+SELECT p.player, p.wins, gc.games, w{_BT_ITERS}.w AS strength
+FROM players p JOIN gc ON gc.player = p.player
+JOIN w{_BT_ITERS} ON w{_BT_ITERS}.player = p.player
+ORDER BY p.player
+""")
+def eval_bradley_terry(spark, sf):
+    """Bradley-Terry leaderboard (ops/ranking.bradley_terry, 6 MM
+    rounds) over a planted 8-player arena: player k has true strength
+    8-k and each order stages a game whose winner is drawn by an
+    exact integer residue against the strength odds — the fitted
+    strengths must recover the planted ordering. The oracle unrolls
+    the identical BIGINT MM rounds (opponent sums, integer-DIV
+    updates, per-round normalization) CTE by CTE."""
+    from lamapi_spark.ops.ranking import bradley_terry
+
+    o = load(spark, sf, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    p, q = ok % 8, (ok * 3 + 1) % 8
+    r = ok * 7 + ck
+    pw = F.when(r % (16 - p - q) < 8 - p, p).otherwise(q)
+    pl = F.when(r % (16 - p - q) < 8 - p, q).otherwise(p)
+    g = (o.filter(p != q)
+         .select(F.concat(F.lit("p"), pw).alias("winner"),
+                 F.concat(F.lit("p"), pl).alias("loser")))
+    return bradley_terry(g, iters=_BT_ITERS).orderBy("player")

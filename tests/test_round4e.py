@@ -909,3 +909,54 @@ def test_mcnemar_tied_discordants_zero(spark):
     r = mcnemar_test(a, b, t, ["k"]).collect()[0]
     # b == c == 1: clamped correction -> exactly 0, not 1/2
     assert (r.a_only, r.b_only, r.chi2) == (1, 1, 0.0)
+
+
+# --------------------------------------------------------- Bradley-Terry
+
+def test_bradley_terry_recovers_ordering(spark):
+    from lamapi_spark.ops.ranking import bradley_terry
+    rows = ([("A", "B")] * 8 + [("B", "A")] * 2
+            + [("B", "C")] * 8 + [("C", "B")] * 2
+            + [("A", "C")] * 9 + [("C", "A")] * 1)
+    df = spark.createDataFrame(rows, ["winner", "loser"])
+    got = {r.player: r for r in bradley_terry(df, iters=8).collect()}
+    assert got["A"].strength > got["B"].strength > got["C"].strength
+    assert (got["A"].wins, got["A"].games) == (17, 20)
+    # normalization keeps total strength ~ n_players * scale
+    tot = sum(r.strength for r in got.values())
+    assert abs(tot - 3_000_000) <= 3
+
+
+def test_bradley_terry_matches_python_mm(spark):
+    from lamapi_spark.ops.ranking import bradley_terry
+    rows = ([("x", "y")] * 5 + [("y", "x")] * 3
+            + [("y", "z")] * 4 + [("z", "y")] * 6
+            + [("x", "z")] * 2 + [("z", "x")] * 2)
+    df = spark.createDataFrame(rows, ["winner", "loser"])
+    K, S = 10**12, 10**6
+    wins = {"x": 7, "y": 7, "z": 8}
+    n = {("x", "y"): 8, ("y", "z"): 10, ("x", "z"): 4}
+    nn = {}
+    for (a, b), v in n.items():
+        nn[(a, b)] = v
+        nn[(b, a)] = v
+    w = {p: S for p in wins}
+    for _ in range(5):
+        d = {i: sum(nn[(i, j)] * K // max(w[i] + w[j], 1)
+                    for j in w if (i, j) in nn) for i in w}
+        u = {i: wins[i] * K // max(d[i], 1) for i in w}
+        tot = sum(u.values())
+        w = {i: u[i] * (3 * S) // max(tot, 1) for i in w}
+    got = {r.player: r.strength
+           for r in bradley_terry(df, iters=5).collect()}
+    assert got == w
+
+
+def test_bradley_terry_zero_win_degenerate(spark):
+    from lamapi_spark.ops.ranking import bradley_terry
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c")], ["winner", "loser"])
+    got = {r.player: r.strength
+           for r in bradley_terry(df, iters=4).collect()}
+    assert got["b"] == 0 and got["c"] == 0
+    assert got["a"] > 0
