@@ -230,3 +230,47 @@ def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
         metric("pii_email_docs", F.col("pii")),
         metric("empty_docs", F.col("empty")),
     )).alias("m")).select("m.metric", "m.value")
+
+
+def vocab_richness(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vocabulary-richness estimators over a corpus — how much MORE
+    vocabulary a bigger crawl would surface, the coverage question
+    behind "is this corpus big enough to train a tokenizer on":
+
+    - Chao1 richness (Chao 1984): D + f1*(f1-1)/(2*(f2+1)) — the
+      bias-corrected lower bound on total (seen + unseen) vocabulary
+      from the singleton/doubleton counts; this form is defined even
+      at f2 = 0.
+    - Good-Turing coverage: 1 - f1/N — the probability mass of
+      already-seen tokens (unseen-mass estimate = f1/N).
+
+    All inputs are three integers off ONE frequency-of-frequencies
+    pass (f1 = hapax count, f2 = doubleton count, D = distinct
+    tokens, N = total tokens); each statistic is a single fixed-order
+    float expression, half-even 6 dp; an empty corpus reads 0.0.
+    Reference analogue: none; builder's-brief corpus surface beside
+    corpus_report.
+
+    Scale shape: one token-count agg (hot tokens combine map-side),
+    one tiny frequency-of-frequencies rollup — the whole second agg
+    is bounded by the number of DISTINCT frequencies (<= O(sqrt N)).
+    -> ONE row (n_tokens, distinct_tokens, f1, f2, chao1, coverage).
+    """
+    tf = (docs.select(F.explode(_tokens(F.col(text_col))).alias("t"))
+          .groupBy("t").agg(F.count("*").alias("c")))
+    agg = tf.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_tokens"),
+        F.count("*").alias("distinct_tokens"),
+        F.coalesce(F.sum((F.col("c") == 1).cast("long")),
+                   F.lit(0)).alias("f1"),
+        F.coalesce(F.sum((F.col("c") == 2).cast("long")),
+                   F.lit(0)).alias("f2"))
+    chao1 = (F.col("distinct_tokens")
+             + (F.col("f1") * (F.col("f1") - 1))
+             / (2.0 * (F.col("f2") + 1)))
+    cov = F.when(F.col("n_tokens") > 0,
+                 F.lit(1.0) - F.col("f1") / F.col("n_tokens")) \
+           .otherwise(F.lit(0.0))
+    return agg.select("n_tokens", "distinct_tokens", "f1", "f2",
+                      F.bround(chao1, 6).alias("chao1"),
+                      F.bround(cov, 6).alias("coverage"))

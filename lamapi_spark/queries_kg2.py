@@ -3274,3 +3274,40 @@ def eval_bradley_terry(spark, sf):
          .select(F.concat(F.lit("p"), pw).alias("winner"),
                  F.concat(F.lit("p"), pl).alias("loser")))
     return bradley_terry(g, iters=_BT_ITERS).orderBy("player")
+
+
+# ------------------------------------------------- vocab richness
+
+@register("corpus_vocab_richness", """
+WITH tf AS (
+  SELECT t, count(*)::BIGINT AS c FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+    FROM documents)
+  GROUP BY t),
+a AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_tokens,
+             count(*)::BIGINT AS distinct_tokens,
+             coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END),
+                      0)::BIGINT AS f1,
+             coalesce(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END),
+                      0)::BIGINT AS f2
+      FROM tf)
+SELECT n_tokens, distinct_tokens, f1, f2,
+       round_even(distinct_tokens
+                  + (f1 * (f1 - 1)) / (2.0 * (f2 + 1)), 6) AS chao1,
+       round_even(CASE WHEN n_tokens > 0
+                  THEN 1.0 - f1 / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0 END, 6) AS coverage
+FROM a
+""")
+def corpus_vocab_richness(spark, sf):
+    """Chao1 unseen-vocabulary lower bound + Good-Turing seen-mass
+    coverage (ops/textstats.vocab_richness) over the documents
+    corpus — three integers off one frequency-of-frequencies pass.
+    The oracle replays tokenization, the token census, and both
+    estimators. NOTE the tokenization twin: ops/textstats._tokens
+    splits lower(text) WITHOUT trim (documents have no edge
+    whitespace; the oracle matches the op, not trim conventions
+    elsewhere)."""
+    from lamapi_spark.ops.textstats import vocab_richness
+
+    return vocab_richness(load(spark, sf, "documents"))

@@ -960,3 +960,25 @@ def test_bradley_terry_zero_win_degenerate(spark):
            for r in bradley_terry(df, iters=4).collect()}
     assert got["b"] == 0 and got["c"] == 0
     assert got["a"] > 0
+
+
+# --------------------------------------------------------- vocab richness
+
+def test_vocab_richness_hand(spark):
+    from lamapi_spark.ops.textstats import vocab_richness
+    # tokens: a x4, b x2, c x1, d x1 -> N=8, D=4, f1=2, f2=1
+    docs = spark.createDataFrame(
+        [("a a b c",), ("a a b d",)], ["text"])
+    r = vocab_richness(docs).collect()[0]
+    assert (r.n_tokens, r.distinct_tokens, r.f1, r.f2) == (8, 4, 2, 1)
+    # chao1 = 4 + 2*1/(2*2) = 4.5; coverage = 1 - 2/8 = 0.75
+    assert r.chao1 == 4.5
+    assert r.coverage == 0.75
+
+
+def test_vocab_richness_no_hapaxes_saturated(spark):
+    from lamapi_spark.ops.textstats import vocab_richness
+    docs = spark.createDataFrame([("a b a b",)], ["text"])
+    r = vocab_richness(docs).collect()[0]
+    # no singletons: chao1 collapses to D, coverage = 1
+    assert (r.f1, r.chao1, r.coverage) == (0, 2.0, 1.0)
