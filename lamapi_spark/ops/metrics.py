@@ -1160,3 +1160,216 @@ def mcnemar_test(pred_a: DataFrame, pred_b: DataFrame, truth: DataFrame,
     chi2 = F.when(bc > 0, (d * d) / bc).otherwise(F.lit(0.0))
     return agg.select("n", "both_right", "both_wrong", "a_only",
                       "b_only", F.bround(chi2, 6).alias("chi2"))
+
+
+def js_divergence(base: DataFrame, new: DataFrame,
+                  cat_col: str = "category") -> DataFrame:
+    """Jensen-Shannon divergence (base-2, so JSD in [0, 1]) between
+    two snapshots of a categorical column — the bounded, symmetric
+    companion to :func:`psi_drift`: PSI blows up on vanishing
+    categories (hence its smoothing knob); JSD is finite by
+    construction (0*log 0 = 0 and the mixture m = (p+q)/2 is nonzero
+    wherever either side is), so it needs NO smoothing and the two
+    monitors cross-check each other. Reference analogue: none;
+    builder's-brief monitoring surface beside psi_drift.
+
+        p = c_base / n_base,  q = c_new / n_new,  m = (p + q) / 2
+        term = (p/2)*log2(p/m) + (q/2)*log2(q/m)   per category
+
+    Float discipline (the psi_drift rule): each per-category term is
+    ONE fixed-order expression rounded half-even to 6 dp, summed in
+    DECIMAL(28,6) — the total is an order-independent exact sum of
+    the rounded terms, so partitioning cannot move it. -> one row per
+    category (category, c_base, c_new, term) plus a '__total__' row
+    whose term IS the JSD.
+
+    Scale shape: one count agg per side (vocabulary-bounded), one
+    full-outer join on the category, one 1-row broadcast totals
+    frame; a 10^12-row snapshot pair shuffles O(partitions * V)
+    cells — identical to psi_drift.
+    """
+    cb = (base.select(F.col(cat_col).alias("category"))
+          .groupBy("category").agg(F.count("*").alias("c_base")))
+    cn = (new.select(F.col(cat_col).alias("category"))
+          .groupBy("category").agg(F.count("*").alias("c_new")))
+    j = (cb.join(cn, "category", "full_outer")
+         .select("category",
+                 F.coalesce("c_base", F.lit(0)).alias("c_base"),
+                 F.coalesce("c_new", F.lit(0)).alias("c_new")))
+    tot = j.agg(F.sum("c_base").alias("_nb"), F.sum("c_new").alias("_nn"))
+    w = j.join(F.broadcast(tot))
+    p = F.col("c_base") / F.col("_nb")
+    q = F.col("c_new") / F.col("_nn")
+    m = (p + q) / 2
+    ln2 = F.lit(math.log(2.0))
+    half = (F.when(F.col("c_base") > 0, p / 2 * F.log(p / m) / ln2)
+            .otherwise(F.lit(0.0))
+            + F.when(F.col("c_new") > 0, q / 2 * F.log(q / m) / ln2)
+            .otherwise(F.lit(0.0)))
+    per = w.select("category", "c_base", "c_new",
+                   F.bround(half, 6).alias("term"))
+    total = per.agg(
+        F.sum("c_base").alias("c_base"), F.sum("c_new").alias("c_new"),
+        F.sum(F.col("term").cast("decimal(28,6)")).cast("double")
+        .alias("term")).select(F.lit("__total__").alias("category"),
+                               "c_base", "c_new", "term")
+    return per.unionByName(total)
+
+
+def chi2_independence(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V (the [0, 1] effect size a 10^12-row
+    dataset needs — at that n EVERYTHING is "significant", so the
+    statistic alone is useless for "does role depend on tool?" /
+    "does priority depend on segment?"). STATISTIC only, no p-value —
+    the mcnemar_test rule: no incomplete-gamma dependency, engine-
+    portable. Reference analogue: none; builder's-brief eval surface.
+
+    Expected cell e = row_total * col_total / n over the FULL r x c
+    label cross — absent observed cells still contribute (0-e)^2/e = e,
+    so the cross join of the two marginal frames (vocabulary-bounded,
+    r*c rows) left-joins the observed counts. Per-cell term
+    (o - e)^2 / e is one fixed-order float expression rounded
+    half-even to 6 dp and summed in DECIMAL(28,6) (order-independent);
+    V = sqrt(chi2 / (n * min(r-1, c-1))), 0.0 when either dimension
+    is degenerate (r == 1 or c == 1).
+
+    Scale shape: ONE count agg over the pair (r*c cells survive, with
+    map-side combine), marginals re-aggregated FROM the cell frame
+    (never a second scan), a broadcast r x c cross — no shuffle
+    beyond the first agg. -> ONE row (n, r, c, dof, chi2, cramers_v).
+    """
+    obs = (df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+           .groupBy("a", "b").agg(F.count("*").alias("o")))
+    ra = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = obs.agg(F.sum("o").alias("_n"),
+                  F.countDistinct("a").alias("_r"),
+                  F.countDistinct("b").alias("_c"))
+    cells = (ra.crossJoin(cb)
+             .join(obs, ["a", "b"], "left")
+             .join(F.broadcast(tot)))
+    e = (F.col("ra") * F.col("cb") / F.col("_n")).cast("double")
+    o = F.coalesce(F.col("o"), F.lit(0)).cast("double")
+    term = F.bround((o - e) * (o - e) / e, 6)
+    agg = (cells.select(term.alias("t"), "_n", "_r", "_c")
+           .groupBy("_n", "_r", "_c")
+           .agg(F.sum(F.col("t").cast("decimal(28,6)")).cast("double")
+                .alias("chi2")))
+    mind = F.least(F.col("_r") - 1, F.col("_c") - 1)
+    v = F.when(mind > 0,
+               F.sqrt(F.col("chi2") / (F.col("_n").cast("double") * mind))
+               ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("_n").alias("n"), F.col("_r").alias("r"),
+        F.col("_c").alias("c"),
+        ((F.col("_r") - 1) * (F.col("_c") - 1)).alias("dof"),
+        "chi2", F.bround(v, 6).alias("cramers_v"))
+
+
+def ks_two_sample(a: DataFrame, b: DataFrame, val_col: str = "v",
+                  n_buckets: int = 1024) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic
+    D = max_v |F_a(v) - F_b(v)| — the distribution-shift test for
+    CONTINUOUS columns (score drift, length drift) where the
+    categorical monitors (psi_drift / js_divergence) would need an
+    arbitrary binning. Reference analogue: none; builder's-brief
+    monitoring surface.
+
+    Exactness discipline: the supremum over a right-continuous step
+    function is achieved AT a sample value, so D is the max over the
+    distinct-value grid of |cum_a * n_b - cum_b * n_a| (an exact
+    DECIMAL(38,0) integer — no float CDFs compared), divided ONCE at
+    the end by n_a * n_b. The achieving value reports with a
+    smallest-value tiebreak (max on (diff, -v) struct), so the row is
+    a pure function of the two multisets.
+
+    Scale shape: one tagged union + one distinct-value count agg
+    (map-side combine), then the two-level scan (see _global_ranks:
+    bucket prefix over <= n_buckets rows + within-bucket running sums
+    parallel across buckets) for both cumulative counts in ONE pass —
+    no global window, no sort of the raw rows. -> ONE row
+    (n_a, n_b, d_stat, at_value).
+    """
+    va = a.select(F.col(val_col).cast("double").alias("v"),
+                  F.lit(1).alias("_ca"), F.lit(0).alias("_cb"))
+    vb = b.select(F.col(val_col).cast("double").alias("v"),
+                  F.lit(0).alias("_ca"), F.lit(1).alias("_cb"))
+    cnt = (va.unionByName(vb).groupBy("v")
+           .agg(F.sum("_ca").alias("ca"), F.sum("_cb").alias("cb")))
+    stats = cnt.agg(F.min("v").alias("_lo"), F.max("v").alias("_hi"),
+                    F.sum("ca").alias("_na"), F.sum("cb").alias("_nb"))
+    span = (F.col("_hi") - F.col("_lo")).cast("double")
+    bkt = F.when(span == 0, F.lit(0)).otherwise(F.least(
+        F.floor((F.col("v") - F.col("_lo")) / span * n_buckets),
+        F.lit(n_buckets - 1))).cast("long")
+    binned = cnt.join(F.broadcast(stats)).select(
+        "v", "ca", "cb", "_na", "_nb", bkt.alias("_b"))
+    w_pref = (Window.orderBy("_b")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    pref = (binned.groupBy("_b")
+            .agg(F.sum("ca").alias("_ba"), F.sum("cb").alias("_bb"))
+            .select("_b",
+                    F.coalesce(F.sum("_ba").over(w_pref), F.lit(0))
+                    .alias("_offa"),
+                    F.coalesce(F.sum("_bb").over(w_pref), F.lit(0))
+                    .alias("_offb")))
+    w_loc = (Window.partitionBy("_b").orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (binned.join(F.broadcast(pref), "_b")
+           .select("v", "_na", "_nb",
+                   (F.col("_offa") + F.sum("ca").over(w_loc))
+                   .cast("decimal(38,0)").alias("_cua"),
+                   (F.col("_offb") + F.sum("cb").over(w_loc))
+                   .cast("decimal(38,0)").alias("_cub")))
+    diff = F.abs(F.col("_cua") * F.col("_nb")
+                 - F.col("_cub") * F.col("_na"))
+    best = (cum.select("_na", "_nb", diff.alias("_d"), "v")
+            .groupBy("_na", "_nb")
+            .agg(F.max(F.struct(F.col("_d").alias("d"),
+                                (-F.col("v")).alias("nv"))).alias("_m")))
+    d_stat = (F.col("_m.d").cast("double")
+              / (F.col("_na").cast("double") * F.col("_nb").cast("double")))
+    return best.select(F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
+                       F.bround(d_stat, 6).alias("d_stat"),
+                       (-F.col("_m.nv")).alias("at_value"))
+
+
+def bh_fdr(tests: DataFrame, id_col: str = "test_id",
+           p_col: str = "p_value", q: float = 0.05,
+           n_buckets: int = 1024) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a family of per-test
+    p-values — the multiple-comparisons step every fleet-scale eval
+    needs once it runs thousands of per-slice significance tests
+    (per-language drift, per-predicate McNemar): reject the k*
+    smallest p-values where k* = max{ k : p_(k) <= k*q/m }.
+    Reference analogue: none; builder's-brief eval surface beside
+    mcnemar_test.
+
+    Determinism: ranks come from the two-level scan (_global_ranks)
+    ordered by (p, test_id) — ties broken by id, reproducible always.
+    The threshold comparison p * m <= rank * q is evaluated in ONE
+    fixed-order float expression both engines share; k* is a 1-row
+    agg broadcast back, so the reject flag is a pure function of the
+    family. -> one row per test (test_id, p_value, rank, reject),
+    plus rejecting nothing when no rank clears the bound.
+
+    Scale shape: one two-level-scan rank pass, one 1-row k* agg, one
+    broadcast join — no global window over the raw tests.
+    """
+    base = tests.select(F.col(id_col).alias("k"),
+                        F.col(p_col).cast("double").alias("_p"))
+    ranked = (_global_ranks(base.select("k", F.col("_p").alias("v")),
+                            n_buckets, "rank")
+              .join(base, "k"))
+    m = ranked.agg(F.count("*").alias("_m"))
+    flagged = ranked.join(F.broadcast(m)).withColumn(
+        "_ok", F.col("_p") * F.col("_m").cast("double")
+        <= F.col("rank").cast("double") * F.lit(q))
+    kstar = flagged.agg(F.coalesce(
+        F.max(F.when(F.col("_ok"), F.col("rank"))), F.lit(0))
+        .alias("_kstar"))
+    return (flagged.join(F.broadcast(kstar))
+            .select(F.col("k").alias(id_col),
+                    F.col("_p").alias(p_col), "rank",
+                    (F.col("rank") <= F.col("_kstar")).alias("reject")))

@@ -1,0 +1,179 @@
+"""Round-4 statistical-closers sweep: hand-computed and degenerate
+cases for JS divergence, chi-square/Cramér's V, exact two-sample KS,
+and Benjamini-Hochberg FDR (contract-query twins live in
+lamapi_spark/queries_stats.py with DuckDB oracles)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lamapi_spark.ops.metrics import (
+    bh_fdr, chi2_independence, js_divergence, ks_two_sample,
+)
+
+
+def _cats(spark, counts):
+    rows = [(c,) for c, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "category string")
+
+
+# ------------------------------------------------- JS divergence
+
+
+def test_jsd_identical_is_zero(spark):
+    d = _cats(spark, {"a": 10, "b": 30})
+    out = {r.category: r.term
+           for r in js_divergence(d, d).collect()}
+    assert out["__total__"] == 0.0
+    assert out["a"] == 0.0 and out["b"] == 0.0
+
+
+def test_jsd_disjoint_is_one(spark):
+    a = _cats(spark, {"x": 7})
+    b = _cats(spark, {"y": 13})
+    out = {r.category: r.term for r in js_divergence(a, b).collect()}
+    # p log2(p/(p/2)) /2 = 1/2 per side: total JSD = 1 (the base-2 bound)
+    assert out["__total__"] == 1.0
+
+
+def test_jsd_hand_case(spark):
+    # p = (3/4, 1/4), q = (1/4, 3/4); m = (1/2, 1/2)
+    # term_a = 3/8 log2(3/2) + 1/8 log2(1/2); symmetric for b
+    a = _cats(spark, {"a": 3, "b": 1})
+    b = _cats(spark, {"a": 1, "b": 3})
+    out = {r.category: r.term for r in js_divergence(a, b).collect()}
+    expect = round(3 / 8 * math.log2(1.5) + 1 / 8 * math.log2(0.5), 6)
+    assert out["a"] == expect and out["b"] == expect
+    assert abs(out["__total__"] - 2 * expect) < 1e-9
+
+
+# ------------------------------------------------- chi-square / Cramér's V
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "a string, b string")
+
+
+def test_chi2_independent_is_zero(spark):
+    rows = [(a, b) for a in ("x", "y") for b in ("u", "v")
+            for _ in range(5)]
+    r = chi2_independence(_pairs(spark, rows), "a", "b").head()
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0
+    assert r.n == 20 and r.dof == 1
+
+
+def test_chi2_perfect_association(spark):
+    rows = [("x", "u")] * 8 + [("y", "v")] * 8
+    r = chi2_independence(_pairs(spark, rows), "a", "b").head()
+    # 2x2 perfect association: chi2 = n, V = 1
+    assert r.chi2 == 16.0 and r.cramers_v == 1.0
+
+
+def test_chi2_hand_2x2(spark):
+    # counts: (x,u)=10 (x,v)=20 (y,u)=30 (y,v)=40; classic formula
+    rows = ([("x", "u")] * 10 + [("x", "v")] * 20
+            + [("y", "u")] * 30 + [("y", "v")] * 40)
+    r = chi2_independence(_pairs(spark, rows), "a", "b").head()
+    n = 100
+    exp = {("x", "u"): 30 * 40 / n, ("x", "v"): 30 * 60 / n,
+           ("y", "u"): 70 * 40 / n, ("y", "v"): 70 * 60 / n}
+    obs = {("x", "u"): 10, ("x", "v"): 20, ("y", "u"): 30, ("y", "v"): 40}
+    chi2 = sum(round((obs[k] - e) ** 2 / e, 6) for k, e in exp.items())
+    assert abs(r.chi2 - chi2) < 1e-9
+    assert r.cramers_v == round(math.sqrt(chi2 / n), 6)
+
+
+def test_chi2_degenerate_single_column(spark):
+    rows = [("x", "u")] * 4 + [("y", "u")] * 4
+    r = chi2_independence(_pairs(spark, rows), "a", "b").head()
+    assert r.c == 1 and r.dof == 0 and r.cramers_v == 0.0
+
+
+def test_chi2_absent_cell_contributes(spark):
+    # (y,v) never observed -> its cell still adds e to chi2
+    rows = [("x", "u")] * 2 + [("x", "v")] * 2 + [("y", "u")] * 2
+    r = chi2_independence(_pairs(spark, rows), "a", "b").head()
+    assert r.chi2 > 0.0
+
+
+# ------------------------------------------------- exact two-sample KS
+
+
+def _vals(spark, vs):
+    return spark.createDataFrame([(float(v),) for v in vs], "v double")
+
+
+def test_ks_identical_is_zero(spark):
+    a = _vals(spark, [1, 2, 3, 4])
+    r = ks_two_sample(a, a).head()
+    assert r.d_stat == 0.0 and r.at_value == 1.0
+
+
+def test_ks_disjoint_is_one(spark):
+    r = ks_two_sample(_vals(spark, [1, 2, 3]),
+                      _vals(spark, [10, 11])).head()
+    assert r.d_stat == 1.0 and r.at_value == 3.0
+
+
+def test_ks_hand_case(spark):
+    # a = {1,2,3,4}, b = {3,4,5,6}: D at v=2 -> |2/4 - 0/4| = 0.5
+    r = ks_two_sample(_vals(spark, [1, 2, 3, 4]),
+                      _vals(spark, [3, 4, 5, 6])).head()
+    assert r.d_stat == 0.5 and r.at_value == 2.0
+    assert r.n_a == 4 and r.n_b == 4
+
+
+def test_ks_tiebreak_smallest_value(spark):
+    # a = {1,2}, b = {3,4}: D = 1 achieved at v=2,3 -> report 2
+    r = ks_two_sample(_vals(spark, [1, 2]), _vals(spark, [3, 4])).head()
+    assert r.d_stat == 1.0 and r.at_value == 2.0
+
+
+def test_ks_duplicates_collapse(spark):
+    # duplicate values must aggregate, not create extra grid points
+    r = ks_two_sample(_vals(spark, [1, 1, 1, 2]),
+                      _vals(spark, [1, 2, 2, 2])).head()
+    # F_a(1) = 3/4, F_b(1) = 1/4 -> D = 0.5 at v=1
+    assert r.d_stat == 0.5 and r.at_value == 1.0
+
+
+# ------------------------------------------------- BH-FDR
+
+
+def _tests(spark, ps):
+    return spark.createDataFrame(
+        [(f"t{i}", float(p)) for i, p in enumerate(ps)],
+        "test_id string, p_value double")
+
+
+def test_bh_classic_hand_case(spark):
+    # m=5, q=0.25: sorted p = .01 .02 .03 .2 .9
+    # bounds: .05 .10 .15 .20 .25 -> k* = 4 (p_(4)=.2 <= .2)
+    out = bh_fdr(_tests(spark, [0.9, 0.02, 0.2, 0.01, 0.03]),
+                 q=0.25).collect()
+    rej = {r.test_id: r.reject for r in out}
+    assert rej == {"t0": False, "t1": True, "t2": True,
+                   "t3": True, "t4": True}
+
+
+def test_bh_no_rejections(spark):
+    out = bh_fdr(_tests(spark, [0.5, 0.6, 0.7]), q=0.05).collect()
+    assert not any(r.reject for r in out)
+
+
+def test_bh_all_reject_at_zero(spark):
+    out = bh_fdr(_tests(spark, [0.0, 0.0, 0.0]), q=0.05).collect()
+    assert all(r.reject for r in out)
+    # rank ties broken by test_id: ranks are 1..3, a permutation
+    assert sorted(r.rank for r in out) == [1, 2, 3]
+
+
+def test_bh_step_up_not_step_down(spark):
+    # p = .04 .06 with q=.1, m=2: bounds .05 .1 -> p_(2)=.06 <= .1
+    # so BOTH reject (step-up rescues the .06 > .05 first bound? no:
+    # k* = 2, so ranks 1 and 2 both reject even though p_(2) alone
+    # fails nothing; the point: .04 <= .05 AND .06 <= .10)
+    out = bh_fdr(_tests(spark, [0.06, 0.04]), q=0.10).collect()
+    assert all(r.reject for r in out)
