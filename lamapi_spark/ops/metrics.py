@@ -1373,3 +1373,142 @@ def bh_fdr(tests: DataFrame, id_col: str = "test_id",
             .select(F.col("k").alias(id_col),
                     F.col("_p").alias(p_col), "rank",
                     (F.col("rank") <= F.col("_kstar")).alias("reject")))
+
+
+def krippendorff_alpha(ratings: DataFrame, item_col: str = "item_id",
+                       rater_col: str = "rater",
+                       label_col: str = "label") -> DataFrame:
+    """Krippendorff's alpha (nominal) — the agreement coefficient that
+    handles MISSING ratings and a VARIABLE number of raters per item,
+    which is every real annotation export (fleiss_kappa requires the
+    constant-n panel and silently drops everything else; cohen_kappa
+    handles exactly two raters). Reference analogue: none;
+    builder's-brief eval surface completing the agreement family.
+
+    Nominal-distance identity over per-(item, label) counts n_uc with
+    n_u = sum_c n_uc (items with n_u < 2 are unpairable and drop):
+
+        Do ~ sum_u [ (n_u^2 - sum_c n_uc^2) / (n_u - 1) ]
+        De ~ sum_c n_c * (n - n_c)          (exact integers)
+        alpha = 1 - (n - 1) * Do / De
+
+    Float discipline: the per-unit Do term is the ONLY rational (its
+    denominator varies per unit) — rounded half-even to 12 dp and
+    summed in DECIMAL(38,12), so the total is order-independent; De
+    and n are exact DECIMAL integers; ONE double division at the end,
+    rounded to 6 dp. De = 0 (every pairable value identical) pins
+    alpha = 1.0 — agreement is perfect by construction.
+
+    Scale shape: one (item, label) count agg, one per-item rollup,
+    one label rollup (all map-side combinable), two 1-row broadcast
+    frames. A 10^12-value export shuffles O(partitions * labels) +
+    O(items) cells. -> ONE row (n_units, n_values, do_sum, de_sum,
+    alpha).
+    """
+    nuc = (ratings.select(F.col(item_col).alias("u"),
+                          F.col(label_col).alias("c"))
+           .groupBy("u", "c").agg(F.count("*").alias("n_uc")))
+    per_u = (nuc.groupBy("u")
+             .agg(F.sum("n_uc").alias("n_u"),
+                  F.sum(F.col("n_uc") * F.col("n_uc")).alias("_s2"))
+             .filter(F.col("n_u") >= 2))
+    do_u = ((F.col("n_u") * F.col("n_u") - F.col("_s2")).cast("double")
+            / (F.col("n_u") - 1).cast("double"))
+    do_tot = per_u.agg(
+        F.count("*").alias("n_units"),
+        F.coalesce(F.sum("n_u"), F.lit(0)).alias("n_values"),
+        F.coalesce(F.sum(F.bround(do_u, 12).cast("decimal(38,12)")),
+                   F.lit(0).cast("decimal(38,12)")).alias("_do"))
+    nc = (nuc.join(per_u.select("u"), "u")  # pairable units only
+          .groupBy("c").agg(F.sum("n_uc").alias("n_c")))
+    de_tot = (nc.join(F.broadcast(do_tot.select("n_values")))
+              .agg(F.coalesce(
+                  F.sum((F.col("n_c") * (F.col("n_values") - F.col("n_c")))
+                        .cast("decimal(38,0)")),
+                  F.lit(0).cast("decimal(38,0)")).alias("_de")))
+    j = do_tot.join(F.broadcast(de_tot))
+    alpha = F.when(
+        F.col("_de") > 0,
+        F.lit(1.0) - (F.col("n_values") - 1).cast("double")
+        * F.col("_do").cast("double") / F.col("_de").cast("double")
+    ).otherwise(F.lit(1.0))
+    return j.select("n_units", "n_values",
+                    F.col("_do").cast("double").alias("do_sum"),
+                    F.col("_de").cast("double").alias("de_sum"),
+                    F.bround(alpha, 6).alias("alpha"))
+
+
+def kendall_tau_by(df: DataFrame, key_col: str, x_col: str, y_col: str,
+                   max_n: int = 1000) -> DataFrame:
+    """Per-group Kendall tau-b between two scores — the rank
+    correlation that stays meaningful under heavy ties (tau-b's tie
+    terms are exactly what spearman_rho's deterministic-tiebreak
+    deviation gives up), computed per key so a per-language / per
+    -slice scorer-agreement audit is one job. Reference analogue:
+    none; builder's-brief eval surface beside spearman_rho.
+
+    Exact integers end to end: per group, pairs i < j over the
+    (x, y)-sorted value array classify into concordant C, discordant
+    D, tie-x-only Tx, tie-y-only Ty (pairs tied on both count in
+    neither tie term — the tau-b convention);
+    tau = (C - D) / sqrt((C + D + Tx) * (C + D + Ty)), ONE float
+    expression at the end (0.0 when either factor is 0). The in-row
+    O(n^2) pair fold is the documented wer_scores trade — interpreted
+    expression cells, no UDF, no shuffle — so groups are bounded:
+    keys with n > max_n or n < 2 are EXCLUDED (emitting nothing) and
+    the caller picks a grouping with bounded cardinality, same
+    contract as the bounded in-array session ops.
+
+    Scale shape: one collect_list group-by (the only exchange); the
+    sort and the pair fold are in-row; groups run embarrassingly
+    parallel. -> one row per kept key (key, n, nc, nd, tx, ty, tau).
+    """
+    base = df.select(F.col(key_col).alias("key"),
+                     F.col(x_col).cast("double").alias("x"),
+                     F.col(y_col).cast("double").alias("y"))
+    g = (base.groupBy("key")
+         .agg(F.sort_array(F.collect_list(F.struct("x", "y"))).alias("a"))
+         .filter((F.size("a") >= 2) & (F.size("a") <= max_n)))
+    n = F.size("a")
+    # acc = (nc, nd, tx, ty) folded over all i < j pairs
+    pair = F.aggregate(
+        F.sequence(F.lit(0), n - 2),
+        F.struct(F.lit(0).cast("long").alias("nc"),
+                 F.lit(0).cast("long").alias("nd"),
+                 F.lit(0).cast("long").alias("tx"),
+                 F.lit(0).cast("long").alias("ty")),
+        lambda acc, i: F.aggregate(
+            F.sequence(i + 1, n - 1),
+            acc,
+            lambda a2, j: F.struct(
+                (a2.nc + ((F.element_at(F.col("a"), i + 1).x
+                           - F.element_at(F.col("a"), j + 1).x)
+                          * (F.element_at(F.col("a"), i + 1).y
+                             - F.element_at(F.col("a"), j + 1).y)
+                          > 0).cast("long")).alias("nc"),
+                (a2.nd + ((F.element_at(F.col("a"), i + 1).x
+                           - F.element_at(F.col("a"), j + 1).x)
+                          * (F.element_at(F.col("a"), i + 1).y
+                             - F.element_at(F.col("a"), j + 1).y)
+                          < 0).cast("long")).alias("nd"),
+                (a2.tx + ((F.element_at(F.col("a"), i + 1).x
+                           == F.element_at(F.col("a"), j + 1).x)
+                          & (F.element_at(F.col("a"), i + 1).y
+                             != F.element_at(F.col("a"), j + 1).y))
+                 .cast("long")).alias("tx"),
+                (a2.ty + ((F.element_at(F.col("a"), i + 1).y
+                           == F.element_at(F.col("a"), j + 1).y)
+                          & (F.element_at(F.col("a"), i + 1).x
+                             != F.element_at(F.col("a"), j + 1).x))
+                 .cast("long")).alias("ty"))))
+    out = g.select("key", n.alias("n"), pair.alias("_p"))
+    den = ((F.col("_p.nc") + F.col("_p.nd") + F.col("_p.tx"))
+           * (F.col("_p.nc") + F.col("_p.nd") + F.col("_p.ty")))
+    tau = F.when(den > 0,
+                 (F.col("_p.nc") - F.col("_p.nd")).cast("double")
+                 / F.sqrt(den.cast("double"))).otherwise(F.lit(0.0))
+    return out.select("key", "n", F.col("_p.nc").alias("nc"),
+                      F.col("_p.nd").alias("nd"),
+                      F.col("_p.tx").alias("tx"),
+                      F.col("_p.ty").alias("ty"),
+                      F.bround(tau, 6).alias("tau"))

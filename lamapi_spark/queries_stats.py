@@ -218,3 +218,122 @@ def eval_bh_fdr(spark, sf):
         .otherwise(0.05 + F.col("i").cast("double") / 500.0)
         .alias("p_value"))
     return bh_fdr(tests, "test_id", "p_value", q=0.05).orderBy("rank")
+
+
+# ------------------------------------------------- Krippendorff's alpha
+
+
+@register("eval_krippendorff", """
+WITH ids AS (SELECT DISTINCT (o_orderkey % 300)::BIGINT AS i FROM orders),
+panel AS (
+  SELECT i, r,
+         CASE WHEN (i * 5 + r * 3) % 10 < 7 THEN i % 3
+              ELSE (i % 3 + 1 + r % 2) % 3 END AS label
+  FROM ids CROSS JOIN (SELECT unnest(range(5)) AS r)
+  WHERE (i + 2 * r) % 5 <> 0
+    AND NOT (i % 97 = 0 AND r > 0)),
+nuc AS (SELECT i AS u, label AS c, count(*)::BIGINT AS n_uc
+        FROM panel GROUP BY 1, 2),
+per_u AS (
+  SELECT u, sum(n_uc)::BIGINT AS n_u,
+         sum(n_uc * n_uc)::BIGINT AS s2
+  FROM nuc GROUP BY u HAVING sum(n_uc) >= 2),
+do_t AS (
+  SELECT count(*)::BIGINT AS n_units, sum(n_u)::BIGINT AS n_values,
+         sum(round_even(CAST(n_u * n_u - s2 AS DOUBLE)
+                        / CAST(n_u - 1 AS DOUBLE), 12)
+             ::DECIMAL(38,12)) AS do_raw
+  FROM per_u),
+nc AS (SELECT c, sum(n_uc)::BIGINT AS n_c
+       FROM nuc JOIN per_u ON nuc.u = per_u.u GROUP BY c),
+de_t AS (SELECT sum((n_c * ((SELECT n_values FROM do_t) - n_c))
+                    ::DECIMAL(38,0)) AS de_raw FROM nc)
+SELECT n_units, n_values,
+       CAST(do_raw AS DOUBLE) AS do_sum, CAST(de_raw AS DOUBLE) AS de_sum,
+       round_even(CASE WHEN de_raw > 0
+         THEN 1.0 - CAST(n_values - 1 AS DOUBLE)
+              * CAST(do_raw AS DOUBLE) / CAST(de_raw AS DOUBLE)
+         ELSE 1.0 END, 6) AS alpha
+FROM do_t CROSS JOIN de_t
+""")
+def eval_krippendorff(spark, sf):
+    """Krippendorff's alpha (ops/metrics.krippendorff_alpha) over a
+    planted 300-item, up-to-5-rater panel with REAL missingness: a
+    fifth of the slots are empty on a (item, rater) lattice (so n_u
+    varies 2..5 — the shape fleiss_kappa's constant-n filter cannot
+    rate), every-97th item keeps only rater 0 (n_u = 1, exercising
+    the unpairable drop), and raters agree with the true label 70% of
+    the time. The oracle replays the panel synth, both rollups, the
+    12-dp DECIMAL Do sum, and the exact-integer De."""
+    from lamapi_spark.ops.metrics import krippendorff_alpha
+
+    o = load(spark, sf, "orders")
+    ids = o.select((F.col("o_orderkey") % 300).alias("i")).distinct()
+    raters = spark.range(5).select(F.col("id").alias("r"))
+    li = F.col("i") % 3
+    panel = (ids.crossJoin(raters)
+             .filter(((F.col("i") + 2 * F.col("r")) % 5 != 0)
+                     & ~((F.col("i") % 97 == 0) & (F.col("r") > 0)))
+             .select(F.col("i").alias("item_id"),
+                     F.col("r").alias("rater"),
+                     F.when((F.col("i") * 5 + F.col("r") * 3) % 10 < 7, li)
+                     .otherwise((li + 1 + F.col("r") % 2) % 3)
+                     .alias("label")))
+    return krippendorff_alpha(panel)
+
+
+# ------------------------------------------------- grouped Kendall tau-b
+
+
+@register("eval_kendall_tau", """
+WITH v AS (
+  SELECT 'g' || (o_orderkey % 400) AS key, o_orderkey,
+         floor(CAST(o_totalprice AS DOUBLE) / 1000.0) AS x,
+         CAST(o_totalprice AS DOUBLE)
+           * (CASE WHEN o_custkey % 4 = 0 THEN -1 ELSE 1 END) AS y
+  FROM orders),
+p AS (
+  SELECT a.key,
+         sum(((a.x - b.x) * (a.y - b.y) > 0)::INT)::BIGINT AS nc,
+         sum(((a.x - b.x) * (a.y - b.y) < 0)::INT)::BIGINT AS nd,
+         sum((a.x = b.x AND a.y <> b.y)::INT)::BIGINT AS tx,
+         sum((a.y = b.y AND a.x <> b.x)::INT)::BIGINT AS ty
+  FROM v a JOIN v b ON a.key = b.key AND a.o_orderkey < b.o_orderkey
+  GROUP BY a.key),
+n AS (SELECT key, count(*)::BIGINT AS n FROM v GROUP BY key)
+SELECT n.key AS key, n.n AS n, coalesce(p.nc, 0) AS nc,
+       coalesce(p.nd, 0) AS nd, coalesce(p.tx, 0) AS tx,
+       coalesce(p.ty, 0) AS ty,
+       round_even(CASE WHEN (coalesce(p.nc,0) + coalesce(p.nd,0)
+                             + coalesce(p.tx,0))
+                       * (coalesce(p.nc,0) + coalesce(p.nd,0)
+                          + coalesce(p.ty,0)) > 0
+         THEN CAST(coalesce(p.nc,0) - coalesce(p.nd,0) AS DOUBLE)
+              / sqrt(CAST((coalesce(p.nc,0) + coalesce(p.nd,0)
+                           + coalesce(p.tx,0))
+                          * (coalesce(p.nc,0) + coalesce(p.nd,0)
+                             + coalesce(p.ty,0)) AS DOUBLE))
+         ELSE 0.0 END, 6) AS tau
+FROM n LEFT JOIN p ON n.key = p.key
+WHERE n.n BETWEEN 2 AND 1000
+ORDER BY key
+""")
+def eval_kendall_tau(spark, sf):
+    """Per-group Kendall tau-b (ops/metrics.kendall_tau_by) between
+    thousand-bucketed price (heavy x ties -> Tx is load-bearing) and
+    a sign-flipped price copy (every 4th customer inverts -> tau sits
+    mid-range, not +-1), grouped into 400 bounded keys. The oracle is
+    the INDEPENDENT formulation: a pair self-join on (key, orderkey <
+    orderkey) — no sorted array, no fold — green proves the in-row
+    O(n^2) pair fold counts exactly the unordered-pair census."""
+    from lamapi_spark.ops.metrics import kendall_tau_by
+
+    o = load(spark, sf, "orders")
+    v = o.select(
+        F.concat(F.lit("g"), F.col("o_orderkey") % 400).alias("key"),
+        F.floor(F.col("o_totalprice").cast("double") / 1000.0)
+        .cast("double").alias("x"),
+        (F.col("o_totalprice").cast("double")
+         * F.when(F.col("o_custkey") % 4 == 0, -1).otherwise(1))
+        .alias("y"))
+    return kendall_tau_by(v, "key", "x", "y").orderBy("key")

@@ -177,3 +177,107 @@ def test_bh_step_up_not_step_down(spark):
     # fails nothing; the point: .04 <= .05 AND .06 <= .10)
     out = bh_fdr(_tests(spark, [0.06, 0.04]), q=0.10).collect()
     assert all(r.reject for r in out)
+
+
+# ------------------------------------------------- Krippendorff's alpha
+
+
+def _ratings(spark, rows):
+    return spark.createDataFrame(
+        rows, "item_id string, rater string, label string")
+
+
+def test_krippendorff_hand_case(spark):
+    from lamapi_spark.ops.metrics import krippendorff_alpha
+    # u1: both 'a' (agree); u2: 'a' vs 'b' (disagree)
+    # Do = 2, De = 3*1 + 1*3 = 6, alpha = 1 - 3*2/6 = 0
+    r = krippendorff_alpha(_ratings(spark, [
+        ("u1", "r1", "a"), ("u1", "r2", "a"),
+        ("u2", "r1", "a"), ("u2", "r2", "b")])).head()
+    assert r.n_units == 2 and r.n_values == 4
+    assert r.do_sum == 2.0 and r.de_sum == 6.0 and r.alpha == 0.0
+
+
+def test_krippendorff_perfect_and_degenerate(spark):
+    from lamapi_spark.ops.metrics import krippendorff_alpha
+    # perfect agreement on two labels -> Do = 0, alpha = 1
+    r = krippendorff_alpha(_ratings(spark, [
+        ("u1", "r1", "a"), ("u1", "r2", "a"),
+        ("u2", "r1", "b"), ("u2", "r2", "b")])).head()
+    assert r.alpha == 1.0 and r.do_sum == 0.0
+    # ALL values one label -> De = 0 pins alpha = 1
+    r2 = krippendorff_alpha(_ratings(spark, [
+        ("u1", "r1", "a"), ("u1", "r2", "a")])).head()
+    assert r2.de_sum == 0.0 and r2.alpha == 1.0
+
+
+def test_krippendorff_unpairable_drop(spark):
+    from lamapi_spark.ops.metrics import krippendorff_alpha
+    # u3 has ONE rating -> excluded from units, values, and n_c
+    r = krippendorff_alpha(_ratings(spark, [
+        ("u1", "r1", "a"), ("u1", "r2", "a"),
+        ("u2", "r1", "a"), ("u2", "r2", "b"),
+        ("u3", "r1", "z")])).head()
+    assert r.n_units == 2 and r.n_values == 4
+    assert r.alpha == 0.0  # identical to the hand case above
+
+
+def test_krippendorff_variable_raters(spark):
+    from lamapi_spark.ops.metrics import krippendorff_alpha
+    # u1: 3 raters all 'a' (do_u = 0); u2: 2 raters a/b (do_u = 2)
+    # n = 5, n_a = 4, n_b = 1; De = 4*1 + 1*4 = 8
+    # alpha = 1 - 4*2/8 = 0
+    r = krippendorff_alpha(_ratings(spark, [
+        ("u1", "r1", "a"), ("u1", "r2", "a"), ("u1", "r3", "a"),
+        ("u2", "r1", "a"), ("u2", "r2", "b")])).head()
+    assert r.n_values == 5 and r.do_sum == 2.0 and r.de_sum == 8.0
+    assert r.alpha == 0.0
+
+
+# ------------------------------------------------- grouped Kendall tau-b
+
+
+def _xy(spark, rows):
+    return spark.createDataFrame(rows, "key string, x double, y double")
+
+
+def test_kendall_perfect_orders(spark):
+    from lamapi_spark.ops.metrics import kendall_tau_by
+    rows = ([("up", float(i), float(i * 2)) for i in range(5)]
+            + [("dn", float(i), float(-i)) for i in range(5)])
+    out = {r.key: r for r in kendall_tau_by(
+        _xy(spark, rows), "key", "x", "y").collect()}
+    assert out["up"].tau == 1.0 and out["up"].nc == 10
+    assert out["dn"].tau == -1.0 and out["dn"].nd == 10
+
+
+def test_kendall_tie_hand_case(spark):
+    from lamapi_spark.ops.metrics import kendall_tau_by
+    import math
+    # x = 1,1,2; y = 1,2,3: C=2, D=0, Tx=1, Ty=0
+    # tau = 2 / sqrt(3*2)
+    r = kendall_tau_by(_xy(spark, [
+        ("g", 1.0, 1.0), ("g", 1.0, 2.0), ("g", 2.0, 3.0)]),
+        "key", "x", "y").head()
+    assert (r.nc, r.nd, r.tx, r.ty) == (2, 0, 1, 0)
+    assert r.tau == round(2 / math.sqrt(6), 6)
+
+
+def test_kendall_both_tie_counts_neither(spark):
+    from lamapi_spark.ops.metrics import kendall_tau_by
+    # duplicate (x,y) pair: tied on both -> not in Tx, Ty, C, or D
+    r = kendall_tau_by(_xy(spark, [
+        ("g", 1.0, 1.0), ("g", 1.0, 1.0), ("g", 2.0, 2.0)]),
+        "key", "x", "y").head()
+    assert (r.nc, r.nd, r.tx, r.ty) == (2, 0, 0, 0)
+    assert r.tau == 1.0
+
+
+def test_kendall_bounds_exclude(spark):
+    from lamapi_spark.ops.metrics import kendall_tau_by
+    rows = ([("big", float(i), float(i)) for i in range(6)]
+            + [("lone", 1.0, 1.0)]
+            + [("ok", 1.0, 1.0), ("ok", 2.0, 2.0)])
+    out = kendall_tau_by(_xy(spark, rows), "key", "x", "y",
+                         max_n=5).collect()
+    assert {r.key for r in out} == {"ok"}
