@@ -910,3 +910,48 @@ def collocations_g2(docs: DataFrame, text_col: str = "text",
                 + xlx(F.col("n")))
     return base.select("w1", "w2", "c12", "c1", "c2", "n",
                        F.bround(g2, 6).alias("g2"))
+
+
+def tfidf_keywords(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 5) -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the classic unsupervised
+    keyword extractor beside the graph-based conv_textrank (TF-IDF
+    needs corpus-wide document frequencies, TextRank only the one
+    document; a labeling pipeline wants both). Reference analogue:
+    none; builder's-brief corpus surface.
+
+    Scoring: tf = in-document term count (whitespace tokens of the
+    trimmed lowercase text — the shared eval tokenization),
+    idf = ln((N+1)/(df+1)) + 1 (the smooth sklearn-style variant:
+    strictly positive, corpus-size aware, no divide-by-zero knob),
+    score = bround(tf * idf, 6) with idf itself NOT pre-rounded (one
+    fixed-order float expression both engines share). Ties rank
+    deterministically (score desc, token asc).
+
+    Scale shape: one (doc, token) count agg (map-side combine), the
+    df frame RE-AGGREGATED from it — (doc, token) rows are already
+    distinct, so df = count(*) per token, never a second text scan —
+    one broadcast N, one token-keyed join (vocabulary-bounded right
+    side), and the top-k window partitioned BY DOCUMENT (bounded by
+    the document's own vocabulary — never a global sort). -> one row
+    per kept keyword (doc_id, token, tf, df, score, rk).
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = (F.when(F.length(t) > 0, F.split(t, r"\s+"))
+            .otherwise(F.array().cast("array<string>")))
+    tf = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(toks).alias("token"))
+          .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.select(F.countDistinct(F.col(id_col)).alias("_n"))
+    idf = (F.log((F.col("_n") + 1).cast("double")
+                 / (F.col("df") + 1).cast("double")) + 1.0)
+    scored = (tf.join(df_, "token")
+              .join(F.broadcast(n))
+              .select("doc_id", "token", "tf", "df",
+                      F.bround(F.col("tf").cast("double") * idf, 6)
+                      .alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))

@@ -1512,3 +1512,66 @@ def kendall_tau_by(df: DataFrame, key_col: str, x_col: str, y_col: str,
                       F.col("_p.tx").alias("tx"),
                       F.col("_p.ty").alias("ty"),
                       F.bround(tau, 6).alias("tau"))
+
+
+def rouge_l_scores(pairs: DataFrame, id_col: str = "pair_id",
+                   cand_col: str = "cand", ref_col: str = "ref",
+                   max_tokens: int = 128) -> DataFrame:
+    """ROUGE-L per (candidate, reference) pair — the longest-common-
+    SUBSEQUENCE recall/precision that rewards in-order coverage
+    without rouge_n's contiguity requirement (the summarization eval
+    where "same facts, different phrasing" should still score).
+    Reference analogue: none; builder's-brief eval surface completing
+    the rouge family (rouge_n_scores handles the n-gram variants).
+
+    The LCS DP runs IN-ROW as the wer_scores nested fold (outer
+    F.aggregate over candidate tokens carrying the previous DP row,
+    inner fold building the next row element by element:
+    new[j] = prev[j-1]+1 on a match else max(prev[j], new[j-1])) — no
+    UDF, no shuffle, the documented interpreted-cell O(C*R) trade,
+    bounded by ``max_tokens`` per side. Tokenization is the shared
+    eval convention (whitespace split of trimmed lowercase).
+
+    With beta = 1, ROUGE-L F simplifies EXACTLY to
+    2*lcs / (cand_n + ref_n) — like rouge_n's clipped-overlap F1,
+    every emitted ratio is ONE division of two exact integers,
+    rounded half-even to 6 dp; empty sides score 0. -> one row per
+    pair (id, cand_n, ref_n, lcs, p, r, f1) — embarrassingly
+    parallel, one projection, no shuffle at all.
+    """
+    def toks(col: str):
+        t = F.trim(F.lower(F.col(col)))
+        arr = (F.when(F.length(t) > 0, F.split(t, r"\s+"))
+               .otherwise(F.array().cast("array<string>")))
+        return F.slice(arr, 1, max_tokens)
+
+    base = pairs.select(F.col(id_col).alias("id"),
+                        toks(cand_col).alias("_c"), toks(ref_col).alias("_r"))
+    cand, ref = F.col("_c"), F.col("_r")
+    rn = F.size(ref)
+    init = F.array_repeat(F.lit(0), rn + 1)
+
+    def outer(prev, h):
+        return F.when(rn >= 1, F.aggregate(
+            F.sequence(F.lit(1), rn), F.array(F.lit(0)),
+            lambda row, j: F.concat(row, F.array(
+                F.when(F.element_at(ref, j) == h,
+                       F.element_at(prev, j) + 1)
+                .otherwise(F.greatest(F.element_at(prev, j + 1),
+                                      F.element_at(row, -1)))))
+        )).otherwise(init)
+
+    lcs = F.aggregate(cand, init, outer,
+                      lambda row: F.element_at(row, -1))
+    scored = base.select(
+        "id", F.size(cand).cast("long").alias("cand_n"),
+        rn.cast("long").alias("ref_n"), lcs.cast("long").alias("lcs"))
+    return scored.select(
+        "id", "cand_n", "ref_n", "lcs",
+        F.bround(F.col("lcs") / F.greatest("cand_n", F.lit(1)), 6)
+        .alias("p"),
+        F.bround(F.col("lcs") / F.greatest("ref_n", F.lit(1)), 6)
+        .alias("r"),
+        F.bround(2 * F.col("lcs")
+                 / F.greatest(F.col("cand_n") + F.col("ref_n"), F.lit(1)),
+                 6).alias("f1"))

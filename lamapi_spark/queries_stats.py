@@ -337,3 +337,105 @@ def eval_kendall_tau(spark, sf):
          * F.when(F.col("o_custkey") % 4 == 0, -1).otherwise(1))
         .alias("y"))
     return kendall_tau_by(v, "key", "x", "y").orderBy("key")
+
+
+# ------------------------------------------------- ROUGE-L
+
+
+@register("eval_rouge_l", r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id,
+    list_reverse(list_slice(CASE WHEN length(trim(lower(text))) > 0
+      THEN string_split_regex(trim(lower(text)), '\s+') ELSE [] END,
+      1, 15)) AS c,
+    list_slice(CASE WHEN length(trim(lower(text))) > 0
+      THEN string_split_regex(trim(lower(text)), '\s+') ELSE [] END,
+      1, 15) AS r
+  FROM documents),
+dp AS (
+  SELECT id, c, r, 0 AS i,
+         list_transform(range(0, len(r) + 1), x -> 0) AS row
+  FROM base
+  UNION ALL
+  SELECT id, c, r, i + 1,
+    list_prepend(0, list_transform(range(1, len(r) + 1), j ->
+      greatest(row[j + 1],
+               list_max(list_transform(range(1, j + 1), k ->
+                 row[k] + (r[k] = c[i + 1])::INT)))))
+  FROM dp WHERE i < len(c))
+SELECT id, len(c)::BIGINT AS cand_n, len(r)::BIGINT AS ref_n,
+       row[len(r) + 1]::BIGINT AS lcs,
+       round_even(row[len(r) + 1] / CAST(greatest(len(c), 1) AS DOUBLE), 6)
+         AS p,
+       round_even(row[len(r) + 1] / CAST(greatest(len(r), 1) AS DOUBLE), 6)
+         AS r,
+       round_even(2 * row[len(r) + 1]
+                  / CAST(greatest(len(c) + len(r), 1) AS DOUBLE), 6) AS f1
+FROM dp WHERE i = len(c) ORDER BY id
+""")
+def eval_rouge_l(spark, sf):
+    """ROUGE-L (ops/metrics.rouge_l_scores) where each document's
+    candidate is the REVERSE of its first 15 tokens and the reference
+    is those tokens in order — LCS of a sequence against its reversal
+    is the longest palindromic subsequence, so the DP's max-branch is
+    load-bearing on every pair (a prefix candidate would make lcs ==
+    cand_n trivially). The oracle is an INDEPENDENT formulation: a
+    recursive CTE over candidate positions whose row update uses the
+    prefix-max identity new[j] = max(prev[j], max_{k<=j}(prev[k-1] +
+    eq_k)) — no sequential in-row dependency, so green proves the
+    Spark nested fold against a structurally different DP."""
+    from lamapi_spark.ops.metrics import rouge_l_scores
+
+    d = load(spark, sf, "documents")
+    t = F.trim(F.lower(F.col("text")))
+    toks = F.slice(
+        F.when(F.length(t) > 0, F.split(t, r"\s+"))
+        .otherwise(F.array().cast("array<string>")), 1, 15)
+    pairs = d.select(
+        F.col("doc_id").alias("pair_id"),
+        F.concat_ws(" ", F.reverse(toks)).alias("cand"),
+        F.concat_ws(" ", toks).alias("ref"))
+    return (rouge_l_scores(pairs, max_tokens=15)
+            .withColumnRenamed("id", "id").orderBy("id"))
+
+
+# ------------------------------------------------- TF-IDF keywords
+
+
+@register("corpus_tfidf_keywords", r"""
+WITH tf AS (
+  SELECT doc_id, unnest(CASE WHEN length(trim(lower(text))) > 0
+           THEN string_split_regex(trim(lower(text)), '\s+')
+           ELSE [] END) AS token
+  FROM documents),
+tfc AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+        FROM tf GROUP BY doc_id, token),
+dfc AS (SELECT token, count(*)::BIGINT AS df FROM tfc GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents),
+scored AS (
+  SELECT tfc.doc_id, tfc.token, tfc.tf, dfc.df,
+         round_even(CAST(tfc.tf AS DOUBLE)
+                    * (ln(CAST(n.n + 1 AS DOUBLE)
+                          / CAST(dfc.df + 1 AS DOUBLE)) + 1.0), 6)
+           AS score
+  FROM tfc JOIN dfc USING (token) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token ASC) AS rk
+  FROM scored)
+SELECT doc_id, token, tf, df, score, rk::INT AS rk
+FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk
+""")
+def corpus_tfidf_keywords(spark, sf):
+    """Per-document top-5 TF-IDF keywords (ops/corpus.tfidf_keywords)
+    over the documents table — the synthetic corpus's template
+    vocabulary makes df near-N for filler words and small for the
+    rarer terms, so idf genuinely reorders raw term counts. The
+    oracle replays tokenization, both count aggs, the smooth-idf
+    expression in the same float order, and the (score desc, token
+    asc) tie-broken window."""
+    from lamapi_spark.ops.corpus import tfidf_keywords
+
+    d = load(spark, sf, "documents")
+    return (tfidf_keywords(d, "doc_id", "text", k=5)
+            .orderBy("doc_id", "rk"))

@@ -281,3 +281,95 @@ def test_kendall_bounds_exclude(spark):
     out = kendall_tau_by(_xy(spark, rows), "key", "x", "y",
                          max_n=5).collect()
     assert {r.key for r in out} == {"ok"}
+
+
+# ------------------------------------------------- ROUGE-L
+
+
+def _pairs_cr(spark, rows):
+    return spark.createDataFrame(rows, "pair_id string, cand string, ref string")
+
+
+def test_rouge_l_hand_case(spark):
+    from lamapi_spark.ops.metrics import rouge_l_scores
+    # LCS("a b c d", "a c b d") = 3
+    r = rouge_l_scores(_pairs_cr(spark, [("p", "a b c d", "a c b d")])).head()
+    assert r.lcs == 3 and r.p == 0.75 and r.r == 0.75 and r.f1 == 0.75
+
+
+def test_rouge_l_empty_sides(spark):
+    from lamapi_spark.ops.metrics import rouge_l_scores
+    out = {r.id: r for r in rouge_l_scores(_pairs_cr(spark, [
+        ("e1", "", "a b"), ("e2", "a b", ""), ("e3", "", "")])).collect()}
+    assert out["e1"].lcs == 0 and out["e1"].f1 == 0.0
+    assert out["e2"].lcs == 0 and out["e2"].r == 0.0
+    assert out["e3"].lcs == 0 and out["e3"].f1 == 0.0
+
+
+def test_rouge_l_random_differential(spark):
+    import random
+    from lamapi_spark.ops.metrics import rouge_l_scores
+
+    def lcs_py(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = (dp[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                            else max(dp[i - 1][j], dp[i][j - 1]))
+        return dp[len(a)][len(b)]
+
+    random.seed(11)
+    rows, want = [], {}
+    for i in range(30):
+        c = [random.choice("abcd") for _ in range(random.randint(0, 9))]
+        r = [random.choice("abcd") for _ in range(random.randint(0, 9))]
+        rows.append((f"p{i}", " ".join(c), " ".join(r)))
+        want[f"p{i}"] = lcs_py(c, r)
+    got = {r.id: r.lcs for r in
+           rouge_l_scores(_pairs_cr(spark, rows)).collect()}
+    assert got == want
+
+
+def test_rouge_l_truncation_cap(spark):
+    from lamapi_spark.ops.metrics import rouge_l_scores
+    # identical 6-token texts under a 4-token cap: lcs = 4, sizes post-cap
+    r = rouge_l_scores(_pairs_cr(spark, [("p", "a b c d e f",
+                                          "a b c d e f")]),
+                       max_tokens=4).head()
+    assert r.cand_n == 4 and r.ref_n == 4 and r.lcs == 4 and r.f1 == 1.0
+
+
+# ------------------------------------------------- TF-IDF keywords
+
+
+def test_tfidf_idf_reorders_counts(spark):
+    from lamapi_spark.ops.corpus import tfidf_keywords
+    import math
+    docs = spark.createDataFrame([
+        (1, "common common common rare"),
+        (2, "common other"),
+        (3, "common more")], "doc_id long, text string")
+    out = [r for r in tfidf_keywords(docs, k=2).collect() if r.doc_id == 1]
+    # doc 1: tf(common)=3 df=3 idf=ln(4/4)+1=1 -> 3.0
+    #        tf(rare)=1 df=1 idf=ln(4/2)+1 -> 1.693..: common still wins
+    assert out[0].token == "common" and out[0].score == 3.0
+    assert out[1].token == "rare"
+    assert out[1].score == round(math.log(4 / 2) + 1, 6)
+
+
+def test_tfidf_tie_breaks_by_token(spark):
+    from lamapi_spark.ops.corpus import tfidf_keywords
+    docs = spark.createDataFrame([(1, "zz aa"), (2, "aa zz")],
+                                 "doc_id long, text string")
+    out = sorted(tfidf_keywords(docs, k=2).collect(),
+                 key=lambda r: (r.doc_id, r.rk))
+    # equal tf and df -> equal score -> token asc wins rank 1
+    assert out[0].token == "aa" and out[0].rk == 1
+    assert out[2].token == "aa" and out[2].rk == 1
+
+
+def test_tfidf_k_truncates(spark):
+    from lamapi_spark.ops.corpus import tfidf_keywords
+    docs = spark.createDataFrame([(1, "a b c d e f g h")],
+                                 "doc_id long, text string")
+    assert tfidf_keywords(docs, k=3).count() == 3
