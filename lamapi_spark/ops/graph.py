@@ -1905,3 +1905,80 @@ def dyad_census(edges: DataFrame, src: str = "src",
         asym.cast("long").alias("asym"),
         (pairs - dec(mutual) - dec(asym)).cast("long").alias("nulls"),
         F.bround(rec, 6).alias("reciprocity"))
+
+
+def bipartite_check(edges: DataFrame, max_depth: int = 16) -> DataFrame:
+    """Per-component bipartiteness audit over undirected edges(src,
+    dst) — the structural sanity check for two-mode graphs a KG
+    pipeline builds constantly (conv <-> entity occurrence, user <->
+    item, doc <-> shingle): an odd cycle in a supposedly two-mode
+    projection means an upstream join leaked same-side pairs.
+    Reference analogue: none; builder's-brief graph surface.
+
+    Method: exact 2-coloring by BFS parity. Connected components
+    (hash-min fixpoint, pipeline/canonicalize.py) pick one
+    deterministic representative per component (the min node id);
+    multi-source BFS from ALL representatives at once (components are
+    disjoint, so each node's distance is from its own rep) colors
+    every node dist % 2; an undirected edge whose endpoints share a
+    parity witnesses an odd closed walk => an odd cycle => not
+    bipartite (the classic iff). Self-loops are odd cycles of length
+    1 and count directly. Everything is a pure function of the edge
+    set — no randomness, no order dependence.
+
+    Horizon honesty: BFS is bounded at ``max_depth``; nodes beyond it
+    have UNKNOWN parity, are excluded from the edge census, and are
+    reported per component as n_unreached — is_bipartite is NULL
+    (unverified), not a guess, whenever n_unreached > 0. Pick
+    max_depth >= the component eccentricity bound you believe.
+
+    Scale shape: the components fixpoint and level-synchronous BFS
+    are the shared loop machinery (localCheckpoint lineage, early
+    exit); the parity audit is two joins of the canonical edge list
+    against the (node, parity) frame — co-partitioned on node ids,
+    hub-safe. -> one row per component (component, n_nodes, n_edges,
+    odd_edges, n_unreached, is_bipartite).
+    """
+    from lamapi_spark.pipeline.canonicalize import connected_components
+
+    comp = connected_components(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")))
+    sym = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .filter(F.col("src") != F.col("dst")).distinct())
+    reps = comp.filter(F.col("entity") == F.col("component")) \
+               .select(F.col("entity").alias("seed"))
+    dist = bfs_distances(sym, reps, max_depth=max_depth)
+    parity = dist.select("node", (F.col("dist") % 2).alias("par"))
+    nodes = comp.select(F.col("entity").alias("node"), "component")
+    per_node = (nodes.join(parity, "node", "left")
+                .select("node", "component", "par"))
+    # canonical undirected edge census (self-loops kept, counted odd)
+    ce = (edges.select(F.least("src", "dst").alias("x"),
+                       F.greatest("src", "dst").alias("y"))
+          .distinct())
+    ex = (ce.join(per_node.select(F.col("node").alias("x"),
+                                  "component",
+                                  F.col("par").alias("_px")), "x")
+          .join(per_node.select(F.col("node").alias("y"),
+                                F.col("par").alias("_py")), "y"))
+    known = F.col("_px").isNotNull() & F.col("_py").isNotNull()
+    odd = (known & ((F.col("x") == F.col("y"))
+                    | (F.col("_px") == F.col("_py")))).cast("long")
+    e_per = (ex.groupBy("component")
+             .agg(F.sum(known.cast("long")).alias("n_edges"),
+                  F.sum(odd).alias("odd_edges")))
+    n_per = (per_node.groupBy("component")
+             .agg(F.count("*").alias("n_nodes"),
+                  F.sum(F.col("par").isNull().cast("long"))
+                  .alias("n_unreached")))
+    j = n_per.join(e_per, "component", "left").select(
+        "component", "n_nodes",
+        F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+        F.coalesce("odd_edges", F.lit(0)).alias("odd_edges"),
+        "n_unreached")
+    verdict = F.when(F.col("n_unreached") > 0,
+                     F.lit(None).cast("boolean")) \
+               .otherwise(F.col("odd_edges") == 0)
+    return j.withColumn("is_bipartite", verdict)

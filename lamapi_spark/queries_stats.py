@@ -439,3 +439,75 @@ def corpus_tfidf_keywords(spark, sf):
     d = load(spark, sf, "documents")
     return (tfidf_keywords(d, "doc_id", "text", k=5)
             .orderBy("doc_id", "rk"))
+
+
+# ------------------------------------------------- bipartiteness audit
+
+
+@register("graph_bipartite", """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 'n' || k AS a,
+         'n' || ((k // 24) * 24 + ((k % 24 + 1) % 24)) AS b
+  FROM (SELECT (o_orderkey % 240)::BIGINT AS k FROM orders)
+  UNION SELECT 'n0', 'n2'),
+sym AS (SELECT a AS src, b AS dst FROM e0
+        UNION SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+reach(start, node, d) AS (
+  SELECT node, node, 0 FROM nodes
+  UNION
+  SELECT reach.start, sym.dst, reach.d + 1
+  FROM reach JOIN sym ON reach.node = sym.src WHERE reach.d < 24),
+comp AS (SELECT start AS node, min(node) AS component
+         FROM reach GROUP BY start),
+reps AS (SELECT node AS seed FROM comp WHERE node = component),
+walk(node, d) AS (
+  SELECT seed, 0 FROM reps
+  UNION
+  SELECT sym.dst, walk.d + 1
+  FROM walk JOIN sym ON walk.node = sym.src WHERE walk.d < 16),
+dist AS (SELECT node, min(d) AS dist FROM walk GROUP BY node),
+par AS (SELECT comp.node, comp.component, dist.dist % 2 AS par
+        FROM comp LEFT JOIN dist ON comp.node = dist.node),
+ce AS (SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y FROM e0),
+ex AS (SELECT px.component,
+              (px.par IS NOT NULL AND py.par IS NOT NULL) AS known,
+              (px.par IS NOT NULL AND py.par IS NOT NULL
+               AND (ce.x = ce.y OR px.par = py.par)) AS odd
+       FROM ce JOIN par px ON ce.x = px.node
+               JOIN par py ON ce.y = py.node),
+e_per AS (SELECT component, sum(known::INT)::BIGINT AS n_edges,
+                 sum(odd::INT)::BIGINT AS odd_edges
+          FROM ex GROUP BY component),
+n_per AS (SELECT component, count(*)::BIGINT AS n_nodes,
+                 sum((par IS NULL)::INT)::BIGINT AS n_unreached
+          FROM par GROUP BY component)
+SELECT n_per.component, n_nodes,
+       coalesce(n_edges, 0) AS n_edges,
+       coalesce(odd_edges, 0) AS odd_edges, n_unreached,
+       CASE WHEN n_unreached > 0 THEN NULL
+            ELSE coalesce(odd_edges, 0) = 0 END AS is_bipartite
+FROM n_per LEFT JOIN e_per ON n_per.component = e_per.component
+ORDER BY n_per.component
+""")
+def graph_bipartite(spark, sf):
+    """Bipartiteness audit (ops/graph.bipartite_check) over ten
+    planted 24-cycles (even cycles — bipartite) with ONE chord in
+    block 0 (n0-n2 closes a triangle, so exactly that component reads
+    is_bipartite = false with one odd edge... the odd-edge COUNT is
+    parity-witness edges, oracle-replayed, not hand-assumed). The
+    oracle recomputes components (bounded recursive reachability +
+    min-label), BFS parities from the same min-node representatives,
+    and the canonical edge census — fully independent of the Spark
+    fixpoint loops."""
+    from lamapi_spark.ops.graph import bipartite_check
+
+    o = load(spark, sf, "orders")
+    k = (F.col("o_orderkey") % 240).cast("long")
+    ring = o.select(
+        F.concat(F.lit("n"), k).alias("src"),
+        F.concat(F.lit("n"), (k - k % 24)
+                 + ((k % 24 + 1) % 24)).alias("dst")).distinct()
+    chord = spark.createDataFrame([("n0", "n2")], "src string, dst string")
+    edges = ring.unionByName(chord).distinct()
+    return bipartite_check(edges).orderBy("component")

@@ -373,3 +373,49 @@ def test_tfidf_k_truncates(spark):
     docs = spark.createDataFrame([(1, "a b c d e f g h")],
                                  "doc_id long, text string")
     assert tfidf_keywords(docs, k=3).count() == 3
+
+
+# ------------------------------------------------- bipartiteness audit
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_bipartite_even_vs_odd_cycle(spark):
+    from lamapi_spark.ops.graph import bipartite_check
+    ev = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    od = [("x", "y"), ("y", "z"), ("z", "x")]
+    out = {r.component: r for r in
+           bipartite_check(_edges(spark, ev + od)).collect()}
+    assert out["a"].is_bipartite is True and out["a"].odd_edges == 0
+    assert out["x"].is_bipartite is False and out["x"].odd_edges >= 1
+    assert out["a"].n_nodes == 4 and out["x"].n_edges == 3
+
+
+def test_bipartite_self_loop_is_odd(spark):
+    from lamapi_spark.ops.graph import bipartite_check
+    r = bipartite_check(_edges(spark, [("a", "a"), ("a", "b")])).head()
+    assert r.is_bipartite is False and r.odd_edges == 1
+
+
+def test_bipartite_star_is_bipartite(spark):
+    from lamapi_spark.ops.graph import bipartite_check
+    r = bipartite_check(_edges(spark, [("hub", f"s{i}")
+                                       for i in range(5)])).head()
+    assert r.is_bipartite is True and r.n_nodes == 6 and r.n_edges == 5
+
+
+def test_bipartite_horizon_reads_null(spark):
+    from lamapi_spark.ops.graph import bipartite_check
+    path = [(f"p{i}", f"p{i+1}") for i in range(6)]
+    r = bipartite_check(_edges(spark, path), max_depth=2).head()
+    assert r.n_unreached > 0 and r.is_bipartite is None
+
+
+def test_bipartite_direction_irrelevant(spark):
+    from lamapi_spark.ops.graph import bipartite_check
+    # same triangle, mixed orientations + a duplicate reversed edge
+    r = bipartite_check(_edges(spark, [
+        ("x", "y"), ("z", "y"), ("z", "x"), ("x", "z")])).head()
+    assert r.is_bipartite is False and r.n_edges == 3
