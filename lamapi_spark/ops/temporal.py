@@ -517,3 +517,63 @@ def turn_latency_stats(transcripts: DataFrame, conv_col: str = "conv_id",
     return agg.select(
         "role", "n", "sum_us",
         F.expr("sum_us DIV n").alias("mean_us"), "min_us", "max_us")
+
+
+def allen_relations(intervals: DataFrame, key_col: str = "key",
+                    id_col: str = "id", lo_col: str = "lo_us",
+                    hi_col: str = "hi_us",
+                    max_per_key: int = 10_000) -> DataFrame:
+    """Allen's interval algebra over key-sharing interval pairs — the
+    full 13-relation classification (before/meets/overlaps/starts/
+    during/finishes, their inverses, equals) of every pair of fact
+    validity intervals on the same key: the temporal-KG consistency
+    primitive ("two term-of-office facts for one subject: disjoint,
+    touching, or conflicting?") that a bare overlap join
+    (interval_overlap_join) collapses to one bit. Reference analogue:
+    none; builder's-brief temporal surface beside fact_intervals.
+
+    Relations are named for the SMALLER-id member A against B, so
+    each unordered pair emits exactly one row and the relation is a
+    pure function of the interval set (string-ordered ids, integer
+    micros bounds). The classifier is an ordered, mutually-exclusive
+    decision cascade on exact integer comparisons — equality cases
+    (equals/meets/starts/finishes and inverses) are checked BEFORE
+    the strict-order residue, so degenerate (point) intervals
+    classify deterministically too.
+
+    Scale shape: the Allen census is inherently all-pairs per key, so
+    keys are bounded — max_per_key drops over-cap keys entirely (the
+    kendall_tau_by contract: the caller picks a keying with bounded
+    cardinality; an overlap-restricted workload should use
+    interval_overlap_join's banding instead). The pair join is a
+    key-co-partitioned self-equi-join; no window, no driver loop.
+    -> (key, id_a, id_b, relation).
+    """
+    base = intervals.select(F.col(key_col).alias("key"),
+                            F.col(id_col).alias("id"),
+                            F.col(lo_col).cast("long").alias("lo"),
+                            F.col(hi_col).cast("long").alias("hi"))
+    ok = (base.groupBy("key").agg(F.count("*").alias("_n"))
+          .filter(F.col("_n") <= max_per_key).select("key"))
+    base = base.join(ok, "key")
+    a = base.select("key", F.col("id").alias("id_a"),
+                    F.col("lo").alias("_al"), F.col("hi").alias("_ah"))
+    b = base.select("key", F.col("id").alias("id_b"),
+                    F.col("lo").alias("_bl"), F.col("hi").alias("_bh"))
+    p = a.join(b, "key").filter(F.col("id_a") < F.col("id_b"))
+    al, ah, bl, bh = (F.col("_al"), F.col("_ah"),
+                      F.col("_bl"), F.col("_bh"))
+    rel = (F.when((al == bl) & (ah == bh), "equals")
+           .when(ah < bl, "before")
+           .when(bh < al, "after")
+           .when(ah == bl, "meets")
+           .when(bh == al, "met_by")
+           .when((al == bl) & (ah < bh), "starts")
+           .when((al == bl) & (ah > bh), "started_by")
+           .when((ah == bh) & (al > bl), "finishes")
+           .when((ah == bh) & (al < bl), "finished_by")
+           .when((al > bl) & (ah < bh), "during")
+           .when((al < bl) & (ah > bh), "contains")
+           .when((al < bl) & (ah < bh), "overlaps")
+           .otherwise("overlapped_by"))
+    return p.select("key", "id_a", "id_b", rel.alias("relation"))

@@ -511,3 +511,91 @@ def graph_bipartite(spark, sf):
     chord = spark.createDataFrame([("n0", "n2")], "src string, dst string")
     edges = ring.unionByName(chord).distinct()
     return bipartite_check(edges).orderBy("component")
+
+
+# ------------------------------------------------- Allen interval algebra
+
+
+_ALLEN_SYNTH = """
+iv AS (
+  SELECT 'k' || (i // 12) AS key, 'i' || i AS id, p,
+         CASE p
+           WHEN 6 THEN (0 * 31) % 50
+           WHEN 7 THEN ((1 * 31) % 50) + 10 + 1 * 7
+           WHEN 8 THEN (2 * 31) % 50
+           WHEN 9 THEN ((3 * 31) % 50) + 10 + 3 * 7 - 3
+           WHEN 10 THEN ((4 * 31) % 50) + 1
+           WHEN 11 THEN ((5 * 31) % 50) - 1
+           ELSE (p * 31) % 50 END::BIGINT AS lo_us,
+         CASE p
+           WHEN 6 THEN ((0 * 31) % 50) + 10 + 0 * 7
+           WHEN 7 THEN ((1 * 31) % 50) + 10 + 1 * 7 + 9
+           WHEN 8 THEN ((2 * 31) % 50) + 5
+           WHEN 9 THEN ((3 * 31) % 50) + 10 + 3 * 7
+           WHEN 10 THEN ((4 * 31) % 50) + 10 + 4 * 7 - 1
+           WHEN 11 THEN ((5 * 31) % 50) + 10 + 5 * 7 + 1
+           ELSE ((p * 31) % 50) + 10 + p * 7 END::BIGINT AS hi_us
+  FROM (SELECT DISTINCT (o_orderkey % 600)::BIGINT AS i,
+               (o_orderkey % 12)::BIGINT AS p FROM orders))
+"""
+
+
+@register("events_allen_relations", f"""
+WITH {_ALLEN_SYNTH},
+p AS (
+  SELECT a.key, a.id AS id_a, b.id AS id_b,
+         a.lo_us AS al, a.hi_us AS ah, b.lo_us AS bl, b.hi_us AS bh
+  FROM iv a JOIN iv b ON a.key = b.key AND a.id < b.id)
+SELECT key, id_a, id_b,
+       CASE WHEN al = bl AND ah = bh THEN 'equals'
+            WHEN ah < bl THEN 'before'
+            WHEN bh < al THEN 'after'
+            WHEN ah = bl THEN 'meets'
+            WHEN bh = al THEN 'met_by'
+            WHEN al = bl AND ah < bh THEN 'starts'
+            WHEN al = bl AND ah > bh THEN 'started_by'
+            WHEN ah = bh AND al > bl THEN 'finishes'
+            WHEN ah = bh AND al < bl THEN 'finished_by'
+            WHEN al > bl AND ah < bh THEN 'during'
+            WHEN al < bl AND ah > bh THEN 'contains'
+            WHEN al < bl AND ah < bh THEN 'overlaps'
+            ELSE 'overlapped_by' END AS relation
+FROM p ORDER BY key, id_a, id_b
+""")
+def events_allen_relations(spark, sf):
+    """Allen interval-algebra census (ops/temporal.allen_relations)
+    over 50 keys x 12 planted validity intervals: positions 0-5 are
+    pseudo-random spans, and positions 6-11 are constructed AGAINST
+    them — a copy of p0 (equals), a span starting at p1's end
+    (meets), a shared-start prefix of p2 (starts), a shared-end
+    suffix of p3 (finishes), a strict interior of p4 (during), and a
+    strict cover of p5 (contains) — so the measure-zero equality
+    relations all occur by construction, not luck. The oracle
+    replays the synth and the ordered decision cascade over its own
+    pair join."""
+    from lamapi_spark.ops.temporal import allen_relations
+
+    o = load(spark, sf, "orders")
+    d = o.select((F.col("o_orderkey") % 600).alias("i"),
+                 (F.col("o_orderkey") % 12).alias("p")).distinct()
+    base = F.col("p") * 31 % 50
+    blen = base + 10 + F.col("p") * 7
+    lo = (F.when(F.col("p") == 6, F.lit(0))
+          .when(F.col("p") == 7, F.lit((1 * 31) % 50 + 10 + 1 * 7))
+          .when(F.col("p") == 8, F.lit((2 * 31) % 50))
+          .when(F.col("p") == 9, F.lit((3 * 31) % 50 + 10 + 3 * 7 - 3))
+          .when(F.col("p") == 10, F.lit((4 * 31) % 50 + 1))
+          .when(F.col("p") == 11, F.lit((5 * 31) % 50 - 1))
+          .otherwise(base)).cast("long")
+    hi = (F.when(F.col("p") == 6, F.lit((0 * 31) % 50 + 10))
+          .when(F.col("p") == 7, F.lit((1 * 31) % 50 + 10 + 1 * 7 + 9))
+          .when(F.col("p") == 8, F.lit((2 * 31) % 50 + 5))
+          .when(F.col("p") == 9, F.lit((3 * 31) % 50 + 10 + 3 * 7))
+          .when(F.col("p") == 10, F.lit((4 * 31) % 50 + 10 + 4 * 7 - 1))
+          .when(F.col("p") == 11, F.lit((5 * 31) % 50 + 10 + 5 * 7 + 1))
+          .otherwise(blen)).cast("long")
+    iv = d.select(
+        F.concat(F.lit("k"), (F.col("i") / 12).cast("long")).alias("key"),
+        F.concat(F.lit("i"), F.col("i")).alias("id"),
+        lo.alias("lo_us"), hi.alias("hi_us"))
+    return (allen_relations(iv).orderBy("key", "id_a", "id_b"))

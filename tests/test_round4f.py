@@ -419,3 +419,51 @@ def test_bipartite_direction_irrelevant(spark):
     r = bipartite_check(_edges(spark, [
         ("x", "y"), ("z", "y"), ("z", "x"), ("x", "z")])).head()
     assert r.is_bipartite is False and r.n_edges == 3
+
+
+# ------------------------------------------------- Allen interval algebra
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, id string, lo_us long, hi_us long")
+
+
+def test_allen_all_thirteen_relations(spark):
+    from lamapi_spark.ops.temporal import allen_relations
+    # B is always ("b", 10, 20); A varies. id "a..." < "b" so A is
+    # the named side.
+    cases = {
+        "before": (0, 5), "meets": (0, 10), "overlaps": (5, 15),
+        "finished_by": (5, 20), "contains": (5, 25), "starts": (10, 15),
+        "equals": (10, 20), "started_by": (10, 25), "during": (12, 18),
+        "finishes": (15, 20), "overlapped_by": (15, 25),
+        "met_by": (20, 30), "after": (25, 30),
+    }
+    rows = []
+    for i, (rel, (lo, hi)) in enumerate(sorted(cases.items())):
+        rows += [(f"k{i}", f"a_{rel}", lo, hi), (f"k{i}", "b", 10, 20)]
+    out = {r.id_a.removeprefix("a_"): r.relation
+           for r in allen_relations(_iv(spark, rows)).collect()}
+    assert out == {rel: rel for rel in cases}
+
+
+def test_allen_point_intervals_deterministic(spark):
+    from lamapi_spark.ops.temporal import allen_relations
+    # two identical points -> equals; a point at the other's start
+    # hits the cascade's `meets` arm BEFORE `starts` (a_hi == b_lo) —
+    # the documented degenerate-interval convention, oracle-replayed
+    out = {(r.id_a, r.id_b): r.relation for r in allen_relations(_iv(
+        spark, [("k", "a", 5, 5), ("k", "b", 5, 5),
+                ("k", "c", 5, 9)])).collect()}
+    assert out[("a", "b")] == "equals"
+    assert out[("a", "c")] == "meets"
+
+
+def test_allen_max_per_key_drops(spark):
+    from lamapi_spark.ops.temporal import allen_relations
+    rows = [("big", f"i{i}", i, i + 2) for i in range(5)] \
+        + [("ok", "x", 0, 1), ("ok", "y", 5, 6)]
+    out = allen_relations(_iv(spark, rows), max_per_key=4).collect()
+    assert {r.key for r in out} == {"ok"}
+    assert out[0].relation == "before"
