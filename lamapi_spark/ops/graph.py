@@ -1982,3 +1982,91 @@ def bipartite_check(edges: DataFrame, max_depth: int = 16) -> DataFrame:
                      F.lit(None).cast("boolean")) \
                .otherwise(F.col("odd_edges") == 0)
     return j.withColumn("is_bipartite", verdict)
+
+
+def stress_centrality(edges: DataFrame, seeds: DataFrame,
+                      max_depth: int = 8) -> DataFrame:
+    """Stress centrality (Shimbel): for each node v, the NUMBER of
+    shortest s->t paths passing through v as an interior node, summed
+    over the given source set — the exact-integer member of the
+    betweenness family. Betweenness proper divides per-pair by
+    sigma_st, which would put a float ratio inside an order-sensitive
+    sum; stress keeps every quantity an exact path COUNT, so the
+    result is bit-identical at any parallelism — the discipline this
+    engine holds everywhere. Pass every node as a seed for the exact
+    classic statistic, or an md5-sampled subset (the ego_net_sample
+    convention) for the pivot-sampled estimate at scale. Reference
+    analogue: none; builder's-brief graph surface beside
+    pagerank/HITS/harmonic centrality.
+
+    Brandes-style two phases, ALL SEEDS AT ONCE (state keyed by
+    (seed, node) — one job total, not one per source):
+      forward:  level-synchronous BFS carrying sigma[s,v] = #shortest
+                s->v paths (sum over predecessor frontier rows — a
+                map-side-combinable integer agg on (seed, dst));
+      backward: continuation counts c[s,v] = sum over shortest-DAG
+                successors w of (c[s,w] + 1), walked depth by depth
+                from the horizon down (each level is one equi-join of
+                the settled frame against the next level's).
+    stress(v) = sum_s sigma[s,v] * c[s,v] over v != s, accumulated in
+    DECIMAL(38,0) — exact integers, order-independent.
+
+    Scale shape: every step is a (seed/node)-keyed equi-join +
+    integer agg (hot hubs are ordinary AQE skew); per-level frames
+    localCheckpoint (the bfs_distances loop discipline); cost is
+    O(depth) joins over O(|seeds| * |frontier edges|) rows, the
+    textbook pivot-sampling trade. Paths are exact for nodes within
+    ``max_depth`` of a seed; pairs beyond the horizon contribute
+    nothing (the bounded-BFS convention, documented not hidden).
+    -> (node, stress) for every node reached from a DIFFERENT seed
+    (the v != s filter also drops a seed no other seed can reach).
+    """
+    ed = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    # forward: settled (seed, node, dist, sigma)
+    settled = (seeds.select(F.col("seed")).distinct()
+               .select("seed", F.col("seed").alias("node"),
+                       F.lit(0).alias("dist"),
+                       F.lit(1).cast("decimal(38,0)").alias("sigma"))
+               .localCheckpoint(eager=True))
+    frontier = settled
+    levels = [settled]
+    for d in range(1, max_depth + 1):
+        nxt = (frontier.join(ed, frontier.node == ed.src)
+               .groupBy("seed", F.col("dst").alias("node"))
+               .agg(F.sum("sigma").alias("sigma"))
+               .join(settled.select("seed", "node"),
+                     ["seed", "node"], "left_anti")
+               .withColumn("dist", F.lit(d))
+               .select("seed", "node", "dist", "sigma")
+               .localCheckpoint(eager=True))
+        if nxt.limit(1).count() == 0:
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
+        frontier = nxt
+    # backward: continuation counts per level, horizon down
+    zero = F.lit(0).cast("decimal(38,0)")
+    c_next = (levels[-1].select("seed", "node")
+              .withColumn("c", zero).localCheckpoint(eager=True))
+    acc = levels[-1].select(
+        "seed", "node", (F.col("sigma") * zero).alias("contrib"))
+    for lvl in reversed(levels[:-1]):
+        succ = (lvl.alias("v")
+                .join(ed, F.col("v.node") == ed.src)
+                .join(c_next.alias("w"),
+                      (F.col("dst") == F.col("w.node"))
+                      & (F.col("v.seed") == F.col("w.seed")))
+                .groupBy(F.col("v.seed").alias("seed"),
+                         F.col("v.node").alias("node"))
+                .agg(F.sum(F.col("w.c") + 1).alias("c")))
+        cur = (lvl.join(succ, ["seed", "node"], "left")
+               .select("seed", "node", "sigma",
+                       F.coalesce("c", zero).alias("c"))
+               .localCheckpoint(eager=True))
+        acc = acc.unionByName(
+            cur.select("seed", "node",
+                       (F.col("sigma") * F.col("c")).alias("contrib")))
+        c_next = cur.select("seed", "node", "c")
+    return (acc.filter(F.col("seed") != F.col("node"))
+            .groupBy("node")
+            .agg(F.coalesce(F.sum("contrib"), zero).alias("stress")))

@@ -599,3 +599,60 @@ def events_allen_relations(spark, sf):
         F.concat(F.lit("i"), F.col("i")).alias("id"),
         lo.alias("lo_us"), hi.alias("hi_us"))
     return (allen_relations(iv).orderBy("key", "id_a", "id_b"))
+
+
+# ------------------------------------------------- stress centrality
+
+
+@register("graph_stress_centrality", """
+WITH RECURSIVE ids AS (
+  SELECT DISTINCT (o_orderkey % 16)::BIGINT AS i FROM orders),
+e0 AS (
+  SELECT 'g' || i AS src, 'g' || (i + 1) AS dst FROM ids WHERE i % 8 < 7
+  UNION SELECT 'g' || i, 'g' || (i + 8) FROM ids WHERE i < 8),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+walks(s, node, d, path) AS (
+  SELECT src, src, 0, [src] FROM (SELECT DISTINCT src FROM sym)
+  UNION ALL
+  SELECT w.s, sym.dst, w.d + 1, list_append(w.path, sym.dst)
+  FROM walks w JOIN sym ON w.node = sym.src
+  WHERE w.d < 9 AND NOT list_contains(w.path, sym.dst)),
+sp AS (SELECT s, node AS t, min(d) AS dmin FROM walks GROUP BY s, node),
+short AS (
+  SELECT w.s, w.node AS t, w.path
+  FROM walks w JOIN sp ON w.s = sp.s AND w.node = sp.t AND w.d = sp.dmin
+  WHERE w.s <> w.node),
+interior AS (
+  SELECT s, t, unnest(list_slice(path, 2, len(path) - 1)) AS v
+  FROM short)
+SELECT v AS node, count(*)::DECIMAL(38,0) AS stress
+FROM interior GROUP BY v ORDER BY node
+""")
+def graph_stress_centrality(spark, sf):
+    """Exact stress centrality (ops/graph.stress_centrality, every
+    node a seed) on a 2x8 grid graph — the grid's parallel rows give
+    every inner pair MULTIPLE shortest paths (up to binomial
+    multiplicity), so the sigma-weighted continuation products are
+    load-bearing, not all 1s as on a tree. The oracle is maximally
+    independent: it ENUMERATES all simple walks up to the diameter
+    with a recursive CTE, keeps exactly the shortest per (s, t), and
+    counts interior-node occurrences — no BFS layers, no sigma, no
+    backward recurrence — so green proves the Brandes two-phase
+    against a from-first-principles path census."""
+    from lamapi_spark.ops.graph import stress_centrality
+
+    o = load(spark, sf, "orders")
+    ids = o.select((F.col("o_orderkey") % 16).alias("i")).distinct()
+    right = (ids.filter(F.col("i") % 8 < 7)
+             .select(F.concat(F.lit("g"), F.col("i")).alias("src"),
+                     F.concat(F.lit("g"), F.col("i") + 1).alias("dst")))
+    down = (ids.filter(F.col("i") < 8)
+            .select(F.concat(F.lit("g"), F.col("i")).alias("src"),
+                    F.concat(F.lit("g"), F.col("i") + 8).alias("dst")))
+    e0 = right.unionByName(down).distinct()
+    sym = (e0.unionByName(e0.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+           .distinct())
+    seeds = sym.select(F.col("src").alias("seed")).distinct()
+    return (stress_centrality(sym, seeds, max_depth=9)
+            .filter(F.col("stress") > 0).orderBy("node"))

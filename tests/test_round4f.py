@@ -467,3 +467,112 @@ def test_allen_max_per_key_drops(spark):
     out = allen_relations(_iv(spark, rows), max_per_key=4).collect()
     assert {r.key for r in out} == {"ok"}
     assert out[0].relation == "before"
+
+
+# ------------------------------------------------- stress centrality
+
+
+def _sym_edges(spark, pairs):
+    return spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src string, dst string")
+
+
+def _seeds(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "seed string")
+
+
+def test_stress_path_graph(spark):
+    from lamapi_spark.ops.graph import stress_centrality
+    # a-b-c-d path: stress(b) = pairs {a,c},{a,d},{c,a},{d,a} = 4
+    e = _sym_edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    out = {r.node: int(r.stress) for r in
+           stress_centrality(e, _seeds(spark, "abcd")).collect()}
+    assert out == {"a": 0, "b": 4, "c": 4, "d": 0}
+
+
+def test_stress_diamond_multiplicity(spark):
+    from lamapi_spark.ops.graph import stress_centrality
+    # a-b-d, a-c-d: two shortest a<->d routes; b and c each carry 2
+    e = _sym_edges(spark, [("a", "b"), ("a", "c"), ("b", "d"),
+                           ("c", "d")])
+    out = {r.node: int(r.stress) for r in
+           stress_centrality(e, _seeds(spark, "abcd")).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2, "d": 2}
+
+
+def test_stress_star_hub(spark):
+    from lamapi_spark.ops.graph import stress_centrality
+    # hub h with 4 spokes: every spoke pair routes through h: 4*3 = 12
+    e = _sym_edges(spark, [("h", f"s{i}") for i in range(4)])
+    out = {r.node: int(r.stress) for r in
+           stress_centrality(e, _seeds(spark,
+                                       ["h"] + [f"s{i}" for i in
+                                                range(4)])).collect()}
+    assert out["h"] == 12
+    assert all(out[f"s{i}"] == 0 for i in range(4))
+
+
+def test_stress_sampled_sources_subset(spark):
+    from lamapi_spark.ops.graph import stress_centrality
+    # only seed 'a' on the path a-b-c: forward-only pairs counted;
+    # 'a' itself is absent (nodes emit only when reached from a
+    # DIFFERENT seed — the v != s filter)
+    e = _sym_edges(spark, [("a", "b"), ("b", "c")])
+    out = {r.node: int(r.stress) for r in
+           stress_centrality(e, _seeds(spark, "a")).collect()}
+    assert out == {"b": 1, "c": 0}
+
+
+def test_stress_horizon_bounds(spark):
+    from lamapi_spark.ops.graph import stress_centrality
+    # depth-1 horizon on the path: no interior pairs resolvable
+    e = _sym_edges(spark, [("a", "b"), ("b", "c")])
+    out = {r.node: int(r.stress) for r in
+           stress_centrality(e, _seeds(spark, "abc"),
+                             max_depth=1).collect()}
+    assert all(v == 0 for v in out.values())
+
+
+def test_stress_python_differential(spark):
+    import random
+    from collections import defaultdict, deque
+    from lamapi_spark.ops.graph import stress_centrality
+
+    random.seed(5)
+    nodes = [f"n{i}" for i in range(12)]
+    pairs = sorted({tuple(sorted(random.sample(nodes, 2)))
+                    for _ in range(18)})
+    adj = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+
+    stress = defaultdict(int)
+    present = sorted({x for p in pairs for x in p})
+    for s in present:
+        dist, sigma, order = {s: 0}, {s: 1}, [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        c = {v: 0 for v in dist}
+        for v in reversed(order):
+            for w in adj[v]:
+                if dist.get(w) == dist[v] + 1:
+                    c[v] += c[w] + 1
+        for v in dist:
+            if v != s:
+                stress[v] += sigma[v] * c[v]
+
+    out = {r.node: int(r.stress) for r in
+           stress_centrality(_sym_edges(spark, pairs),
+                             _seeds(spark, present),
+                             max_depth=12).collect()}
+    assert out == {v: stress[v] for v in present}
