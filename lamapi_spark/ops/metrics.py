@@ -1575,3 +1575,58 @@ def rouge_l_scores(pairs: DataFrame, id_col: str = "pair_id",
         F.bround(2 * F.col("lcs")
                  / F.greatest(F.col("cand_n") + F.col("ref_n"), F.lit(1)),
                  6).alias("f1"))
+
+
+def mcc_multiclass(pred: DataFrame, truth: DataFrame, keys: list[str],
+                   value_col: str = "label") -> DataFrame:
+    """Multiclass Matthews correlation (Gorodkin's R_K) — the single
+    [-1, 1] quality number that stays honest under class imbalance
+    (accuracy and macro-F1 both saturate when one class dominates,
+    the norm in entity-linking type distributions). Reference
+    analogue: none; builder's-brief eval surface beside
+    classification_report / cohen_kappa.
+
+    Identity over the confusion counts (c = correct, s = scored,
+    p_k / t_k = predicted / true class totals):
+
+        R_K = (c*s - sum_k p_k*t_k)
+              / sqrt((s^2 - sum p_k^2) * (s^2 - sum t_k^2))
+
+    Every sum is an exact DECIMAL(38,0) integer (safe to s ~ 10^9
+    within 38 digits of the squared terms); ONE sqrt + ONE division
+    at the end, rounded half-even to 6 dp; a degenerate factor
+    (constant predictions or constant truth) pins 0.0 — the sklearn
+    convention. Scale shape: one key-join, one class-keyed agg of
+    BOTH marginals plus the diagonal (single pass, map-side
+    combinable), one 1-row fold. -> ONE row (n, correct, mcc).
+    """
+    t = truth.select(*keys, F.col(value_col).alias("_t"))
+    p = pred.select(*keys, F.col(value_col).alias("_p"))
+    j = t.join(p, keys)
+    # one pass: per true-class and per predicted-class totals unioned
+    # under a side tag, plus the diagonal
+    per_t = j.groupBy(F.col("_t").alias("k")).agg(
+        F.count("*").cast("decimal(38,0)").alias("tk"))
+    per_p = j.groupBy(F.col("_p").alias("k")).agg(
+        F.count("*").cast("decimal(38,0)").alias("pk"))
+    m = (per_t.join(per_p, "k", "full_outer")
+         .select(F.coalesce("tk", F.lit(0).cast("decimal(38,0)"))
+                 .alias("tk"),
+                 F.coalesce("pk", F.lit(0).cast("decimal(38,0)"))
+                 .alias("pk"))
+         .agg(F.sum(F.col("pk") * F.col("tk")).alias("_pt"),
+              F.sum(F.col("pk") * F.col("pk")).alias("_pp"),
+              F.sum(F.col("tk") * F.col("tk")).alias("_tt")))
+    base = j.agg(F.count("*").cast("decimal(38,0)").alias("n"),
+                 F.sum((F.col("_t") == F.col("_p")).cast("long"))
+                 .cast("decimal(38,0)").alias("correct"))
+    w = base.join(F.broadcast(m))
+    s, c = F.col("n"), F.col("correct")
+    num = (c * s - F.col("_pt")).cast("double")
+    f1 = (s * s - F.col("_pp")).cast("double")
+    f2 = (s * s - F.col("_tt")).cast("double")
+    mcc = F.when((f1 > 0) & (f2 > 0),
+                 F.bround(num / F.sqrt(f1 * f2), 6)).otherwise(F.lit(0.0))
+    return w.select(F.col("n").cast("long").alias("n"),
+                    F.col("correct").cast("long").alias("correct"),
+                    mcc.alias("mcc"))

@@ -656,3 +656,123 @@ def graph_stress_centrality(spark, sf):
     seeds = sym.select(F.col("src").alias("seed")).distinct()
     return (stress_centrality(sym, seeds, max_depth=9)
             .filter(F.col("stress") > 0).orderBy("node"))
+
+
+# ------------------------------------------------- community conductance
+
+
+@register("graph_conductance", """
+WITH ids AS (SELECT DISTINCT (o_orderkey % 240)::BIGINT AS k FROM orders),
+ring AS (
+  SELECT 'n' || k AS src,
+         'n' || ((k // 24) * 24 + ((k % 24 + 1) % 24)) AS dst
+  FROM ids),
+cross_e AS (
+  SELECT 'n' || (b * 24) AS src, 'n' || (((b + 1) % 10) * 24) AS dst
+  FROM (SELECT DISTINCT (k // 24)::BIGINT AS b FROM ids)),
+e0 AS (SELECT src, dst FROM ring UNION SELECT src, dst FROM cross_e),
+ce AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+       FROM e0 WHERE src <> dst),
+lab AS (SELECT 'n' || k AS node, 'b' || (k // 24) AS community FROM ids),
+ex AS (SELECT lx.community AS cx, ly.community AS cy
+       FROM ce JOIN lab lx ON ce.x = lx.node
+               JOIN lab ly ON ce.y = ly.node),
+ends AS (SELECT cx AS community, (cx <> cy) AS cut FROM ex
+         UNION ALL SELECT cy, (cx <> cy) FROM ex),
+per AS (SELECT community, count(*)::BIGINT AS vol,
+               sum(cut::INT)::BIGINT AS cut
+        FROM ends GROUP BY community),
+nn AS (SELECT community, count(*)::BIGINT AS n_nodes
+       FROM lab GROUP BY community),
+tot AS (SELECT sum(vol)::BIGINT AS tv FROM per)
+SELECT nn.community, n_nodes, coalesce(vol, 0) AS vol,
+       coalesce(cut, 0) AS cut,
+       CASE WHEN least(coalesce(vol, 0), tv - coalesce(vol, 0)) > 0
+            THEN round_even(coalesce(cut, 0)
+                 / CAST(least(coalesce(vol, 0), tv - coalesce(vol, 0))
+                        AS DOUBLE), 6)
+            ELSE 0.0 END AS conductance
+FROM nn LEFT JOIN per ON nn.community = per.community
+CROSS JOIN tot ORDER BY nn.community
+""")
+def graph_conductance(spark, sf):
+    """Community conductance (ops/graph.community_conductance) over
+    ten 24-cycles joined into a ring of blocks by one cross edge per
+    adjacent block pair — each community has vol 50 (48 internal
+    endpoints + 2 boundary) and cut 2, so phi = 2/50 uniformly, and
+    the min(vol, total-vol) side is load-bearing (450 vs 50). The
+    oracle replays the canonical edge census, both endpoint
+    projections, and every guarded ratio."""
+    from lamapi_spark.ops.graph import community_conductance
+
+    o = load(spark, sf, "orders")
+    k = (F.col("o_orderkey") % 240).cast("long")
+    ids = o.select(k.alias("k")).distinct()
+    ring = ids.select(
+        F.concat(F.lit("n"), F.col("k")).alias("src"),
+        F.concat(F.lit("n"), (F.col("k") - F.col("k") % 24)
+                 + ((F.col("k") % 24 + 1) % 24)).alias("dst"))
+    blocks = ids.select((F.col("k") / 24).cast("long").alias("b")).distinct()
+    cross = blocks.select(
+        F.concat(F.lit("n"), F.col("b") * 24).alias("src"),
+        F.concat(F.lit("n"), ((F.col("b") + 1) % 10) * 24).alias("dst"))
+    edges = ring.unionByName(cross).distinct()
+    lab = ids.select(
+        F.concat(F.lit("n"), F.col("k")).alias("node"),
+        F.concat(F.lit("b"), (F.col("k") / 24).cast("long"))
+        .alias("community"))
+    return community_conductance(edges, lab).orderBy("community")
+
+
+# ------------------------------------------------- multiclass MCC
+
+
+@register("eval_mcc", """
+WITH t AS (
+  SELECT o_orderkey AS id, 'c' || (o_orderkey % 4) AS label
+  FROM orders WHERE o_orderkey % 13 <> 0),
+p AS (
+  SELECT o_orderkey AS id,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'c' || ((o_orderkey + 1) % 4)
+              ELSE 'c' || (o_orderkey % 4) END AS label
+  FROM orders WHERE o_orderkey % 11 <> 0),
+j AS (SELECT t.label AS tl, p.label AS pl
+      FROM t JOIN p ON t.id = p.id),
+per_t AS (SELECT tl AS k, count(*)::HUGEINT AS tk FROM j GROUP BY tl),
+per_p AS (SELECT pl AS k, count(*)::HUGEINT AS pk FROM j GROUP BY pl),
+m AS (SELECT sum(coalesce(pk, 0) * coalesce(tk, 0)) AS pt,
+             sum(coalesce(pk, 0) * coalesce(pk, 0)) AS pp,
+             sum(coalesce(tk, 0) * coalesce(tk, 0)) AS tt
+      FROM per_t FULL OUTER JOIN per_p USING (k)),
+base AS (SELECT count(*)::HUGEINT AS n,
+                sum((tl = pl)::INT)::HUGEINT AS c FROM j)
+SELECT CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS correct,
+       CASE WHEN (n * n - pp) > 0 AND (n * n - tt) > 0
+            THEN round_even(CAST(c * n - pt AS DOUBLE)
+                 / sqrt(CAST(n * n - pp AS DOUBLE)
+                        * CAST(n * n - tt AS DOUBLE)), 6)
+            ELSE 0.0 END AS mcc
+FROM base CROSS JOIN m
+""")
+def eval_mcc(spark, sf):
+    """Multiclass Matthews correlation (ops/metrics.mcc_multiclass)
+    for the 4-class rotating-error predictor (every 5th item shifts
+    one class over) with DISJOINT missing slices on each side (every
+    11th prediction and 13th truth absent — the inner join must
+    shrink n before any marginal is counted). The oracle replays the
+    join, the diagonal, both marginals, and the R_K identity in
+    HUGEINT."""
+    from lamapi_spark.ops.metrics import mcc_multiclass
+
+    o = load(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    truth = (o.filter(ok % 13 != 0)
+             .select(ok.alias("id"),
+                     F.concat(F.lit("c"), ok % 4).alias("label")))
+    pred = (o.filter(ok % 11 != 0)
+            .select(ok.alias("id"),
+                    F.when(ok % 5 == 0,
+                           F.concat(F.lit("c"), (ok + 1) % 4))
+                    .otherwise(F.concat(F.lit("c"), ok % 4))
+                    .alias("label")))
+    return mcc_multiclass(pred, truth, ["id"])

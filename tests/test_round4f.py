@@ -576,3 +576,79 @@ def test_stress_python_differential(spark):
                              _seeds(spark, present),
                              max_depth=12).collect()}
     assert out == {v: stress[v] for v in present}
+
+
+# ------------------------------------------------- community conductance
+
+
+def test_conductance_hand_case(spark):
+    from lamapi_spark.ops.graph import community_conductance
+    # two triangles joined by one edge: each community vol=7, cut=1
+    e = _sym_edges(spark, [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+                           ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+                           ("a1", "b1")])
+    lab = spark.createDataFrame(
+        [(f"{s}{i}", s) for s in "ab" for i in (1, 2, 3)],
+        "node string, community string")
+    out = {r.community: r for r in
+           community_conductance(e, lab).collect()}
+    assert out["a"].vol == 7 and out["a"].cut == 1
+    assert out["a"].conductance == round(1 / 7, 6)
+    assert out["b"].n_nodes == 3
+
+
+def test_conductance_single_community_degenerate(spark):
+    from lamapi_spark.ops.graph import community_conductance
+    e = _sym_edges(spark, [("x", "y")])
+    lab = spark.createDataFrame([("x", "c"), ("y", "c")],
+                                "node string, community string")
+    r = community_conductance(e, lab).head()
+    # min(vol, total - vol) = 0 -> pinned 0.0
+    assert r.cut == 0 and r.conductance == 0.0
+
+
+def test_conductance_drops_self_loops_and_unlabeled(spark):
+    from lamapi_spark.ops.graph import community_conductance
+    e = _sym_edges(spark, [("x", "x"), ("x", "y"), ("y", "z")])
+    lab = spark.createDataFrame([("x", "c1"), ("y", "c2")],
+                                "node string, community string")
+    out = {r.community: r for r in
+           community_conductance(e, lab).collect()}
+    # self-loop gone; y-z edge gone (z unlabeled): one cut edge left
+    assert out["c1"].vol == 1 and out["c1"].cut == 1
+    assert out["c1"].conductance == 1.0
+
+
+# ------------------------------------------------- multiclass MCC
+
+
+def _labeled(spark, rows):
+    return spark.createDataFrame(rows, "id long, label string")
+
+
+def test_mcc_perfect_and_inverted(spark):
+    from lamapi_spark.ops.metrics import mcc_multiclass
+    t = _labeled(spark, [(i, "ab"[i % 2]) for i in range(10)])
+    p_inv = _labeled(spark, [(i, "ba"[i % 2]) for i in range(10)])
+    assert mcc_multiclass(t, t, ["id"]).head().mcc == 1.0
+    assert mcc_multiclass(p_inv, t, ["id"]).head().mcc == -1.0
+
+
+def test_mcc_binary_matches_phi(spark):
+    import math
+    from lamapi_spark.ops.metrics import mcc_multiclass
+    # confusion: tp=4 fn=1 fp=2 tn=3 -> phi = (4*3-1*2)/sqrt(6*5*5*4)
+    rows_t = ([(i, "p") for i in range(5)] + [(i, "n") for i in range(5, 10)])
+    rows_p = ([(i, "p") for i in range(4)] + [(4, "n")]
+              + [(5, "p"), (6, "p")] + [(i, "n") for i in range(7, 10)])
+    r = mcc_multiclass(_labeled(spark, rows_p), _labeled(spark, rows_t),
+                       ["id"]).head()
+    want = (4 * 3 - 1 * 2) / math.sqrt(6 * 5 * 5 * 4)
+    assert r.mcc == round(want, 6) and r.n == 10 and r.correct == 7
+
+
+def test_mcc_constant_predictor_is_zero(spark):
+    from lamapi_spark.ops.metrics import mcc_multiclass
+    t = _labeled(spark, [(i, "ab"[i % 2]) for i in range(8)])
+    p = _labeled(spark, [(i, "a") for i in range(8)])
+    assert mcc_multiclass(p, t, ["id"]).head().mcc == 0.0
