@@ -105,3 +105,81 @@ def stream_classifier_score(
         z_micro.alias("z_micro"),
         (F.lit(0.5) + zd / (F.lit(2.0) * (F.lit(1.0) + F.abs(zd)))).alias("p"),
     )
+
+
+CAT_SCHEMA = "category string, ts timestamp"
+
+
+def stream_jsd_drift(spark: SparkSession, path: str,
+                     baseline: DataFrame,
+                     window: str = "1 hour",
+                     watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of ops/metrics.js_divergence's '__total__' row:
+    per-WINDOW Jensen-Shannon divergence of the live categorical mix
+    (language / source / predicate tags on the ingest feed) against a
+    STATIC reference epoch — the continuously-running form of the
+    batch drift monitor, alarming within a watermark of the shift
+    instead of at the next batch sweep.
+
+    Offline-state/online-probe split (the dsir/classifier-twin rule):
+    ``baseline`` is the vocabulary-bounded reference count frame,
+    materialized ONCE into literal arrays at plan time — so the only
+    streaming state is ONE watermarked (window, category) count
+    aggregation plus the per-window rollup that packs those counts
+    into an in-row map (two chained window aggs, the
+    stream_fact_support shape; state bounded by windows x vocabulary).
+    The JSD itself is a STATELESS in-row fold over the SORTED union
+    of baseline and window vocabularies: per-category terms use the
+    batch operator's exact float expression and 6-dp half-even
+    rounding, summed in DECIMAL(28,6) — so a drained window row
+    equals the batch js_divergence total on that window's slice BIT
+    FOR BIT (tested row-for-row in tests/test_streaming.py).
+
+    Append-mode semantics: a window's JSD emits once when the
+    watermark closes it; late rows beyond the watermark drop and
+    surface in the next batch sweep — the standard trade.
+    -> (window_start, n_new, jsd).
+    """
+    import math
+
+    rows = sorted((r[0], int(r[1])) for r in
+                  baseline.select("category", "c_base").collect())
+    cats = [c for c, _ in rows]
+    nb = sum(c for _, c in rows) or 1
+    bmap = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cats]),
+        F.array(*[F.lit(n).cast("long") for _, n in rows]))
+
+    ev = spark.readStream.schema(CAT_SCHEMA).parquet(path)
+    per_cat = (ev.withWatermark("ts", watermark)
+               .groupBy(F.window("ts", window).alias("w"), "category")
+               .agg(F.count("*").alias("c_new")))
+    per_win = (per_cat
+               .groupBy(F.window(F.window_time("w"), window).alias("w"))
+               .agg(F.map_from_entries(F.collect_list(
+                   F.struct("category", "c_new"))).alias("_m"),
+                   F.sum("c_new").alias("n_new")))
+    union = F.array_sort(F.array_union(
+        F.array(*[F.lit(c) for c in cats]), F.map_keys(F.col("_m"))))
+    nn = F.col("n_new").cast("double")
+    ln2 = F.lit(math.log(2.0))
+
+    def term(cat):
+        cb = F.coalesce(F.element_at(bmap, cat), F.lit(0)).cast("double")
+        cn = (F.coalesce(F.element_at(F.col("_m"), cat), F.lit(0))
+              .cast("double"))
+        p = cb / F.lit(float(nb))
+        q = cn / nn
+        m = (p + q) / 2
+        t = (F.when(cb > 0, p / 2 * F.log(p / m) / ln2)
+             .otherwise(F.lit(0.0))
+             + F.when(cn > 0, q / 2 * F.log(q / m) / ln2)
+             .otherwise(F.lit(0.0)))
+        return F.bround(t, 6).cast("decimal(28,6)")
+
+    jsd = F.aggregate(union, F.lit(0).cast("decimal(28,6)"),
+                      lambda acc, cat: (acc + term(cat))
+                      .cast("decimal(28,6)"))
+    return per_win.select(
+        F.col("w.start").alias("window_start"), "n_new",
+        jsd.cast("double").alias("jsd"))

@@ -437,3 +437,62 @@ def test_stream_fs_link_matches_batch(spark, tmp_path):
         l, r, ("lid", "rid"), "blk", weights, 1200, -1200).collect()))
     assert s_rows == b_rows and len(b_rows) == 4
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_jsd_drift_matches_batch(spark, tmp_path):
+    """Per-window streaming JSD against the static baseline equals
+    the batch js_divergence '__total__' term on each window's slice
+    bit for bit (same rounded per-category terms, same DECIMAL
+    rollup) — including a window with a PLANTED mix shift and a
+    window containing a category the baseline never saw."""
+    import datetime
+    import shutil
+
+    from lamapi_spark.ops.metrics import js_divergence
+    from lamapi_spark.streaming.corpus import stream_jsd_drift
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(h, m=0):
+        return t0 + datetime.timedelta(hours=h, minutes=m)
+
+    baseline = spark.createDataFrame(
+        [("en", 60), ("de", 30), ("fr", 10)], "category string, c_base long")
+    # window 0: baseline-like; window 1: shifted toward de + a NEW
+    # category the baseline lacks; window 2: tiny tail
+    rows = ([("en", ts(0, i)) for i in range(6)]
+            + [("de", ts(0, 30 + i)) for i in range(3)]
+            + [("fr", ts(0, 50))]
+            + [("de", ts(1, i)) for i in range(7)]
+            + [("xx", ts(1, 30 + i)) for i in range(2)]
+            + [("en", ts(1, 40))]
+            + [("en", ts(2, 5)), ("de", ts(2, 6))])
+    ev = spark.createDataFrame(rows, "category string, ts timestamp")
+    d = str(tmp_path / "cat_events")
+    ev.write.parquet(d)
+    # far-future flush row advances the watermark past every real
+    # window so append mode emits them all (the fact-support pattern)
+    spark.createDataFrame([("zz", ts(100))],
+                          "category string, ts timestamp") \
+        .coalesce(1).write.mode("append").parquet(d)
+
+    got = run_available_now(
+        stream_jsd_drift(spark, d, baseline, window="1 hour",
+                         watermark="1 minute"),
+        "t_jsd", mode="append")
+    stream_rows = {r.window_start: (r.n_new, r.jsd) for r in got.collect()}
+    assert len(stream_rows) == 3
+
+    for h in range(3):
+        slice_df = ev.filter(
+            (F.col("ts") >= ts(h)) & (F.col("ts") < ts(h + 1))
+        ).select("category")
+        base_df = baseline.selectExpr(
+            "explode(array_repeat(category, cast(c_base as int))) AS category")
+        total = {r.category: r.term
+                 for r in js_divergence(base_df, slice_df).collect()}
+        n_new, jsd = stream_rows[ts(h)]
+        assert jsd == total["__total__"], f"window {h}"
+    # the shifted window reads a LARGER divergence than the calm one
+    assert stream_rows[ts(1)][1] > stream_rows[ts(0)][1]
+    shutil.rmtree(d, ignore_errors=True)
