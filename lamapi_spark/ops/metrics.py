@@ -1630,3 +1630,82 @@ def mcc_multiclass(pred: DataFrame, truth: DataFrame, keys: list[str],
     return w.select(F.col("n").cast("long").alias("n"),
                     F.col("correct").cast("long").alias("correct"),
                     mcc.alias("mcc"))
+
+
+def wasserstein_1d(a: DataFrame, b: DataFrame, val_col: str = "v",
+                   n_buckets: int = 1024) -> DataFrame:
+    """EXACT 1-D Wasserstein-1 (earth mover's) distance between two
+    samples — the INTEGRAL of |F_a - F_b| over the value line, the
+    magnitude-aware companion of :func:`ks_two_sample`'s supremum (KS
+    answers "is there a shift?", W1 answers "how much mass moved how
+    far?" in the column's own units — the score/length drift number a
+    retraining decision wants). Reference analogue: none;
+    builder's-brief monitoring surface.
+
+    On the distinct-value grid v_1 < ... < v_k the step CDFs are
+    constant between grid points, so
+        W1 = sum_i |F_a(v_i) - F_b(v_i)| * (v_{i+1} - v_i)
+    exactly. Float discipline: the CDF gap is the exact DECIMAL
+    cross-product |cum_a*n_b - cum_b*n_a| divided once by n_a*n_b
+    (both doubles exact below 2^53), the per-interval term is ONE
+    fixed-order float expression rounded half-even to 9 dp, and terms
+    sum in DECIMAL(38,9) — order-independent under any partitioning.
+
+    Scale shape: the ks_two_sample machinery (tagged union, one
+    distinct-value count agg, two-level-scan cumulatives) plus the
+    NEXT-grid-point lookup: a within-bucket lead window patched at
+    bucket boundaries by a <= n_buckets-row broadcast of per-bucket
+    first values — still no global window. -> ONE row
+    (n_a, n_b, w1).
+    """
+    va = a.select(F.col(val_col).cast("double").alias("v"),
+                  F.lit(1).alias("_ca"), F.lit(0).alias("_cb"))
+    vb = b.select(F.col(val_col).cast("double").alias("v"),
+                  F.lit(0).alias("_ca"), F.lit(1).alias("_cb"))
+    cnt = (va.unionByName(vb).groupBy("v")
+           .agg(F.sum("_ca").alias("ca"), F.sum("_cb").alias("cb")))
+    stats = cnt.agg(F.min("v").alias("_lo"), F.max("v").alias("_hi"),
+                    F.sum("ca").alias("_na"), F.sum("cb").alias("_nb"))
+    span = (F.col("_hi") - F.col("_lo")).cast("double")
+    bkt = F.when(span == 0, F.lit(0)).otherwise(F.least(
+        F.floor((F.col("v") - F.col("_lo")) / span * n_buckets),
+        F.lit(n_buckets - 1))).cast("long")
+    binned = cnt.join(F.broadcast(stats)).select(
+        "v", "ca", "cb", "_na", "_nb", bkt.alias("_b"))
+    w_pref = (Window.orderBy("_b")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    pref = (binned.groupBy("_b")
+            .agg(F.sum("ca").alias("_ba"), F.sum("cb").alias("_bb"),
+                 F.min("v").alias("_bfirst"))
+            .select("_b", "_bfirst",
+                    F.coalesce(F.sum("_ba").over(w_pref), F.lit(0))
+                    .alias("_offa"),
+                    F.coalesce(F.sum("_bb").over(w_pref), F.lit(0))
+                    .alias("_offb")))
+    # first grid value of the NEXT non-empty bucket, keyed by this _b
+    nxt_first = pref.select(
+        "_b", F.lead("_bfirst").over(Window.orderBy("_b"))
+        .alias("_next_first"))
+    w_loc = (Window.partitionBy("_b").orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_lead = Window.partitionBy("_b").orderBy("v")
+    cum = (binned.join(F.broadcast(
+        pref.select("_b", "_offa", "_offb")), "_b")
+        .join(F.broadcast(nxt_first), "_b")
+        .select("_b", "v", "_na", "_nb", "_next_first",
+                (F.col("_offa") + F.sum("ca").over(w_loc))
+                .cast("decimal(38,0)").alias("_cua"),
+                (F.col("_offb") + F.sum("cb").over(w_loc))
+                .cast("decimal(38,0)").alias("_cub"),
+                F.lead("v").over(w_lead).alias("_lead_v")))
+    nxt_v = F.coalesce(F.col("_lead_v"), F.col("_next_first"))
+    gap = (F.abs(F.col("_cua") * F.col("_nb")
+                 - F.col("_cub") * F.col("_na")).cast("double")
+           / (F.col("_na").cast("double") * F.col("_nb").cast("double")))
+    term = F.when(nxt_v.isNotNull(),
+                  F.bround(gap * (nxt_v - F.col("v")), 9)
+                  ).otherwise(F.lit(0.0))
+    return (cum.groupBy("_na", "_nb")
+            .agg(F.sum(term.cast("decimal(38,9)")).alias("_w"))
+            .select(F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
+                    F.col("_w").cast("double").alias("w1")))

@@ -274,3 +274,61 @@ def vocab_richness(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("n_tokens", "distinct_tokens", "f1", "f2",
                       F.bround(chao1, 6).alias("chao1"),
                       F.bround(cov, 6).alias("coverage"))
+
+
+def vocab_growth(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct types
+    vs cumulative tokens at GEOMETRIC document checkpoints (1, 2, 4,
+    ... docs in id order) — the curve that says whether vocabulary is
+    still growing (keep crawling / grow the tokenizer) or has bent
+    over (the corpus saturated its domain); the trajectory twin of
+    vocab_richness's single-point Chao1 estimate. Reference analogue:
+    none; builder's-brief corpus surface.
+
+    Determinism: "document order" is the ascending ``id_col`` order —
+    a pure function of the corpus. A token's arrival position is the
+    MIN doc rank containing it; both cumulative counts are exact
+    integers.
+
+    Scale shape — no per-checkpoint rescans and no non-equi join:
+    doc ranks come from the two-level scan (no global window); each
+    token's first-arrival rank and each doc's token count bucket by
+    floor(log2(rank)), so BOTH curves collapse to <= 64-row
+    frequency frames whose running sums (the only serial step) are
+    driver-trivial windows. Checkpoint k therefore reports the state
+    after the first min(2^(k+1)-1 ... ) — precisely: after all docs
+    with rank < 2^(k+1), i.e. the canonical power-of-two prefix.
+    -> one row per non-empty bucket (checkpoint_docs, cum_docs,
+    cum_tokens, cum_types), ascending; the last row is the whole
+    corpus.
+    """
+    from lamapi_spark.ops.metrics import _global_ranks
+
+    base = docs.select(F.col(id_col).alias("k"),
+                       _tokens(F.col(text_col)).alias("_toks"))
+    ranks = _global_ranks(docs.select(F.col(id_col).alias("k"),
+                                      F.col(id_col).alias("v")),
+                          1024, "rank")
+    wd = base.join(ranks, "k")
+    bucket = F.floor(F.log2("rank")).cast("long")
+    # per-doc token counts -> per-bucket token sums
+    toks_b = (wd.select(bucket.alias("_g"),
+                        F.size("_toks").alias("_nt"))
+              .groupBy("_g").agg(F.sum("_nt").alias("_tok"),
+                                 F.count("*").alias("_docs")))
+    # per-token first-arrival rank -> per-bucket new-type counts
+    types_b = (wd.select("rank", F.explode("_toks").alias("t"))
+               .groupBy("t").agg(F.min("rank").alias("_fr"))
+               .select(F.floor(F.log2("_fr")).cast("long").alias("_g"))
+               .groupBy("_g").agg(F.count("*").alias("_new")))
+    j = (toks_b.join(types_b, "_g", "left")
+         .select("_g", "_tok", "_docs",
+                 F.coalesce("_new", F.lit(0)).alias("_new")))
+    w = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        F.pow(F.lit(2.0), F.col("_g") + 1).cast("long")
+        .alias("checkpoint_docs"),
+        F.sum("_docs").over(w).alias("cum_docs"),
+        F.sum("_tok").over(w).alias("cum_tokens"),
+        F.sum("_new").over(w).alias("cum_types"))

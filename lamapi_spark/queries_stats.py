@@ -776,3 +776,94 @@ def eval_mcc(spark, sf):
                     .otherwise(F.concat(F.lit("c"), ok % 4))
                     .alias("label")))
     return mcc_multiclass(pred, truth, ["id"])
+
+
+# ------------------------------------------------- 1-D Wasserstein
+
+
+@register("eval_wasserstein", """
+WITH a AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+           WHERE o_orderkey % 2 = 0),
+b AS (SELECT CAST(o_totalprice AS DOUBLE) * 1.1 + 5000.0 AS v
+      FROM orders WHERE o_orderkey % 2 = 1),
+cnt AS (
+  SELECT v, sum(ca)::BIGINT AS ca, sum(cb)::BIGINT AS cb FROM (
+    SELECT v, 1 AS ca, 0 AS cb FROM a
+    UNION ALL SELECT v, 0, 1 FROM b) GROUP BY v),
+t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM cnt),
+cum AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v)::DECIMAL(38,0) AS cua,
+         sum(cb) OVER (ORDER BY v)::DECIMAL(38,0) AS cub,
+         lead(v) OVER (ORDER BY v) AS nxt
+  FROM cnt),
+terms AS (
+  SELECT CASE WHEN nxt IS NOT NULL THEN
+           round_even(CAST(abs(cua * t.nb - cub * t.na) AS DOUBLE)
+                      / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))
+                      * (nxt - v), 9)
+         ELSE 0.0 END AS term, t.na, t.nb
+  FROM cum CROSS JOIN t)
+SELECT na AS n_a, nb AS n_b,
+       CAST(sum(term::DECIMAL(38,9)) AS DOUBLE) AS w1
+FROM terms GROUP BY na, nb
+""")
+def eval_wasserstein(spark, sf):
+    """Exact 1-D Wasserstein-1 (ops/metrics.wasserstein_1d) between
+    the same planted location+scale price drift as eval_ks_two_sample
+    — the two shift tests share one synth, so KS's supremum and W1's
+    integral cross-check each other on the same grid. The oracle is
+    the INDEPENDENT global-window formulation (cumulative sums and
+    lead over the whole distinct-value grid — no buckets, no
+    boundary patch), so green proves the two-level scan plus the
+    bucket-boundary next-value stitching against plain SQL."""
+    from lamapi_spark.ops.metrics import wasserstein_1d
+
+    o = load(spark, sf, "orders")
+    ok = F.col("o_orderkey")
+    a = (o.filter(ok % 2 == 0)
+         .select(F.col("o_totalprice").cast("double").alias("v")))
+    b = (o.filter(ok % 2 == 1)
+         .select((F.col("o_totalprice").cast("double") * 1.1 + 5000.0)
+                 .alias("v")))
+    return wasserstein_1d(a, b)
+
+
+# ------------------------------------------------- Heaps-law growth
+
+
+@register("corpus_vocab_growth", r"""
+WITH ranks AS (
+  SELECT doc_id, text,
+         row_number() OVER (ORDER BY doc_id)::BIGINT AS rank
+  FROM documents),
+toks_b AS (
+  SELECT floor(log2(rank))::BIGINT AS g,
+         sum(len(string_split_regex(lower(text), '\s+')))::BIGINT AS tok,
+         count(*)::BIGINT AS docs
+  FROM ranks GROUP BY 1),
+types_b AS (
+  SELECT floor(log2(fr))::BIGINT AS g, count(*)::BIGINT AS new FROM (
+    SELECT t, min(rank) AS fr FROM (
+      SELECT rank, unnest(string_split_regex(lower(text), '\s+')) AS t
+      FROM ranks) GROUP BY t)
+  GROUP BY 1)
+SELECT CAST(pow(2.0, toks_b.g + 1) AS BIGINT) AS checkpoint_docs,
+       sum(docs) OVER w AS cum_docs,
+       sum(tok) OVER w AS cum_tokens,
+       sum(coalesce(new, 0)) OVER w AS cum_types
+FROM toks_b LEFT JOIN types_b ON toks_b.g = types_b.g
+WINDOW w AS (ORDER BY toks_b.g ROWS UNBOUNDED PRECEDING)
+ORDER BY checkpoint_docs
+""")
+def corpus_vocab_growth(spark, sf):
+    """Heaps-law vocabulary growth (ops/textstats.vocab_growth) over
+    the documents corpus in doc_id order — the template vocabulary
+    saturates early, so cum_types visibly bends while cum_tokens
+    stays linear (the curve shape is itself the check). The oracle
+    replays ranks with a plain global row_number, the log2 bucketing
+    of both arrival frames, and the running sums."""
+    from lamapi_spark.ops.textstats import vocab_growth
+
+    return (vocab_growth(load(spark, sf, "documents"))
+            .orderBy("checkpoint_docs"))

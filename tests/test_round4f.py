@@ -652,3 +652,90 @@ def test_mcc_constant_predictor_is_zero(spark):
     t = _labeled(spark, [(i, "ab"[i % 2]) for i in range(8)])
     p = _labeled(spark, [(i, "a") for i in range(8)])
     assert mcc_multiclass(p, t, ["id"]).head().mcc == 0.0
+
+
+# ------------------------------------------------- 1-D Wasserstein
+
+
+def test_wasserstein_identical_and_shift(spark):
+    from lamapi_spark.ops.metrics import wasserstein_1d
+    a = _vals(spark, [1, 2, 3, 4])
+    assert wasserstein_1d(a, a).head().w1 == 0.0
+    # pure +10 shift: W1 == 10 exactly
+    b = _vals(spark, [11, 12, 13, 14])
+    assert wasserstein_1d(a, b).head().w1 == 10.0
+
+
+def test_wasserstein_hand_case(spark):
+    from lamapi_spark.ops.metrics import wasserstein_1d
+    # a = {0, 0}, b = {0, 4}: move half the mass distance 4 -> W1 = 2
+    r = wasserstein_1d(_vals(spark, [0, 0]), _vals(spark, [0, 4])).head()
+    assert r.w1 == 2.0 and r.n_a == 2 and r.n_b == 2
+
+
+def test_wasserstein_scipy_style_differential(spark):
+    import random
+    from lamapi_spark.ops.metrics import wasserstein_1d
+
+    def w1_py(xs, ys):
+        # integral of |Fa - Fb| over the sorted union grid, with the
+        # op's own per-term 9-dp rounding convention
+        grid = sorted(set(xs) | set(ys))
+        total = 0.0
+        for v, nxt in zip(grid, grid[1:]):
+            fa = sum(1 for x in xs if x <= v) / len(xs)
+            fb = sum(1 for y in ys if y <= v) / len(ys)
+            total += round(abs(sum(1 for x in xs if x <= v) * len(ys)
+                               - sum(1 for y in ys if y <= v) * len(xs))
+                           / (len(xs) * len(ys)) * (nxt - v), 9)
+        return round(total, 9)
+
+    random.seed(3)
+    xs = [round(random.uniform(0, 50), 2) for _ in range(40)]
+    ys = [round(random.uniform(10, 70), 2) for _ in range(25)]
+    got = wasserstein_1d(_vals(spark, xs), _vals(spark, ys),
+                         n_buckets=8).head()
+    assert round(got.w1, 9) == w1_py(xs, ys)
+
+
+def test_wasserstein_bucket_boundary_stitch(spark):
+    from lamapi_spark.ops.metrics import wasserstein_1d
+    # two buckets force the next-value lookup across the boundary
+    r = wasserstein_1d(_vals(spark, [0.0, 100.0]),
+                       _vals(spark, [0.0, 100.0]), n_buckets=2).head()
+    assert r.w1 == 0.0
+    r2 = wasserstein_1d(_vals(spark, [0.0, 100.0]),
+                        _vals(spark, [100.0]), n_buckets=2).head()
+    # Fa(0)=1/2, Fb(0)=0 over interval (0,100): W1 = 50
+    assert r2.w1 == 50.0
+
+
+# ------------------------------------------------- Heaps-law growth
+
+
+def test_vocab_growth_hand_corpus(spark):
+    from lamapi_spark.ops.textstats import vocab_growth
+    docs = spark.createDataFrame([
+        (1, "a b"),          # rank 1, bucket 0: 2 new types
+        (2, "a c"),          # rank 2, bucket 1: 1 new type
+        (3, "c d e"),        # rank 3, bucket 1: 2 new types
+        (4, "a"),            # rank 4, bucket 2: 0 new
+        (5, "f"),            # rank 5, bucket 2: 1 new
+    ], "doc_id long, text string")
+    out = {r.checkpoint_docs: r for r in vocab_growth(docs).collect()}
+    assert out[2].cum_docs == 1 and out[2].cum_tokens == 2 \
+        and out[2].cum_types == 2
+    assert out[4].cum_docs == 3 and out[4].cum_tokens == 7 \
+        and out[4].cum_types == 5
+    assert out[8].cum_docs == 5 and out[8].cum_tokens == 9 \
+        and out[8].cum_types == 6
+
+
+def test_vocab_growth_monotone_and_total(spark):
+    from lamapi_spark.ops.textstats import vocab_growth
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = vocab_growth(docs).orderBy("checkpoint_docs").collect()
+    types = [r.cum_types for r in rows]
+    assert types == sorted(types)
+    # final row covers the whole corpus
+    assert rows[-1].cum_docs == docs.count()
