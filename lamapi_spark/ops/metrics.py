@@ -1709,3 +1709,96 @@ def wasserstein_1d(a: DataFrame, b: DataFrame, val_col: str = "v",
             .agg(F.sum(term.cast("decimal(38,9)")).alias("_w"))
             .select(F.col("_na").alias("n_a"), F.col("_nb").alias("n_b"),
                     F.col("_w").cast("double").alias("w1")))
+
+
+def bio_span_f1(pred: DataFrame, gold: DataFrame, keys: list[str],
+                pos_col: str = "pos", tag_col: str = "tag") -> DataFrame:
+    """Span-level P/R/F1 over BIO tag sequences — the conlleval
+    convention: a prediction scores ONLY if its whole span matches a
+    gold span exactly (token-level tag accuracy flatters boundary
+    errors; span F1 is what NER papers report). Consumes the
+    bio_export shape (one row per token, dense 1-based ``pos`` within
+    each key group), closing the detection loop: dictionary mentions
+    -> BIO export -> learned model -> THIS eval. Reference analogue:
+    none; builder's-brief eval surface beside prf_eval.
+
+    Span segmentation (conlleval rules, typeless tags): a span starts
+    at 'B', or at an 'I' whose predecessor is absent or 'O' (the
+    orphan-I convention); it extends through consecutive 'I' tokens;
+    'O' and 'B' both close the open span. Extraction is an in-row
+    fold over the (pos, tag)-sorted token array — no window over raw
+    tokens, groups bounded by the sequence length like the other
+    in-array transcript ops.
+
+    Micro-aggregated: tp = exact (keys, start, end) matches via one
+    co-partitioned join; P = tp/pred_n, R = tp/gold_n, F1 =
+    2*tp/(pred_n + gold_n) — each ONE division of exact integers,
+    half-even 6 dp, empty denominators read 0. -> ONE row
+    (pred_spans, gold_spans, tp, p, r, f1).
+    """
+    def spans(df, side):
+        g = (df.select(*keys, F.col(pos_col).alias("_pos"),
+                       F.col(tag_col).alias("_tag"))
+             .groupBy(*keys)
+             .agg(F.sort_array(F.collect_list(
+                 F.struct(F.col("_pos").alias("p"),
+                          F.col("_tag").alias("t")))).alias("a")))
+        n = F.size("a")
+        init = F.struct(
+            F.array().cast("array<struct<s:long,e:long>>").alias("sp"),
+            F.lit(0).cast("long").alias("cs"),
+            F.lit(0).cast("long").alias("ce"))
+
+        def step(acc, i):
+            tok = F.element_at(F.col("a"), i)
+            prev_t = F.when(i > 1, F.element_at(F.col("a"), i - 1).t) \
+                      .otherwise(F.lit("O"))
+            closed = F.when(
+                acc.cs > 0,
+                F.concat(acc.sp, F.array(F.struct(
+                    acc.cs.alias("s"), acc.ce.alias("e"))))
+            ).otherwise(acc.sp)
+            is_start = (tok.t == "B") | ((tok.t == "I") & (prev_t == "O"))
+            return (F.when(is_start,
+                           F.struct(closed.alias("sp"),
+                                    tok.p.cast("long").alias("cs"),
+                                    tok.p.cast("long").alias("ce")))
+                    .when(tok.t == "I",
+                          F.struct(acc.sp.alias("sp"), acc.cs.alias("cs"),
+                                   tok.p.cast("long").alias("ce")))
+                    .otherwise(F.struct(closed.alias("sp"),
+                                        F.lit(0).cast("long").alias("cs"),
+                                        F.lit(0).cast("long").alias("ce"))))
+
+        done = F.aggregate(
+            F.sequence(F.lit(1), n), init, step,
+            lambda acc: F.when(acc.cs > 0, F.concat(acc.sp, F.array(
+                F.struct(acc.cs.alias("s"), acc.ce.alias("e"))))
+            ).otherwise(acc.sp))
+        return (g.select(*keys, F.explode(done).alias("_sp"))
+                .select(*keys, F.col("_sp.s").alias("s"),
+                        F.col("_sp.e").alias("e"))
+                .withColumn("_side", F.lit(side)))
+
+    ps, gs = spans(pred, "p"), spans(gold, "g")
+    tp_df = (ps.drop("_side").join(gs.drop("_side"), [*keys, "s", "e"])
+             .agg(F.count("*").alias("tp")))
+    cnts = (ps.unionByName(gs)
+            .groupBy()
+            .agg(F.sum((F.col("_side") == "p").cast("long"))
+                 .alias("pred_spans"),
+                 F.sum((F.col("_side") == "g").cast("long"))
+                 .alias("gold_spans")))
+    out = cnts.join(F.broadcast(tp_df))
+    p = F.when(F.col("pred_spans") > 0,
+               F.bround(F.col("tp") / F.col("pred_spans"), 6)) \
+         .otherwise(F.lit(0.0))
+    r = F.when(F.col("gold_spans") > 0,
+               F.bround(F.col("tp") / F.col("gold_spans"), 6)) \
+         .otherwise(F.lit(0.0))
+    f1 = F.when(F.col("pred_spans") + F.col("gold_spans") > 0,
+                F.bround(2 * F.col("tp")
+                         / (F.col("pred_spans") + F.col("gold_spans")),
+                         6)).otherwise(F.lit(0.0))
+    return out.select("pred_spans", "gold_spans", "tp",
+                      p.alias("p"), r.alias("r"), f1.alias("f1"))

@@ -867,3 +867,106 @@ def corpus_vocab_growth(spark, sf):
 
     return (vocab_growth(load(spark, sf, "documents"))
             .orderBy("checkpoint_docs"))
+
+
+# ------------------------------------------------- BIO span F1
+
+
+_BIO_SYNTH = """
+tok AS (
+  SELECT (i // 12)::BIGINT AS seq, (i % 12 + 1)::BIGINT AS pos,
+         CASE
+           WHEN (i // 12) % 5 = 0 AND (i % 12 + 1) IN (4) THEN 'B'
+           WHEN (i // 12) % 5 = 0 AND (i % 12 + 1) IN (5, 6) THEN 'I'
+           WHEN (i // 12) % 5 = 0 AND (i % 12 + 1) = 3 THEN 'O'
+           WHEN (i % 12 + 1) = 3 THEN 'B'
+           WHEN (i % 12 + 1) IN (4, 5) THEN 'I'
+           WHEN (i % 12 + 1) = 9 AND (i // 12) % 7 <> 0 THEN 'B'
+           WHEN (i % 12 + 1) = 11 THEN 'I'
+           ELSE 'O' END AS tag
+  FROM (SELECT DISTINCT (o_orderkey % 6000)::BIGINT AS i FROM orders)),
+gold AS (
+  SELECT (i // 12)::BIGINT AS seq, (i % 12 + 1)::BIGINT AS pos,
+         CASE WHEN (i % 12 + 1) = 3 THEN 'B'
+              WHEN (i % 12 + 1) IN (4, 5) THEN 'I'
+              WHEN (i % 12 + 1) = 9 THEN 'B'
+              WHEN (i % 12 + 1) = 11 THEN 'I'
+              ELSE 'O' END AS tag
+  FROM (SELECT DISTINCT (o_orderkey % 6000)::BIGINT AS i FROM orders))
+"""
+
+
+@register("eval_bio_span_f1", f"""
+WITH {_BIO_SYNTH},
+pspan AS (
+  SELECT seq, grp, min(pos) AS s, max(pos) AS e FROM (
+    SELECT seq, pos, tag,
+           sum(st::INT) OVER (PARTITION BY seq ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS grp
+    FROM (
+      SELECT seq, pos, tag,
+             (tag = 'B' OR (tag = 'I'
+              AND coalesce(lag(tag) OVER (PARTITION BY seq
+                                          ORDER BY pos), 'O') = 'O'))
+               AS st
+      FROM tok))
+  WHERE tag <> 'O' GROUP BY seq, grp),
+gspan AS (
+  SELECT seq, grp, min(pos) AS s, max(pos) AS e FROM (
+    SELECT seq, pos, tag,
+           sum(st::INT) OVER (PARTITION BY seq ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS grp
+    FROM (
+      SELECT seq, pos, tag,
+             (tag = 'B' OR (tag = 'I'
+              AND coalesce(lag(tag) OVER (PARTITION BY seq
+                                          ORDER BY pos), 'O') = 'O'))
+               AS st
+      FROM gold))
+  WHERE tag <> 'O' GROUP BY seq, grp),
+c AS (SELECT (SELECT count(*) FROM pspan)::BIGINT AS pn,
+             (SELECT count(*) FROM gspan)::BIGINT AS gn,
+             (SELECT count(*) FROM pspan JOIN gspan
+              USING (seq, s, e))::BIGINT AS tp)
+SELECT pn AS pred_spans, gn AS gold_spans, tp,
+       round_even(CASE WHEN pn > 0 THEN tp / CAST(pn AS DOUBLE)
+                       ELSE 0.0 END, 6) AS p,
+       round_even(CASE WHEN gn > 0 THEN tp / CAST(gn AS DOUBLE)
+                       ELSE 0.0 END, 6) AS r,
+       round_even(CASE WHEN pn + gn > 0
+                       THEN 2 * tp / CAST(pn + gn AS DOUBLE)
+                       ELSE 0.0 END, 6) AS f1
+FROM c
+""")
+def eval_bio_span_f1(spark, sf):
+    """Span-level conlleval F1 (ops/metrics.bio_span_f1) over 500
+    planted 12-token BIO sequences: gold has spans (3-5), (9,9) and
+    an orphan-I (11,11) per sequence; the predictor SHIFTS the first
+    span right by one in every 5th sequence (boundary error — zero
+    credit under exact span match, the conlleval point) and DROPS the
+    (9,9) span in every 7th. The oracle extracts spans with an
+    INDEPENDENT formulation — a lag-window start flag and a running
+    start count as the span group key, no in-row fold — so green
+    proves the fold's segmentation (incl. the orphan-I rule) against
+    plain SQL windows."""
+    from lamapi_spark.ops.metrics import bio_span_f1
+
+    o = load(spark, sf, "orders")
+    d = o.select((F.col("o_orderkey") % 6000).alias("i")).distinct()
+    seq = (F.col("i") / 12).cast("long")
+    pos = (F.col("i") % 12 + 1).cast("long")
+    gold_tag = (F.when(pos == 3, "B").when(pos.isin(4, 5), "I")
+                .when(pos == 9, "B").when(pos == 11, "I")
+                .otherwise("O"))
+    pred_tag = (
+        F.when((seq % 5 == 0) & (pos == 4), "B")
+        .when((seq % 5 == 0) & pos.isin(5, 6), "I")
+        .when((seq % 5 == 0) & (pos == 3), "O")
+        .when(pos == 3, "B").when(pos.isin(4, 5), "I")
+        .when((pos == 9) & (seq % 7 != 0), "B")
+        .when(pos == 11, "I").otherwise("O"))
+    gold = d.select(seq.alias("seq"), pos.alias("pos"),
+                    gold_tag.alias("tag"))
+    pred = d.select(seq.alias("seq"), pos.alias("pos"),
+                    pred_tag.alias("tag"))
+    return bio_span_f1(pred, gold, ["seq"])

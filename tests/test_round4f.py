@@ -739,3 +739,55 @@ def test_vocab_growth_monotone_and_total(spark):
     assert types == sorted(types)
     # final row covers the whole corpus
     assert rows[-1].cum_docs == docs.count()
+
+
+# ------------------------------------------------- BIO span F1
+
+
+def _bio(spark, rows):
+    return spark.createDataFrame(rows, "seq string, pos long, tag string")
+
+
+def test_bio_span_f1_exact_match_only(spark):
+    from lamapi_spark.ops.metrics import bio_span_f1
+    gold = _bio(spark, [("s", 1, "O"), ("s", 2, "B"), ("s", 3, "I"),
+                        ("s", 4, "O"), ("s", 5, "B")])
+    # boundary error on span 1 (starts one late), span 2 exact
+    pred = _bio(spark, [("s", 1, "O"), ("s", 2, "O"), ("s", 3, "B"),
+                        ("s", 4, "O"), ("s", 5, "B")])
+    r = bio_span_f1(pred, gold, ["seq"]).head()
+    assert r.pred_spans == 2 and r.gold_spans == 2 and r.tp == 1
+    assert r.p == 0.5 and r.r == 0.5 and r.f1 == 0.5
+
+
+def test_bio_span_f1_orphan_i_starts_span(spark):
+    from lamapi_spark.ops.metrics import bio_span_f1
+    # I after O opens a chunk (conlleval); I I merges into one span
+    seqs = [("s", 1, "O"), ("s", 2, "I"), ("s", 3, "I"), ("s", 4, "O")]
+    r = bio_span_f1(_bio(spark, seqs), _bio(spark, seqs), ["seq"]).head()
+    assert r.pred_spans == 1 and r.tp == 1 and r.f1 == 1.0
+
+
+def test_bio_span_f1_b_closes_previous(spark):
+    from lamapi_spark.ops.metrics import bio_span_f1
+    # B I B -> two spans (2-3) and (4)
+    gold = _bio(spark, [("s", 1, "O"), ("s", 2, "B"), ("s", 3, "I"),
+                        ("s", 4, "B")])
+    pred = _bio(spark, [("s", 1, "O"), ("s", 2, "B"), ("s", 3, "I"),
+                        ("s", 4, "I")])  # merged into one long span
+    r = bio_span_f1(pred, gold, ["seq"]).head()
+    assert r.gold_spans == 2 and r.pred_spans == 1 and r.tp == 0
+
+
+def test_bio_span_f1_span_at_sequence_end(spark):
+    from lamapi_spark.ops.metrics import bio_span_f1
+    gold = _bio(spark, [("s", 1, "B"), ("s", 2, "I")])
+    r = bio_span_f1(gold, gold, ["seq"]).head()
+    assert r.tp == 1 and r.f1 == 1.0
+
+
+def test_bio_span_f1_all_o_degenerate(spark):
+    from lamapi_spark.ops.metrics import bio_span_f1
+    g = _bio(spark, [("s", 1, "O"), ("s", 2, "O")])
+    r = bio_span_f1(g, g, ["seq"]).head()
+    assert r.pred_spans == 0 and r.f1 == 0.0
