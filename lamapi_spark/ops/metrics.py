@@ -1785,10 +1785,10 @@ def bio_span_f1(pred: DataFrame, gold: DataFrame, keys: list[str],
              .agg(F.count("*").alias("tp")))
     cnts = (ps.unionByName(gs)
             .groupBy()
-            .agg(F.sum((F.col("_side") == "p").cast("long"))
-                 .alias("pred_spans"),
-                 F.sum((F.col("_side") == "g").cast("long"))
-                 .alias("gold_spans")))
+            .agg(F.coalesce(F.sum((F.col("_side") == "p").cast("long")),
+                            F.lit(0)).alias("pred_spans"),
+                 F.coalesce(F.sum((F.col("_side") == "g").cast("long")),
+                            F.lit(0)).alias("gold_spans")))
     out = cnts.join(F.broadcast(tp_df))
     p = F.when(F.col("pred_spans") > 0,
                F.bround(F.col("tp") / F.col("pred_spans"), 6)) \
