@@ -970,3 +970,75 @@ def eval_bio_span_f1(spark, sf):
     pred = d.select(seq.alias("seq"), pos.alias("pos"),
                     pred_tag.alias("tag"))
     return bio_span_f1(pred, gold, ["seq"])
+
+
+# ------------------------------------------------- Zipf fit
+
+
+@register("corpus_zipf_fit", r"""
+WITH tf AS (
+  SELECT t, count(*)::BIGINT AS c FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+    FROM documents) GROUP BY t),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t ASC)::BIGINT AS rank
+  FROM tf QUALIFY rank <= 1000),
+m AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(round_even(ln(CAST(rank AS DOUBLE)), 12)
+             ::DECIMAL(38,12)) AS sx,
+         sum(round_even(ln(CAST(c AS DOUBLE)), 12)
+             ::DECIMAL(38,12)) AS sy,
+         sum(round_even(ln(CAST(rank AS DOUBLE))
+                        * ln(CAST(c AS DOUBLE)), 12)
+             ::DECIMAL(38,12)) AS sxy,
+         sum(round_even(ln(CAST(rank AS DOUBLE))
+                        * ln(CAST(rank AS DOUBLE)), 12)
+             ::DECIMAL(38,12)) AS sxx,
+         sum(round_even(ln(CAST(c AS DOUBLE))
+                        * ln(CAST(c AS DOUBLE)), 12)
+             ::DECIMAL(38,12)) AS syy
+  FROM ranked)
+SELECT n AS n_ranks,
+       round_even(CASE WHEN n >= 2 AND (n * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         THEN (n * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (n * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         ELSE 0.0 END, 6) AS slope,
+       round_even(CASE WHEN n >= 2 AND (n * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         THEN (CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (n * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE)) / n
+         ELSE 0.0 END, 6) AS intercept,
+       round_even(CASE WHEN n >= 2 AND (n * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                  AND (n * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         THEN ((n * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+              / ((n * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (n * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         ELSE 0.0 END, 6) AS r2
+FROM m
+""")
+def corpus_zipf_fit(spark, sf):
+    """Zipf rank-frequency OLS (ops/textstats.zipf_fit) over the
+    documents corpus's top-1000 token ranks — the synthetic template
+    vocabulary is nearly uniform, so the fitted exponent sits far
+    from natural text's -1 (the diagnosis the operator exists to
+    make). The oracle replays ranks with a global window (frequency
+    desc, token asc — the Spark side uses the two-level scan on
+    (-freq, token)), the 12-dp DECIMAL moment sums, and every closed
+    form."""
+    from lamapi_spark.ops.textstats import zipf_fit
+
+    return zipf_fit(load(spark, sf, "documents"))

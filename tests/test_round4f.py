@@ -791,3 +791,43 @@ def test_bio_span_f1_all_o_degenerate(spark):
     g = _bio(spark, [("s", 1, "O"), ("s", 2, "O")])
     r = bio_span_f1(g, g, ["seq"]).head()
     assert r.pred_spans == 0 and r.f1 == 0.0
+
+
+# ------------------------------------------------- Zipf fit
+
+
+def test_zipf_exact_power_law(spark):
+    from lamapi_spark.ops.textstats import zipf_fit
+    # frequencies 16,8,4,2,1 over ranks 1..5 is an exact log-log line
+    # with slope -log(2)/... no: f = 16 * r^(-s) only if ranks are
+    # powers; instead plant f_r = 2^(5-r): ln f = (5-r) ln2 vs ln r —
+    # NOT linear in ln r. Use f_r = C / r (slope exactly -1):
+    # f = 60/r for r=1..5 -> 60,30,20,15,12
+    docs = spark.createDataFrame(
+        [(" ".join([f"t{r}"] * (60 // r)),) for r in range(1, 6)],
+        "text string")
+    r = zipf_fit(docs, max_rank=10).head()
+    assert r.n_ranks == 5
+    assert abs(r.slope - (-1.0)) < 1e-6 and r.r2 > 0.999999
+
+
+def test_zipf_uniform_is_flat(spark):
+    from lamapi_spark.ops.textstats import zipf_fit
+    docs = spark.createDataFrame([("a b c d e f",)], "text string")
+    r = zipf_fit(docs).head()
+    # all frequencies equal -> dy = 0 -> slope 0, r2 pinned 0
+    assert r.slope == 0.0 and r.r2 == 0.0
+
+
+def test_zipf_degenerate_single_token(spark):
+    from lamapi_spark.ops.textstats import zipf_fit
+    docs = spark.createDataFrame([("only only only",)], "text string")
+    r = zipf_fit(docs).head()
+    assert r.n_ranks == 1 and r.slope == 0.0
+
+
+def test_zipf_max_rank_truncates(spark):
+    from lamapi_spark.ops.textstats import zipf_fit
+    docs = spark.createDataFrame(
+        [(" ".join(f"w{i}" for i in range(50)),)], "text string")
+    assert zipf_fit(docs, max_rank=20).head().n_ranks == 20
