@@ -1,0 +1,28 @@
+"""Round-4 tenth-part sweep: hand-pinned cases for the governance,
+forecast-decomposition, sequence-analytics, robust-trend, and chrF
+operators (oracle parity is the contract gate's job; these pin the
+conventions on tiny inputs computed by hand)."""
+
+from __future__ import annotations
+
+
+def test_k_anonymity_census_pinned(spark):
+    from lamapi_spark.ops.governance import k_anonymity_census
+
+    # QI (seg, zip): (a,1) x3 rows all sensitive 's1' -> k=3, l=1
+    #                (a,2) x2 rows s1/s2              -> k=2, l=2
+    #                (b,1) x1 row                     -> k=1, l=1
+    rows = [("a", 1, "s1"), ("a", 1, "s1"), ("a", 1, "s1"),
+            ("a", 2, "s1"), ("a", 2, "s2"),
+            ("b", 1, "s1")]
+    df = spark.createDataFrame(rows, "seg string, zip int, sens string")
+    out = {r["k"]: r for r in
+           k_anonymity_census(df, ["seg", "zip"], "sens",
+                              k_threshold=3, l_threshold=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[3]["n_groups"], out[3]["n_rows"],
+            out[3]["groups_below_k"], out[3]["groups_low_l"]) == (1, 3, 0, 1)
+    assert (out[2]["n_groups"], out[2]["n_rows"],
+            out[2]["groups_below_k"], out[2]["groups_low_l"]) == (1, 2, 1, 0)
+    assert (out[1]["n_groups"], out[1]["n_rows"],
+            out[1]["groups_below_k"], out[1]["groups_low_l"]) == (1, 1, 1, 1)
