@@ -47,3 +47,66 @@ def privacy_k_anonymity(spark, sf):
     return k_anonymity_census(
         c, ["c_mktsegment", "c_nationkey", "zip_bin"], "bal_sign",
         k_threshold=5, l_threshold=2).orderBy("k")
+
+
+# ------------------------------------------------- Brier / Murphy
+
+
+@register("eval_brier", """
+WITH d AS (
+  SELECT ((o_orderkey % 100) + 0.5) / 100.0 AS p,
+         CASE WHEN 10 * (((o_orderkey * 104729) % 99991) % 100)
+                   < 8 * (o_orderkey % 100) + 100
+              THEN 1 ELSE 0 END AS y
+  FROM orders),
+pb AS (
+  SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+         count(*)::BIGINT AS n_k, sum(y)::BIGINT AS sum_y,
+         sum(round_even(p, 9)::DECIMAL(28,9)) AS sum_p,
+         sum(round_even((p - y) * (p - y), 12)::DECIMAL(38,12)) AS sum_sq
+  FROM d GROUP BY 1),
+t AS (SELECT sum(n_k)::BIGINT AS n, sum(sum_y)::BIGINT AS sy,
+             sum(sum_sq) AS ssq FROM pb),
+terms AS (
+  SELECT round_even(n_k * (CAST(sum_p AS DOUBLE) / n_k - CAST(sum_y AS DOUBLE) / n_k)
+                        * (CAST(sum_p AS DOUBLE) / n_k - CAST(sum_y AS DOUBLE) / n_k), 9)
+           AS rel_t,
+         round_even(n_k * (CAST(sum_y AS DOUBLE) / n_k - CAST(t.sy AS DOUBLE) / t.n)
+                        * (CAST(sum_y AS DOUBLE) / n_k - CAST(t.sy AS DOUBLE) / t.n), 9)
+           AS res_t
+  FROM pb CROSS JOIN t),
+s AS (SELECT sum(rel_t::DECIMAL(28,9)) AS rel_s,
+             sum(res_t::DECIMAL(28,9)) AS res_s FROM terms)
+SELECT t.n AS n, 10 AS n_bins,
+       round_even(CAST(t.ssq AS DOUBLE) / t.n, 6) AS brier,
+       round_even(CAST(s.rel_s AS DOUBLE) / t.n, 6) AS reliability,
+       round_even(CAST(s.res_s AS DOUBLE) / t.n, 6) AS resolution,
+       round_even((CAST(t.sy AS DOUBLE) / t.n)
+                  * (1 - CAST(t.sy AS DOUBLE) / t.n), 6) AS uncertainty,
+       round_even(round_even(CAST(t.ssq AS DOUBLE) / t.n, 6)
+                  - (round_even(CAST(s.rel_s AS DOUBLE) / t.n, 6)
+                     - round_even(CAST(s.res_s AS DOUBLE) / t.n, 6)
+                     + round_even((CAST(t.sy AS DOUBLE) / t.n)
+                                  * (1 - CAST(t.sy AS DOUBLE) / t.n), 6)), 6)
+         AS decomp_gap
+FROM t CROSS JOIN s
+""")
+def eval_brier(spark, sf):
+    """Brier score + Murphy decomposition
+    (ops/metrics.brier_decomposition) over a PLANTED miscalibrated
+    forecaster: forecast p = (k%100 + 0.5)/100 on a uniform grid, true
+    outcome probability 0.8p + 0.1 (a linear distortion, so
+    reliability is well off 0 while resolution stays large), the
+    outcome draw a deterministic 104729/99991 hash of the orderkey.
+    The oracle replays the bin assignment, every DECIMAL sum, the
+    per-bin rel/res terms in the same float order, and the
+    already-rounded-components gap convention."""
+    from lamapi_spark.ops.metrics import brier_decomposition
+
+    o = load(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    d = o.select(
+        (((k % 100) + 0.5) / 100.0).alias("score"),
+        F.when(10 * (((k * 104729) % 99991) % 100) < 8 * (k % 100) + 100,
+               F.lit(1)).otherwise(F.lit(0)).alias("label"))
+    return brier_decomposition(d, "score", "label", n_bins=10)

@@ -26,3 +26,19 @@ def test_k_anonymity_census_pinned(spark):
             out[2]["groups_below_k"], out[2]["groups_low_l"]) == (1, 2, 1, 0)
     assert (out[1]["n_groups"], out[1]["n_rows"],
             out[1]["groups_below_k"], out[1]["groups_low_l"]) == (1, 1, 1, 1)
+
+
+def test_brier_decomposition_identity(spark):
+    from lamapi_spark.ops.metrics import brier_decomposition
+
+    # constant forecast within each bin -> Murphy identity is EXACT:
+    # p=0.25 over outcomes (1,0,0,0); p=0.75 over (1,1,1,0)
+    rows = ([(0.25, 1)] + [(0.25, 0)] * 3 + [(0.75, 1)] * 3 + [(0.75, 0)])
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = brier_decomposition(df, "score", "label", n_bins=10).collect()[0]
+    assert r["n"] == 8
+    assert r["brier"] == 0.1875
+    assert r["reliability"] == 0.0
+    assert r["resolution"] == 0.0625
+    assert r["uncertainty"] == 0.25
+    assert r["decomp_gap"] == 0.0
