@@ -577,3 +577,74 @@ def allen_relations(intervals: DataFrame, key_col: str = "key",
            .when((al < bl) & (ah < bh), "overlaps")
            .otherwise("overlapped_by"))
     return p.select("key", "id_a", "id_b", rel.alias("relation"))
+
+
+def acf_by(df: DataFrame, key_col: str, order_cols: list[str],
+           val_col: str, max_lag: int = 5,
+           max_n: int = 32768) -> DataFrame:
+    """Per-key sequence autocorrelation r_1..r_max_lag — the
+    periodicity/trend probe a monitoring pipeline runs beside
+    burst_detection and cusum_changepoints (an hourly-seasonal metric
+    shows r_24 spikes; a trending one shows slow lag-1 decay). Sequence
+    ACF over the per-key (order_cols)-ordered series — timestamps
+    order the series, they don't weight it.
+
+        r_l = sum_t (x_t - xbar)(x_{t+l} - xbar) / sum_t (x_t - xbar)^2
+
+    Exact integers end to end (``val_col`` must be integral — the
+    caller scales): the mean is never materialized as a float; each
+    centered value is scaled by n (c_t = n*x_t - S, an exact long),
+    products accumulate in DECIMAL(38,0) — the n^2 scale factor
+    cancels in the ratio, the ONE float division at the end, bround 6.
+    Denominator 0 (constant series) reads r_l = 0.0, lags >= n emit
+    nothing.
+
+    The in-row O(n * max_lag) fold is the documented wer_scores trade
+    (interpreted expression cells, no UDF, no shuffle); keys with
+    n > max_n or n < 2 are EXCLUDED and the caller picks a grouping /
+    thinning with bounded per-key cardinality — the kendall_tau_by
+    contract.
+
+    Scale shape: one collect_list group-by (the only exchange); sort,
+    centering, and all lag folds are in-row; keys run embarrassingly
+    parallel. -> one row per (key, lag): (key, n, lag, r).
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.struct(*[F.col(c).alias(f"_o{i}")
+                   for i, c in enumerate(order_cols)],
+                 F.col(val_col).cast("long").alias("x")).alias("e"))
+    g = (base.groupBy("key")
+         .agg(F.sort_array(F.collect_list("e")).alias("_a"))
+         .filter((F.size("_a") >= 2) & (F.size("_a") <= max_n)))
+    n = F.size("_a")
+    xs = F.transform(F.col("_a"), lambda e: e.x)
+    s = F.aggregate(xs, F.lit(0).cast("long"), lambda a, x: a + x)
+    g = g.select("key", n.alias("n"),
+                 F.transform(xs, lambda x: n * x - s).alias("_c"))
+    dec0 = F.lit(0).cast("decimal(38,0)")
+
+    def csum(pairs):
+        # pairs: (t) -> product term as decimal; t is 1-based
+        return F.aggregate(pairs, dec0, lambda a, p: a + p)
+
+    den = csum(F.transform(
+        F.col("_c"), lambda c: (c.cast("decimal(19,0)")
+                                * c.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")))
+    lag = F.col("_l")
+    num = F.aggregate(
+        F.sequence(F.lit(1), F.col("n") - lag), dec0,
+        lambda a, t: a + (F.element_at(F.col("_c"), t).cast("decimal(19,0)")
+                          * F.element_at(F.col("_c"), t + lag)
+                          .cast("decimal(19,0)")).cast("decimal(38,0)"))
+    out = (g.select("key", "n", den.alias("_den"),
+                    F.explode(F.sequence(
+                        F.lit(1), F.least(F.lit(max_lag), F.col("n") - 1)))
+                    .alias("_l"), "_c")
+           .select("key", "n", lag.alias("lag"),
+                   F.when(F.col("_den") > 0,
+                          F.bround(num.cast("double")
+                                   / F.col("_den").cast("double"), 6))
+                   .otherwise(F.lit(0.0)).alias("r")))
+    return out

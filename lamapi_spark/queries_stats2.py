@@ -110,3 +110,49 @@ def eval_brier(spark, sf):
         F.when(10 * (((k * 104729) % 99991) % 100) < 8 * (k % 100) + 100,
                F.lit(1)).otherwise(F.lit(0)).alias("label"))
     return brier_decomposition(d, "score", "label", n_bins=10)
+
+
+# ------------------------------------------------- per-key ACF
+
+
+@register("events_acf", """
+WITH d AS (
+  SELECT event_type AS key, ts, event_id,
+         CAST(round_even(value * 100, 0) AS BIGINT) AS x
+  FROM events WHERE event_id % 4 = 0),
+s AS (
+  SELECT key, x,
+         row_number() OVER (PARTITION BY key ORDER BY ts, event_id) AS t,
+         count(*) OVER (PARTITION BY key) AS n,
+         sum(x) OVER (PARTITION BY key) AS sx
+  FROM d),
+c AS (SELECT key, t, n, CAST(n * x - sx AS HUGEINT) AS c FROM s),
+den AS (SELECT key, any_value(n)::BIGINT AS n, sum(c * c) AS den
+        FROM c GROUP BY key),
+num AS (
+  SELECT a.key, (b.t - a.t)::BIGINT AS lag, sum(a.c * b.c) AS num
+  FROM c a JOIN c b ON a.key = b.key AND b.t - a.t BETWEEN 1 AND 5
+  GROUP BY 1, 2)
+SELECT den.key AS key, den.n AS n, num.lag AS lag,
+       CASE WHEN den.den > 0
+            THEN round_even(CAST(num.num AS DOUBLE)
+                            / CAST(den.den AS DOUBLE), 6)
+            ELSE 0.0 END AS r
+FROM den JOIN num ON den.key = num.key
+WHERE den.n >= 2 ORDER BY key, lag
+""")
+def events_acf(spark, sf):
+    """Per-event-type sequence autocorrelation at lags 1..5
+    (ops/temporal.acf_by) over the event-id-thinned value series
+    (x = round(value*100), an exact integer), ordered by (ts,
+    event_id). The oracle rebuilds the n-scaled centering (c = n*x -
+    S), the HUGEINT numerator/denominator sums via a window + lag
+    self-join — structurally independent of the in-row fold — and the
+    single rounded division."""
+    from lamapi_spark.ops.temporal import acf_by
+
+    e = load(spark, sf, "events").filter(F.col("event_id") % 4 == 0)
+    d = e.select(F.col("event_type"), F.col("ts"), F.col("event_id"),
+                 F.bround(F.col("value") * 100, 0).cast("long").alias("x"))
+    return (acf_by(d, "event_type", ["ts", "event_id"], "x", max_lag=5)
+            .orderBy("key", "lag"))

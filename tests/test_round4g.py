@@ -42,3 +42,21 @@ def test_brier_decomposition_identity(spark):
     assert r["resolution"] == 0.0625
     assert r["uncertainty"] == 0.25
     assert r["decomp_gap"] == 0.0
+
+
+def test_acf_by_pinned(spark):
+    from lamapi_spark.ops.temporal import acf_by
+
+    # A: x=[1,2,3,4] -> c = 4x-10 = [-6,-2,2,6], den=80,
+    #    num_1=20, num_2=-24, num_3=-36 -> r = .25, -.3, -.45
+    # B: constant -> den=0 -> r=0.0 at every lag
+    rows = ([("A", t, x) for t, x in enumerate([1, 2, 3, 4])]
+            + [("B", t, 5) for t in range(3)])
+    df = spark.createDataFrame(rows, "k string, t int, x long")
+    out = {(r["key"], r["lag"]): r for r in
+           acf_by(df, "k", ["t"], "x", max_lag=3).collect()}
+    assert out[("A", 1)]["n"] == 4 and out[("A", 1)]["r"] == 0.25
+    assert out[("A", 2)]["r"] == -0.3
+    assert out[("A", 3)]["r"] == -0.45
+    assert out[("B", 1)]["r"] == 0.0 and out[("B", 2)]["r"] == 0.0
+    assert ("B", 3) not in out  # lag >= n emits nothing
