@@ -156,3 +156,60 @@ def events_acf(spark, sf):
                  F.bround(F.col("value") * 100, 0).cast("long").alias("x"))
     return (acf_by(d, "event_type", ["ts", "event_id"], "x", max_lag=5)
             .orderBy("key", "lag"))
+
+
+# ------------------------------------------------- Theil-Sen trend
+
+
+@register("eval_theil_sen", """
+WITH d AS (
+  SELECT o_orderpriority AS key,
+         CAST(o_orderkey % 1000 AS DOUBLE) AS x,
+         CAST(3 * (o_orderkey % 1000) + 50
+              + ((o_orderkey * 104729) % 97) - 48
+              + CASE WHEN o_orderkey % 13 = 0 THEN 100000 ELSE 0 END
+              AS DOUBLE) AS y
+  FROM orders WHERE o_orderkey % 97 = 0),
+s AS (SELECT key, x, y,
+             row_number() OVER (PARTITION BY key ORDER BY x, y) AS t,
+             count(*) OVER (PARTITION BY key) AS n
+      FROM d),
+sl AS (SELECT a.key, a.n, (b.y - a.y) / (b.x - a.x) AS slope
+       FROM s a JOIN s b ON a.key = b.key AND a.t < b.t AND a.x <> b.x),
+mr AS (SELECT key, n, slope,
+              row_number() OVER (PARTITION BY key ORDER BY slope) AS rn,
+              count(*) OVER (PARTITION BY key) AS m
+       FROM sl),
+b AS (SELECT key, any_value(n)::BIGINT AS n, any_value(m)::BIGINT AS m,
+             any_value(slope) AS slope
+      FROM mr WHERE rn = (m + 1) // 2 GROUP BY key),
+r AS (SELECT d.key, d.y - b.slope * d.x AS resid, b.n, b.m, b.slope
+      FROM d JOIN b ON d.key = b.key),
+ri AS (SELECT key, n, m, slope, resid,
+              row_number() OVER (PARTITION BY key ORDER BY resid) AS rn
+       FROM r)
+SELECT key, n, m AS n_slopes, round_even(slope, 6) AS slope,
+       round_even(any_value(resid), 6) AS intercept
+FROM ri WHERE rn = (n + 1) // 2 AND n BETWEEN 2 AND 512
+GROUP BY key, n, m, slope ORDER BY key
+""")
+def eval_theil_sen(spark, sf):
+    """Theil-Sen robust trend per order priority
+    (ops/metrics.theil_sen_by) over a PLANTED line y = 3x + 50 with
+    bounded hash noise AND a gross +100000 outlier on every 13th
+    orderkey — the corruption that would drag an OLS slope far off 3
+    moves the pairwise-slope median barely at all (the planted check
+    the unit test pins). The oracle rebuilds the (x,y)-ordered pair
+    set with a rank self-join, both lower-median selections, and the
+    shared IEEE slope/residual shape."""
+    from lamapi_spark.ops.metrics import theil_sen_by
+
+    o = load(spark, sf, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    k = F.col("o_orderkey")
+    d = o.select(
+        F.col("o_orderpriority").alias("key"),
+        (k % 1000).cast("double").alias("x"),
+        (3 * (k % 1000) + 50 + ((k * 104729) % 97) - 48
+         + F.when(k % 13 == 0, F.lit(100000)).otherwise(F.lit(0)))
+        .cast("double").alias("y"))
+    return theil_sen_by(d, "key", "x", "y", max_n=512).orderBy("key")

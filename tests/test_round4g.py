@@ -60,3 +60,20 @@ def test_acf_by_pinned(spark):
     assert out[("A", 3)]["r"] == -0.45
     assert out[("B", 1)]["r"] == 0.0 and out[("B", 2)]["r"] == 0.0
     assert ("B", 3) not in out  # lag >= n emits nothing
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from lamapi_spark.ops.metrics import theil_sen_by
+
+    # y = 2x + 1 exactly, except one gross outlier at x=3.
+    rows = [("A", 0, 1), ("A", 1, 3), ("A", 2, 5), ("A", 3, 999999),
+            ("A", 4, 9), ("A", 5, 11),
+            # B: all x equal -> zero defined slopes -> emits nothing
+            ("B", 7, 1), ("B", 7, 2)]
+    df = spark.createDataFrame(rows, "k string, x int, y int")
+    out = theil_sen_by(df, "k", "x", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["key"] == "A" and r["n"] == 6 and r["n_slopes"] == 15
+    assert r["slope"] == 2.0       # median slope ignores the outlier
+    assert r["intercept"] == 1.0   # median residual on the clean line
