@@ -213,3 +213,70 @@ def eval_theil_sen(spark, sf):
          + F.when(k % 13 == 0, F.lit(100000)).otherwise(F.lit(0)))
         .cast("double").alias("y"))
     return theil_sen_by(d, "key", "x", "y", max_n=512).orderBy("key")
+
+
+# ------------------------------------------------- gapped tool patterns
+
+
+_TOOLSEQ_SQL2 = """
+trt AS (
+  SELECT 'c' || o_custkey AS conv_id,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey)::INT AS turn_idx,
+         CASE WHEN o_orderkey % 2 = 1 THEN 'tool' ELSE 'user' END AS role,
+         CASE WHEN o_orderkey % 2 = 1 THEN
+           ['search', 'lookup', 'calc', 'fetch'][(o_orderkey % 8 + 1) // 2]
+         END AS tool
+  FROM orders
+),
+seq AS (
+  SELECT conv_id, list(tool ORDER BY turn_idx) AS tools
+  FROM trt WHERE role = 'tool' AND tool IS NOT NULL GROUP BY conv_id
+)"""
+
+
+@register("kg_tool_patterns", f"""
+WITH {_TOOLSEQ_SQL2},
+pos AS (
+  SELECT conv_id, (u.t)::INT AS t, u.tool FROM (
+    SELECT conv_id, unnest(list_transform(range(1, len(tools) + 1),
+           i -> struct_pack(t := i, tool := tools[i]))) AS u
+    FROM seq WHERE len(tools) <= 32)),
+p2 AS (SELECT a.conv_id, a.tool || '~>' || b.tool AS pattern
+       FROM pos a JOIN pos b ON a.conv_id = b.conv_id AND a.t < b.t),
+p3 AS (SELECT a.conv_id,
+              a.tool || '~>' || b.tool || '~>' || c.tool AS pattern
+       FROM pos a JOIN pos b ON a.conv_id = b.conv_id AND a.t < b.t
+            JOIN pos c ON b.conv_id = c.conv_id AND b.t < c.t),
+allp AS (SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+SELECT pattern, len(string_split(pattern, '~>'))::INT AS k,
+       count(DISTINCT conv_id)::BIGINT AS n_convs,
+       count(*)::BIGINT AS n_occ
+FROM allp GROUP BY pattern ORDER BY pattern
+""")
+def kg_tool_patterns(spark, sf):
+    """GAPPED sequential tool patterns over agent transcripts
+    (pipeline/triples.tool_sequence_patterns) — the PrefixSpan-style
+    'a eventually b' miner beside kg_tool_ngrams' contiguous chains,
+    on the SAME four-tool rotation synth so the two pattern families
+    cross-check (every contiguous occurrence is also a gapped
+    embedding). The oracle enumerates index tuples with positional
+    self-joins — structurally independent of the in-row nested
+    transform."""
+    from lamapi_spark.pipeline.triples import tool_sequence_patterns
+
+    from pyspark.sql import Window
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    names = F.array(F.lit("search"), F.lit("lookup"),
+                    F.lit("calc"), F.lit("fetch"))
+    trt = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.when(F.col("o_orderkey") % 2 == 1, F.lit("tool"))
+        .otherwise(F.lit("user")).alias("role"),
+        F.when(F.col("o_orderkey") % 2 == 1,
+               F.element_at(names, ((F.col("o_orderkey") % 8 + 1) / 2)
+                            .cast("int"))).alias("tool"))
+    return (tool_sequence_patterns(trt, max_seq=32)
+            .orderBy("pattern"))

@@ -77,3 +77,23 @@ def test_theil_sen_robust_to_outlier(spark):
     assert r["key"] == "A" and r["n"] == 6 and r["n_slopes"] == 15
     assert r["slope"] == 2.0       # median slope ignores the outlier
     assert r["intercept"] == 1.0   # median residual on the clean line
+
+
+def test_tool_sequence_patterns_pinned(spark):
+    from lamapi_spark.pipeline.triples import tool_sequence_patterns
+
+    # conv1 tools in order: a, b, a  -> gapped pairs: a~>b (1 emb),
+    # a~>a (1), b~>a (1); triple a~>b~>a (1)
+    # conv2: a, b -> a~>b (1)
+    rows = [("c1", 1, "tool", "a"), ("c1", 2, "user", None),
+            ("c1", 3, "tool", "b"), ("c1", 5, "tool", "a"),
+            ("c2", 1, "tool", "a"), ("c2", 2, "tool", "b")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string")
+    out = {(r["pattern"]): (r["k"], r["n_convs"], r["n_occ"])
+           for r in tool_sequence_patterns(df).collect()}
+    assert out["a~>b"] == (2, 2, 2)
+    assert out["a~>a"] == (2, 1, 1)
+    assert out["b~>a"] == (2, 1, 1)
+    assert out["a~>b~>a"] == (3, 1, 1)
+    assert len(out) == 4
