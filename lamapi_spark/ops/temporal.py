@@ -648,3 +648,96 @@ def acf_by(df: DataFrame, key_col: str, order_cols: list[str],
                                    / F.col("_den").cast("double"), 6))
                    .otherwise(F.lit(0.0)).alias("r")))
     return out
+
+
+def markov_stationary(df: DataFrame, key_col: str, order_col: str,
+                      state_col: str, rounds: int = 20,
+                      max_states: int = 64) -> DataFrame:
+    """Markov-chain view of per-key state sequences (dialogue roles,
+    event types): consecutive-pair transition counts, row-normalized
+    probabilities, and the stationary distribution by ``rounds``
+    fixed power-iteration steps from uniform — "what fraction of
+    turns does the conversation process spend in each role at
+    equilibrium", the structural summary beside conv_role_audit's
+    per-conversation QC. Reference analogue: none; builder's-brief
+    sequence-analytics surface.
+
+    Determinism: transition p = bround(count/row_total, 12) (one
+    division); each power-iteration term bround(pi_i * p_ij, 12) sums
+    in DECIMAL(38,12) (order-independent; the 12-dp scale keeps the
+    decimal->double cast exact), so every round's vector is
+    bit-reproducible under any partitioning. The chain is used AS
+    OBSERVED: states with no outgoing transitions (a state that only
+    ever ends sequences) make it sub-stochastic and the vector's sum
+    decays — reported honestly rather than patched with an implicit
+    self-loop.
+
+    Scale shape: one per-key collect_list (the only data-sized
+    shuffle) feeds an in-row consecutive pairing; the pair agg is
+    vocabulary-bounded (<= max_states^2 cells, map-side combine); the
+    power iteration folds IN-ROW over a 1-row broadcast-sized matrix
+    (states bounded by ``max_states``, enforced) — no driver loop, no
+    per-round job. -> one row per state (state, n_out, pi).
+    """
+    pairs = (df.groupBy(F.col(key_col).alias("k"))
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct(F.col(order_col).alias("o"),
+                              F.col(state_col).alias("s")))),
+                 lambda e: e.s).alias("_s")))
+    n = F.size("_s")
+    cons = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("_s"), i).alias("s_from"),
+            F.element_at(F.col("_s"), i + 1).alias("s_to")))
+    ).otherwise(F.array().cast(
+        "array<struct<s_from:string,s_to:string>>"))
+    trans = (pairs.select(F.explode(cons).alias("e"))
+             .select("e.s_from", "e.s_to")
+             .groupBy("s_from", "s_to").agg(F.count("*").alias("c")))
+    tot = trans.groupBy("s_from").agg(F.sum("c").alias("_tot"))
+    trans = (trans.join(F.broadcast(tot), "s_from")
+             .select("s_from", "s_to", "c",
+                     F.bround(F.col("c").cast("double") / F.col("_tot"),
+                              12).alias("p")))
+    # one-row matrix + sorted state vocabulary (bounded)
+    sts = (trans.select(F.col("s_from").alias("s"))
+           .unionByName(trans.select(F.col("s_to").alias("s")))
+           .distinct())
+    mat = trans.agg(
+        F.map_from_entries(F.collect_list(F.struct(
+            F.concat_ws("|", "s_from", "s_to"), "p"))).alias("_m"))
+    vocab = sts.agg(F.array_sort(F.collect_list("s")).alias("_v"))
+    one = vocab.join(F.broadcast(mat))
+    s_count = F.size("_v")
+    # guard the in-row O(rounds * S^2) fold with the documented bound
+    one = one.filter(s_count <= max_states)
+    pi0 = F.transform(F.col("_v"),
+                      lambda _: F.bround(F.lit(1.0) / s_count, 12))
+    # accumulate at DECIMAL(28,12) and cast back each step — Spark's
+    # decimal-add widening would otherwise silently drop the 12th digit
+    dec0 = F.lit(0).cast("decimal(28,12)")
+    pin = F.aggregate(
+        F.sequence(F.lit(1), F.lit(rounds)), pi0,
+        lambda pi, _r: F.transform(
+            F.col("_v"),
+            lambda sj: F.aggregate(
+                F.sequence(F.lit(1), s_count), dec0,
+                lambda a, i: (a + F.bround(
+                    F.element_at(pi, i)
+                    * F.coalesce(
+                        F.element_at(F.col("_m"), F.concat_ws(
+                            "|", F.element_at(F.col("_v"), i), sj)),
+                        F.lit(0.0)), 12).cast("decimal(28,12)"))
+                .cast("decimal(28,12)"))
+            .cast("double")))
+    out = (one.select(F.explode(F.arrays_zip(F.col("_v").alias("state"),
+                                             pin.alias("pi"))).alias("z"))
+           .select(F.col("z.state").alias("state"),
+                   F.col("z.pi").alias("pi")))
+    n_out = tot.select(F.col("s_from").alias("state"),
+                       F.col("_tot").alias("n_out"))
+    return (out.join(F.broadcast(n_out), "state", "left")
+            .select("state", F.coalesce("n_out", F.lit(0)).alias("n_out"),
+                    "pi"))

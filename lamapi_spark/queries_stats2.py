@@ -280,3 +280,74 @@ def kg_tool_patterns(spark, sf):
                             .cast("int"))).alias("tool"))
     return (tool_sequence_patterns(trt, max_seq=32)
             .orderBy("pattern"))
+
+
+# ------------------------------------------------- Markov stationary
+
+
+_MK_ROUNDS = 20
+
+
+def _mk_round(k: int) -> str:
+    return f"""
+r{k} AS (
+  SELECT st.s AS state, coalesce(x.pi, 0.0) AS pi
+  FROM states st LEFT JOIN (
+    SELECT tp.s_to AS state,
+           CAST(sum(round_even(r.pi * tp.p, 12)::DECIMAL(38,12)) AS DOUBLE)
+             AS pi
+    FROM r{k - 1} r JOIN tp ON tp.s_from = r.state
+    GROUP BY tp.s_to) x ON x.state = st.s)"""
+
+
+@register("kg_role_stationary", f"""
+WITH trt AS (
+  SELECT 'c' || o_custkey AS conv_id,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey)::INT AS turn_idx,
+         CASE o_orderkey % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'tool'
+              WHEN 2 THEN 'tool' ELSE 'assistant' END AS role
+  FROM orders),
+pr AS (SELECT conv_id, role,
+              lead(role) OVER (PARTITION BY conv_id
+                               ORDER BY turn_idx) AS nxt
+       FROM trt),
+trans AS (SELECT role AS s_from, nxt AS s_to, count(*)::BIGINT AS c
+          FROM pr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+tt AS (SELECT s_from, sum(c)::BIGINT AS tot FROM trans GROUP BY 1),
+tp AS (SELECT t.s_from, t.s_to,
+              round_even(CAST(t.c AS DOUBLE) / tt.tot, 12) AS p
+       FROM trans t JOIN tt ON t.s_from = tt.s_from),
+states AS (SELECT DISTINCT s FROM
+           (SELECT s_from AS s FROM tp UNION SELECT s_to FROM tp)),
+sc AS (SELECT count(*)::BIGINT AS s FROM states),
+r0 AS (SELECT states.s AS state, round_even(1.0 / sc.s, 12) AS pi
+       FROM states CROSS JOIN sc),
+{",".join(_mk_round(k + 1) for k in range(_MK_ROUNDS))}
+SELECT r.state AS state, coalesce(tt.tot, 0)::BIGINT AS n_out, r.pi AS pi
+FROM r{_MK_ROUNDS} r LEFT JOIN tt ON tt.s_from = r.state
+ORDER BY state
+""")
+def kg_role_stationary(spark, sf):
+    """Role-transition Markov chain over agent transcripts
+    (ops/temporal.markov_stationary): consecutive-turn role pairs
+    (user/tool/tool/assistant rotation planted per orderkey) feed a
+    transition matrix whose stationary distribution is reached by 20
+    fixed power-iteration rounds from uniform — every round a 12-dp
+    DECIMAL sum, so the vector is bit-reproducible. The oracle unrolls
+    all 20 rounds as chained CTEs over a lead()-window pair census —
+    structurally independent of the in-row matrix fold."""
+    from lamapi_spark.ops.temporal import markov_stationary
+
+    from pyspark.sql import Window
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    m4 = F.col("o_orderkey") % 4
+    trt = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("conv_id"),
+        F.row_number().over(w).cast("int").alias("turn_idx"),
+        F.when(m4 == 0, F.lit("user")).when(m4.isin(1, 2), F.lit("tool"))
+        .otherwise(F.lit("assistant")).alias("role"))
+    return (markov_stationary(trt, "conv_id", "turn_idx", "role",
+                              rounds=_MK_ROUNDS)
+            .orderBy("state"))

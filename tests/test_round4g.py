@@ -97,3 +97,19 @@ def test_tool_sequence_patterns_pinned(spark):
     assert out["b~>a"] == (2, 1, 1)
     assert out["a~>b~>a"] == (3, 1, 1)
     assert len(out) == 4
+
+
+def test_markov_stationary_pinned(spark):
+    from lamapi_spark.ops.temporal import markov_stationary
+
+    # trans: A->A 1/3, A->B 2/3, B->A 1  => stationary (0.6, 0.4)
+    rows = [("c1", 1, "A"), ("c1", 2, "A"), ("c1", 3, "B"),
+            ("c2", 1, "A"), ("c2", 2, "B"), ("c2", 3, "A")]
+    df = spark.createDataFrame(rows, "conv string, t int, s string")
+    out = {r["state"]: r for r in
+           markov_stationary(df, "conv", "t", "s", rounds=40).collect()}
+    assert out["A"]["n_out"] == 3 and out["B"]["n_out"] == 1
+    # second eigenvalue is -2/3: residual after 40 rounds ~ (2/3)^40 ~ 1e-8
+    assert abs(out["A"]["pi"] - 0.6) < 1e-6
+    assert abs(out["B"]["pi"] - 0.4) < 1e-6
+    assert abs(out["A"]["pi"] + out["B"]["pi"] - 1.0) < 1e-9
