@@ -1929,3 +1929,105 @@ def theil_sen_by(df: DataFrame, key_col: str, x_col: str, y_col: str,
     return g.select("key", "n", "n_slopes",
                     F.bround(F.col("_b"), 6).alias("slope"),
                     F.bround(icept, 6).alias("intercept"))
+
+
+def chrf_corpus(pairs: DataFrame, id_col: str = "pair_id",
+                cand_col: str = "cand", ref_col: str = "ref",
+                max_n: int = 6, beta: float = 2.0) -> DataFrame:
+    """Corpus chrF (Popović 2015) over (candidate, reference) pairs —
+    the CHARACTER-level MT/generation eval beside bleu_corpus and
+    rouge_n_scores: char n-grams forgive tokenization and morphology
+    differences word n-grams punish (inflection changes one char, not
+    the whole token), which is why chrF is the WMT default for
+    morphology-rich targets. Conventions pinned for parity: text is
+    lowercased and ALL whitespace removed (chrF ignores word
+    boundaries); n = 1..max_n; corpus-level counts (matches and gram
+    totals summed over pairs BEFORE the ratios — the bleu_corpus
+    convention); levels with no cand AND no ref grams are excluded
+    from the averages, a level with grams on one side only
+    contributes 0 to that side's mean; beta = 2 weights recall
+    double.
+
+        chrP = mean_n(match_n / ctotal_n), chrR = mean_n(m_n / rtotal_n)
+        chrF = (1 + b^2) P R / (b^2 P + R)    (0.0 when P + R = 0)
+
+    Float discipline: counts are exact integers; the level means and
+    the F expression are ONE fixed-association-order float chain,
+    bround 6.
+
+    Scale shape: identical to bleu_corpus — grams for all levels are
+    built in-row into one flattened "n|gram" array per side (one
+    normalize pass, no per-level rescan), one (pair, gram) count agg
+    per side, one join on (pair, gram) so hot grams stay inside their
+    pair, and a <= max_n-row rollup. -> ONE row (ctotal_1.., rtotal_1..,
+    match_1.., chrp, chrr, chrf).
+    """
+    def norm(col: str):
+        return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", "")
+
+    base = pairs.select(F.col(id_col).alias("id"),
+                        norm(cand_col).alias("_cs"),
+                        norm(ref_col).alias("_rs"))
+
+    def grams(scol):
+        def mk(n):
+            return lambda i: F.concat(F.lit(f"{n}|"),
+                                      scol.substr(i, F.lit(n)))
+
+        parts = []
+        for n in range(1, max_n + 1):
+            k = F.length(scol) - (n - 1)
+            parts.append(F.when(k >= 1, F.transform(
+                F.sequence(F.lit(1), k), mk(n),
+            )).otherwise(F.array().cast("array<string>")))
+        return F.flatten(F.array(*parts))
+
+    g = base.select("id", grams(F.col("_cs")).alias("_cg"),
+                    grams(F.col("_rs")).alias("_rg"))
+
+    def counts(col: str, out: str):
+        return (g.select("id", F.explode(col).alias("g"))
+                .groupBy("id", "g").agg(F.count("*").alias(out)))
+
+    per_n = (counts("_cg", "_cc").join(counts("_rg", "_rc"), ["id", "g"])
+             .groupBy(F.substring("g", 1, 1).cast("int").alias("n"))
+             .agg(F.sum(F.least("_cc", "_rc")).alias("m")))
+    mw = per_n.agg(*[
+        F.coalesce(F.sum(F.when(F.col("n") == n, F.col("m"))),
+                   F.lit(0)).alias(f"match_{n}")
+        for n in range(1, max_n + 1)])
+
+    aggs = []
+    for n in range(1, max_n + 1):
+        aggs.append(F.coalesce(F.sum(F.greatest(
+            F.length("_cs") - (n - 1), F.lit(0))), F.lit(0))
+            .cast("long").alias(f"ctotal_{n}"))
+        aggs.append(F.coalesce(F.sum(F.greatest(
+            F.length("_rs") - (n - 1), F.lit(0))), F.lit(0))
+            .cast("long").alias(f"rtotal_{n}"))
+    row = base.agg(*aggs).join(F.broadcast(mw))
+
+    lvl = None
+    psum = None
+    rsum = None
+    for n in range(1, max_n + 1):
+        ct, rt, m = (F.col(f"ctotal_{n}"), F.col(f"rtotal_{n}"),
+                     F.col(f"match_{n}"))
+        inc = ((ct + rt) > 0).cast("int")
+        p = F.when(ct > 0, m / ct).otherwise(F.lit(0.0))
+        r = F.when(rt > 0, m / rt).otherwise(F.lit(0.0))
+        lvl = inc if lvl is None else lvl + inc
+        psum = p if psum is None else psum + p
+        rsum = r if rsum is None else rsum + r
+    chrp = F.when(lvl > 0, psum / lvl).otherwise(F.lit(0.0))
+    chrr = F.when(lvl > 0, rsum / lvl).otherwise(F.lit(0.0))
+    b2 = beta * beta
+    chrf = F.when(chrp + chrr > 0,
+                  (1 + b2) * chrp * chrr / (b2 * chrp + chrr)) \
+            .otherwise(F.lit(0.0))
+    cols = ([f"ctotal_{n}" for n in range(1, max_n + 1)]
+            + [f"rtotal_{n}" for n in range(1, max_n + 1)]
+            + [f"match_{n}" for n in range(1, max_n + 1)])
+    return row.select(*cols, F.bround(chrp, 6).alias("chrp"),
+                      F.bround(chrr, 6).alias("chrr"),
+                      F.bround(chrf, 6).alias("chrf"))

@@ -351,3 +351,99 @@ def kg_role_stationary(spark, sf):
     return (markov_stationary(trt, "conv_id", "turn_idx", "role",
                               rounds=_MK_ROUNDS)
             .orderBy("state"))
+
+
+# ------------------------------------------------- corpus chrF
+
+
+def _chrf_gram_sql(t: str, n: int) -> str:
+    return (f"list_transform(range(1, greatest(len({t}) - {n - 1}, 0)"
+            f" + 1), i -> '{n}|' || substring({t}, i, {n}))")
+
+
+_CHRF_LVL = " + ".join(
+    f"CASE WHEN ctotal_{n} + rtotal_{n} > 0 THEN 1 ELSE 0 END"
+    for n in range(1, 7))
+_CHRF_P = " + ".join(
+    f"CASE WHEN ctotal_{n} > 0"
+    f" THEN match_{n} / CAST(ctotal_{n} AS DOUBLE) ELSE 0.0 END"
+    for n in range(1, 7))
+_CHRF_R = " + ".join(
+    f"CASE WHEN rtotal_{n} > 0"
+    f" THEN match_{n} / CAST(rtotal_{n} AS DOUBLE) ELSE 0.0 END"
+    for n in range(1, 7))
+
+
+@register("eval_chrf", f"""
+WITH t AS (
+  SELECT doc_id AS id,
+         replace(substring(text, 1,
+                 CAST(floor(len(text) * 4 / 5) AS INT)), 'e', '3') AS cand,
+         text AS ref
+  FROM documents),
+nn AS (SELECT id,
+         regexp_replace(lower(trim(cand)), '\\s+', '', 'g') AS cs,
+         regexp_replace(lower(trim(ref)), '\\s+', '', 'g') AS rs
+       FROM t),
+g AS (SELECT id,
+        flatten([{", ".join(_chrf_gram_sql('cs', n) for n in range(1, 7))}])
+          AS cg,
+        flatten([{", ".join(_chrf_gram_sql('rs', n) for n in range(1, 7))}])
+          AS rg
+      FROM nn),
+cc AS (SELECT id, g AS gram, count(*)::BIGINT AS cnt
+       FROM (SELECT id, unnest(cg) AS g FROM g) GROUP BY id, g),
+rc AS (SELECT id, g AS gram, count(*)::BIGINT AS cnt
+       FROM (SELECT id, unnest(rg) AS g FROM g) GROUP BY id, g),
+m AS (SELECT left(cc.gram, 1)::INT AS n,
+             sum(least(cc.cnt, rc.cnt))::BIGINT AS m
+      FROM cc JOIN rc ON cc.id = rc.id AND cc.gram = rc.gram
+      GROUP BY 1),
+tot AS (SELECT
+        {', '.join(f'sum(greatest(len(cs) - {n - 1}, 0))::BIGINT'
+                   f' AS ctotal_{n}' for n in range(1, 7))},
+        {', '.join(f'sum(greatest(len(rs) - {n - 1}, 0))::BIGINT'
+                   f' AS rtotal_{n}' for n in range(1, 7))}
+        FROM nn),
+mw AS (SELECT {', '.join(
+           f'coalesce(sum(CASE WHEN n = {n} THEN m END), 0)::BIGINT'
+           f' AS match_{n}' for n in range(1, 7))}
+       FROM m),
+pre AS (
+  SELECT *, ({_CHRF_LVL}) AS lvl, ({_CHRF_P}) AS psum, ({_CHRF_R}) AS rsum
+  FROM tot CROSS JOIN mw),
+fin AS (
+  SELECT *,
+         CASE WHEN lvl > 0 THEN psum / lvl ELSE 0.0 END AS p,
+         CASE WHEN lvl > 0 THEN rsum / lvl ELSE 0.0 END AS r
+  FROM pre)
+SELECT {', '.join(f'ctotal_{n}' for n in range(1, 7))},
+       {', '.join(f'rtotal_{n}' for n in range(1, 7))},
+       {', '.join(f'match_{n}' for n in range(1, 7))},
+       round_even(p, 6) AS chrp, round_even(r, 6) AS chrr,
+       round_even(CASE WHEN p + r > 0
+                       THEN 5.0 * p * r / (4.0 * p + r)
+                       ELSE 0.0 END, 6) AS chrf
+FROM fin
+""")
+def eval_chrf(spark, sf):
+    """Corpus chrF with beta=2 (ops/metrics.chrf_corpus) over planted
+    generation pairs: candidate = the first 4/5 of each document's
+    characters with every 'e' corrupted to '3', reference = the full
+    text — so char-level precision AND recall are both meaningfully
+    below 1 and asymmetric (truncation hits recall, corruption hits
+    both). The oracle replays the whitespace-stripped normalization,
+    the flattened 6-level "n|gram" encoding, the clipped per-pair
+    join, both corpus rollups, and the fixed-order level means + F2
+    expression."""
+    from lamapi_spark.ops.metrics import chrf_corpus
+
+    docs = load(spark, sf, "documents")
+    flen = F.floor(F.length("text") * 4 / 5).cast("int")
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.regexp_replace(F.col("text").substr(F.lit(1), flen),
+                         "e", "3").alias("cand"),
+        F.col("text").alias("ref"))
+    return chrf_corpus(pairs, "pair_id", "cand", "ref",
+                       max_n=6, beta=2.0)

@@ -113,3 +113,22 @@ def test_markov_stationary_pinned(spark):
     assert abs(out["A"]["pi"] - 0.6) < 1e-6
     assert abs(out["B"]["pi"] - 0.4) < 1e-6
     assert abs(out["A"]["pi"] + out["B"]["pi"] - 1.0) < 1e-9
+
+
+def test_chrf_corpus_pinned(spark):
+    from lamapi_spark.ops.metrics import chrf_corpus
+
+    # cand 'ab' vs ref 'abc' at max_n=2: P=(2/2+1/1)/2=1,
+    # R=(2/3+1/2)/2=0.583333, F2=5PR/(4P+R)=0.636364
+    df = spark.createDataFrame([(1, "ab", "abc")],
+                               "pair_id int, cand string, ref string")
+    r = chrf_corpus(df, max_n=2).collect()[0]
+    assert (r["ctotal_1"], r["rtotal_1"], r["match_1"]) == (2, 3, 2)
+    assert (r["ctotal_2"], r["rtotal_2"], r["match_2"]) == (1, 2, 1)
+    assert r["chrp"] == 1.0 and r["chrr"] == 0.583333
+    assert r["chrf"] == 0.636364
+
+    # case + whitespace are ignored: 'A b' == 'ab'
+    df2 = spark.createDataFrame([(1, "A b", "ab")],
+                                "pair_id int, cand string, ref string")
+    assert chrf_corpus(df2, max_n=2).collect()[0]["chrf"] == 1.0
