@@ -955,3 +955,65 @@ def tfidf_keywords(docs: DataFrame, id_col: str = "doc_id",
         F.col("score").desc(), F.col("token").asc())
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k))
+
+
+def rake_keywords(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document RAKE keyword phrases (Rose et al. 2010) — the
+    third member of the keyword family: TF-IDF needs corpus df,
+    TextRank a token graph; RAKE needs only the document's own
+    stopword structure, and it returns PHRASES (candidate = maximal
+    stopword-free token run), which is what a KG-construction
+    pipeline wants as surface forms. Reference analogue: none;
+    builder's-brief corpus surface beside tfidf_keywords.
+
+    Conventions pinned: the shared eval tokenization (whitespace
+    tokens of the trimmed lowercase text); candidates are maximal
+    runs between functions/strings.STOPWORDS hits; word stats count
+    every CANDIDATE OCCURRENCE (freq = occurrences, deg = sum of the
+    containing run's length — co-occurrence including self); word
+    score = bround(deg/freq, 9); a DISTINCT phrase's score is the
+    DECIMAL(28,9) sum of its word scores (duplicate words in a phrase
+    count per occurrence); top-k per document, ties (score desc,
+    phrase asc).
+
+    Scale shape: the run split is IN-ROW (mark stopwords, rejoin,
+    split — no fold); one (doc, word) agg, one (doc, word)-keyed join
+    back to the distinct-phrase words, one (doc, phrase) agg, and the
+    top-k window partitioned BY DOCUMENT — every exchange is
+    doc-keyed, nothing global. -> one row per kept phrase
+    (doc_id, phrase, n_words, score, rk).
+    """
+    from lamapi_spark.functions.strings import STOPWORDS
+
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = (F.when(F.length(t) > 0, F.split(t, r"\s+"))
+            .otherwise(F.array().cast("array<string>")))
+    stop_arr = F.array(*[F.lit(s) for s in sorted(STOPWORDS)])
+    marked = F.transform(
+        toks, lambda w: F.when(F.array_contains(stop_arr, w),
+                               F.lit("|")).otherwise(w))
+    runs = F.filter(F.split(F.concat_ws(" ", marked), r"\s*\|\s*"),
+                    lambda p: F.length(p) > 0)
+    occ = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(runs).alias("phrase")))
+    occ_w = occ.select(
+        "doc_id", F.size(F.split("phrase", " ")).alias("plen"),
+        F.explode(F.split("phrase", " ")).alias("w"))
+    ws = (occ_w.groupBy("doc_id", "w")
+          .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+          .select("doc_id", "w",
+                  F.bround(F.col("deg").cast("double") / F.col("freq"),
+                           9).alias("wscore")))
+    cand = occ.distinct()
+    cw = cand.select("doc_id", "phrase",
+                     F.explode(F.split("phrase", " ")).alias("w"))
+    scored = (cw.join(ws, ["doc_id", "w"])
+              .groupBy("doc_id", "phrase")
+              .agg(F.count("*").alias("n_words"),
+                   F.sum(F.col("wscore").cast("decimal(28,9)"))
+                   .cast("double").alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("phrase").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))

@@ -447,3 +447,63 @@ def eval_chrf(spark, sf):
         F.col("text").alias("ref"))
     return chrf_corpus(pairs, "pair_id", "cand", "ref",
                        max_n=6, beta=2.0)
+
+
+# ------------------------------------------------- RAKE keywords
+
+
+def _stoplist_sql() -> str:
+    from lamapi_spark.functions.strings import STOPWORDS
+    return ", ".join(f"'{s}'" for s in sorted(STOPWORDS))
+
+
+@register("corpus_rake", f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents),
+m AS (SELECT doc_id,
+             list_transform(toks, w -> CASE WHEN w IN ({_stoplist_sql()})
+                                       THEN '|' ELSE w END) AS mk
+      FROM d),
+occ AS (
+  SELECT doc_id, p AS phrase FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             string_split_regex(array_to_string(mk, ' '),
+                                '\\s*\\|\\s*'),
+             p -> len(p) > 0)) AS p
+    FROM m)),
+ow AS (SELECT doc_id, len(string_split(phrase, ' '))::BIGINT AS plen,
+              unnest(string_split(phrase, ' ')) AS w
+       FROM occ),
+ws AS (SELECT doc_id, w,
+              round_even(CAST(sum(plen) AS DOUBLE) / count(*), 9)
+                AS wscore
+       FROM ow GROUP BY doc_id, w),
+cand AS (SELECT DISTINCT doc_id, phrase FROM occ),
+cw AS (SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS w
+       FROM cand),
+sc AS (SELECT cw.doc_id, cw.phrase, count(*)::BIGINT AS n_words,
+              CAST(sum(ws.wscore::DECIMAL(28,9)) AS DOUBLE) AS score
+       FROM cw JOIN ws ON cw.doc_id = ws.doc_id AND cw.w = ws.w
+       GROUP BY cw.doc_id, cw.phrase),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, phrase ASC)
+                   ::BIGINT AS rk
+       FROM sc)
+SELECT doc_id, phrase, n_words, score, rk
+FROM rk WHERE rk <= 3 ORDER BY doc_id, rk
+""")
+def corpus_rake(spark, sf):
+    """Per-document RAKE keyword phrases (ops/corpus.rake_keywords,
+    k=3) over the documents corpus — candidates are maximal
+    stopword-free token runs ('the'/'a' in the template vocabulary
+    make the split real), word score deg/freq over candidate
+    occurrences, phrase score a DECIMAL sum of 9-dp word scores. The
+    oracle replays the mark-rejoin-split run extraction, both aggs,
+    the join, and the tie-broken per-document window."""
+    from lamapi_spark.ops.corpus import rake_keywords
+
+    docs = load(spark, sf, "documents")
+    return (rake_keywords(docs, "doc_id", "text", k=3)
+            .orderBy("doc_id", "rk"))

@@ -132,3 +132,18 @@ def test_chrf_corpus_pinned(spark):
     df2 = spark.createDataFrame([(1, "A b", "ab")],
                                 "pair_id int, cand string, ref string")
     assert chrf_corpus(df2, max_n=2).collect()[0]["chrf"] == 1.0
+
+
+def test_rake_keywords_pinned(spark):
+    from lamapi_spark.ops.corpus import rake_keywords
+
+    # doc: "deep learning of the deep net" ->
+    # runs: ["deep learning"(x1), "deep net"(x1)]
+    # freq: deep 2, learning 1, net 1; deg: deep 2+2=4, learning 2, net 2
+    # wscore: deep 2.0, learning 2.0, net 2.0
+    # phrase scores: both 4.0 -> tie broken phrase asc
+    df = spark.createDataFrame([(1, "deep learning of the deep net")],
+                               "doc_id int, text string")
+    out = rake_keywords(df, k=3).orderBy("rk").collect()
+    assert [(r["phrase"], r["n_words"], r["score"], r["rk"]) for r in out] \
+        == [("deep learning", 2, 4.0, 1), ("deep net", 2, 4.0, 2)]
