@@ -2031,3 +2031,50 @@ def chrf_corpus(pairs: DataFrame, id_col: str = "pair_id",
     return row.select(*cols, F.bround(chrp, 6).alias("chrp"),
                       F.bround(chrr, 6).alias("chrr"),
                       F.bround(chrf, 6).alias("chrf"))
+
+
+def err_eval(ranked: DataFrame, query_col: str = "query_id",
+             rank_col: str = "rank", gain_col: str = "gain",
+             max_rank: int = 10, g_max: int = 3,
+             max_n: int = 1024) -> DataFrame:
+    """Expected Reciprocal Rank (Chapelle et al. 2009) per query —
+    the CASCADE-model ranking metric beside retrieval_eval's nDCG/MRR:
+    nDCG assumes the user inspects every position; ERR models a user
+    who STOPS at the first satisfying result, so a highly-relevant
+    document demotes everything below it (the diversity/abandonment
+    signal a RAG reranker cares about).
+
+        R_r = (2^g - 1) / 2^g_max          (graded satisfaction)
+        ERR = sum_r (1/r) R_r prod_{i<r} (1 - R_i)
+
+    Determinism: the fold walks ranks ASCENDING (rank <= max_rank
+    kept, the rank VALUE is the 1/r divisor); absent ranks are
+    identity steps (R = 0: term 0, stop-probability factor 1) so both
+    engines agree term-for-term; gains are small integers, making
+    every R an exact dyadic double. ERR bround 6. Queries with more
+    than ``max_n`` kept rows are excluded (bounded in-row fold, the
+    kendall_tau_by contract).
+
+    Scale shape: one filter + one collect_list group-by (the only
+    exchange); the cascade fold is in-row; queries run embarrassingly
+    parallel. -> one row per query (query_id, n_ranked, err).
+    """
+    denom = float(2 ** g_max)
+    base = (ranked.filter(F.col(rank_col) <= max_rank)
+            .select(F.col(query_col).alias("query_id"),
+                    F.struct(F.col(rank_col).cast("int").alias("r"),
+                             F.col(gain_col).cast("int").alias("g"))
+                    .alias("e")))
+    g = (base.groupBy("query_id")
+         .agg(F.sort_array(F.collect_list("e")).alias("a"))
+         .filter(F.size("a") <= max_n))
+    acc0 = F.struct(F.lit(0.0).alias("err"), F.lit(1.0).alias("p"))
+    fold = F.aggregate(
+        F.col("a"), acc0,
+        lambda acc, e: F.struct(
+            (acc.err + acc.p * ((F.pow(F.lit(2.0), e.g) - 1.0) / denom)
+             / e.r).alias("err"),
+            (acc.p * (1.0 - (F.pow(F.lit(2.0), e.g) - 1.0) / denom))
+            .alias("p")))
+    return g.select("query_id", F.size("a").alias("n_ranked"),
+                    F.bround(fold.err, 6).alias("err"))

@@ -507,3 +507,52 @@ def corpus_rake(spark, sf):
     docs = load(spark, sf, "documents")
     return (rake_keywords(docs, "doc_id", "text", k=3)
             .orderBy("doc_id", "rk"))
+
+
+# ------------------------------------------------- expected reciprocal rank
+
+
+def _err_prefix(r: int) -> str:
+    e = "1.0"
+    for i in range(1, r):
+        e = f"({e} * coalesce(1.0 - rr_{i}, 1.0))"
+    return e
+
+
+_ERR_TERMS = " + ".join(
+    f"CASE WHEN rr_{r} IS NOT NULL THEN {_err_prefix(r)} * rr_{r} / {r} "
+    f"ELSE 0.0 END" for r in range(1, 11))
+_ERR_PIVOT = ", ".join(
+    f"max(CASE WHEN rank = {r} THEN (power(2.0, g) - 1.0) / 8.0 END)"
+    f" AS rr_{r}" for r in range(1, 11))
+
+
+@register("eval_err", f"""
+WITH ids AS (SELECT DISTINCT (o_orderkey % 2000)::BIGINT AS i FROM orders),
+d AS (SELECT 'q' || (i % 200) AS query_id,
+             ((i // 200) + 1)::INT AS rank,
+             ((i * 7) % 4)::INT AS g
+      FROM ids),
+pv AS (SELECT query_id, count(*)::BIGINT AS n_ranked, {_ERR_PIVOT}
+       FROM d WHERE rank <= 10 GROUP BY query_id)
+SELECT query_id, n_ranked, round_even({_ERR_TERMS}, 6) AS err
+FROM pv ORDER BY query_id
+""")
+def eval_err(spark, sf):
+    """Expected Reciprocal Rank (ops/metrics.err_eval) over a planted
+    200-query ranking lattice (rank = id block, graded gain an
+    (i*7)%4 rotation — every grade 0..3 occurs at every rank band).
+    The oracle UNROLLS the cascade: rank-pivoted satisfaction
+    probabilities with explicit left-associated prefix products and
+    identity steps for absent ranks — term-for-term the fold's float
+    order, with no fold."""
+    from lamapi_spark.ops.metrics import err_eval
+
+    o = load(spark, sf, "orders")
+    ids = o.select((F.col("o_orderkey") % 2000).alias("i")).distinct()
+    d = ids.select(
+        F.concat(F.lit("q"), (F.col("i") % 200)).alias("query_id"),
+        ((F.col("i") / 200).cast("long") + 1).cast("int").alias("rank"),
+        ((F.col("i") * 7) % 4).cast("int").alias("gain"))
+    return (err_eval(d, "query_id", "rank", "gain", max_rank=10, g_max=3)
+            .orderBy("query_id"))

@@ -147,3 +147,17 @@ def test_rake_keywords_pinned(spark):
     out = rake_keywords(df, k=3).orderBy("rk").collect()
     assert [(r["phrase"], r["n_words"], r["score"], r["rk"]) for r in out] \
         == [("deep learning", 2, 4.0, 1), ("deep net", 2, 4.0, 2)]
+
+
+def test_err_eval_pinned(spark):
+    from lamapi_spark.ops.metrics import err_eval
+
+    # gains (3,0,1) at ranks 1..3, g_max=3: R = 7/8, 0, 1/8
+    # ERR = 7/8 + 0 + (1/8)*(1/8)/3 = 0.875 + 1/192 = 0.880208
+    rows = [("q1", 1, 3), ("q1", 2, 0), ("q1", 3, 1),
+            ("q2", 1, 0)]  # all-zero gains -> ERR 0
+    df = spark.createDataFrame(rows, "query_id string, rank int, gain int")
+    out = {r["query_id"]: r for r in err_eval(df).collect()}
+    assert out["q1"]["n_ranked"] == 3
+    assert out["q1"]["err"] == 0.880208
+    assert out["q2"]["err"] == 0.0
