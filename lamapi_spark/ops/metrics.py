@@ -2078,3 +2078,51 @@ def err_eval(ranked: DataFrame, query_col: str = "query_id",
             .alias("p")))
     return g.select("query_id", F.size("a").alias("n_ranked"),
                     F.bround(fold.err, 6).alias("err"))
+
+
+def regression_metrics(df: DataFrame, pred_col: str = "pred",
+                       truth_col: str = "truth") -> DataFrame:
+    """Regression / forecasting eval in one pass: MAE, RMSE, sMAPE,
+    R^2 — the continuous-target counterpart of classification_report
+    (a latency predictor, a quality-score regressor, a forecast
+    backtest all read off this one row). Reference analogue: none;
+    builder's-brief eval surface.
+
+    Float discipline: per-row terms (|e|, e^2, symmetric ratio) are
+    each ONE fixed-order float expression bround'ed to 12 dp and
+    summed in DECIMAL(38,12) — order-independent under any
+    partitioning; the y-moments for R^2 ride the same agg (bround 9
+    in DECIMAL(38,9)), so SST = n*syy - sy^2 needs no second scan and
+    no float mean. Final ratios are single fixed-order expressions,
+    bround 6. Conventions: sMAPE term is 2|p-y|/(|p|+|y|), 0.0 when
+    both are 0 (range [0, 2]); R^2 = 0.0 when SST <= 0 (constant
+    truth), may be negative for a worse-than-mean predictor —
+    reported, not clamped.
+
+    Scale shape: ONE aggregation over the scored frame (map-side
+    combine, 1-row result); nothing else. -> ONE row
+    (n, mae, rmse, smape, r2).
+    """
+    p = F.col(pred_col).cast("double")
+    y = F.col(truth_col).cast("double")
+    e = p - y
+    sm = F.when(F.abs(p) + F.abs(y) > 0,
+                2 * F.abs(e) / (F.abs(p) + F.abs(y))).otherwise(F.lit(0.0))
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.bround(F.abs(e), 12).cast("decimal(38,12)")).alias("_sae"),
+        F.sum(F.bround(e * e, 12).cast("decimal(38,12)")).alias("_sse"),
+        F.sum(F.bround(sm, 12).cast("decimal(38,12)")).alias("_ssm"),
+        F.sum(F.bround(y, 9).cast("decimal(38,9)")).alias("_sy"),
+        F.sum(F.bround(y * y, 9).cast("decimal(38,9)")).alias("_syy"))
+    n = F.col("n").cast("double")
+    sst = (n * F.col("_syy").cast("double")
+           - F.col("_sy").cast("double") * F.col("_sy").cast("double"))
+    r2 = F.when(sst > 0,
+                1.0 - n * F.col("_sse").cast("double") / sst) \
+          .otherwise(F.lit(0.0))
+    return agg.select(
+        "n", F.bround(F.col("_sae").cast("double") / n, 6).alias("mae"),
+        F.bround(F.sqrt(F.col("_sse").cast("double") / n), 6).alias("rmse"),
+        F.bround(F.col("_ssm").cast("double") / n, 6).alias("smape"),
+        F.bround(r2, 6).alias("r2"))

@@ -556,3 +556,51 @@ def eval_err(spark, sf):
         ((F.col("i") * 7) % 4).cast("int").alias("gain"))
     return (err_eval(d, "query_id", "rank", "gain", max_rank=10, g_max=3)
             .orderBy("query_id"))
+
+
+# ------------------------------------------------- regression metrics
+
+
+@register("eval_regression", """
+WITH d AS (
+  SELECT o_totalprice AS y,
+         o_totalprice * 1.05 - 3000.0
+           + (((o_orderkey * 104729) % 2001) - 1000) AS p
+  FROM orders),
+t AS (SELECT count(*)::BIGINT AS n,
+             sum(round_even(abs(p - y), 12)::DECIMAL(38,12)) AS sae,
+             sum(round_even((p - y) * (p - y), 12)::DECIMAL(38,12)) AS sse,
+             sum(round_even(CASE WHEN abs(p) + abs(y) > 0
+                   THEN 2 * abs(p - y) / (abs(p) + abs(y))
+                   ELSE 0.0 END, 12)::DECIMAL(38,12)) AS ssm,
+             sum(round_even(y, 9)::DECIMAL(38,9)) AS sy,
+             sum(round_even(y * y, 9)::DECIMAL(38,9)) AS syy
+      FROM d)
+SELECT n,
+       round_even(CAST(sae AS DOUBLE) / n, 6) AS mae,
+       round_even(sqrt(CAST(sse AS DOUBLE) / n), 6) AS rmse,
+       round_even(CAST(ssm AS DOUBLE) / n, 6) AS smape,
+       round_even(CASE WHEN CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                  THEN 1.0 - CAST(n AS DOUBLE) * CAST(sse AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                  ELSE 0.0 END, 6) AS r2
+FROM t
+""")
+def eval_regression(spark, sf):
+    """One-pass regression eval (ops/metrics.regression_metrics) of a
+    PLANTED biased predictor: p = 1.05y - 3000 + bounded hash noise
+    over order prices — scale bias, offset, and noise all nonzero, so
+    MAE/RMSE/sMAPE/R^2 each read a different mix of them. The oracle
+    replays every 12-dp DECIMAL term sum, the y-moments, and the
+    n-scaled SST identity."""
+    from lamapi_spark.ops.metrics import regression_metrics
+
+    o = load(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    d = o.select(
+        F.col("o_totalprice").alias("truth"),
+        (F.col("o_totalprice") * 1.05 - 3000.0
+         + (((k * 104729) % 2001) - 1000)).alias("pred"))
+    return regression_metrics(d, "pred", "truth")

@@ -161,3 +161,25 @@ def test_err_eval_pinned(spark):
     assert out["q1"]["n_ranked"] == 3
     assert out["q1"]["err"] == 0.880208
     assert out["q2"]["err"] == 0.0
+
+
+def test_regression_metrics_pinned(spark):
+    from lamapi_spark.ops.metrics import regression_metrics
+
+    df = spark.createDataFrame([(2.0, 1.0), (2.0, 2.0), (2.0, 3.0)],
+                               "pred double, truth double")
+    r = regression_metrics(df).collect()[0]
+    assert r["n"] == 3
+    assert r["mae"] == 0.666667
+    assert r["rmse"] == 0.816497          # sqrt(2/3)
+    assert r["smape"] == 0.355556         # (2/3 + 0 + 2/5)/3
+    assert r["r2"] == 0.0                 # SSE == SST for the mean predictor
+
+    perfect = spark.createDataFrame([(1.0, 1.0), (5.0, 5.0), (9.0, 9.0)],
+                                    "pred double, truth double")
+    p = regression_metrics(perfect).collect()[0]
+    assert (p["mae"], p["rmse"], p["smape"], p["r2"]) == (0.0, 0.0, 0.0, 1.0)
+
+    const = spark.createDataFrame([(1.0, 4.0), (2.0, 4.0)],
+                                  "pred double, truth double")
+    assert regression_metrics(const).collect()[0]["r2"] == 0.0
