@@ -604,3 +604,57 @@ def eval_regression(spark, sf):
         (F.col("o_totalprice") * 1.05 - 3000.0
          + (((k * 104729) % 2001) - 1000)).alias("pred"))
     return regression_metrics(d, "pred", "truth")
+
+
+# ------------------------------------------------- weighted log-odds
+
+
+@register("corpus_log_odds", """
+WITH a AS (SELECT CASE WHEN doc_id % 2 = 0 THEN text END AS text
+           FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT replace(text, 'spark', 'flink') AS text
+      FROM documents WHERE doc_id % 2 = 1),
+ca AS (SELECT t AS token, count(*)::BIGINT AS y1 FROM
+       (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+        FROM a) GROUP BY t),
+cb AS (SELECT t AS token, count(*)::BIGINT AS y2 FROM
+       (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+        FROM b) GROUP BY t),
+j AS (SELECT coalesce(ca.token, cb.token) AS token,
+             coalesce(y1, 0)::BIGINT AS y1,
+             coalesce(y2, 0)::BIGINT AS y2
+      FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+t AS (SELECT sum(y1)::BIGINT AS n1, sum(y2)::BIGINT AS n2 FROM j),
+w AS (SELECT token, y1, y2,
+             CAST(y1 AS DOUBLE) AS y1d, CAST(y2 AS DOUBLE) AS y2d,
+             CAST(t.n1 AS DOUBLE) AS n1, CAST(t.n2 AS DOUBLE) AS n2,
+             1000.0 * (CAST(y1 AS DOUBLE) + CAST(y2 AS DOUBLE))
+               / (CAST(t.n1 AS DOUBLE) + CAST(t.n2 AS DOUBLE)) AS aw
+      FROM j CROSS JOIN t WHERE y1 + y2 >= 5),
+d AS (SELECT token, y1, y2,
+             ln((y1d + aw) / (n1 + 1000.0 - y1d - aw))
+             - ln((y2d + aw) / (n2 + 1000.0 - y2d - aw)) AS delta,
+             aw, y1d, y2d
+      FROM w)
+SELECT token, y1, y2, round_even(delta, 6) AS delta,
+       round_even(delta / sqrt(1.0 / (y1d + aw) + 1.0 / (y2d + aw)), 6)
+         AS z
+FROM d ORDER BY token
+""")
+def corpus_log_odds(spark, sf):
+    """Weighted log-odds distinctive vocabulary
+    (ops/corpus.log_odds_words, Monroe et al. informative-prior form)
+    between the even-doc_id half of documents and the odd half with
+    'spark' PLANTED as 'flink' — each replacement token is fully
+    one-sided, so the two largest |z| land on exactly that pair while
+    the shared template vocabulary shrinks toward 0. The oracle
+    replays tokenize/counts, the pooled prior, corpus totals BEFORE
+    the min-count cut, and both fixed-order float chains."""
+    from lamapi_spark.ops.corpus import log_odds_words
+
+    docs = load(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = (docs.filter(F.col("doc_id") % 2 == 1)
+         .select(F.regexp_replace("text", "spark", "flink").alias("text")))
+    return (log_odds_words(a, b, "text", alpha0=1000.0, min_count=5)
+            .orderBy("token"))

@@ -183,3 +183,21 @@ def test_regression_metrics_pinned(spark):
     const = spark.createDataFrame([(1.0, 4.0), (2.0, 4.0)],
                                   "pred double, truth double")
     assert regression_metrics(const).collect()[0]["r2"] == 0.0
+
+
+def test_log_odds_words_directions(spark):
+    from lamapi_spark.ops.corpus import log_odds_words
+
+    # 'only_a' exclusive to A, 'only_b' exclusive to B, 'shared' even.
+    a = spark.createDataFrame(
+        [("only_a " * 10 + "shared " * 10,)], "text string")
+    b = spark.createDataFrame(
+        [("only_b " * 10 + "shared " * 10,)], "text string")
+    # alpha0 sized to the tiny corpus — the default 1000 is a prior for
+    # real slices and would shrink a 20-token side to nothing
+    out = {r["token"]: r for r in
+           log_odds_words(a, b, alpha0=2.0, min_count=5).collect()}
+    assert out["only_a"]["z"] > 1.0          # A-distinctive: positive z
+    assert out["only_b"]["z"] < -1.0         # B-distinctive: negative z
+    assert abs(out["shared"]["z"]) < 0.5     # balanced token shrinks
+    assert out["only_a"]["y1"] == 10 and out["only_a"]["y2"] == 0
