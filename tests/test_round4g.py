@@ -201,3 +201,47 @@ def test_log_odds_words_directions(spark):
     assert out["only_b"]["z"] < -1.0         # B-distinctive: negative z
     assert abs(out["shared"]["z"]) < 0.5     # balanced token shrinks
     assert out["only_a"]["y1"] == 10 and out["only_a"]["y2"] == 0
+
+
+def test_stream_role_transitions_matches_batch(spark, tmp_path):
+    """The streaming session-window transition census, drained with
+    gap/watermark above the input's span, equals the batch
+    consecutive-pair census row for row."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lamapi_spark.streaming.exports import stream_role_transitions
+    from lamapi_spark.streaming.sessions import run_available_now
+
+    rows = [("A", 1, "user"), ("A", 2, "tool"), ("A", 3, "tool"),
+            ("A", 4, "assistant"), ("A", 5, "user"), ("A", 6, "tool"),
+            ("B", 1, "user"), ("B", 2, "assistant"),
+            ("C", 1, "user")]  # single turn: no pairs
+    tr = (spark.createDataFrame(rows,
+                                "conv_id string, turn_idx int, role string")
+          .withColumn("text", F.lit("x")).withColumn("tool", F.lit(None)
+                                                     .cast("string"))
+          .withColumn("ts", F.timestamp_seconds(
+              F.lit(1700000000) + F.col("turn_idx") * 60)))
+    d = str(tmp_path / "role_feed")
+    tr.select("conv_id", "turn_idx", "role", "text", "tool",
+              "ts").write.parquet(d)
+    got = run_available_now(
+        stream_role_transitions(spark, d, gap="2 hours",
+                                watermark="4 hours"),
+        "t_role_trans", mode="complete")
+    stream_rows = sorted(map(tuple, got.collect()))
+
+    # independent batch census: per-conv lead() pairing
+    from pyspark.sql import Window
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    batch = (tr.withColumn("_nxt", F.lead("role").over(w))
+             .filter(F.col("_nxt").isNotNull())
+             .groupBy("conv_id", F.col("role").alias("s_from"),
+                      F.col("_nxt").alias("s_to"))
+             .agg(F.count("*").alias("n")))
+    batch_rows = sorted(map(tuple, batch.collect()))
+    assert stream_rows == batch_rows
+    assert ("A", "user", "tool", 2) in stream_rows
+    shutil.rmtree(d, ignore_errors=True)
