@@ -741,3 +741,55 @@ def markov_stationary(df: DataFrame, key_col: str, order_col: str,
     return (out.join(F.broadcast(n_out), "state", "left")
             .select("state", F.coalesce("n_out", F.lit(0)).alias("n_out"),
                     "pi"))
+
+
+def mad_anomalies(df: DataFrame, key_col: str, order_col: str,
+                  val_col: str, thresh: int = 5,
+                  max_n: int = 32768) -> DataFrame:
+    """Per-key robust anomaly flags by median absolute deviation —
+    the spike detector whose baseline the spikes themselves cannot
+    move (mean/stddev gates let one 1e6 outlier widen the band until
+    nothing else flags; median/MAD have breakdown point 1/2). The
+    point-anomaly companion to cusum_changepoints (level shifts) and
+    burst_detection (rate spikes). Reference analogue: none;
+    builder's-brief monitoring surface.
+
+    EXACT INTEGERS end to end (``val_col`` integral, caller scales):
+    med = lower median of the key's values, mad = lower median of
+    |x - med| (both value selections — never float averages, the
+    theil_sen_by convention), and the flag is the integer comparison
+
+        |x - med| > thresh * greatest(mad, 1)
+
+    (the greatest(mad, 1) floor keeps a constant-but-one series from
+    flagging every off-median point; thresh ~ 5 corresponds to the
+    classic 3.5-sigma MAD gate with margin). No floats anywhere.
+
+    Keys with n < 3 or n > max_n are excluded (bounded in-row sort,
+    the kendall_tau_by contract). Scale shape: one collect_list
+    group-by (the only exchange); both medians and the flag scan are
+    in-row; emits ONLY the anomalies. -> one row per flagged point
+    (key, o, x, med, mad, dev).
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.struct(F.col(order_col).alias("o"),
+                 F.col(val_col).cast("long").alias("x")).alias("e"))
+    g = (base.groupBy("key")
+         .agg(F.sort_array(F.collect_list("e")).alias("_a"))
+         .filter((F.size("_a") >= 3) & (F.size("_a") <= max_n)))
+    n = F.size("_a")
+    xs = F.array_sort(F.transform(F.col("_a"), lambda e: e.x))
+    med = F.element_at(xs, ((n + 1) / 2).cast("int"))
+    g = g.select("key", "_a", med.alias("med"))
+    devs = F.array_sort(F.transform(
+        F.col("_a"), lambda e: F.abs(e.x - F.col("med"))))
+    mad = F.element_at(devs, ((F.size("_a") + 1) / 2).cast("int"))
+    g = g.select("key", "_a", "med", mad.alias("mad"))
+    lim = F.lit(thresh) * F.greatest(F.col("mad"), F.lit(1))
+    flagged = F.filter(F.col("_a"),
+                       lambda e: F.abs(e.x - F.col("med")) > lim)
+    return (g.select("key", "med", "mad", F.explode(flagged).alias("e"))
+            .select("key", F.col("e.o").alias("o"),
+                    F.col("e.x").alias("x"), "med", "mad",
+                    F.abs(F.col("e.x") - F.col("med")).alias("dev")))

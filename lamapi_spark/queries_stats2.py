@@ -658,3 +658,52 @@ def corpus_log_odds(spark, sf):
          .select(F.regexp_replace("text", "spark", "flink").alias("text")))
     return (log_odds_words(a, b, "text", alpha0=1000.0, min_count=5)
             .orderBy("token"))
+
+
+# ------------------------------------------------- MAD anomalies
+
+
+@register("events_anomaly_mad", """
+WITH d AS (
+  SELECT event_type AS key, event_id AS o,
+         CAST(round_even(value * 100, 0) AS BIGINT)
+           + CASE WHEN event_id % 503 = 0 THEN 1000000 ELSE 0 END AS x
+  FROM events WHERE event_id % 4 = 0),
+n AS (SELECT key, count(*)::BIGINT AS n FROM d GROUP BY key),
+medr AS (SELECT key, x, row_number() OVER (PARTITION BY key ORDER BY x)
+                         AS rn
+         FROM d),
+med AS (SELECT medr.key, any_value(x) AS med
+        FROM medr JOIN n USING (key)
+        WHERE rn = (n + 1) // 2 GROUP BY medr.key),
+devr AS (SELECT d.key, abs(d.x - med.med) AS dev,
+                row_number() OVER (PARTITION BY d.key
+                                   ORDER BY abs(d.x - med.med)) AS rn,
+                n.n AS n
+         FROM d JOIN med USING (key) JOIN n USING (key)),
+mad AS (SELECT key, any_value(dev) AS mad
+        FROM devr WHERE rn = (n + 1) // 2 GROUP BY key)
+SELECT d.key AS key, d.o AS o, d.x AS x, med.med AS med, mad.mad AS mad,
+       abs(d.x - med.med) AS dev
+FROM d JOIN med USING (key) JOIN mad USING (key) JOIN n USING (key)
+WHERE n.n >= 3 AND abs(d.x - med.med) > 5 * greatest(mad.mad, 1)
+ORDER BY key, o
+""")
+def events_anomaly_mad(spark, sf):
+    """Median-absolute-deviation anomaly flags per event type
+    (ops/temporal.mad_anomalies, thresh=5) over the thinned scaled
+    value series with a PLANTED +1e6 spike on every 503rd event — the
+    outliers the detector must flag are exactly the ones a mean/sigma
+    gate would let widen the band. Exact integers end to end; the
+    oracle rebuilds both lower medians with rank windows instead of
+    in-row sorted arrays."""
+    from lamapi_spark.ops.temporal import mad_anomalies
+
+    e = load(spark, sf, "events").filter(F.col("event_id") % 4 == 0)
+    d = e.select(
+        F.col("event_type"), F.col("event_id"),
+        (F.bround(F.col("value") * 100, 0).cast("long")
+         + F.when(F.col("event_id") % 503 == 0, F.lit(1000000))
+         .otherwise(F.lit(0))).alias("x"))
+    return (mad_anomalies(d, "event_type", "event_id", "x", thresh=5)
+            .orderBy("key", "o"))

@@ -245,3 +245,18 @@ def test_stream_role_transitions_matches_batch(spark, tmp_path):
     assert stream_rows == batch_rows
     assert ("A", "user", "tool", 2) in stream_rows
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_mad_anomalies_pinned(spark):
+    from lamapi_spark.ops.temporal import mad_anomalies
+
+    # A: [1,2,3,4,100] -> med=3, devs sorted [0,1,1,2,97] -> mad=1,
+    # gate 5*max(1,1)=5 -> only the 100 flags (dev 97)
+    rows = ([("A", i + 1, x) for i, x in enumerate([1, 2, 3, 4, 100])]
+            + [("B", 1, 7), ("B", 2, 9)])   # n < 3: excluded
+    df = spark.createDataFrame(rows, "k string, t int, x long")
+    out = mad_anomalies(df, "k", "t", "x", thresh=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["key"], r["o"], r["x"], r["med"], r["mad"], r["dev"]) \
+        == ("A", 5, 100, 3, 1, 97)
