@@ -1072,3 +1072,54 @@ def log_odds_words(docs_a: DataFrame, docs_b: DataFrame,
     return w.select("token", "y1", "y2",
                     F.bround(delta, 6).alias("delta"),
                     F.bround(z, 6).alias("z"))
+
+
+def ngram_novelty(gen: DataFrame, train: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty of a GENERATED corpus against a
+    TRAINING corpus: the fraction of each generated document's token
+    n-gram occurrences never seen in training — the
+    memorization/novelty audit run on synthetic or model-generated
+    data before it re-enters a training mix (novelty ~ 0 means the
+    generator is replaying its corpus; the inverse view of
+    contamination(), which asks whether EVAL data leaked INTO
+    training). Reference analogue: none; builder's-brief corpus
+    surface beside contamination / dedup_substring_spans.
+
+    Conventions: the shared eval tokenization; occurrences counted
+    (a repeated novel gram counts every time); documents with fewer
+    than ``n`` tokens have no grams and emit nothing; novelty =
+    bround(n_novel / n_grams, 6), the ONE float division.
+
+    Scale shape: grams are an in-row slice loop per side (no
+    per-level rescan); the generated side pre-aggregates to
+    (doc, gram, cnt) so a hot gram appears once per doc; the training
+    side is a DISTINCT gram set; ONE gram-keyed left join decides
+    novelty, then a doc-keyed agg — no driver state, no broadcast of
+    an unbounded side. -> one row per generated doc with >= 1 gram
+    (doc_id, n_grams, n_novel, novelty).
+    """
+    def grams(d: DataFrame, keep_id: bool):
+        t = F.trim(F.lower(F.col(text_col)))
+        toks = (F.when(F.length(t) > 0, F.split(t, r"\s+"))
+                .otherwise(F.array().cast("array<string>")))
+        k = F.size(toks) - (n - 1)
+        arr = F.when(k >= 1, F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ).otherwise(F.array().cast("array<string>"))
+        cols = ([F.col(id_col).alias("doc_id")] if keep_id else [])
+        return d.select(*cols, F.explode(arr).alias("gram"))
+
+    gg = (grams(gen, True).groupBy("doc_id", "gram")
+          .agg(F.count("*").alias("cnt")))
+    tg = grams(train, False).distinct().withColumn("_seen", F.lit(1))
+    j = gg.join(tg, "gram", "left")
+    return (j.groupBy("doc_id")
+            .agg(F.sum("cnt").alias("n_grams"),
+                 F.sum(F.when(F.col("_seen").isNull(), F.col("cnt"))
+                       .otherwise(F.lit(0))).alias("n_novel"))
+            .select("doc_id", "n_grams", "n_novel",
+                    F.bround(F.col("n_novel").cast("double")
+                             / F.col("n_grams"), 6).alias("novelty")))

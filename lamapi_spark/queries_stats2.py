@@ -707,3 +707,48 @@ def events_anomaly_mad(spark, sf):
          .otherwise(F.lit(0))).alias("x"))
     return (mad_anomalies(d, "event_type", "event_id", "x", thresh=5)
             .orderBy("key", "o"))
+
+
+# ------------------------------------------------- n-gram novelty
+
+
+@register("corpus_ngram_novelty", """
+WITH tr AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+ge AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+tg AS (SELECT DISTINCT g AS gram FROM (
+  SELECT unnest(CASE WHEN len(t) >= 3 THEN
+           list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+         ELSE [] END) AS g
+  FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM tr))),
+gg AS (SELECT doc_id, g AS gram, count(*)::BIGINT AS cnt FROM (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+           list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+         ELSE [] END) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM ge)) GROUP BY doc_id, g)
+SELECT gg.doc_id AS doc_id, sum(cnt)::BIGINT AS n_grams,
+       sum(CASE WHEN tg.gram IS NULL THEN cnt ELSE 0 END)::BIGINT
+         AS n_novel,
+       round_even(sum(CASE WHEN tg.gram IS NULL THEN cnt ELSE 0 END)
+                  / CAST(sum(cnt) AS DOUBLE), 6) AS novelty
+FROM gg LEFT JOIN tg ON gg.gram = tg.gram
+GROUP BY gg.doc_id ORDER BY doc_id
+""")
+def corpus_ngram_novelty(spark, sf):
+    """Token-3-gram novelty (ops/corpus.ngram_novelty) of the
+    odd-doc_id half of documents against the even half as training —
+    the template generator repeats grams across docs, so novelty sits
+    strictly between 0 and 1 and every branch (seen, novel, repeated
+    novel) is exercised. The oracle replays tokenization, the in-row
+    gram slice, the distinct training set, and the occurrence-weighted
+    left join."""
+    from lamapi_spark.ops.corpus import ngram_novelty
+
+    docs = load(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    gen = docs.filter(F.col("doc_id") % 2 == 1)
+    return (ngram_novelty(gen, train, "doc_id", "text", n=3)
+            .orderBy("doc_id"))

@@ -260,3 +260,22 @@ def test_mad_anomalies_pinned(spark):
     r = out[0]
     assert (r["key"], r["o"], r["x"], r["med"], r["mad"], r["dev"]) \
         == ("A", 5, 100, 3, 1, 97)
+
+
+def test_ngram_novelty_pinned(spark):
+    from lamapi_spark.ops.corpus import ngram_novelty
+
+    train = spark.createDataFrame([(0, "a b c d")], "doc_id int, text string")
+    # gen doc 1: grams "a b c"(seen) "b c d"(seen) "c d x"(novel) -> 1/3
+    # gen doc 2: "x y z" x2 occurrences, both novel -> 2/2
+    # gen doc 3: two tokens -> no grams -> emits nothing
+    gen = spark.createDataFrame(
+        [(1, "a b c d x"), (2, "x y z x y z"), (3, "a b")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(gen, train, n=3).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["n_grams"], out[1]["n_novel"]) == (3, 1)
+    assert out[1]["novelty"] == 0.333333
+    # doc 2 grams: "x y z","y z x","z x y","x y z" -> all 4 novel
+    assert (out[2]["n_grams"], out[2]["n_novel"], out[2]["novelty"]) \
+        == (4, 4, 1.0)
