@@ -279,3 +279,60 @@ def test_ngram_novelty_pinned(spark):
     # doc 2 grams: "x y z","y z x","z x y","x y z" -> all 4 novel
     assert (out[2]["n_grams"], out[2]["n_novel"], out[2]["novelty"]) \
         == (4, 4, 1.0)
+
+
+def test_plan_shapes_of_tenth_part_operators(spark):
+    """Plan audit for this batch (the test_ops discipline): no
+    cartesian products anywhere; 1-row stat/matrix frames are the
+    ONLY nested-loop build sides; the data-sided joins (RAKE word
+    scores, novelty gram probe) stay hash joins."""
+    import pyspark.sql.functions as F
+
+    from lamapi_spark.ops.corpus import ngram_novelty, rake_keywords
+    from lamapi_spark.ops.governance import k_anonymity_census
+    from lamapi_spark.ops.metrics import (brier_decomposition,
+                                          regression_metrics)
+    from lamapi_spark.ops.temporal import mad_anomalies
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p1 = plan(rake_keywords(docs, k=3))
+    assert "CartesianProduct" not in p1
+    assert "BroadcastNestedLoopJoin" not in p1
+
+    p2 = plan(ngram_novelty(docs.filter(F.col("doc_id") % 2 == 1),
+                            docs.filter(F.col("doc_id") % 2 == 0)))
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
+    assert "Window" not in p2
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    p3 = plan(k_anonymity_census(
+        cust, ["c_mktsegment", "c_nationkey"], "c_acctbal"))
+    assert "CartesianProduct" not in p3
+    assert "BroadcastNestedLoopJoin" not in p3
+    assert "Window" not in p3
+
+    scored = cust.select((F.col("c_custkey") % 100 / 100.0).alias("score"),
+                         (F.col("c_custkey") % 2).alias("label"))
+    p4 = plan(brier_decomposition(scored))
+    assert "CartesianProduct" not in p4
+    # exactly the 1-row totals frame rides the nested-loop cross join
+    assert p4.count("BroadcastNestedLoopJoin") == 1
+
+    p5 = plan(regression_metrics(
+        cust.select(F.col("c_acctbal").alias("pred"),
+                    F.col("c_acctbal").alias("truth"))))
+    assert "CartesianProduct" not in p5
+    assert "BroadcastNestedLoopJoin" not in p5
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p6 = plan(mad_anomalies(
+        ev.select("event_type", "event_id",
+                  F.bround(F.col("value") * 100, 0).cast("long").alias("x")),
+        "event_type", "event_id", "x"))
+    assert "CartesianProduct" not in p6
+    assert "BroadcastNestedLoopJoin" not in p6
