@@ -52,6 +52,11 @@ HEADLINE = [
     # 3 PageRank rounds + per-conv top-k window)
     "kg_rule_mining",
     "conv_textrank",
+    # round 4 tenth part: keyword-phrase extraction (three doc-keyed
+    # exchanges + per-doc window) and the generated-vs-training n-gram
+    # novelty audit (full gram explode + one gram-keyed join)
+    "corpus_rake",
+    "corpus_ngram_novelty",
 ]
 
 
