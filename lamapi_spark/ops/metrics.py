@@ -2126,3 +2126,55 @@ def regression_metrics(df: DataFrame, pred_col: str = "pred",
         F.bround(F.sqrt(F.col("_sse").cast("double") / n), 6).alias("rmse"),
         F.bround(F.col("_ssm").cast("double") / n, 6).alias("smape"),
         F.bround(r2, 6).alias("r2"))
+
+
+def perm_test_paired(df: DataFrame, id_col: str = "item_id",
+                     a_col: str = "score_a", b_col: str = "score_b",
+                     n_perm: int = 200) -> DataFrame:
+    """Paired sign-flip permutation test — the assumption-free
+    companion of mcnemar_test (which needs 0/1 outcomes) and
+    bootstrap_ci (which quantifies, not tests): is model A's summed
+    per-item advantage over model B larger than chance would produce
+    if each item's difference were sign-symmetric? Scores are
+    integral (the caller scales) so every statistic is an exact
+    integer. Reference analogue: none; builder's-brief eval surface.
+
+    The permutation draw is the bootstrap_ci rule: sign_{i,b} flips
+    on the parity of the first hex digit of md5(item|b) — a pure
+    function of (item, permutation), so any engine and any
+    partitioning reproduces the identical permutation set.
+
+        S_obs = sum_i d_i,  S_b = sum_i sign_{i,b} d_i
+        p = (1 + #{b : |S_b| >= |S_obs|}) / (n_perm + 1)
+
+    (the add-one convention: the identity permutation always counts,
+    so p is never 0 and the test is exact-level.) ONE float division,
+    bround 6.
+
+    Scale shape: one explode x B over the diff frame (compute, not
+    shuffle — the per-permutation group-by map-side-combines each
+    partition to <= B cells before the exchange), one B-group agg,
+    one 1-row broadcast of S_obs. -> ONE row
+    (n_items, n_perm, s_obs, n_ge, p_value).
+    """
+    base = df.select(F.col(id_col).cast("string").alias("i"),
+                     (F.col(a_col).cast("long")
+                      - F.col(b_col).cast("long")).alias("d"))
+    obs = base.agg(F.sum("d").alias("_s_obs"),
+                   F.count("*").alias("_n"))
+    b = F.explode(F.sequence(F.lit(1), F.lit(int(n_perm)))).alias("b")
+    rep = base.select("i", "d", b)
+    parity = (F.conv(F.substring(F.md5(F.concat_ws("|", "i", "b")), 1, 1),
+                     16, 10).cast("long") % 2)
+    signed = F.when(parity == 0, F.col("d")).otherwise(-F.col("d"))
+    perms = (rep.select("b", signed.alias("sd"))
+             .groupBy("b").agg(F.sum("sd").alias("s_b")))
+    cnt = (perms.join(F.broadcast(obs))
+           .agg(F.first("_n").alias("n_items"),
+                F.first("_s_obs").alias("s_obs"),
+                F.sum((F.abs(F.col("s_b")) >= F.abs(F.col("_s_obs")))
+                      .cast("long")).alias("n_ge")))
+    return cnt.select(
+        "n_items", F.lit(int(n_perm)).alias("n_perm"), "s_obs", "n_ge",
+        F.bround((1 + F.col("n_ge")).cast("double") / (n_perm + 1), 6)
+        .alias("p_value"))

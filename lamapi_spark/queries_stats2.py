@@ -752,3 +752,49 @@ def corpus_ngram_novelty(spark, sf):
     gen = docs.filter(F.col("doc_id") % 2 == 1)
     return (ngram_novelty(gen, train, "doc_id", "text", n=3)
             .orderBy("doc_id"))
+
+
+# ------------------------------------------------- permutation test
+
+
+@register("eval_perm_test", """
+WITH ids AS (SELECT DISTINCT (o_orderkey % 1000)::BIGINT AS i FROM orders),
+d AS (SELECT 'i' || i AS iid,
+             (((i * 7) % 13) + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END
+              - (((i * 7) % 13) + ((i * 11) % 3) - 1))::BIGINT AS diff
+      FROM ids),
+obs AS (SELECT sum(diff)::BIGINT AS s_obs, count(*)::BIGINT AS n FROM d),
+rep AS (SELECT iid, diff, b FROM d CROSS JOIN
+        (SELECT unnest(range(1, 201)) AS b)),
+perms AS (
+  SELECT b, sum(CASE WHEN (('0x' || substr(md5(iid || '|' || b), 1, 1))
+                           ::BIGINT) % 2 = 0
+                     THEN diff ELSE -diff END)::BIGINT AS s_b
+  FROM rep GROUP BY b)
+SELECT obs.n AS n_items, 200 AS n_perm, obs.s_obs AS s_obs,
+       sum(CASE WHEN abs(s_b) >= abs(obs.s_obs) THEN 1 ELSE 0 END)
+         ::BIGINT AS n_ge,
+       round_even((1 + sum(CASE WHEN abs(s_b) >= abs(obs.s_obs)
+                                THEN 1 ELSE 0 END))
+                  / CAST(201 AS DOUBLE), 6) AS p_value
+FROM perms CROSS JOIN obs GROUP BY obs.n, obs.s_obs
+""")
+def eval_perm_test(spark, sf):
+    """Paired sign-flip permutation test (ops/metrics.perm_test_paired,
+    B=200) over a planted model pair: A carries a +1 advantage on
+    every 5th item against a +-1 hash noise, so the observed summed
+    difference sits far outside the sign-symmetric null and p pins to
+    the add-one floor 1/201. The oracle replays the md5-parity
+    permutation lattice, every signed sum, and the exceedance count."""
+    from lamapi_spark.ops.metrics import perm_test_paired
+
+    o = load(spark, sf, "orders")
+    ids = o.select((F.col("o_orderkey") % 1000).alias("i")).distinct()
+    i = F.col("i")
+    d = ids.select(
+        F.concat(F.lit("i"), i).alias("item_id"),
+        (((i * 7) % 13) + F.when(i % 5 == 0, 1).otherwise(0))
+        .alias("score_a"),
+        (((i * 7) % 13) + ((i * 11) % 3) - 1).alias("score_b"))
+    return perm_test_paired(d, "item_id", "score_a", "score_b",
+                            n_perm=200)

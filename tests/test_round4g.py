@@ -336,3 +336,26 @@ def test_plan_shapes_of_tenth_part_operators(spark):
         "event_type", "event_id", "x"))
     assert "CartesianProduct" not in p6
     assert "BroadcastNestedLoopJoin" not in p6
+
+
+def test_perm_test_paired_pinned(spark):
+    from lamapi_spark.ops.metrics import perm_test_paired
+
+    # A beats B by +10 on every one of 20 items: no sign assignment
+    # other than all-positive reaches |S_obs| = 200 unless it flips
+    # nothing... any flip strictly lowers the sum, so only permutations
+    # with zero or all flips tie; p pins near the 1/(B+1) floor.
+    rows = [(f"i{k}", 20, 10) for k in range(20)]
+    df = spark.createDataFrame(rows, "item_id string, score_a int, score_b int")
+    r = perm_test_paired(df, n_perm=100).collect()[0]
+    assert r["n_items"] == 20 and r["s_obs"] == 200
+    assert r["n_ge"] <= 1          # all-flip parity could tie |S|
+    assert r["p_value"] <= 0.02
+
+    # symmetric null: d alternates +1/-1 -> S_obs = 0, every
+    # permutation satisfies |S_b| >= 0 -> p = 1.0
+    null_rows = [(f"i{k}", 1 + (k % 2), 2 - (k % 2)) for k in range(20)]
+    d2 = spark.createDataFrame(null_rows,
+                               "item_id string, score_a int, score_b int")
+    r2 = perm_test_paired(d2, n_perm=100).collect()[0]
+    assert r2["s_obs"] == 0 and r2["p_value"] == 1.0
