@@ -2178,3 +2178,64 @@ def perm_test_paired(df: DataFrame, id_col: str = "item_id",
         "n_items", F.lit(int(n_perm)).alias("n_perm"), "s_obs", "n_ge",
         F.bround((1 + F.col("n_ge")).cast("double") / (n_perm + 1), 6)
         .alias("p_value"))
+
+
+def weighted_kappa(a: DataFrame, b: DataFrame, keys: list[str],
+                   label_col: str = "label",
+                   weights: str = "quadratic") -> DataFrame:
+    """Weighted Cohen's kappa for ORDINAL labels (quality grades 0-4,
+    Likert ratings): disagreeing by one grade is not disagreeing by
+    four, which plain cohen_kappa cannot express (its 0/1 agreement
+    treats 'adjacent' and 'opposite' alike). Labels must be integral
+    ordinals; weights w_ij = (i-j)^2 ('quadratic', the convention that
+    makes kappa_w an ICC analogue) or |i-j| ('linear').
+
+    EXACT INTEGERS end to end, the fleiss_kappa identity discipline:
+    with observed cell counts O_ij, marginals r_i / c_j and n items,
+
+        kappa_w = 1 - n * sum_ij(w_ij O_ij) / sum_ij(w_ij r_i c_j)
+
+    — the expected-weight denominator cross-multiplied by n so no
+    float appears before the ONE final division (bround 6). Degenerate
+    denominator (all mass on one label pair for both raters) pins 1.0
+    when the observed weight is also 0, else 0.0. Items rated by only
+    one rater drop via the inner join (the cohen_kappa rule).
+
+    Scale shape: one inner join on the item keys, ONE count agg over
+    the bounded label-pair cross, marginals re-aggregated from the
+    cell frame — never a second scan. -> ONE row
+    (n, ow, ew_num, kappa_w).
+    """
+    la = a.select(*keys, F.col(label_col).cast("long").alias("_la"))
+    lb = b.select(*keys, F.col(label_col).cast("long").alias("_lb"))
+    obs = (la.join(lb, keys)
+           .groupBy("_la", "_lb").agg(F.count("*").alias("o")))
+    if weights == "quadratic":
+        def w(i, j):
+            return (i - j) * (i - j)
+    elif weights == "linear":
+        def w(i, j):
+            return F.abs(i - j)
+    else:
+        raise ValueError(f"unknown weights: {weights}")
+    ra = obs.groupBy("_la").agg(F.sum("o").alias("r"))
+    cb = obs.groupBy("_lb").agg(F.sum("o").alias("c"))
+    tot = obs.agg(
+        F.sum("o").alias("_n"),
+        F.sum((w(F.col("_la"), F.col("_lb")) * F.col("o"))
+              .cast("decimal(38,0)")).alias("_ow"))
+    ew = (ra.crossJoin(cb)
+          .agg(F.sum((w(F.col("_la"), F.col("_lb"))
+                      * F.col("r") * F.col("c")).cast("decimal(38,0)"))
+               .alias("_ew")))
+    row = tot.join(F.broadcast(ew))
+    num = F.col("_n").cast("decimal(38,0)") * F.col("_ow")
+    kappa = (F.when(F.col("_ew") > 0,
+                    F.bround(1.0 - num.cast("double")
+                             / F.col("_ew").cast("double"), 6))
+             .when(F.col("_ow") == 0, F.lit(1.0))
+             .otherwise(F.lit(0.0)))
+    return row.select(
+        F.col("_n").alias("n"), F.col("_ow").cast("long").alias("ow"),
+        F.col("_ew").cast("long").alias("ew_num"),
+        kappa.alias("kappa_w"))

@@ -798,3 +798,52 @@ def eval_perm_test(spark, sf):
         (((i * 7) % 13) + ((i * 11) % 3) - 1).alias("score_b"))
     return perm_test_paired(d, "item_id", "score_a", "score_b",
                             n_perm=200)
+
+
+# ------------------------------------------------- weighted kappa
+
+
+@register("eval_weighted_kappa", """
+WITH a AS (SELECT o_orderkey AS i, ((o_orderkey * 3) % 5)::BIGINT AS la
+           FROM orders),
+b AS (SELECT o_orderkey AS i,
+             least(greatest(((o_orderkey * 3) % 5)
+                            + ((o_orderkey * 7) % 3) - 1, 0), 4)::BIGINT
+               AS lb
+      FROM orders WHERE o_orderkey % 11 <> 0),
+obs AS (SELECT la, lb, count(*)::BIGINT AS o
+        FROM a JOIN b USING (i) GROUP BY la, lb),
+ra AS (SELECT la, sum(o)::BIGINT AS r FROM obs GROUP BY la),
+cb AS (SELECT lb, sum(o)::BIGINT AS c FROM obs GROUP BY lb),
+t AS (SELECT sum(o)::BIGINT AS n,
+             sum(((la - lb) * (la - lb) * o)::HUGEINT) AS ow
+      FROM obs),
+e AS (SELECT sum(((ra.la - cb.lb) * (ra.la - cb.lb)
+                  * ra.r * cb.c)::HUGEINT) AS ew
+      FROM ra CROSS JOIN cb)
+SELECT t.n AS n, t.ow::BIGINT AS ow, e.ew::BIGINT AS ew_num,
+       CASE WHEN e.ew > 0
+            THEN round_even(1.0 - CAST(t.n::HUGEINT * t.ow AS DOUBLE)
+                            / CAST(e.ew AS DOUBLE), 6)
+            WHEN t.ow = 0 THEN 1.0 ELSE 0.0 END AS kappa_w
+FROM t CROSS JOIN e
+""")
+def eval_weighted_kappa(spark, sf):
+    """Quadratic-weighted Cohen's kappa (ops/metrics.weighted_kappa)
+    between a planted 5-grade rater and a copy perturbed by a
+    clamped +-1 hash shift — disagreements are mostly ADJACENT, which
+    is precisely the structure plain kappa punishes and weighted
+    kappa credits; every 11th item is rated by one side only and
+    drops via the inner join. Exact integers to one division; the
+    oracle replays cells, marginals, both HUGEINT weight sums, and
+    the cross-multiplied identity."""
+    from lamapi_spark.ops.metrics import weighted_kappa
+
+    o = load(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    a = o.select(k.alias("i"), ((k * 3) % 5).alias("label"))
+    b = (o.filter(k % 11 != 0)
+         .select(k.alias("i"),
+                 F.least(F.greatest((k * 3) % 5 + (k * 7) % 3 - 1,
+                                    F.lit(0)), F.lit(4)).alias("label")))
+    return weighted_kappa(a, b, ["i"], "label", weights="quadratic")

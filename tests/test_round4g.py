@@ -359,3 +359,24 @@ def test_perm_test_paired_pinned(spark):
                                "item_id string, score_a int, score_b int")
     r2 = perm_test_paired(d2, n_perm=100).collect()[0]
     assert r2["s_obs"] == 0 and r2["p_value"] == 1.0
+
+
+def test_weighted_kappa_pinned(spark):
+    from lamapi_spark.ops.metrics import weighted_kappa
+
+    # items: three exact agreements + one 0-vs-2 miss (grades 0..2)
+    a = spark.createDataFrame([(1, 0), (2, 1), (3, 2), (4, 0)],
+                              "i int, label int")
+    b = spark.createDataFrame([(1, 0), (2, 1), (3, 2), (4, 2)],
+                              "i int, label int")
+    r = weighted_kappa(a, b, ["i"]).collect()[0]
+    # quadratic: ow=4, ew=26 -> kappa = 1 - 4*4/26 = 0.384615
+    assert (r["n"], r["ow"], r["ew_num"]) == (4, 4, 26)
+    assert r["kappa_w"] == 0.384615
+
+    lin = weighted_kappa(a, b, ["i"], weights="linear").collect()[0]
+    assert (lin["ow"], lin["ew_num"]) == (2, 16)
+    assert lin["kappa_w"] == 0.5   # 1 - 4*2/16
+
+    perfect = weighted_kappa(a, a, ["i"]).collect()[0]
+    assert perfect["ow"] == 0 and perfect["kappa_w"] == 1.0
