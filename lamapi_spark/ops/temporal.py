@@ -793,3 +793,59 @@ def mad_anomalies(df: DataFrame, key_col: str, order_col: str,
             .select("key", F.col("e.o").alias("o"),
                     F.col("e.x").alias("x"), "med", "mad",
                     F.abs(F.col("e.x") - F.col("med")).alias("dev")))
+
+
+def holt_forecast(df: DataFrame, key_col: str, order_cols: list[str],
+                  val_col: str, alpha: float = 0.5, beta: float = 0.25,
+                  max_n: int = 32768) -> DataFrame:
+    """Per-key Holt linear exponential smoothing — the
+    level-plus-trend forecaster a metrics pipeline runs beside the
+    diagnostic family (acf_by says IF there is structure,
+    cusum/burst/mad say WHEN it broke; Holt says WHERE the series is
+    heading). One in-row fold per key over the time-ordered values:
+
+        l_t = alpha x_t + (1-alpha)(l_{t-1} + b_{t-1})
+        b_t = beta (l_t - l_{t-1}) + (1-beta) b_{t-1}
+
+    seeded l_1 = x_1, b_1 = 0; forecast_h = l_n + h b_n (h = 1 here).
+
+    Engine parity for a float RECURRENCE (the cusum rule): alpha and
+    beta default to DYADIC rationals (0.5, 0.25 — exact doubles, so
+    each step is a fixed IEEE chain), every l_t / b_t is bround'ed
+    half-even to 9 dp before the next step, and b_t recomputes l_t's
+    expression inline rather than referencing a local — the exact
+    shape a DuckDB list_reduce replays fold-for-fold. Outputs bround
+    6. Keys with n > max_n are excluded (bounded in-row fold, the
+    kendall_tau_by contract); n = 1 emits (x_1, 0, x_1).
+
+    Scale shape: one collect_list group-by (the only exchange); the
+    recurrence is in-row; keys run embarrassingly parallel. -> one
+    row per key (key, n, level, trend, forecast).
+    """
+    a, b = float(alpha), float(beta)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.struct(*[F.col(c).alias(f"_o{i}")
+                   for i, c in enumerate(order_cols)],
+                 F.col(val_col).cast("double").alias("x")).alias("e"))
+    g = (base.groupBy("key")
+         .agg(F.transform(F.sort_array(F.collect_list("e")),
+                          lambda e: e.x).alias("_x"))
+         .filter(F.size("_x") <= max_n))
+    n = F.size("_x")
+    x1 = F.element_at(F.col("_x"), 1)
+    init = F.struct(x1.alias("l"), F.lit(0.0).alias("b"))
+
+    def lnew(acc, v):
+        return F.bround(a * v + (1 - a) * (acc.l + acc.b), 9)
+
+    fold = F.aggregate(
+        F.slice(F.col("_x"), 2, F.greatest(n - 1, F.lit(0))), init,
+        lambda acc, v: F.struct(
+            lnew(acc, v).alias("l"),
+            F.bround(b * (lnew(acc, v) - acc.l) + (1 - b) * acc.b, 9)
+            .alias("b")))
+    return g.select(
+        "key", n.alias("n"), F.bround(fold.l, 6).alias("level"),
+        F.bround(fold.b, 6).alias("trend"),
+        F.bround(fold.l + fold.b, 6).alias("forecast"))

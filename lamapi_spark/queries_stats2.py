@@ -847,3 +847,49 @@ def eval_weighted_kappa(spark, sf):
                  F.least(F.greatest((k * 3) % 5 + (k * 7) % 3 - 1,
                                     F.lit(0)), F.lit(4)).alias("label")))
     return weighted_kappa(a, b, ["i"], "label", weights="quadratic")
+
+
+# ------------------------------------------------- Holt forecast
+
+
+@register("events_holt_forecast", """
+WITH RECURSIVE d AS (
+  SELECT event_type AS key, ts, event_id,
+         CAST(round_even(value * 100, 0) AS DOUBLE) AS x
+  FROM events WHERE event_id % 4 = 0),
+s AS (SELECT key, x,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY ts, event_id) AS t,
+             count(*) OVER (PARTITION BY key) AS n
+      FROM d),
+r AS (
+  SELECT key, t, n, x AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM s WHERE t = 1
+  UNION ALL
+  SELECT s.key, s.t, s.n,
+         round_even(0.5 * s.x + 0.5 * (r.l + r.b), 9) AS l,
+         round_even(0.25 * (round_even(0.5 * s.x + 0.5 * (r.l + r.b), 9)
+                            - r.l) + 0.75 * r.b, 9) AS b
+  FROM r JOIN s ON s.key = r.key AND s.t = r.t + 1)
+SELECT key, n, round_even(l, 6) AS level, round_even(b, 6) AS trend,
+       round_even(l + b, 6) AS forecast
+FROM r WHERE t = n ORDER BY key
+""")
+def events_holt_forecast(spark, sf):
+    """Holt linear smoothing per event type
+    (ops/temporal.holt_forecast, alpha=0.5 beta=0.25 — dyadic, so
+    every step is a fixed IEEE chain) over the thinned scaled value
+    series ordered by (ts, event_id). The oracle replays the
+    recurrence with a RECURSIVE CTE seeded at t=1 (l_1 = x_1,
+    b_1 = 0), inline-recomputing l_t inside b_t exactly as the Spark
+    fold does. (DuckDB's list_reduce was rejected for this oracle:
+    with struct accumulators it overwrites fields mid-step —
+    verified empirically — so the recursion is the independent
+    formulation.)"""
+    from lamapi_spark.ops.temporal import holt_forecast
+
+    e = load(spark, sf, "events").filter(F.col("event_id") % 4 == 0)
+    d = e.select(F.col("event_type"), F.col("ts"), F.col("event_id"),
+                 F.bround(F.col("value") * 100, 0).alias("x"))
+    return (holt_forecast(d, "event_type", ["ts", "event_id"], "x")
+            .orderBy("key"))

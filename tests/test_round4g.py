@@ -380,3 +380,23 @@ def test_weighted_kappa_pinned(spark):
 
     perfect = weighted_kappa(a, a, ["i"]).collect()[0]
     assert perfect["ow"] == 0 and perfect["kappa_w"] == 1.0
+
+
+def test_holt_forecast_pinned(spark):
+    from lamapi_spark.ops.temporal import holt_forecast
+
+    # alpha=.5 beta=.25 over [10,12,11,15,14] (hand-folded):
+    # l=13.923828125, b=0.694824219, forecast=14.618652(344)
+    rows = [("A", i, x) for i, x in enumerate([10.0, 12.0, 11.0,
+                                               15.0, 14.0])]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    r = holt_forecast(df, "k", ["t"], "x").collect()[0]
+    assert r["n"] == 5
+    assert r["level"] == 13.923828
+    assert r["trend"] == 0.694824
+    assert r["forecast"] == 14.618652
+
+    # single point: level = x, zero trend
+    one = spark.createDataFrame([("B", 1, 7.0)], "k string, t int, x double")
+    r1 = holt_forecast(one, "k", ["t"], "x").collect()[0]
+    assert (r1["level"], r1["trend"], r1["forecast"]) == (7.0, 0.0, 7.0)
