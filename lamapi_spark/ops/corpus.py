@@ -990,10 +990,14 @@ def rake_keywords(docs: DataFrame, id_col: str = "doc_id",
     toks = (F.when(F.length(t) > 0, F.split(t, r"\s+"))
             .otherwise(F.array().cast("array<string>")))
     stop_arr = F.array(*[F.lit(s) for s in sorted(STOPWORDS)])
+    # Out-of-band run separator: \x01 cannot be produced by the
+    # whitespace tokenization of any printable text, so a token that
+    # contains a literal '|' no longer fragments its phrase (the
+    # oracle uses the same marker).
     marked = F.transform(
         toks, lambda w: F.when(F.array_contains(stop_arr, w),
-                               F.lit("|")).otherwise(w))
-    runs = F.filter(F.split(F.concat_ws(" ", marked), r"\s*\|\s*"),
+                               F.lit("\x01")).otherwise(w))
+    runs = F.filter(F.split(F.concat_ws(" ", marked), "\\s*\x01\\s*"),
                     lambda p: F.length(p) > 0)
     occ = (docs.select(F.col(id_col).alias("doc_id"),
                        F.explode(runs).alias("phrase")))

@@ -1962,6 +1962,12 @@ def chrf_corpus(pairs: DataFrame, id_col: str = "pair_id",
     pair, and a <= max_n-row rollup. -> ONE row (ctotal_1.., rtotal_1..,
     match_1.., chrp, chrr, chrf).
     """
+    if not 1 <= max_n <= 9:
+        # The per-level rollup recovers n from the single leading digit
+        # of the "n|gram" tag; a two-digit level would silently alias
+        # onto level 1, so fail loudly instead.
+        raise ValueError(f"chrf_corpus: max_n must be in 1..9, got {max_n}")
+
     def norm(col: str):
         return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", "")
 

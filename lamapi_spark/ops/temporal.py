@@ -676,8 +676,17 @@ def markov_stationary(df: DataFrame, key_col: str, order_col: str,
     shuffle) feeds an in-row consecutive pairing; the pair agg is
     vocabulary-bounded (<= max_states^2 cells, map-side combine); the
     power iteration folds IN-ROW over a 1-row broadcast-sized matrix
-    (states bounded by ``max_states``, enforced) — no driver loop, no
-    per-round job. -> one row per state (state, n_out, pi).
+    — no driver loop, no per-round job. -> one row per state
+    (state, n_out, pi).
+
+    ``max_states`` contract (EMIT-NOTHING, like the kendall_tau_by /
+    acf_by n-cap exclusions): when the observed state vocabulary
+    exceeds ``max_states`` the single matrix row is filtered and the
+    result is EMPTY — the in-row O(rounds * S^2) fold is never run
+    unbounded. A caller that needs to distinguish "no transitions"
+    from "vocabulary over cap" should count distinct states first;
+    the cap is a plan-shape guard, not a truncation (truncating to
+    the top-S states would change every probability).
     """
     pairs = (df.groupBy(F.col(key_col).alias("k"))
              .agg(F.transform(

@@ -139,7 +139,7 @@ SELECT den.key AS key, den.n AS n, num.lag AS lag,
                             / CAST(den.den AS DOUBLE), 6)
             ELSE 0.0 END AS r
 FROM den JOIN num ON den.key = num.key
-WHERE den.n >= 2 ORDER BY key, lag
+WHERE den.n BETWEEN 2 AND 32768 ORDER BY key, lag
 """)
 def events_acf(spark, sf):
     """Per-event-type sequence autocorrelation at lags 1..5
@@ -463,14 +463,14 @@ WITH d AS (
   FROM documents),
 m AS (SELECT doc_id,
              list_transform(toks, w -> CASE WHEN w IN ({_stoplist_sql()})
-                                       THEN '|' ELSE w END) AS mk
+                                       THEN chr(1) ELSE w END) AS mk
       FROM d),
 occ AS (
   SELECT doc_id, p AS phrase FROM (
     SELECT doc_id,
            unnest(list_filter(
              string_split_regex(array_to_string(mk, ' '),
-                                '\\s*\\|\\s*'),
+                                '\\s*' || chr(1) || '\\s*'),
              p -> len(p) > 0)) AS p
     FROM m)),
 ow AS (SELECT doc_id, len(string_split(phrase, ' '))::BIGINT AS plen,
@@ -686,7 +686,8 @@ mad AS (SELECT key, any_value(dev) AS mad
 SELECT d.key AS key, d.o AS o, d.x AS x, med.med AS med, mad.mad AS mad,
        abs(d.x - med.med) AS dev
 FROM d JOIN med USING (key) JOIN mad USING (key) JOIN n USING (key)
-WHERE n.n >= 3 AND abs(d.x - med.med) > 5 * greatest(mad.mad, 1)
+WHERE n.n BETWEEN 3 AND 32768
+  AND abs(d.x - med.med) > 5 * greatest(mad.mad, 1)
 ORDER BY key, o
 """)
 def events_anomaly_mad(spark, sf):
@@ -873,7 +874,7 @@ r AS (
   FROM r JOIN s ON s.key = r.key AND s.t = r.t + 1)
 SELECT key, n, round_even(l, 6) AS level, round_even(b, 6) AS trend,
        round_even(l + b, 6) AS forecast
-FROM r WHERE t = n ORDER BY key
+FROM r WHERE t = n AND n <= 32768 ORDER BY key
 """)
 def events_holt_forecast(spark, sf):
     """Holt linear smoothing per event type
