@@ -231,6 +231,21 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
     # (label_dict is unique on it), so min() just carries it through.
     # Keyed on the token ORDINAL m_ti, not the token string — same
     # groups (per-mention bijection), fewer shuffled bytes.
+    #
+    # ONE exchange for the whole match lifecycle (round-5 profile: the
+    # match crossed the wire five times — two build groupBys, the
+    # ranking window, and mention_features' two groupBys each forced
+    # their own full exchange, ~4.7GB at 3.75M turns). Hash-partitioning
+    # by mention_norm ALONE satisfies ClusteredDistribution for every
+    # one of those keys (each is a superset of {mention_norm}), so a
+    # single explicit repartition here lets Catalyst elide the exchange
+    # in: per_token groupBy, agg groupBy, lookup()'s popularity-rank
+    # window, its (mention, entity) dedup window, mention_features'
+    # both groupBys, and best_links' per-mention argmax — the cached
+    # slim match preserves the partitioning for every consumer.
+    # Per-mention group size is bounded (ntoken x limit_per_token x
+    # fuzzy band + name guards), so the key cannot run hot.
+    matched = matched.repartition(F.col("mention_norm"))
     per_token = matched.groupBy("mention_norm", "m_ti", *_KEY).agg(
         F.min("edits").alias("_e"), F.min("popularity").alias("_pop"))
     agg = per_token.groupBy("mention_norm", *_KEY).agg(

@@ -100,8 +100,14 @@ class StageRunner:
         # — a second full scan of every checkpoint (out.count()) would
         # double checkpoint read I/O at scale
         obs = Observation(f"stage_{stage}")
-        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-            "overwrite").parquet(data_path)
+        # tag the write job so event-log profilers (tools/profile_pipeline)
+        # can attribute Spark stages/shuffles to the pipeline stage
+        self.spark.sparkContext.setJobDescription(f"pipeline_stage:{stage}")
+        try:
+            df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite").parquet(data_path)
+        finally:
+            self.spark.sparkContext.setJobDescription(None)
         n_rows = int(obs.get["rows"])
         out = self.spark.read.parquet(data_path)
         # partition count from the written files — df.rdd.getNumPartitions()
