@@ -91,9 +91,24 @@ class LookupIndex:
                                      # size-gate broadcasts on an actual
                                      # cardinality instead of a Catalyst
                                      # estimate (None = unknown/pre-meta)
+    n_entities: int | None = None    # REAL row count of the payload table
+                                     # (distinct entities), counted once at
+                                     # build — the broadcast gate for the
+                                     # response build's payload attach
     reused: bool = False             # set by build_index_artifacts when an
                                      # existing artifact was loaded instead
                                      # of rebuilt (metrics/bench attribution)
+    payload: DataFrame | None = None  # (entity, description, kind, NERtype,
+                                      # types) — ONE row per entity, bucketed
+                                      # by entity: the response-build columns
+                                      # that depend on the entity alone (the
+                                      # ES _source analogue). lookup() joins
+                                      # it to the <=limit post-dedup
+                                      # survivors on the single entity key,
+                                      # so the full dictionary-row payload
+                                      # never shuffles. None on in-memory /
+                                      # pre-payload artifacts (the caller's
+                                      # items-based fallback applies).
 
     @staticmethod
     def build(label_dict: DataFrame, fuzzy: bool = True,
@@ -147,6 +162,13 @@ class LookupIndex:
 
         save(mem.token, "token", "token")
         save(mem.names, "names", "name_norm")
+        # entity-level payload (description/kind/NERtype/types are constant
+        # across an entity's label rows, so any-row-per-entity is exact);
+        # bucketed by the single entity key so the response build's payload
+        # attach probes it with no dictionary-side exchange
+        save(label_dict.select("entity", "description", "kind", "NERtype",
+                               "types").dropDuplicates(["entity"]),
+             "payload", "entity")
         if fuzzy:
             save(mem.fuzzy, "fuzzy", "variant")
             save(mem.fuzzy_names, "fuzzy_names", "variant")
@@ -160,6 +182,7 @@ class LookupIndex:
         # consumer might want to broadcast, and an actual count beats any
         # runtime size estimate (see pipeline/mentions.py)
         n_names = spark.table(f"{prefix}_names").count()
+        n_entities = spark.table(f"{prefix}_payload").count()
         # source_fp fingerprints the DICTIONARY SNAPSHOT the artifact was
         # built from (build_index_artifacts computes it over kg_items):
         # reuse logic validates it so a pipeline handed a DIFFERENT
@@ -168,9 +191,10 @@ class LookupIndex:
             [(bool(fuzzy),
               None if limit_per_token is None else int(limit_per_token),
               int(fuzzy_edits), int(n_buckets), int(n_names),
-              source_fp)],
+              int(n_entities), source_fp)],
             "fuzzy boolean, limit_per_token int, fuzzy_edits int, "
-            "n_buckets int, n_names bigint, source_fp string")
+            "n_buckets int, n_names bigint, n_entities bigint, "
+            "source_fp string")
         (meta.write.mode("overwrite").format("parquet")
          .saveAsTable(f"{prefix}_meta"))
         return LookupIndex.load(spark, prefix)
@@ -192,6 +216,7 @@ class LookupIndex:
                 "fuzzy_edits": r.fuzzy_edits, "n_buckets": r.n_buckets,
                 # older sidecars lack these fields — degrade to None
                 "n_names": d.get("n_names"),
+                "n_entities": d.get("n_entities"),
                 "source_fp": d.get("source_fp")}
 
     @staticmethod
@@ -235,7 +260,13 @@ class LookupIndex:
             limit_per_token=meta["limit_per_token"],
             fuzzy_edits=meta["fuzzy_edits"],
             bucketed=True, n_buckets=meta["n_buckets"],
-            n_names=meta.get("n_names"))
+            n_names=meta.get("n_names"),
+            n_entities=meta.get("n_entities"),
+            # pre-round-5 artifacts lack the payload table — degrade to
+            # None (consumers fall back to an items-based payload join)
+            payload=(spark.table(f"{prefix}_payload")
+                     if spark.catalog.tableExists(f"{prefix}_payload")
+                     else None))
 
     @staticmethod
     def exists(spark: SparkSession, prefix: str = "lamapi_idx",

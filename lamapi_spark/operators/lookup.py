@@ -352,7 +352,14 @@ def resolve_type_names(candidates: DataFrame, items: DataFrame) -> DataFrame:
 def _emit(cand: DataFrame, feats: DataFrame) -> DataFrame:
     """Shared 19-field projection (lookup_retriever.py:157-176) for the
     token-match arm and the ids-backfill arm."""
-    return cand.join(feats, "mention_norm", "left").select(
+    return _emit_cols(cand.join(feats, "mention_norm", "left"))
+
+
+def _emit_cols(cand: DataFrame) -> DataFrame:
+    """The projection half of :func:`_emit`, for callers that already
+    joined the feats frame (lookup() joins it earlier so the entity-
+    payload attach can be the plan's last exchange)."""
+    return cand.select(
         "mention_norm",
         F.col("entity").alias("id"),
         "name",
@@ -599,16 +606,19 @@ def lookup(
     # at 10^5 surfaces x 10^2 candidates that is the difference between
     # sorting 33M wide rows and 33M narrow ones.
     _KEY = ["entity", "name", "is_alias"]
-    payload = label_dict.select(
-        *_KEY, "description", "kind", "NERtype", "types", "length", "ntoken",
-        "language",
-        F.array_distinct(F.split("name_norm", " ")).alias("_n_tok_set"),
-        ngram_set("name_norm", 3).alias("_n_gram_set"),
-    )
-    if broadcast_dict and (index is None or not index.bucketed):
-        payload = F.broadcast(payload)
     payload_filtered = any(x is not None for x in (kind, ner_type, language, types))
     if payload_filtered:
+        # filter path: the reference's ES query filters BEFORE ranking, and
+        # a language filter needs the per-label-row language list — only
+        # here does the full dictionary-row payload join the match early
+        payload = label_dict.select(
+            *_KEY, "description", "kind", "NERtype", "types", "length",
+            "ntoken", "language",
+            F.array_distinct(F.split("name_norm", " ")).alias("_n_tok_set"),
+            ngram_set("name_norm", 3).alias("_n_gram_set"),
+        )
+        if broadcast_dict and (index is None or not index.bucketed):
+            payload = F.broadcast(payload)
         cand = cand.join(payload, _KEY, "inner")
         if kind is not None:
             cand = cand.filter(F.col("kind") == kind)
@@ -648,13 +658,32 @@ def lookup(
         .withColumn("es_score", F.bround(F.col("_raw_score") / F.col("_max_score"), 3))
     )
     if not payload_filtered:
-        cand = cand.join(payload, _KEY, "inner")
+        # NARROW-LATE payload (round-5): length/ntoken and the name
+        # similarity sets are IN-ROW expressions over name/name_norm —
+        # the identical expressions the label_dict builder uses, so the
+        # values are bit-equal to the old payload join's columns — and
+        # the remaining payload (description/kind/NERtype/types) depends
+        # on the ENTITY alone, so it attaches after truncation AND the
+        # per-entity dedup, at the smallest point of the plan, on the
+        # single entity key. A 10^8-entity dictionary therefore never
+        # ships its wide rows (or precomputed n-gram arrays) through an
+        # exchange: the entity side is the bucketed payload artifact
+        # when the index carries one (no dictionary-side shuffle), and
+        # the mention_norm partitioning of the match survives the
+        # ranking window, the dedup window, and the feats join unbroken.
+        cand = (
+            cand
+            .withColumn("length", F.length("name"))
+            .withColumn("ntoken", F.size(F.split("name", " ")))
+            .withColumn("_n_tok_set", F.array_distinct(F.split("name_norm", " ")))
+            .withColumn("_n_gram_set", ngram_set("name_norm", 3))
+        )
 
     # String-similarity features on the cleaned label vs the mention.
-    # Token/3-gram sets come PRECOMPUTED from the dictionary payload and
-    # the prepared mentions (built once per name / per mention, not per
-    # candidate pair); per-row work is the intersections only. Same
-    # values as jaccard_score / jaccard_ngram_score by construction.
+    # Token/3-gram sets come precomputed per distinct mention and (on
+    # the filter path) per dictionary row; per-row work is the
+    # intersections only. Same values as jaccard_score /
+    # jaccard_ngram_score by construction.
     cand = (
         cand
         .withColumn("ed_score", ed_score("name_norm", "mention_norm"))
@@ -663,15 +692,53 @@ def lookup(
         .drop("_n_tok_set", "_n_gram_set", "_m_tok_set", "_m_gram_set")
     )
 
-    cand = resolve_type_names(cand, items)
-
     # A6 — per (mention, id) argmax on ed+jaccard (ties: first by
     # popularity rank, matching 'first seen wins' in arrival order).
+    # Runs BEFORE the entity-payload attach: the dedup depends only on
+    # the similarity scores and rank, and hash(mention_norm) satisfies
+    # its window partitioning, so no exchange and the payload joins the
+    # fewest possible rows.
     w_dedup = Window.partitionBy("mention_norm", "entity").orderBy(
         (F.col("ed_score") + F.col("jaccard_score")).desc(), F.col("_rank").asc())
     cand = cand.withColumn("_dd", F.row_number().over(w_dedup)).filter(F.col("_dd") == 1)
 
-    out = _emit(cand, feats)
+    # feats join FIRST (exchange-free: both sides ride hash(mention_norm)),
+    # so the entity-payload attach — the only join that can need an
+    # exchange on the huge-dictionary path — is the LAST exchange in the
+    # plan, over the final response rows, with nothing downstream needing
+    # the mention partitioning back (type resolution is a broadcast map,
+    # the rest is projection).
+    cand = cand.join(feats, "mention_norm", "left")
+
+    if not payload_filtered:
+        if index is not None and index.payload is not None:
+            # broadcast decision from the PERSISTED entity count, never a
+            # Catalyst estimate (plan lesson: an estimate once picked an
+            # 11GiB "broadcast"): small dictionary -> broadcast keeps the
+            # plan exchange-free end-to-end; huge dictionary ->
+            # shuffle_hash probes the bucketed payload artifact with no
+            # dictionary-side exchange.
+            from lamapi_spark.pipeline.mentions import _BROADCAST_NAME_CAP
+            gated = (index.n_entities is not None
+                     and index.n_entities <= _BROADCAST_NAME_CAP)
+            ent_payload = (F.broadcast(index.payload) if gated
+                           else index.probe_side(index.payload))
+        else:
+            # in-memory / pre-payload-artifact fallback: the payload
+            # columns are constant across an entity's label rows, so
+            # any-row-per-entity is exact (items is NOT used — callers
+            # may pass a minimal items frame carrying only the
+            # type-resolution columns)
+            ent_payload = label_dict.select(
+                "entity", "description", "kind", "NERtype", "types",
+            ).dropDuplicates(["entity"])
+            if broadcast_dict and (index is None or not index.bucketed):
+                ent_payload = F.broadcast(ent_payload)
+        cand = cand.join(ent_payload, "entity", "inner")
+
+    cand = resolve_type_names(cand, items)
+
+    out = _emit_cols(cand)
     if requested_ids is not None:
         out = out.unionByName(ids_backfill(
             out, requested_ids, label_dict, items, prepared, feats, mention_col))
