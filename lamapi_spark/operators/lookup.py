@@ -259,7 +259,8 @@ def token_match(mentions_prepared: DataFrame, label_dict: DataFrame,
         # NOT the payload-joined frame: the wide version cached per
         # executor is what OOMs at large dictionary x surface products,
         # while the payload re-attaches via a cheap broadcast join
-        agg = agg.cache()
+        from lamapi_spark.pipeline.cache_registry import scoped_cache
+        agg = scoped_cache(agg)
     if slim:
         # narrow candidate frame: ranking, truncation, and the mention-
         # level features all run on this; the caller attaches payload to

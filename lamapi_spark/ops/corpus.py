@@ -228,7 +228,9 @@ def bigram_lm_score(
     # without it the scan+explode runs once per consumer.
     bigrams = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(token_ngrams(F.col(text_col), 2)).alias("bg")).cache()
+        F.explode(token_ngrams(F.col(text_col), 2)).alias("bg"))
+    from lamapi_spark.pipeline.cache_registry import scoped_cache
+    bigrams = scoped_cache(bigrams)
     bc = bigrams.groupBy("bg").agg(F.count("*").alias("cbg"))
     ctx = (bigrams
            .select(F.substring_index(F.col("bg"), " ", 1).alias("w1"))
@@ -325,7 +327,8 @@ def dsir_importance(
     # raw_f feeds both the raw-count agg and the scoring join — cache
     # the narrow (doc_id, bucket) frame rather than re-exploding the
     # corpus (same two-consumer lesson as bigram_lm_score)
-    raw_f = _hashed_features(raw, id_col, text_col, n_buckets).cache()
+    from lamapi_spark.pipeline.cache_registry import scoped_cache
+    raw_f = scoped_cache(_hashed_features(raw, id_col, text_col, n_buckets))
     tgt_f = _hashed_features(target, id_col, text_col, n_buckets)
     rc = raw_f.groupBy("bucket").agg(F.count("*").alias("cr"))
     tc = tgt_f.groupBy("bucket").agg(F.count("*").alias("ct"))
@@ -823,7 +826,9 @@ def kn_lm_score(
     d = discount
     bigrams = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(token_ngrams(F.col(text_col), 2)).alias("bg")).cache()
+        F.explode(token_ngrams(F.col(text_col), 2)).alias("bg"))
+    from lamapi_spark.pipeline.cache_registry import scoped_cache
+    bigrams = scoped_cache(bigrams)
     bc = bigrams.groupBy("bg").agg(F.count("*").alias("cbg"))
     ctx = (bigrams
            .select(F.substring_index(F.col("bg"), " ", 1).alias("w1"))

@@ -101,7 +101,9 @@ def common_neighbor_pairs(
     # sides, the degree agg, the fanout gate) — without it the upstream
     # edge derivation executes once per consumer (plan-audited)
     e = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-         .distinct().cache())
+         .distinct())
+    from lamapi_spark.pipeline.cache_registry import scoped_cache
+    e = scoped_cache(e)
     deg = e.groupBy(F.col("_d").alias("_n")).agg(F.count("*").alias("degree"))
     pe = e
     if max_fanout is not None:
@@ -277,7 +279,9 @@ def triangle_counts(
     und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .filter(F.col("a") != F.col("b")))
     und = (und.select(F.least("a", "b").alias("a"),
-                      F.greatest("a", "b").alias("b")).distinct().cache())
+                      F.greatest("a", "b").alias("b")).distinct())
+    from lamapi_spark.pipeline.cache_registry import scoped_cache
+    und = scoped_cache(und)
     deg = (und.select(F.col("a").alias("n")).unionAll(
                und.select(F.col("b").alias("n")))
            .groupBy("n").agg(F.count("*").alias("d")))

@@ -11,6 +11,10 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
+                     # (PEP 563 strings under `from __future__ import
+                     # annotations` are looked up in module globals)
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -754,9 +758,87 @@ def fleiss_kappa(ratings: DataFrame, item_col: str = "item_id",
                       "s2", "t2", F.bround(kappa, 6).alias("kappa"))
 
 
+def _edit_distance_pandas():
+    """Arrow-batched token edit distance over two array<string> columns
+    — the vectorized arm of wer_scores. Inner DP vectorizes the
+    substitution/deletion terms with numpy and resolves the sequential
+    insert term with the prefix-min identity
+    ``row[j] = min(cand[j], row[j-1]+1)  <=>
+    row[j]-j = cummin(cand[j]-j, ...)`` — exact int64 throughout,
+    bit-equal to the interpreted fold."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _dist(h: pd.Series, r: pd.Series) -> pd.Series:
+        out = np.empty(len(h), dtype=np.int64)
+        for k in range(len(h)):
+            hs = h.iloc[k]
+            rs = r.iloc[k]
+            n = len(rs)
+            if n == 0:
+                out[k] = len(hs)
+                continue
+            rarr = np.asarray(rs, dtype=object)
+            row = np.arange(n + 1, dtype=np.int64)
+            idx = np.arange(1, n + 1, dtype=np.int64)
+            for i, tok in enumerate(hs, 1):
+                prev = row
+                sub = prev[:-1] + (rarr != tok)
+                cand = np.minimum(prev[1:] + 1, sub)
+                u = np.minimum.accumulate(
+                    np.concatenate(([np.int64(i)], cand - idx)))
+                row = np.empty(n + 1, dtype=np.int64)
+                row[0] = i
+                row[1:] = u[1:] + idx
+            out[k] = row[-1]
+        return pd.Series(out)
+
+    return _dist
+
+
+def _lcs_pandas():
+    """Arrow-batched LCS length over two array<string> columns — the
+    vectorized arm of rouge_l_scores. The max-recurrence's sequential
+    term (new[j-1]) resolves with a cummax identity only on non-match
+    positions, so the DP stays a per-hyp-token numpy pass: on a match
+    new[j] = prev[j-1]+1, else new[j] = max(prev[j], new[j-1]) —
+    computed as running maximum of candidates. Exact int64."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _lcs(c: pd.Series, r: pd.Series) -> pd.Series:
+        out = np.empty(len(c), dtype=np.int64)
+        for k in range(len(c)):
+            cs = c.iloc[k]
+            rs = r.iloc[k]
+            n = len(rs)
+            if n == 0 or len(cs) == 0:
+                out[k] = 0
+                continue
+            rarr = np.asarray(rs, dtype=object)
+            prev = np.zeros(n + 1, dtype=np.int64)
+            for tok in cs:
+                match = prev[:-1] + 1
+                nomatch = prev[1:]
+                cand = np.where(rarr == tok, match, nomatch)
+                # new[j] = max(cand[j], new[j-1]) — LCS rows are
+                # non-decreasing, so a running max resolves the
+                # sequential dependency exactly
+                new = np.empty(n + 1, dtype=np.int64)
+                new[0] = 0
+                new[1:] = np.maximum.accumulate(cand)
+                prev = new
+            out[k] = prev[-1]
+        return pd.Series(out)
+
+    return _lcs
+
+
 def wer_scores(pairs: DataFrame, id_col: str = "pair_id",
                hyp_col: str = "hyp", ref_col: str = "ref",
-               max_tokens: int = 256) -> DataFrame:
+               max_tokens: int = 256, engine: str = "fold") -> DataFrame:
     """Word error rate per (hypothesis, reference) pair — token-level
     Levenshtein distance / reference length, the ASR/transcription
     eval beside rouge/bleu (reference analogue: none; builder's-brief
@@ -780,7 +862,16 @@ def wer_scores(pairs: DataFrame, id_col: str = "pair_id",
     0.0 against an empty one. -> (id, hyp_n, ref_n, dist, wer), dist
     the exact token edit distance — embarrassingly parallel, one
     projection, no shuffle at all.
+
+    ``engine``: ``"fold"`` (default) is the pure-Catalyst in-row DP —
+    the oracle-parity arm with zero Python on the executor path;
+    ``"pandas"`` swaps ONLY the distance cell for an Arrow-batched
+    numpy DP (_edit_distance_pandas) producing bit-identical int64
+    distances ~10x faster per pair — the arm to flip on when these
+    evals sit on a hot path (A/B'd in BENCH.md round 5).
     """
+    if engine not in ("fold", "pandas"):
+        raise ValueError(f"engine must be 'fold' or 'pandas', got {engine!r}")
     def toks(col: str):
         t = F.trim(F.lower(F.col(col)))
         arr = (F.when(F.length(t) > 0, F.split(t, r"\s+"))
@@ -808,8 +899,11 @@ def wer_scores(pairs: DataFrame, id_col: str = "pair_id",
             ))))).otherwise(F.array(i))
         return F.struct(i.alias("i"), newrow.alias("row"))
 
-    dist = F.aggregate(hyp, init, outer,
-                       lambda acc: F.element_at(acc["row"], -1))
+    if engine == "pandas":
+        dist = _edit_distance_pandas()(hyp, ref)
+    else:
+        dist = F.aggregate(hyp, init, outer,
+                           lambda acc: F.element_at(acc["row"], -1))
     scored = base.select(
         "id", F.size(hyp).cast("long").alias("hyp_n"),
         rn.cast("long").alias("ref_n"), dist.cast("long").alias("dist"))
@@ -1516,7 +1610,7 @@ def kendall_tau_by(df: DataFrame, key_col: str, x_col: str, y_col: str,
 
 def rouge_l_scores(pairs: DataFrame, id_col: str = "pair_id",
                    cand_col: str = "cand", ref_col: str = "ref",
-                   max_tokens: int = 128) -> DataFrame:
+                   max_tokens: int = 128, engine: str = "fold") -> DataFrame:
     """ROUGE-L per (candidate, reference) pair — the longest-common-
     SUBSEQUENCE recall/precision that rewards in-order coverage
     without rouge_n's contiguity requirement (the summarization eval
@@ -1538,7 +1632,13 @@ def rouge_l_scores(pairs: DataFrame, id_col: str = "pair_id",
     rounded half-even to 6 dp; empty sides score 0. -> one row per
     pair (id, cand_n, ref_n, lcs, p, r, f1) — embarrassingly
     parallel, one projection, no shuffle at all.
+
+    ``engine``: ``"fold"`` (default, oracle-parity pure-Catalyst DP) or
+    ``"pandas"`` (Arrow-batched numpy LCS, bit-identical int64 —
+    _lcs_pandas; the hot-path arm, A/B'd in BENCH.md round 5).
     """
+    if engine not in ("fold", "pandas"):
+        raise ValueError(f"engine must be 'fold' or 'pandas', got {engine!r}")
     def toks(col: str):
         t = F.trim(F.lower(F.col(col)))
         arr = (F.when(F.length(t) > 0, F.split(t, r"\s+"))
@@ -1561,8 +1661,11 @@ def rouge_l_scores(pairs: DataFrame, id_col: str = "pair_id",
                                       F.element_at(row, -1)))))
         )).otherwise(init)
 
-    lcs = F.aggregate(cand, init, outer,
-                      lambda row: F.element_at(row, -1))
+    if engine == "pandas":
+        lcs = _lcs_pandas()(cand, ref)
+    else:
+        lcs = F.aggregate(cand, init, outer,
+                          lambda row: F.element_at(row, -1))
     scored = base.select(
         "id", F.size(cand).cast("long").alias("cand_n"),
         rn.cast("long").alias("ref_n"), lcs.cast("long").alias("lcs"))

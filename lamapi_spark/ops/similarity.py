@@ -326,7 +326,8 @@ def semantic_dedup(
     # cache: assigned feeds THREE consumers (both pair-join sides and
     # the final verdict join); without it the medoid pick + cross-join
     # argmin re-executes per consumer (the common_neighbor_pairs lesson)
-    assigned = c.join(ivf_assign(c, centroids), "id").cache()  # (id, v, cell)
+    from lamapi_spark.pipeline.cache_registry import scoped_cache
+    assigned = scoped_cache(c.join(ivf_assign(c, centroids), "id"))  # (id, v, cell)
 
     a = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("v_b"))

@@ -64,16 +64,69 @@ def _merge_pair(syms: Column, left: str, right: str) -> Column:
     return F.aggregate(syms, F.array().cast("array<string>"), step)
 
 
+def _train_local(word_rows: list[tuple[list[str], int]],
+                 n_merges: int) -> list[tuple[str, str]]:
+    """The driver-local merge loop — EXACTLY the distributed semantics:
+    argmax by (count desc, left asc, right asc), stop below count 2,
+    left-to-right non-overlapping rewrite (the _merge_pair fold)."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        cnt: dict[tuple[str, str], int] = {}
+        for syms, c in word_rows:
+            for pair in zip(syms, syms[1:]):
+                cnt[pair] = cnt.get(pair, 0) + c
+        if not cnt:
+            break
+        (left, right), n = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < 2:
+            break
+        merges.append((left, right))
+        merged = left + right
+        for i, (syms, c) in enumerate(word_rows):
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            word_rows[i] = (out, c)
+    return merges
+
+
 def bpe_train(
     docs: DataFrame, text_col: str = "text", n_merges: int = 50,
     checkpoint_every: int | None = 8,
+    driver_budget_bytes: int | None = 64 * 2**20,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     ranked merge list (rank = list position). Words are whitespace
     tokens lower-cased; symbols start as single characters (no
     end-of-word marker — the apply side operates word-local, so
-    boundaries are implicit)."""
-    words = (_word_counts(docs, text_col)
+    boundaries are implicit).
+
+    HYBRID (round-5 verdict item): the working set after the first
+    aggregation is the distinct-word frame — vocabulary-sized, not
+    corpus-sized — yet the distributed loop pays one Spark job PER
+    MERGE (driver round-trips dominate at n_merges >= 512). When the
+    vocabulary's conservatively-estimated driver footprint fits
+    ``driver_budget_bytes`` (one scalar agg to decide; estimate
+    ~100B/word + ~60B/char of Python object overhead), the frame is
+    collected ONCE and the merges finish locally with bit-identical
+    semantics (:func:`_train_local` — differential-tested). A 100 TB
+    corpus with a 10^7-word vocabulary (~1-2 GB est.) exceeds the
+    default budget and takes the distributed loop; pass ``None`` to
+    force it explicitly."""
+    words0 = _word_counts(docs, text_col)
+    if driver_budget_bytes is not None:
+        st = words0.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("chars")).head()
+        if st["n"] * 100 + st["chars"] * 60 <= driver_budget_bytes:
+            rows = [(list(r["word"]), r["cnt"]) for r in
+                    words0.select("word", "cnt").collect()]
+            return _train_local(rows, n_merges)
+    words = (words0
              .withColumn("syms", F.split(F.col("word"), ""))
              .select("syms", "cnt")
              .localCheckpoint(eager=True))

@@ -46,6 +46,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lamapi_spark.pipeline.cache_registry import scoped_cache
 from lamapi_spark.pipeline.run import run_pipeline
 
 _TRIPLE_COLS = ("subj", "pred", "obj", "conv_id", "turn_idx")
@@ -84,7 +85,7 @@ def run_pipeline_incremental(
                                        "left_anti"))
     # materialize the delta conv set once: it gates the transcript scan,
     # sizes the early-exit, and is re-read for the sidecar append
-    delta_convs = delta_convs.cache()
+    delta_convs = scoped_cache(delta_convs)
     n_new = delta_convs.count()
     if n_new == 0:
         return {"new_convs": 0, "new_triples": 0, "skipped_convs": seen_n,

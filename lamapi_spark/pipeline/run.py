@@ -125,8 +125,9 @@ def run_pipeline(
     # path), the candidate payload join and the ids-backfill arm — one
     # materialization, many consumers (on a cluster the indexes are the
     # offline artifacts above; the payload stays a plain table)
-    label_dict = runner.run(
-        "label_dict", lambda: build_label_dict(kg_items), fp, ("kg_items",)).cache()
+    from lamapi_spark.pipeline.cache_registry import scoped_cache
+    label_dict = scoped_cache(runner.run(
+        "label_dict", lambda: build_label_dict(kg_items), fp, ("kg_items",)))
 
     mentions = runner.run(
         "mentions",
@@ -147,7 +148,7 @@ def run_pipeline(
 
     # the distinct-surface frame is read several times inside lookup
     # (exact arm, fuzzy arm, two feature joins) — cache it
-    surfaces = all_spans.select("surface").distinct().cache()
+    surfaces = scoped_cache(all_spans.select("surface").distinct())
 
     # ONE narrow match pass (cached) feeds both consumers:
     # - the response-parity candidates artifact (19 fields, truncated at

@@ -63,7 +63,8 @@ def entity_salience(occurrences: DataFrame, top_k: int = 3,
           .groupBy("conv_id", "entity")
           .agg(F.count("*").alias("tf")))
     if cache_tf:
-        tf = tf.cache()
+        from lamapi_spark.pipeline.cache_registry import scoped_cache
+        tf = scoped_cache(tf)
     # tf is unique on (conv_id, entity): df is a plain count per entity
     df = tf.groupBy("entity").agg(F.count("*").alias("df"))
     n = tf.select(F.countDistinct("conv_id").alias("n_convs"))

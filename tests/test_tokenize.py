@@ -61,6 +61,19 @@ def test_bpe_train_matches_reference(spark, corpus):
     assert got == want and len(got) == 25
 
 
+def test_bpe_train_hybrid_arms_agree(spark, corpus):
+    """Round-5 hybrid: the driver-local arm (vocabulary fits the budget)
+    and the distributed per-merge loop (budget=None forces it) must
+    learn the IDENTICAL ranked merge list — and match the independent
+    Python reference."""
+    docs, wc = corpus
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    local_arm = bpe_train(df, n_merges=25)                       # default budget: local
+    dist_arm = bpe_train(df, n_merges=25, driver_budget_bytes=None)
+    want, _ = py_bpe_train(wc, 25)
+    assert local_arm == dist_arm == want
+
+
 def test_bpe_train_partition_independent(spark, corpus):
     docs, wc = corpus
     df = spark.createDataFrame(docs, "doc_id bigint, text string")
