@@ -29,18 +29,36 @@ from pyspark.sql import functions as F
 
 def mention_pairs(linked: DataFrame) -> DataFrame:
     """Ordered co-occurrence pairs of non-NIL linked mentions per turn:
-    earlier-offset mention is subject. Distinct per (conv, turn, subj, obj)."""
-    l = linked.filter(~F.col("nil")).select(
-        "conv_id", "turn_idx", "start", "entity")
-    a = l.select("conv_id", "turn_idx",
-                 F.col("start").alias("s_start"), F.col("entity").alias("subj"))
-    b = l.select("conv_id", "turn_idx",
-                 F.col("start").alias("o_start"), F.col("entity").alias("obj"))
+    earlier-offset mention is subject. Distinct per (conv, turn, subj, obj).
+
+    Single-exchange formulation (round-5; plan lesson 5 — a self-join
+    plus a distinct on a key superset is two exchanges in disguise):
+    ONE groupBy collects each turn's (start, entity) spans into a
+    sorted array, the ordered pairing (strict start <, subj != obj)
+    enumerates IN-ROW over that bounded array, and the distinct
+    collapses in-array (pairs carry the turn key, so global distinct ==
+    per-turn distinct). The old shape scanned the linked checkpoint
+    twice and exchanged twice (join + distinct); per-turn mention count
+    bounds the fold, the usual turn-length argument."""
+    per_turn = (
+        linked.filter(~F.col("nil"))
+        .select("conv_id", "turn_idx", "start", "entity")
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("start", "entity"))).alias("_ms"))
+    )
+    ms = F.col("_ms")
+    pairs = F.array_distinct(F.flatten(F.transform(
+        ms, lambda a: F.filter(
+            F.transform(
+                ms, lambda b: F.when(
+                    (a["start"] < b["start"]) & (a["entity"] != b["entity"]),
+                    F.struct(a["entity"].alias("subj"),
+                             b["entity"].alias("obj")))),
+            lambda p: p.isNotNull()))))
     return (
-        a.join(b, ["conv_id", "turn_idx"])
-        .filter((F.col("s_start") < F.col("o_start")) & (F.col("subj") != F.col("obj")))
-        .select("conv_id", "turn_idx", "subj", "obj")
-        .distinct()
+        per_turn.select("conv_id", "turn_idx", F.explode(pairs).alias("_p"))
+        .select("conv_id", "turn_idx", "_p.subj", "_p.obj")
     )
 
 
