@@ -165,9 +165,20 @@ class LookupIndex:
         # entity-level payload (description/kind/NERtype/types are constant
         # across an entity's label rows, so any-row-per-entity is exact);
         # bucketed by the single entity key so the response build's payload
-        # attach probes it with no dictionary-side exchange
-        save(label_dict.select("entity", "description", "kind", "NERtype",
-                               "types").dropDuplicates(["entity"]),
+        # attach probes it with no dictionary-side exchange. MINIMAL
+        # dictionaries (match-only callers: entity/name/name_norm/
+        # popularity/is_alias — e.g. the lookup_candidates_indexed
+        # contract query) lack payload columns; those become typed NULLs
+        # so the artifact schema stays stable and the slim/token-match
+        # consumers such a dictionary serves are unaffected.
+        _payload_types = {"description": "string", "kind": "string",
+                          "NERtype": "string", "types": "array<string>"}
+        have = set(label_dict.columns)
+        save(label_dict.select(
+                "entity",
+                *[F.col(c) if c in have else F.lit(None).cast(t).alias(c)
+                  for c, t in _payload_types.items()])
+             .dropDuplicates(["entity"]),
              "payload", "entity")
         if fuzzy:
             save(mem.fuzzy, "fuzzy", "variant")

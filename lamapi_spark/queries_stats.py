@@ -399,6 +399,58 @@ def eval_rouge_l(spark, sf):
             .withColumnRenamed("id", "id").orderBy("id"))
 
 
+@register("eval_rouge_l_vec", r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id,
+    list_reverse(list_slice(CASE WHEN length(trim(lower(text))) > 0
+      THEN string_split_regex(trim(lower(text)), '\s+') ELSE [] END,
+      1, 15)) AS c,
+    list_slice(CASE WHEN length(trim(lower(text))) > 0
+      THEN string_split_regex(trim(lower(text)), '\s+') ELSE [] END,
+      1, 15) AS r
+  FROM documents),
+dp AS (
+  SELECT id, c, r, 0 AS i,
+         list_transform(range(0, len(r) + 1), x -> 0) AS row
+  FROM base
+  UNION ALL
+  SELECT id, c, r, i + 1,
+    list_prepend(0, list_transform(range(1, len(r) + 1), j ->
+      greatest(row[j + 1],
+               list_max(list_transform(range(1, j + 1), k ->
+                 row[k] + (r[k] = c[i + 1])::INT)))))
+  FROM dp WHERE i < len(c))
+SELECT id, len(c)::BIGINT AS cand_n, len(r)::BIGINT AS ref_n,
+       row[len(r) + 1]::BIGINT AS lcs,
+       round_even(row[len(r) + 1] / CAST(greatest(len(c), 1) AS DOUBLE), 6)
+         AS p,
+       round_even(row[len(r) + 1] / CAST(greatest(len(r), 1) AS DOUBLE), 6)
+         AS r,
+       round_even(2 * row[len(r) + 1]
+                  / CAST(greatest(len(c) + len(r), 1) AS DOUBLE), 6) AS f1
+FROM dp WHERE i = len(c) ORDER BY id
+""")
+def eval_rouge_l_vec(spark, sf):
+    """The Arrow-batched numpy arm of rouge_l_scores (engine='pandas',
+    round-5 BENCH crossover: ~8x the interpreted fold) against the
+    IDENTICAL independent recursive-CTE oracle as eval_rouge_l —
+    green proves the vectorized LCS (running-max identity) on the
+    palindromic-subsequence stress input."""
+    from lamapi_spark.ops.metrics import rouge_l_scores
+
+    d = load(spark, sf, "documents")
+    t = F.trim(F.lower(F.col("text")))
+    toks = F.slice(
+        F.when(F.length(t) > 0, F.split(t, r"\s+"))
+        .otherwise(F.array().cast("array<string>")), 1, 15)
+    pairs = d.select(
+        F.col("doc_id").alias("pair_id"),
+        F.concat_ws(" ", F.reverse(toks)).alias("cand"),
+        F.concat_ws(" ", toks).alias("ref"))
+    return (rouge_l_scores(pairs, max_tokens=15, engine="pandas")
+            .orderBy("id"))
+
+
 # ------------------------------------------------- TF-IDF keywords
 
 
