@@ -1277,7 +1277,7 @@ s{i} AS (
 
 @register("rag_mmr_rerank", f"""
 WITH {_CHUNK_CTES},
-cemb AS (
+cemb AS MATERIALIZED (
   SELECT doc_id * 1000 + chunk_idx AS cid,
          list({_EMB_COMP.format(t='chunk_text')} ORDER BY d) AS vec
   FROM chunks, range(64) dd(d) GROUP BY doc_id, chunk_idx),
@@ -1291,11 +1291,11 @@ cos AS (
          / (sqrt({_DOT_SQL.format(a='qv.vec', b='qv.vec')})
             * sqrt({_DOT_SQL.format(a='cemb.vec', b='cemb.vec')})) AS cosine
   FROM qv, cemb),
-cand AS (
+cand AS MATERIALIZED (
   SELECT query_id, cid, cosine FROM cos
   QUALIFY row_number() OVER (PARTITION BY query_id
                              ORDER BY cosine DESC, cid) <= 10),
-sims AS (
+sims AS MATERIALIZED (
   SELECT a.query_id, a.cid AS id_a, b.cid AS id_b,
          {_DOT_SQL.format(a='va.vec', b='vb.vec')}
          / (sqrt({_DOT_SQL.format(a='va.vec', b='va.vec')})

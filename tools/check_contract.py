@@ -53,9 +53,16 @@ def main():
         "spark.ui.retainedJobs": "50",
         "spark.ui.retainedStages": "50",
     })
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # ONE DuckDB connection per ORACLE (built lazily below): after an
+    # out-of-memory failure a shared connection can stay wedged (its
+    # allocator keeps the reservation), cascading bogus OOMs over every
+    # later oracle — observed in the round-5 sf0.1 sweep. A fresh
+    # connection per query costs ~10 view DDLs, nothing at this scale.
+    def fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
 
     qs, oracles = queries(), oracle_sql()
     failures = []
@@ -82,12 +89,18 @@ def main():
             print(f"ok?  {name}: rows={len(s_rows)} (no oracle — rows-only check)")
             continue
         try:
+            con = fresh_con()
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
+            con.close()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL {name}: duckdb error {str(e)[:2000]}")
+            try:
+                con.close()
+            except Exception:
+                pass
             continue
         if sorted(s_cols) != sorted(d_cols):
             failures.append((name, f"SCHEMA: spark={s_cols} duck={d_cols}"))
