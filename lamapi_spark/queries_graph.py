@@ -42,12 +42,16 @@ _TELEPORT = 15 * _SCALE // 100   # (1-d) with d = 0.85, sum-to-N convention
 _N_ITER = 3
 
 # symmetric edge set, shared by all three queries (SQL + Spark twins)
+# MATERIALIZED is load-bearing at sf0.1: DuckDB inlines plain CTEs per
+# reference, and the iterative oracles below reference edges/nodes in
+# every unrolled round — re-executing the orders x lineitem distinct
+# join exponentially (the rag_mmr_rerank / Bradley-Terry lesson).
 _EDGES_SQL = """
-base AS (
+base AS MATERIALIZED (
   SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT src, dst FROM base
   UNION ALL
   SELECT dst AS src, src AS dst FROM base
@@ -760,19 +764,19 @@ def _hits_iter_sql(k: int) -> str:
     max-normalized to _SCALE by integer division (HUGEINT-exact)."""
     prev = f"h{k - 1}"
     return f""",
-a{k}r AS (
+a{k}r AS MATERIALIZED (
   SELECT e.dst AS node, sum(h.hub) AS a
   FROM edges e JOIN {prev} h ON h.node = e.src GROUP BY e.dst),
 a{k}m AS (SELECT max(a) AS m FROM a{k}r),
-a{k} AS (
+a{k} AS MATERIALIZED (
   SELECT n.node,
          (coalesce(r.a, 0) * {_SCALE} // greatest(m.m, 1))::BIGINT AS auth
   FROM nodes n LEFT JOIN a{k}r r ON r.node = n.node CROSS JOIN a{k}m m),
-h{k}r AS (
+h{k}r AS MATERIALIZED (
   SELECT e.src AS node, sum(a.auth) AS h
   FROM edges e JOIN a{k} a ON a.node = e.dst GROUP BY e.src),
 h{k}m AS (SELECT max(h) AS m FROM h{k}r),
-h{k} AS (
+h{k} AS MATERIALIZED (
   SELECT n.node,
          (coalesce(r.h, 0) * {_SCALE} // greatest(m.m, 1))::BIGINT AS hub
   FROM nodes n LEFT JOIN h{k}r r ON r.node = n.node CROSS JOIN h{k}m m)"""
@@ -780,7 +784,7 @@ h{k} AS (
 
 _HITS_SQL = (f"""
 WITH {_EDGES_SQL},
-nodes AS (
+nodes AS MATERIALIZED (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
 h0 AS (SELECT node, {_SCALE}::BIGINT AS hub FROM nodes)"""

@@ -289,8 +289,12 @@ _MK_ROUNDS = 20
 
 
 def _mk_round(k: int) -> str:
+    # MATERIALIZED is load-bearing: each round references states + its
+    # predecessor; DuckDB inlines plain CTEs per reference, so 20 chained
+    # rounds re-expand (and re-execute) the window census exponentially —
+    # the rag_mmr_rerank / graph_hits round-5 lesson (>150s at sf0.1 -> ~1s)
     return f"""
-r{k} AS (
+r{k} AS MATERIALIZED (
   SELECT st.s AS state, coalesce(x.pi, 0.0) AS pi
   FROM states st LEFT JOIN (
     SELECT tp.s_to AS state,
@@ -315,10 +319,10 @@ pr AS (SELECT conv_id, role,
 trans AS (SELECT role AS s_from, nxt AS s_to, count(*)::BIGINT AS c
           FROM pr WHERE nxt IS NOT NULL GROUP BY 1, 2),
 tt AS (SELECT s_from, sum(c)::BIGINT AS tot FROM trans GROUP BY 1),
-tp AS (SELECT t.s_from, t.s_to,
+tp AS MATERIALIZED (SELECT t.s_from, t.s_to,
               round_even(CAST(t.c AS DOUBLE) / tt.tot, 12) AS p
        FROM trans t JOIN tt ON t.s_from = tt.s_from),
-states AS (SELECT DISTINCT s FROM
+states AS MATERIALIZED (SELECT DISTINCT s FROM
            (SELECT s_from AS s FROM tp UNION SELECT s_to FROM tp)),
 sc AS (SELECT count(*)::BIGINT AS s FROM states),
 r0 AS (SELECT states.s AS state, round_even(1.0 / sc.s, 12) AS pi

@@ -60,6 +60,11 @@ def main():
     # connection per query costs ~10 view DDLs, nothing at this scale.
     def fresh_con():
         c = duckdb.connect()
+        # bound the spill: a CTE-inlining blowup (re-executed heavy
+        # subtrees, see the rag_mmr_rerank fix) must ERROR, not fill the
+        # disk — and spill outside the repo, not cwd-relative .tmp
+        c.execute("SET temp_directory='/tmp/ddb_contract_spill'")
+        c.execute("SET max_temp_directory_size='24GB'")
         for t in TABLES:
             c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         return c
