@@ -43,9 +43,11 @@ def _event_lines(log_path: str):
             if f.startswith("events_"))
     else:
         part_files = [log_path]
+    import shutil
+    zstd = shutil.which("zstd") or "/root/miniconda/bin/zstd"
     for p in part_files:
         if p.endswith(".zstd"):
-            proc = subprocess.Popen(["zstd", "-d", "-c", p],
+            proc = subprocess.Popen([zstd, "-d", "-c", p],
                                     stdout=subprocess.PIPE)
             yield from io.TextIOWrapper(proc.stdout)
             proc.wait()
