@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lamapi_spark.operators.label_dict import fuzzy_token_index, token_inverted_index
+from lamapi_spark.operators.warehouse import clean_stale_location
 
 _KEY = ["entity", "name", "is_alias"]
 
@@ -155,6 +156,10 @@ class LookupIndex:
                                 fuzzy_edits=fuzzy_edits)
 
         def save(df: DataFrame, name: str, key: str) -> None:
+            # a stale warehouse dir without a catalog entry (previous
+            # process, different metastore) makes saveAsTable fail with
+            # LOCATION_ALREADY_EXISTS — drop the orphan first
+            clean_stale_location(spark, f"{prefix}_{name}")
             (df.write.mode("overwrite" if overwrite else "errorifexists")
              .format("parquet")
              .bucketBy(n_buckets, key).sortBy(key)
@@ -206,6 +211,7 @@ class LookupIndex:
             "fuzzy boolean, limit_per_token int, fuzzy_edits int, "
             "n_buckets int, n_names bigint, n_entities bigint, "
             "source_fp string")
+        clean_stale_location(spark, f"{prefix}_meta")
         (meta.write.mode("overwrite").format("parquet")
          .saveAsTable(f"{prefix}_meta"))
         return LookupIndex.load(spark, prefix)
@@ -339,6 +345,7 @@ class LookupIndex:
         for callers that cannot promise it. Schema: the caller's full
         label_dict columns (the delta serves both match and payload
         joins), stable across appends."""
+        clean_stale_location(delta_label_dict.sparkSession, f"{prefix}_delta")
         (delta_label_dict.write.mode("append").format("parquet")
          .saveAsTable(f"{prefix}_delta"))
 

@@ -497,6 +497,12 @@ class IvfIndex:
                .select(F.col("id").alias("n_id"),
                        F.col("v").alias("n_vec"), "cell"))
         mode = "overwrite" if overwrite else "errorifexists"
+        # same stale-location hazard as LookupIndex.write: a warehouse
+        # dir left by a previous process with a different metastore
+        # makes saveAsTable crash with LOCATION_ALREADY_EXISTS
+        from lamapi_spark.operators.warehouse import clean_stale_location
+        for t in ("inv", "centroids", "meta"):
+            clean_stale_location(spark, f"{prefix}_{t}")
         (inv.write.mode(mode).format("parquet")
          .bucketBy(n_buckets, "cell").sortBy("cell")
          .saveAsTable(f"{prefix}_inv"))
