@@ -149,45 +149,91 @@ class LookupIndex:
         ``n_buckets`` fixes join parallelism for every consumer; size it
         to >= the cluster's total cores (a bucket is one task). Pruning
         and the deletion-variant expansion run HERE, once, instead of
-        inside every pipeline run."""
+        inside every pipeline run.
+
+        Round-6 build-cost cuts (guide §1.2/§2.6 — artifact contents
+        and every consumer's results unchanged):
+        - the dictionary frame is persisted for the duration of the
+          build: each saved table re-executed the FULL label_dict
+          subtree (three window passes) before — 5-7 executions per
+          build, now one;
+        - ``n_names``/``n_entities`` are harvested from the write jobs
+          via ``observe()`` instead of re-scanning the written tables
+          (two jobs removed);
+        - the independent table writes overlap from a small thread pool
+          (Spark schedules concurrent jobs FIFO; catalog calls are
+          synchronized inside Spark) so one write's task tail
+          back-fills with the next write's tasks;
+        - a MINIMAL (match-only) dictionary skips the payload table
+          entirely instead of writing one row of typed NULLs per
+          entity: consumers see ``payload=None`` and use their
+          label_dict fallback — which also closes the advisory's
+          plausible-but-NULL payload hazard (a full response build can
+          no longer silently coalesce an all-NULL artifact payload)."""
         spark = label_dict.sparkSession
+        label_dict = label_dict.persist()
         mem = LookupIndex.build(label_dict, fuzzy=fuzzy,
                                 limit_per_token=limit_per_token,
                                 fuzzy_edits=fuzzy_edits)
 
-        def save(df: DataFrame, name: str, key: str) -> None:
+        from pyspark.sql import Observation
+
+        observations: dict[str, Observation] = {}
+
+        def save(df: DataFrame, name: str, key: str,
+                 count_key: str | None = None) -> None:
             # a stale warehouse dir without a catalog entry (previous
             # process, different metastore) makes saveAsTable fail with
             # LOCATION_ALREADY_EXISTS — drop the orphan first
             clean_stale_location(spark, f"{prefix}_{name}")
-            (df.write.mode("overwrite" if overwrite else "errorifexists")
-             .format("parquet")
-             .bucketBy(n_buckets, key).sortBy(key)
-             .saveAsTable(f"{prefix}_{name}"))
+            if count_key is not None:
+                obs = Observation(f"idx_write_{prefix}_{name}")
+                observations[count_key] = obs
+                df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            spark.sparkContext.setJobDescription(f"index_write:{prefix}_{name}")
+            try:
+                (df.write.mode("overwrite" if overwrite else "errorifexists")
+                 .format("parquet")
+                 .bucketBy(n_buckets, key).sortBy(key)
+                 .saveAsTable(f"{prefix}_{name}"))
+            finally:
+                spark.sparkContext.setJobDescription(None)
 
-        save(mem.token, "token", "token")
-        save(mem.names, "names", "name_norm")
         # entity-level payload (description/kind/NERtype/types are constant
         # across an entity's label rows, so any-row-per-entity is exact);
         # bucketed by the single entity key so the response build's payload
         # attach probes it with no dictionary-side exchange. MINIMAL
         # dictionaries (match-only callers: entity/name/name_norm/
         # popularity/is_alias — e.g. the lookup_candidates_indexed
-        # contract query) lack payload columns; those become typed NULLs
-        # so the artifact schema stays stable and the slim/token-match
-        # consumers such a dictionary serves are unaffected.
-        _payload_types = {"description": "string", "kind": "string",
-                          "NERtype": "string", "types": "array<string>"}
-        have = set(label_dict.columns)
-        save(label_dict.select(
-                "entity",
-                *[F.col(c) if c in have else F.lit(None).cast(t).alias(c)
-                  for c, t in _payload_types.items()])
-             .dropDuplicates(["entity"]),
-             "payload", "entity")
+        # contract query) carry no payload columns: no payload table is
+        # written (see docstring) and any stale one is dropped.
+        _payload_cols = ["description", "kind", "NERtype", "types"]
+        have_payload = bool(set(label_dict.columns) & set(_payload_cols))
+
+        jobs: list[tuple] = [(mem.token, "token", "token", None),
+                             (mem.names, "names", "name_norm", "n_names")]
+        if have_payload:
+            jobs.append((label_dict.select("entity", *_payload_cols)
+                         .dropDuplicates(["entity"]),
+                         "payload", "entity", "n_entities"))
         if fuzzy:
-            save(mem.fuzzy, "fuzzy", "variant")
-            save(mem.fuzzy_names, "fuzzy_names", "variant")
+            jobs.append((mem.fuzzy, "fuzzy", "variant", None))
+            jobs.append((mem.fuzzy_names, "fuzzy_names", "variant", None))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        try:
+            # materialize the persisted dictionary BEFORE fanning out so
+            # the concurrent writes share one cached copy instead of
+            # racing to build it
+            label_dict.count()
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                list(pool.map(lambda j: save(*j), jobs))
+            if not have_payload:
+                spark.sql(f"DROP TABLE IF EXISTS {prefix}_payload")
+                clean_stale_location(spark, f"{prefix}_payload")
+        finally:
+            label_dict.unpersist()
         # the build parameters ARE part of the artifact: a consumer that
         # loads a PRUNED index with the wrong limit_per_token silently
         # skips the exact-name/1-edit recall guards in token_match, and a
@@ -197,8 +243,9 @@ class LookupIndex:
         # persisted: it is the bound on every matched-span frame a
         # consumer might want to broadcast, and an actual count beats any
         # runtime size estimate (see pipeline/mentions.py)
-        n_names = spark.table(f"{prefix}_names").count()
-        n_entities = spark.table(f"{prefix}_payload").count()
+        n_names = int(observations["n_names"].get["rows"])
+        n_entities = (int(observations["n_entities"].get["rows"])
+                      if have_payload else None)
         # source_fp fingerprints the DICTIONARY SNAPSHOT the artifact was
         # built from (build_index_artifacts computes it over kg_items):
         # reuse logic validates it so a pipeline handed a DIFFERENT
@@ -207,7 +254,7 @@ class LookupIndex:
             [(bool(fuzzy),
               None if limit_per_token is None else int(limit_per_token),
               int(fuzzy_edits), int(n_buckets), int(n_names),
-              int(n_entities), source_fp)],
+              None if n_entities is None else int(n_entities), source_fp)],
             "fuzzy boolean, limit_per_token int, fuzzy_edits int, "
             "n_buckets int, n_names bigint, n_entities bigint, "
             "source_fp string")

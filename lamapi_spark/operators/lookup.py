@@ -722,8 +722,28 @@ def lookup(
             from lamapi_spark.pipeline.mentions import _BROADCAST_NAME_CAP
             gated = (index.n_entities is not None
                      and index.n_entities <= _BROADCAST_NAME_CAP)
-            ent_payload = (F.broadcast(index.payload) if gated
-                           else index.probe_side(index.payload))
+            # coverage guard (round-6, advisory): the artifact payload
+            # covers every candidate by construction ONLY when the match
+            # came from the same artifact. A caller-supplied match= from
+            # a different source (e.g. main+delta union against a
+            # main-only payload) must fail LOUDLY, not lose rows — so
+            # the attach is a left join carrying a sentinel, asserted
+            # non-null after. Covered case: identical rows to the old
+            # inner join at one boolean column of extra cost.
+            ent_payload = index.payload.withColumn("_p_ok", F.lit(True))
+            ent_payload = (F.broadcast(ent_payload) if gated
+                           else index.probe_side(ent_payload))
+            cand = cand.join(ent_payload, "entity", "left").withColumn(
+                "_p_chk",
+                F.assert_true(
+                    F.col("_p_ok").isNotNull(),
+                    F.concat(F.lit("lookup(): candidate entity "),
+                             F.col("entity"),
+                             F.lit(" missing from the index payload "
+                                   "artifact — match frame not covered "
+                                   "by this artifact (stale or "
+                                   "mismatched index?)")))
+            ).drop("_p_ok", "_p_chk")
         else:
             # in-memory / pre-payload-artifact fallback: the payload
             # columns are constant across an entity's label rows, so
@@ -735,7 +755,7 @@ def lookup(
             ).dropDuplicates(["entity"])
             if broadcast_dict and (index is None or not index.bucketed):
                 ent_payload = F.broadcast(ent_payload)
-        cand = cand.join(ent_payload, "entity", "inner")
+            cand = cand.join(ent_payload, "entity", "inner")
 
     cand = resolve_type_names(cand, items)
 

@@ -54,17 +54,24 @@ def pagerank_fixed_point(
     n_iter on small graphs, e.g. inside a short-lived contract query).
     """
     teleport = (100 - damping_pct) * scale // 100
+    if checkpoint_every is not None:
+        edges = edges.localCheckpoint(eager=True)
     outdeg = (edges.groupBy(F.col("src").alias("node"))
               .agg(F.count("*").alias("degree")))
     if checkpoint_every is not None:
-        edges = edges.localCheckpoint(eager=True)
         outdeg = outdeg.localCheckpoint(eager=True)
+    # degree is loop-invariant: attach it to the edge set ONCE instead
+    # of re-joining outdeg inside every iteration (round-6; one join per
+    # iteration removed, values unchanged — rank div degree reads the
+    # same integers)
+    edges_deg = edges.join(outdeg.withColumnRenamed("node", "src"), "src")
+    if checkpoint_every is not None:
+        edges_deg = edges_deg.localCheckpoint(eager=True)
     nodes = outdeg.select("node")
     rank = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
     for i in range(n_iter):
         contrib = (
-            edges.join(rank.withColumnRenamed("node", "src"), "src")
-            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            edges_deg.join(rank.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr("rank div degree")).alias("_s"))
         )

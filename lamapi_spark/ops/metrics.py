@@ -10,10 +10,10 @@ tests/test_pipeline_e2e.py computes in Python on fixtures).
 from __future__ import annotations
 
 import math
+from typing import TYPE_CHECKING
 
-import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
-                     # (PEP 563 strings under `from __future__ import
-                     # annotations` are looked up in module globals)
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -767,7 +767,13 @@ def _edit_distance_pandas():
     row[j]-j = cummin(cand[j]-j, ...)`` — exact int64 throughout,
     bit-equal to the interpreted fold."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    # pandas is imported lazily (round-6 advisory: fold-engine-only
+    # consumers must not need it); the PEP-563 string hints below
+    # resolve against MODULE globals, so publish it there on first use
+    globals()["pd"] = pd
 
     @pandas_udf("long")
     def _dist(h: pd.Series, r: pd.Series) -> pd.Series:
@@ -805,7 +811,10 @@ def _lcs_pandas():
     new[j] = prev[j-1]+1, else new[j] = max(prev[j], new[j-1]) —
     computed as running maximum of candidates. Exact int64."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    globals()["pd"] = pd  # see _edit_distance_pandas
 
     @pandas_udf("long")
     def _lcs(c: pd.Series, r: pd.Series) -> pd.Series:

@@ -119,6 +119,12 @@ def bpe_train(
     force it explicitly."""
     words0 = _word_counts(docs, text_col)
     if driver_budget_bytes is not None:
+        # lineage-truncate BEFORE the gate: the budget agg and (on the
+        # driver-local arm) the collect are two separate jobs, and
+        # without this the corpus-wide word aggregation executed twice
+        # (round-6 advisory). The checkpointed frame is vocabulary-
+        # sized; the distributed arm below reuses it too.
+        words0 = words0.localCheckpoint(eager=True)
         st = words0.agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("chars")).head()

@@ -101,13 +101,17 @@ class StageRunner:
         # double checkpoint read I/O at scale
         obs = Observation(f"stage_{stage}")
         # tag the write job so event-log profilers (tools/profile_pipeline)
-        # can attribute Spark stages/shuffles to the pipeline stage
-        self.spark.sparkContext.setJobDescription(f"pipeline_stage:{stage}")
+        # can attribute Spark stages/shuffles to the pipeline stage;
+        # RESTORE the caller's description afterwards (a hosting service
+        # may have set its own on this thread — round-6 advisory)
+        sc = self.spark.sparkContext
+        prev = sc.getLocalProperty("spark.job.description")
+        sc.setJobDescription(f"pipeline_stage:{stage}")
         try:
             df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
                 "overwrite").parquet(data_path)
         finally:
-            self.spark.sparkContext.setJobDescription(None)
+            sc.setJobDescription(prev)
         n_rows = int(obs.get["rows"])
         out = self.spark.read.parquet(data_path)
         # partition count from the written files — df.rdd.getNumPartitions()

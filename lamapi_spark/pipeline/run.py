@@ -129,17 +129,50 @@ def run_pipeline(
     label_dict = scoped_cache(runner.run(
         "label_dict", lambda: build_label_dict(kg_items), fp, ("kg_items",)))
 
-    mentions = runner.run(
-        "mentions",
+    # Independent stages overlap from a small thread pool (guide §2.6):
+    # Spark happily runs several jobs at once inside one application —
+    # the serial stage chain was leaving the executor pool idle through
+    # every stage's task tail. mentions / oov_mentions (and later
+    # canonical_map, which depends only on kg_sameas) share no data
+    # dependency; job descriptions are thread-local so per-stage
+    # attribution in the event log is unchanged, and each stage still
+    # checkpoints to its own directory (resume semantics untouched).
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=3)
+    try:
+        return _run_pipeline_stages(
+            spark, runner, pool, fp, transcripts, kg_items, kg_edges,
+            kg_sameas, label_dict, index, fuzzy, nil_threshold, max_ntoken,
+            broadcast_dict, broadcast_edges, limit_per_token,
+            candidate_limit)
+    finally:
+        pool.shutdown(wait=True)
+
+
+def _run_pipeline_stages(spark, runner, pool, fp, transcripts, kg_items,
+                         kg_edges, kg_sameas, label_dict, index, fuzzy,
+                         nil_threshold, max_ntoken, broadcast_dict,
+                         broadcast_edges, limit_per_token, candidate_limit):
+    from lamapi_spark.pipeline.cache_registry import scoped_cache
+
+    f_mentions = pool.submit(
+        runner.run, "mentions",
         lambda: detect_mentions(transcripts, label_dict, max_ntoken, fuzzy,
                                 broadcast_dict, index=index),
         fp, ("transcripts", "label_dict"))
-
-    oov = runner.run(
-        "oov_mentions",
+    f_oov = pool.submit(
+        runner.run, "oov_mentions",
         lambda: detect_oov_mentions(transcripts, label_dict,
                                     broadcast_dict=broadcast_dict, index=index),
         fp, ("transcripts", "label_dict"))
+    f_cmap = None
+    if kg_sameas is not None:
+        f_cmap = pool.submit(
+            runner.run, "canonical_map",
+            lambda: canonical_map(kg_sameas), fp, ("kg_sameas",))
+    mentions = f_mentions.result()
+    oov = f_oov.result()
 
     all_spans = mentions.select(
         "conv_id", "turn_idx", "start", "ntoken_span", "surface",
@@ -165,8 +198,14 @@ def run_pipeline(
                        cache_narrow=True, limit_per_token=limit_per_token,
                        fuzzy_edits=1, index=index, slim=True)
 
-    candidates = runner.run(
-        "candidates",
+    # materialize the shared slim-match cache ONCE before the two
+    # consumers fan out, so the concurrent candidates/linked stages read
+    # the cached frame instead of racing to compute it (only when
+    # checkpointing: the checkpoint-less path stays fully lazy)
+    if runner.enabled:
+        slim.count()
+    f_candidates = pool.submit(
+        runner.run, "candidates",
         lambda: candidates_for_surfaces(
             surfaces,
             label_dict, kg_items, fuzzy=fuzzy, broadcast_dict=broadcast_dict,
@@ -187,6 +226,7 @@ def run_pipeline(
             best=best_links(slim, prepared, label_dict, broadcast_dict,
                             index=index)),
         fp, ("mentions", "candidates"))
+    candidates = f_candidates.result()
 
     triples_raw = runner.run(
         "triples_raw",
@@ -194,8 +234,7 @@ def run_pipeline(
         fp, ("linked", "kg_edges"))
 
     if kg_sameas is not None:
-        cmap = runner.run(
-            "canonical_map", lambda: canonical_map(kg_sameas), fp, ("kg_sameas",))
+        cmap = f_cmap.result()
         triples = runner.run(
             "triples",
             lambda: canonicalize_triples(triples_raw, cmap), fp,

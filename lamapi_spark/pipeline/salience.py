@@ -136,31 +136,57 @@ def conv_textrank(transcripts: DataFrame, top_k: int = 2,
 
     from lamapi_spark.ops.graph import pagerank_fixed_point
 
-    toks = transcripts.select(
+    # Round-6 restructure (guide §2.3/§2.4 — measured, bit-identical
+    # edges): the old formulation self-joined the exploded token frame
+    # on (conv_id, tok) and then joined per-turn sizes twice. Catalyst
+    # does not dedupe common subtrees, so the transcript->token subtree
+    # (incl. any upstream window) executed FIVE times (a side, b side,
+    # sa, sb) and the pair subtree TWICE (the symmetric union), each
+    # behind its own exchange. Now:
+    # - the per-turn token-set size rides IN-ROW on every token
+    #   (computed map-side from the same array), so no sizes frame and
+    #   no sizes joins exist at all;
+    # - same-token turn pairs generate INSIDE a (conv_id, tok) group
+    #   array (bounded by the conversation's own turn count — the
+    #   transcript-length bound, unchanged), replacing the self-join's
+    #   two exchanges with one;
+    # - the symmetric edge set explodes a 2-struct array per kept pair
+    #   instead of unioning two copies of the pair subtree.
+    # One pass over the transcripts, two exchanges total before the
+    # PageRank loop (was: five subtree executions, six exchanges).
+    toks_arr = transcripts.select(
         "conv_id", "turn_idx",
-        F.explode(F.array_distinct(F.split(
-            F.trim(F.lower(F.col("text"))), r"[^a-z0-9]+"))).alias("tok")
-    ).filter(F.col("tok") != "")
-    sizes = toks.groupBy("conv_id", "turn_idx").agg(
-        F.count("*").alias("_n"))
-    a = toks.select("conv_id", F.col("turn_idx").alias("ta"), "tok")
-    b = toks.select("conv_id", F.col("turn_idx").alias("tb"), "tok")
-    common = (a.join(b, ["conv_id", "tok"])
-              .filter(F.col("ta") < F.col("tb"))
-              .groupBy("conv_id", "ta", "tb")
-              .agg(F.count("*").alias("_c")))
-    sa = sizes.select("conv_id", F.col("turn_idx").alias("ta"),
-                      F.col("_n").alias("_na"))
-    sb = sizes.select("conv_id", F.col("turn_idx").alias("tb"),
-                      F.col("_n").alias("_nb"))
-    pairs = (common.join(sa, ["conv_id", "ta"]).join(sb, ["conv_id", "tb"])
-             .filter(F.col("_c") * 10000
-                     >= F.lit(int(min_jaccard_bp))
-                     * (F.col("_na") + F.col("_nb") - F.col("_c"))))
+        F.filter(
+            F.array_distinct(F.split(
+                F.trim(F.lower(F.col("text"))), r"[^a-z0-9]+")),
+            lambda t: t != "").alias("_ts"))
+    toks = toks_arr.select(
+        "conv_id", "turn_idx", F.size("_ts").alias("_n"),
+        F.explode("_ts").alias("tok"))
+    # turn_idx is unique per (conv_id, tok) group (tokens are distinct
+    # within a turn), so the sorted struct array gives deterministic
+    # ta < tb pair generation
+    grouped = toks.groupBy("conv_id", "tok").agg(
+        F.sort_array(F.collect_list(F.struct("turn_idx", "_n"))).alias("_tl"))
+    pair_structs = F.expr("""
+      flatten(transform(_tl, (a, i) ->
+        transform(slice(_tl, i + 2, size(_tl) - i - 1), b ->
+          named_struct('ta', a.turn_idx, 'na', a._n,
+                       'tb', b.turn_idx, 'nb', b._n))))
+    """)
+    common = (grouped.select("conv_id", F.explode(pair_structs).alias("p"))
+              .groupBy("conv_id", F.col("p.ta").alias("ta"),
+                       F.col("p.tb").alias("tb"))
+              .agg(F.count("*").alias("_c"),
+                   F.min("p.na").alias("_na"), F.min("p.nb").alias("_nb")))
+    pairs = common.filter(F.col("_c") * 10000
+                          >= F.lit(int(min_jaccard_bp))
+                          * (F.col("_na") + F.col("_nb") - F.col("_c")))
     node = lambda t: F.concat("conv_id", F.lit("#"), F.col(t))
-    half = pairs.select(node("ta").alias("src"), node("tb").alias("dst"))
-    edges = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = pairs.select(F.explode(F.array(
+        F.struct(node("ta").alias("src"), node("tb").alias("dst")),
+        F.struct(node("tb").alias("src"), node("ta").alias("dst")),
+    )).alias("_e")).select("_e.src", "_e.dst")
     rank = pagerank_fixed_point(edges, n_iter=n_iter, scale=scale,
                                 checkpoint_every=1)
     parts = F.split("node", "#")

@@ -648,6 +648,16 @@ def lookup_token_match(spark, sf):
     two shuffles for. The aggregation runs on the NARROW (doc_id,
     p_partkey) key; the wide p_name string re-attaches afterwards via a
     broadcast join instead of riding the shuffle."""
+    return _token_match_unsorted(spark, sf).orderBy("doc_id", "p_partkey")
+
+
+def _token_match_unsorted(spark, sf):
+    """The match WITHOUT the presentation sort — lookup_candidates
+    consumes this directly: its window repartitions by hash(doc_id)
+    anyway, so the composed query must not pay the range exchange +
+    sort of the full matched frame first (round-6 plan audit: the
+    inner orderBy survived into the composed plan as a dead
+    Exchange+Sort pair immediately below the window's own exchange)."""
     m_tok = (
         load(spark, sf, "documents")
         .select("doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token"))
@@ -664,7 +674,6 @@ def lookup_token_match(spark, sf):
         .agg(F.count("*").alias("matched_tokens"))
         .join(F.broadcast(names), "p_partkey")
         .select("doc_id", "p_partkey", "p_name", "matched_tokens")
-        .orderBy("doc_id", "p_partkey")
     )
 
 
@@ -697,7 +706,7 @@ def lookup_candidates(spark, sf):
     """Flagship — full lookup shape: token match -> per-doc ranking ->
     pos_score -> similarity feature -> top-5 (the documents table plays
     the mention stream, part the label dictionary)."""
-    matched = lookup_token_match(spark, sf)
+    matched = _token_match_unsorted(spark, sf)
     w = Window.partitionBy("doc_id").orderBy(F.desc("matched_tokens"), "p_partkey")
     wc = Window.partitionBy("doc_id")
     return (

@@ -61,14 +61,21 @@ edges AS MATERIALIZED (
 def _edges(spark, sf):
     o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
     l = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    base = (
+    # symmetrize by exploding a 2-struct array per joined row, then ONE
+    # distinct — the old unionAll(base, base.flipped) form executed the
+    # orders x lineitem join + distinct twice (Catalyst does not dedupe
+    # common subtrees); the edge SET is identical (distinct of a
+    # symmetric multiset is symmetric). Round-6 guide §2.4.
+    c = F.concat(F.lit("c"), F.col("o_custkey"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey"))
+    return (
         o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+        .select(F.explode(F.array(
+            F.struct(c.alias("src"), s.alias("dst")),
+            F.struct(s.alias("src"), c.alias("dst")))).alias("_e"))
+        .select("_e.src", "_e.dst")
         .distinct()
     )
-    return base.unionAll(base.select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst")))
 
 
 @register("graph_degree", f"""
