@@ -1398,7 +1398,15 @@ def mine_horn_rules(triples: DataFrame, min_support: int = 2,
     -> (rule, p, q, r, support, body_n, conf_bp); q is null for
     length-1 rules; ordered nowhere (caller sorts).
     """
-    t = triples.select("subj", "pred", "obj").distinct()
+    # cache the narrow distinct fact frame: EIGHT downstream references
+    # (the length-1 self-join's two sides, body1, both degree aggs, the
+    # chain join's two sides, the chain-head join) and Catalyst does not
+    # dedupe common subtrees — unbuffered, the caller's fact derivation
+    # executed once per reference (round-6 plan audit: 160 scans of the
+    # base table in one contract-query plan). Same cache_narrow
+    # discipline as common_neighbor_pairs.
+    from lamapi_spark.pipeline.cache_registry import scoped_cache
+    t = scoped_cache(triples.select("subj", "pred", "obj").distinct())
 
     # ---- length-1: p(x,y) => r(x,y)
     pairs1 = t  # body instantiations per p are the facts themselves
@@ -1430,8 +1438,10 @@ def mine_horn_rules(triples: DataFrame, min_support: int = 2,
     rhs = (t.select(F.col("pred").alias("q"), F.col("subj").alias("y"),
                     F.col("obj").alias("z"))
            .join(hot, "y", "left_anti"))
-    paths = (lhs.join(rhs, "y")
-             .select("p", "q", "x", "z").distinct())
+    # paths feeds body2 AND the support join — cache the deduped frame
+    # so the quadratic chain join runs once, not twice
+    paths = scoped_cache(lhs.join(rhs, "y")
+                         .select("p", "q", "x", "z").distinct())
     body2 = paths.groupBy("p", "q").agg(F.count("*").alias("body_n"))
     sup2 = (paths.join(t.select(F.col("pred").alias("r"),
                                 F.col("subj").alias("x"),

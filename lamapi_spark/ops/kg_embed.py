@@ -147,9 +147,15 @@ def transe_train(triples_neg: DataFrame, d: int = 4, iters: int = 2,
 
     spark = triples_neg.sparkSession
     tn = triples_neg.filter(F.col("neg_obj").isNotNull())
-    emb = transe_init(tn, d, init_u, salt)
+    # checkpoint tn BEFORE deriving the init grid: transe_init
+    # references tn four times (subj/obj/neg_obj entity union + rels)
+    # and the old order built emb against the UNCHECKPOINTED lineage,
+    # so materializing emb re-executed the caller's negative-sampling
+    # subtree four times (round-6 plan audit)
     if checkpoint_every is not None:
         tn = tn.localCheckpoint(eager=True)
+    emb = transe_init(tn, d, init_u, salt)
+    if checkpoint_every is not None:
         emb = emb.localCheckpoint(eager=True)
     start_iter = 0
     fp = None

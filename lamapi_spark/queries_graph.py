@@ -562,10 +562,16 @@ def kg_transe_train(spark, sf):
     final coordinate must match bit for bit."""
     from lamapi_spark.ops.kg_embed import transe_train
 
+    # checkpoint_every=1 (round-6): with None the 2-iteration dataflow
+    # is ONE lazy plan in which every reference to the previous
+    # iteration's embeddings re-executes its whole subtree — the plan
+    # audit counted 700 base-table scans. Per-iteration lineage
+    # truncation is the op's own documented discipline; the integer
+    # fixed-point values are unchanged (oracle-gated bit equality).
     emb = transe_train(_transe_tn(spark, sf), d=_TRANSE_D,
                        iters=_TRANSE_ITERS, lr_u=_TRANSE_LR,
                        margin_u=_TRANSE_MARGIN, init_u=_TRANSE_INIT,
-                       clamp_u=_TRANSE_CLAMP, checkpoint_every=None)
+                       clamp_u=_TRANSE_CLAMP, checkpoint_every=1)
     return emb.orderBy("kind", "id", "dim")
 
 
@@ -582,7 +588,7 @@ def kg_transe_score(spark, sf):
     emb = transe_train(tn, d=_TRANSE_D, iters=_TRANSE_ITERS,
                        lr_u=_TRANSE_LR, margin_u=_TRANSE_MARGIN,
                        init_u=_TRANSE_INIT, clamp_u=_TRANSE_CLAMP,
-                       checkpoint_every=None)
+                       checkpoint_every=1)  # see kg_transe_train
     triples = (tn.filter(F.col("neg_obj").isNotNull())
                .select("subj", "pred", "obj").distinct())
     return transe_score(triples, emb).orderBy("subj", "pred", "obj")
@@ -756,7 +762,7 @@ def kg_transe_ranks(spark, sf):
     emb = transe_train(tn, d=_TRANSE_D, iters=_TRANSE_ITERS,
                        lr_u=_TRANSE_LR, margin_u=_TRANSE_MARGIN,
                        init_u=_TRANSE_INIT, clamp_u=_TRANSE_CLAMP,
-                       checkpoint_every=None)
+                       checkpoint_every=1)  # see kg_transe_train
     triples = (tn.filter(F.col("neg_obj").isNotNull())
                .select("subj", "pred", "obj").distinct())
     return (transe_eval_ranks(triples, embedding_vectors(emb),
@@ -813,7 +819,7 @@ def graph_hits(spark, sf):
     from lamapi_spark.ops.graph import hits_fixed_point
 
     return (hits_fixed_point(_edges(spark, sf), n_iter=_N_ITER,
-                             scale=_SCALE, checkpoint_every=None)
+                             scale=_SCALE, checkpoint_every=1)
             .orderBy("node"))
 
 
@@ -1267,7 +1273,7 @@ def graph_sssp_bounded(spark, sf):
              .filter(F.col("src").startswith("c")
                      & (F.substring("src", 2, 100).cast("bigint") % 100 == 0))
              .select(F.col("src").alias("node")))
-    return (sssp_bounded(e, seeds, k=_SSSP_K, checkpoint_every=None)
+    return (sssp_bounded(e, seeds, k=_SSSP_K, checkpoint_every=1)
             .orderBy("node"))
 
 

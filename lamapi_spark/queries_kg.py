@@ -248,7 +248,7 @@ def graph_label_prop(spark, sf):
     symmetric customer-supplier graph — ops/graph.label_propagation.
     The oracle replays both rounds' votes and argmaxes CTE by CTE."""
     return (label_propagation(_edges(spark, sf), n_iter=_LP_ITER,
-                              checkpoint_every=None)
+                              checkpoint_every=1)
             .orderBy("node"))
 
 
@@ -610,5 +610,5 @@ def graph_modularity(spark, sf):
     from lamapi_spark.ops.graph import label_propagation, modularity_terms
 
     edges = _edges(spark, sf)
-    comm = label_propagation(edges, n_iter=_LP_ITER, checkpoint_every=None)
+    comm = label_propagation(edges, n_iter=_LP_ITER, checkpoint_every=1)
     return modularity_terms(edges, comm).orderBy("community")
