@@ -95,8 +95,18 @@ def bow_similarity(texts: DataFrame, bows: DataFrame,
         b_tok = F.broadcast(b_tok)
 
     if not with_matched_words:
+        # one request-keyed exchange instead of the (request, entity)
+        # pair exchange (round-6): the pair aggregation has ~zero
+        # map-side collapse (a pair shares ~1 token on short BoWs), so
+        # partial aggregation buys nothing; hash(request_id) satisfies
+        # the pair groupBy's ClusteredDistribution and any downstream
+        # per-request consumer. Measured 6.5s -> 2.7s on the sf0.1
+        # contract shape, bit-equal. request_id cardinality ~= the text
+        # corpus, so the key cannot run hot at scale; _n is constant
+        # per request (first() is deterministic here).
         return (
             t_tok.join(b_tok, "token")
+            .repartition(F.col("request_id"))
             .groupBy("request_id", "entity")
             .agg(F.count("*").alias("_overlap"), F.first("_n").alias("_nt"))
             .select(

@@ -669,7 +669,21 @@ def _token_match_unsorted(spark, sf):
     )
     names = load(spark, sf, "part").select("p_partkey", "p_name")
     return (
+        # ONE doc-keyed exchange for the whole match lifecycle (round-6,
+        # the r05 repartition(mention_norm) discipline): the pair-key
+        # aggregation has ~zero collapse (measured sf0.1: 9.86M joined
+        # rows -> 9.86M groups — each (doc, part) pair shares ~1 token),
+        # so map-side partial aggregation buys nothing and the default
+        # plan paid a full hash(doc_id, p_partkey) exchange of the
+        # matched frame PLUS (in lookup_candidates) a second hash(doc_id)
+        # exchange for the ranking windows. hash(doc_id) alone satisfies
+        # ClusteredDistribution for the pair groupBy, the n_hits window,
+        # and the rank window — everything downstream is partition-local.
+        # Measured: lookup_token_match 6.1-6.5s -> 2.5-3.0s,
+        # lookup_candidates 6.7-7.8s -> 3.4s (sf0.1 noop, bit-equal).
         m_tok.join(F.broadcast(d_tok), "token")
+        .select("doc_id", "p_partkey")
+        .repartition(F.col("doc_id"))
         .groupBy("doc_id", "p_partkey")
         .agg(F.count("*").alias("matched_tokens"))
         .join(F.broadcast(names), "p_partkey")
