@@ -104,3 +104,88 @@ def test_ivf_write_recovers_from_stale_warehouse_dirs(spark):
     corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     idx = IvfIndex.write(corpus, prefix=prefix, n_cells=2, n_buckets=2)
     assert idx.n_vecs == 40
+
+
+# ---------------------------------------------------------------- fuzz
+# VERDICT r05 item 5: property-fuzz the artifact lifecycle the way the
+# codecs were fuzzed — random operation sequences x random corruption of
+# the environment between steps (orphaned location dirs with no catalog
+# entry, i.e. the fresh-metastore/persistent-warehouse driver state;
+# partial orphan sets; repeated writes). Spark sessions are expensive,
+# so the fuzz drives randomized SEQUENCES inside one session rather
+# than hypothesis-shrinkable atoms: each failure prints its seed/trace.
+
+import random
+
+_OPS = ("write", "load", "exists", "write_delta", "load_delta",
+        "drop_delta", "orphan_some", "orphan_all")
+
+
+def _simulate_fresh_metastore(spark, prefix):
+    """Turn every live table of ``prefix`` into the driver's stale
+    state: location dirs present, catalog ignorant. Copy the managed
+    dirs aside, drop the tables (which deletes the originals), then
+    restore the dirs."""
+    import shutil
+    wh = _warehouse_path(spark)
+    saved = []
+    for t in ("token", "names", "payload", "fuzzy", "fuzzy_names",
+              "meta", "delta"):
+        name = f"{prefix}_{t}"
+        d = os.path.join(wh, name)
+        if spark.catalog.tableExists(name) and os.path.isdir(d):
+            shutil.copytree(d, d + ".keep")
+            spark.sql(f"DROP TABLE {name}")
+            os.rename(d + ".keep", d)
+            saved.append(name)
+    return saved
+
+
+def test_fuzz_artifact_lifecycle(spark, label_dict):
+    rng = random.Random(606)
+    prefix = "t_r6_fuzz_idx"
+    delta_rows = 0
+    wrote = False
+    from lamapi_spark.operators.indexes import LookupIndex as LI
+    for step in range(40):
+        op = rng.choice(_OPS)
+        try:
+            if op == "write":
+                idx = LI.write(label_dict, prefix=prefix, n_buckets=2,
+                               fuzzy=rng.random() < 0.5,
+                               limit_per_token=rng.choice([None, 5]))
+                assert idx.token.count() > 0
+                wrote = True
+            elif op == "load":
+                if LI.exists(spark, prefix):
+                    idx = LI.load(spark, prefix)
+                    assert idx.names.count() > 0
+            elif op == "exists":
+                LI.exists(spark, prefix)
+            elif op == "write_delta":
+                LI.write_delta(label_dict.limit(2), prefix=prefix)
+                delta_rows += 2
+            elif op == "load_delta":
+                d = LI.load_delta(spark, prefix)
+                if delta_rows and d is not None:
+                    assert d.count() == delta_rows
+            elif op == "drop_delta":
+                LI.drop_delta(spark, prefix)
+                delta_rows = 0
+            elif op == "orphan_some":
+                # one orphan dir for a table that may or may not exist
+                wh = _warehouse_path(spark)
+                t = rng.choice(("token", "names", "meta", "delta"))
+                name = f"{prefix}_{t}"
+                if not spark.catalog.tableExists(name):
+                    os.makedirs(os.path.join(wh, name), exist_ok=True)
+                    with open(os.path.join(wh, name, "junk"), "wb") as f:
+                        f.write(b"stale")
+            elif op == "orphan_all" and wrote:
+                dropped = _simulate_fresh_metastore(spark, prefix)
+                if any(d.endswith("_delta") for d in dropped):
+                    delta_rows = 0  # catalog forgot the delta table
+        except Exception as e:  # pragma: no cover - fuzz failure detail
+            raise AssertionError(
+                f"lifecycle fuzz failed at step {step} op={op}: {e}"
+            ) from e
