@@ -121,29 +121,24 @@ def run_pipeline(
             "duration_s": round(time.time() - t0, 3), "fingerprint": fp,
             "inputs": ["kg_items"], "resumed": index.reused})
 
-    # cache: the dictionary feeds the token/variant indexes (non-artifact
-    # path), the candidate payload join and the ids-backfill arm — one
-    # materialization, many consumers (on a cluster the indexes are the
-    # offline artifacts above; the payload stays a plain table)
-    from lamapi_spark.pipeline.cache_registry import scoped_cache
-    label_dict = scoped_cache(runner.run(
-        "label_dict", lambda: build_label_dict(kg_items), fp, ("kg_items",)))
-
     # Independent stages overlap from a small thread pool (guide §2.6):
     # Spark happily runs several jobs at once inside one application —
     # the serial stage chain was leaving the executor pool idle through
-    # every stage's task tail. mentions / oov_mentions (and later
-    # canonical_map, which depends only on kg_sameas) share no data
-    # dependency; job descriptions are thread-local so per-stage
-    # attribution in the event log is unchanged, and each stage still
-    # checkpoints to its own directory (resume semantics untouched).
+    # every stage's task tail. canonical_map depends only on kg_sameas;
+    # mentions/oov_mentions share no dependency with each other; and on
+    # the BUCKETED-index path they never touch label_dict at all (the
+    # span/vocab joins probe the saved artifact tables), so label_dict
+    # itself joins the overlapped block there. Job descriptions are
+    # thread-local so per-stage attribution in the event log is
+    # unchanged, and each stage still checkpoints to its own directory
+    # (resume semantics untouched).
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=3)
+    pool = ThreadPoolExecutor(max_workers=4)
     try:
         return _run_pipeline_stages(
             spark, runner, pool, fp, transcripts, kg_items, kg_edges,
-            kg_sameas, label_dict, index, fuzzy, nil_threshold, max_ntoken,
+            kg_sameas, index, fuzzy, nil_threshold, max_ntoken,
             broadcast_dict, broadcast_edges, limit_per_token,
             candidate_limit)
     finally:
@@ -151,26 +146,58 @@ def run_pipeline(
 
 
 def _run_pipeline_stages(spark, runner, pool, fp, transcripts, kg_items,
-                         kg_edges, kg_sameas, label_dict, index, fuzzy,
+                         kg_edges, kg_sameas, index, fuzzy,
                          nil_threshold, max_ntoken, broadcast_dict,
                          broadcast_edges, limit_per_token, candidate_limit):
     from lamapi_spark.pipeline.cache_registry import scoped_cache
 
-    f_mentions = pool.submit(
-        runner.run, "mentions",
-        lambda: detect_mentions(transcripts, label_dict, max_ntoken, fuzzy,
-                                broadcast_dict, index=index),
-        fp, ("transcripts", "label_dict"))
-    f_oov = pool.submit(
-        runner.run, "oov_mentions",
-        lambda: detect_oov_mentions(transcripts, label_dict,
-                                    broadcast_dict=broadcast_dict, index=index),
-        fp, ("transcripts", "label_dict"))
     f_cmap = None
     if kg_sameas is not None:
         f_cmap = pool.submit(
             runner.run, "canonical_map",
             lambda: canonical_map(kg_sameas), fp, ("kg_sameas",))
+
+    # cache: the dictionary feeds the token/variant indexes (non-artifact
+    # path), the candidate payload join and the ids-backfill arm — one
+    # materialization, many consumers (on a cluster the indexes are the
+    # offline artifacts above; the payload stays a plain table)
+    def _label_dict_stage():
+        return runner.run(
+            "label_dict", lambda: build_label_dict(kg_items), fp,
+            ("kg_items",))
+
+    bucketed = index is not None and index.bucketed
+    if bucketed:
+        # mentions/oov probe the artifact tables — label_dict overlaps
+        # with them instead of heading the serial chain. detect_mentions
+        # ignores its label_dict argument whenever an index is present;
+        # detect_oov_mentions does so for a BUCKETED index.
+        f_ld = pool.submit(_label_dict_stage)
+        f_mentions = pool.submit(
+            runner.run, "mentions",
+            lambda: detect_mentions(transcripts, None, max_ntoken, fuzzy,
+                                    broadcast_dict, index=index),
+            fp, ("transcripts", "label_dict"))
+        f_oov = pool.submit(
+            runner.run, "oov_mentions",
+            lambda: detect_oov_mentions(transcripts, None,
+                                        broadcast_dict=broadcast_dict,
+                                        index=index),
+            fp, ("transcripts", "label_dict"))
+        label_dict = scoped_cache(f_ld.result())
+    else:
+        label_dict = scoped_cache(_label_dict_stage())
+        f_mentions = pool.submit(
+            runner.run, "mentions",
+            lambda: detect_mentions(transcripts, label_dict, max_ntoken,
+                                    fuzzy, broadcast_dict, index=index),
+            fp, ("transcripts", "label_dict"))
+        f_oov = pool.submit(
+            runner.run, "oov_mentions",
+            lambda: detect_oov_mentions(transcripts, label_dict,
+                                        broadcast_dict=broadcast_dict,
+                                        index=index),
+            fp, ("transcripts", "label_dict"))
     mentions = f_mentions.result()
     oov = f_oov.result()
 
