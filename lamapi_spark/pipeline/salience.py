@@ -120,21 +120,22 @@ def conv_textrank(transcripts: DataFrame, top_k: int = 2,
     similarity join explodes turns to (conv, token) and pairs WITHIN
     the conversation key, so fanout is bounded by each conversation's
     own turn count (the transcript-length bound; a corpus-hot token
-    never pairs across conversations). Node ids are (conv, turn)
-    composites and the PageRank edge set is the union over
-    conversations — teleport and dangling handling are per-component
-    constants that cannot reorder ranks WITHIN a conversation, and
-    only within-conversation order is consumed. Isolated turns (no
-    edge) never enter the graph and rank below every ranked turn by
-    convention — a conversation of pairwise-dissimilar turns emits
-    its ranked turns only.
+    never pairs across conversations). The fixed-point recurrence has
+    no cross-component term (teleport is a per-node constant; the
+    symmetric edge set needs no dangling mass), so the ranks are
+    computed PER CONVERSATION in-row — bit-identical to running
+    ops/graph.pagerank_fixed_point over the union edge set with
+    (conv, turn) composite node ids, which is how this operator was
+    implemented (and differentially verified) before round 6 made the
+    loop conversation-local. Isolated turns (no edge) never enter the
+    graph and rank below every ranked turn by convention — a
+    conversation of pairwise-dissimilar turns emits its ranked turns
+    only.
 
     -> (conv_id, turn_idx, rank_units, rk) — rk 1-based by
     (rank_units desc, turn_idx asc), rk <= top_k.
     """
     from pyspark.sql import Window
-
-    from lamapi_spark.ops.graph import pagerank_fixed_point
 
     # Round-6 restructure (guide §2.3/§2.4 — measured, bit-identical
     # edges): the old formulation self-joined the exploded token frame
@@ -150,16 +151,29 @@ def conv_textrank(transcripts: DataFrame, top_k: int = 2,
     #   array (bounded by the conversation's own turn count — the
     #   transcript-length bound, unchanged), replacing the self-join's
     #   two exchanges with one;
-    # - the symmetric edge set explodes a 2-struct array per kept pair
-    #   instead of unioning two copies of the pair subtree.
-    # One pass over the transcripts, two exchanges total before the
-    # PageRank loop (was: five subtree executions, six exchanges).
+    # - the PageRank itself runs IN-ROW per conversation (below): the
+    #   fixed-point recurrence has no cross-component term — teleport
+    #   is a per-node constant and symmetric edges need no dangling
+    #   mass — so each conversation's ranks depend only on its own
+    #   edges, and a single aggregate() over sequence(1, n_iter)
+    #   replays pagerank_fixed_point's exact BIGINT arithmetic
+    #   (rank div degree contributions, (85 * sum) div 100 update)
+    #   inside the conversation row. This removes the global frame
+    #   loop entirely: no localCheckpoint materializations, no
+    #   per-iteration join+agg exchanges, and edges never cross a
+    #   partition boundary — at a 10^12-turn corpus the loop's three
+    #   global shuffles were the dominant non-local cost.
+    # One repartition(conv_id) up front (AQE-sized, corpus-cardinality
+    # key) makes every aggregation and the final window partition-local:
+    # ONE data exchange end to end (was: five subtree executions, six
+    # exchanges, plus 5+ checkpoint jobs in the loop).
     toks_arr = transcripts.select(
         "conv_id", "turn_idx",
         F.filter(
             F.array_distinct(F.split(
                 F.trim(F.lower(F.col("text"))), r"[^a-z0-9]+")),
             lambda t: t != "").alias("_ts"))
+    toks_arr = toks_arr.repartition(F.col("conv_id"))
     toks = toks_arr.select(
         "conv_id", "turn_idx", F.size("_ts").alias("_n"),
         F.explode("_ts").alias("tok"))
@@ -182,18 +196,57 @@ def conv_textrank(transcripts: DataFrame, top_k: int = 2,
     pairs = common.filter(F.col("_c") * 10000
                           >= F.lit(int(min_jaccard_bp))
                           * (F.col("_na") + F.col("_nb") - F.col("_c")))
-    node = lambda t: F.concat("conv_id", F.lit("#"), F.col(t))
-    edges = pairs.select(F.explode(F.array(
-        F.struct(node("ta").alias("src"), node("tb").alias("dst")),
-        F.struct(node("tb").alias("src"), node("ta").alias("dst")),
-    )).alias("_e")).select("_e.src", "_e.dst")
-    rank = pagerank_fixed_point(edges, n_iter=n_iter, scale=scale,
-                                checkpoint_every=1)
-    parts = F.split("node", "#")
-    ranked = rank.select(
-        F.element_at(parts, 1).alias("conv_id"),
-        F.element_at(parts, 2).cast("long").alias("turn_idx"),
-        F.col("rank").alias("rank_units"))
+    # per-conversation in-row PageRank, replaying pagerank_fixed_point's
+    # integer recurrence exactly (BIGINT units; rank div degree
+    # contributions; teleport + (85 * sum) div 100 update; no-in-edge
+    # nodes get teleport + 0, the frame loop's coalesce(_s, 0L)).
+    # The whole iteration lives in ONE aggregate() expression whose
+    # accumulator carries (rank, deg, in-lists) as values, so nothing
+    # is re-evaluated across iterations (the project-collapse trap a
+    # withColumn-per-iteration formulation would hit). Work per conv is
+    # O(V*E + n_iter*E) on arrays bounded by the conversation's own
+    # turn count — the same transcript-length bound the pair generation
+    # already relies on.
+    damping_pct = 85  # pagerank_fixed_point's default, replayed exactly
+    teleport = (100 - damping_pct) * int(scale) // 100
+    conv = pairs.groupBy("conv_id").agg(
+        F.collect_list(F.struct(F.col("ta"), F.col("tb"))).alias("_ps"))
+    conv = conv.select("conv_id", F.expr("""
+      flatten(transform(_ps, p -> array(
+        named_struct('s', p.ta, 'd', p.tb),
+        named_struct('s', p.tb, 'd', p.ta))))
+    """).alias("_es"))
+    conv = conv.select(
+        "conv_id",
+        F.expr("array_distinct(transform(_es, e -> e.s))").alias("_nodes"),
+        "_es")
+    pr = F.expr(f"""
+      aggregate(
+        sequence(1, {int(n_iter)}),
+        named_struct(
+          'rank', transform(_nodes, n -> CAST({int(scale)} AS BIGINT)),
+          'deg',  transform(_nodes, n ->
+                    CAST(size(filter(_es, e -> e.s = n)) AS BIGINT)),
+          'inl',  transform(_nodes, n ->
+                    transform(filter(_es, e -> e.d = n),
+                              e -> CAST(array_position(_nodes, e.s) AS INT)))),
+        (st, k) -> named_struct(
+          'rank', transform(sequence(1, size(st.inl)), i ->
+            CAST({teleport} AS BIGINT)
+            + ({damping_pct} * aggregate(element_at(st.inl, i),
+                 CAST(0 AS BIGINT),
+                 (acc, s) -> acc + element_at(st.rank, s)
+                             div element_at(st.deg, s))) div 100),
+          'deg', st.deg,
+          'inl', st.inl),
+        st -> st.rank)
+    """)
+    ranked = (conv.select("conv_id", "_nodes", pr.alias("_pr"))
+              .select("conv_id",
+                      F.explode(F.arrays_zip("_nodes", "_pr")).alias("z"))
+              .select("conv_id",
+                      F.col("z._nodes").cast("long").alias("turn_idx"),
+                      F.col("z._pr").alias("rank_units")))
     w = Window.partitionBy("conv_id").orderBy(
         F.desc("rank_units"), F.asc("turn_idx"))
     return (ranked.withColumn("rk", F.row_number().over(w))
