@@ -220,7 +220,12 @@ def conv_textrank(transcripts: DataFrame, top_k: int = 2,
         "conv_id",
         F.expr("array_distinct(transform(_es, e -> e.s))").alias("_nodes"),
         "_es")
-    pr = F.expr(f"""
+    # n_iter <= 0 degrades to the init ranks like the frame loop's
+    # range(n_iter) (sequence(1, 0) would step BACKWARD in Spark SQL)
+    if int(n_iter) <= 0:
+        pr = F.expr(f"transform(_nodes, n -> CAST({int(scale)} AS BIGINT))")
+    else:
+        pr = F.expr(f"""
       aggregate(
         sequence(1, {int(n_iter)}),
         named_struct(
@@ -240,7 +245,7 @@ def conv_textrank(transcripts: DataFrame, top_k: int = 2,
           'deg', st.deg,
           'inl', st.inl),
         st -> st.rank)
-    """)
+    """)  # noqa: E128 — continuation of the else-branch expr
     ranked = (conv.select("conv_id", "_nodes", pr.alias("_pr"))
               .select("conv_id",
                       F.explode(F.arrays_zip("_nodes", "_pr")).alias("z"))

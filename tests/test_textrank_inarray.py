@@ -95,3 +95,12 @@ def test_inarray_pagerank_matches_global_loop(spark):
                  _reference_textrank(spark, tr, **kw).collect())
     assert got == ref
     assert len(got) > 0 and "D" not in {r[0] for r in got}
+
+    # n_iter=0 degrades to the init ranks (range(0) in the frame loop;
+    # guards against sequence(1, 0) stepping backward in Spark SQL)
+    kw0 = dict(kw, n_iter=0)
+    got0 = sorted(tuple(r) for r in conv_textrank(tr, **kw0).collect())
+    ref0 = sorted(tuple(r) for r in
+                  _reference_textrank(spark, tr, **kw0).collect())
+    assert got0 == ref0
+    assert {r[2] for r in got0} == {10**9}
